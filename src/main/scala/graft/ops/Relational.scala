@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytic operators over the TPC-H-ish test tables.
+  *
+  * These fill the aggregation/join/window design space the reference leaves
+  * open (SURVEY.md §2.6: the reference's only aggregates are `len(df)`
+  * counts — `scripts/etl_pipeline.py:213-217` — and its only join is the
+  * tracks⟕audio_features merge at `scripts/transform.py:156`). Each query
+  * is declarative DataFrame code so Catalyst applies pushdown, pruning and
+  * join selection; small dimension tables are broadcast explicitly so the
+  * same plan holds on a 1000-executor cluster (no shuffle of the fact
+  * table for dim joins).
+  *
+  * Every query ends in a total-order `orderBy` so the DuckDB oracle
+  * compare is deterministic.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: filter → groupBy → multi-aggregate.
+    * Map-side partial aggregation reduces the shuffle to ~|groups| rows per
+    * partition; the shipdate filter is pushed to the parquet scan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(chargeTerm(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .cast("double").as("sum_charge"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Multi-way star join region→nation→customer→orders→lineitem with
+    * revenue per (region, nation). Dimension tables are broadcast (they are
+    * KB–MB at any scale factor), so the only shuffle is the final
+    * aggregation on (r_name, n_name) — the fact tables join map-side.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val lineitem = Tables(spark, dir, "lineitem")
+
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window rank: top-3 orders per customer by totalprice. row_number with
+    * an o_orderkey tie-break gives a total order, so results are
+    * deterministic. One shuffle on o_custkey; no join needed.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ROLLUP over (region, nation): hierarchical subtotals of customer
+    * account balance. Spark expands rollup into a single expand+aggregate —
+    * one shuffle.
+    */
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      // functions.col, not Dataset.rollup(String*): the latter resolves via
+      // the dataset's tagged col() and falsely trips
+      // DetectAmbiguousSelfJoin once Expand duplicates the attributes.
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        moneySum(col("c_acctbal")).as("sum_acctbal"),
+        count(lit(1)).as("n_customers"))
+      // Expand duplicates the grouping attributes, so resolve the sort
+      // columns against the aggregated dataset explicitly.
+      .transform(d => d.orderBy(d("r_name").asc_nulls_first,
+        d("n_name").asc_nulls_first))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one finished
+    * order. Semi joins ship only the join key of the build side — at scale
+    * the distinct o_custkey set is tiny vs the orders table.
+    */
+  def customersWithFinishedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val finished = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+    customer
+      .join(finished, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent-priority
+    * orders. (Not "no orders at all" — the generator gives every customer
+    * orders, which would make this a vacuous 0-row check.)
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Global top-k: 10 most expensive orders, deterministic tie-break on
+    * orderkey. Spark plans orderBy+limit as TakeOrderedAndProject — each
+    * partition keeps only its local top-10, so no full sort/shuffle of the
+    * table happens at any scale.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+  }
+
+  /** Exact distinct counts per group (partkey/suppkey cardinality per
+    * return flag). Spark plans count(distinct x, …) via expand +
+    * two-phase aggregation.
+    */
+  def distinctPartsPerFlag(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Set operations: (BUILDING-segment ∪ rich) customers minus those with
+    * finished orders. UNION/EXCEPT carry distinct semantics in both Spark
+    * and ANSI SQL.
+    */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val building = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val rich = customer.filter(col("c_acctbal") > 9000).select("c_custkey")
+    val finished = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    building.union(rich).except(finished).orderBy("c_custkey")
+  }
+
+  /** TPC-H Q6-style filtered aggregate: predicate pushdown to the scan,
+    * single-row result (the shape `.explain` must show: PushedFilters on
+    * l_shipdate, pruned 4-column ReadSchema).
+    */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        dec2(col("l_discount")).between(0.02, 0.06) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+}
