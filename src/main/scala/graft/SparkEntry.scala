@@ -29,6 +29,19 @@ object SparkEntry {
     "q08_distinct_parts" -> Relational.distinctPartsPerFlag _,
     "q09_setops_customers" -> Relational.setOpsCustomers _,
     "q10_forecast_revenue" -> Relational.forecastRevenue _,
+    "q11_events_hourly" -> Events.hourlyCounts _,
+    "q12_user_sessions" -> Events.userSessions _,
+    "q13_doc_stats" -> TextOps.docStats _,
+    "q14_token_frequency" -> TextOps.tokenFrequency _,
+    "q15_lang_id" -> TextOps.langIdConfusion _,
+    "q16_quality_by_source" -> TextOps.qualityBySource _,
+    "q17_exact_dedup" -> Dedup.exactDuplicates _,
+    "q18_minhash_sigs" -> Dedup.minhashSignatures _,
+    "q19_neardup_pairs" -> Dedup.nearDupPairs _,
+    "q20_simhash" -> Dedup.simhashFingerprints _,
+    "q21_cosine_topk" -> Similarity.cosineTopK _,
+    "q22_label_knn" -> Similarity.labelKnn _,
+    "q23_label_centroids" -> Similarity.labelCentroids _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -121,5 +134,214 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.02 AND 0.06
         |  AND l_quantity < 24""".stripMargin,
+    "q11_events_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q12_user_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, value, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN prev_ts IS NOT NULL
+        |           AND date_diff('second', prev_ts, ts) > 1800
+        |           THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM e
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q13_doc_stats" ->
+      """SELECT lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    "q14_token_frequency" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |      FROM documents) t
+        |GROUP BY token
+        |ORDER BY n DESC, token ASC
+        |LIMIT 20""".stripMargin,
+    "q15_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT lang, len(toks) AS n_toks,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+        |  FROM d)
+        |SELECT lang,
+        |  CASE WHEN hits * 20 >= n_toks THEN 'en' ELSE 'other' END AS pred_lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(hits) AS DOUBLE) / CAST(SUM(n_toks) AS BIGINT) AS stop_ratio
+        |FROM e
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q16_quality_by_source" ->
+      """WITH d AS (
+        |  SELECT source, n_chars, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |e AS (
+        |  SELECT source, n_chars, len(toks) AS n_toks,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+        |  FROM d),
+        |q AS (
+        |  SELECT source,
+        |    (CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+        |          WHEN n_chars > 300 THEN 25 ELSE 10 END
+        |     + CASE WHEN n_toks >= 20 THEN 30 ELSE 15 END
+        |     + CASE WHEN hits * 50 >= n_toks AND hits * 5 <= n_toks THEN 30 ELSE 10 END
+        |    ) AS quality
+        |  FROM e)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(quality) AS DOUBLE) / COUNT(*) AS avg_quality,
+        |  CAST(SUM(CASE WHEN quality >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM q
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q17_exact_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0)
+        |SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+        |  md5(text) AS content_hash
+        |FROM corpus
+        |GROUP BY md5(text)
+        |HAVING COUNT(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+    "q18_minhash_sigs" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS shingles
+        |  FROM d)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |  list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |  list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |  list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+    "q19_neardup_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM corpus),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS shingles
+        |  FROM d),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |  FROM sg),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+        |  UNION ALL SELECT doc_id, 1, mh1 FROM sig
+        |  UNION ALL SELECT doc_id, 2, mh2 FROM sig
+        |  UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+        |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+        |  FROM cand
+        |  JOIN sig sa ON cand.doc_a = sa.doc_id
+        |  JOIN sig sb ON cand.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+        |FROM j
+        |WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q20_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 16), b ->
+        |    CASE WHEN list_sum(list_transform(toks, t ->
+        |        CASE WHEN substr(md5(t), b + 1, 1) IN ('1','3','5','7','9','b','d','f')
+        |        THEN 1 ELSE -1 END)) >= 0
+        |    THEN (1 << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
+    "q21_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, e AS qe FROM v WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.q_id, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+        |  FROM v CROSS JOIN q
+        |  WHERE v.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, rn""".stripMargin,
+    "q22_label_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, e AS qe FROM v WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.q_id, q.q_label, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+        |  FROM v JOIN q ON v.label = q.q_label AND v.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, q_label, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, q_label, rn, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+    "q23_label_centroids" ->
+      """WITH v AS (
+        |  SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |x AS (
+        |  SELECT label, t.i - 1 AS dim, e[t.i] AS val
+        |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t)
+        |SELECT label, dim,
+        |  list_reduce(list_sort(list(val)), (a, b) -> a + b) / COUNT(*) AS centroid
+        |FROM x
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
   )
 }

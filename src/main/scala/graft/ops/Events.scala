@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table (batch analogues of the
+  * Structured Streaming shapes — tumbling windows, sessionization). The
+  * reference has no streaming/windowing surface at all (SURVEY.md §2.9);
+  * these fill that slot for the driver's north-star brief.
+  *
+  * Nanosecond caveat: `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+  * 4.x rejects outright (PARQUET_TYPE_ILLEGAL). We read it via the
+  * `spark.sql.legacy.parquet.nanosAsLong` escape hatch as raw nanos and
+  * derive µs timestamps / floor-second epochs ourselves. DuckDB reads the
+  * same column natively as TIMESTAMP_NS; both engines therefore agree on
+  * hour truncation and second-granularity gaps.
+  */
+object Events {
+
+  /** events with `ts` as raw nanos (long) plus derived columns:
+    * `ts_utc` (µs-truncated timestamp) and `ts_sec` (floor epoch seconds).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables(spark, dir, "events")
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+  }
+
+  /** Tumbling 1-hour window counts per event type — the batch shape of
+    * `groupBy(window($"ts", "1 hour"), $"event_type")`. date_trunc is used
+    * rather than window() so the grouping key is a plain timestamp the
+    * oracle can reproduce; the plan is identical (one shuffle on the
+    * grouping key, map-side partial aggregation).
+    */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts_utc")).as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Sessionization via lag: a new session starts after a >30-minute gap
+    * in a user's event stream. One shuffle on user_id; the per-user window
+    * sort is the same work mapGroupsWithState would do per key in the
+    * streaming formulation.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_sec").isNotNull &&
+          col("ts_sec") - col("prev_sec") > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(col("new_session")) + 1).as("n_sessions"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id")
+  }
+}

@@ -77,7 +77,8 @@ object Relational {
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     orders
-      .withColumn("rn", row_number().over(w))
+      // cast to long: ROW_NUMBER() is BIGINT in the DuckDB oracle
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
       .orderBy("o_custkey", "rn")

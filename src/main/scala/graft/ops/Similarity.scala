@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Brute-force cosine top-k is the baseline: a small query set is
+  * broadcast against the corpus, so the corpus is scanned once with no
+  * shuffle — the plan that still works when the corpus is 100 TB (the
+  * query side stays driver-sized; the scan is embarrassingly parallel).
+  * The label-partitioned variant is the IVF-style scale path: the search
+  * space is pruned to the query's cluster via an equi-join on the cluster
+  * id before any distance is computed.
+  *
+  * Oracle parity: float elements are cast to double (exact) before any
+  * math; cosines are rounded to 6 decimals and ties broken by vec_id, so
+  * rankings are deterministic and engine-independent.
+  */
+object Similarity {
+
+  private val dotExpr =
+    "aggregate(zip_with(q_vec, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def norm2(arr: String) =
+    s"aggregate(transform($arr, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** embeddings with elements cast to double, as (vec_id, label, v). */
+  def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def queries(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_vec"))
+
+  private def cosined(corpus: DataFrame, qs: DataFrame,
+      joinOn: Option[String]): DataFrame = {
+    val joined = joinOn match {
+      case Some(cond) => corpus.join(broadcast(qs), expr(cond))
+      case None => corpus.crossJoin(broadcast(qs))
+    }
+    joined
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(
+        expr(dotExpr) / (sqrt(expr(norm2("q_vec"))) * sqrt(expr(norm2("v")))),
+        6))
+  }
+
+  /** Brute-force cosine top-5 per query vector (query set: vec_id < 8). */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cosined(vectors(spark, dir), queries(spark, dir), None)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF-style pruned search: only vectors sharing the query's cluster
+    * label are scored (top-3 per query). The bucket equi-join replaces the
+    * cross join — at scale this is the difference between scanning the
+    * whole corpus and one partition of it.
+    */
+  def labelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cosined(vectors(spark, dir), queries(spark, dir),
+      Some("label = q_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("q_id", "q_label", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Per-cluster centroids, one row per (label, dim). Double summation is
+    * order-dependent and decimal round-tripping of float32 values is not
+    * engine-stable, so each group's values are sorted and folded
+    * sequentially — both engines then add the same doubles in the same
+    * order and the means are bit-identical.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy("label", "dim")
+      .agg(sort_array(collect_list(col("val"))).as("vals"),
+        count(lit(1)).as("n"))
+      .withColumn("centroid", expr(
+        "aggregate(slice(vals, 2, size(vals)), vals[0], (a, x) -> a + x)") /
+        col("n"))
+      .select("label", "dim", "centroid")
+      .orderBy("label", "dim")
+}

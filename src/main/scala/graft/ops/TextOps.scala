@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * language-ID heuristic, quality scoring, token counting. These are the
+  * training-data-pipeline primitives from the north-star brief (the
+  * reference itself has no text processing — SURVEY.md §2.9).
+  *
+  * Design rules for oracle parity:
+  *  - tokenization is `regexp_extract_all(lower(text), '[a-z0-9]+')` on
+  *    both engines — no engine-specific split semantics;
+  *  - all ratios are decided with integer cross-multiplication
+  *    (`hits*20 >= n` instead of `hits/n >= 0.05`), so per-document
+  *    classification involves zero floating point;
+  *  - aggregate ratios are computed as sum(int)/sum(int) with a single
+  *    final double division — order-independent.
+  *
+  * Everything is a codegen'd built-in expression (no UDFs), so documents
+  * stream through whole-stage codegen; the only shuffle per query is the
+  * final aggregation.
+  */
+object TextOps {
+
+  /** Tokenizer shared by all text operators. */
+  val tokensExpr = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+  /** English stop-list used by the language-ID heuristic. */
+  val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
+  private def stopInList = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** documents + `toks` + `n_toks` + `stop_hits` (count of stop-list
+    * tokens). All downstream text ops start here.
+    */
+  def tokenized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> t IN $stopInList))"))
+
+  /** Per-language corpus statistics: doc counts, exact char/token sums,
+    * averages via exact-sum/count.
+    */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(col("n_toks").cast("long")).as("sum_tokens"),
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy("lang")
+
+  /** Corpus-wide token frequency, top 20 (count desc, token asc). Explode
+    * + two-phase aggregate; at scale the map-side partial agg collapses
+    * each partition to its local vocabulary before the shuffle.
+    */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .select(explode(col("toks")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** Stopword-ratio language ID: a document is called English when
+    * stop_hits/n_toks >= 5% (decided as `stop_hits*20 >= n_toks`, pure
+    * integer). Confusion-matrix style output against the labelled `lang`.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    tokenized(spark, dir)
+      .withColumn("pred_lang",
+        when(col("stop_hits") * 20 >= col("n_toks"), "en").otherwise("other"))
+      .groupBy("lang", "pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("stop_hits")).cast("double") / sum(col("n_toks")))
+          .as("stop_ratio"))
+      .orderBy("lang", "pred_lang")
+
+  /** Integer quality score (0–100) per document from length, token-count
+    * and stopword-ratio bands, aggregated per source. Bands use integer
+    * comparisons only.
+    */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
+    val lenPts = when(col("n_chars").between(100, 300), 40)
+      .when(col("n_chars") > 300, 25).otherwise(10)
+    val tokPts = when(col("n_toks") >= 20, 30).otherwise(15)
+    // 0.02 <= stop_ratio <= 0.2  <=>  hits*50 >= n  &&  hits*5 <= n
+    val stopPts = when(col("stop_hits") * 50 >= col("n_toks") &&
+      col("stop_hits") * 5 <= col("n_toks"), 30).otherwise(10)
+    tokenized(spark, dir)
+      .withColumn("quality", (lenPts + tokPts + stopPts).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality")).cast("double") / count(lit(1))).as("avg_quality"),
+        sum(when(col("quality") >= 80, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("source")
+  }
+}
