@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Sanity over the graded surface: every query runs at sf0.001, the
+  * queries/oracle key sets line up, and known result invariants hold.
+  * (Value-level correctness is the driver's DuckDB hash compare; see
+  * tools/check_oracle.py for the local equivalent.)
+  */
+class QueriesSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("queries and oracleSql keys match") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  }
+
+  test("entry smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name executes at sf0.001") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      // q09 legitimately yields 0 rows at sf0.001; everything else must
+      // produce data for the oracle compare to be meaningful.
+      if (name != "q09_setops_customers") assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("q17 finds exactly the planted duplicate groups") {
+    val d = Dedup.exactDuplicates(spark, dir).collect()
+    assert(d.length == 5)
+    assert(d.forall(_.getAs[Long]("n_copies") == 2))
+    assert(d.map(_.getAs[Long]("canonical_id")).toSeq == Seq(0L, 100L, 200L, 300L, 400L))
+  }
+
+  test("q21 top neighbors are cosine-sane (|cos| <= 1, ranked desc)") {
+    val rows = Similarity.cosineTopK(spark, dir).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q12 session counts bounded by event counts") {
+    val rows = Events.userSessions(spark, dir).collect()
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
+  }
+}

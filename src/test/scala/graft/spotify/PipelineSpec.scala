@@ -1,0 +1,96 @@
+package graft.spotify
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** End-to-end offline runs: explicit raw file, and the synthesized-empty
+  * fallback (`dags/spotify_etl_dag.py:137-176` semantics).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def tmpConfig(base: String, format: String = "parquet"): AppConfig = {
+    val yaml = s"""output:
+                  |  base_dir: $base
+                  |  format: $format
+                  |""".stripMargin
+    val p = Files.createTempFile("cfg", ".yaml")
+    Files.writeString(p, yaml)
+    AppConfig.load(Some(p.toString), env = Map.empty)
+  }
+
+  test("offline run with explicit raw file writes processed+final zones") {
+    val base = Files.createTempDirectory("graft_run").toString
+    val res = Pipeline.run(spark, tmpConfig(base),
+      rawPathOverride = Some(fixturePath("spotify_raw_fixture.json")))
+    assert(res.status == "success", res.error)
+    assert(res.stats("albums") == 2)
+    assert(res.stats("tracks") == 3)
+    assert(res.stats("audio_features") == 2)
+    assert(res.stats("tracks_with_features") == 3)
+    assert(res.stats("categories") == 0)
+    // categories is empty -> skipped by the empty-table guard (load.py:100-102)
+    assert(!res.outputs.keySet.exists(_.endsWith("/categories")))
+    // a written table is readable back and latest-pointer resolves
+    val albumsOut = res.outputs(s"$base/processed/albums")
+    assert(spark.read.parquet(albumsOut).count() == 2)
+    assert(Writers.latestPath(s"$base/processed", "albums").contains(albumsOut))
+  }
+
+  test("no client, no raw file: synthesizes empty dataset and succeeds") {
+    val base = Files.createTempDirectory("graft_empty").toString
+    val res = Pipeline.run(spark, tmpConfig(base))
+    assert(res.status == "success", res.error)
+    assert(res.stats.values.forall(_ == 0))
+    assert(res.outputs.isEmpty) // all tables empty -> all writes skipped
+    assert(res.rawPath.exists(p => Files.exists(Paths.get(p))))
+  }
+
+  test("unsupported output format fails the run, not the JVM") {
+    val base = Files.createTempDirectory("graft_bad").toString
+    val res = Pipeline.run(spark, tmpConfig(base, format = "xml"),
+      rawPathOverride = Some(fixturePath("spotify_raw_fixture.json")))
+    assert(res.status == "failed")
+    assert(res.error.exists(_.contains("Formato no soportado")))
+  }
+
+  test("config: env overrides yaml, dot-path defaults work") {
+    val cfg = AppConfig.load(None, env = Map("SPOTIFY_OUTPUT_FORMAT" -> "parquet"))
+    assert(cfg.getString("output.format") == "parquet") // env wins
+    assert(cfg.getString("output.base_dir", "x") == "data") // default yaml
+    assert(cfg.getInt("parameters.limit", 99) == 10)
+    assert(cfg.getString("missing.path", "fallback") == "fallback")
+  }
+
+  test("offline client extraction composes the raw document") {
+    val releases = """{"albums": {"items": [
+        {"id": "a1", "name": "A", "type": "album", "release_date": "2020",
+         "total_tracks": 1, "artists": [{"id": "ar1", "name": "X"}],
+         "images": [{"url": "http://img"}],
+         "external_urls": {"spotify": "http://alb"},
+         "available_markets": ["US"]}]}}"""
+    val tracks = """{"items": [{"id": "t1", "name": "T", "track_number": 1,
+        "duration_ms": 1000, "explicit": false, "artists": [],
+        "external_urls": {"spotify": "http://trk"}}]}"""
+    val artist = """{"id": "ar1", "name": "X", "popularity": 5,
+        "genres": ["g"], "followers": {"total": 1}}"""
+    val feats = """{"audio_features": [{"id": "t1", "danceability": 0.5,
+        "energy": 0.5, "loudness": -5, "tempo": 100}]}"""
+    val cats = """{"categories": {"items": [{"id": "c", "name": "C", "href": "h"}]}}"""
+    val client = new SpotifyClient(new OfflineTransport(Map(
+      "/browse/new-releases" -> releases,
+      "/albums/a1/tracks" -> tracks,
+      "/artists/ar1" -> artist,
+      "/audio-features" -> feats,
+      "/browse/categories" -> cats)))
+    val json = client.extractFullDataset()
+    val p = Files.createTempFile("raw", ".json")
+    Files.writeString(p, json)
+    val tables = Transforms.all(spark, Pipeline.readRaw(spark, p.toString), Some("2024-01-01"))
+    assert(tables("albums").count() == 1)
+    assert(tables("tracks").count() == 1)
+    assert(tables("audio_features").count() == 1)
+    val a = tables("albums").head
+    assert(a.getAs[String]("main_artist_id") == "ar1")
+    assert(a.getAs[String]("artist_genres") == "g")
+  }
+}
