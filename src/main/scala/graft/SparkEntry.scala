@@ -42,6 +42,9 @@ object SparkEntry {
     "q21_cosine_topk" -> Similarity.cosineTopK _,
     "q22_label_knn" -> Similarity.labelKnn _,
     "q23_label_centroids" -> Similarity.labelCentroids _,
+    "q24_asof_purchase_view" -> Events.purchaseViewAsof _,
+    "q25_media_features" -> Multimodal.featureStats _,
+    "q26_approx_distinct_users" -> Events.approxDistinctUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -343,5 +346,23 @@ object SparkEntry {
         |FROM x
         |GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin,
+    "q24_asof_purchase_view" ->
+      """SELECT p.event_id, p.user_id,
+        |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS gap_sec
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q25_media_features" ->
+      """SELECT lang, COUNT(*) AS n_media,
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(ascii(text)) AS BIGINT) AS sum_first,
+        |  CAST(SUM(list_sum(list_transform(range(1, strlen(text) + 1),
+        |    i -> ascii(substr(text, i, 1))))) AS BIGINT) AS sum_bytesum
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+    // q26_approx_distinct_users: intentionally no oracle — HLL sketches
+    // are engine-specific; driver records the weaker rows-only check.
   )
 }

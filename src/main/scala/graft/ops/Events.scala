@@ -25,6 +25,7 @@ object Events {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables(spark, dir, "events")
       .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_sec", expr("ts div 1000000000"))
   }
 
@@ -66,4 +67,35 @@ object Events {
         moneySum(col("value")).as("sum_value"))
       .orderBy("user_id")
   }
+
+  /** As-of join: each purchase event picks up the latest prior (or
+    * simultaneous) view event of the same user, at microsecond precision
+    * (both engines read this parquet's nanos truncated to µs). The gap is
+    * integer µs-floor seconds; null when the user never viewed before
+    * buying. Cross-validated against DuckDB's native ASOF JOIN.
+    */
+  def purchaseViewAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select("user_id", "ts_us")
+    AsOf.backward(purchases, views, Seq("user_id"), "ts_us", Nil)
+      .withColumn("gap_sec", expr("(ts_us - matched_time) div 1000000"))
+      .select("event_id", "user_id", "gap_sec")
+      .orderBy("event_id")
+  }
+
+  /** HLL++ approximate distinct users per event type, with the exact
+    * count alongside (no DuckDB oracle — sketch internals differ across
+    * engines, so the driver records a rows-only check for this one).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
 }

@@ -20,40 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(q_vec, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-  private def norm2(arr: String) =
-    s"aggregate(transform($arr, x -> x * x), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-
   /** embeddings with elements cast to double, as (vec_id, label, v). */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
+  /** embeddings kept as raw float arrays — the KNN hot path feeds these
+    * straight into the fused codegen'd cosine_sim expression (no
+    * per-row double-array materialization).
+    */
+  def rawVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").as("v"))
+
   private def queries(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir).filter(col("vec_id") < 8)
+    rawVectors(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("q_vec"))
 
-  private def cosined(corpus: DataFrame, qs: DataFrame,
+  private def cosined(spark: SparkSession, corpus: DataFrame, qs: DataFrame,
       joinOn: Option[String]): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
     val joined = joinOn match {
       case Some(cond) => corpus.join(broadcast(qs), expr(cond))
       case None => corpus.crossJoin(broadcast(qs))
     }
     joined
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(
-        expr(dotExpr) / (sqrt(expr(norm2("q_vec"))) * sqrt(expr(norm2("v")))),
-        6))
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
   }
 
   /** Brute-force cosine top-5 per query vector (query set: vec_id < 8). */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cosined(vectors(spark, dir), queries(spark, dir), None)
+    cosined(spark, rawVectors(spark, dir), queries(spark, dir), None)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
       .select("q_id", "rn", "vec_id", "cos")
@@ -68,7 +70,7 @@ object Similarity {
   def labelKnn(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cosined(vectors(spark, dir), queries(spark, dir),
+    cosined(spark, rawVectors(spark, dir), queries(spark, dir),
       Some("label = q_label"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)

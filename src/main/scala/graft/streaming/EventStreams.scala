@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table — the streaming
+  * formulation of graft.ops.Events. The reference is daily batch only
+  * (SURVEY.md §2.9: `dags/spotify_etl_dag.py:330`, no watermarks/state),
+  * so this module is north-star surface: the same logical aggregations,
+  * expressed as an unbounded incremental query.
+  *
+  * At scale the batch and streaming variants share partitioning: both
+  * shuffle once on the grouping key (window/event_type, user_id), and the
+  * watermark bounds state exactly like AQE bounds a batch shuffle.
+  */
+object EventStreams {
+
+  /** Parquet file-source schema: `ts` as raw nanos (long) — see
+    * graft.ops.Events for the TIMESTAMP(NANOS) story. The streaming read
+    * needs the same `nanosAsLong` conf as batch.
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  final case class Ev(user_id: Long, ts_sec: Long)
+  final case class SessionState(lastSec: Long, nSessions: Int)
+  final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Open the events directory as a stream. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+  }
+
+  /** Tumbling 1-hour counts per event type with a 2-hour watermark — the
+    * streaming twin of Events.hourlyCounts. In append mode a window only
+    * emits once the watermark passes its end, bounding state to ~3 open
+    * windows per type.
+    */
+  def hourlyCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts_utc", "2 hours")
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.ops.moneySum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful sessionization via mapGroupsWithState: per user, count
+    * sessions split by >30-minute gaps (the streaming twin of
+    * Events.userSessions). State per key is two numbers — constant
+    * memory per user regardless of stream length.
+    */
+  def sessionCounts(spark: SparkSession, stream: DataFrame): Dataset[UserSessions] = {
+    import spark.implicits._
+    val evs = stream.select(col("user_id"), col("ts_sec")).as[Ev]
+    val counted = evs.groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        case (user, it, state: GroupState[SessionState]) =>
+          // Events inside one trigger arrive unordered: sort by event time
+          // before folding the gap detector over them.
+          val sorted = it.toSeq.sortBy(_.ts_sec)
+          val st0 = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          val st = sorted.foldLeft(st0) { (s, e) =>
+            val isNew = s.lastSec == Long.MinValue || e.ts_sec - s.lastSec > 1800
+            SessionState(e.ts_sec, s.nSessions + (if (isNew) 1 else 0))
+          }
+          state.update(st)
+          UserSessions(user, sorted.size, st.nSessions)
+      }
+    counted
+  }
+
+  /** Convenience: run a streaming query to a named memory sink until all
+    * currently-available input is processed (local smoke harness).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

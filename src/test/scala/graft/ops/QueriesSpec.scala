@@ -11,8 +11,10 @@ class QueriesSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("queries and oracleSql keys match") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet)
+  test("every oracle references a query; only sketch queries lack oracles") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q26_approx_distinct_users"), noOracle)
   }
 
   test("entry smoke returns rows") {
