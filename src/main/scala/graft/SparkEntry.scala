@@ -45,6 +45,8 @@ object SparkEntry {
     "q24_asof_purchase_view" -> Events.purchaseViewAsof _,
     "q25_media_features" -> Multimodal.featureStats _,
     "q26_approx_distinct_users" -> Events.approxDistinctUsers _,
+    "q27_cube_events" -> Events.cubeEventTypeHour _,
+    "q28_ivf_knn" -> Similarity.ivfKnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,5 +366,58 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin,
     // q26_approx_distinct_users: intentionally no oracle — HLL sketches
     // are engine-specific; driver records the weaker rows-only check.
+    "q27_cube_events" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hod,
+        |    value
+        |  FROM events)
+        |SELECT event_type, hod, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        |  CAST(GROUPING_ID(event_type, hod) AS BIGINT) AS gid
+        |FROM e
+        |GROUP BY CUBE(event_type, hod)
+        |ORDER BY gid ASC, event_type ASC NULLS FIRST, hod ASC NULLS FIRST""".stripMargin,
+    "q28_ivf_knn" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |x AS (
+        |  SELECT label, t.i - 1 AS dim, e[t.i] AS val
+        |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+        |cent AS (
+        |  SELECT label, dim,
+        |    list_reduce(list_sort(list(val)), (a, b) -> a + b) / COUNT(*) AS centroid
+        |  FROM x GROUP BY label, dim),
+        |cvec AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS c_vec
+        |  FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT q_id, c_label,
+        |    round(list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> (qe[i] - c_vec[i]) * (qe[i] - c_vec[i]))), 6) AS dist
+        |  FROM q CROSS JOIN cvec),
+        |probe AS (
+        |  SELECT q_id, c_label AS probe_label FROM (
+        |    SELECT q_id, c_label,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, c_label ASC) AS rn
+        |    FROM assign) a
+        |  WHERE rn = 1),
+        |p AS (
+        |  SELECT probe.q_id, probe.probe_label, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+        |       sqrt(list_sum(list_transform(e, x2 -> x2 * x2)))), 6) AS cos
+        |  FROM v
+        |  JOIN probe ON v.label = probe.probe_label
+        |  JOIN q ON q.q_id = probe.q_id
+        |  WHERE v.vec_id <> probe.q_id),
+        |r AS (
+        |  SELECT q_id, probe_label, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p)
+        |SELECT q_id, probe_label, rn, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
   )
 }

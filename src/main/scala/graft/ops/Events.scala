@@ -86,6 +86,20 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** CUBE over (event_type, hour-of-day) with grouping_id: all four
+    * aggregation granularities in one expand+shuffle pass.
+    */
+  def cubeEventTypeHour(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"), hour(col("ts_utc")).cast("long").as("hod"),
+        col("value"))
+      .cube(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"),
+        grouping_id().cast("long").as("gid"))
+      .transform(d => d.orderBy(d("gid").asc,
+        d("event_type").asc_nulls_first, d("hod").asc_nulls_first))
+
   /** HLL++ approximate distinct users per event type, with the exact
     * count alongside (no DuckDB oracle — sketch internals differ across
     * engines, so the driver records a rows-only check for this one).

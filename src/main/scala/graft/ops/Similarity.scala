@@ -78,6 +78,50 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Full two-stage IVF search: (1) compute per-label centroids, (2)
+    * assign each query vector to its nearest centroid by squared L2
+    * distance, (3) score cosine only against vectors in that one cluster
+    * (top-3). Unlike labelKnn (which trusts the stored label), this is
+    * the real IVF flow — the probe list comes from the centroid index.
+    * At 100 TB the centroid table is tiny and broadcast; the corpus scan
+    * is pruned to ~1/n_clusters of the data by the cluster equi-join.
+    */
+  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    // centroid arrays: label -> array<double>, dims ordered
+    val cent = labelCentroids(spark, dir)
+      .groupBy("label")
+      .agg(expr("array_sort(collect_list(struct(dim, centroid)))").as("dc"))
+      .select(col("label").as("c_label"),
+        expr("transform(dc, x -> x.centroid)").as("c_vec"))
+    // assign each query to its nearest centroid (exact over 10 centroids)
+    val qs = vectors(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_dvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(q_dvec, c_vec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6))
+      .transform { d =>
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("dist").asc, col("c_label").asc)
+        d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      }
+      .select(col("q_id"), col("c_label").as("probe_label"))
+    val qvecs = rawVectors(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    rawVectors(spark, dir)
+      .join(broadcast(qs), col("label") === col("probe_label"))
+      .join(broadcast(qvecs), "q_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("q_id", "probe_label", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
   /** Per-cluster centroids, one row per (label, dim). Double summation is
     * order-dependent and decimal round-tripping of float32 values is not
     * engine-stable, so each group's values are sorted and folded
