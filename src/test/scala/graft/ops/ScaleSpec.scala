@@ -39,6 +39,24 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan)
   }
 
+  test("date-partitioned writes prune partitions at the scan") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("events_part").toString
+    Events.events(spark, dir)
+      .withColumn("day", to_date(col("ts_utc")))
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val pruned = spark.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    val expected = Events.events(spark, dir)
+      .filter(to_date(col("ts_utc")) === "2024-01-05").count()
+    assert(pruned.count() == expected)
+    // the pruned scan reads only 1 of ~30 day-directories
+    val dirs = new java.io.File(out).listFiles.count(_.getName.startsWith("day="))
+    assert(dirs > 10, s"expected many day partitions, got $dirs")
+  }
+
   test("bucketed tables co-locate: the join plans with zero shuffles") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
