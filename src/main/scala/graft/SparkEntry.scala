@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_approx_distinct_users" -> Events.approxDistinctUsers _,
     "q27_cube_events" -> Events.cubeEventTypeHour _,
     "q28_ivf_knn" -> Similarity.ivfKnn _,
+    "q29_lsh_ann" -> Similarity.lshAnn _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,7 +168,8 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
         |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_tokens,
-        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}'))) AS BIGINT) AS sum_bpe_tokens
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
@@ -418,6 +420,50 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
         |  FROM p)
         |SELECT q_id, probe_label, rn, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY q_id, rn""".stripMargin,
+    "q29_lsh_ann" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, e,
+        |    CAST(list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65),
+        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |               IN ('1','3','5','7','9','b','d','f')
+        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+        |          (a2, b2) -> a2 + b2) >= 0
+        |      THEN (1 << p) ELSE 0 END)) AS BIGINT) AS b0,
+        |    CAST(list_sum(list_transform(range(4, 8), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65),
+        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |               IN ('1','3','5','7','9','b','d','f')
+        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+        |          (a2, b2) -> a2 + b2) >= 0
+        |      THEN (1 << (p - 4)) ELSE 0 END)) AS BIGINT) AS b1
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id AS q_id, e AS qe, b0 AS qb0, b1 AS qb1
+        |  FROM b WHERE vec_id < 8),
+        |cand AS (
+        |  SELECT DISTINCT q_id, vec_id FROM (
+        |    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b0 = q.qb0
+        |    UNION ALL
+        |    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b1 = q.qb1) u
+        |  WHERE q_id <> vec_id),
+        |p2 AS (
+        |  SELECT cand.q_id, cand.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+        |       sqrt(list_sum(list_transform(ce, x2 -> x2 * x2)))), 6) AS cos
+        |  FROM cand
+        |  JOIN (SELECT vec_id AS c_id, e AS ce FROM v) c ON cand.vec_id = c.c_id
+        |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON cand.q_id = qq.q2),
+        |r AS (
+        |  SELECT q_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p2)
+        |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
   )
 }

@@ -83,11 +83,16 @@ object Dedup {
     * candidate pairs → exact Jaccard on shingle sets → keep >= 0.5.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Signatures feed three joins (band self-join ×2, verify ×2); persist
+    // so shingling+hashing runs once — the in-query analogue of
+    // materializing the signature table, which is what a 100 TB dedup
+    // would do between stages.
     val sigs = corpusWithNearDups(spark, dir)
       .withColumn("toks", expr(TextOps.tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id") +: col("shingles") +: (0 until 4).map(k =>
         expr(minhashExpr(k)).as(s"mh$k")): _*)
+      .persist()
 
     // (doc_id, band, h): one row per band; bucket key is (band, h).
     val bands = sigs.select(col("doc_id"), posexplode(

@@ -122,6 +122,68 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Sign-random-projection (hyperplane) LSH: each vector is hashed to an
+    * 8-bit bucket by the signs of its dot products with 8 pseudo-random
+    * ±1 hyperplanes (derived deterministically from md5(plane, dim), so
+    * both engines build identical planes). Candidates share a bucket —
+    * the classic LSH-bucketed ANN scale path: the corpus cross join is
+    * replaced by a bucket equi-join, ~1/256 of the search space per
+    * probe. Top-3 by cosine within the query's bucket.
+    */
+  /** The 8×64 ±1 hyperplane matrix, derived from md5("p_i") first-digit
+    * parity — precomputed driver-side with the exact formula the DuckDB
+    * oracle evaluates in SQL, then shipped as a literal. This turns ~512
+    * md5 calls PER ROW into 512 total.
+    */
+  private lazy val hyperplanes: Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 8).map { p =>
+      (1 to 64).map { i =>
+        val digest = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        val firstHexDigit = (digest(0) >> 4) & 0xf
+        if ((firstHexDigit & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    // Two hash tables of 4 bits each (planes 0-3 and 4-7). Multi-table
+    // LSH is the standard recall lever: a true neighbor only needs to
+    // agree with the query in ONE table's 4 signs to become a candidate.
+    // sequential fold => bit-identical dot products in Spark and DuckDB
+    def tableExpr(lo: Int): String =
+      s"""aggregate(transform(sequence($lo, ${lo + 3}), p ->
+         |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+         |       acc + CAST(element_at(v, i) AS DOUBLE) *
+         |             element_at(element_at(__planes, p + 1), i))
+         |     >= 0, shiftleft(1, p - $lo), 0)),
+         |  0, (acc, x) -> acc + x)""".stripMargin
+    val bucketed = rawVectors(spark, dir)
+      .withColumn("__planes", typedLit(hyperplanes))
+      .withColumn("b0", expr(tableExpr(0)))
+      .withColumn("b1", expr(tableExpr(4)))
+      .drop("__planes")
+    val qs = bucketed.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+        col("b0").as("qb0"), col("b1").as("qb1"))
+    val corpus = bucketed.select("vec_id", "v", "b0", "b1")
+    val c0 = corpus.join(broadcast(qs), col("b0") === col("qb0"))
+    val c1 = corpus.join(broadcast(qs), col("b1") === col("qb1"))
+    val cand = c0.unionByName(c1)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id", "q_vec", "v")
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cand
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("q_id", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
+  }
+
   /** Per-cluster centroids, one row per (label, dim). Double summation is
     * order-dependent and decimal round-tripping of float32 values is not
     * engine-stable, so each group's values are sorted and folded

@@ -51,7 +51,11 @@ object TextOps {
         sum(col("n_chars")).as("sum_chars"),
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         sum(col("n_toks").cast("long")).as("sum_tokens"),
-        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"))
+        (sum(col("n_toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+        // BPE-ish estimate: greedy ≤4-char subword chunks (both engines
+        // use the same greedy regex, so counts agree exactly)
+        sum(expr("size(regexp_extract_all(lower(text), '[a-z0-9]{1,4}', 0))")
+          .cast("long")).as("sum_bpe_tokens"))
       .orderBy("lang")
 
   /** Corpus-wide token frequency, top 20 (count desc, token asc). Explode
