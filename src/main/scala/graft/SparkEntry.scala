@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_cube_events" -> Events.cubeEventTypeHour _,
     "q28_ivf_knn" -> Similarity.ivfKnn _,
     "q29_lsh_ann" -> Similarity.lshAnn _,
+    "q30_embedding_neardups" -> Similarity.embeddingNearDups _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -465,5 +466,47 @@ object SparkEntry {
         |  FROM p2)
         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+    "q30_embedding_neardups" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000, e FROM base WHERE vec_id % 50 = 0),
+        |b AS (
+        |  SELECT vec_id, e,
+        |    CAST(list_sum(list_transform(range(0, 4), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65),
+        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |               IN ('1','3','5','7','9','b','d','f')
+        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+        |          (a2, b2) -> a2 + b2) >= 0
+        |      THEN (1 << p) ELSE 0 END)) AS BIGINT) AS b0,
+        |    CAST(list_sum(list_transform(range(4, 8), p ->
+        |      CASE WHEN list_reduce(list_transform(range(1, 65),
+        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+        |               IN ('1','3','5','7','9','b','d','f')
+        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+        |          (a2, b2) -> a2 + b2) >= 0
+        |      THEN (1 << (p - 4)) ELSE 0 END)) AS BIGINT) AS b1
+        |  FROM corpus),
+        |cand AS (
+        |  SELECT DISTINCT id_a, id_b FROM (
+        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |    FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.vec_id < b2.vec_id
+        |    UNION ALL
+        |    SELECT a.vec_id, b2.vec_id
+        |    FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.vec_id < b2.vec_id) u),
+        |p2 AS (
+        |  SELECT id_a, id_b,
+        |    round(
+        |      list_sum(list_transform(range(1, len(ea) + 1), i -> ea[i] * eb[i])) /
+        |      (sqrt(list_sum(list_transform(ea, x2 -> x2 * x2))) *
+        |       sqrt(list_sum(list_transform(eb, x2 -> x2 * x2)))), 6) AS cos
+        |  FROM cand
+        |  JOIN (SELECT vec_id AS va, e AS ea FROM corpus) ca ON cand.id_a = ca.va
+        |  JOIN (SELECT vec_id AS vb, e AS eb FROM corpus) cb ON cand.id_b = cb.vb)
+        |SELECT id_a, id_b, cos FROM p2 WHERE cos >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

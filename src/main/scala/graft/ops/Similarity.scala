@@ -184,6 +184,50 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Embedding-cosine near-duplicate detection — the vector-space member
+    * of the dedup family (exact hash / MinHash / SimHash / n-gram
+    * Jaccard / THIS). All-pairs comparison is replaced by LSH-bucket
+    * candidate generation: only vectors sharing a 4-bit hash-table bucket
+    * are scored, then pairs with cosine >= 0.999 are reported. The corpus
+    * plants an identical copy of every 50th vector (the synthetic
+    * embeddings have no natural near-dups: max natural cosine ~0.43), so
+    * the planted pairs are exactly what the pipeline must recover.
+    */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+    def tableExpr(lo: Int): String =
+      s"""aggregate(transform(sequence($lo, ${lo + 3}), p ->
+         |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+         |       acc + CAST(element_at(v, i) AS DOUBLE) *
+         |             element_at(element_at(__planes, p + 1), i))
+         |     >= 0, shiftleft(1, p - $lo), 0)),
+         |  0, (acc, x) -> acc + x)""".stripMargin
+    val bucketed = corpus
+      .withColumn("__planes", typedLit(hyperplanes))
+      .withColumn("b0", expr(tableExpr(0)))
+      .withColumn("b1", expr(tableExpr(4)))
+      .drop("__planes")
+    def cands(b: String) = {
+      val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+        col(b).as("bk"))
+      val r = bucketed.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+        col(b).as("bk"))
+      l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "v_a", "v_b")
+    }
+    cands("b0").unionByName(cands("b1"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(expr("cosine_sim(v_a, v_b)"), 6))
+      .filter(col("cos") >= 0.999)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Per-cluster centroids, one row per (label, dim). Double summation is
     * order-dependent and decimal round-tripping of float32 values is not
     * engine-stable, so each group's values are sorted and folded
