@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_ivf_knn" -> Similarity.ivfKnn _,
     "q29_lsh_ann" -> Similarity.lshAnn _,
     "q30_embedding_neardups" -> Similarity.embeddingNearDups _,
+    "q31_simhash_neardups" -> Dedup.simhashNearDups _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -508,5 +509,37 @@ object SparkEntry {
         |  JOIN (SELECT vec_id AS vb, e AS eb FROM corpus) cb ON cand.id_b = cb.vb)
         |SELECT id_a, id_b, cos FROM p2 WHERE cos >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    "q31_simhash_neardups" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |d AS (
+        |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+        |  FROM corpus),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), b ->
+        |      CASE WHEN list_sum(list_transform(toks, t ->
+        |          CASE WHEN substr(md5(t), b + 1, 1) IN ('1','3','5','7','9','b','d','f')
+        |          THEN 1 ELSE -1 END)) >= 0
+        |      THEN (1 << b) ELSE 0 END)) AS BIGINT) AS simhash
+        |  FROM d),
+        |bands AS (
+        |  SELECT doc_id, simhash, t.b AS band,
+        |    (simhash // (1 << (t.b * 4))) % 16 AS nibble
+        |  FROM s, (SELECT unnest(generate_series(0, 3)) AS b) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+        |    b2.doc_id AS doc_b, b2.simhash AS sh_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.nibble = b2.nibble
+        |   AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -117,14 +117,14 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 16-bit SimHash fingerprint per document: for each bit b, majority
+  /** Attach a 16-bit SimHash fingerprint column: for each bit b, majority
     * vote over distinct tokens of bit b of md5(token) (the low bit of the
     * b-th hex digit). Pure higher-order expressions — no explode, no
     * shuffle; each document is fingerprinted in place.
     */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def withSimhash(corpus: DataFrame): DataFrame = {
     val hexOdd = "('1','3','5','7','9','b','d','f')"
-    Tables(spark, dir, "documents")
+    corpus
       .withColumn("toks", expr(s"array_distinct(${TextOps.tokensExpr})"))
       .withColumn("simhash", expr(
         s"""CAST(aggregate(
@@ -133,7 +133,40 @@ object Dedup {
            |         a2 + IF(substring(md5(t), b + 1, 1) IN $hexOdd, 1, -1))
            |       >= 0, shiftleft(1, b), 0)),
            |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
+      .drop("toks")
+  }
+
+  /** SimHash fingerprints of the unmodified corpus (graded q20). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    withSimhash(Tables(spark, dir, "documents"))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
+
+  /** SimHash near-dup pairs on the planted-near-dup corpus: candidates
+    * from nibble banding (hamming <= 3 on 16 bits ⇒ pigeonhole: at least
+    * one of the four 4-bit nibbles is equal), verified with
+    * bit_count(xor). Same band-then-verify shape as MinHash LSH, but on
+    * the compact 16-bit fingerprint — the cheapest of the near-dup
+    * family at scale (8 bytes of state per document).
+    */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = withSimhash(corpusWithNearDups(spark, dir))
+      .select("doc_id", "simhash").persist()
+    val bands = sigs.select(col("doc_id"), col("simhash"), posexplode(
+      expr("transform(sequence(0, 3), b -> (simhash div shiftleft(1, b * 4)) % 16)"))
+      .as(Seq("band", "nibble")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.nibble") === col("b.nibble") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
   }
 }

@@ -64,6 +64,42 @@ object Multimodal {
     }
   }
 
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB resize: stands in for an image resize / audio resample — the
+    * payload is truncated or zero-padded to `targetLen` bytes. The shape
+    * (binary in, fixed-size binary out, partition-batched) is what a real
+    * codec-backed resize has.
+    */
+  def resizeContent(spark: SparkSession, media: Dataset[MediaRow],
+      targetLen: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = java.util.Arrays.copyOf(r.content, targetLen)
+        r.copy(content = out)
+      }
+    }
+  }
+
+  /** STUB frame sampling: stands in for video frame extraction — the
+    * payload is split into `frameSize`-byte frames and every `every`-th
+    * frame is emitted (one output row per kept frame, the flatMap shape
+    * of a real decoder).
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+      frameSize: Int, every: Int): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.content.grouped(frameSize).zipWithIndex.collect {
+          case (frame, idx) if idx % every == 0 =>
+            MediaFrame(r.doc_id, idx, frame)
+        }
+      }
+    }
+  }
+
   /** Per-language feature aggregate (the graded query). */
   def featureStats(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(spark, dir).toDF()
