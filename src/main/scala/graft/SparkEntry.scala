@@ -526,20 +526,35 @@ object SparkEntry {
         |          THEN 1 ELSE -1 END)) >= 0
         |      THEN (1 << b) ELSE 0 END)) AS BIGINT) AS simhash
         |  FROM d),
+        |vals AS (
+        |  SELECT simhash, list_sort(list(doc_id)) AS docs
+        |  FROM s GROUP BY simhash),
         |bands AS (
-        |  SELECT doc_id, simhash, t.b AS band,
+        |  SELECT simhash, t.b AS band,
         |    (simhash // (1 << (t.b * 4))) % 16 AS nibble
-        |  FROM s, (SELECT unnest(generate_series(0, 3)) AS b) t),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
-        |    b2.doc_id AS doc_b, b2.simhash AS sh_b
+        |  FROM vals, (SELECT unnest(generate_series(0, 3)) AS b) t),
+        |vcand AS (
+        |  SELECT DISTINCT a.simhash AS sh_a, b2.simhash AS sh_b
         |  FROM bands a JOIN bands b2
         |    ON a.band = b2.band AND a.nibble = b2.nibble
-        |   AND a.doc_id < b2.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-        |FROM cand
-        |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+        |   AND a.simhash <= b2.simhash),
+        |vver AS (
+        |  SELECT sh_a, sh_b,
+        |    CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |  FROM vcand
+        |  WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+        |expanded AS (
+        |  SELECT ta.da, tb.db, vver.hamming, vver.sh_a, vver.sh_b
+        |  FROM vver
+        |  JOIN vals va ON vver.sh_a = va.simhash
+        |  JOIN vals vb ON vver.sh_b = vb.simhash,
+        |  UNNEST(va.docs) AS ta(da), UNNEST(vb.docs) AS tb(db))
+        |SELECT
+        |  CASE WHEN da < db THEN da ELSE db END AS doc_a,
+        |  CASE WHEN da < db THEN db ELSE da END AS doc_b,
+        |  hamming
+        |FROM expanded
+        |WHERE sh_a <> sh_b OR da < db
         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

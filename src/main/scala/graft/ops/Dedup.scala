@@ -150,23 +150,39 @@ object Dedup {
     * family at scale (8 bytes of state per document).
     */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = withSimhash(corpusWithNearDups(spark, dir))
-      .select("doc_id", "simhash").persist()
-    val bands = sigs.select(col("doc_id"), col("simhash"), posexplode(
+    // Band and verify at the DISTINCT-VALUE level, not the document
+    // level: many documents share a fingerprint (16-bit space, ~2× here,
+    // far more at scale), so candidate generation and the hamming check
+    // run once per value pair; doc pairs are expanded only for surviving
+    // value pairs. This is the general dedupe-before-join pattern for
+    // banded similarity at 100 TB.
+    val vals = withSimhash(corpusWithNearDups(spark, dir))
+      .groupBy("simhash")
+      .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
+      .persist()
+    val bands = vals.select(col("simhash"), posexplode(
       expr("transform(sequence(0, 3), b -> (simhash div shiftleft(1, b * 4)) % 16)"))
       .as(Seq("band", "nibble")))
-    val cand = bands.as("a")
+    val vcand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.nibble") === col("b.nibble") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sh_a"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sh_b"))
+          col("a.simhash") <= col("b.simhash"))
+      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
-    cand
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+    vcand
+      .join(vals.select(col("simhash").as("sh_a"), col("docs").as("docs_a")), "sh_a")
+      .join(vals.select(col("simhash").as("sh_b"), col("docs").as("docs_b")), "sh_b")
+      .select(col("hamming"), col("sh_a"), col("sh_b"),
+        explode(col("docs_a")).as("da"), col("docs_b"))
+      .select(col("hamming"), col("sh_a"), col("sh_b"), col("da"),
+        explode(col("docs_b")).as("db"))
+      // within one value (sh_a == sh_b) keep each unordered pair once
+      .filter(col("sh_a") =!= col("sh_b") || col("da") < col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
 }
