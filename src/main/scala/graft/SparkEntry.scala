@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_lsh_ann" -> Similarity.lshAnn _,
     "q30_embedding_neardups" -> Similarity.embeddingNearDups _,
     "q31_simhash_neardups" -> Dedup.simhashNearDups _,
+    "q32_range_join_windows" -> Events.eventsInWindows _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -556,5 +557,18 @@ object SparkEntry {
         |FROM expanded
         |WHERE sh_a <> sh_b OR da < db
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_range_join_windows" ->
+      """WITH w AS (
+        |  SELECT t.w AS window_id,
+        |    1704067200000000 + t.w * 25200000000 AS start_us,
+        |    1704067200000000 + t.w * 25200000000
+        |      + ((t.w % 5) + 1) * 3600000000 AS end_us
+        |  FROM (SELECT unnest(generate_series(0, 99)) AS w) t),
+        |e AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT window_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM w JOIN e ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
+        |GROUP BY window_id
+        |ORDER BY window_id""".stripMargin,
   )
 }

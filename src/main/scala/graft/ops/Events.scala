@@ -100,6 +100,29 @@ object Events {
       .transform(d => d.orderBy(d("gid").asc,
         d("event_type").asc_nulls_first, d("hod").asc_nulls_first))
 
+  /** Range join: aggregate events into 100 deterministic time windows
+    * (7-hour stride, 1–5 hour lengths) via the grid-bucketed
+    * point-in-interval join. The DuckDB oracle runs the NAIVE non-equi
+    * range join — different algorithm, same answer — so the bucketing
+    * rewrite is itself under test.
+    */
+  def eventsInWindows(spark: SparkSession, dir: String): DataFrame = {
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val strideUs = 25200000000L // 7 h
+    val hourUs = 3600000000L
+    val windows = spark.range(100).select(
+      col("id").as("window_id"),
+      (lit(baseUs) + col("id") * strideUs).as("start_us"),
+      (lit(baseUs) + col("id") * strideUs +
+        ((col("id") % 5) + 1) * hourUs).as("end_us"))
+    val ev = events(spark, dir).select(col("ts_us"), col("value"))
+    RangeJoin.pointInInterval(ev, broadcast(windows),
+      "ts_us", "start_us", "end_us", hourUs)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .orderBy("window_id")
+  }
+
   /** HLL++ approximate distinct users per event type, with the exact
     * count alongside (no DuckDB oracle — sketch internals differ across
     * engines, so the driver records a rows-only check for this one).

@@ -57,6 +57,24 @@ class ScaleSpec extends SparkSpec {
     assert(dirs > 10, s"expected many day partitions, got $dirs")
   }
 
+  test("grid-bucketed range join avoids the nested-loop plan and matches the naive join") {
+    val ev = Events.events(spark, dir).select(col("ts_us"), col("event_id"))
+    val windows = spark.range(20).select(
+      col("id").as("w_id"),
+      (lit(1704067200000000L) + col("id") * 25200000000L).as("s"),
+      (lit(1704067200000000L) + col("id") * 25200000000L +
+        ((col("id") % 5) + 1) * 3600000000L).as("e"))
+    val bucketed = RangeJoin.pointInInterval(ev, windows, "ts_us", "s", "e",
+      3600000000L)
+    val plan = bucketed.queryExecution.sparkPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    val naive = ev.join(windows, col("ts_us") >= col("s") && col("ts_us") < col("e"))
+    assert(naive.queryExecution.sparkPlan.toString.contains("NestedLoop"))
+    val a = bucketed.select("event_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = naive.select("event_id", "w_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bucketed tables co-locate: the join plans with zero shuffles") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
