@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_embedding_neardups" -> Similarity.embeddingNearDups _,
     "q31_simhash_neardups" -> Dedup.simhashNearDups _,
     "q32_range_join_windows" -> Events.eventsInWindows _,
+    "q33_kmv_distinct_users" -> Events.kmvDistinctUsers _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -570,5 +571,31 @@ object SparkEntry {
         |FROM w JOIN e ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
         |GROUP BY window_id
         |ORDER BY window_id""".stripMargin,
+    "q33_kmv_distinct_users" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |g AS (
+        |  SELECT event_type,
+        |    MAX(nd) AS nd,
+        |    MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash
+        |  FROM r GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type, COUNT(DISTINCT e.user_id) AS exact_users
+        |  FROM events e GROUP BY e.event_type)
+        |SELECT g.event_type,
+        |  CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+        |       ELSE round(63.0 * 1152921504606846976 / CAST(g.kth_hash AS DOUBLE), 4)
+        |  END AS est_distinct,
+        |  CASE WHEN g.nd < 64 THEN NULL ELSE g.kth_hash END AS kth_hash,
+        |  x.exact_users
+        |FROM g JOIN x ON g.event_type = x.event_type
+        |ORDER BY g.event_type""".stripMargin,
   )
 }

@@ -100,6 +100,28 @@ object Events {
       .transform(d => d.orderBy(d("gid").asc,
         d("event_type").asc_nulls_first, d("hod").asc_nulls_first))
 
+  /** KMV distinct sketch per event type (custom TypedImperativeAggregate,
+    * graft.functions.KmvDistinct): mergeable bounded-space distinct
+    * estimation whose result is order-independent, so — unlike HLL (q26)
+    * — the DuckDB oracle reproduces it exactly from the same md5-derived
+    * 60-bit hashes.
+    */
+  def kmvDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KmvDistinct.register(spark)
+    events(spark, dir)
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(
+        expr("kmv_distinct(hv)").as("s"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"),
+        round(col("s.est_distinct"), 4).as("est_distinct"),
+        col("s.kth_hash"),
+        col("exact_users"))
+      .orderBy("event_type")
+  }
+
   /** Range join: aggregate events into 100 deterministic time windows
     * (7-hour stride, 1–5 hour lengths) via the grid-bucketed
     * point-in-interval join. The DuckDB oracle runs the NAIVE non-equi
