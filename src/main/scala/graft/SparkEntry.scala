@@ -52,6 +52,8 @@ object SparkEntry {
     "q31_simhash_neardups" -> Dedup.simhashNearDups _,
     "q32_range_join_windows" -> Events.eventsInWindows _,
     "q33_kmv_distinct_users" -> Events.kmvDistinctUsers _,
+    "q34_running_spend" -> Relational.customerRunningSpend _,
+    "q35_median_order_value" -> Relational.medianOrderValue _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -597,5 +599,34 @@ object SparkEntry {
         |  x.exact_users
         |FROM g JOIN x ON g.event_type = x.event_type
         |ORDER BY g.event_type""".stripMargin,
+    "q34_running_spend" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_spend,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS avg_last3
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q35_median_order_value" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  (MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END)
+        |   + MAX(CASE WHEN rn = n // 2 + 1 THEN o_totalprice END)) / 2
+        |    AS median_value,
+        |  COUNT(*) AS n_orders
+        |FROM r
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
   )
 }

@@ -57,13 +57,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xy = ctx.freshName("xy"); val xx = ctx.freshName("xx")
       val yy = ctx.freshName("yy"); val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
-         |  $xy += x * y; $xx += x * x; $yy += y * y;
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $xy += $x * $y; $xx += $x * $x; $yy += $y * $y;
          |}
          |${ev.value} = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
        """.stripMargin

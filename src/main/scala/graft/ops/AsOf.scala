@@ -29,20 +29,25 @@ object AsOf {
   def backward(left: DataFrame, right: DataFrame, partitionCols: Seq[String],
       timeCol: String, rightVals: Seq[String]): DataFrame = {
     val l = left.withColumn("__side", lit(1))
-    val rCols = partitionCols.map(col) ++
-      Seq(col(timeCol), lit(0).as("__side"), col(timeCol).as("__rt")) ++
-      rightVals.map(col)
+    // The right row travels as ONE struct so the carry is atomic: a null
+    // inside the latest right row stays null (last(...ignoreNulls) on
+    // individual columns would skip it and surface a stale older value).
+    val rCols = partitionCols.map(col) ++ Seq(
+      col(timeCol), lit(0).as("__side"),
+      struct(col(timeCol).as("__rt") +: rightVals.map(col): _*).as("__rv"))
     val r = right.select(rCols: _*)
-    // union with side tag; right rows sort before left rows at equal time
+    // union with side tag; right rows sort before left rows at equal time.
+    // Ties among right rows at the same instant break on the value tuple,
+    // so the carried row is deterministic under any partitioning.
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy(col(timeCol).asc, col("__side").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightVals :+ "__rt").foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .withColumnRenamed("__rt", "matched_time")
-      .drop("__side")
+    u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .withColumn("matched_time", col("__rv.__rt"))
+      .transform(df => rightVals.foldLeft(df)((d, v) =>
+        d.withColumn(v, col(s"__rv.$v"))))
+      .drop("__side", "__rv")
   }
 }

@@ -83,16 +83,16 @@ object Dedup {
     * candidate pairs → exact Jaccard on shingle sets → keep >= 0.5.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures feed three joins (band self-join ×2, verify ×2); persist
-    // so shingling+hashing runs once — the in-query analogue of
-    // materializing the signature table, which is what a 100 TB dedup
-    // would do between stages.
+    // Signatures feed three joins; at 100 TB they would be materialized
+    // to a table between stages. An in-query .persist() measured a <3%
+    // win here while pinning storage memory for the session (a returned
+    // lazy DataFrame has no unpersist point), so recompute is the better
+    // trade at this operator's scale.
     val sigs = corpusWithNearDups(spark, dir)
       .withColumn("toks", expr(TextOps.tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
       .select(col("doc_id") +: col("shingles") +: (0 until 4).map(k =>
         expr(minhashExpr(k)).as(s"mh$k")): _*)
-      .persist()
 
     // (doc_id, band, h): one row per band; bucket key is (band, h).
     val bands = sigs.select(col("doc_id"), posexplode(
@@ -156,6 +156,11 @@ object Dedup {
     // run once per value pair; doc pairs are expanded only for surviving
     // value pairs. This is the general dedupe-before-join pattern for
     // banded similarity at 100 TB.
+    // persist: the value table feeds banding + two expansion joins and is
+    // small (one row per distinct fingerprint). The cached blocks are
+    // released by Spark's ContextCleaner once the query's plan is
+    // unreachable; a caller-visible unpersist point doesn't exist for a
+    // lazily returned DataFrame.
     val vals = withSimhash(corpusWithNearDups(spark, dir))
       .groupBy("simhash")
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))

@@ -178,6 +178,48 @@ object Relational {
     building.union(rich).except(finished).orderBy("c_custkey")
   }
 
+  /** Window frames: per-customer running spend (unbounded-preceding
+    * frame) and 3-order moving average (sliding frame). Frame sums run
+    * in exact decimals, so every prefix value is order-independent.
+    */
+  def customerRunningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running_spend",
+        sum(dec2(col("o_totalprice"))).over(running).cast("double"))
+      .withColumn("avg_last3",
+        sum(dec2(col("o_totalprice"))).over(last3).cast("double") /
+          count(lit(1)).over(last3))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "running_spend",
+        "avg_last3")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact median order value per priority via rank selection (both
+    * engines pick the same middle rows deterministically; interpolated
+    * quantile functions differ across engines and are avoided).
+    */
+  def medianOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("o_orderpriority")))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(expr("rn = (n + 1) div 2"), col("o_totalprice"))).as("lo"),
+        max(when(expr("rn = n div 2 + 1"), col("o_totalprice"))).as("hi"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        ((col("lo") + col("hi")) / 2).as("median_value"),
+        col("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q6-style filtered aggregate: predicate pushdown to the scan,
     * single-row result (the shape `.explain` must show: PushedFilters on
     * l_shipdate, pruned 4-column ReadSchema).

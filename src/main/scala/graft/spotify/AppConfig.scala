@@ -20,8 +20,12 @@ final class AppConfig(root: Map[String, Any], env: Map[String, String]) {
     "output.base_dir" -> "SPOTIFY_OUTPUT_DIR",
     "output.format" -> "SPOTIFY_OUTPUT_FORMAT")
 
+  /** Null YAML values (e.g. `country: null` in the defaults) count as
+    * absent — flatMap(Option(_)) so callers never NPE on `.toString`.
+    */
   def get(path: String): Option[Any] =
-    envMap.get(path).flatMap(env.get).orElse(lookup(root, path.split('.').toList))
+    envMap.get(path).flatMap(env.get)
+      .orElse(lookup(root, path.split('.').toList).flatMap(Option(_)))
 
   def getString(path: String, default: String = ""): String =
     get(path).map(_.toString).getOrElse(default)

@@ -58,17 +58,22 @@ object Pipeline {
         if (config.getBoolean("transformations.merge_tracks_features", true)) tables0
         else tables0 - "tracks_with_features"
 
-      // load: processed + final zones, then stats
-      val outputs = for {
-        (name, df) <- tables
-        zone <- Seq(procDir, finalDir)
-        path <- Writers.writeTable(df, zone, name, format, ts = ts,
-          prefix = if (zone == finalDir) "spotify_final" else "spotify")
-      } yield s"$zone/$name" -> path
+      // Each table feeds two zone writes + the empty-guard + stats; cache
+      // so the raw-JSON parse and flatten run once per table, and release
+      // the cache before returning (run() is eager, so unpersist is safe).
+      tables.values.foreach(_.persist())
+      try {
+        val outputs = for {
+          (name, df) <- tables
+          zone <- Seq(procDir, finalDir)
+          path <- Writers.writeTable(df, zone, name, format, ts = ts,
+            prefix = if (zone == finalDir) "spotify_final" else "spotify")
+        } yield s"$zone/$name" -> path
 
-      val stats = tables.map { case (n, df) => n -> df.count() }
-      RunResult("success", (System.nanoTime() - t0) / 1e9, Some(rawPath),
-        stats, outputs.toMap)
+        val stats = tables.map { case (n, df) => n -> df.count() }
+        RunResult("success", (System.nanoTime() - t0) / 1e9, Some(rawPath),
+          stats, outputs.toMap)
+      } finally tables.values.foreach(_.unpersist())
     } catch {
       case e: Exception =>
         RunResult("failed", (System.nanoTime() - t0) / 1e9, None,

@@ -92,10 +92,17 @@ object Writers {
       if (!Files.exists(dir)) None
       else {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator.asScala
-          .filter(_.getFileName.toString.contains(s"_${name}_"))
-          .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis)
-          .lastOption.map(_.toString)
+        // Anchor the match to `_{name}_<timestamp>` so name="tracks" does
+        // not also match spotify_tracks_with_features_* outputs.
+        val pattern = (".*_" + java.util.regex.Pattern.quote(name) +
+          "_\\d{8}_\\d{6}(\\.[A-Za-z0-9]+)?$").r
+        val stream = Files.list(dir)
+        try {
+          stream.iterator.asScala
+            .filter(p => pattern.matches(p.getFileName.toString))
+            .toSeq.sortBy(p => Files.getLastModifiedTime(p).toMillis)
+            .lastOption.map(_.toString)
+        } finally stream.close()
       }
     }
   }

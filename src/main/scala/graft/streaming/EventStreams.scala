@@ -30,7 +30,7 @@ object EventStreams {
     StructField("props", StringType)))
 
   final case class Ev(user_id: Long, ts_sec: Long)
-  final case class SessionState(lastSec: Long, nSessions: Int)
+  final case class SessionState(lastSec: Long, nSessions: Int, nEvents: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
   /** Open the events directory as a stream. */
@@ -68,15 +68,17 @@ object EventStreams {
         GroupStateTimeout.NoTimeout) {
         case (user, it, state: GroupState[SessionState]) =>
           // Events inside one trigger arrive unordered: sort by event time
-          // before folding the gap detector over them.
+          // before folding the gap detector over them. Event counts live
+          // in the state too, so updates stay cumulative across triggers.
           val sorted = it.toSeq.sortBy(_.ts_sec)
-          val st0 = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+          val st0 = state.getOption.getOrElse(SessionState(Long.MinValue, 0, 0L))
           val st = sorted.foldLeft(st0) { (s, e) =>
             val isNew = s.lastSec == Long.MinValue || e.ts_sec - s.lastSec > 1800
-            SessionState(e.ts_sec, s.nSessions + (if (isNew) 1 else 0))
+            SessionState(e.ts_sec, s.nSessions + (if (isNew) 1 else 0),
+              s.nEvents + 1)
           }
           state.update(st)
-          UserSessions(user, sorted.size, st.nSessions)
+          UserSessions(user, st.nEvents, st.nSessions)
       }
     counted
   }

@@ -45,10 +45,20 @@ class AsOfSpec extends SparkSpec {
     assert(row.getAs[Long]("matched_time") == 10L)
   }
 
-  test("multiple right rows at the same instant: latest-in-order wins deterministically") {
+  test("distinct right rows at the same instant resolve deterministically (greatest value tuple)") {
     val l = df(leftSchema, Seq(Row("a", 10L, "x")))
-    val r = df(rightSchema, Seq(Row("a", 9L, 1.0), Row("a", 9L, 1.0)))
+    val r = df(rightSchema, Seq(Row("a", 9L, 1.0), Row("a", 9L, 2.0)))
+    (1 to 3).foreach { _ =>
+      val row = AsOf.backward(l, r, Seq("k"), "t", Seq("price")).head
+      assert(row.getAs[Double]("price") == 2.0)
+    }
+  }
+
+  test("a null value inside the LATEST right row is carried, not skipped for a stale one") {
+    val l = df(leftSchema, Seq(Row("a", 10L, "x")))
+    val r = df(rightSchema, Seq(Row("a", 5L, 1.0), Row("a", 8L, null)))
     val row = AsOf.backward(l, r, Seq("k"), "t", Seq("price")).head
-    assert(row.getAs[Double]("price") == 1.0)
+    assert(row.getAs[Long]("matched_time") == 8L)
+    assert(row.isNullAt(row.fieldIndex("price"))) // the t=8 row's null, not 1.0
   }
 }

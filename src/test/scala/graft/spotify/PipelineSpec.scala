@@ -59,6 +59,9 @@ class PipelineSpec extends SparkSpec {
     assert(cfg.getString("output.base_dir", "x") == "data") // default yaml
     assert(cfg.getInt("parameters.limit", 99) == 10)
     assert(cfg.getString("missing.path", "fallback") == "fallback")
+    // null-valued yaml keys (parameters.country: null) behave as absent
+    assert(cfg.get("parameters.country").isEmpty)
+    assert(cfg.getString("parameters.country", null) == null)
   }
 
   test("offline client extraction composes the raw document") {
