@@ -54,6 +54,8 @@ object SparkEntry {
     "q33_kmv_distinct_users" -> Events.kmvDistinctUsers _,
     "q34_running_spend" -> Relational.customerRunningSpend _,
     "q35_median_order_value" -> Relational.medianOrderValue _,
+    "q36_daily_type_pivot" -> Events.dailyTypePivot _,
+    "q37_sliding_windows" -> Events.slidingWindowCounts _,
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -628,5 +630,29 @@ object SparkEntry {
         |FROM r
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q36_daily_type_pivot" ->
+      """SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q37_sliding_windows" ->
+      """WITH s AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws,
+        |    event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+        |           - INTERVAL 30 MINUTE,
+        |    event_type
+        |  FROM events)
+        |SELECT ws AS window_start, event_type, COUNT(*) AS n_events
+        |FROM s
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -100,6 +100,35 @@ object Events {
       .transform(d => d.orderBy(d("gid").asc,
         d("event_type").asc_nulls_first, d("hod").asc_nulls_first))
 
+  /** Pivot: daily event counts with one column per event type. The pivot
+    * value list is explicit, so the output schema is static (no extra
+    * distinct-values job) — the form that scales.
+    */
+  def dailyTypePivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      // day stays a (midnight) timestamp: DATE round-trips differently
+      // through pandas on the two engines and would break the hash compare
+      .select(date_trunc("day", col("ts_utc")).as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** Sliding windows: 1-hour windows sliding every 30 minutes via
+    * Spark's window() — each event lands in exactly two windows. The
+    * oracle reproduces the semantics by unioning the two aligned window
+    * starts per event, cross-checking Spark's window assignment itself.
+    */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+      .orderBy("window_start", "event_type")
+
   /** KMV distinct sketch per event type (custom TypedImperativeAggregate,
     * graft.functions.KmvDistinct): mergeable bounded-space distinct
     * estimation whose result is order-independent, so — unlike HLL (q26)
