@@ -41,6 +41,14 @@ object Bench {
         case e: Throwable => System.err.println(s"warmup $name FAILED: $e")
       }
     }
+    // The dedup pipelines persist() small intermediate stages, and those
+    // entries stay registered in the session CacheManager after the
+    // warm-up pass — a timed run of the same canonicalized plan would
+    // read the cached stage instead of executing the pipeline. Clear the
+    // SQL cache so each timed query pays its own full cost (each query
+    // still materializes-and-reuses its own persist WITHIN its timed run,
+    // which is the real shape).
+    spark.sharedState.cacheManager.clearCache()
     val results = names.map { name =>
       val t0 = System.nanoTime()
       // a failed query reports -1 so breakage is visible in the JSON,

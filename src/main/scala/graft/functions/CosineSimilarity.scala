@@ -40,7 +40,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw CosineSimilarity.lengthMismatch(n, b.numElements())
+    }
     var xy = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
@@ -60,7 +63,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |double $xy = 0.0; double $xx = 0.0; double $yy = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw graft.functions.CosineSimilarity.lengthMismatch(
+         |    $n, $b.numElements());
+         |}
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
@@ -76,6 +83,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** A corrupt row (e.g. a 63-dim vector in a 64-dim corpus) must fail
+    * loudly, not truncate to the shorter array and yield a plausible
+    * cosine. Called from both the interpreted and generated paths.
+    */
+  def lengthMismatch(n: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"cosine_sim: vector length mismatch ($n vs $m)")
+
   /** Register `cosine_sim(a, b)` for SQL/expr use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -91,9 +91,16 @@ object Dedup {
     * stage. Documents sharing a text never re-enter LSH — identical-text
     * pairs are emitted directly at Jaccard 1 from the content group's doc
     * list. This is the dedupe-before-LSH pattern that holds at 100 TB
-    * (exact dups are the overwhelming majority of web-scale duplicates);
-    * the cached blocks are released by Spark's ContextCleaner once the
-    * returned plan is unreachable.
+    * (exact dups are the overwhelming majority of web-scale duplicates).
+    *
+    * persist caveat: SQL-cached plans stay registered in the session's
+    * CacheManager until explicitly unpersisted — they are NOT released
+    * when the DataFrame becomes unreachable — and a lazily returned
+    * DataFrame offers no caller-visible unpersist point. The pinned state
+    * is small (one row per distinct text); measurement harnesses must
+    * clear the session cache between passes (Bench does) so a later run
+    * of the same canonical plan re-executes the signature stage instead
+    * of reading it back from cache.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val contents = corpusWithNearDups(spark, dir)
@@ -171,23 +178,31 @@ object Dedup {
   def withSimhash(corpus: DataFrame, bits: Int = 16): DataFrame = {
     require(bits > 0 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val hexOdd = "('1','3','5','7','9','b','d','f')"
+    // Token hashes are materialized ONCE per token into `__hs`, then all
+    // `bits` vote terms read the precomputed hex strings — without this,
+    // each of the (up to 64) bit terms would recompute md5(t) per token.
+    // CollapseProject leaves the __hs projection in place because the
+    // alias is non-cheap and referenced `bits` times, so the hash pass
+    // runs once per row. Hash VALUES are identical either way, so the
+    // 16-bit oracle parity (q20/q31) is unaffected.
     def bitVote(b: Int): String =
       if (b < 32)
         // low bit of hex digit b: odd-digit test (oracle-parity form)
-        s"IF(substring(md5(t), ${b + 1}, 1) IN $hexOdd, 1, -1)"
+        s"IF(substring(h, ${b + 1}, 1) IN $hexOdd, 1, -1)"
       else
-        s"""IF((conv(substring(md5(t), ${b % 32 + 1}, 1), 16, 10)
+        s"""IF((conv(substring(h, ${b % 32 + 1}, 1), 16, 10)
            |    div ${1L << (b / 32)}) % 2 = 1, 1, -1)""".stripMargin
     val bitTerms = (0 until bits).map { b =>
-      s"IF(aggregate(toks, 0, (a2, t) -> a2 + ${bitVote(b)}) >= 0, " +
+      s"IF(aggregate(__hs, 0, (a2, h) -> a2 + ${bitVote(b)}) >= 0, " +
         s"shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
     }
     corpus
-      .withColumn("toks", expr(s"array_distinct(${TextOps.tokensExpr})"))
+      .withColumn("__hs", expr(
+        s"transform(array_distinct(${TextOps.tokensExpr}), t -> md5(t))"))
       .withColumn("simhash", expr(
         s"""aggregate(array(${bitTerms.mkString(",\n")}),
            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
-      .drop("toks")
+      .drop("__hs")
   }
 
   /** SimHash fingerprints of the unmodified corpus (graded q20). */
@@ -212,10 +227,11 @@ object Dedup {
     * Band extraction uses unsigned shifts so the 64-bit width (sign bit
     * in use) bands correctly.
     * persist: the value table feeds banding + two expansion joins and is
-    * small (one row per distinct fingerprint). The cached blocks are
-    * released by Spark's ContextCleaner once the query's plan is
-    * unreachable; a caller-visible unpersist point doesn't exist for a
-    * lazily returned DataFrame.
+    * small (one row per distinct fingerprint). As with nearDupPairs, the
+    * cache entry stays in the session's CacheManager until explicitly
+    * cleared (ContextCleaner does not release SQL-cached plans); Bench
+    * clears the session cache between its warm-up and timed passes so
+    * timings measure the real pipeline.
     */
   def simhashNearDupPairs(corpus: DataFrame, bits: Int = 16,
       nBands: Int = 4, maxHamming: Int = 3): DataFrame = {

@@ -27,8 +27,15 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       pointCol: String, startCol: String, endCol: String,
       cellSize: Long): DataFrame = {
-    val cells = intervals.withColumn("__cell",
-      explode(expr(s"sequence($startCol div $cellSize, ($endCol - 1) div $cellSize)")))
+    // Empty/inverted intervals (end <= start) contain no points, but
+    // sequence(a, b) DESCENDS when b < a — without this guard an inverted
+    // row would explode to cells for a nonsense interval (and the exact
+    // containment filter below would then drop them one join later than
+    // it should, after paying the fan-out). Filter them out up front.
+    val cells = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__cell",
+        explode(expr(s"sequence($startCol div $cellSize, ($endCol - 1) div $cellSize)")))
     val p = points.withColumn("__cell", expr(s"$pointCol div $cellSize"))
     p.join(cells, "__cell")
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -72,10 +72,15 @@ object Main {
         sys.env.getOrElse("SPARK_SQL_SHUFFLE_PARTITIONS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try {
-      val (code, summary) = runCli(args, spark)
-      println(summary)
-      if (code != 0) sys.exit(code)
-    } finally spark.stop()
+    // sys.exit inside the try would halt the JVM without unwinding the
+    // stack (finally would never run), skipping the clean spark.stop().
+    // Compute the code, stop Spark, THEN exit.
+    val code =
+      try {
+        val (c, summary) = runCli(args, spark)
+        println(summary)
+        c
+      } finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

@@ -39,6 +39,35 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("length-mismatched vectors raise in both codegen and interpreted paths") {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    // codegen path
+    val eGen = intercept[Throwable] {
+      df.select(expr("cosine_sim(a, b)")).collect()
+    }
+    assert(messages(eGen).exists(_.contains("vector length mismatch")),
+      messages(eGen).mkString(" | "))
+    // interpreted path (NO_CODEGEN forces nullSafeEval — plain
+    // wholeStage=false still uses expression-level codegen)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val eInt = intercept[Throwable] {
+        df.select(expr("cosine_sim(a, b)")).collect()
+      }
+      assert(messages(eInt).exists(_.contains("vector length mismatch")),
+        messages(eInt).mkString(" | "))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("whole-stage codegen and interpreted eval agree on real embeddings") {
     CosineSimilarity.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

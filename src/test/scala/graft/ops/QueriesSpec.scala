@@ -11,10 +11,12 @@ class QueriesSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("every oracle references a query; only sketch queries lack oracles") {
+  test("every oracle references a query; every query has an oracle") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // q26's HLL sketch gets a partial oracle (deterministic columns +
+    // approx_ok band), so the no-oracle set is empty since round 3.
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q26_approx_distinct_users"), noOracle)
+    assert(noOracle == Set.empty, noOracle)
   }
 
   test("entry smoke returns rows") {

@@ -1,0 +1,78 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Recall probes for the LSH-bucketed ANN family (q29/q30).
+  *
+  * This is the one correctness signal the driver's DuckDB hash-match
+  * oracle structurally CANNOT provide: an ANN that finds nothing (or a
+  * degenerate candidate set) still hash-matches, because both engines
+  * compute the same wrong answer identically. The planted near-dup
+  * corpus (`Similarity.plantedCorpus`) and the brute-force q21 ranking
+  * (`cosineTopK`) are the ground truths these tests compare against.
+  */
+class RecallSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+
+  /** (q_id, vec_id) membership set of lshAnn's top-k at the given LSH
+    * parameterization.
+    */
+  private def annHits(nTables: Int, bitsPerTable: Int): Set[(Long, Long)] =
+    Similarity.lshAnn(spark, dir, nTables, bitsPerTable, k = 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q30: embeddingNearDups recovers 100% of planted pairs at graded params") {
+    // every 50th vector is re-added verbatim under vec_id + 100,000;
+    // 500 vectors -> 10 planted identical pairs, and the synthetic
+    // embeddings have no natural cosine >= 0.999
+    val expected = (0L until 500L by 50L).map(id => (id, id + 100000L)).toSet
+    val got = Similarity.embeddingNearDups(spark, dir)
+      .select("id_a", "id_b", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == expected,
+      s"planted-pair recall != 1.0: got ${got.toSeq.sortBy(_._1)}")
+    // identical vectors: cosine rounds to exactly 1.0
+    assert(got.forall(_._3 == 1.0))
+  }
+
+  test("q29: lshAnn top-3 recall — graded params are coarse, the nTables lever reaches production recall") {
+    // ground truth: brute-force cosine top-3 per query (q21's top-5, cut)
+    val brute = Similarity.cosineTopK(spark, dir)
+      .filter(col("rn") <= 3).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 8 * 3)
+    def recall(t: Int, bpt: Int): Double =
+      brute.intersect(annHits(t, bpt)).size.toDouble / brute.size
+    // This corpus is a HARD case for sign-LSH: true top-3 neighbors sit
+    // at only ~0.4 cosine (~64 deg), so per-plane agreement is ~0.64 and
+    // a 4-bit table catches a true neighbor with p ~ 0.17. The graded
+    // 2x4 parameterization (oracle-parity shape) measures 0.292 —
+    // deterministic (planes are fixed by index), asserted as a floor so
+    // a silent candidate-generation regression to ~0 recall fails here.
+    val graded = recall(2, 4)
+    assert(graded >= 0.25, f"graded 2x4 recall $graded%.3f < 0.25")
+    // The production lever: more tables = more candidate unions. At 16
+    // tables recall is 0.875 on the same corpus — the knob a 100 TB
+    // deployment turns (cost: 16 bucket joins, still no cross join).
+    val prod = recall(16, 4)
+    assert(prod >= 0.85, f"16x4 recall $prod%.3f < 0.85")
+    assert(prod > graded + 0.3, "the nTables lever must materially raise recall")
+  }
+
+  test("q29: the nTables lever monotonically improves recall") {
+    // with the same bitsPerTable, tables 0..1 of the 4-table variant use
+    // the SAME hyperplanes as the 2-table variant (planes are derived
+    // from their global index), so the 4-table candidate set is a strict
+    // superset and top-k recall cannot decrease. This is the lever a
+    // 100 TB deployment turns when recall matters more than cost.
+    val brute = Similarity.cosineTopK(spark, dir)
+      .filter(col("rn") <= 3).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r2 = brute.intersect(annHits(2, 4)).size.toDouble / brute.size
+    val r4 = brute.intersect(annHits(4, 4)).size.toDouble / brute.size
+    assert(r4 >= r2, f"recall(4x4)=$r4%.3f < recall(2x4)=$r2%.3f")
+  }
+}

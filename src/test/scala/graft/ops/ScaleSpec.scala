@@ -75,6 +75,75 @@ class ScaleSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("64-bit SimHash banding matches a brute-force hamming scan (sign bit exercised)") {
+    // corpus with an exact copy of every document: each (doc, copy) pair
+    // is at hamming 0, so banding MUST recover it — including documents
+    // whose 64-bit fingerprint has bit 63 set (negative BIGINT), the
+    // case where a div-based band extraction would produce negative
+    // bucket ids and the unsigned-shift path (Dedup.scala) is required.
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    val corpus = docs.unionByName(
+      docs.select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+    val fps = Dedup.withSimhash(corpus, bits = 64)
+      .select("doc_id", "simhash")
+    val negFps = fps.filter(col("simhash") < 0).count()
+    assert(negFps > 0, "no fingerprint uses the sign bit; test is vacuous")
+    val banded = Dedup.simhashNearDupPairs(corpus, bits = 64, nBands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = fps.select(col("doc_id").as("da"), col("simhash").as("ha"))
+    val b = fps.select(col("doc_id").as("db"), col("simhash").as("hb"))
+    val brute = a.join(b, col("da") < col("db"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("da", "db", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute,
+      s"banded missed ${(brute -- banded).take(5)}; extra ${(banded -- brute).take(5)}")
+    // every doc pairs with its planted copy at hamming 0
+    assert(banded.count(_._3 == 0L) >= docs.count())
+  }
+
+  test("scale-mode centroids: O(1)-state avg plan, agrees with exact mode") {
+    val scale = Similarity.labelCentroids(spark, dir, exact = false)
+    val scalePlan = scale.queryExecution.executedPlan.toString
+    assert(!scalePlan.contains("collect_list") && !scalePlan.contains("sort_array"),
+      s"scale mode must not collect per-group values:\n$scalePlan")
+    // positive control: the exact (oracle bit-parity) mode DOES collect,
+    // so the plan-string check above is not vacuous
+    val exactPlan = Similarity.labelCentroids(spark, dir, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("collect_list"))
+    // numeric agreement: summation order is the only difference
+    val s = scale.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = Similarity.labelCentroids(spark, dir, exact = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(s.keySet == e.keySet)
+    s.foreach { case (k, v) =>
+      val d = math.abs(v - e(k)) / math.max(1e-30, math.max(math.abs(v), math.abs(e(k))))
+      assert(d <= 1e-9, s"centroid $k: scale=$v exact=${e(k)} rel=$d")
+    }
+  }
+
+  test("scale-mode ivfKnn returns the graded results") {
+    // centroid deltas are ~1e-15 relative and distances round to 6
+    // decimals before the argmin, so the probe assignment — and hence
+    // the whole result — is identical to the exact-mode graded q28
+    val exact = Similarity.ivfKnn(spark, dir, exact = true).collect().toSeq
+    val scale = Similarity.ivfKnn(spark, dir, exact = false).collect().toSeq
+    assert(exact.nonEmpty && scale == exact)
+  }
+
+  test("range join: inverted intervals yield zero rows, not a descending grid") {
+    import spark.implicits._
+    val pts = spark.range(10).select(col("id").as("p"))
+    val iv = Seq((1L, 100L, 0L), (2L, 2L, 5L)).toDF("w_id", "s", "e")
+    val out = RangeJoin.pointInInterval(pts, iv, "p", "s", "e", 10L)
+      .select("w_id", "p").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the inverted window (100, 0) matches nothing; [2, 5) matches 2,3,4
+    assert(out == Set((2L, 2L), (2L, 3L), (2L, 4L)), out)
+  }
+
   test("bucketed tables co-locate: the join plans with zero shuffles") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -53,6 +53,45 @@ class PipelineSpec extends SparkSpec {
     assert(res.error.exists(_.contains("Formato no soportado")))
   }
 
+  private def tmpConfigFile(base: String, format: String = "parquet"): String = {
+    val yaml = s"""output:
+                  |  base_dir: $base
+                  |  format: $format
+                  |""".stripMargin
+    val p = Files.createTempFile("cfg", ".yaml")
+    Files.writeString(p, yaml)
+    p.toString
+  }
+
+  test("CLI: offline run exits 0 and renders the full run report") {
+    val base = Files.createTempDirectory("graft_cli").toString
+    val (code, summary) = Main.runCli(
+      Array("--config", tmpConfigFile(base)), spark,
+      rawPathOverride = Some(fixturePath("spotify_raw_fixture.json")),
+      env = Map.empty)
+    assert(code == 0, summary)
+    // the DAG notification's content (spotify_etl_dag.py:276-322):
+    // status + elapsed, per-table counts, output locations
+    assert(summary.contains("ETL completed in"))
+    assert(summary.contains("albums: 2 rows"))
+    assert(summary.contains("tracks: 3 rows"))
+    assert(summary.contains("audio_features: 2 rows"))
+    assert(summary.contains("tracks_with_features: 3 rows"))
+    assert(summary.contains(s"wrote $base/processed/albums -> "))
+    assert(summary.contains(s"wrote $base/final/tracks_with_features -> "))
+  }
+
+  test("CLI: unsupported output format exits 1 with the failure report") {
+    val base = Files.createTempDirectory("graft_cli_bad").toString
+    val (code, summary) = Main.runCli(
+      Array("--config", tmpConfigFile(base, format = "xml")), spark,
+      rawPathOverride = Some(fixturePath("spotify_raw_fixture.json")),
+      env = Map.empty)
+    assert(code == 1)
+    assert(summary.contains("ETL failed"), summary)
+    assert(summary.contains("Formato no soportado"), summary)
+  }
+
   test("config: env overrides yaml, dot-path defaults work") {
     val cfg = AppConfig.load(None, env = Map("SPOTIFY_OUTPUT_FORMAT" -> "parquet"))
     assert(cfg.getString("output.format") == "parquet") // env wins
