@@ -38,6 +38,22 @@ class RecallSpec extends SparkSpec {
     assert(got.forall(_._3 == 1.0))
   }
 
+  test("q30: the scale parameterization keeps planted-pair recall at 1.0") {
+    // The graded 2x4 shape (16 buckets/table) degenerates toward
+    // all-pairs as N grows; the scale answer is raising bitsPerTable
+    // (256 buckets/table here, ~16x fewer candidates). Identical vectors
+    // agree on EVERY hyperplane sign, so they share a bucket in every
+    // table at any parameterization — near-dup recall survives the
+    // candidate-count knob, which is exactly why the knob is safe to
+    // turn at 100 TB.
+    val expected = (0L until 500L by 50L).map(id => (id, id + 100000L)).toSet
+    val got = Similarity
+      .embeddingNearDups(spark, dir, nTables = 4, bitsPerTable = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"scale-params recall != 1.0: $got")
+  }
+
   test("q29: lshAnn top-3 recall — graded params are coarse, the nTables lever reaches production recall") {
     // ground truth: brute-force cosine top-3 per query (q21's top-5, cut)
     val brute = Similarity.cosineTopK(spark, dir)
