@@ -41,15 +41,15 @@ object Bench {
         case e: Throwable => System.err.println(s"warmup $name FAILED: $e")
       }
     }
-    // The dedup pipelines persist() small intermediate stages, and those
-    // entries stay registered in the session CacheManager after the
-    // warm-up pass — a timed run of the same canonicalized plan would
-    // read the cached stage instead of executing the pipeline. Clear the
-    // SQL cache so each timed query pays its own full cost (each query
-    // still materializes-and-reuses its own persist WITHIN its timed run,
-    // which is the real shape).
-    spark.sharedState.cacheManager.clearCache()
     val results = names.map { name =>
+      // The dedup pipelines persist() small intermediate stages, and
+      // those entries stay registered in the session cache after the
+      // warm-up pass (and after earlier timed queries) — a timed run of
+      // the same canonicalized plan would read the cached stage instead
+      // of executing the pipeline. Clear before EVERY timed query so each
+      // pays its own full cost (a query still materializes-and-reuses
+      // its own persist WITHIN its timed run, which is the real shape).
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       // a failed query reports -1 so breakage is visible in the JSON,
       // not disguised as a fast time

@@ -53,18 +53,24 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(messages(eGen).exists(_.contains("vector length mismatch")),
       messages(eGen).mkString(" | "))
     // interpreted path (NO_CODEGEN forces nullSafeEval — plain
-    // wholeStage=false still uses expression-level codegen)
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    // wholeStage=false still uses expression-level codegen). The session
+    // is shared across suites: save and restore the prior conf values,
+    // and mutate only inside the try so a failed set can't leak state.
+    val savedWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val savedFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
     try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val eInt = intercept[Throwable] {
         df.select(expr("cosine_sim(a, b)")).collect()
       }
       assert(messages(eInt).exists(_.contains("vector length mismatch")),
         messages(eInt).mkString(" | "))
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      savedWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+      savedFm.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
     }
   }
 

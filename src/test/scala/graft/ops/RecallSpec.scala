@@ -24,6 +24,16 @@ class RecallSpec extends SparkSpec {
       .select("q_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** Ground truth (computed once per suite): brute-force cosine top-3
+    * per query, and the graded 2x4 ANN hit set — both reused by the
+    * recall-floor and monotonicity tests.
+    */
+  private lazy val brute: Set[(Long, Long)] =
+    Similarity.cosineTopK(spark, dir)
+      .filter(col("rn") <= 3).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  private lazy val hits24: Set[(Long, Long)] = annHits(2, 4)
+
   test("q30: embeddingNearDups recovers 100% of planted pairs at graded params") {
     // every 50th vector is re-added verbatim under vec_id + 100,000;
     // 500 vectors -> 10 planted identical pairs, and the synthetic
@@ -55,13 +65,10 @@ class RecallSpec extends SparkSpec {
   }
 
   test("q29: lshAnn top-3 recall — graded params are coarse, the nTables lever reaches production recall") {
-    // ground truth: brute-force cosine top-3 per query (q21's top-5, cut)
-    val brute = Similarity.cosineTopK(spark, dir)
-      .filter(col("rn") <= 3).select("q_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.size == 8 * 3)
     def recall(t: Int, bpt: Int): Double =
-      brute.intersect(annHits(t, bpt)).size.toDouble / brute.size
+      brute.intersect(if (t == 2 && bpt == 4) hits24 else annHits(t, bpt))
+        .size.toDouble / brute.size
     // This corpus is a HARD case for sign-LSH: true top-3 neighbors sit
     // at only ~0.4 cosine (~64 deg), so per-plane agreement is ~0.64 and
     // a 4-bit table catches a true neighbor with p ~ 0.17. The graded
@@ -84,10 +91,7 @@ class RecallSpec extends SparkSpec {
     // from their global index), so the 4-table candidate set is a strict
     // superset and top-k recall cannot decrease. This is the lever a
     // 100 TB deployment turns when recall matters more than cost.
-    val brute = Similarity.cosineTopK(spark, dir)
-      .filter(col("rn") <= 3).select("q_id", "vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val r2 = brute.intersect(annHits(2, 4)).size.toDouble / brute.size
+    val r2 = brute.intersect(hits24).size.toDouble / brute.size
     val r4 = brute.intersect(annHits(4, 4)).size.toDouble / brute.size
     assert(r4 >= r2, f"recall(4x4)=$r4%.3f < recall(2x4)=$r2%.3f")
   }

@@ -111,13 +111,11 @@ class ScaleSpec extends SparkSpec {
       s"scale mode must not collect per-group values:\n$scalePlan")
     // positive control: the exact (oracle bit-parity) mode DOES collect,
     // so the plan-string check above is not vacuous
-    val exactPlan = Similarity.labelCentroids(spark, dir, exact = true)
-      .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("collect_list"))
+    val exact = Similarity.labelCentroids(spark, dir, exact = true)
+    assert(exact.queryExecution.executedPlan.toString.contains("collect_list"))
     // numeric agreement: summation order is the only difference
     val s = scale.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val e = Similarity.labelCentroids(spark, dir, exact = true)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e = exact.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(s.keySet == e.keySet)
     s.foreach { case (k, v) =>
       val d = math.abs(v - e(k)) / math.max(1e-30, math.max(math.abs(v), math.abs(e(k))))

@@ -8,15 +8,18 @@ import java.nio.file.{Files, Paths}
   */
 class PipelineSpec extends SparkSpec {
 
-  private def tmpConfig(base: String, format: String = "parquet"): AppConfig = {
+  private def tmpConfigFile(base: String, format: String = "parquet"): String = {
     val yaml = s"""output:
                   |  base_dir: $base
                   |  format: $format
                   |""".stripMargin
     val p = Files.createTempFile("cfg", ".yaml")
     Files.writeString(p, yaml)
-    AppConfig.load(Some(p.toString), env = Map.empty)
+    p.toString
   }
+
+  private def tmpConfig(base: String, format: String = "parquet"): AppConfig =
+    AppConfig.load(Some(tmpConfigFile(base, format)), env = Map.empty)
 
   test("offline run with explicit raw file writes processed+final zones") {
     val base = Files.createTempDirectory("graft_run").toString
@@ -51,16 +54,6 @@ class PipelineSpec extends SparkSpec {
       rawPathOverride = Some(fixturePath("spotify_raw_fixture.json")))
     assert(res.status == "failed")
     assert(res.error.exists(_.contains("Formato no soportado")))
-  }
-
-  private def tmpConfigFile(base: String, format: String = "parquet"): String = {
-    val yaml = s"""output:
-                  |  base_dir: $base
-                  |  format: $format
-                  |""".stripMargin
-    val p = Files.createTempFile("cfg", ".yaml")
-    Files.writeString(p, yaml)
-    p.toString
   }
 
   test("CLI: offline run exits 0 and renders the full run report") {
