@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over randomly generated inputs for the
+  * parameterizable operators (the fixture corpora exercise one data
+  * shape; these cover the edges that shape can't reach). Plain
+  * ScalaCheck generators with fixed seeds, like TransformsPropSpec —
+  * deterministic runs, and each expectation is an INDEPENDENT
+  * driver-side Scala implementation, not the Spark plan under test.
+  */
+class OpsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g(Gen.Parameters.default, Seed(seed)).getOrElse(
+      fail(s"generator produced no sample for seed $seed"))
+
+  // small vocabulary => heavy fingerprint collisions => the
+  // within-value (sh_a == sh_b) pair logic gets exercised, not just
+  // the cross-value banding
+  private val vocab =
+    Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+  private val genDoc: Gen[String] =
+    Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+  private val genCorpus: Gen[List[String]] =
+    Gen.chooseNum(5, 25).flatMap(n => Gen.listOfN(n, genDoc))
+
+  test("simhash banded near-dup pairs == driver-side brute force, random corpora") {
+    (0 until 6).foreach { i =>
+      val texts = sample(genCorpus, 1000L + i)
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val bits = if (i % 2 == 0) 16 else 64
+      val fp = Dedup.withSimhash(df, bits).select("doc_id", "simhash")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val expected = (for {
+        a <- fp.indices; b <- fp.indices if fp(a)._1 < fp(b)._1
+        h = java.lang.Long.bitCount(fp(a)._2 ^ fp(b)._2).toLong if h <= 3
+      } yield (fp(a)._1, fp(b)._1, h)).toSet
+      val got = Dedup.simhashNearDupPairs(df, bits, nBands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"seed ${1000L + i} bits $bits: missed ${(expected -- got).take(3)}, " +
+          s"extra ${(got -- expected).take(3)}")
+    }
+  }
+
+  test("the 64-bit fingerprint's low 16 bits ARE the 16-bit fingerprint") {
+    // bit terms 0..15 are identical at both widths, so the widths must
+    // agree on the shared bits — a regression here means the graded
+    // 16-bit oracle (q20/q31) and the production 64-bit path have
+    // silently diverged
+    val texts = sample(genCorpus, 7L)
+    val df = texts.zipWithIndex
+      .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+    def fps(bits: Int): Map[Long, Long] =
+      Dedup.withSimhash(df, bits).select("doc_id", "simhash")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f16 = fps(16)
+    val f64 = fps(64)
+    assert(f16.keySet == f64.keySet)
+    f16.foreach { case (id, v) =>
+      assert((f64(id) & 0xffffL) == v,
+        s"doc $id: 64-bit ${f64(id)} low bits != 16-bit $v")
+    }
+  }
+
+  private val genInterval: Gen[(Long, Long, Long)] = for {
+    id <- Gen.chooseNum(0L, 1000L)
+    s <- Gen.chooseNum(-50L, 50L)
+    e <- Gen.chooseNum(-50L, 50L) // unordered on purpose: ~half inverted/empty
+  } yield (id, s, e)
+
+  test("grid range join == driver-side containment scan, random intervals incl. inverted & negative") {
+    // negative coordinates matter: `div` truncates toward zero, so cell 0
+    // spans (-cell, cell) — correctness relies only on truncating
+    // division being monotone, and this property proves it holds
+    (0 until 6).foreach { i =>
+      val seed = 2000L + i
+      val points = sample(Gen.listOfN(40, Gen.chooseNum(-50L, 50L)), seed)
+        .distinct
+      val intervals = sample(Gen.listOfN(12, genInterval), seed + 500)
+        .zipWithIndex.map { case ((_, s, e), idx) => (idx.toLong, s, e) }
+      val cellSize = Seq(1L, 3L, 7L, 10L)(i % 4)
+      val expected = (for {
+        p <- points
+        (id, s, e) <- intervals if p >= s && p < e
+      } yield (id, p)).toSet
+      val got = RangeJoin.pointInInterval(
+          points.toDF("p"), intervals.toDF("w_id", "s", "e"),
+          "p", "s", "e", cellSize)
+        .select("w_id", "p").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"seed $seed cell $cellSize: missed ${(expected -- got).take(3)}, " +
+          s"extra ${(got -- expected).take(3)}")
+    }
+  }
+}
