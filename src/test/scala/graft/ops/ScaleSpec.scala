@@ -104,6 +104,21 @@ class ScaleSpec extends SparkSpec {
     assert(banded.count(_._3 == 0L) >= docs.count())
   }
 
+  test("simhash hashes each token once: a single md5 in the optimized plan") {
+    // the `bits` vote terms all read the precomputed `__hs` hash array;
+    // CollapseProject must NOT inline it back into each term (64 md5
+    // evaluations per token per doc). One md5 call in one projection,
+    // at either width, is the shape that holds at corpus scale.
+    val df = Tables(spark, dir, "documents")
+    for (bits <- Seq(16, 64)) {
+      val plan = Dedup.withSimhash(df, bits).queryExecution.optimizedPlan
+      val md5Count = plan.collect { case n =>
+        n.expressions.map(e => "md5".r.findAllIn(e.toString).size).sum
+      }.sum
+      assert(md5Count == 1, s"bits=$bits: expected one md5, found $md5Count")
+    }
+  }
+
   test("scale-mode centroids: O(1)-state avg plan, agrees with exact mode") {
     val scale = Similarity.labelCentroids(spark, dir, exact = false)
     val scalePlan = scale.queryExecution.executedPlan.toString
