@@ -70,6 +70,48 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
+  test("backward as-of == driver-side scan, random event streams") {
+    // random streams with heavy timestamp ties and null values: for each
+    // left row the match must be the right row with the greatest
+    // (time, value-tuple) at time <= left time within the key — the
+    // exact semantics AsOf.backward encodes via the struct-ordered
+    // running window (round-1 review found tie/null bugs here that the
+    // DuckDB oracle could not see; this pins them closed)
+    (0 until 6).foreach { i =>
+      val seed = 3000L + i
+      val left = sample(Gen.listOfN(30, for {
+        k <- Gen.oneOf("a", "b", "c")
+        t <- Gen.chooseNum(0L, 20L)
+      } yield (k, t)), seed)
+        .zipWithIndex.map { case ((k, t), id) => (k, t, id.toLong) }
+      val right = sample(Gen.listOfN(25, for {
+        k <- Gen.oneOf("a", "b", "c", "d") // "d": right-only key
+        t <- Gen.chooseNum(0L, 20L)
+        p <- Gen.option(Gen.chooseNum(1, 9).map(_.toDouble))
+      } yield (k, t, p)), seed + 500)
+      val expected = left.map { case (k, lt, id) =>
+        val cand = right.filter(r => r._1 == k && r._2 <= lt)
+        if (cand.isEmpty) (id, None, None)
+        else {
+          // nulls sort smallest inside the struct, like Spark's asc
+          val best = cand.maxBy { case (_, rt, p) =>
+            (rt, p.getOrElse(Double.NegativeInfinity)) }
+          (id, Some(best._2), best._3)
+        }
+      }.toSet
+      val got = AsOf.backward(
+          left.toDF("k", "t", "row_id"), right.toDF("k", "t", "price"),
+          Seq("k"), "t", Seq("price"))
+        .select("row_id", "matched_time", "price").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == expected,
+        s"seed $seed: missed ${(expected -- got).take(3)}, " +
+          s"extra ${(got -- expected).take(3)}")
+    }
+  }
+
   private val genInterval: Gen[(Long, Long, Long)] = for {
     id <- Gen.chooseNum(0L, 1000L)
     s <- Gen.chooseNum(-50L, 50L)
