@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Engine-level version of `ops/RangeJoin.pointInInterval`: a Catalyst
+  * optimizer rule, registered through `SparkSessionExtensions`, that
+  * rewrites a naive point-in-interval join
+  *
+  * {{{ points JOIN intervals ON p >= s AND p < e }}}
+  *
+  * into the grid-bucketed equi-join form — so a user writes the natural
+  * non-equi predicate and the engine plans the scale-safe hash join
+  * instead of BroadcastNestedLoopJoin (rung (c) of the custom-operator
+  * ladder: LogicalPlan rewrite via `Rule[LogicalPlan]` + extensions;
+  * the library function in `ops/RangeJoin` is rung (a), composition).
+  *
+  * Opt-in and bounded on purpose: the rule only fires when
+  * `spark.graft.rangeJoin.cellSize` is set to a positive long (the grid
+  * granularity — pick ~ the median interval length), and only for the
+  * canonical INNER-join shape `p >= s AND p < e` over LONG columns with
+  * `p` from one side and `s`,`e` from the other. Anything else is left
+  * untouched. Cell ids come from `IntegralDivide` (truncating, same as
+  * the SQL `div` the library form uses); truncation toward zero is
+  * monotone for a positive divisor, so a contained point's cell always
+  * lies in the interval's exploded cell range (OpsPropSpec proves this
+  * over negative coordinates). Inverted intervals are filtered before
+  * the explode — `sequence()` would descend — matching the naive join,
+  * which can never satisfy `p >= s AND p < e` when `e <= s`. Null
+  * bounds also match: a null cell never equi-joins, exactly as a null
+  * comparison never passes the naive predicate.
+  *
+  * The rewrite keeps the ORIGINAL predicate as the exact containment
+  * filter on top of the cell equi-key, so results are identical by
+  * construction; the rewritten join no longer matches the rule's
+  * pattern (its condition gains the cell equality), so the fixed-point
+  * optimizer cannot re-fire on its own output.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] {
+
+  val CellSizeKey = "spark.graft.rangeJoin.cellSize"
+
+  private def sideOf(a: Attribute, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
+    if (l.outputSet.contains(a)) Some(true)
+    else if (r.outputSet.contains(a)) Some(false)
+    else None
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val cellStr = conf.getConfString(CellSizeKey, "")
+    val cellSize = try cellStr.toLong catch { case _: NumberFormatException => 0L }
+    if (cellSize <= 0) return plan
+    plan.transform {
+      case j @ Join(l, r, Inner,
+          Some(And(GreaterThanOrEqual(p: AttributeReference, s: AttributeReference),
+                   LessThan(p2: AttributeReference, e: AttributeReference))), hint)
+          if p.semanticEquals(p2) &&
+            Seq(p, s, e).forall(_.dataType == LongType) =>
+        (sideOf(p, l, r), sideOf(s, l, r), sideOf(e, l, r)) match {
+          case (Some(pOnLeft), Some(sOnLeft), Some(eOnLeft))
+              if sOnLeft == eOnLeft && pOnLeft != sOnLeft =>
+            val (points, intervals) = if (pOnLeft) (l, r) else (r, l)
+            rewrite(j, points, intervals, p, s, e, cellSize, hint, pOnLeft)
+          case _ => j
+        }
+    }
+  }
+
+  private def rewrite(j: Join, points: LogicalPlan, intervals: LogicalPlan,
+      p: AttributeReference, s: AttributeReference, e: AttributeReference,
+      cellSize: Long, hint: JoinHint, pointsOnLeft: Boolean): LogicalPlan = {
+    val cell = Literal(cellSize, LongType)
+    def cellOf(x: Expression): Expression = IntegralDivide(x, cell)
+    // points side: one cell id per row
+    val pCell = Alias(cellOf(p), "__p_cell")()
+    val pPlan = Project(points.output :+ pCell, points)
+    // intervals side: guard inverted/empty, explode covered cells
+    val guarded = Filter(GreaterThan(e, s), intervals)
+    // Sequence is TimeZoneAwareExpression: the analyzer's ResolveTimeZone
+    // already ran, so a rule-built instance must carry the zone itself or
+    // the plan trips the optimizer's became-unresolved validation
+    val cells = new Sequence(
+      cellOf(s), cellOf(Subtract(e, Literal(1L, LongType))), None,
+      Some(conf.sessionLocalTimeZone))
+    val iCell = AttributeReference("__i_cell", LongType)()
+    val gen = Generate(Explode(cells), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(iCell),
+      child = guarded)
+    // hash equi-key on the cell, original predicate as the exact filter
+    val cond = And(EqualTo(pCell.toAttribute, iCell), j.condition.get)
+    val (nl, nr) = if (pointsOnLeft) (pPlan, gen) else (gen, pPlan)
+    Project(j.output, Join(nl, nr, Inner, Some(cond), hint))
+  }
+}
+
+/** Session-builder entry point:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)  // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+}
