@@ -102,8 +102,20 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   *   .withExtensions(new GraftExtensions)  // or
   *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
   * }}}
+  *
+  * Registers the range-join rewrite rule and the engine's custom
+  * functions (`cosine_sim`), so an extensions-built session needs no
+  * per-session `register` calls — SQL and `expr` resolve them directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.CosineSimilarity].getCanonicalName,
+        "cosine_sim"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+  }
 }

@@ -92,4 +92,23 @@ object EventStreams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** Run a streaming query to a parquet file sink (append mode — the
+    * only mode file sinks support) until all currently-available input
+    * is processed, then stop. The checkpoint directory carries source
+    * offsets and the sink's file manifest across restarts: invoking this
+    * again with the same `checkpointDir` after new input files land
+    * processes ONLY the new files — the exactly-once contract a
+    * production ingestion pipeline relies on (and what EventStreamsSpec
+    * asserts across a stop/restart cycle).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
 }

@@ -93,6 +93,15 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim resolves without registration in an extensions session") {
+    withExtSession { ext =>
+      import ext.implicits._
+      val one = Seq((Array(0.1f, 0.2f), Array(0.1f, 0.2f))).toDF("a", "b")
+        .selectExpr("cosine_sim(a, b)").head.getDouble(0)
+      assert(math.abs(one - 1.0) < 1e-12)
+    }
+  }
+
   test("the rule leaves non-matching joins and other sessions untouched") {
     withExtSession { ext =>
       ext.conf.set(RangeJoinRewrite.CellSizeKey, "3600000000")
