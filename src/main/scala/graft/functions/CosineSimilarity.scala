@@ -91,9 +91,21 @@ object CosineSimilarity {
     new IllegalArgumentException(
       s"cosine_sim: vector length mismatch ($n vs $m)")
 
+  /** Expression builder shared by both registration paths (temp
+    * function and SparkSessionExtensions). Arity-checked so a wrong
+    * call count fails with a clear message at analysis, not an
+    * IndexOutOfBoundsException from inside the analyzer.
+    */
+  def build(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2) {
+      throw new IllegalArgumentException(
+        s"cosine_sim expects exactly 2 arguments, got ${exprs.length}")
+    }
+    CosineSimilarity(exprs(0), exprs(1))
+  }
+
   /** Register `cosine_sim(a, b)` for SQL/expr use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+      "cosine_sim", build, "built-in")
 }

@@ -51,7 +51,16 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val cellStr = conf.getConfString(CellSizeKey, "")
-    val cellSize = try cellStr.toLong catch { case _: NumberFormatException => 0L }
+    if (cellStr.isEmpty) return plan
+    val cellSize = try cellStr.trim.toLong catch {
+      case _: NumberFormatException =>
+        // an explicitly-set but malformed opt-in must not pass silently:
+        // the user asked for the rewrite and would otherwise get a
+        // nested-loop join with no indication why
+        logWarning(s"$CellSizeKey='$cellStr' is not a long; " +
+          "range-join rewrite disabled")
+        0L
+    }
     if (cellSize <= 0) return plan
     plan.transform {
       case j @ Join(l, r, Inner,
@@ -115,7 +124,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.CosineSimilarity].getCanonicalName,
         "cosine_sim"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+      graft.functions.CosineSimilarity.build _))
   }
 }

@@ -89,8 +89,8 @@ object EventStreams {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory")
       .queryName(name).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
   }
 
   /** Run a streaming query to a parquet file sink (append mode — the
@@ -108,7 +108,9 @@ object EventStreams {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: a leaked active query would pin the checkpoint
+    // dir and block the next restart with "same checkpoint location"
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

@@ -112,11 +112,10 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
-  private val genInterval: Gen[(Long, Long, Long)] = for {
-    id <- Gen.chooseNum(0L, 1000L)
+  private val genInterval: Gen[(Long, Long)] = for {
     s <- Gen.chooseNum(-50L, 50L)
     e <- Gen.chooseNum(-50L, 50L) // unordered on purpose: ~half inverted/empty
-  } yield (id, s, e)
+  } yield (s, e)
 
   test("grid range join == driver-side containment scan, random intervals incl. inverted & negative") {
     // negative coordinates matter: `div` truncates toward zero, so cell 0
@@ -127,18 +126,20 @@ class OpsPropSpec extends SparkSpec {
       val points = sample(Gen.listOfN(40, Gen.chooseNum(-50L, 50L)), seed)
         .distinct
       val intervals = sample(Gen.listOfN(12, genInterval), seed + 500)
-        .zipWithIndex.map { case ((_, s, e), idx) => (idx.toLong, s, e) }
+        .zipWithIndex.map { case ((s, e), idx) => (idx.toLong, s, e) }
       val cellSize = Seq(1L, 3L, 7L, 10L)(i % 4)
       val expected = (for {
         p <- points
         (id, s, e) <- intervals if p >= s && p < e
       } yield (id, p)).toSet
-      val got = RangeJoin.pointInInterval(
+      val rows = RangeJoin.pointInInterval(
           points.toDF("p"), intervals.toDF("w_id", "s", "e"),
           "p", "s", "e", cellSize)
         .select("w_id", "p").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(got == expected,
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val got = rows.toSet
+      // (w_id, p) pairs are unique, so row count pins multiplicity
+      assert(rows.length == expected.size && got == expected,
         s"seed $seed cell $cellSize: missed ${(expected -- got).take(3)}, " +
           s"extra ${(got -- expected).take(3)}")
     }

@@ -59,11 +59,7 @@ class ScaleSpec extends SparkSpec {
 
   test("grid-bucketed range join avoids the nested-loop plan and matches the naive join") {
     val ev = Events.events(spark, dir).select(col("ts_us"), col("event_id"))
-    val windows = spark.range(20).select(
-      col("id").as("w_id"),
-      (lit(1704067200000000L) + col("id") * 25200000000L).as("s"),
-      (lit(1704067200000000L) + col("id") * 25200000000L +
-        ((col("id") % 5) + 1) * 3600000000L).as("e"))
+    val windows = graft.TestData.syntheticWindows(spark, 20)
     val bucketed = RangeJoin.pointInInterval(ev, windows, "ts_us", "s", "e",
       3600000000L)
     val plan = bucketed.queryExecution.sparkPlan.toString

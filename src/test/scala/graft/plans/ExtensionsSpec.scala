@@ -32,11 +32,7 @@ class ExtensionsSpec extends SparkSpec {
 
   private def naiveJoin(s: SparkSession) = {
     val ev = Events.events(s, dir).select(col("ts_us"), col("event_id"))
-    val windows = s.range(20).select(
-      col("id").as("w_id"),
-      (lit(1704067200000000L) + col("id") * 25200000000L).as("s"),
-      (lit(1704067200000000L) + col("id") * 25200000000L +
-        ((col("id") % 5) + 1) * 3600000000L).as("e"))
+    val windows = graft.TestData.syntheticWindows(s, 20)
     ev.join(windows, col("ts_us") >= col("s") && col("ts_us") < col("e"))
   }
 
@@ -47,15 +43,18 @@ class ExtensionsSpec extends SparkSpec {
         val joined = naiveJoin(ext)
         val plan = joined.queryExecution.sparkPlan.toString
         assert(!plan.contains("NestedLoop"), plan)
-        // identical results to the same query with the rule disabled
+        // identical results to the same query with the rule disabled —
+        // rows, not sets: the rewrite must not change multiplicity
         val got = joined.select("event_id", "w_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == got.toSet.size, "rewrite duplicated rows")
         ext.conf.unset(RangeJoinRewrite.CellSizeKey)
         val naive = naiveJoin(ext)
         assert(naive.queryExecution.sparkPlan.toString.contains("NestedLoop"))
         val expected = naive.select("event_id", "w_id").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
-        assert(got == expected && got.nonEmpty)
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(got.length == expected.length && got.toSet == expected.toSet
+          && got.nonEmpty)
       } finally ext.conf.unset(RangeJoinRewrite.CellSizeKey)
     }
   }
@@ -84,10 +83,13 @@ class ExtensionsSpec extends SparkSpec {
           val joined = points.toDF("p").join(intervals.toDF("w_id", "s", "e"),
             col("p") >= col("s") && col("p") < col("e"))
           assert(!joined.queryExecution.sparkPlan.toString.contains("NestedLoop"))
-          val got = joined.select("w_id", "p").collect()
-            .map(r => (r.getLong(0), r.getLong(1))).toSet
-          assert(got == expected, s"seed $seed: missed ${(expected -- got).take(3)}, " +
-            s"extra ${(got -- expected).take(3)}")
+          val rows = joined.select("w_id", "p").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val got = rows.toSet
+          // (w_id, p) pairs are unique, so row count pins multiplicity
+          assert(rows.length == expected.size && got == expected,
+            s"seed $seed: missed ${(expected -- got).take(3)}, " +
+              s"extra ${(got -- expected).take(3)}")
         }
       } finally ext.conf.unset(RangeJoinRewrite.CellSizeKey)
     }
@@ -96,9 +98,15 @@ class ExtensionsSpec extends SparkSpec {
   test("cosine_sim resolves without registration in an extensions session") {
     withExtSession { ext =>
       import ext.implicits._
-      val one = Seq((Array(0.1f, 0.2f), Array(0.1f, 0.2f))).toDF("a", "b")
-        .selectExpr("cosine_sim(a, b)").head.getDouble(0)
+      val df = Seq((Array(0.1f, 0.2f), Array(0.1f, 0.2f))).toDF("a", "b")
+      val one = df.selectExpr("cosine_sim(a, b)").head.getDouble(0)
       assert(math.abs(one - 1.0) < 1e-12)
+      // wrong arity fails with a clear message at analysis, not an
+      // IndexOutOfBoundsException from inside the builder
+      val err = intercept[Throwable] { df.selectExpr("cosine_sim(a)") }
+      val msgs = Iterator.iterate(err)(_.getCause).takeWhile(_ != null)
+        .map(t => String.valueOf(t.getMessage)).toSeq
+      assert(msgs.exists(_.contains("exactly 2 arguments")), msgs.mkString(" | "))
     }
   }
 
