@@ -175,7 +175,17 @@ object Dedup {
     * band extraction must therefore use unsigned shifts
     * (`simhashNearDupPairs` does), never `div`.
     */
-  def withSimhash(corpus: DataFrame, bits: Int = 16): DataFrame = {
+  /** @param weighted false (graded/oracle form): vote once per DISTINCT
+    *                  token — robust to boilerplate repetition, cheapest.
+    *                  true (classic Charikar form): vote once per token
+    *                  OCCURRENCE, i.e. weight = term frequency — a
+    *                  repeated term pulls its hash bits harder, which
+    *                  separates short template-y docs that share
+    *                  vocabulary but not emphasis. Same cost shape
+    *                  (one md5 per occurrence, still shuffle-free).
+    */
+  def withSimhash(corpus: DataFrame, bits: Int = 16,
+      weighted: Boolean = false): DataFrame = {
     require(bits > 0 && bits <= 64, s"bits must be in [1, 64], got $bits")
     val hexOdd = "('1','3','5','7','9','b','d','f')"
     // Token hashes are materialized ONCE per token into `__hs`, then all
@@ -196,9 +206,11 @@ object Dedup {
       s"IF(aggregate(__hs, 0, (a2, h) -> a2 + ${bitVote(b)}) >= 0, " +
         s"shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"
     }
+    val toks =
+      if (weighted) TextOps.tokensExpr
+      else s"array_distinct(${TextOps.tokensExpr})"
     corpus
-      .withColumn("__hs", expr(
-        s"transform(array_distinct(${TextOps.tokensExpr}), t -> md5(t))"))
+      .withColumn("__hs", expr(s"transform($toks, t -> md5(t))"))
       .withColumn("simhash", expr(
         s"""aggregate(array(${bitTerms.mkString(",\n")}),
            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))

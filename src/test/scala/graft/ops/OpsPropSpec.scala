@@ -50,6 +50,52 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
+  /** Independent driver-side SimHash: same md5-hex bit rule as the SQL
+    * form (bit b < 32: low bit of hex digit b; b >= 32: bit (b div 32)
+    * of hex digit (b mod 32)), so a hex-indexing or bit-order bug in
+    * either implementation breaks the equality below.
+    */
+  private def simhashScala(text: String, bits: Int, weighted: Boolean): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val toks = if (weighted) all else all.distinct
+    val hexes = toks.map(t =>
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      val vote = hexes.map { h =>
+        val digit = Integer.parseInt(h.charAt(b % 32).toString, 16)
+        if (((digit >> (b / 32)) & 1) == 1) 1 else -1
+      }.sum
+      if (vote >= 0) acc | (1L << b) else acc
+    }
+  }
+
+  test("simhash (weighted and distinct) == independent driver-side implementation") {
+    (0 until 4).foreach { i =>
+      val texts = sample(genCorpus, 5000L + i)
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      for (weighted <- Seq(false, true); bits <- Seq(16, 64)) {
+        val got = Dedup.withSimhash(df, bits, weighted)
+          .select("doc_id", "simhash").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        texts.zipWithIndex.foreach { case (t, id) =>
+          val exp = simhashScala(t, bits, weighted)
+          assert(got(id.toLong) == exp,
+            s"seed ${5000L + i} doc $id bits=$bits weighted=$weighted: " +
+              s"spark=${got(id.toLong)} scala=$exp")
+        }
+      }
+      // the small vocabulary repeats tokens heavily, so the weighted and
+      // distinct forms must actually diverge somewhere in the corpus
+      val w = Dedup.withSimhash(df, 64, weighted = true)
+        .select("doc_id", "simhash").collect().map(r => r.getLong(1)).toSeq
+      val d = Dedup.withSimhash(df, 64)
+        .select("doc_id", "simhash").collect().map(r => r.getLong(1)).toSeq
+      assert(w != d, "weighted fingerprints never diverged; test is vacuous")
+    }
+  }
+
   test("the 64-bit fingerprint's low 16 bits ARE the 16-bit fingerprint") {
     // bit terms 0..15 are identical at both widths, so the widths must
     // agree on the shared bits — a regression here means the graded
