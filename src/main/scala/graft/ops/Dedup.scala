@@ -174,8 +174,8 @@ object Dedup {
     * At bits=64 the fingerprint occupies the sign bit of the BIGINT;
     * band extraction must therefore use unsigned shifts
     * (`simhashNearDupPairs` does), never `div`.
-    */
-  /** @param weighted false (graded/oracle form): vote once per DISTINCT
+    *
+    * @param weighted false (graded/oracle form): vote once per DISTINCT
     *                  token — robust to boilerplate repetition, cheapest.
     *                  true (classic Charikar form): vote once per token
     *                  OCCURRENCE, i.e. weight = term frequency — a

@@ -180,7 +180,12 @@ object Similarity {
   def lshAnn(spark: SparkSession, dir: String, nTables: Int = 2,
       bitsPerTable: Int = 4, k: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
+    // The bucketed stage is read once for the query side and once per
+    // table for the corpus side; persist so the nTables*64 interpreted
+    // dot-product folds run once per row, not once per scan (same
+    // persist caveat as Dedup.nearDupPairs — harnesses clear the cache).
     val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
+      .persist()
     val qs = bucketed.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id") +: col("v").as("q_vec") +:
         (0 until nTables).map(t => col(s"b$t").as(s"qb$t")): _*)
@@ -225,7 +230,11 @@ object Similarity {
   def embeddingNearDups(spark: SparkSession, dir: String, nTables: Int = 2,
       bitsPerTable: Int = 4, minCos: Double = 0.999): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
+    // persisted: each table's self-join reads the stage twice, so without
+    // the cache the LSH folds run 2*nTables times per row (persist caveat
+    // as in Dedup.nearDupPairs — harnesses clear the session cache).
     val bucketed = lshBucketed(plantedCorpus(spark, dir), nTables, bitsPerTable)
+      .persist()
     def cands(b: String) = {
       val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col(b).as("bk"))
@@ -234,10 +243,17 @@ object Similarity {
       l.join(r, Seq("bk")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "v_a", "v_b")
     }
+    // Score-then-dedup: the cosine is a cheap fused codegen expression, so
+    // a pair colliding in several tables just gets scored once per
+    // collision map-side; the >= minCos filter then leaves only true
+    // near-dups to deduplicate. The alternative order (dedup first)
+    // shuffles every candidate pair WITH both 64-float vectors attached —
+    // at N rows and 2^bits buckets that is ~N^2/2^bits * 512 B of
+    // exchange, the plan's only real cost. Result set is identical.
     (0 until nTables).map(t => cands(s"b$t")).reduce(_ unionByName _)
-      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(expr("cosine_sim(v_a, v_b)"), 6))
       .filter(col("cos") >= minCos)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }

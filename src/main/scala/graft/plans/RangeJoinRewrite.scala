@@ -42,7 +42,27 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] {
 
+  /** Grid granularity (a positive long) — the rewrite's opt-in switch.
+    *
+    * Sizing: every interval explodes into `ceil(length / cellSize)` grid
+    * rows, materialized per interval as ONE in-memory array by
+    * `sequence()` before the generator streams it. Keep the worst-case
+    * `maxIntervalLength / cellSize` ratio modest — ~10^3 cells per
+    * interval is a sensible ceiling (output amplification dominates cost
+    * long before that), and Spark hard-fails a single `sequence()` past
+    * ~2^31 elements. A cellSize near the MEDIAN interval length keeps the
+    * typical explosion at ~1-2 rows per interval. The rule cannot check
+    * this itself — interval bounds are data, not plan — so a too-small
+    * cellSize surfaces at runtime where the naive BroadcastNestedLoopJoin
+    * would have (slowly) completed; if intervals are heavy-tailed, pick
+    * cellSize for the tail, not the median.
+    */
   val CellSizeKey = "spark.graft.rangeJoin.cellSize"
+
+  // The optimizer invokes the rule several times per query (fixed-point
+  // batches), and one misconfigured session would otherwise log the same
+  // warning on every invocation for its whole lifetime.
+  @volatile private var lastWarnedCellStr: String = null
 
   private def sideOf(a: Attribute, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
     if (l.outputSet.contains(a)) Some(true)
@@ -56,9 +76,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _: NumberFormatException =>
         // an explicitly-set but malformed opt-in must not pass silently:
         // the user asked for the rewrite and would otherwise get a
-        // nested-loop join with no indication why
-        logWarning(s"$CellSizeKey='$cellStr' is not a long; " +
-          "range-join rewrite disabled")
+        // nested-loop join with no indication why — but warn once per
+        // distinct bad value, not once per rule invocation
+        if (lastWarnedCellStr != cellStr) {
+          lastWarnedCellStr = cellStr
+          logWarning(s"$CellSizeKey='$cellStr' is not a long; " +
+            "range-join rewrite disabled")
+        }
         0L
     }
     if (cellSize <= 0) return plan

@@ -18,13 +18,17 @@ class ExtensionsSpec extends SparkSpec {
     val base = spark // force SparkSpec's shared session to exist first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    // reuses base's SparkContext; builds a NEW session so the
-    // extensions actually register (they only apply at session build)
-    val ext = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try f(ext)
-    finally {
+    // The builder call sits INSIDE the try: if getOrCreate throws, the
+    // finally must still restore base as default/active or every later
+    // suite in this JVM inherits an unset session.
+    try {
+      // reuses base's SparkContext; builds a NEW session so the
+      // extensions actually register (they only apply at session build)
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(ext)
+    } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
     }
