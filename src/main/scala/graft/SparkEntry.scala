@@ -58,6 +58,10 @@ object SparkEntry {
     "q35_median_order_value" -> Relational.medianOrderValue _,
     "q36_daily_type_pivot" -> Events.dailyTypePivot _,
     "q37_sliding_windows" -> Events.slidingWindowCounts _,
+    "q38_ngram_jaccard_join" ->
+      ((s: SparkSession, d: String) => Dedup.ngramJaccardJoin(s, d)),
+    "q39_winnow_fingerprints" ->
+      ((s: SparkSession, d: String) => TextOps.winnowFingerprints(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -666,5 +670,77 @@ object SparkEntry {
         |FROM s
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    // Deliberately a BRUTE-FORCE all-pairs scan (no prefix/size/positional
+    // filters): agreement with the Spark side independently proves the
+    // prefix-filter candidate generation is lossless — a mirrored oracle
+    // could not detect a candidate the filters wrongly dropped.
+    "q38_ngram_jaccard_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |c AS (
+        |  SELECT md5(text) AS cid, list_sort(list(doc_id)) AS docs,
+        |    any_value(text) AS text
+        |  FROM corpus GROUP BY text),
+        |t AS (
+        |  SELECT cid, docs, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM c),
+        |g AS (
+        |  SELECT cid, docs,
+        |    CASE WHEN len(toks) >= 2 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i + 1]))
+        |    ELSE [] END AS grams
+        |  FROM t),
+        |gs AS (SELECT cid, docs, grams, len(grams) AS sz FROM g WHERE len(grams) > 0),
+        |v AS (
+        |  SELECT a.docs AS docs_a, b.docs AS docs_b,
+        |    len(list_intersect(a.grams, b.grams)) AS n_common,
+        |    a.sz AS na, b.sz AS nb
+        |  FROM gs a JOIN gs b ON a.cid < b.cid
+        |  WHERE len(list_intersect(a.grams, b.grams)) * 5 >=
+        |        4 * (a.sz + b.sz - len(list_intersect(a.grams, b.grams)))),
+        |crossx AS (
+        |  SELECT least(p.pair[1], p.pair[2]) AS doc_a,
+        |    greatest(p.pair[1], p.pair[2]) AS doc_b,
+        |    CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(docs_a, x ->
+        |      list_transform(docs_b, y -> [x, y])))) AS pair,
+        |      n_common, na, nb
+        |    FROM v) p),
+        |intra AS (
+        |  SELECT p.pair[1] AS doc_a, p.pair[2] AS doc_b,
+        |    CAST(1 AS DOUBLE) AS jaccard
+        |  FROM (
+        |    SELECT unnest(flatten(list_transform(generate_series(1, len(docs) - 1),
+        |      i -> list_transform(generate_series(i + 1, len(docs)),
+        |        j -> [docs[i], docs[j]])))) AS pair
+        |    FROM gs WHERE len(docs) > 1) p)
+        |SELECT doc_a, doc_b, jaccard FROM crossx
+        |UNION ALL
+        |SELECT doc_a, doc_b, jaccard FROM intra
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q39_winnow_fingerprints" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, list_transform(toks, tok ->
+        |    CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT)) AS th
+        |  FROM t WHERE len(toks) >= 6),
+        |kh AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(th) - 2), i ->
+        |    list_reduce(list_transform(generate_series(0, 2), o -> th[i + o]),
+        |      (a, b) -> (a * 1000003 + b) % 33554432)) AS khs
+        |  FROM f),
+        |wn AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(
+        |    list_transform(generate_series(1, len(khs) - 3), j ->
+        |      list_min(list_slice(khs, j, j + 3)))))) AS fp
+        |  FROM kh)
+        |SELECT doc_id, fp FROM wn ORDER BY doc_id, fp""".stripMargin,
   )
 }

@@ -105,4 +105,57 @@ object TextOps {
         sum(when(col("quality") >= 80, 1L).otherwise(0L)).as("n_high"))
       .orderBy("source")
   }
+
+  /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm) over a Karp–Rabin-style polynomial
+    * rolling hash of token k-grams: hash every k-gram of the token
+    * stream, then keep the minimum hash of each length-`w` window of
+    * consecutive k-gram hashes. The selected set is position-independent
+    * and guarantees any shared token run of length >= k + w - 1 yields at
+    * least one shared fingerprint — the standard containment-detection
+    * primitive (near-dup Jaccard pairs catch reordered copies; winnowing
+    * catches verbatim EXCERPTS inside otherwise-different documents).
+    *
+    * Hash parity with the oracle: token base hash is the first 6 hex
+    * digits of md5 (< 2^24); the k-gram fold is
+    * `acc -> (acc*1000003 + h) mod 2^25`, so every intermediate stays
+    * under 2^45 — no 64-bit overflow on either engine (Spark ANSI mode
+    * would throw; DuckDB would wrap silently — both are avoided). The
+    * fold seeds at 0, which equals DuckDB's seedless `list_reduce`
+    * because the first element is already < 2^25.
+    *
+    * Scale shape: fingerprints are computed per document with NO shuffle
+    * at all — one codegen'd projection over the corpus scan; the only
+    * exchange is the final presentation sort. Per-document state is
+    * O(n_tokens); documents stream independently, so this is
+    * embarrassingly parallel at any corpus size.
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String,
+      k: Int = 3, w: Int = 4): DataFrame =
+    winnowFingerprintsOf(Tables(spark, dir, "documents"), k, w)
+
+  /** Core of `winnowFingerprints` over any DataFrame with `(doc_id,
+    * text)` — split out so OpsPropSpec can compare it against a
+    * driver-side reimplementation on random corpora.
+    */
+  def winnowFingerprintsOf(docs: DataFrame,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val B = 1000003L        // polynomial base (prime)
+    val M = 1L << 25        // modulus: keeps acc*B + h under 2^45
+    docs
+      .withColumn("toks", expr(tokensExpr))
+      .filter(size(col("toks")) >= k + w - 1)
+      .withColumn("th", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint))"))
+      .withColumn("kh", expr(
+        s"""transform(sequence(1, size(th) - ${k - 1}), i ->
+           |  aggregate(sequence(0, ${k - 1}), 0L,
+           |    (acc, o) -> (acc * ${B}L + element_at(th, i + o)) % ${M}L))""".stripMargin))
+      .withColumn("fp", explode(expr(
+        s"""array_sort(array_distinct(transform(sequence(1, size(kh) - ${w - 1}),
+           |  j -> array_min(slice(kh, j, $w)))))""".stripMargin)))
+      .select("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+  }
 }

