@@ -64,6 +64,25 @@ object SparkEntry {
       ((s: SparkSession, d: String) => TextOps.winnowFingerprints(s, d)),
   )
 
+  /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
+    * hyperplanes [t*bits, (t+1)*bits) — must mirror
+    * `Similarity.hyperplanes` / `Similarity.lshBucketed` exactly: same
+    * md5("p_i") first-hex-digit parity rule, same global plane indexing,
+    * bit p-lo of the bucket is the sign of plane p's dot product.
+    * (Generated because q29 runs 8 tables and q30 12-bit buckets — 32
+    * and 24 plane expressions respectively, unmaintainable by hand.)
+    */
+  private def lshBucketSql(t: Int, bits: Int): String = {
+    val lo = t * bits
+    s"""    CAST(list_sum(list_transform(range($lo, ${lo + bits}), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, 65),
+       |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
+       |               IN ('1','3','5','7','9','b','d','f')
+       |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
+       |          (a2, b2) -> a2 + b2) >= 0
+       |      THEN (1 << (p - $lo)) ELSE 0 END)) AS BIGINT) AS b$t""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
@@ -445,92 +464,73 @@ object SparkEntry {
         |  FROM p)
         |SELECT q_id, probe_label, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
-    "q29_lsh_ann" ->
-      """WITH v AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |b AS (
-        |  SELECT vec_id, e,
-        |    CAST(list_sum(list_transform(range(0, 4), p ->
-        |      CASE WHEN list_reduce(list_transform(range(1, 65),
-        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
-        |               IN ('1','3','5','7','9','b','d','f')
-        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
-        |          (a2, b2) -> a2 + b2) >= 0
-        |      THEN (1 << p) ELSE 0 END)) AS BIGINT) AS b0,
-        |    CAST(list_sum(list_transform(range(4, 8), p ->
-        |      CASE WHEN list_reduce(list_transform(range(1, 65),
-        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
-        |               IN ('1','3','5','7','9','b','d','f')
-        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
-        |          (a2, b2) -> a2 + b2) >= 0
-        |      THEN (1 << (p - 4)) ELSE 0 END)) AS BIGINT) AS b1
-        |  FROM v),
-        |q AS (
-        |  SELECT vec_id AS q_id, e AS qe, b0 AS qb0, b1 AS qb1
-        |  FROM b WHERE vec_id < 8),
-        |cand AS (
-        |  SELECT DISTINCT q_id, vec_id FROM (
-        |    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b0 = q.qb0
-        |    UNION ALL
-        |    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b1 = q.qb1) u
-        |  WHERE q_id <> vec_id),
-        |p2 AS (
-        |  SELECT cand.q_id, cand.vec_id,
-        |    round(
-        |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
-        |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
-        |       sqrt(list_sum(list_transform(ce, x2 -> x2 * x2)))), 6) AS cos
-        |  FROM cand
-        |  JOIN (SELECT vec_id AS c_id, e AS ce FROM v) c ON cand.vec_id = c.c_id
-        |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON cand.q_id = qq.q2),
-        |r AS (
-        |  SELECT q_id, vec_id, cos,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
-        |  FROM p2)
-        |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
-        |ORDER BY q_id, rn""".stripMargin,
-    "q30_embedding_neardups" ->
-      """WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |corpus AS (
-        |  SELECT vec_id, e FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000, e FROM base WHERE vec_id % 50 = 0),
-        |b AS (
-        |  SELECT vec_id, e,
-        |    CAST(list_sum(list_transform(range(0, 4), p ->
-        |      CASE WHEN list_reduce(list_transform(range(1, 65),
-        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
-        |               IN ('1','3','5','7','9','b','d','f')
-        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
-        |          (a2, b2) -> a2 + b2) >= 0
-        |      THEN (1 << p) ELSE 0 END)) AS BIGINT) AS b0,
-        |    CAST(list_sum(list_transform(range(4, 8), p ->
-        |      CASE WHEN list_reduce(list_transform(range(1, 65),
-        |          i -> e[i] * CASE WHEN substr(md5(p::VARCHAR || '_' || i::VARCHAR), 1, 1)
-        |               IN ('1','3','5','7','9','b','d','f')
-        |               THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END),
-        |          (a2, b2) -> a2 + b2) >= 0
-        |      THEN (1 << (p - 4)) ELSE 0 END)) AS BIGINT) AS b1
-        |  FROM corpus),
-        |cand AS (
-        |  SELECT DISTINCT id_a, id_b FROM (
-        |    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
-        |    FROM b a JOIN b b2 ON a.b0 = b2.b0 AND a.vec_id < b2.vec_id
-        |    UNION ALL
-        |    SELECT a.vec_id, b2.vec_id
-        |    FROM b a JOIN b b2 ON a.b1 = b2.b1 AND a.vec_id < b2.vec_id) u),
-        |p2 AS (
-        |  SELECT id_a, id_b,
-        |    round(
-        |      list_sum(list_transform(range(1, len(ea) + 1), i -> ea[i] * eb[i])) /
-        |      (sqrt(list_sum(list_transform(ea, x2 -> x2 * x2))) *
-        |       sqrt(list_sum(list_transform(eb, x2 -> x2 * x2)))), 6) AS cos
-        |  FROM cand
-        |  JOIN (SELECT vec_id AS va, e AS ea FROM corpus) ca ON cand.id_a = ca.va
-        |  JOIN (SELECT vec_id AS vb, e AS eb FROM corpus) cb ON cand.id_b = cb.vb)
-        |SELECT id_a, id_b, cos FROM p2 WHERE cos >= 0.999
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q29_lsh_ann" -> {
+      val bucketCols = (0 until 8).map(t => lshBucketSql(t, 4)).mkString(",\n")
+      val qCols = (0 until 8).map(t => s"b$t AS qb$t").mkString(", ")
+      val unions = (0 until 8).map(t =>
+        s"    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b$t = q.qb$t")
+        .mkString("\n    UNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, e,
+         |$bucketCols
+         |  FROM v),
+         |q AS (
+         |  SELECT vec_id AS q_id, e AS qe, $qCols
+         |  FROM b WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT q_id, vec_id FROM (
+         |$unions) u
+         |  WHERE q_id <> vec_id),
+         |p2 AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+         |       sqrt(list_sum(list_transform(ce, x2 -> x2 * x2)))), 6) AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS c_id, e AS ce FROM v) c ON cand.vec_id = c.c_id
+         |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON cand.q_id = qq.q2),
+         |r AS (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM p2)
+         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin
+    },
+    "q30_embedding_neardups" -> {
+      val bucketCols = (0 until 2).map(t => lshBucketSql(t, 12)).mkString(",\n")
+      val unions = (0 until 2).map(t =>
+        s"""    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+           |    FROM b a JOIN b b2 ON a.b$t = b2.b$t AND a.vec_id < b2.vec_id"""
+          .stripMargin)
+        .mkString("\n    UNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000, e FROM base WHERE vec_id % 50 = 0),
+         |b AS (
+         |  SELECT vec_id, e,
+         |$bucketCols
+         |  FROM corpus),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |$unions) u),
+         |p2 AS (
+         |  SELECT id_a, id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, len(ea) + 1), i -> ea[i] * eb[i])) /
+         |      (sqrt(list_sum(list_transform(ea, x2 -> x2 * x2))) *
+         |       sqrt(list_sum(list_transform(eb, x2 -> x2 * x2)))), 6) AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS va, e AS ea FROM corpus) ca ON cand.id_a = ca.va
+         |  JOIN (SELECT vec_id AS vb, e AS eb FROM corpus) cb ON cand.id_b = cb.vb)
+         |SELECT id_a, id_b, cos FROM p2 WHERE cos >= 0.999
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "q31_simhash_neardups" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

