@@ -689,9 +689,9 @@ object SparkEntry {
         |  FROM c),
         |g AS (
         |  SELECT cid, docs,
-        |    CASE WHEN len(toks) >= 2 THEN
-        |      list_distinct(list_transform(generate_series(1, len(toks) - 1),
-        |        i -> toks[i] || ' ' || toks[i + 1]))
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
         |    ELSE [] END AS grams
         |  FROM t),
         |gs AS (SELECT cid, docs, grams, len(grams) AS sz FROM g WHERE len(grams) > 0),

@@ -291,19 +291,6 @@ object Dedup {
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupPairs(corpusWithNearDups(spark, dir))
 
-  /** Distinct word-bigram set of the tokenized text (`toks` must exist).
-    * Word bigrams (not the 3-gram shingles of the MinHash path) are the
-    * right granularity for an EXACT Jaccard join: on this corpus the
-    * ambient pairwise bigram Jaccard is < 0.1 at the 99th percentile
-    * while planted near-dups sit at ~0.99, so a 0.8 threshold separates
-    * cleanly. (Character 3-grams are too common: ambient J reaches 0.64.)
-    */
-  val bigramsExpr: String =
-    """CASE WHEN size(toks) >= 2 THEN
-      |  array_distinct(transform(sequence(1, size(toks) - 1),
-      |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1))))
-      |ELSE array() END""".stripMargin
-
   /** EXACT n-gram Jaccard similarity self-join with prefix + positional
     * filtering (the AllPairs/PPJoin family — Chaudhuri et al., ICDE'06;
     * Xiao et al., WWW'08) at threshold tNum/tDen. Unlike the MinHash-LSH
@@ -325,13 +312,19 @@ object Dedup {
     * oracle (a brute-force all-pairs scan, deliberately NOT mirroring the
     * filters — it independently proves losslessness) agrees bit-for-bit.
     *
+    * Grams are the 3-word shingles of the MinHash path (`shinglesExpr`).
+    * Gram rarity is what makes prefix filtering prune: candidate fan-out
+    * is sum(df^2) over prefix grams, so common grams are poison. On this
+    * corpus word BIGRAMS leave 675k candidates at sf0.1 (~5% of all
+    * pairs — the shared template vocabulary makes even rare bigrams
+    * collide); trigrams cut that to 12.9k, and at sf0.01 to exactly the
+    * 30 true pairs.
+    *
     * Scale shape: one content-hash shuffle (dedupe-before-join, as in
     * `nearDupPairs`), one gram-frequency aggregation, one shuffle by gram
     * for ranking and the candidate equi-join — never an all-pairs
-    * product. Measured on the sf0.01 planted corpus the filters pass
-    * 5,247 of 127,260 possible pairs (96% pruned) and keep all 30 true
-    * pairs. At 100 TB the frequency ordering is the point: prefixes hold
-    * each document's RAREST grams, so candidate fan-out per gram is
+    * product. At 100 TB the frequency ordering is the point: prefixes
+    * hold each document's RAREST grams, so candidate fan-out per gram is
     * bounded by the df of rare grams, and web-scale near-dup thresholds
     * (t >= 0.8) keep prefixes at ~20% of each document.
     *
@@ -357,9 +350,15 @@ object Dedup {
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
       .withColumn("cid", md5(col("text")))
       .withColumn("toks", expr(TextOps.tokensExpr))
-      .withColumn("grams", expr(bigramsExpr))
+      .withColumn("grams", expr(shinglesExpr))
       .withColumn("sz", size(col("grams")))
-      .filter(col("sz") > 0)
+      // NO `filter(sz > 0)` here: predicate pushdown substitutes aliases
+      // into the pushed condition UNCONDITIONALLY, which drags the whole
+      // tokenize+shingle chain below the projection and re-evaluates the
+      // tokenizer ~11x per row (measured; 7s of a 9.5s query at sf0.1).
+      // Empty-gram contents are harmless downstream: explode() emits no
+      // gram rows for them, so they can never become candidates — only
+      // `intra` below must exclude them explicitly.
       .select("cid", "docs", "grams", "sz")
       .persist()
 
@@ -405,10 +404,10 @@ object Dedup {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
 
-    // identical-text doc pairs: Jaccard 1 by definition (empty-gram
-    // contents were already dropped above)
+    // identical-text doc pairs: Jaccard 1 by definition; empty-gram
+    // contents are excluded here (Jaccard is undefined on empty sets)
     val intra = contents
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && col("sz") > 0)
       .select(expr(
         """inline(flatten(transform(sequence(1, size(docs) - 1), i ->
           |  transform(sequence(i + 1, size(docs)), j ->

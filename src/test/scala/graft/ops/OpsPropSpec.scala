@@ -195,10 +195,10 @@ class OpsPropSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private def bigramsScala(text: String): Set[String] = {
+  private def trigramsScala(text: String): Set[String] = {
     val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toVector
-    if (toks.size < 2) Set.empty[String]
-    else toks.sliding(2).map(_.mkString(" ")).toSet
+    if (toks.size < 3) Set.empty[String]
+    else toks.sliding(3).map(_.mkString(" ")).toSet
   }
 
   // bases plus per-base mutations (exact dup / one-token suffix /
@@ -225,7 +225,7 @@ class OpsPropSpec extends SparkSpec {
         .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
       val (tNum, tDen) = Seq((1, 2), (4, 5), (2, 3))(i % 3)
       val grams = texts.zipWithIndex
-        .map { case (t, id) => (id.toLong, bigramsScala(t)) }
+        .map { case (t, id) => (id.toLong, trigramsScala(t)) }
       val expected = (for {
         (ia, ga) <- grams; (ib, gb) <- grams
         if ia < ib && ga.nonEmpty && gb.nonEmpty
