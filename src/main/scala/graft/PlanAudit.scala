@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-quality diagnostic (not part of the driver contract): for every
+  * graded query, prints the number of physical exchanges and the
+  * occurrence count of expensive expression nodes in the optimized plan.
+  * A heavy function appearing more often than the operator's design
+  * calls for usually means the optimizer substituted a non-cheap alias
+  * into several consumers (predicate pushdown does this unconditionally
+  * — the q38 contents stage re-ran the tokenizer 11x this way) or that a
+  * shared stage's derived columns were inherited by a query that needs
+  * only one of them (q14 re-ran it 3x). Counts inside persist()ed
+  * subtrees overstate runtime cost: the first action materializes the
+  * cache once and every other reference reads it.
+  *
+  * Run: sbt "runMain graft.PlanAudit [sfDir]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val heavy =
+      Seq("regexp_extract_all", "md5", "aggregate(", "array_distinct")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, dir).queryExecution.optimizedPlan.toString
+        val counts = heavy
+          .map(h => h -> java.util.regex.Pattern.quote(h).r.findAllIn(plan).size)
+          .filter(_._2 > 0)
+        val exchanges = "Exchange|Repartition".r.findAllIn(
+          fn(spark, dir).queryExecution.executedPlan.toString).size
+        println(s"[audit] $name shuffles=$exchanges " +
+          counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      } catch { case e: Throwable => println(s"[audit] $name ERROR $e") }
+    }
+    spark.stop()
+  }
+}

@@ -61,10 +61,16 @@ object TextOps {
   /** Corpus-wide token frequency, top 20 (count desc, token asc). Explode
     * + two-phase aggregate; at scale the map-side partial agg collapses
     * each partition to its local vocabulary before the shuffle.
+    *
+    * Tokenizes directly off `documents` rather than via `tokenized()`:
+    * the optimizer substitutes the `toks` alias into each of tokenized's
+    * derived columns, so going through the shared stage re-runs the
+    * tokenizer regex 3x per row for columns this query then discards
+    * (plan-audited: 3 regexp_extract_all nodes -> 1).
     */
   def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
-    tokenized(spark, dir)
-      .select(explode(col("toks")).as("token"))
+    Tables(spark, dir, "documents")
+      .select(explode(expr(tokensExpr)).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
