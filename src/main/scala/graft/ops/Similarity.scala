@@ -189,17 +189,25 @@ object Similarity {
     // persist caveat as Dedup.nearDupPairs — harnesses clear the cache).
     val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
       .persist()
-    val qs = bucketed.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id") +: col("v").as("q_vec") +:
-        (0 until nTables).map(t => col(s"b$t").as(s"qb$t")): _*)
-    val corpus = bucketed.select((col("vec_id") +: col("v") +:
-      (0 until nTables).map(t => col(s"b$t"))): _*)
-    val cand = (0 until nTables).map { t =>
-        corpus.join(broadcast(qs), col(s"b$t") === col(s"qb$t"))
-          .select("q_id", "vec_id", "q_vec", "v")
-      }.reduce(_ unionByName _)
+    // Candidate generation as ONE melted equi-join instead of nTables
+    // separate joins unioned: explode each row to (vec_id, t, bucket),
+    // join on (t, bucket), and dedup the SLIM (q_id, vec_id) pairs
+    // before re-attaching the 64-float vectors from the persisted stage.
+    // The old union-of-joins shape carried both vectors through the
+    // union and the distinct; this one shuffles only id pairs, and its
+    // stage count is independent of nTables — the shape that holds when
+    // a 100 TB deployment turns the table lever up.
+    val buckets = bucketed.select(col("vec_id"), posexplode(
+      array((0 until nTables).map(t => col(s"b$t")): _*)).as(Seq("t", "bk")))
+    val qBuckets = buckets.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("t"), col("bk"))
+    val cand = buckets.join(broadcast(qBuckets), Seq("t", "bk"))
       .filter(col("q_id") =!= col("vec_id"))
+      .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
+      .join(bucketed.select(col("vec_id"), col("v")), "vec_id")
+      .join(broadcast(bucketed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))), "q_id")
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand
