@@ -83,6 +83,23 @@ object EventStreams {
     counted
   }
 
+  /** Streaming exact-dedup — the streaming member of the dedup family
+    * (graft.ops.Dedup covers batch; this is the twin of its
+    * content-hash groupBy shape, keyed on event_id). Suppresses
+    * re-deliveries of the same event_id with
+    * `dropDuplicatesWithinWatermark`: the first-seen row is forwarded
+    * immediately, and the per-key suppression state is dropped once the
+    * watermark passes the event's time. State is therefore bounded by
+    * (dedup horizon) x (arrival rate) — NOT by stream length, which is
+    * what plain `dropDuplicates` would cost on an unbounded stream.
+    * This is the contract an at-least-once source (Kafka redeliveries,
+    * file-source re-uploads) needs from the ingestion edge.
+    */
+  def dedupedEvents(stream: DataFrame, horizon: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts_utc", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: run a streaming query to a named memory sink until all
     * currently-available input is processed (local smoke harness).
     */

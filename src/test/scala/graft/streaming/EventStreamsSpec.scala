@@ -79,4 +79,29 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("streaming dedup suppresses re-delivered events and keeps every unique one") {
+    import org.apache.spark.sql.functions._
+    // an at-least-once source: the same parquet file lands twice, plus a
+    // second copy of the odd half — every event arrives 2 or 3 times
+    val in = Files.createTempDirectory("ev_dedup_in").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventStreams.eventSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+    raw.write.mode("append").parquet(in)
+    raw.write.mode("append").parquet(in)
+    raw.filter(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+    val deduped = EventStreams.dedupedEvents(
+        EventStreams.readEventStream(spark, in))
+      .select("event_id", "user_id", "event_type")
+    EventStreams.runToMemory(deduped, "deduped", OutputMode.Append())
+    val got = spark.table("deduped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // exactly one row per unique event, none invented, none lost
+    assert(got.length == got.map(_._1).distinct.length,
+      "a re-delivered event_id survived dedup")
+    val expected = raw.select("event_id", "user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.toSet == expected)
+  }
 }
