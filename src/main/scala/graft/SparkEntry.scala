@@ -62,6 +62,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Dedup.ngramJaccardJoin(s, d)),
     "q39_winnow_fingerprints" ->
       ((s: SparkSession, d: String) => TextOps.winnowFingerprints(s, d)),
+    "q40_dedup_clusters" -> Dedup.dedupClusters _,
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -82,6 +83,58 @@ object SparkEntry {
        |          (a2, b2) -> a2 + b2) >= 0
        |      THEN (1 << (p - $lo)) ELSE 0 END)) AS BIGINT) AS b$t""".stripMargin
   }
+
+  /** CTE chain producing the q19 near-dup `pairs(doc_a, doc_b, jaccard)`
+    * set — spliced into both q19's oracle (plain WITH) and q40's (WITH
+    * RECURSIVE; in DuckDB the RECURSIVE keyword applies to the whole CTE
+    * list, so non-recursive members are unaffected). Deliberately
+    * doc-level banding, NOT a mirror of the Spark dedupe-before-LSH
+    * plan — the two formulations agreeing is part of what q19 checks.
+    */
+  private val nearDupPairCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+      |  WHERE doc_id % 100 = 0),
+      |d AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |  FROM corpus),
+      |sg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |    ELSE [] END AS shingles
+      |  FROM d),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+      |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+      |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+      |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+      |  FROM sg),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band, mh0 AS h FROM sig
+      |  UNION ALL SELECT doc_id, 1, mh1 FROM sig
+      |  UNION ALL SELECT doc_id, 2, mh2 FROM sig
+      |  UNION ALL SELECT doc_id, 3, mh3 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT doc_a, doc_b,
+      |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+      |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+      |  FROM cand
+      |  JOIN sig sa ON cand.doc_a = sa.doc_id
+      |  JOIN sig sb ON cand.doc_b = sb.doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+      |  FROM j
+      |  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -280,49 +333,9 @@ object SparkEntry {
         |FROM s
         |ORDER BY doc_id""".stripMargin,
     "q19_neardup_pairs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
-        |  WHERE doc_id % 100 = 0),
-        |d AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM corpus),
-        |sg AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-        |    ELSE [] END AS shingles
-        |  FROM d),
-        |sig AS (
-        |  SELECT doc_id, shingles,
-        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
-        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
-        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
-        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
-        |  FROM sg),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band, mh0 AS h FROM sig
-        |  UNION ALL SELECT doc_id, 1, mh1 FROM sig
-        |  UNION ALL SELECT doc_id, 2, mh2 FROM sig
-        |  UNION ALL SELECT doc_id, 3, mh3 FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
-        |j AS (
-        |  SELECT doc_a, doc_b,
-        |    len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-        |    len(sa.shingles) AS na, len(sb.shingles) AS nb
-        |  FROM cand
-        |  JOIN sig sa ON cand.doc_a = sa.doc_id
-        |  JOIN sig sb ON cand.doc_b = sb.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
-        |FROM j
-        |WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $nearDupPairCtes
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q20_simhash" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
@@ -742,5 +755,20 @@ object SparkEntry {
         |      list_min(list_slice(khs, j, j + 3)))))) AS fp
         |  FROM kh)
         |SELECT doc_id, fp FROM wn ORDER BY doc_id, fp""".stripMargin,
+    // Transitive closure via WITH RECURSIVE over the q19 pair CTEs — an
+    // independent formulation of the same fixpoint the Spark side reaches
+    // by iterative min-label propagation.
+    "q40_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src)
+         |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -291,6 +291,65 @@ object Dedup {
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
     simhashNearDupPairs(corpusWithNearDups(spark, dir))
 
+  /** Connected components over an undirected pair list — the DECISION
+    * stage of the dedup pipeline: near-dup PAIRS (q19/q30/q31/q38 emit
+    * them) become CLUSTERS, and every member maps to its cluster's
+    * canonical (minimum) id, i.e. the copy a dedup pass keeps.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * takes the minimum label among itself and its neighbors (one
+    * equi-join + one min-aggregate, both shuffling on id), until no
+    * label changes. Rounds needed = eccentricity of each component's
+    * minimum node — for dedup clusters (near-clique families of copies)
+    * that is 1–2, so the driver-side convergence loop runs a small
+    * constant number of Spark jobs. For adversarially long chains the
+    * production-scale variant is alternating large-star/small-star
+    * (Kiveris et al., COSN'14), which converges in O(log n) rounds with
+    * the same per-round join+min shape; the data this engine dedups
+    * never exhibits that diameter, so the simple fixpoint is the right
+    * cost.
+    *
+    * The per-round `count()` is the convergence test, not data movement
+    * — only the change COUNT crosses to the driver. Each round's labels
+    * are `localCheckpoint`ed: an iterative plan that merely persists
+    * still NESTS every prior round in its lineage, and the logical tree
+    * grows until explain/codegen itself OOMs (observed on a 13-round
+    * chain) — truncating lineage per round is as much a part of the
+    * iterative-algorithm shape as the join itself. On a real cluster use
+    * reliable `checkpoint(dir)` instead: localCheckpoint state dies with
+    * a lost executor.
+    *
+    * Expects columns `doc_a`, `doc_b`; returns (doc_id, canonical_id)
+    * for every id that appears in a pair.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = prop
+        .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
+        .filter(col("label") =!= col("old_label")).count()
+      labels = prop
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Graded q40: dedup clusters of the q19 near-dup pair set. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(nearDupPairs(spark, dir).select("doc_a", "doc_b"))
+
   /** EXACT n-gram Jaccard similarity self-join with prefix + positional
     * filtering (the AllPairs/PPJoin family — Chaudhuri et al., ICDE'06;
     * Xiao et al., WWW'08) at threshold tNum/tDen. Unlike the MinHash-LSH

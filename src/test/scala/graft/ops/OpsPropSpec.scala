@@ -274,6 +274,41 @@ class OpsPropSpec extends SparkSpec {
     }
   }
 
+  test("connected components == driver-side union-find, random graphs incl. chains") {
+    (0 until 4).foreach { i =>
+      val seed = 9000L + i
+      // random edges plus a long path: the path's diameter forces the
+      // label-propagation loop through many rounds, which a clustered
+      // near-dup corpus never would
+      val random = sample(Gen.listOfN(20, for {
+        a <- Gen.chooseNum(0L, 30L)
+        d <- Gen.chooseNum(1L, 5L)
+      } yield (a, a + d)), seed)
+      val chain = (40L until 52L).map(j => (j, j + 1))
+      val edges = random ++ chain
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // root-find alone does not give the min id of the component (the
+      // union order does not guarantee it); take min over members
+      val byRoot = nodes.groupBy(find).map { case (_, m) => m.min -> m }
+      val expected = byRoot.flatMap { case (mn, m) => m.map(_ -> mn) }.toMap
+      assert(got == expected,
+        s"seed $seed: ${(expected.toSet -- got.toSet).take(3)} missing, " +
+          s"${(got.toSet -- expected.toSet).take(3)} extra")
+    }
+  }
+
   test("winnowing guarantee: docs sharing a k+w-1 token run share a fingerprint") {
     // the SIGMOD'03 selection property the parameters encode: a shared
     // run of k+w-1 tokens yields w identical consecutive k-gram hashes,
