@@ -63,6 +63,8 @@ object SparkEntry {
     "q39_winnow_fingerprints" ->
       ((s: SparkSession, d: String) => TextOps.winnowFingerprints(s, d)),
     "q40_dedup_clusters" -> Dedup.dedupClusters _,
+    "q41_lsh_multiprobe" ->
+      ((s: SparkSession, d: String) => Similarity.lshAnnMultiProbe(s, d)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -770,5 +772,44 @@ object SparkEntry {
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src)
          |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS canonical_id
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q41_lsh_multiprobe" -> {
+      val bucketCols = (0 until 2).map(t => lshBucketSql(t, 4)).mkString(",\n")
+      val qCols = (0 until 2).map(t => s"b$t AS qb$t").mkString(", ")
+      // probe set per table: the exact bucket plus all Hamming-1 flips
+      def probes(t: Int): String =
+        (s"q.qb$t" +: (0 until 4).map(f => s"xor(q.qb$t, ${1 << f})"))
+          .mkString("(", ", ", ")")
+      val unions = (0 until 2).map(t =>
+        s"    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b$t IN ${probes(t)}")
+        .mkString("\n    UNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (
+         |  SELECT vec_id, e,
+         |$bucketCols
+         |  FROM v),
+         |q AS (
+         |  SELECT vec_id AS q_id, e AS qe, $qCols
+         |  FROM b WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT q_id, vec_id FROM (
+         |$unions) u
+         |  WHERE q_id <> vec_id),
+         |p2 AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * ce[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+         |       sqrt(list_sum(list_transform(ce, x2 -> x2 * x2)))), 6) AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS c_id, e AS ce FROM v) c ON cand.vec_id = c.c_id
+         |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON cand.q_id = qq.q2),
+         |r AS (
+         |  SELECT q_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM p2)
+         |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin
+    },
   )
 }

@@ -197,10 +197,22 @@ object Similarity {
     // union and the distinct; this one shuffles only id pairs, and its
     // stage count is independent of nTables — the shape that holds when
     // a 100 TB deployment turns the table lever up.
-    val buckets = bucketed.select(col("vec_id"), posexplode(
-      array((0 until nTables).map(t => col(s"b$t")): _*)).as(Seq("t", "bk")))
+    val buckets = meltedBuckets(bucketed, nTables)
     val qBuckets = buckets.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("t"), col("bk"))
+    annTopK(bucketed, buckets, qBuckets, k)
+  }
+
+  /** (vec_id, t, bk) rows — one per (row, table) of the bucketed stage. */
+  private def meltedBuckets(bucketed: DataFrame, nTables: Int): DataFrame =
+    bucketed.select(col("vec_id"), posexplode(
+      array((0 until nTables).map(t => col(s"b$t")): _*)).as(Seq("t", "bk")))
+
+  /** Shared ANN tail: bucket-join candidates, dedup slim id pairs,
+    * re-attach vectors from the persisted stage, score, rank top-k.
+    */
+  private def annTopK(bucketed: DataFrame, buckets: DataFrame,
+      qBuckets: DataFrame, k: Int): DataFrame = {
     val cand = buckets.join(broadcast(qBuckets), Seq("t", "bk"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
@@ -216,6 +228,34 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("q_id", "rn", "vec_id", "cos")
       .orderBy("q_id", "rn")
+  }
+
+  /** Multi-probe LSH ANN (Lv et al., VLDB'07): each query probes its own
+    * bucket in every table PLUS all `bitsPerTable` Hamming-1 neighbor
+    * buckets — a true neighbor that disagrees with the query on exactly
+    * one of a table's hyperplane signs is still found. Probing 1 + bits
+    * buckets of 2^bits per table buys the recall of a many-table index
+    * at a fraction of the tables: on the sf0.001 corpus, 2x4 multi-probe
+    * reaches the recall neighborhood of 8 single-probe tables
+    * (RecallSpec measures both). At 100 TB tables are index REPLICAS
+    * (memory), probes are extra lookups (cheap latency) — multi-probe is
+    * how a deployment trades the former for the latter.
+    *
+    * Only the query side explodes its probe list (queries are few); the
+    * corpus side stays one melted row per (vector, table).
+    */
+  def lshAnnMultiProbe(spark: SparkSession, dir: String, nTables: Int = 2,
+      bitsPerTable: Int = 4, k: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
+      .persist()
+    val buckets = meltedBuckets(bucketed, nTables)
+    val probeList = (s"bk" +: (0 until bitsPerTable).map(f => s"bk ^ ${1 << f}"))
+      .mkString("array(", ", ", ")")
+    val qProbes = buckets.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("t"),
+        explode(expr(probeList)).as("bk"))
+    annTopK(bucketed, buckets, qProbes, k)
   }
 
   /** The planted-near-dup corpus for q30 / RecallSpec: every 50th vector

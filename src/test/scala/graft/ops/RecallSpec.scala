@@ -91,6 +91,25 @@ class RecallSpec extends SparkSpec {
     assert(prod > coarse + 0.3, "the nTables lever must materially raise recall")
   }
 
+  test("q41: multi-probe reaches multi-table recall at a fraction of the tables") {
+    // Hamming-1 probing makes a table catch a true neighbor that
+    // disagrees on exactly one hyperplane sign. Probing 1+4 of 16
+    // buckets across 2 tables must (a) strictly beat single-probe at
+    // the same 2x4 (candidate superset: probe f=bk is included), and
+    // (b) reach the recall neighborhood of 8 single-probe tables —
+    // the memory-for-lookups trade a deployment actually makes.
+    val mp = Similarity.lshAnnMultiProbe(spark, dir, 2, 4, k = 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpRecall = brute.intersect(mp).size.toDouble / brute.size
+    val single = brute.intersect(hits24).size.toDouble / brute.size
+    assert(mpRecall > single,
+      f"multi-probe 2x4 $mpRecall%.3f did not beat single-probe $single%.3f")
+    val eight = brute.intersect(annHits(8, 4)).size.toDouble / brute.size
+    assert(mpRecall >= eight - 0.1,
+      f"multi-probe 2x4 $mpRecall%.3f far below 8x4 single-probe $eight%.3f")
+  }
+
   test("q29: the nTables lever monotonically improves recall") {
     // with the same bitsPerTable, tables 0..1 of the 4-table variant use
     // the SAME hyperplanes as the 2-table variant (planes are derived
