@@ -65,6 +65,8 @@ object SparkEntry {
     "q40_dedup_clusters" -> Dedup.dedupClusters _,
     "q41_lsh_multiprobe" ->
       ((s: SparkSession, d: String) => Similarity.lshAnnMultiProbe(s, d)),
+    "q42_kmeans_clusters" ->
+      ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -810,6 +812,43 @@ object SparkEntry {
          |  FROM p2)
          |SELECT q_id, rn, vec_id, cos FROM r WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin
+    },
+    // Replays Clustering.kmeans' deterministic Lloyd iterations exactly:
+    // same seeds (vec_id < k), same fixed iteration count, sequential
+    // distance folds, sorted-fold means, cluster-id tie-breaks.
+    "q42_kmeans_clusters" -> {
+      val k = 4
+      val iters = 3
+      def assignCte(i: Int): String =
+        s"""a$i AS (
+           |  SELECT vec_id, e, cluster, dist FROM (
+           |    SELECT vec_id, e, cluster, dist,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |                         ORDER BY dist ASC, cluster ASC) AS rn
+           |    FROM (
+           |      SELECT v.vec_id, v.e, cc.cluster,
+           |        list_reduce(list_transform(range(1, 65),
+           |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
+           |          (x2, y2) -> x2 + y2) AS dist
+           |      FROM v CROSS JOIN cent${i - 1} cc) d$i) t$i
+           |  WHERE rn = 1)""".stripMargin
+      def centCte(i: Int): String =
+        s"""cent$i AS (
+           |  SELECT cluster, list(cd ORDER BY dim) AS c FROM (
+           |    SELECT cluster, dim,
+           |      list_reduce(list_sort(list(val)), (x2, y2) -> x2 + y2) / COUNT(*) AS cd
+           |    FROM (SELECT a.cluster, t.i - 1 AS dim, a.e[t.i] AS val
+           |          FROM a$i a, (SELECT unnest(generate_series(1, 64)) AS i) t) e$i
+           |    GROUP BY cluster, dim) g$i
+           |  GROUP BY cluster)""".stripMargin
+      val ctes = (Seq(
+        "v AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        s"cent0 AS (\n  SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < $k)") ++
+        (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
+        assignCte(iters)).mkString(",\n")
+      s"""WITH $ctes
+         |SELECT vec_id, cluster, round(dist, 6) AS dist
+         |FROM a$iters ORDER BY vec_id""".stripMargin
     },
   )
 }

@@ -134,6 +134,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scale-mode kmeans: no per-group collection in the update, same clustering") {
+    // plan shape: inspect the update step directly — inside kmeans the
+    // eager localCheckpoint truncates lineage, so the returned
+    // DataFrame's plan can't witness the update aggregate either way
+    import spark.implicits._
+    val fakeAssigned = Seq((0L, Array(1.0f, 2.0f), 0L))
+      .toDF("vec_id", "v", "cluster")
+    val scaleUpdate = Clustering.updateCentroids(fakeAssigned, exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!scaleUpdate.contains("collect_list(val"),
+      s"scale-mode update must not collect per-group values:\n$scaleUpdate")
+    // positive control so the string probe is not vacuous
+    assert(Clustering.updateCentroids(fakeAssigned, exact = true)
+      .queryExecution.executedPlan.toString.contains("collect_list(val"))
+    // the update aggregate is the only exact/scale difference; centroid
+    // deltas of ~1e-15 relative cannot flip an argmin whose distances
+    // differ at ~1e-2, so the ASSIGNMENTS (the query's output) must be
+    // identical
+    val e = Clustering.kmeans(spark, dir, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s = Clustering.kmeans(spark, dir, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(e.nonEmpty && s == e)
+  }
+
   test("scale-mode ivfKnn returns the graded results") {
     // centroid deltas are ~1e-15 relative and distances round to 6
     // decimals before the argmin, so the probe assignment — and hence
