@@ -27,12 +27,19 @@ object PlanAudit {
       Seq("regexp_extract_all", "md5", "aggregate(", "array_distinct")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, dir).queryExecution.optimizedPlan.toString
+        // build ONCE: q40/q42 run their iterative pipelines eagerly at
+        // construction (localCheckpoint), so a second fn() call would
+        // re-execute the most expensive queries just to print a string
+        val qe = fn(spark, dir).queryExecution
+        val plan = qe.optimizedPlan.toString
         val counts = heavy
           .map(h => h -> java.util.regex.Pattern.quote(h).r.findAllIn(plan).size)
           .filter(_._2 > 0)
-        val exchanges = "Exchange|Repartition".r.findAllIn(
-          fn(spark, dir).queryExecution.executedPlan.toString).size
+        // shuffles only: BroadcastExchange / ReusedExchange are exactly
+        // the nodes a plan auditor wants NOT to count as shuffles
+        val exchanges =
+          "(?<!Reused)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+            .findAllIn(qe.executedPlan.toString).size
         println(s"[audit] $name shuffles=$exchanges " +
           counts.map { case (k, v) => s"$k=$v" }.mkString(" "))
       } catch { case e: Throwable => println(s"[audit] $name ERROR $e") }

@@ -136,24 +136,31 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= 0.5)
 
-    // cross-content doc pairs from verified content pairs
+    // identical-text docs pair at Jaccard 1 with no join; empty shingle
+    // sets are excluded (doc-level LSH never pairs them)
+    expandDocPairs(verified,
+      sigs.filter(size(col("docs")) > 1 && size(col("shingles")) > 0))
+  }
+
+  /** Expand verified CONTENT pairs (docs_a, docs_b, jaccard) to ordered
+    * doc pairs, and append intra pairs (every pair within one identical-
+    * text group, Jaccard 1 by definition) from the given pre-filtered
+    * contents. Shared by the MinHash-LSH and n-gram-Jaccard pipelines.
+    */
+  private def expandDocPairs(verified: DataFrame,
+      intraContents: DataFrame): DataFrame = {
     val cross = verified
       .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jaccard"))
       .select(col("da"), explode(col("docs_b")).as("db"), col("jaccard"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-
-    // identical-text doc pairs: Jaccard 1 by definition, no join needed
-    // (empty shingle sets are excluded — doc-level LSH never pairs them)
-    val intra = sigs
-      .filter(size(col("docs")) > 1 && size(col("shingles")) > 0)
+    val intra = intraContents
       .select(expr(
         """inline(flatten(transform(sequence(1, size(docs) - 1), i ->
           |  transform(sequence(i + 1, size(docs)), j ->
           |    struct(element_at(docs, i) AS doc_a,
           |           element_at(docs, j) AS doc_b)))))""".stripMargin))
       .withColumn("jaccard", lit(1.0))
-
     cross.unionByName(intra)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -456,26 +463,10 @@ object Dedup {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")))
 
-    // cross-content doc pairs from verified content pairs
-    val cross = verified
-      .select(explode(col("docs_a")).as("da"), col("docs_b"), col("jaccard"))
-      .select(col("da"), explode(col("docs_b")).as("db"), col("jaccard"))
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"), col("jaccard"))
-
-    // identical-text doc pairs: Jaccard 1 by definition; empty-gram
-    // contents are excluded here (Jaccard is undefined on empty sets)
-    val intra = contents
-      .filter(size(col("docs")) > 1 && col("sz") > 0)
-      .select(expr(
-        """inline(flatten(transform(sequence(1, size(docs) - 1), i ->
-          |  transform(sequence(i + 1, size(docs)), j ->
-          |    struct(element_at(docs, i) AS doc_a,
-          |           element_at(docs, j) AS doc_b)))))""".stripMargin))
-      .withColumn("jaccard", lit(1.0))
-
-    cross.unionByName(intra)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    // empty-gram contents are excluded from the intra side (Jaccard is
+    // undefined on empty sets; they were not filtered upstream — see the
+    // predicate-pushdown note on the contents stage)
+    expandDocPairs(verified,
+      contents.filter(size(col("docs")) > 1 && col("sz") > 0))
   }
 }

@@ -210,16 +210,22 @@ object Similarity {
 
   /** Shared ANN tail: bucket-join candidates, dedup slim id pairs,
     * re-attach vectors from the persisted stage, score, rank top-k.
+    * The query-vector side is derived from qBuckets' own q_id set (not
+    * re-filtered from bucketed), so a caller widening its query set
+    * cannot silently desynchronize from this join.
     */
   private def annTopK(bucketed: DataFrame, buckets: DataFrame,
       qBuckets: DataFrame, k: Int): DataFrame = {
+    val qVecs = bucketed
+      .join(qBuckets.select(col("q_id")).distinct(),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("q_vec"))
     val cand = buckets.join(broadcast(qBuckets), Seq("t", "bk"))
       .filter(col("q_id") =!= col("vec_id"))
       .select("q_id", "vec_id")
       .dropDuplicates("q_id", "vec_id")
       .join(bucketed.select(col("vec_id"), col("v")), "vec_id")
-      .join(broadcast(bucketed.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("q_vec"))), "q_id")
+      .join(broadcast(qVecs), "q_id")
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     cand

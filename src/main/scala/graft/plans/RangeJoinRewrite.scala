@@ -61,8 +61,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 
   // The optimizer invokes the rule several times per query (fixed-point
   // batches), and one misconfigured session would otherwise log the same
-  // warning on every invocation for its whole lifetime.
-  @volatile private var lastWarnedCellStr: String = null
+  // warning on every invocation for its whole lifetime. Keyed by
+  // (session, value) rather than value alone: the rule object is a JVM
+  // singleton, and a value-only guard would silence LATER sessions that
+  // repeat the same typo in a shared-JVM server. Growth is bounded by
+  // distinct misconfigurations, not invocations.
+  private val warnedCells =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def sideOf(a: Attribute, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
     if (l.outputSet.contains(a)) Some(true)
@@ -77,9 +82,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         // an explicitly-set but malformed opt-in must not pass silently:
         // the user asked for the rewrite and would otherwise get a
         // nested-loop join with no indication why — but warn once per
-        // distinct bad value, not once per rule invocation
-        if (lastWarnedCellStr != cellStr) {
-          lastWarnedCellStr = cellStr
+        // (session, bad value), not once per rule invocation
+        val sessionKey = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(System.identityHashCode(_).toString).getOrElse("")
+        if (warnedCells.add(s"$sessionKey|$cellStr")) {
           logWarning(s"$CellSizeKey='$cellStr' is not a long; " +
             "range-join rewrite disabled")
         }
