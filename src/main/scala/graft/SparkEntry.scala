@@ -67,6 +67,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.lshAnnMultiProbe(s, d)),
     "q42_kmeans_clusters" ->
       ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
+    "q43_ivf_learned_knn" ->
+      ((s: SparkSession, d: String) => Clustering.ivfLearnedKnn(s, d)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -816,39 +818,79 @@ object SparkEntry {
     // Replays Clustering.kmeans' deterministic Lloyd iterations exactly:
     // same seeds (vec_id < k), same fixed iteration count, sequential
     // distance folds, sorted-fold means, cluster-id tie-breaks.
-    "q42_kmeans_clusters" -> {
-      val k = 4
-      val iters = 3
-      def assignCte(i: Int): String =
-        s"""a$i AS (
-           |  SELECT vec_id, e, cluster, dist FROM (
-           |    SELECT vec_id, e, cluster, dist,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id
-           |                         ORDER BY dist ASC, cluster ASC) AS rn
-           |    FROM (
-           |      SELECT v.vec_id, v.e, cc.cluster,
-           |        list_reduce(list_transform(range(1, 65),
-           |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
-           |          (x2, y2) -> x2 + y2) AS dist
-           |      FROM v CROSS JOIN cent${i - 1} cc) d$i) t$i
-           |  WHERE rn = 1)""".stripMargin
-      def centCte(i: Int): String =
-        s"""cent$i AS (
-           |  SELECT cluster, list(cd ORDER BY dim) AS c FROM (
-           |    SELECT cluster, dim,
-           |      list_reduce(list_sort(list(val)), (x2, y2) -> x2 + y2) / COUNT(*) AS cd
-           |    FROM (SELECT a.cluster, t.i - 1 AS dim, a.e[t.i] AS val
-           |          FROM a$i a, (SELECT unnest(generate_series(1, 64)) AS i) t) e$i
-           |    GROUP BY cluster, dim) g$i
-           |  GROUP BY cluster)""".stripMargin
-      val ctes = (Seq(
-        "v AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
-        s"cent0 AS (\n  SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < $k)") ++
-        (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
-        assignCte(iters)).mkString(",\n")
-      s"""WITH $ctes
+    "q42_kmeans_clusters" ->
+      s"""WITH ${kmeansCtes(k = 4, iters = 3)}
          |SELECT vec_id, cluster, round(dist, 6) AS dist
-         |FROM a$iters ORDER BY vec_id""".stripMargin
-    },
+         |FROM a3 ORDER BY vec_id""".stripMargin,
+    // The learned-index IVF: probe each query's nearest TRAINED centroid
+    // (cent{iters-1}, the ones that produced the final assignment a3),
+    // then search only that k-means partition of the corpus.
+    "q43_ivf_learned_knn" ->
+      s"""WITH ${kmeansCtes(k = 4, iters = 3)},
+         |probe AS (
+         |  SELECT q_id, cluster AS probe_cluster FROM (
+         |    SELECT q_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |                         ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT v.vec_id AS q_id, cc.cluster,
+         |        list_reduce(list_transform(range(1, 65),
+         |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
+         |          (x2, y2) -> x2 + y2) AS dist
+         |      FROM v CROSS JOIN cent2 cc WHERE v.vec_id < 8) p0) p1
+         |  WHERE rn = 1),
+         |search AS (
+         |  SELECT probe.q_id, probe.probe_cluster, a.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qq.qe) + 1),
+         |        ii -> qq.qe[ii] * a.e[ii])) /
+         |      (sqrt(list_sum(list_transform(qq.qe, x2 -> x2 * x2))) *
+         |       sqrt(list_sum(list_transform(a.e, x2 -> x2 * x2)))), 6) AS cos
+         |  FROM a3 a
+         |  JOIN probe ON a.cluster = probe.probe_cluster
+         |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON probe.q_id = qq.q2
+         |  WHERE a.vec_id <> probe.q_id),
+         |r AS (
+         |  SELECT q_id, probe_cluster, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM search)
+         |SELECT q_id, probe_cluster, rn, vec_id, cos FROM r WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
   )
+
+  /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
+    * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with
+    * `cent${iters-1}` the centroids that produced it. Shared by q42
+    * (assignments) and q43 (learned-index IVF probe/search).
+    */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, e, cluster, dist FROM (
+         |    SELECT vec_id, e, cluster, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT v.vec_id, v.e, cc.cluster,
+         |        list_reduce(list_transform(range(1, 65),
+         |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
+         |          (x2, y2) -> x2 + y2) AS dist
+         |      FROM v CROSS JOIN cent${i - 1} cc) d$i) t$i
+         |  WHERE rn = 1)""".stripMargin
+    def centCte(i: Int): String =
+      s"""cent$i AS (
+         |  SELECT cluster, list(cd ORDER BY dim) AS c FROM (
+         |    SELECT cluster, dim,
+         |      list_reduce(list_sort(list(val)), (x2, y2) -> x2 + y2) / COUNT(*) AS cd
+         |    FROM (SELECT a.cluster, t.i - 1 AS dim, a.e[t.i] AS val
+         |          FROM a$i a, (SELECT unnest(generate_series(1, 64)) AS i) t) e$i
+         |    GROUP BY cluster, dim) g$i
+         |  GROUP BY cluster)""".stripMargin
+    (Seq(
+      "v AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+      s"cent0 AS (\n  SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < $k)") ++
+      (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
+      assignCte(iters)).mkString(",\n")
+  }
 }

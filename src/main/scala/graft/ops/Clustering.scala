@@ -33,17 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Sequential squared-L2 between `v` (float array) and `c` (double
+  /** Sequential squared-L2 between `vCol` (float array) and `c` (double
     * array) — index-order fold, never a reassociated sum.
     */
-  private val distExpr: String =
-    """aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
-      |  (acc, i) -> acc + (CAST(element_at(v, i) AS DOUBLE) - element_at(c, i))
-      |                  * (CAST(element_at(v, i) AS DOUBLE) - element_at(c, i)))"""
+  private def distExpr(vCol: String): String =
+    s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+       |  (acc, i) -> acc + (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i))
+       |                  * (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i)))"""
       .stripMargin
 
   def kmeans(spark: SparkSession, dir: String, k: Int = 4, iters: Int = 3,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true): DataFrame =
+    kmeansModel(spark, dir, k, iters, exact)._2
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+
+  /** The trained model: (centroids (cluster, c), assignments (vec_id, v,
+    * cluster, dist)) after `iters` Lloyd rounds — the centroids are the
+    * ones that produced the final assignment, i.e. an IVF index's
+    * partitioning (see `ivfLearnedKnn`).
+    */
+  def kmeansModel(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3, exact: Boolean = true): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
     val vecs = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
@@ -55,7 +66,7 @@ object Clustering {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("dist").asc, col("cluster").asc)
     def assign(): DataFrame = vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(distExpr))
+      .withColumn("dist", expr(distExpr("v")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("vec_id", "v", "cluster", "dist")
@@ -65,9 +76,45 @@ object Clustering {
       cents = updateCentroids(assigned, exact).localCheckpoint()
       assigned = assign()
     }
-    assigned
-      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
-      .orderBy("vec_id")
+    (cents, assigned)
+  }
+
+  /** IVF KNN over the LEARNED index: partition the corpus by its k-means
+    * cluster, probe each query's nearest learned centroid, search only
+    * that partition. This is the full IVF story end to end — q28 probes
+    * centroids of the data's given `label`; here the index itself was
+    * trained by `kmeansModel` — and the composition is exactly how a
+    * production vector store builds: train on a sample, assign the
+    * corpus (one broadcast pass), serve probes against k centroid rows.
+    * The recall/cost knob is the partition count k (probe fraction
+    * ~1/k); nProbe > 1 would be the next lever, exactly as in q41's
+    * table-vs-probe trade.
+    */
+  def ivfLearnedKnn(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3, kNeighbors: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val (cents, assigned) = kmeansModel(spark, dir, k, iters)
+    val probe = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr(distExpr("q_v")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("cluster").as("probe_cluster"))
+    val qVecs = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.select(col("vec_id"), col("v"), col("cluster"))
+      .join(broadcast(probe), col("cluster") === col("probe_cluster"))
+      .join(broadcast(qVecs), "q_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kNeighbors)
+      .select("q_id", "probe_cluster", "rn", "vec_id", "cos")
+      .orderBy("q_id", "rn")
   }
 
   /** One Lloyd update: per-(cluster, dim) mean of the assigned vectors,
