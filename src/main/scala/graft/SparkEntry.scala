@@ -69,6 +69,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
     "q43_ivf_learned_knn" ->
       ((s: SparkSession, d: String) => Clustering.ivfLearnedKnn(s, d)),
+    "q44_hash_split" -> Sampling.hashSplit _,
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -857,6 +858,17 @@ object SparkEntry {
          |  FROM search)
          |SELECT q_id, probe_cluster, rn, vec_id, cos FROM r WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin,
+    "q44_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:

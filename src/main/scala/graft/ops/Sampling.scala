@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting — the training-data primitives a
+  * pipeline needs BEFORE any model sees a row. Everything here is
+  * hash-based, never RNG-based, which at 100 TB is the difference
+  * between an operator and a liability:
+  *
+  *  - stable under retries: a re-executed task re-derives the same
+  *    sample (Spark's `sample()` with a seed is only stable per
+  *    PARTITIONING — a repartition or AQE re-plan changes row-to-task
+  *    assignment and with it the kept set);
+  *  - no coordination: each row decides membership from its own key —
+  *    no driver-side reservoir, no second pass;
+  *  - join-compatible: every table keyed by the same id lands in the
+  *    same split, so features and labels never straddle train/test;
+  *  - engine-portable: md5 is md5 everywhere, which is also what makes
+  *    the DuckDB oracle possible at all.
+  *
+  * The bucket is the first 6 hex digits of md5(key) mod 100 — uniform
+  * enough for split ratios, and computable identically in any engine.
+  */
+object Sampling {
+
+  /** `bucket` in [0, 100) from the row's key column (stringified). */
+  private def bucketExpr(keyCol: String): String =
+    s"cast(conv(substring(md5(cast($keyCol as string)), 1, 6), 16, 10) as bigint) % 100"
+
+  /** Graded q44: assign every document to train/validation/test at
+    * 90/5/5 by hash bucket. Row-level output so the oracle pins the
+    * bucket function on every row, not just the aggregate ratios.
+    */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("bucket", expr(bucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+
+  /** Deterministic fraction sample: keep rows whose bucket falls below
+    * `pct`. The 1%-of-100-TB debugging slice that is the SAME slice on
+    * every run and every engine.
+    */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
+    df.filter(expr(bucketExpr(keyCol)) < pct)
+  }
+}
