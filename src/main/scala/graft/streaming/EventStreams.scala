@@ -100,6 +100,27 @@ object EventStreams {
       .withWatermark("ts_utc", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: every purchase joined to the same
+    * user's views in the preceding 30 minutes. THE hard state story in
+    * Structured Streaming — each side must buffer rows until the other
+    * side's watermark proves no more matches can arrive, so state is
+    * bounded by (watermark + interval) x arrival rate on BOTH sides; an
+    * un-watermarked or un-bounded time condition would buffer the
+    * streams forever. The time-range predicate is what lets Spark
+    * evict: a view older than (other side's watermark - 30 min) can
+    * never match a future purchase.
+    */
+  def purchaseViewJoins(purchases: DataFrame, views: DataFrame): DataFrame =
+    purchases.withWatermark("ts_utc", "2 hours").alias("p")
+      .join(views.withWatermark("ts_utc", "2 hours").alias("v"),
+        expr("""p.user_id = v.user_id AND
+                v.ts_utc >= p.ts_utc - INTERVAL 30 MINUTES AND
+                v.ts_utc <= p.ts_utc"""))
+      .select(col("p.event_id").as("purchase_id"),
+        col("v.event_id").as("view_id"),
+        col("p.user_id").as("user_id"),
+        (col("p.ts_sec") - col("v.ts_sec")).as("gap_sec"))
+
   /** Convenience: run a streaming query to a named memory sink until all
     * currently-available input is processed (local smoke harness).
     */

@@ -80,6 +80,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch join on the same data") {
+    import org.apache.spark.sql.functions._
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase"),
+      df.filter(col("event_type") === "view"))
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    val (sp, sv) = sides(stream)
+    EventStreams.runToMemory(EventStreams.purchaseViewJoins(sp, sv),
+      "pv_joins", OutputMode.Append())
+    val streamed = spark.table("pv_joins").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin: identical predicate over the same files read as batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.schema(EventStreams.eventSchema).parquet(streamDir)
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val (bp, bv) = sides(batch)
+    val expected = bp.alias("p").join(bv.alias("v"),
+        expr("""p.user_id = v.user_id AND
+                v.ts_utc >= p.ts_utc - INTERVAL 30 MINUTES AND
+                v.ts_utc <= p.ts_utc"""))
+      .select(col("p.event_id"), col("v.event_id"), col("p.user_id"),
+        (col("p.ts_sec") - col("v.ts_sec")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty && streamed == expected)
+  }
+
   test("streaming dedup suppresses re-delivered events and keeps every unique one") {
     import org.apache.spark.sql.functions._
     // an at-least-once source: the same parquet file lands twice, plus a
