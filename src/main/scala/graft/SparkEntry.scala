@@ -70,6 +70,7 @@ object SparkEntry {
     "q43_ivf_learned_knn" ->
       ((s: SparkSession, d: String) => Clustering.ivfLearnedKnn(s, d)),
     "q44_hash_split" -> Sampling.hashSplit _,
+    "q45_training_pipeline" -> TrainingPipeline.curatedSplit _,
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -142,6 +143,24 @@ object SparkEntry {
       |    CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
       |  FROM j
       |  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.5)""".stripMargin
+
+  /** Transitive closure over `pairs` → `comp(doc_id, canonical_id)`.
+    * Appended after `nearDupPairCtes` under WITH RECURSIVE; shared by
+    * q40 (the clusters themselves) and q45 (the curation pipeline's
+    * dedup stage).
+    */
+  private val componentCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src),
+      |comp AS (
+      |  SELECT doc_id, CAST(min(lbl) AS BIGINT) AS canonical_id
+      |  FROM reach GROUP BY doc_id)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -767,16 +786,8 @@ object SparkEntry {
     // by iterative min-label propagation.
     "q40_dedup_clusters" ->
       s"""WITH RECURSIVE $nearDupPairCtes,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL
-         |  SELECT doc_b, doc_a FROM pairs),
-         |reach(doc_id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc_id = e.src)
-         |SELECT doc_id, CAST(min(lbl) AS BIGINT) AS canonical_id
-         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |$componentCtes
+         |SELECT doc_id, canonical_id FROM comp ORDER BY doc_id""".stripMargin,
     "q41_lsh_multiprobe" -> {
       val bucketCols = (0 until 2).map(t => lshBucketSql(t, 4)).mkString(",\n")
       val qCols = (0 until 2).map(t => s"b$t AS qb$t").mkString(", ")
@@ -869,6 +880,40 @@ object SparkEntry {
         |       WHEN bucket < 95 THEN 'validation'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+    // The full curation pipeline: near-dup components (q19+q40 CTEs) →
+    // keep canonical/unpaired docs → integer quality bands (q16's) →
+    // md5-bucket split (q44's).
+    "q45_training_pipeline" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |survivors AS (
+         |  SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN comp ON c.doc_id = comp.doc_id
+         |  WHERE comp.doc_id IS NULL OR comp.canonical_id = c.doc_id),
+         |feat AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_toks,
+         |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |  FROM (SELECT doc_id, text,
+         |          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |        FROM survivors) s),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |              WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |       + CASE WHEN n_toks >= 20 THEN 30 ELSE 15 END
+         |       + CASE WHEN hits * 50 >= n_toks AND hits * 5 <= n_toks
+         |              THEN 30 ELSE 10 END AS BIGINT) AS quality
+         |  FROM feat),
+         |sp AS (
+         |  SELECT doc_id, quality,
+         |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
+         |      AS bucket
+         |  FROM qual WHERE quality >= 60)
+         |SELECT doc_id, quality,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM sp ORDER BY doc_id""".stripMargin,
   )
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:

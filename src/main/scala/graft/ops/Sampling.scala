@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** `bucket` in [0, 100) from the row's key column (stringified). */
-  private def bucketExpr(keyCol: String): String =
+  private[ops] def bucketExpr(keyCol: String): String =
     s"cast(conv(substring(md5(cast($keyCol as string)), 1, 6), 16, 10) as bigint) % 100"
 
   /** Graded q44: assign every document to train/validation/test at

@@ -28,7 +28,7 @@ object TextOps {
 
   /** English stop-list used by the language-ID heuristic. */
   val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
-  private def stopInList = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[ops] def stopInList = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** documents + `toks` + `n_toks` + `stop_hits` (count of stop-list
     * tokens). All downstream text ops start here.

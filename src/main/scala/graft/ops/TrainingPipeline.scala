@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation pipeline a training-data run executes before
+  * any tokenizer sees a byte — composed entirely from this engine's own
+  * operators, which is the point: near-dup detection (q19), cluster
+  * canonicalization (q40), quality scoring (q16's bands), and the
+  * deterministic hash split (q44) snap together into one lazy plan plus
+  * the component fixpoint.
+  *
+  * Stages over the planted near-dup corpus:
+  *  1. near-dup pairs → connected components → keep each cluster's
+  *     canonical (minimum-id) document; documents in no pair survive
+  *     untouched. Identical-text copies pair at Jaccard 1, so exact
+  *     dedup is subsumed — one rule covers both.
+  *  2. integer quality bands (length / token count / stopword ratio,
+  *     no FP) — keep quality >= 60.
+  *  3. md5-bucket split into train/validation/test (90/5/5),
+  *     retry-stable and join-compatible.
+  *
+  * Scale shape: stage 1 is the q19/q40 machinery (content-hash shuffle,
+  * banded join, O(diameter) label rounds); stages 2–3 are one streaming
+  * projection each — the survivors never re-shuffle until the
+  * presentation sort.
+  */
+object TrainingPipeline {
+
+  def curatedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.corpusWithNearDups(spark, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.nearDupPairs(spark, dir).select("doc_a", "doc_b"))
+    val survivors = corpus.join(comps, Seq("doc_id"), "left")
+      .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+      .select("doc_id", "text")
+    // quality bands computed from the surviving text itself (length is
+    // re-derived, not read from the table, so planted docs score too)
+    val lenPts = when(length(col("text")).between(100, 300), 40)
+      .when(length(col("text")) > 300, 25).otherwise(10)
+    val tokPts = when(col("n_toks") >= 20, 30).otherwise(15)
+    val stopPts = when(col("stop_hits") * 50 >= col("n_toks") &&
+      col("stop_hits") * 5 <= col("n_toks"), 30).otherwise(10)
+    survivors
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_hits",
+        expr(s"size(filter(toks, t -> t IN ${TextOps.stopInList}))"))
+      .withColumn("quality", (lenPts + tokPts + stopPts).cast("long"))
+      .filter(col("quality") >= 60)
+      .withColumn("bucket", expr(Sampling.bucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .select("doc_id", "quality", "split")
+      .orderBy("doc_id")
+  }
+}
