@@ -41,12 +41,20 @@ object TrainingPipeline {
     val tokPts = when(col("n_toks") >= 20, 30).otherwise(15)
     val stopPts = when(col("stop_hits") * 50 >= col("n_toks") &&
       col("stop_hits") * 5 <= col("n_toks"), 30).otherwise(10)
-    survivors
+    val scored = survivors
       .withColumn("toks", expr(TextOps.tokensExpr))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("stop_hits",
         expr(s"size(filter(toks, t -> t IN ${TextOps.stopInList}))"))
       .withColumn("quality", (lenPts + tokPts + stopPts).cast("long"))
+      .select("doc_id", "quality")
+      // boundary BEFORE the quality filter: predicate pushdown would
+      // otherwise substitute the quality aliases into the pushed
+      // condition and re-run the tokenizer ~11x per row (the q38 bug
+      // class; PlanAudit-confirmed here too). The checkpointed frame is
+      // two slim columns — ~16 bytes/row at any corpus size.
+      .localCheckpoint()
+    scored
       .filter(col("quality") >= 60)
       .withColumn("bucket", expr(Sampling.bucketExpr("doc_id")))
       .withColumn("split",
