@@ -32,6 +32,13 @@ object Bench {
     // caching land here, so the timed pass measures steady-state cost.
     // Failures are logged (the timed pass will surface them as -1).
     names.foreach { name =>
+      // same cleanup as the timed loop: without it the warm-up pass
+      // itself accumulates every earlier query's cached plans and
+      // localCheckpoint RDDs, and late-alphabet queries warm up under
+      // heap pressure (or fail, leaving their timed run cold)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()

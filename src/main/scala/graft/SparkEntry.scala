@@ -831,14 +831,14 @@ object SparkEntry {
     // same seeds (vec_id < k), same fixed iteration count, sequential
     // distance folds, sorted-fold means, cluster-id tie-breaks.
     "q42_kmeans_clusters" ->
-      s"""WITH ${kmeansCtes(k = 4, iters = 3)}
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)}
          |SELECT vec_id, cluster, round(dist, 6) AS dist
-         |FROM a3 ORDER BY vec_id""".stripMargin,
+         |FROM a$KmeansIters ORDER BY vec_id""".stripMargin,
     // The learned-index IVF: probe each query's nearest TRAINED centroid
-    // (cent{iters-1}, the ones that produced the final assignment a3),
+    // (cent{iters-1}, the ones that produced the final assignment),
     // then search only that k-means partition of the corpus.
     "q43_ivf_learned_knn" ->
-      s"""WITH ${kmeansCtes(k = 4, iters = 3)},
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
          |probe AS (
          |  SELECT q_id, cluster AS probe_cluster FROM (
          |    SELECT q_id, cluster,
@@ -849,7 +849,8 @@ object SparkEntry {
          |        list_reduce(list_transform(range(1, 65),
          |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
          |          (x2, y2) -> x2 + y2) AS dist
-         |      FROM v CROSS JOIN cent2 cc WHERE v.vec_id < 8) p0) p1
+         |      FROM v CROSS JOIN cent${KmeansIters - 1} cc
+         |      WHERE v.vec_id < 8) p0) p1
          |  WHERE rn = 1),
          |search AS (
          |  SELECT probe.q_id, probe.probe_cluster, a.vec_id,
@@ -858,7 +859,7 @@ object SparkEntry {
          |        ii -> qq.qe[ii] * a.e[ii])) /
          |      (sqrt(list_sum(list_transform(qq.qe, x2 -> x2 * x2))) *
          |       sqrt(list_sum(list_transform(a.e, x2 -> x2 * x2)))), 6) AS cos
-         |  FROM a3 a
+         |  FROM a$KmeansIters a
          |  JOIN probe ON a.cluster = probe.probe_cluster
          |  JOIN (SELECT vec_id AS q2, e AS qe FROM v) qq ON probe.q_id = qq.q2
          |  WHERE a.vec_id <> probe.q_id),
@@ -915,6 +916,14 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM sp ORDER BY doc_id""".stripMargin,
   )
+
+  /** The graded k-means parameterization — q42/q43's SQL interpolates
+    * these (a$KmeansIters, cent${KmeansIters-1}) so an iteration-count
+    * change cannot leave the oracle probing stale centroids.
+    * Clustering.kmeans/ivfLearnedKnn defaults must match.
+    */
+  private val KmeansK = 4
+  private val KmeansIters = 3
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

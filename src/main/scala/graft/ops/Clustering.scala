@@ -94,21 +94,20 @@ object Clustering {
       iters: Int = 3, kNeighbors: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val (cents, assigned) = kmeansModel(spark, dir, k, iters)
+    // probe carries the query vector through, so the search below needs
+    // ONE broadcast join and one scan of the assignment for the queries
     val probe = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
       .crossJoin(broadcast(cents))
-      .withColumn("dist", expr(distExpr("q_v")))
+      .withColumn("dist", expr(distExpr("q_vec")))
       .withColumn("rn", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("dist").asc, col("cluster").asc)))
       .filter(col("rn") === 1)
-      .select(col("q_id"), col("cluster").as("probe_cluster"))
-    val qVecs = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+      .select(col("q_id"), col("q_vec"), col("cluster").as("probe_cluster"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     assigned.select(col("vec_id"), col("v"), col("cluster"))
       .join(broadcast(probe), col("cluster") === col("probe_cluster"))
-      .join(broadcast(qVecs), "q_id")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
       .withColumn("rn", row_number().over(w).cast("long"))

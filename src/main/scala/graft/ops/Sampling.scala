@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and splitting — the training-data primitives a
@@ -24,9 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** `bucket` in [0, 100) from the row's key column (stringified). */
+  /** `bucket` in [0, 100) from the row's key column (stringified).
+    * NULL keys hash to a NULL bucket; every operator here DROPS such
+    * rows (splitCol's when-chain would otherwise quietly send them to
+    * the `otherwise` branch, skewing the held-out set) — callers with
+    * nullable keys must decide their fate explicitly first.
+    */
   private[ops] def bucketExpr(keyCol: String): String =
     s"cast(conv(substring(md5(cast($keyCol as string)), 1, 6), 16, 10) as bigint) % 100"
+
+  /** The ONE bucket-to-split rule (90/5/5), shared by q44 and the q45
+    * pipeline — their oracle SQL mirrors the same thresholds.
+    */
+  private[ops] def splitCol(bucket: Column): Column =
+    when(bucket < 90, "train")
+      .when(bucket < 95, "validation")
+      .otherwise("test")
 
   /** Graded q44: assign every document to train/validation/test at
     * 90/5/5 by hash bucket. Row-level output so the oracle pins the
@@ -34,11 +47,9 @@ object Sampling {
     */
   def hashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .withColumn("bucket", expr(bucketExpr("doc_id")))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "validation")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("bucket")))
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 

@@ -91,19 +91,27 @@ object TextOps {
           .as("stop_ratio"))
       .orderBy("lang", "pred_lang")
 
-  /** Integer quality score (0–100) per document from length, token-count
-    * and stopword-ratio bands, aggregated per source. Bands use integer
-    * comparisons only.
+  /** The integer quality-band score (0–100) from length, token-count and
+    * stopword-ratio bands — the ONE definition of the bands, shared by
+    * q16 (`qualityBySource`) and q45 (`TrainingPipeline`); their oracle
+    * SQL mirrors the same constants. Integer comparisons only
+    * (0.02 <= stop_ratio <= 0.2  <=>  hits*50 >= n && hits*5 <= n).
     */
+  private[ops] def qualityCol(nChars: Column, nToks: Column,
+      stopHits: Column): Column = {
+    val lenPts = when(nChars.between(100, 300), 40)
+      .when(nChars > 300, 25).otherwise(10)
+    val tokPts = when(nToks >= 20, 30).otherwise(15)
+    val stopPts = when(stopHits * 50 >= nToks && stopHits * 5 <= nToks, 30)
+      .otherwise(10)
+    (lenPts + tokPts + stopPts).cast("long")
+  }
+
+  /** Per-source quality aggregate over the band score (graded q16). */
   def qualityBySource(spark: SparkSession, dir: String): DataFrame = {
-    val lenPts = when(col("n_chars").between(100, 300), 40)
-      .when(col("n_chars") > 300, 25).otherwise(10)
-    val tokPts = when(col("n_toks") >= 20, 30).otherwise(15)
-    // 0.02 <= stop_ratio <= 0.2  <=>  hits*50 >= n  &&  hits*5 <= n
-    val stopPts = when(col("stop_hits") * 50 >= col("n_toks") &&
-      col("stop_hits") * 5 <= col("n_toks"), 30).otherwise(10)
     tokenized(spark, dir)
-      .withColumn("quality", (lenPts + tokPts + stopPts).cast("long"))
+      .withColumn("quality",
+        qualityCol(col("n_chars"), col("n_toks"), col("stop_hits")))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -35,18 +35,15 @@ object TrainingPipeline {
       .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
       .select("doc_id", "text")
     // quality bands computed from the surviving text itself (length is
-    // re-derived, not read from the table, so planted docs score too)
-    val lenPts = when(length(col("text")).between(100, 300), 40)
-      .when(length(col("text")) > 300, 25).otherwise(10)
-    val tokPts = when(col("n_toks") >= 20, 30).otherwise(15)
-    val stopPts = when(col("stop_hits") * 50 >= col("n_toks") &&
-      col("stop_hits") * 5 <= col("n_toks"), 30).otherwise(10)
+    // re-derived, not read from the table, so planted docs score too);
+    // band constants live once, in TextOps.qualityCol
     val scored = survivors
       .withColumn("toks", expr(TextOps.tokensExpr))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("stop_hits",
         expr(s"size(filter(toks, t -> t IN ${TextOps.stopInList}))"))
-      .withColumn("quality", (lenPts + tokPts + stopPts).cast("long"))
+      .withColumn("quality", TextOps.qualityCol(
+        length(col("text")), col("n_toks"), col("stop_hits")))
       .select("doc_id", "quality")
       // boundary BEFORE the quality filter: predicate pushdown would
       // otherwise substitute the quality aliases into the pushed
@@ -57,10 +54,7 @@ object TrainingPipeline {
     scored
       .filter(col("quality") >= 60)
       .withColumn("bucket", expr(Sampling.bucketExpr("doc_id")))
-      .withColumn("split",
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "validation")
-          .otherwise("test"))
+      .withColumn("split", Sampling.splitCol(col("bucket")))
       .select("doc_id", "quality", "split")
       .orderBy("doc_id")
   }

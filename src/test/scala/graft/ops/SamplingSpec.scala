@@ -28,7 +28,8 @@ class SamplingSpec extends SparkSpec {
     // the ratios are what the bucket thresholds say (hash-uniform: give
     // the 500-doc corpus generous slack, but all three must be nonempty)
     val counts = rows.groupBy(_._3).map { case (s, a) => s -> a.length }
-    assert(counts("train") > 400 && counts.getOrElse("validation", 0) > 0 &&
+    assert(counts.getOrElse("train", 0) > 400 &&
+      counts.getOrElse("validation", 0) > 0 &&
       counts.getOrElse("test", 0) > 0, counts.toString)
   }
 
