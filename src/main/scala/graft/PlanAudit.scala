@@ -36,9 +36,12 @@ object PlanAudit {
           .map(h => h -> java.util.regex.Pattern.quote(h).r.findAllIn(plan).size)
           .filter(_._2 > 0)
         // shuffles only: BroadcastExchange / ReusedExchange are exactly
-        // the nodes a plan auditor wants NOT to count as shuffles
+        // the nodes a plan auditor wants NOT to count as shuffles.
+        // Matched by EXCLUSION (not an allowlist of partitionings) so a
+        // future RoundRobinPartitioning / rebalance exchange is counted
+        // by default instead of silently understating the audit.
         val exchanges =
-          "(?<!Reused)Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+          "(?<!Reused)(?<!Broadcast)Exchange ".r
             .findAllIn(qe.executedPlan.toString).size
         println(s"[audit] $name shuffles=$exchanges " +
           counts.map { case (k, v) => s"$k=$v" }.mkString(" "))

@@ -48,9 +48,14 @@ object SparkEntry {
     "q26_approx_distinct_users" -> Events.approxDistinctUsers _,
     "q27_cube_events" -> Events.cubeEventTypeHour _,
     "q28_ivf_knn" -> ((s: SparkSession, d: String) => Similarity.ivfKnn(s, d)),
-    "q29_lsh_ann" -> ((s: SparkSession, d: String) => Similarity.lshAnn(s, d)),
-    "q30_embedding_neardups" ->
-      ((s: SparkSession, d: String) => Similarity.embeddingNearDups(s, d)),
+    // LSH/k-means queries pass the graded parameterization EXPLICITLY
+    // from the constants below — the same constants the oracle-SQL
+    // builders interpolate — so neither side can drift via a silent
+    // default change on the other.
+    "q29_lsh_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.lshAnn(s, d, LshAnnTables, LshAnnBits)),
+    "q30_embedding_neardups" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingNearDups(s, d, NearDupLshTables, NearDupLshBits)),
     "q31_simhash_neardups" -> Dedup.simhashNearDups _,
     "q32_range_join_windows" -> Events.eventsInWindows _,
     "q33_kmv_distinct_users" -> Events.kmvDistinctUsers _,
@@ -63,12 +68,12 @@ object SparkEntry {
     "q39_winnow_fingerprints" ->
       ((s: SparkSession, d: String) => TextOps.winnowFingerprints(s, d)),
     "q40_dedup_clusters" -> Dedup.dedupClusters _,
-    "q41_lsh_multiprobe" ->
-      ((s: SparkSession, d: String) => Similarity.lshAnnMultiProbe(s, d)),
-    "q42_kmeans_clusters" ->
-      ((s: SparkSession, d: String) => Clustering.kmeans(s, d)),
-    "q43_ivf_learned_knn" ->
-      ((s: SparkSession, d: String) => Clustering.ivfLearnedKnn(s, d)),
+    "q41_lsh_multiprobe" -> ((s: SparkSession, d: String) =>
+      Similarity.lshAnnMultiProbe(s, d, MultiProbeTables, MultiProbeBits)),
+    "q42_kmeans_clusters" -> ((s: SparkSession, d: String) =>
+      Clustering.kmeans(s, d, KmeansK, KmeansIters)),
+    "q43_ivf_learned_knn" -> ((s: SparkSession, d: String) =>
+      Clustering.ivfLearnedKnn(s, d, KmeansK, KmeansIters)),
     "q44_hash_split" -> Sampling.hashSplit _,
     "q45_training_pipeline" -> TrainingPipeline.curatedSplit _,
   )
@@ -504,9 +509,10 @@ object SparkEntry {
         |SELECT q_id, probe_label, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
     "q29_lsh_ann" -> {
-      val bucketCols = (0 until 8).map(t => lshBucketSql(t, 4)).mkString(",\n")
-      val qCols = (0 until 8).map(t => s"b$t AS qb$t").mkString(", ")
-      val unions = (0 until 8).map(t =>
+      val bucketCols = (0 until LshAnnTables)
+        .map(t => lshBucketSql(t, LshAnnBits)).mkString(",\n")
+      val qCols = (0 until LshAnnTables).map(t => s"b$t AS qb$t").mkString(", ")
+      val unions = (0 until LshAnnTables).map(t =>
         s"    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b$t = q.qb$t")
         .mkString("\n    UNION ALL\n")
       s"""WITH v AS (
@@ -539,8 +545,9 @@ object SparkEntry {
          |ORDER BY q_id, rn""".stripMargin
     },
     "q30_embedding_neardups" -> {
-      val bucketCols = (0 until 2).map(t => lshBucketSql(t, 12)).mkString(",\n")
-      val unions = (0 until 2).map(t =>
+      val bucketCols = (0 until NearDupLshTables)
+        .map(t => lshBucketSql(t, NearDupLshBits)).mkString(",\n")
+      val unions = (0 until NearDupLshTables).map(t =>
         s"""    SELECT a.vec_id AS id_a, b2.vec_id AS id_b
            |    FROM b a JOIN b b2 ON a.b$t = b2.b$t AND a.vec_id < b2.vec_id"""
           .stripMargin)
@@ -789,13 +796,15 @@ object SparkEntry {
          |$componentCtes
          |SELECT doc_id, canonical_id FROM comp ORDER BY doc_id""".stripMargin,
     "q41_lsh_multiprobe" -> {
-      val bucketCols = (0 until 2).map(t => lshBucketSql(t, 4)).mkString(",\n")
-      val qCols = (0 until 2).map(t => s"b$t AS qb$t").mkString(", ")
+      val bucketCols = (0 until MultiProbeTables)
+        .map(t => lshBucketSql(t, MultiProbeBits)).mkString(",\n")
+      val qCols = (0 until MultiProbeTables)
+        .map(t => s"b$t AS qb$t").mkString(", ")
       // probe set per table: the exact bucket plus all Hamming-1 flips
       def probes(t: Int): String =
-        (s"q.qb$t" +: (0 until 4).map(f => s"xor(q.qb$t, ${1 << f})"))
+        (s"q.qb$t" +: (0 until MultiProbeBits).map(f => s"xor(q.qb$t, ${1 << f})"))
           .mkString("(", ", ", ")")
-      val unions = (0 until 2).map(t =>
+      val unions = (0 until MultiProbeTables).map(t =>
         s"    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b$t IN ${probes(t)}")
         .mkString("\n    UNION ALL\n")
       s"""WITH v AS (
@@ -870,12 +879,16 @@ object SparkEntry {
          |  FROM search)
          |SELECT q_id, probe_cluster, rn, vec_id, cos FROM r WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin,
+    // doc_id IS NOT NULL mirrors the Spark side's explicit null-key drop
+    // (Sampling.hashSplit): a NULL key must not silently route to the
+    // CASE's 'test' branch and skew the held-out set.
     "q44_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
         |      AS bucket
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL)
         |SELECT doc_id, bucket,
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'validation'
@@ -909,7 +922,7 @@ object SparkEntry {
          |  SELECT doc_id, quality,
          |    CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
          |      AS bucket
-         |  FROM qual WHERE quality >= 60)
+         |  FROM qual WHERE quality >= 60 AND doc_id IS NOT NULL)
          |SELECT doc_id, quality,
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'validation'
@@ -917,13 +930,20 @@ object SparkEntry {
          |FROM sp ORDER BY doc_id""".stripMargin,
   )
 
-  /** The graded k-means parameterization — q42/q43's SQL interpolates
-    * these (a$KmeansIters, cent${KmeansIters-1}) so an iteration-count
-    * change cannot leave the oracle probing stale centroids.
-    * Clustering.kmeans/ivfLearnedKnn defaults must match.
+  /** The graded parameterizations, single-sourced: the `queries` map
+    * passes them EXPLICITLY to the Scala operators, and the oracle-SQL
+    * builders interpolate the same values (q42/q43 via a$KmeansIters /
+    * cent${KmeansIters-1}, q29/q30/q41 via their bucket/union loops) —
+    * changing one here changes both engines together.
     */
   private val KmeansK = 4
   private val KmeansIters = 3
+  private val LshAnnTables = 8
+  private val LshAnnBits = 4
+  private val NearDupLshTables = 2
+  private val NearDupLshBits = 12
+  private val MultiProbeTables = 2
+  private val MultiProbeBits = 4
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

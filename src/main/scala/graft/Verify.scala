@@ -19,6 +19,7 @@ object Verify {
       // release the previous query's cached plans and localCheckpoint
       // RDDs (iterative pipelines leave them behind); each dump is
       // self-contained, so nothing live is dropped
+      graft.ops.CachedStages.releaseAll()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

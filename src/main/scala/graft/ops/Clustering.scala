@@ -56,9 +56,10 @@ object Clustering {
   def kmeansModel(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 3, exact: Boolean = true): (DataFrame, DataFrame) = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    val vecs = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("v"))
-      .persist()
+    val vecs = CachedStages.track(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+        .persist())
     var cents = vecs.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"),
         expr("transform(v, x -> CAST(x AS DOUBLE))").as("c"))

@@ -112,7 +112,7 @@ object Dedup {
       .withColumn("shingles", expr(shinglesExpr))
       .select(Seq(col("cid"), col("docs"), col("shingles")) ++
         (0 until 4).map(k => expr(minhashExpr(k)).as(s"mh$k")): _*)
-      .persist()
+      .transform(s => CachedStages.track(s.persist()))
 
     // (cid, band, h): one row per band; bucket key is (band, h).
     val bands = sigs.select(col("cid"), posexplode(
@@ -262,7 +262,7 @@ object Dedup {
     val vals = withSimhash(corpus, bits)
       .groupBy("simhash")
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
-      .persist()
+      .transform(s => CachedStages.track(s.persist()))
     val bands = vals.select(col("simhash"), posexplode(
       expr(s"""transform(sequence(0, ${nBands - 1}), b ->
               |  shiftrightunsigned(simhash, b * $bandWidth) & $bandMask)"""
@@ -426,7 +426,7 @@ object Dedup {
       // gram rows for them, so they can never become candidates — only
       // `intra` below must exclude them explicitly.
       .select("cid", "docs", "grams", "sz")
-      .persist()
+      .transform(s => CachedStages.track(s.persist()))
 
     val gramRows = contents.select(col("cid"), col("sz"),
       explode(col("grams")).as("gram"))

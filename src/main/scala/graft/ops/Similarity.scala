@@ -186,9 +186,10 @@ object Similarity {
     // The bucketed stage is read once for the query side and once per
     // table for the corpus side; persist so the nTables*64 interpreted
     // dot-product folds run once per row, not once per scan (same
-    // persist caveat as Dedup.nearDupPairs — harnesses clear the cache).
-    val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
-      .persist()
+    // persist caveat as Dedup.nearDupPairs — harnesses clear the cache;
+    // library callers release via CachedStages.releaseAll).
+    val bucketed = CachedStages.track(
+      lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable).persist())
     // Candidate generation as ONE melted equi-join instead of nTables
     // separate joins unioned: explode each row to (vec_id, t, bucket),
     // join on (t, bucket), and dedup the SLIM (q_id, vec_id) pairs
@@ -253,8 +254,8 @@ object Similarity {
   def lshAnnMultiProbe(spark: SparkSession, dir: String, nTables: Int = 2,
       bitsPerTable: Int = 4, k: Int = 3): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val bucketed = lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable)
-      .persist()
+    val bucketed = CachedStages.track(
+      lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable).persist())
     val buckets = meltedBuckets(bucketed, nTables)
     val probeList = (s"bk" +: (0 until bitsPerTable).map(f => s"bk ^ ${1 << f}"))
       .mkString("array(", ", ", ")")
@@ -298,9 +299,10 @@ object Similarity {
     graft.functions.CosineSimilarity.register(spark)
     // persisted: each table's self-join reads the stage twice, so without
     // the cache the LSH folds run 2*nTables times per row (persist caveat
-    // as in Dedup.nearDupPairs — harnesses clear the session cache).
-    val bucketed = lshBucketed(plantedCorpus(spark, dir), nTables, bitsPerTable)
-      .persist()
+    // as in Dedup.nearDupPairs — harnesses clear the session cache;
+    // library callers release via CachedStages.releaseAll).
+    val bucketed = CachedStages.track(
+      lshBucketed(plantedCorpus(spark, dir), nTables, bitsPerTable).persist())
     def cands(b: String) = {
       val l = bucketed.select(col("vec_id").as("id_a"), col("v").as("v_a"),
         col(b).as("bk"))

@@ -53,6 +53,9 @@ object TrainingPipeline {
       .localCheckpoint()
     scored
       .filter(col("quality") >= 60)
+      // same null-key contract as Sampling.hashSplit: a NULL doc_id must
+      // be dropped explicitly, never routed to splitCol's `otherwise`
+      .filter(col("doc_id").isNotNull)
       .withColumn("bucket", expr(Sampling.bucketExpr("doc_id")))
       .withColumn("split", Sampling.splitCol(col("bucket")))
       .select("doc_id", "quality", "split")

@@ -64,10 +64,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   // warning on every invocation for its whole lifetime. Keyed by
   // (session, value) rather than value alone: the rule object is a JVM
   // singleton, and a value-only guard would silence LATER sessions that
-  // repeat the same typo in a shared-JVM server. Growth is bounded by
-  // distinct misconfigurations, not invocations.
-  private val warnedCells =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // repeat the same typo in a shared-JVM server. Sessions are the WEAK
+  // keys of a WeakHashMap (reference identity — no hash-collision risk),
+  // so a stopped session's entries become collectable instead of
+  // accumulating for the JVM's lifetime.
+  private val warnedCells = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.Set[String]]())
 
   private def sideOf(a: Attribute, l: LogicalPlan, r: LogicalPlan): Option[Boolean] =
     if (l.outputSet.contains(a)) Some(true)
@@ -83,9 +86,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
         // the user asked for the rewrite and would otherwise get a
         // nested-loop join with no indication why — but warn once per
         // (session, bad value), not once per rule invocation
-        val sessionKey = org.apache.spark.sql.SparkSession.getActiveSession
-          .map(System.identityHashCode(_).toString).getOrElse("")
-        if (warnedCells.add(s"$sessionKey|$cellStr")) {
+        val session =
+          org.apache.spark.sql.SparkSession.getActiveSession.orNull
+        val seen = warnedCells.synchronized {
+          warnedCells.computeIfAbsent(session, _ =>
+            java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        }
+        if (seen.add(cellStr)) {
           logWarning(s"$CellSizeKey='$cellStr' is not a long; " +
             "range-join rewrite disabled")
         }
