@@ -334,20 +334,34 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+    // Each round aggregates SELF rows (the node's current label, tagged)
+    // together with NEIGHBOR rows, so one groupBy yields both the new
+    // label (min over self+neighbors) and the old one (min over the
+    // tagged self rows) — the convergence count then reads the
+    // checkpointed round frame directly instead of paying a per-round
+    // join against the previous labels. Round 1 derives both sides from
+    // the edge list itself (initial label = own id, and every node
+    // appears as a src of the symmetrized edges), which also fuses away
+    // the separate distinct-nodes initialization job.
+    var labels: DataFrame = null
     var changed = 1L
     while (changed > 0) {
-      val prop = labels.join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("label"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      val (self, neighbors) =
+        if (labels == null)
+          (edges.select(col("src").as("doc_id"), col("src").as("label")),
+            edges.select(col("dst").as("doc_id"), col("src").as("label")))
+        else
+          (labels,
+            labels.join(edges, col("doc_id") === col("src"))
+              .select(col("dst").as("doc_id"), col("label")))
+      val prop = self.withColumn("self", lit(true))
+        .unionByName(neighbors.withColumn("self", lit(false)))
+        .groupBy("doc_id")
+        .agg(min(col("label")).as("label"),
+          min(when(col("self"), col("label"))).as("old_label"))
         .localCheckpoint()
-      changed = prop
-        .join(labels.withColumnRenamed("label", "old_label"), "doc_id")
-        .filter(col("label") =!= col("old_label")).count()
-      labels = prop
+      changed = prop.filter(col("label") =!= col("old_label")).count()
+      labels = prop.select("doc_id", "label")
     }
     labels.select(col("doc_id"), col("label").as("canonical_id"))
       .orderBy("doc_id")
