@@ -76,6 +76,10 @@ object SparkEntry {
       Clustering.ivfLearnedKnn(s, d, KmeansK, KmeansIters)),
     "q44_hash_split" -> Sampling.hashSplit _,
     "q45_training_pipeline" -> TrainingPipeline.curatedSplit _,
+    "q46_repetition_stats" -> TextOps.repetitionStats _,
+    "q47_decontaminate" -> Dedup.contaminationReport _,
+    "q48_pii_scrub" -> Privacy.piiScrub _,
+    "q49_stratified_cap" -> Sampling.stratifiedCap _,
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -928,6 +932,103 @@ object SparkEntry {
          |       WHEN bucket < 95 THEN 'validation'
          |       ELSE 'test' END AS split
          |FROM sp ORDER BY doc_id""".stripMargin,
+    "q46_repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |tg AS (
+        |  SELECT doc_id, u.tg.k AS k, u.tg.g AS g
+        |  FROM t,
+        |  UNNEST(list_concat(
+        |    list_transform(generate_series(1, len(toks) - 1), i ->
+        |      {'k': 2, 'g': toks[i] || ' ' || toks[i + 1]}),
+        |    list_transform(generate_series(1, len(toks) - 2), i ->
+        |      {'k': 3, 'g': toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]})))
+        |    AS u(tg)
+        |  WHERE len(toks) >= 3),
+        |c AS (
+        |  SELECT doc_id, k, g, COUNT(*) AS n FROM tg GROUP BY 1, 2, 3),
+        |pk AS (
+        |  SELECT doc_id, k,
+        |    CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup,
+        |    MAX(n) AS top
+        |  FROM c GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN k = 2 THEN total END) AS n_2grams,
+        |    MAX(CASE WHEN k = 2 THEN top END) AS top2_n,
+        |    MAX(CASE WHEN k = 3 THEN total END) AS n_3grams,
+        |    MAX(CASE WHEN k = 3 THEN dup END) AS dup_3grams
+        |  FROM pk GROUP BY doc_id)
+        |SELECT doc_id, n_2grams, top2_n, n_3grams, dup_3grams,
+        |  CAST(CASE WHEN dup_3grams * 5 >= n_3grams
+        |             OR (top2_n >= 2 AND top2_n * 10 >= n_2grams)
+        |        THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q47_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |tg AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |      ELSE [] END AS sh
+        |    FROM (SELECT doc_id,
+        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |          FROM train) x) y),
+        |bg AS (
+        |  SELECT bench_id, unnest(sh) AS gram FROM (
+        |    SELECT bench_id,
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |      ELSE [] END AS sh
+        |    FROM (SELECT bench_id,
+        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |          FROM bench) x) y)
+        |SELECT tg.doc_id,
+        |  COUNT(DISTINCT bg.bench_id) AS n_benchmarks,
+        |  COUNT(DISTINCT tg.gram) AS n_shared_grams
+        |FROM tg JOIN bg ON tg.gram = bg.gram
+        |GROUP BY tg.doc_id
+        |ORDER BY tg.doc_id""".stripMargin,
+    "q48_pii_scrub" -> {
+      // the IDENTICAL pattern strings the Spark side uses (Privacy.*Re)
+      val em = ops.Privacy.EmailRe
+      val ph = ops.Privacy.PhoneRe
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN
+         |      text || ' contact user' || doc_id::VARCHAR || '@example.com' ||
+         |      ' or call 555-' || lpad(((doc_id * 7) % 1000)::VARCHAR, 3, '0') ||
+         |      '-' || lpad(((doc_id * 13) % 10000)::VARCHAR, 4, '0')
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$em', '[EMAIL]', 'g'),
+         |    '$ph', '[PHONE]', 'g') AS redacted
+         |FROM corpus
+         |WHERE regexp_matches(text, '$em') OR regexp_matches(text, '$ph')
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q49_stratified_cap" ->
+      """SELECT source, rn, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents WHERE doc_id IS NOT NULL) t
+        |WHERE rn <= 10
+        |ORDER BY source, rn""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

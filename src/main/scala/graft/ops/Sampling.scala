@@ -61,4 +61,38 @@ object Sampling {
     require(pct >= 0 && pct <= 100, s"pct must be in [0, 100], got $pct")
     df.filter(expr(bucketExpr(keyCol)) < pct)
   }
+
+  /** Graded q49: stratified downsampling — keep at most `cap` documents
+    * per source, chosen by md5-hash order (doc_id tie-break), so every
+    * stratum contributes a bounded, deterministic, engine-portable
+    * sample. This is the source-rebalancing step of a data mixture: an
+    * over-crawled domain must not dominate the training set, and a
+    * hash-ordered cap is a uniform random sample per stratum that is
+    * identical on every run and engine (an RNG `sample()` is neither).
+    *
+    * Scale shape: one shuffle on the stratum key, then a per-stratum
+    * sort for row_number. With millions of docs per stratum the full
+    * sort is wasteful for a small cap — the production refinement is a
+    * two-phase top-k (per-partition rank + cap, then re-rank the ≤
+    * cap × n_partitions survivors), same output, bounded memory; the
+    * windowed form here is the semantics both engines replay exactly.
+    */
+  def stratifiedCap(spark: SparkSession, dir: String): DataFrame =
+    stratifiedCapOf(Tables(spark, dir, "documents"), "source", 10)
+
+  /** Core of `stratifiedCap`: at most `cap` rows per value of
+    * `stratumCol`, ranked by (md5(key), key).
+    */
+  def stratifiedCapOf(df: DataFrame, stratumCol: String, cap: Int,
+      keyCol: String = "doc_id"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= cap)
+      .select(col(stratumCol), col("rn"), col(keyCol))
+      .orderBy(col(stratumCol), col("rn"))
+  }
 }

@@ -120,6 +120,72 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-document n-gram repetition statistics — the Gopher/C4 family of
+    * repetition quality filters (Rae et al. 2021 §A1.1: "fraction of
+    * duplicate n-grams", "fraction of characters in the most common
+    * n-gram"), the standard signal for machine-generated or boilerplate
+    * text. The corpus has no newlines, so the line-based variants are
+    * replaced by their token-n-gram counterparts:
+    *
+    *  - `dup_3grams` / `n_3grams`: occurrences belonging to a trigram
+    *    that appears more than once in the document;
+    *  - `top2_n` / `n_2grams`: occurrences of the document's most common
+    *    bigram;
+    *  - `repetitive`: the filter decision, decided in integer
+    *    cross-multiplication (dup_3grams >= 20% of trigrams, or the top
+    *    bigram >= 10% of bigrams AND occurring at least twice — without
+    *    the floor a short document's single top bigram would trivially
+    *    clear the 10% ratio).
+    *
+    * Scale shape: explode n-grams (×2 the token stream), count per
+    * (doc, k, gram) with map-side partial aggregation — within one
+    * partition a repetitive document's grams collapse BEFORE the shuffle,
+    * so exchange volume is bounded by per-doc distinct grams — then two
+    * more partial-aggregable reductions down to one row per document.
+    * No window, no sort until presentation; every stage is a plain
+    * hash-shuffle aggregate that scales horizontally.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables(spark, dir, "documents"))
+
+  /** Core of `repetitionStats` over any `(doc_id, text)` corpus. */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    // one tagged gram stream: struct(k, gram) for k = 2 and 3; docs with
+    // fewer than 3 tokens are excluded (both gram sets must be nonempty
+    // for the CASE arms to type-agree, and a 2-token doc cannot repeat)
+    val tagged = docs
+      .select(col("doc_id"), expr(tokensExpr).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """concat(
+          |  transform(sequence(1, size(toks) - 1), i ->
+          |    named_struct('k', 2, 'g',
+          |      concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))),
+          |  transform(sequence(1, size(toks) - 2), i ->
+          |    named_struct('k', 3, 'g',
+          |      concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                element_at(toks, i + 2)))))""".stripMargin)).as("tg"))
+      .select(col("doc_id"), col("tg.k").as("k"), col("tg.g").as("g"))
+    tagged
+      .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id", "k")
+      .agg(sum(col("n")).as("total"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup"),
+        max(col("n")).as("top"))
+      .groupBy("doc_id")
+      .agg(max(when(col("k") === 2, col("total"))).as("n_2grams"),
+        max(when(col("k") === 2, col("top"))).as("top2_n"),
+        max(when(col("k") === 3, col("total"))).as("n_3grams"),
+        max(when(col("k") === 3, col("dup"))).as("dup_3grams"))
+      .withColumn("repetitive",
+        (col("dup_3grams") * 5 >= col("n_3grams") ||
+          (col("top2_n") >= 2 && col("top2_n") * 10 >= col("n_2grams")))
+          .cast("long"))
+      .select("doc_id", "n_2grams", "top2_n", "n_3grams", "dup_3grams",
+        "repetitive")
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm) over a Karp–Rabin-style polynomial
     * rolling hash of token k-grams: hash every k-gram of the token

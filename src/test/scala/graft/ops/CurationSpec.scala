@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The round-6 curation operators: n-gram repetition filters (q46),
+  * benchmark decontamination (q47), PII scrubbing (q48), stratified
+  * per-source capping (q49). Each is checked against hand-computed
+  * expectations on tiny corpora the suite controls — the graded oracle
+  * pins the full-corpus values; these pin the SEMANTICS on inputs where
+  * the right answer is obvious by eye.
+  */
+class CurationSpec extends SparkSpec {
+
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  // --- q46: repetition stats ---
+
+  test("repetition stats: hand-computed grams on a repetitive doc") {
+    val docs = Seq(
+      (1L, "a b a b a b"),          // 5 bigrams (3x "a b", 2x "b a"), 4 trigrams all dup
+      (2L, "one two three four five") // all grams unique
+    ).toDF("doc_id", "text")
+    val rows = TextOps.repetitionStatsOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rep = rows(1L)
+    assert(rep.getAs[Long]("n_2grams") == 5 && rep.getAs[Long]("top2_n") == 3)
+    assert(rep.getAs[Long]("n_3grams") == 4 && rep.getAs[Long]("dup_3grams") == 4)
+    assert(rep.getAs[Long]("repetitive") == 1L)
+    val clean = rows(2L)
+    assert(clean.getAs[Long]("dup_3grams") == 0 && clean.getAs[Long]("top2_n") == 1)
+    assert(clean.getAs[Long]("repetitive") == 0L)
+  }
+
+  test("repetition stats: docs under 3 tokens are excluded") {
+    val docs = Seq((1L, "just two"), (2L, "one two three")).toDF("doc_id", "text")
+    assert(TextOps.repetitionStatsOf(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("repetition flag fires on the top-bigram rule alone") {
+    // "x y" appears 3 of 12 bigrams (>= 10%), but no trigram repeats
+    // enough to trip the 20% dup rule on its own at this length
+    val text = "x y a x y b x y c d e f g"
+    val r = TextOps.repetitionStatsOf(Seq((1L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(r.getAs[Long]("top2_n") * 10 >= r.getAs[Long]("n_2grams"))
+    assert(r.getAs[Long]("repetitive") == 1L)
+  }
+
+  // --- q47: decontamination ---
+
+  test("contamination finds exactly the overlapping docs; decontaminate drops them") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("bench_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma yy"),    // shares shingle "alpha beta gamma"
+      (2L, "alpha beta zz gamma delta"), // bigram overlap only — NOT a shared trigram
+      (3L, "completely different words here")
+    ).toDF("doc_id", "text")
+    val report = Dedup.contaminationOf(train, bench).collect()
+    assert(report.map(_.getLong(0)).toSet == Set(1L))
+    assert(report.head.getAs[Long]("n_benchmarks") == 1L)
+    assert(report.head.getAs[Long]("n_shared_grams") == 1L)
+    val clean = Dedup.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+  }
+
+  test("graded contamination report flags every planted near-copy") {
+    val planted = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .collect().map(_.getAs[Long]("doc_id") + 1000000L).toSet
+    val flagged = Dedup.contaminationReport(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted near-copy of a benchmark doc shares almost all its
+    // trigrams with the benchmark original, so all must be flagged
+    assert(planted.subsetOf(flagged), (planted -- flagged).toString)
+    // and no benchmark doc can flag itself (they are excluded from train)
+    assert(flagged.forall(id => id % 100 != 0 || id >= 1000000L))
+  }
+
+  // --- q48: PII scrub ---
+
+  test("pii scrub detects planted rows and redacts them completely") {
+    val rows = Privacy.piiScrub(spark, dir).collect()
+    val expected = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 50 === 0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getLong(0)).toSet == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1 && r.getAs[Long]("n_phones") == 1)
+      val red = r.getAs[String]("redacted")
+      assert(red.contains("[EMAIL]") && red.contains("[PHONE]"))
+      // nothing matching either pattern survives redaction
+      assert(!red.matches(s".*${Privacy.EmailRe}.*"))
+      assert(!red.matches(s".*${Privacy.PhoneRe}.*"))
+    }
+  }
+
+  test("pii scrub counts multiple hits and leaves clean text alone") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d@e-f.org or 123-456-7890 then 555-000-1111"),
+      (2L, "no personal data at all"),
+      (3L, "just an at sign @ alone")
+    ).toDF("doc_id", "text")
+    val out = Privacy.piiScrubOf(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out.head.getAs[Long]("n_emails") == 2)
+    assert(out.head.getAs[Long]("n_phones") == 2)
+    assert(out.head.getAs[String]("redacted") ==
+      "mail [EMAIL] and [EMAIL] or [PHONE] then [PHONE]")
+  }
+
+  // --- q49: stratified cap ---
+
+  test("stratified cap bounds every stratum and is deterministic") {
+    val a = Sampling.stratifiedCap(spark, dir).collect()
+    val b = Sampling.stratifiedCap(spark, dir).collect()
+    assert(a.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      b.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    val perSource = a.groupBy(_.getString(0))
+    perSource.foreach { case (src, g) =>
+      assert(g.length <= 10, s"$src over cap")
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
+  test("stratified cap keeps whole strata smaller than the cap") {
+    val docs = Seq(
+      (1L, "small"), (2L, "small"),
+      (3L, "big"), (4L, "big"), (5L, "big"), (6L, "big")
+    ).toDF("doc_id", "source")
+    val out = Sampling.stratifiedCapOf(docs, "source", cap = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(out.count(_._1 == "small") == 2)
+    assert(out.count(_._1 == "big") == 3)
+  }
+}
