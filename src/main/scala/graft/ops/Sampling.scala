@@ -95,4 +95,43 @@ object Sampling {
       .select(col(stratumCol), col("rn"), col(keyCol))
       .orderBy(col(stratumCol), col("rn"))
   }
+
+  /** Graded q51: temperature-flattened mixture sampling — each source's
+    * keep-fraction is `ceil(100 * sqrt(n_min / n_s))` percent, so the
+    * SMALLEST source keeps everything and an over-crawled source is
+    * downsampled toward the square-root of its size ratio (temperature
+    * T = 2 in the `p^(1/T)` mixture-reweighting family used to flatten
+    * web-crawl source skew). Membership is the md5-bucket rule, so the
+    * kept set is deterministic, retry-stable, and engine-identical.
+    *
+    * Why sqrt and not a log or pow: IEEE-754 requires sqrt and division
+    * to be exactly rounded, so both engines compute bit-identical
+    * fractions — `pow(x, 1/T)` for general T is not correctly-rounded
+    * and could flip a ceil boundary. General-T deployments would accept
+    * the band or precompute fractions driver-side.
+    *
+    * Scale shape: one partial-aggregable count per source (tiny result),
+    * broadcast back over the corpus scan — rows decide membership
+    * map-side; no corpus shuffle at all.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleOf(Tables(spark, dir, "documents"), "source")
+
+  /** Core of `mixtureSample` over any corpus with a stratum column and a
+    * `doc_id` key.
+    */
+  def mixtureSampleOf(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min(col("n_s")).as("n_min"))
+    val pcts = counts.crossJoin(broadcast(nMin))
+      .withColumn("pct",
+        ceil(lit(100) * sqrt(col("n_min").cast("double") / col("n_s")))
+          .cast("long"))
+      .select(stratumCol, "pct")
+    df.filter(col("doc_id").isNotNull)
+      .join(broadcast(pcts), stratumCol)
+      .filter(expr(bucketExpr("doc_id")) < col("pct"))
+      .select(col(stratumCol), col("pct"), col("doc_id"))
+      .orderBy(stratumCol, "doc_id")
+  }
 }

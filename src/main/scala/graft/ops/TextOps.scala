@@ -28,7 +28,7 @@ object TextOps {
 
   /** English stop-list used by the language-ID heuristic. */
   val stopList = Seq("the", "a", "of", "and", "is", "to", "in")
-  private[ops] def stopInList = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
+  private[graft] def stopInList = stopList.map(s => s"'$s'").mkString("(", ", ", ")")
 
   /** documents + `toks` + `n_toks` + `stop_hits` (count of stop-list
     * tokens). All downstream text ops start here.
@@ -97,7 +97,7 @@ object TextOps {
     * SQL mirrors the same constants. Integer comparisons only
     * (0.02 <= stop_ratio <= 0.2  <=>  hits*50 >= n && hits*5 <= n).
     */
-  private[ops] def qualityCol(nChars: Column, nToks: Column,
+  private[graft] def qualityCol(nChars: Column, nToks: Column,
       stopHits: Column): Column = {
     val lenPts = when(nChars.between(100, 300), 40)
       .when(nChars > 300, 25).otherwise(10)
@@ -184,6 +184,46 @@ object TextOps {
       .select("doc_id", "n_2grams", "top2_n", "n_3grams", "dup_3grams",
         "repetitive")
       .orderBy("doc_id")
+  }
+
+  /** Per-document top-k TF-IDF terms — the keyword/topic signal a
+    * curation pipeline uses for domain tagging and mixture analysis.
+    *
+    * The score is the RATIONAL form `tf * (N / df)` rather than the
+    * textbook `tf * ln(N/df)`: natural log is not correctly-rounded in
+    * IEEE-754 (engines may differ in the last ulp, which flips
+    * rank-order ties), while integer multiply + one double division are
+    * exactly rounded everywhere — so the ranking is engine-portable
+    * without any tolerance band. Log is monotone in N/df, so for
+    * RANKING the two forms agree except on the df ties the id
+    * tie-break already pins.
+    *
+    * Scale shape: explode tokens once; (doc, token) term frequencies
+    * and per-token document frequencies are both partial-aggregable
+    * hash shuffles; the df table joins back on token (shuffle join — at
+    * corpus scale the vocabulary's heavy tail rules out a broadcast);
+    * then one per-doc window for top-k. The corpus-size scalar N rides
+    * along as a broadcast single-row cross join.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (doc, token), so a plain count IS the
+    // document frequency — no distinct-expand needed
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = Tables(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tf") * col("n_docs")).cast("double") / col("df"), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("doc_id", "rn", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rn")
   }
 
   /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,

@@ -126,6 +126,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // --- q50: tf-idf ---
+
+  test("tfidf ranks rarer terms above common ones at equal tf") {
+    val rows = TextOps.tfidfTopTerms(spark, dir).collect()
+    // every doc contributes exactly k rows with contiguous ranks
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("rn")).sorted.toSeq == Seq(1L, 2L, 3L))
+      val byRank = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("tfidf"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // score formula holds exactly: tfidf = round(tf * N / df, 6)
+    val nDocs = Tables(spark, dir, "documents").count()
+    rows.foreach { r =>
+      val expected = BigDecimal(
+        r.getAs[Long]("tf").toDouble * nDocs / r.getAs[Long]("df"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("tfidf") == expected, r.toString)
+    }
+  }
+
+  // --- q51: mixture sampling ---
+
+  test("mixture sampling flattens a skewed source distribution") {
+    import spark.implicits._
+    // 10 docs in 'small', 1000 in 'big' -> big keeps ~sqrt(10/1000)=10%
+    val docs = ((1L to 10L).map(i => (i, "small")) ++
+      (100L to 1099L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = Sampling.mixtureSampleOf(docs, "source").collect()
+    val bySrc = out.groupBy(_.getString(0)).map { case (s, g) => s -> g }
+    // the smallest source keeps everything (pct = 100)
+    assert(bySrc("small").length == 10)
+    assert(bySrc("small").forall(_.getAs[Long]("pct") == 100L))
+    // the big source is downsampled to ~10% (hash-uniform: wide slack)
+    assert(bySrc("big").forall(_.getAs[Long]("pct") == 10L))
+    val kept = bySrc("big").length
+    assert(kept > 50 && kept < 200, s"big kept $kept of 1000")
+    // membership is exactly the md5-bucket rule
+    val keptIds = bySrc("big").map(_.getAs[Long]("doc_id")).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (100L to 1099L).foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      val expected = java.lang.Long.parseLong(hex, 16) % 100 < 10
+      assert(keptIds.contains(id) == expected, s"doc $id")
+    }
+  }
+
   test("stratified cap keeps whole strata smaller than the cap") {
     val docs = Seq(
       (1L, "small"), (2L, "small"),
