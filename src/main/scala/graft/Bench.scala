@@ -36,7 +36,7 @@ object Bench {
       // itself accumulates every earlier query's cached plans and
       // localCheckpoint RDDs, and late-alphabet queries warm up under
       // heap pressure (or fail, leaving their timed run cold)
-      graft.ops.CachedStages.releaseAll()
+      graft.ops.CachedStages.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -57,7 +57,7 @@ object Bench {
       // of executing the pipeline. Clear before EVERY timed query so each
       // pays its own full cost (a query still materializes-and-reuses
       // its own persist WITHIN its timed run, which is the real shape).
-      graft.ops.CachedStages.releaseAll()
+      graft.ops.CachedStages.release(spark)
       spark.catalog.clearCache()
       // clearCache only covers SQL-cached plans; the iterative pipelines
       // (q40/q42/q43/q45) leave localCheckpoint RDDs behind, which

@@ -37,11 +37,15 @@ object PlanAudit {
           .filter(_._2 > 0)
         // shuffles only: BroadcastExchange / ReusedExchange are exactly
         // the nodes a plan auditor wants NOT to count as shuffles.
-        // Matched by EXCLUSION (not an allowlist of partitionings) so a
-        // future RoundRobinPartitioning / rebalance exchange is counted
-        // by default instead of silently understating the audit.
+        // Counted LINE-ANCHORED (node name at the start of a tree line,
+        // after the drawing characters): a ReusedExchange line inlines
+        // its child's "Exchange hashpartitioning(...)" description
+        // mid-line, which a bare substring match would double-count.
+        // Matching by exclusion (not a partitioning allowlist) keeps a
+        // future RoundRobinPartitioning / rebalance exchange counted by
+        // default instead of silently understating the audit.
         val exchanges =
-          "(?<!Reused)(?<!Broadcast)Exchange ".r
+          "(?m)^[\\s:+*()\\d-]*Exchange ".r
             .findAllIn(qe.executedPlan.toString).size
         println(s"[audit] $name shuffles=$exchanges " +
           counts.map { case (k, v) => s"$k=$v" }.mkString(" "))

@@ -19,7 +19,7 @@ object Verify {
       // release the previous query's cached plans and localCheckpoint
       // RDDs (iterative pipelines leave them behind); each dump is
       // self-contained, so nothing live is dropped
-      graft.ops.CachedStages.releaseAll()
+      graft.ops.CachedStages.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Registry of the small intermediate stages operators `persist()` (LSH
   * bucketed stages, dedup content/signature tables, k-means vectors).
@@ -12,39 +12,49 @@ import org.apache.spark.sql.DataFrame
   * because the DataFrame became unreachable). Bench/Verify clear the
   * whole session cache between queries; a LIBRARY caller composing
   * several operators in one long-lived session instead calls
-  * [[releaseAll]] after consuming each result, so cached stages do not
+  * [[release]] after consuming each result, so cached stages do not
   * accumulate for the session's lifetime.
   *
-  * Stages are held weakly: a stage whose DataFrame was already collected
-  * by the GC simply drops out of the registry (its cache entry, if any,
-  * is then only clearable via `spark.catalog.clearCache()` — one more
-  * reason callers should release promptly).
+  * The registry is scoped PER SESSION (weakly keyed, so a stopped
+  * session's entries are collectable): releasing one session's stages
+  * must never evict caches that a different session in the same JVM is
+  * still computing against. Within a session, call [[release]] at a
+  * quiescent point — after the actions consuming the operator results —
+  * exactly like `spark.catalog.clearCache()`, which it narrows.
   */
 object CachedStages {
 
-  private val stages =
-    new java.util.concurrent.ConcurrentLinkedQueue[
-      java.lang.ref.WeakReference[DataFrame]]()
+  private val stages = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.Queue[java.lang.ref.WeakReference[DataFrame]]]())
 
-  /** Record a just-persisted stage; returns it unchanged. */
+  /** Record a just-persisted stage under its own session; returns it
+    * unchanged.
+    */
   private[ops] def track(df: DataFrame): DataFrame = {
-    stages.add(new java.lang.ref.WeakReference(df))
+    stages.synchronized {
+      stages.computeIfAbsent(df.sparkSession,
+        _ => new java.util.concurrent.ConcurrentLinkedQueue())
+    }.add(new java.lang.ref.WeakReference(df))
     df
   }
 
-  /** Unpersist every stage tracked since the last release. Safe to call
-    * at any time: results already materialized are unaffected, and a
-    * subsequent operator call re-persists its own stages.
+  /** Unpersist every stage tracked for `spark` since its last release.
+    * Results already materialized are unaffected, and a subsequent
+    * operator call re-persists its own stages.
     */
-  def releaseAll(blocking: Boolean = false): Unit = {
-    var ref = stages.poll()
-    while (ref != null) {
-      val df = ref.get()
-      if (df != null) {
-        try df.unpersist(blocking)
-        catch { case _: IllegalStateException => () } // session already stopped
+  def release(spark: SparkSession, blocking: Boolean = false): Unit = {
+    val q = stages.synchronized { stages.remove(spark) }
+    if (q != null) {
+      var ref = q.poll()
+      while (ref != null) {
+        val df = ref.get()
+        if (df != null) {
+          try df.unpersist(blocking)
+          catch { case _: IllegalStateException => () } // session stopped
+        }
+        ref = q.poll()
       }
-      ref = stages.poll()
     }
   }
 }

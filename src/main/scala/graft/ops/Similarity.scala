@@ -187,7 +187,7 @@ object Similarity {
     // table for the corpus side; persist so the nTables*64 interpreted
     // dot-product folds run once per row, not once per scan (same
     // persist caveat as Dedup.nearDupPairs — harnesses clear the cache;
-    // library callers release via CachedStages.releaseAll).
+    // library callers release via CachedStages.release).
     val bucketed = CachedStages.track(
       lshBucketed(rawVectors(spark, dir), nTables, bitsPerTable).persist())
     // Candidate generation as ONE melted equi-join instead of nTables
@@ -300,7 +300,7 @@ object Similarity {
     // persisted: each table's self-join reads the stage twice, so without
     // the cache the LSH folds run 2*nTables times per row (persist caveat
     // as in Dedup.nearDupPairs — harnesses clear the session cache;
-    // library callers release via CachedStages.releaseAll).
+    // library callers release via CachedStages.release).
     val bucketed = CachedStages.track(
       lshBucketed(plantedCorpus(spark, dir), nTables, bitsPerTable).persist())
     def cands(b: String) = {

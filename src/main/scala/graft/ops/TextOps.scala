@@ -34,7 +34,15 @@ object TextOps {
     * tokens). All downstream text ops start here.
     */
   def tokenized(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    tokenizedOf(Tables(spark, dir, "documents"))
+
+  /** The ONE toks/n_toks/stop_hits projection chain, over any corpus
+    * with a `text` column — shared by the batch operators, the q45
+    * pipeline's scoring stage, and the streaming twin (DocStreams), so
+    * a tokenizer or stop-list change cannot desynchronize them.
+    */
+  def tokenizedOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", expr(tokensExpr))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("stop_hits",

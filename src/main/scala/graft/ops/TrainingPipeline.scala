@@ -37,11 +37,7 @@ object TrainingPipeline {
     // quality bands computed from the surviving text itself (length is
     // re-derived, not read from the table, so planted docs score too);
     // band constants live once, in TextOps.qualityCol
-    val scored = survivors
-      .withColumn("toks", expr(TextOps.tokensExpr))
-      .withColumn("n_toks", size(col("toks")))
-      .withColumn("stop_hits",
-        expr(s"size(filter(toks, t -> t IN ${TextOps.stopInList}))"))
+    val scored = TextOps.tokenizedOf(survivors)
       .withColumn("quality", TextOps.qualityCol(
         length(col("text")), col("n_toks"), col("stop_hits")))
       .select("doc_id", "quality")

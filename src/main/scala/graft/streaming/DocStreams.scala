@@ -31,16 +31,16 @@ object DocStreams {
     spark.readStream.schema(docSchema).parquet(dir)
 
   /** Per-document quality band (TextOps' integer score) — the streaming
-    * twin of the q16/q45 scoring stage. One stateless projection.
+    * twin of q16's per-doc scoring stage: the same shared tokenization
+    * chain, and the same STORED `n_chars` column feeding the length
+    * band (re-deriving length(text) here could silently diverge from
+    * the batch band whenever n_chars was counted differently upstream).
+    * One stateless projection.
     */
   def scoredDocs(stream: DataFrame): DataFrame =
-    stream
-      .withColumn("toks", expr(graft.ops.TextOps.tokensExpr))
-      .withColumn("n_toks", size(col("toks")))
-      .withColumn("stop_hits",
-        expr(s"size(filter(toks, t -> t IN ${graft.ops.TextOps.stopInList}))"))
+    graft.ops.TextOps.tokenizedOf(stream)
       .withColumn("quality", graft.ops.TextOps.qualityCol(
-        length(col("text")), col("n_toks"), col("stop_hits")))
+        col("n_chars"), col("n_toks"), col("stop_hits")))
       .select("doc_id", "quality")
 
   /** PII scrub in flight — the streaming twin of q48. The RLIKE

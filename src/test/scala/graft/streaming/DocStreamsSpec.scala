@@ -25,9 +25,11 @@ class DocStreamsSpec extends SparkSpec {
       "doc_quality", OutputMode.Append())
     val streamed = spark.table("doc_quality").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // q16's per-doc stage: the stored n_chars column feeds the length
+    // band, exactly as the streaming twin must
     val batch = TextOps.tokenized(spark, "/root/testdata/sf0.001")
       .withColumn("quality", TextOps.qualityCol(
-        length(col("text")), col("n_toks"), col("stop_hits")))
+        col("n_chars"), col("n_toks"), col("stop_hits")))
       .select("doc_id", "quality").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch && streamed.nonEmpty)
