@@ -70,13 +70,14 @@ object Dedup {
       .orderBy("canonical_id")
 
   /** Per-document 4-seed MinHash signature (on the unmodified corpus). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
     Tables(spark, dir, "documents")
-      .withColumn("toks", expr(TextOps.tokensExpr))
-      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shingles", expr("word_shingles(text, 3)"))
       .select(col("doc_id") +: (0 until 4).map(k =>
         expr(minhashExpr(k)).as(s"mh$k")): _*)
       .orderBy("doc_id")
+  }
 
   /** Full LSH near-dup pipeline on the planted-near-dup corpus:
     * exact-dedup by content → shingle → 4 minhashes → 4 bands of 1 →
@@ -103,13 +104,13 @@ object Dedup {
     * of reading it back from cache.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.WordShingles.register(spark)
     val contents = corpusWithNearDups(spark, dir)
       .groupBy(col("text"))
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
       .withColumn("cid", md5(col("text")))
     val sigs = contents
-      .withColumn("toks", expr(TextOps.tokensExpr))
-      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shingles", expr("word_shingles(text, 3)"))
       .select(Seq(col("cid"), col("docs"), col("shingles")) ++
         (0 until 4).map(k => expr(minhashExpr(k)).as(s"mh$k")): _*)
       .transform(s => CachedStages.track(s.persist()))
@@ -337,17 +338,10 @@ object Dedup {
     * count of benchmark docs hit and of distinct shared shingles.
     */
   def contaminationOf(train: DataFrame, bench: DataFrame): DataFrame = {
-    // The shingle expression references its token array ~6 times, and the
-    // optimizer inlines a non-cheap alias into the Generate input — so a
-    // toks/shingles alias chain re-runs the tokenizer per reference
-    // (plan-audited at 33 regexp nodes). The transform-over-singleton
-    // wrapper is a true let-binding: the tokenizer output becomes a
-    // lambda variable, evaluated once per row no matter how many times
-    // the shingle body reads it.
+    graft.functions.WordShingles.register(train.sparkSession)
     def grams(df: DataFrame, idCol: String): DataFrame = df
-      .select(col(idCol), explode(expr(
-        s"""element_at(transform(array(${TextOps.tokensExpr}),
-           |  toks -> $shinglesExpr), 1)""".stripMargin)).as("gram"))
+      .select(col(idCol),
+        explode(expr("word_shingles(text, 3)")).as("gram"))
     grams(train, "doc_id")
       .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
       .groupBy("doc_id")
@@ -489,12 +483,12 @@ object Dedup {
     require(tNum > 0 && tDen > tNum, s"need 0 < tNum/tDen < 1, got $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
 
+    graft.functions.WordShingles.register(corpus.sparkSession)
     val contents = corpus
       .groupBy(col("text"))
       .agg(expr("sort_array(collect_list(doc_id))").as("docs"))
       .withColumn("cid", md5(col("text")))
-      .withColumn("toks", expr(TextOps.tokensExpr))
-      .withColumn("grams", expr(shinglesExpr))
+      .withColumn("grams", expr("word_shingles(text, 3)"))
       .withColumn("sz", size(col("grams")))
       // NO `filter(sz > 0)` here: predicate pushdown substitutes aliases
       // into the pushed condition UNCONDITIONALLY, which drags the whole

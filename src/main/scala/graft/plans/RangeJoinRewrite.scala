@@ -162,5 +162,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.CosineSimilarity].getCanonicalName,
         "cosine_sim"),
       graft.functions.CosineSimilarity.build _))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WordShingles].getCanonicalName,
+        "word_shingles"),
+      graft.functions.WordShingles.build _))
   }
 }
