@@ -83,6 +83,8 @@ object SparkEntry {
     "q50_tfidf_terms" ->
       ((s: SparkSession, d: String) => TextOps.tfidfTopTerms(s, d)),
     "q51_mixture_sample" -> Sampling.mixtureSample _,
+    "q52_token_shards" ->
+      ((s: SparkSession, d: String) => Sampling.tokenShards(s, d)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1073,6 +1075,24 @@ object SparkEntry {
         |  AND CAST('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6) AS BIGINT) % 100
         |      < p.pct
         |ORDER BY d.source, d.doc_id""".stripMargin,
+    // Deliberately the NAIVE single global window over the hash order —
+    // matching it row-for-row proves the Spark side's two-phase
+    // distributed prefix sum is an exact decomposition.
+    "q52_token_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS n_toks,
+        |    md5(doc_id::VARCHAR) AS h
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_tok
+        |  FROM t)
+        |SELECT doc_id, n_toks, start_tok, start_tok // 2000 AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

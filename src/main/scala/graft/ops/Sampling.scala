@@ -117,6 +117,68 @@ object Sampling {
   def mixtureSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSampleOf(Tables(spark, dir, "documents"), "source")
 
+  /** Graded q52: token-budgeted shard assignment — the packing step
+    * between curation and the data loader: documents are laid out in a
+    * deterministic global order (md5-hash order, so the layout is
+    * engine-portable and independent of input partitioning) and cut
+    * into shards of `shardSize` tokens; each document records its
+    * global token offset and shard id.
+    *
+    * The global running sum is computed as a DISTRIBUTED TWO-PHASE
+    * PREFIX SUM, not a global window: a single `ORDER BY` window over
+    * the whole corpus collapses to one task — the classic scale
+    * failure of cumulative queries. Instead:
+    *
+    *  1. group = first hex digit of the hash — a RANGE of the global
+    *     order, so groups compose by concatenation;
+    *  2. within-group cumulative sums run in parallel, one window per
+    *     group partition;
+    *  3. the 16 per-group totals get offsets from a driver-sized
+    *     window (O(G) sequential work, G = 16, not O(N));
+    *  4. global offset = group offset + within-group exclusive sum.
+    *
+    * The DuckDB oracle deliberately computes the NAIVE single global
+    * window — the hash-match proves the two-phase decomposition exact,
+    * row by row. At 100 TB widen the group prefix (2 hex digits = 256
+    * ranges, 4 = 65k) so per-group windows stay bounded; the offset
+    * table stays driver-sized.
+    */
+  def tokenShards(spark: SparkSession, dir: String,
+      shardSize: Long = 2000L): DataFrame =
+    tokenShardsOf(Tables(spark, dir, "documents"), shardSize)
+
+  /** Core of `tokenShards` over any `(doc_id, text)` corpus. */
+  def tokenShardsOf(df: DataFrame, shardSize: Long): DataFrame = {
+    require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .filter(col("doc_id").isNotNull)
+      .withColumn("n_toks",
+        size(expr(graft.ops.TextOps.tokensExpr)).cast("long"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("grp", substring(col("h"), 1, 1))
+      .select("doc_id", "n_toks", "h", "grp")
+    // phase 1: parallel per-group inclusive cumsums (one window each)
+    val withinW = Window.partitionBy("grp").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = toks.withColumn("cum_in", sum(col("n_toks")).over(withinW))
+    // phase 2: offsets over the TINY per-group total table (16 rows —
+    // the only sequential window, O(groups) not O(rows))
+    val offsetW = Window.orderBy("grp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("grp").agg(sum(col("n_toks")).as("grp_total"))
+      .withColumn("offset", coalesce(sum(col("grp_total")).over(offsetW),
+        lit(0L)))
+      .select("grp", "offset")
+    within.join(broadcast(offsets), "grp")
+      .withColumn("start_tok", col("offset") + col("cum_in") - col("n_toks"))
+      // integer div, not FP `/`: double rounding would misplace a
+      // boundary doc once offsets exceed 2^53 tokens
+      .withColumn("shard", expr(s"start_tok div $shardSize"))
+      .select("doc_id", "n_toks", "start_tok", "shard")
+      .orderBy("doc_id")
+  }
+
   /** Core of `mixtureSample` over any corpus with a stratum column and a
     * `doc_id` key.
     */

@@ -33,6 +33,33 @@ class SamplingSpec extends SparkSpec {
       counts.getOrElse("test", 0) > 0, counts.toString)
   }
 
+  test("token shards match a driver-side naive global prefix sum") {
+    val rows = Sampling.tokenShards(spark, dir, shardSize = 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val all = Tables(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == all && rows.length == all.size)
+    // naive single-threaded recompute of the global layout: sort by
+    // (md5-hash, id), accumulate — the two-phase decomposition must
+    // reproduce it EXACTLY, token for token
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byId = rows.map(r => r._1 -> r).toMap
+    var running = 0L
+    rows.map(r => (hex(r._1), r._1)).sorted.foreach { case (_, id) =>
+      val (_, nToks, startTok, shard) = byId(id)
+      assert(startTok == running, s"doc $id: start $startTok != $running")
+      assert(shard == running / 2000L)
+      running += nToks
+    }
+    // the last shard boundary covers the whole corpus
+    assert(running == rows.map(_._2).sum)
+    // a doc never starts mid-gap: shards are dense from 0
+    val shards = rows.map(_._4).toSet
+    assert(shards == (0L to shards.max).toSet)
+  }
+
   test("hash sample is deterministic, monotone in pct, and exact at the ends") {
     val docs = Tables(spark, dir, "documents")
     def ids(pct: Int): Set[Long] =
