@@ -85,6 +85,9 @@ object SparkEntry {
     "q51_mixture_sample" -> Sampling.mixtureSample _,
     "q52_token_shards" ->
       ((s: SparkSession, d: String) => Sampling.tokenShards(s, d)),
+    "q53_grouped_quantiles" ->
+      ((s: SparkSession, d: String) =>
+        Relational.groupedQuantiles(s, d, QuantilePcts)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1093,6 +1096,18 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_toks, start_tok, start_tok // 2000 AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+    // quantile_disc is an INDEPENDENT implementation of the same exact
+    // rank rule ceil(pct·n/100) — DuckDB's decimal literal keeps the
+    // ceil exact, the Spark side uses integer arithmetic; both pick a
+    // physical data value, so no interpolation arithmetic can drift.
+    "q53_grouped_quantiles" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |${QuantilePcts.map(p =>
+            s"  quantile_disc(o_totalprice, ${BigDecimal(p) / 100}) AS p$p")
+            .mkString(",\n")}
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map
@@ -1102,6 +1117,7 @@ object SparkEntry {
     * changing one here changes both engines together.
     */
   private val KmeansK = 4
+  private val QuantilePcts = Seq(25, 50, 75, 90, 99)
   private val KmeansIters = 3
   private val LshAnnTables = 8
   private val LshAnnBits = 4

@@ -267,6 +267,76 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Graded q53: exact grouped multi-quantiles (p25/p50/p75/p90/p99 of
+    * order value per priority) via the same two-pass histogram selection
+    * as [[medianOrderValue]], generalized to a whole quantile VECTOR in
+    * the same two passes — the per-group cost is independent of how
+    * many quantiles are asked for.
+    *
+    * Rank rule: the 1-based target rank for percentile `pct` over `n`
+    * rows is `ceil(pct·n/100)` computed in INTEGER arithmetic
+    * (`(pct*n + 99) div 100`). DuckDB's `quantile_disc` evaluates the
+    * same ceil exactly (its `0.25` literal is a decimal, not a binary
+    * double), so both engines pick the same physical row — the output
+    * is a data value, no interpolation arithmetic to mismatch.
+    *
+    * Scale shape: `percentile_approx` would be the one-liner but is
+    * approximate and engine-specific; an exact global-sort rank funnels
+    * each group through one task. Here pass 1 is a hash aggregation to
+    * a histogram of ≈ groups × buckets rows (data-size independent),
+    * target ranks are located by a prefix sum over that tiny table, and
+    * pass 2 ranks only inside the ≤ |quantiles| candidate buckets per
+    * group — everything else never leaves the scan.
+    */
+  def groupedQuantiles(spark: SparkSession, dir: String,
+      pcts: Seq[Int] = Seq(25, 50, 75, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1,100], got $pcts")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", floor(col("o_totalprice") / 1000))
+
+    // pass 1: per-(group, bucket) histogram + prefix sum over it
+    val hist = orders.groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy("o_orderpriority").orderBy("bucket")
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val totals = orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+
+    // one target rank per (group, percentile)
+    val targets = totals.select(col("o_orderpriority"), col("n"),
+        explode(array(pcts.map(p =>
+          struct(lit(p).as("pct"),
+            expr(s"($p * n + 99) div 100").as("k"))): _*)).as("t"))
+      .select(col("o_orderpriority"), col("n"), col("t.pct").as("pct"),
+        col("t.k").as("k"))
+
+    val located = targets.join(cum, Seq("o_orderpriority"))
+      .filter(col("k") > col("cum_before") &&
+        col("k") <= col("cum_before") + col("cnt"))
+      .select(col("o_orderpriority"), col("pct"), col("n"), col("bucket"),
+        (col("k") - col("cum_before")).as("in_bucket_rank"))
+
+    // pass 2: rank only inside candidate buckets, pick the located rows
+    val needed = located.select("o_orderpriority", "bucket").distinct()
+    val wib = Window.partitionBy("o_orderpriority", "bucket")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val picked = orders
+      .join(broadcast(needed), Seq("o_orderpriority", "bucket"))
+      .withColumn("rn", row_number().over(wib).cast("long"))
+      .join(broadcast(located), Seq("o_orderpriority", "bucket"))
+      .filter(col("rn") === col("in_bucket_rank"))
+
+    picked.groupBy("o_orderpriority")
+      .agg(max(col("n")).as("n_orders"),
+        pcts.map(p =>
+          max(when(col("pct") === p, col("o_totalprice"))).as(s"p$p")): _*)
+      .orderBy("o_orderpriority")
+  }
+
   /** TPC-H Q6-style filtered aggregate: predicate pushdown to the scan,
     * single-row result (the shape `.explain` must show: PushedFilters on
     * l_shipdate, pruned 4-column ReadSchema).

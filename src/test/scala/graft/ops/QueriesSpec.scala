@@ -54,4 +54,26 @@ class QueriesSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
   }
+
+  test("q53 quantiles match a driver-side sort-and-index recompute") {
+    val pcts = Seq(25, 50, 75, 90, 99)
+    val rows = Relational.groupedQuantiles(spark, dir, pcts).collect()
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (p, a) => p -> a.map(_._2).sorted }
+    assert(rows.map(_.getString(0)).toSet == orders.keySet)
+    rows.foreach { r =>
+      val sorted = orders(r.getString(0))
+      val n = sorted.length
+      assert(r.getAs[Long]("n_orders") == n)
+      pcts.foreach { p =>
+        // the exact rank rule both engines implement: ceil(p*n/100), 1-based
+        val k = (p * n + 99) / 100
+        assert(r.getAs[Double](s"p$p") == sorted(k - 1),
+          s"${r.getString(0)} p$p: got ${r.getAs[Double](s"p$p")}, " +
+            s"want ${sorted(k - 1)} (n=$n, k=$k)")
+      }
+    }
+  }
 }
