@@ -541,4 +541,49 @@ object Dedup {
     expandDocPairs(verified,
       contents.filter(size(col("docs")) > 1 && col("sz") > 0))
   }
+
+  /** Graded q54: duplicate-SPAN detection — the exact-substring dedup
+    * granularity (find repeated token runs, not whole near-dup docs),
+    * approximated at fixed `window`-token stride-1 windows: a window is
+    * duplicated when its token sequence occurs anywhere else in the
+    * corpus (another doc, or again in the same doc). Output is the
+    * per-doc window count, duplicated-window count, and duplicated
+    * fraction — the "memorization risk" score a curation pipeline
+    * thresholds on.
+    *
+    * Scale shape: each doc emits (n_toks − window + 1) MD5 SPAN HASHES
+    * — raw text never shuffles, only 32-byte hashes. Global span counts
+    * come from one hash aggregation (map-side partial combine), then
+    * only hashes with count > 1 — the actual duplicates, typically a
+    * tiny fraction — join back to the span stream (equi-join on the
+    * hash both sides are already partitioned by; skewed mega-spans are
+    * AQE-splittable, unlike a count-over-window which must buffer each
+    * hash group in one task). Per-doc rollup is the final shuffle.
+    */
+  def duplicateSpans(spark: SparkSession, dir: String,
+      window: Int = 10): DataFrame =
+    duplicateSpansOf(corpusWithNearDups(spark, dir), window)
+
+  /** Core of `duplicateSpans` over any `(doc_id, text)` corpus. */
+  def duplicateSpansOf(df: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val spans = df
+      .filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .filter(size(col("toks")) >= window)
+      .select(col("doc_id"), explode(
+        expr(s"""transform(sequence(1, size(toks) - ${window - 1}),
+                 i -> md5(array_join(slice(toks, i, $window), ' ')))"""))
+        .as("h"))
+    val dupCounts = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    spans.join(dupCounts, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L))
+          .as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast("double") / col("n_windows"))
+      .orderBy("doc_id")
+  }
 }
