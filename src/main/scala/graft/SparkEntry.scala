@@ -88,6 +88,11 @@ object SparkEntry {
     "q53_grouped_quantiles" ->
       ((s: SparkSession, d: String) =>
         Relational.groupedQuantiles(s, d, QuantilePcts)),
+    "q54_duplicate_spans" ->
+      ((s: SparkSession, d: String) => Dedup.duplicateSpans(s, d, SpanWindow)),
+    "q55_decontaminate_wide" ->
+      ((s: SparkSession, d: String) =>
+        Dedup.contaminationReportAt(s, d, WideGramWidth)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1108,6 +1113,73 @@ object SparkEntry {
          |FROM orders
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+    // Span hashes mirror the Spark side exactly: md5 of the
+    // space-joined `SpanWindow`-token slice; duplicate spans via a
+    // grouped-count CTE, then a per-doc rollup of window/dup counts.
+    "q54_duplicate_spans" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM corpus WHERE doc_id IS NOT NULL),
+         |sp AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, len(toks) - ${SpanWindow - 1}),
+         |      i -> md5(array_to_string(toks[i:i + ${SpanWindow - 1}], ' ')))) AS h
+         |  FROM t WHERE len(toks) >= $SpanWindow),
+         |dc AS (
+         |  SELECT h FROM sp GROUP BY h HAVING COUNT(*) > 1),
+         |agg AS (
+         |  SELECT sp.doc_id,
+         |    COUNT(*) AS n_windows,
+         |    CAST(SUM(CASE WHEN dc.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dup_windows
+         |  FROM sp LEFT JOIN dc ON sp.h = dc.h
+         |  GROUP BY sp.doc_id)
+         |SELECT doc_id, n_windows, n_dup_windows,
+         |  CAST(n_dup_windows AS DOUBLE) / n_windows AS dup_frac
+         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q47 at production gram width (WideGramWidth-token shingles): the
+    // same train/bench construction, only the shingle width changes.
+    "q55_decontaminate_wide" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |tg AS (
+         |  SELECT doc_id, unnest(sh) AS gram FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(toks) >= $WideGramWidth THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(toks) - ${WideGramWidth - 1}),
+         |          i -> array_to_string(toks[i:i + ${WideGramWidth - 1}], ' ')))
+         |      ELSE [] END AS sh
+         |    FROM (SELECT doc_id,
+         |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |          FROM train) x) y),
+         |bg AS (
+         |  SELECT bench_id, unnest(sh) AS gram FROM (
+         |    SELECT bench_id,
+         |      CASE WHEN len(toks) >= $WideGramWidth THEN
+         |        list_distinct(list_transform(
+         |          generate_series(1, len(toks) - ${WideGramWidth - 1}),
+         |          i -> array_to_string(toks[i:i + ${WideGramWidth - 1}], ' ')))
+         |      ELSE [] END AS sh
+         |    FROM (SELECT bench_id,
+         |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |          FROM bench) x) y)
+         |SELECT tg.doc_id,
+         |  COUNT(DISTINCT bg.bench_id) AS n_benchmarks,
+         |  COUNT(DISTINCT tg.gram) AS n_shared_grams
+         |FROM tg JOIN bg ON tg.gram = bg.gram
+         |GROUP BY tg.doc_id
+         |ORDER BY tg.doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map
@@ -1119,12 +1191,19 @@ object SparkEntry {
   private val KmeansK = 4
   private val QuantilePcts = Seq(25, 50, 75, 90, 99)
   private val KmeansIters = 3
-  private val LshAnnTables = 8
+  // 16 tables x 4 bits: RecallSpec measures top-3 recall 0.875 on this
+  // corpus (8x4 measured 0.625 — a graded point a 100 TB deployment
+  // would not ship; the nTables lever is the recall knob).
+  private val LshAnnTables = 16
   private val LshAnnBits = 4
   private val NearDupLshTables = 2
   private val NearDupLshBits = 12
   private val MultiProbeTables = 2
   private val MultiProbeBits = 4
+  // q54: duplicate-span window width (tokens per hashed span).
+  private val SpanWindow = 10
+  // q55: production-width decontamination (GPT-3 appendix C used 13).
+  private val WideGramWidth = 13
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -119,8 +119,16 @@ object WordShingles {
     WordShingles(exprs(0), n)
   }
 
-  /** Register `word_shingles(text, n)` for SQL/expr use. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_shingles", build, "built-in")
+  /** Register `word_shingles(text, n)` for SQL/expr use. Idempotent:
+    * a session built with `GraftExtensions` (or an operator that already
+    * called this) has the function installed, and re-registering would
+    * log a "replaced a previously registered function" warning per call
+    * — so registration is skipped when the name already resolves.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
+      registry.createOrReplaceTempFunction("word_shingles", build, "built-in")
+  }
 }

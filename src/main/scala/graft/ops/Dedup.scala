@@ -50,12 +50,23 @@ object Dedup {
   /** documents corpus with every 100th doc re-added with a 3-token suffix
     * (planted near-duplicates: Jaccard just under 1).
     */
-  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+  def corpusWithNearDups(spark: SparkSession, dir: String): DataFrame =
+    corpusWithNearDupsTagged(spark, dir).drop("is_planted")
+
+  /** `corpusWithNearDups` with an `is_planted` flag assigned AT
+    * CONSTRUCTION: consumers that must distinguish planted copies from
+    * base documents (q47's train-set builder) read the flag instead of
+    * reverse-engineering the id-offset convention — a base corpus with
+    * large ids could otherwise silently satisfy `doc_id >= 1e6`.
+    */
+  def corpusWithNearDupsTagged(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "text")
-    docs.unionByName(
-      docs.filter(col("doc_id") % 100 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          concat(col("text"), lit(" qq ww ee")).as("text")))
+    docs.withColumn("is_planted", lit(false))
+      .unionByName(
+        docs.filter(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" qq ww ee")).as("text"),
+            lit(true).as("is_planted")))
   }
 
   /** Exact dedup: group by md5(text), emit groups with >1 copy as
@@ -322,26 +333,46 @@ object Dedup {
     * per-doc aggregation shuffles only the matched (doc, bench, gram)
     * rows, a benchmark-bounded volume.
     */
-  def contaminationReport(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationReport(spark: SparkSession, dir: String): DataFrame =
+    contaminationReportAt(spark, dir, 3)
+
+  /** `contaminationReport` at any shingle width. n = 3 is graded q47;
+    * n = 13 — the width GPT-3's appendix-C decontamination actually ran
+    * — is graded q55 (planted verbatim-plus-suffix copies still share
+    * every 13-gram of the original, while incidental short-gram
+    * collisions between unrelated docs vanish).
+    */
+  def contaminationReportAt(spark: SparkSession, dir: String,
+      n: Int): DataFrame = {
     val bench = Tables(spark, dir, "documents")
       .filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("bench_id"), col("text"))
-    val train = corpusWithNearDups(spark, dir)
-      .filter(col("doc_id") % 100 =!= 0 || col("doc_id") >= 1000000L)
-    contaminationOf(train, bench)
+    // train = everything except the benchmark documents THEMSELVES;
+    // planted near-copies stay (they are what decontamination must
+    // catch). Planted-ness is the construction-time flag, not an id
+    // heuristic.
+    val train = corpusWithNearDupsTagged(spark, dir)
+      .filter(col("is_planted") || col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text")
+    contaminationOf(train, bench, n)
       .orderBy("doc_id")
   }
 
   /** Contaminated-doc report over any `(doc_id, text)` train /
     * `(bench_id, text)` benchmark pair: one row per training document
-    * sharing at least one shingle with any benchmark document, with the
-    * count of benchmark docs hit and of distinct shared shingles.
+    * sharing at least one `n`-gram shingle with any benchmark document,
+    * with the count of benchmark docs hit and of distinct shared
+    * shingles. `n = 3` is the graded q47 width; production
+    * deployments run wider grams (GPT-3's appendix-C procedure used
+    * n = 13 — graded as q55) through the same plan.
     */
-  def contaminationOf(train: DataFrame, bench: DataFrame): DataFrame = {
+  def contaminationOf(train: DataFrame, bench: DataFrame,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
     graft.functions.WordShingles.register(train.sparkSession)
     def grams(df: DataFrame, idCol: String): DataFrame = df
       .select(col(idCol),
-        explode(expr("word_shingles(text, 3)")).as("gram"))
+        explode(expr(s"word_shingles(text, $n)")).as("gram"))
     grams(train, "doc_id")
       .join(broadcast(grams(bench, "bench_id")), Seq("gram"))
       .groupBy("doc_id")
@@ -352,8 +383,9 @@ object Dedup {
   /** The decision stage: training docs with NO shingle overlap against
     * the benchmark — a broadcast anti-join on the flagged id set.
     */
-  def decontaminate(train: DataFrame, bench: DataFrame): DataFrame =
-    train.join(broadcast(contaminationOf(train, bench).select("doc_id")),
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      n: Int = 3): DataFrame =
+    train.join(broadcast(contaminationOf(train, bench, n).select("doc_id")),
       Seq("doc_id"), "left_anti")
 
   /** Connected components over an undirected pair list — the DECISION

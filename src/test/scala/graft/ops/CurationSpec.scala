@@ -80,6 +80,83 @@ class CurationSpec extends SparkSpec {
     assert(flagged.forall(id => id % 100 != 0 || id >= 1000000L))
   }
 
+  // --- q55: decontamination at production gram width ---
+
+  test("13-gram decontamination needs a true 13-token run; trigrams do not") {
+    val bench = Seq(
+      (100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14")
+    ).toDF("bench_id", "text")
+    val train = Seq(
+      // shares the 13-gram "w1 .. w13" with the benchmark
+      (1L, "pre w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 post"),
+      // one substituted token: shares many trigrams but NO 13-gram
+      (2L, "w1 w2 w3 w4 w5 w6 zz w8 w9 w10 w11 w12 w13 w14"),
+      (3L, "unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val wide = Dedup.contaminationOf(train, bench, n = 13).collect()
+    assert(wide.map(_.getLong(0)).toSet == Set(1L))
+    assert(wide.head.getAs[Long]("n_shared_grams") == 1L)
+    // at the graded trigram width the substituted doc IS flagged — the
+    // width is the precision knob production pipelines turn up
+    val narrow = Dedup.contaminationOf(train, bench, n = 3).collect()
+    assert(narrow.map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Dedup.decontaminate(train, bench, n = 13).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("graded wide decontamination flags planted copies of long benchmarks") {
+    // a planted near-copy (verbatim + 3-token suffix) shares every
+    // 13-gram of its original whenever the original has >= 13 tokens;
+    // shorter benchmark docs have no 13-grams to share at all
+    val longBench = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .filter(size(expr(TextOps.tokensExpr)) >= 13)
+      .collect().map(_.getAs[Long]("doc_id") + 1000000L).toSet
+    assert(longBench.nonEmpty)
+    val flagged = Dedup.contaminationReportAt(spark, dir, 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(longBench.subsetOf(flagged), (longBench -- flagged).toString)
+  }
+
+  // --- q54: duplicate spans ---
+
+  test("duplicate spans: a repeated 10-token run is counted, unique docs score 0") {
+    val run = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val docs = Seq(
+      (1L, s"$run filler1 filler2 $run"), // the run recurs inside one doc
+      (2L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11"), // every span unique
+      (3L, "too short for any window")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpansOf(docs, window = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 22 tokens -> 13 windows; exactly windows 1 and 13 hold the
+    // repeated run, every other window straddles filler tokens
+    assert(rows(1L).getAs[Long]("n_windows") == 13L)
+    assert(rows(1L).getAs[Long]("n_dup_windows") == 2L)
+    assert(rows(1L).getAs[Double]("dup_frac") == 2.0 / 13)
+    // doc 2: 11 tokens -> 2 windows, both globally unique
+    assert(rows(2L).getAs[Long]("n_windows") == 2L)
+    assert(rows(2L).getAs[Long]("n_dup_windows") == 0L)
+    // doc 3: under the window width -> no row at all
+    assert(!rows.contains(3L))
+  }
+
+  test("duplicate spans: a span shared ACROSS documents flags both") {
+    val run = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val docs = Seq(
+      (1L, s"x1 x2 $run"),
+      (2L, s"$run y1 y2")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpansOf(docs, window = 10).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // each doc has 3 windows; only the pure run window is shared
+    Seq(1L, 2L).foreach { id =>
+      assert(rows(id).getAs[Long]("n_windows") == 3L)
+      assert(rows(id).getAs[Long]("n_dup_windows") == 1L)
+      assert(rows(id).getAs[Double]("dup_frac") == 1.0 / 3)
+    }
+  }
+
   // --- q48: PII scrub ---
 
   test("pii scrub detects planted rows and redacts them completely") {

@@ -25,7 +25,7 @@ class RecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   /** Ground truth (computed once per suite): brute-force cosine top-3
-    * per query, and the graded 2x4 ANN hit set — both reused by the
+    * per query, and the coarse 2x4 ANN hit set — both reused by the
     * recall-floor and monotonicity tests.
     */
   private lazy val brute: Set[(Long, Long)] =
@@ -67,7 +67,7 @@ class RecallSpec extends SparkSpec {
     }
   }
 
-  test("q29: lshAnn top-3 recall — the graded 8x4 shape, and both levers") {
+  test("q29: lshAnn top-3 recall — the graded 16x4 shape, and both levers") {
     assert(brute.size == 8 * 3)
     def recall(t: Int, bpt: Int): Double =
       brute.intersect(if (t == 2 && bpt == 4) hits24 else annHits(t, bpt))
@@ -80,15 +80,17 @@ class RecallSpec extends SparkSpec {
     // ~0 recall fails here.
     val coarse = recall(2, 4)
     assert(coarse >= 0.25, f"2x4 recall $coarse%.3f < 0.25")
-    // the graded default: 8 tables x 4 bits measures 0.625
-    val graded = recall(8, 4)
-    assert(graded >= 0.6, f"graded 8x4 recall $graded%.3f < 0.6")
-    // The recall lever: more tables = more candidate unions. At 16
-    // tables recall is 0.875 on the same corpus — the knob a 100 TB
-    // deployment turns (cost: 16 bucket joins, still no cross join).
-    val prod = recall(16, 4)
-    assert(prod >= 0.85, f"16x4 recall $prod%.3f < 0.85")
-    assert(prod > coarse + 0.3, "the nTables lever must materially raise recall")
+    // the intermediate lever point: 8 tables x 4 bits measures 0.625 —
+    // a recall a 100 TB deployment would NOT ship, which is why the
+    // graded parameterization moved past it
+    val mid = recall(8, 4)
+    assert(mid >= 0.6, f"8x4 recall $mid%.3f < 0.6")
+    // the graded default (SparkEntry's LshAnnTables x LshAnnBits):
+    // 16 tables x 4 bits measures 0.875 on this corpus — more tables =
+    // more candidate unions (cost: 16 bucket joins, still no cross join)
+    val graded = recall(16, 4)
+    assert(graded >= 0.85, f"graded 16x4 recall $graded%.3f < 0.85")
+    assert(graded > coarse + 0.3, "the nTables lever must materially raise recall")
   }
 
   test("q41: multi-probe reaches multi-table recall at a fraction of the tables") {
