@@ -451,13 +451,35 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND v.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    // The Spark side synthesizes a real PNG per document (pixel channels
+    // are integer functions of (doc_id, x, y) — Multimodal.ImageCodec),
+    // decodes it back with JDK ImageIO, and aggregates the DECODED
+    // statistics; this oracle recomputes the same integers arithmetically,
+    // so any pixel, dimension, or channel the decode misread would
+    // hash-mismatch.
     "q25_media_features" ->
-      """SELECT lang, COUNT(*) AS n_media,
-        |  CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
-        |  CAST(SUM(ascii(text)) AS BIGINT) AS sum_first,
-        |  CAST(SUM(list_sum(list_transform(range(1, strlen(text) + 1),
-        |    i -> ascii(substr(text, i, 1))))) AS BIGINT) AS sum_bytesum
-        |FROM documents
+      """WITH px AS (
+        |  SELECT lang, doc_id,
+        |    4 + doc_id % 5 AS w,
+        |    3 + doc_id % 4 AS h,
+        |    list_sum(flatten(list_transform(generate_series(0, 3 + doc_id % 4 - 1), y ->
+        |      list_transform(generate_series(0, 4 + doc_id % 5 - 1), x ->
+        |        (doc_id * 31 + x * 7 + y * 13) % 256)))) AS sr,
+        |    list_sum(flatten(list_transform(generate_series(0, 3 + doc_id % 4 - 1), y ->
+        |      list_transform(generate_series(0, 4 + doc_id % 5 - 1), x ->
+        |        (doc_id * 17 + x * 3 + y * 5) % 256)))) AS sg,
+        |    list_sum(flatten(list_transform(generate_series(0, 3 + doc_id % 4 - 1), y ->
+        |      list_transform(generate_series(0, 4 + doc_id % 5 - 1), x ->
+        |        (doc_id * 11 + x + y) % 256)))) AS sb
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_media,
+        |  CAST(SUM(w) AS BIGINT) AS sum_width,
+        |  CAST(SUM(h) AS BIGINT) AS sum_height,
+        |  CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+        |  CAST(SUM(sr) AS BIGINT) AS sum_red,
+        |  CAST(SUM(sg) AS BIGINT) AS sum_green,
+        |  CAST(SUM(sb) AS BIGINT) AS sum_blue
+        |FROM px
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
     // q26: PARTIAL oracle — HLL sketch internals are engine-specific, so

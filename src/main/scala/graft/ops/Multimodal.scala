@@ -1,91 +1,157 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata,
-  * processed by a batched per-partition decoder — the shape an
-  * image/audio/video feature-extraction stage takes at 100 TB (decode
-  * libraries run inside `mapPartitions`, one initialization per
-  * partition, never per row; the driver never sees payload bytes).
+  * processed by batched per-partition codecs — the shape an image/audio/
+  * video feature-extraction stage takes at 100 TB (codec libraries run
+  * inside `mapPartitions`, one initialization per partition, never per
+  * row; the driver never sees payload bytes).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB (`FakeDecoder`)
-  * that computes byte-level features. Everything around it — the schema,
-  * the Dataset[MediaRow] encoder, the partition-batched call pattern, the
-  * feature schema — is the real plumbing and is tested, including a
-  * DuckDB oracle that recomputes the byte features independently.
+  * The IMAGE path is REAL: a deterministic PNG is synthesized per
+  * document (every channel of every pixel is an integer function of
+  * `(doc_id, x, y)`), encoded and decoded with JDK ImageIO
+  * (`javax.imageio`, module java.desktop — no external dependency), and
+  * the graded q25 aggregates the DECODED pixel statistics. The DuckDB
+  * oracle recomputes the same integers arithmetically from `doc_id`, so
+  * a decode that misread any pixel, dimension, or channel would
+  * hash-mismatch — the planted-value pattern q48 uses for PII. Resize is
+  * a real `Graphics2D` rescale through the same encode/decode pair.
+  *
+  * Video frame extraction remains a byte-level stand-in (`sampleFrames`
+  * — no video codec ships with the JDK): the flatMap-over-partitions
+  * plumbing is real and tested, the "frames" are fixed-size byte slices.
   */
 object Multimodal {
 
   final case class MediaMeta(mime: String, source: String, lang: String)
   final case class MediaRow(doc_id: Long, content: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(doc_id: Long, lang: String, byte_len: Long,
-      first_byte: Long, byte_sum: Long)
+  final case class ImageFeatures(doc_id: Long, lang: String, width: Long,
+      height: Long, n_pixels: Long, sum_red: Long, sum_green: Long,
+      sum_blue: Long)
 
-  /** Synthesize a media table from `documents`: the UTF-8 bytes of the
-    * text stand in for an opaque media payload, with typed metadata.
+  /** Deterministic PNG codec. Dimensions and channel values are integer
+    * functions of `(doc_id, x, y)` — the formulas q25's oracle SQL
+    * mirrors (`4 + doc_id % 5` wide, `3 + doc_id % 4` tall, channels
+    * linear in doc_id/x/y mod 256). PNG is lossless and the image is
+    * `TYPE_INT_RGB`, so the decoded pixels are bit-identical to the
+    * encoded ones on any JVM.
     */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"),
-        struct(lit("text/plain").as("mime"), col("source"), col("lang"))
-          .as("meta"))
-      .as[MediaRow]
-  }
+  object ImageCodec {
+    def width(docId: Long): Int = (4 + docId % 5).toInt
+    def height(docId: Long): Int = (3 + docId % 4).toInt
+    def red(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7 + y * 13) % 256).toInt
+    def green(docId: Long, x: Int, y: Int): Int =
+      ((docId * 17 + x * 3 + y * 5) % 256).toInt
+    def blue(docId: Long, x: Int, y: Int): Int =
+      ((docId * 11 + x + y) % 256).toInt
 
-  /** STUB decoder: stands in for an image/audio decode. Deterministic
-    * byte-level "features" so the pipeline is verifiable end-to-end; a
-    * real deployment swaps `decode` for a codec call without touching the
-    * partition plumbing.
-    */
-  object FakeDecoder {
-    def decode(row: MediaRow): MediaFeatures = {
-      val b = row.content
-      var sum = 0L
-      var i = 0
-      while (i < b.length) { sum += b(i) & 0xff; i += 1 }
-      MediaFeatures(row.doc_id, row.meta.lang, b.length.toLong,
-        if (b.isEmpty) -1L else (b(0) & 0xff).toLong, sum)
+    def encode(docId: Long): Array[Byte] = {
+      val w = width(docId)
+      val h = height(docId)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y,
+            (red(docId, x, y) << 16) | (green(docId, x, y) << 8) |
+              blue(docId, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      toPng(img)
+    }
+
+    /** Real ImageIO decode: dimensions + per-channel pixel sums. */
+    def decode(docId: Long, lang: String, bytes: Array[Byte]): ImageFeatures = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val w = img.getWidth
+      val h = img.getHeight
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageFeatures(docId, lang, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+    }
+
+    def toPng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
   }
 
-  /** Batched feature extraction: one decoder per partition (the expensive
-    * init — codec contexts, model weights — is amortized), rows streamed
-    * through it. This is the Scala analogue of a pandas-batched UDF over
-    * `mapInPandas`.
+  /** Synthesize the image table from `documents`: one real PNG per
+    * document (encoded inside the partition — the driver never holds
+    * payload bytes), with typed metadata.
     */
-  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+  def imageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    mediaTable(spark, dir).mapPartitions { rows =>
-      val decoder = FakeDecoder // per-partition init point
-      rows.map(decoder.decode)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, source, lang) =>
+          MediaRow(id, ImageCodec.encode(id), MediaMeta("image/png", source, lang))
+        }
+      }
+  }
+
+  /** Batched feature extraction: one codec per partition (the expensive
+    * init — codec contexts, model weights — is amortized), rows streamed
+    * through a REAL ImageIO decode. This is the Scala analogue of a
+    * pandas-batched UDF over `mapInPandas`.
+    */
+  def decodeImages(spark: SparkSession, dir: String): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    imageTable(spark, dir).mapPartitions { rows =>
+      val codec = ImageCodec // per-partition init point
+      rows.map(r => codec.decode(r.doc_id, r.meta.lang, r.content))
+    }
+  }
+
+  /** Real image resize: decode, `Graphics2D` rescale to the target
+    * dimensions, re-encode — partition-batched like the decode.
+    */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
+      targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = ImageIO.read(new ByteArrayInputStream(r.content))
+        val scaled = new BufferedImage(targetW, targetH,
+          BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try g.drawImage(img, 0, 0, targetW, targetH, null)
+        finally g.dispose()
+        r.copy(content = ImageCodec.toPng(scaled))
+      }
     }
   }
 
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB resize: stands in for an image resize / audio resample — the
-    * payload is truncated or zero-padded to `targetLen` bytes. The shape
-    * (binary in, fixed-size binary out, partition-batched) is what a real
-    * codec-backed resize has.
-    */
-  def resizeContent(spark: SparkSession, media: Dataset[MediaRow],
-      targetLen: Int): Dataset[MediaRow] = {
-    import spark.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val out = java.util.Arrays.copyOf(r.content, targetLen)
-        r.copy(content = out)
-      }
-    }
-  }
-
-  /** STUB frame sampling: stands in for video frame extraction — the
-    * payload is split into `frameSize`-byte frames and every `every`-th
-    * frame is emitted (one output row per kept frame, the flatMap shape
-    * of a real decoder).
+  /** STAND-IN frame sampling: the JDK has no video codec, so "frames"
+    * are fixed-size byte slices of the payload with every `every`-th
+    * slice emitted. The flatMap-over-partitions shape (one output row
+    * per kept frame) is exactly what a real video decoder plugs into.
     */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
       frameSize: Int, every: Int): Dataset[MediaFrame] = {
@@ -100,14 +166,17 @@ object Multimodal {
     }
   }
 
-  /** Per-language feature aggregate (the graded query). */
+  /** Per-language aggregate of the DECODED image features (graded q25). */
   def featureStats(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir).toDF()
+    decodeImages(spark, dir).toDF()
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_media"),
-        sum(col("byte_len")).as("sum_bytes"),
-        sum(col("first_byte")).as("sum_first"),
-        sum(col("byte_sum")).as("sum_bytesum"))
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
+        sum(col("n_pixels")).as("sum_pixels"),
+        sum(col("sum_red")).as("sum_red"),
+        sum(col("sum_green")).as("sum_green"),
+        sum(col("sum_blue")).as("sum_blue"))
       .orderBy("lang")
 }

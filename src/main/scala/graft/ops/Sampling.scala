@@ -70,12 +70,17 @@ object Sampling {
     * hash-ordered cap is a uniform random sample per stratum that is
     * identical on every run and engine (an RNG `sample()` is neither).
     *
-    * Scale shape: one shuffle on the stratum key, then a per-stratum
-    * sort for row_number. With millions of docs per stratum the full
-    * sort is wasteful for a small cap — the production refinement is a
-    * two-phase top-k (per-partition rank + cap, then re-rank the ≤
-    * cap × n_partitions survivors), same output, bounded memory; the
-    * windowed form here is the semantics both engines replay exactly.
+    * Scale shape: the graded `exact = true` form is one shuffle on the
+    * stratum key plus a per-stratum sort for row_number — the semantics
+    * both engines replay exactly. With millions of docs per stratum
+    * that full sort is wasteful for a small cap, so `exact = false` is
+    * the production two-phase top-k: each INPUT partition keeps at most
+    * `cap` rows per stratum in a bounded heap (narrow — no shuffle of
+    * the corpus at all), then only the ≤ cap × n_partitions survivors
+    * are shuffled and ranked. Identical output (any row in a stratum's
+    * global top-cap is in its own partition's local top-cap — the
+    * reduction is lossless), memory bounded by cap × strata-per-
+    * partition, and the corpus-wide shuffle is gone.
     */
   def stratifiedCap(spark: SparkSession, dir: String): DataFrame =
     stratifiedCapOf(Tables(spark, dir, "documents"), "source", 10)
@@ -84,16 +89,55 @@ object Sampling {
     * `stratumCol`, ranked by (md5(key), key).
     */
   def stratifiedCapOf(df: DataFrame, stratumCol: String, cap: Int,
-      keyCol: String = "doc_id"): DataFrame = {
+      keyCol: String = "doc_id", exact: Boolean = true): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratumCol)
-      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
-    df.filter(col(keyCol).isNotNull)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= cap)
-      .select(col(stratumCol), col("rn"), col(keyCol))
-      .orderBy(col(stratumCol), col("rn"))
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(stratumCol)
+        .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+      df.filter(col(keyCol).isNotNull)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= cap)
+        .select(col(stratumCol), col("rn"), col(keyCol))
+        .orderBy(col(stratumCol), col("rn"))
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val keyed = df.filter(col(keyCol).isNotNull)
+        .select(col(stratumCol).cast("string"),
+          md5(col(keyCol).cast("string")), col(keyCol).cast("long"))
+        .as[(String, String, Long)]
+      // phase 1 (narrow): per input partition, a bounded MAX-heap per
+      // stratum holds the cap smallest (hash, key) pairs seen so far —
+      // a new row only displaces the current partition-local maximum
+      val ord = Ordering.Tuple2(Ordering.String, Ordering.Long)
+      val survivors = keyed.mapPartitions { rows =>
+        val heaps = scala.collection.mutable.Map.empty[
+          String, scala.collection.mutable.PriorityQueue[(String, Long)]]
+        rows.foreach { case (stratum, hk, key) =>
+          val heap = heaps.getOrElseUpdate(stratum,
+            scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord))
+          if (heap.size < cap) heap.enqueue((hk, key))
+          else if (ord.lt((hk, key), heap.head)) {
+            heap.dequeue()
+            heap.enqueue((hk, key))
+          }
+        }
+        heaps.iterator.flatMap { case (stratum, heap) =>
+          heap.iterator.map { case (hk, key) => (stratum, hk, key) }
+        }
+      }.toDF("stratum", "hk", "key")
+      // phase 2: exact rank over the tiny survivor set — the only
+      // shuffle in the plan moves ≤ cap × n_partitions rows per stratum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("stratum").orderBy(col("hk").asc, col("key").asc)
+      survivors
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= cap)
+        .select(col("stratum").as(stratumCol), col("rn"),
+          col("key").as(keyCol))
+        .orderBy(col(stratumCol), col("rn"))
+    }
   }
 
   /** Graded q51: temperature-flattened mixture sampling — each source's

@@ -1,46 +1,66 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("media table carries binary payloads with typed metadata") {
-    val m = Multimodal.mediaTable(spark, dir).limit(5).collect()
-    assert(m.forall(_.content.nonEmpty))
-    assert(m.forall(_.meta.mime == "text/plain"))
-  }
-
-  test("feature extraction matches a direct byte computation") {
-    val f = Multimodal.extractFeatures(spark, dir)
-      .filter(_.doc_id == 0).collect().head
-    val text = Tables(spark, dir, "documents")
-      .filter("doc_id = 0").head.getAs[String]("text")
-    val bytes = text.getBytes("UTF-8")
-    assert(f.byte_len == bytes.length)
-    assert(f.first_byte == (bytes(0) & 0xff))
-    assert(f.byte_sum == bytes.map(_ & 0xff).map(_.toLong).sum)
-  }
-
-  test("resize truncates or zero-pads to the target length") {
-    val resized = Multimodal.resizeContent(spark,
-      Multimodal.mediaTable(spark, dir).limit(10), 64).collect()
-    assert(resized.forall(_.content.length == 64))
-    val original = Multimodal.mediaTable(spark, dir).limit(10).collect()
-      .map(r => r.doc_id -> r.content).toMap
-    resized.foreach { r =>
-      val orig = original(r.doc_id)
-      if (orig.length >= 64) assert(r.content.sameElements(orig.take(64)))
-      else {
-        assert(r.content.take(orig.length).sameElements(orig))
-        assert(r.content.drop(orig.length).forall(_ == 0)) // zero padding
-      }
+  test("image table carries real PNG payloads with typed metadata") {
+    val m = Multimodal.imageTable(spark, dir).limit(5).collect()
+    assert(m.forall(_.meta.mime == "image/png"))
+    // PNG signature: 0x89 'P' 'N' 'G'
+    m.foreach { r =>
+      assert((r.content(0) & 0xff) == 0x89 && r.content(1) == 'P' &&
+        r.content(2) == 'N' && r.content(3) == 'G')
     }
   }
 
-  test("frame sampling emits every k-th fixed-size frame") {
-    val media = Multimodal.mediaTable(spark, dir).filter(_.doc_id == 0)
+  test("ImageIO decode recovers the planted pixel arithmetic exactly") {
+    val feats = Multimodal.decodeImages(spark, dir)
+      .filter(_.doc_id < 10).collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 10)
+    feats.foreach { case (id, f) =>
+      // expected values recomputed here with an INDEPENDENT inline loop
+      // (the same arithmetic the oracle SQL evaluates)
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (id * 31 + x * 7 + y * 13) % 256
+        sg += (id * 17 + x * 3 + y * 5) % 256
+        sb += (id * 11 + x + y) % 256
+      }
+      assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+      assert(f.sum_red == sr, s"doc $id red")
+      assert(f.sum_green == sg, s"doc $id green")
+      assert(f.sum_blue == sb, s"doc $id blue")
+    }
+  }
+
+  test("resize rescales to the target dimensions; same-size resize is lossless") {
+    val media = Multimodal.imageTable(spark, dir).filter(_.doc_id < 5)
+    val resized = Multimodal.resizeImages(spark, media, 2, 2).collect()
+    assert(resized.length == 5)
+    resized.foreach { r =>
+      val img = ImageIO.read(new ByteArrayInputStream(r.content))
+      assert(img.getWidth == 2 && img.getHeight == 2)
+    }
+    // doc 0 is 4x3: resizing to its own dimensions must preserve every
+    // pixel (nearest-neighbor at scale 1 is the identity)
+    val d0 = Multimodal.imageTable(spark, dir).filter(_.doc_id == 0)
+    val same = Multimodal.resizeImages(spark, d0, 4, 3).collect().head
+    val orig = ImageIO.read(new ByteArrayInputStream(d0.collect().head.content))
+    val round = ImageIO.read(new ByteArrayInputStream(same.content))
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((round.getRGB(x, y) & 0xffffff) == (orig.getRGB(x, y) & 0xffffff))
+  }
+
+  test("frame sampling emits every k-th fixed-size byte frame") {
+    val media = Multimodal.imageTable(spark, dir).filter(_.doc_id == 0)
     val content = media.collect().head.content
     val frames = Multimodal.sampleFrames(spark, media, frameSize = 32, every = 2)
       .collect().sortBy(_.frame_idx)

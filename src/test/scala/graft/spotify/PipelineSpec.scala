@@ -128,4 +128,36 @@ class PipelineSpec extends SparkSpec {
     assert(a.getAs[String]("main_artist_id") == "ar1")
     assert(a.getAs[String]("artist_genres") == "g")
   }
+
+  test("fetch seam runs executor-side: one transport per partition over an id frame") {
+    // the SURVEY §7.3 scale-out shape for a large id space: the id
+    // DataFrame is partitioned, and each partition builds ONE transport +
+    // client (the expensive init) and streams its ids through it — the
+    // same client the driver-side extraction uses, verbatim
+    import spark.implicits._
+    val responses = (1 to 8).map { i =>
+      s"/artists/ar$i" ->
+        s"""{"id": "ar$i", "name": "Artist$i", "popularity": $i}"""
+    }.toMap
+    val inits = spark.sparkContext.longAccumulator("transport_inits")
+    val ids = spark.createDataset((1 to 8).map(i => s"ar$i") :+ "ar_missing")
+      .repartition(4)
+    val fetched = ids.mapPartitions { it =>
+      inits.add(1) // per-PARTITION init point, executor-side
+      val client = new SpotifyClient(new OfflineTransport(responses))
+      it.map { id =>
+        val node = client.getArtistInfo(id)
+        (id, node.map(_.path("name").asText).orNull,
+          node.map(_.path("popularity").asInt).getOrElse(-1))
+      }
+    }.collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fetched.size == 9)
+    (1 to 8).foreach { i =>
+      assert(fetched(s"ar$i") == ((s"Artist$i", i)), s"ar$i")
+    }
+    // error->None semantics survive the executor-side path
+    assert(fetched("ar_missing") == ((null, -1)))
+    // exactly one transport per (non-empty) partition, not one per id
+    assert(inits.value == 4L, s"expected 4 partition inits, got ${inits.value}")
+  }
 }
