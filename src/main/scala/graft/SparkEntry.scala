@@ -93,6 +93,8 @@ object SparkEntry {
     "q55_decontaminate_wide" ->
       ((s: SparkSession, d: String) =>
         Dedup.contaminationReportAt(s, d, WideGramWidth)),
+    "q56_block_dedup" ->
+      ((s: SparkSession, d: String) => Dedup.blockDedup(s, d, BlockSize)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1202,6 +1204,40 @@ object SparkEntry {
          |FROM tg JOIN bg ON tg.gram = bg.gram
          |GROUP BY tg.doc_id
          |ORDER BY tg.doc_id""".stripMargin,
+    // Block hashes mirror the Spark side (md5 of the space-joined
+    // BlockSize-token slice); the kept flag is an INDEPENDENT
+    // implementation — row_number over (doc_id, pos) within each block
+    // hash, vs Spark's min-struct aggregate + join-back — so an
+    // ordering bug in either first-occurrence rule mismatches.
+    "q56_block_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM corpus WHERE doc_id IS NOT NULL),
+         |b0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(
+         |      generate_series(0,
+         |        CAST(ceil(len(toks) / ${BlockSize}.0) AS INT) - 1),
+         |      j -> struct_pack(pos := j,
+         |        blk := array_to_string(
+         |          toks[j * $BlockSize + 1 : j * $BlockSize + $BlockSize],
+         |          ' ')))) AS u
+         |  FROM t WHERE len(toks) > 0),
+         |f AS (
+         |  SELECT doc_id, u.pos AS pos, u.blk AS blk,
+         |    row_number() OVER (PARTITION BY md5(u.blk)
+         |      ORDER BY doc_id, u.pos) = 1 AS kept
+         |  FROM b0)
+         |SELECT doc_id, COUNT(*) AS n_blocks,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN kept THEN blk END, ' '
+         |    ORDER BY pos), '') AS clean_text
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map
@@ -1226,6 +1262,8 @@ object SparkEntry {
   private val SpanWindow = 10
   // q55: production-width decontamination (GPT-3 appendix C used 13).
   private val WideGramWidth = 13
+  // q56: tokens per dedup block (the C4 "line" unit on this corpus).
+  private val BlockSize = 20
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

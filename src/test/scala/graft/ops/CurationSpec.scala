@@ -157,6 +157,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // --- q56: block dedup-and-reassemble ---
+
+  test("block dedup keeps first occurrence and reassembles survivors in order") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // blocks [a b c][a b c]: second is a dup
+      (2L, "a b c d e"),     // blocks [a b c][d e]: first already seen in doc 1
+      (3L, "d e")            // block [d e] seen at doc 2 pos 1
+    ).toDF("doc_id", "text")
+    val rows = Dedup.blockDedupOf(docs, blockSize = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_blocks") == 2L)
+    assert(rows(1L).getAs[Long]("n_kept") == 1L)
+    assert(rows(1L).getAs[String]("clean_text") == "a b c")
+    assert(rows(2L).getAs[Long]("n_blocks") == 2L)
+    assert(rows(2L).getAs[Long]("n_kept") == 1L)
+    assert(rows(2L).getAs[String]("clean_text") == "d e")
+    // doc 3's only block was first seen at (2, 1) -> fully deduped,
+    // but the doc still appears with an empty clean_text
+    assert(rows(3L).getAs[Long]("n_blocks") == 1L)
+    assert(rows(3L).getAs[Long]("n_kept") == 0L)
+    assert(rows(3L).getAs[String]("clean_text") == "")
+  }
+
+  test("block dedup first-occurrence order is (doc_id, pos), not arrival order") {
+    // the dup block sits EARLIER in the higher-id doc; (doc_id, pos)
+    // ordering must still keep doc 1's copy
+    val docs = Seq(
+      (5L, "z z z w1 w2 w3"),
+      (1L, "w4 w5 w6 z z z")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.blockDedupOf(docs, blockSize = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[String]("clean_text") == "w4 w5 w6 z z z")
+    assert(rows(5L).getAs[String]("clean_text") == "w1 w2 w3")
+    assert(rows(5L).getAs[Long]("n_kept") == 1L)
+  }
+
   // --- q48: PII scrub ---
 
   test("pii scrub detects planted rows and redacts them completely") {
