@@ -95,6 +95,9 @@ object SparkEntry {
         Dedup.contaminationReportAt(s, d, WideGramWidth)),
     "q56_block_dedup" ->
       ((s: SparkSession, d: String) => Dedup.blockDedup(s, d, BlockSize)),
+    "q57_semantic_dedup" ->
+      ((s: SparkSession, d: String) =>
+        Clustering.semanticDedup(s, d, KmeansK, KmeansIters, SemDedupTau)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1238,6 +1241,44 @@ object SparkEntry {
          |  COALESCE(string_agg(CASE WHEN kept THEN blk END, ' '
          |    ORDER BY pos), '') AS clean_text
          |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // SemDeDup: replay the k-means training (kmeansCtes, trained on the
+    // BASE table only — the planted copies are assigned, never trained
+    // on), assign the augmented corpus against cent{iters-1} with the
+    // identical sequential L2 fold + (dist, cluster) tie-break, then
+    // mark any vector with a lower-id cluster-mate at cosine >= tau.
+    "q57_semantic_dedup" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+         |corpus AS (
+         |  SELECT vec_id, e FROM v
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, e FROM v WHERE vec_id % 50 = 0),
+         |asg AS (
+         |  SELECT vec_id, e, cluster FROM (
+         |    SELECT vec_id, e, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                         ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT c0.vec_id, c0.e, cc.cluster,
+         |        list_reduce(list_transform(range(1, 65),
+         |          ii -> (c0.e[ii] - cc.c[ii]) * (c0.e[ii] - cc.c[ii])),
+         |          (x2, y2) -> x2 + y2) AS dist
+         |      FROM corpus c0 CROSS JOIN cent${KmeansIters - 1} cc) d) t
+         |  WHERE rn = 1),
+         |dup AS (
+         |  SELECT b.vec_id
+         |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+         |    AND a.vec_id < b.vec_id
+         |  WHERE round(
+         |      list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i])) /
+         |      (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)
+         |    >= $SemDedupTau
+         |  GROUP BY b.vec_id)
+         |SELECT asg.vec_id, asg.cluster,
+         |  CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS is_dup
+         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+         |ORDER BY asg.vec_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map
@@ -1264,6 +1305,8 @@ object SparkEntry {
   private val WideGramWidth = 13
   // q56: tokens per dedup block (the C4 "line" unit on this corpus).
   private val BlockSize = 20
+  // q57: SemDeDup cosine threshold (paper operates at 0.9-0.95+).
+  private val SemDedupTau = 0.95
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -117,6 +117,56 @@ object Clustering {
       .orderBy("q_id", "rn")
   }
 
+  /** Graded q57: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+    * semantic deduplication of an embedding corpus: cluster with
+    * k-means, then within each cluster mark every vector that has a
+    * LOWER-id cluster-mate with cosine >= `tau` as a semantic duplicate
+    * (keep-lowest-id, the paper's keep-one rule made deterministic).
+    * The synthetic embeddings have no natural near-duplicates (max
+    * within-label cosine ~0.45), so every 50th vector is re-added
+    * verbatim under vec_id + 1,000,000 — the dedup family's planting
+    * convention. Output: (vec_id, cluster, is_dup) for the full corpus.
+    *
+    * Production shape, end to end: the index is TRAINED on the base
+    * table (`kmeansModel` — broadcast-assign + tiny groupBy per Lloyd
+    * round), then the augmented corpus is assigned against the frozen
+    * centroids in ONE broadcast pass (k rows against a streaming scan,
+    * no shuffle), and only cluster-mates are compared. The all-pairs
+    * cost SemDeDup avoids is bounded by the largest cluster: at 100 TB
+    * the k knob grows with N to hold E[cluster size] — and with it the
+    * per-cluster pair count — constant; the equi-join on `cluster` is
+    * AQE-splittable when a cluster skews. Cosine is the codegen'd
+    * `cosine_sim` kernel, rounded to 6dp before the threshold so both
+    * engines decide identically.
+    */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3, tau: Double = 0.95): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val (cents, _) = kmeansModel(spark, dir, k, iters)
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(distExpr("v")))
+      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cluster")
+    val dups = assigned
+      .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("v").as("vb")), "cluster")
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(expr("cosine_sim(va, vb)"), 6) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select("vec_id", "cluster")
+      .join(dups.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** One Lloyd update: per-(cluster, dim) mean of the assigned vectors,
     * re-assembled into centroid arrays. Split out (and not yet
     * checkpointed) so ScaleSpec can assert the exact/scale plan shapes

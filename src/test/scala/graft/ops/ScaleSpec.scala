@@ -159,6 +159,28 @@ class ScaleSpec extends SparkSpec {
     assert(e.nonEmpty && s == e)
   }
 
+  test("semantic dedup flags exactly the planted copies at the graded threshold") {
+    val rows = Clustering.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val planted = rows.keys.filter(_ >= 1000000L)
+    // 500 base vectors -> 10 planted verbatim copies (every 50th)
+    assert(rows.size == 510 && planted.size == 10)
+    // every planted copy shares its source's cluster at cosine 1.0 and
+    // carries the higher id -> flagged; no natural pair reaches 0.95
+    assert(planted.forall(id => rows(id) == 1L))
+    assert(rows.count(_._2 == 1L) == 10)
+  }
+
+  test("semantic dedup threshold is a real knob: tau > 1 keeps all, tau = -1 keeps one per cluster") {
+    val all = Clustering.semanticDedup(spark, dir, tau = 1.01)
+    assert(all.filter(col("is_dup") === 1L).count() == 0)
+    val one = Clustering.semanticDedup(spark, dir, tau = -1.0)
+    val nClusters = one.select("cluster").distinct().count()
+    // at tau = -1 every vector with ANY lower-id cluster-mate is a dup,
+    // leaving exactly the min-id vector of each cluster
+    assert(one.filter(col("is_dup") === 0L).count() == nClusters)
+  }
+
   test("scale-mode ivfKnn returns the graded results") {
     // centroid deltas are ~1e-15 relative and distances round to 6
     // decimals before the argmin, so the probe assignment — and hence
