@@ -98,6 +98,8 @@ object SparkEntry {
     "q57_semantic_dedup" ->
       ((s: SparkSession, d: String) =>
         Clustering.semanticDedup(s, d, KmeansK, KmeansIters, SemDedupTau)),
+    "q58_lm_quality" -> ((s: SparkSession, d: String) =>
+      TextOps.lmQualityScore(s, d)),
   )
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
@@ -1279,6 +1281,35 @@ object SparkEntry {
          |    AS is_dup
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          |ORDER BY asg.vec_id""".stripMargin,
+    // Bigram-LM score: each transition probability is an exact-rounded
+    // ratio of integers; ln agrees bit-for-bit with Math.log on every
+    // distinct corpus ratio (see TextOps.lmQualityScore); the mean goes
+    // through an exact decimal sum because engines aggregate doubles in
+    // different orders.
+    "q58_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |tr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u
+        |  FROM t WHERE len(toks) >= 2),
+        |tr2 AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM tr),
+        |uni AS (
+        |  SELECT w1, COUNT(*) AS c1
+        |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM tr2 GROUP BY w1, w2),
+        |v AS (SELECT COUNT(*) AS vsz FROM uni),
+        |s AS (
+        |  SELECT tr2.doc_id,
+        |    ln((big.c12 + 1)::DOUBLE / (uni.c1 + v.vsz)) AS logp
+        |  FROM tr2 JOIN big USING (w1, w2) JOIN uni USING (w1), v)
+        |SELECT doc_id, COUNT(*) AS n_transitions,
+        |  round(CAST(SUM(CAST(logp AS DECIMAL(38, 18))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

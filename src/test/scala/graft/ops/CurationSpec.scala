@@ -194,6 +194,40 @@ class CurationSpec extends SparkSpec {
     assert(rows(5L).getAs[Long]("n_kept") == 1L)
   }
 
+  // --- q58: bigram-LM quality score ---
+
+  test("lm quality score matches a hand-built bigram model with add-one smoothing") {
+    // tokens: doc1 [a b a b], doc2 [a b], doc3 [c]
+    // unigrams a:3 b:3 c:1, V=3
+    // transitions doc1: (a,b)(b,a)(a,b); doc2: (a,b)
+    // P(a->b) = (3+1)/(3+3) = 2/3,  P(b->a) = (1+1)/(3+3) = 1/3
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b"), (3L, "c")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.lmQualityScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(1L).getAs[Long]("n_transitions") == 3L)
+    assert(rows(1L).getAs[Double]("avg_logp") ==
+      r6((2 * math.log(2.0 / 3) + math.log(1.0 / 3)) / 3))
+    assert(rows(2L).getAs[Long]("n_transitions") == 1L)
+    assert(rows(2L).getAs[Double]("avg_logp") == r6(math.log(2.0 / 3)))
+    // doc 3 has no transitions -> no row, but its token still counted
+    // in V (asserted implicitly: V=3 is baked into the expectations)
+    assert(!rows.contains(3L))
+  }
+
+  test("lm quality score ranks a garbled doc below a repeated common phrase") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat again"),
+      (2L, "mat the on sat zz cat qq the again and on xx")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.lmQualityScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(rows(1L) > rows(2L))
+  }
+
   // --- q48: PII scrub ---
 
   test("pii scrub detects planted rows and redacts them completely") {
