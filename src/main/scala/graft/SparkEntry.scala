@@ -100,7 +100,49 @@ object SparkEntry {
         Clustering.semanticDedup(s, d, KmeansK, KmeansIters, SemDedupTau)),
     "q58_lm_quality" -> ((s: SparkSession, d: String) =>
       TextOps.lmQualityScore(s, d)),
+    "q59_decontaminate_bloom" ->
+      ((s: SparkSession, d: String) => Dedup.contaminationReportBloom(s, d)),
   )
+
+  /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
+    * variant must produce the IDENTICAL contamination report (no false
+    * negatives in the sketch, false positives removed by the exact
+    * join), so both grade against one SQL.
+    */
+  private val ContaminationOracleSql: String =
+    """WITH bench AS (
+      |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+      |  WHERE doc_id % 100 = 0),
+      |tg AS (
+      |  SELECT doc_id, unnest(sh) AS gram FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |      ELSE [] END AS sh
+      |    FROM (SELECT doc_id,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM train) x) y),
+      |bg AS (
+      |  SELECT bench_id, unnest(sh) AS gram FROM (
+      |    SELECT bench_id,
+      |      CASE WHEN len(toks) >= 3 THEN
+      |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+      |      ELSE [] END AS sh
+      |    FROM (SELECT bench_id,
+      |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      |          FROM bench) x) y)
+      |SELECT tg.doc_id,
+      |  COUNT(DISTINCT bg.bench_id) AS n_benchmarks,
+      |  COUNT(DISTINCT tg.gram) AS n_shared_grams
+      |FROM tg JOIN bg ON tg.gram = bg.gram
+      |GROUP BY tg.doc_id
+      |ORDER BY tg.doc_id""".stripMargin
 
   /** DuckDB SQL for sign-LSH bucket column `b<t>` over the global
     * hyperplanes [t*bits, (t+1)*bits) — must mirror
@@ -1008,40 +1050,11 @@ object SparkEntry {
         |             OR (top2_n >= 2 AND top2_n * 10 >= n_2grams)
         |        THEN 1 ELSE 0 END AS BIGINT) AS repetitive
         |FROM d ORDER BY doc_id""".stripMargin,
-    "q47_decontaminate" ->
-      """WITH bench AS (
-        |  SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 100 = 0),
-        |train AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
-        |  WHERE doc_id % 100 = 0),
-        |tg AS (
-        |  SELECT doc_id, unnest(sh) AS gram FROM (
-        |    SELECT doc_id,
-        |      CASE WHEN len(toks) >= 3 THEN
-        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-        |      ELSE [] END AS sh
-        |    FROM (SELECT doc_id,
-        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |          FROM train) x) y),
-        |bg AS (
-        |  SELECT bench_id, unnest(sh) AS gram FROM (
-        |    SELECT bench_id,
-        |      CASE WHEN len(toks) >= 3 THEN
-        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
-        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-        |      ELSE [] END AS sh
-        |    FROM (SELECT bench_id,
-        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |          FROM bench) x) y)
-        |SELECT tg.doc_id,
-        |  COUNT(DISTINCT bg.bench_id) AS n_benchmarks,
-        |  COUNT(DISTINCT tg.gram) AS n_shared_grams
-        |FROM tg JOIN bg ON tg.gram = bg.gram
-        |GROUP BY tg.doc_id
-        |ORDER BY tg.doc_id""".stripMargin,
+    "q47_decontaminate" -> ContaminationOracleSql,
+    // q59 is the bloom-prefiltered q47: a Bloom filter has no false
+    // negatives and the exact gram join removes the false positives,
+    // so the result — and therefore the oracle — is identical.
+    "q59_decontaminate_bloom" -> ContaminationOracleSql,
     "q48_pii_scrub" -> {
       // the IDENTICAL pattern strings the Spark side uses (Privacy.*Re)
       val em = ops.Privacy.EmailRe

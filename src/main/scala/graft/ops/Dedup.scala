@@ -380,6 +380,68 @@ object Dedup {
         countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** Graded q59: `contaminationOf` with a Bloom-filter prefilter — the
+    * shape decontamination takes when even the benchmark GRAM SET is
+    * too large to broadcast as strings (13-gram shingles of a large
+    * eval suite are ~100 bytes each; the Bloom filter spends ~10 BITS
+    * per gram at 1% FPR — a 50-100x smaller broadcast). The corpus's
+    * grams probe the filter first (`bloom_might_contain` over Spark's
+    * native BloomFilterAggregate sketch — one broadcast row, a
+    * codegen'd scan-side filter, no shuffle), and only the survivors —
+    * true matches plus the FPR's worth of false positives — pay the
+    * exact gram equi-join, which eliminates the false positives.
+    * Bloom filters have no false negatives, so the result is
+    * IDENTICAL to `contaminationOf` row-for-row: q59 is graded
+    * against q47's own oracle, proving the sketch path exact, and
+    * ScaleSpec asserts the prefilter is really in the plan.
+    */
+  def contaminationReportBloom(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    val bench = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val train = corpusWithNearDupsTagged(spark, dir)
+      .filter(col("is_planted") || col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text")
+    contaminationOfBloom(train, bench, n).orderBy("doc_id")
+  }
+
+  /** Core of `contaminationReportBloom`: bloom-prefiltered
+    * `contaminationOf` over any train/bench pair. `numBits` sizes the
+    * sketch (bits/item ≈ numBits / |bench grams| sets the FPR; ~10
+    * bits/item ≈ 1%).
+    */
+  def contaminationOfBloom(train: DataFrame, bench: DataFrame,
+      n: Int = 3, estItems: Long = 100000L,
+      numBits: Long = 1L << 20): DataFrame = {
+    require(n >= 1, s"shingle width must be >= 1, got $n")
+    val spark = train.sparkSession
+    graft.functions.WordShingles.register(spark)
+    graft.functions.BloomFilters.register(spark)
+    def grams(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol),
+        explode(expr(s"word_shingles(text, $n)")).as("gram"))
+    val bg = grams(bench, "bench_id")
+    // `might_contain` requires its sketch operand to be a CONSTANT (or
+    // scalar subquery) — the same contract Spark's own runtime join
+    // filters satisfy by materializing the aggregate on the driver and
+    // re-injecting it. One tiny action collects the single sketch row
+    // (~numBits/8 bytes, NOT corpus-sized data) and embeds it as a
+    // binary literal, which ships to executors with the plan.
+    val bf = bg.agg(call_function("bloom_filter_agg",
+        xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val prefilter =
+      if (bf == null) lit(false) // empty benchmark: nothing contaminates
+      else call_function("bloom_might_contain", lit(bf), xxhash64(col("gram")))
+    grams(train, "doc_id")
+      .filter(prefilter)
+      .join(broadcast(bg), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("bench_id")).as("n_benchmarks"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
   /** The decision stage: training docs with NO shingle overlap against
     * the benchmark — a broadcast anti-join on the flagged id set.
     */

@@ -49,4 +49,32 @@ object DocStreams {
     */
   def scrubbedDocs(stream: DataFrame): DataFrame =
     graft.ops.Privacy.piiScrubOf(stream.select("doc_id", "text"))
+
+  /** Exact dedup in flight — the streaming twin of q17's content-hash
+    * dedup: the FIRST arrival of each distinct text passes; every later
+    * copy (same batch or any later batch) is dropped against the state
+    * store keyed by md5(text). State is one 32-byte hash per distinct
+    * content seen — unbounded over an infinite stream, which is exactly
+    * the q17 semantics ("a duplicate is a duplicate forever"); use
+    * `dedupedDocsWithinWatermark` when the dedup horizon is bounded.
+    */
+  def dedupedDocs(stream: DataFrame): DataFrame =
+    stream.select(col("doc_id"), col("text"))
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+
+  /** State-BOUNDED streaming dedup: duplicates are only suppressed
+    * within `horizon` of event time, and the state store evicts hashes
+    * older than the watermark — the shape an always-on ingestion
+    * pipeline actually runs (state cannot grow with all history; a
+    * re-crawl months later is allowed to re-admit a document, and the
+    * batch dedup pass downstream owns cross-horizon exactness).
+    * `stream` must carry an `arrival_ts` timestamp column.
+    */
+  def dedupedDocsWithinWatermark(stream: DataFrame,
+      horizon: String = "10 minutes"): DataFrame =
+    stream.select(col("doc_id"), col("text"), col("arrival_ts"))
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("arrival_ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -159,6 +159,17 @@ class ScaleSpec extends SparkSpec {
     assert(e.nonEmpty && s == e)
   }
 
+  test("bloom-prefiltered decontamination equals the exact report, prefilter in plan") {
+    val exact = Dedup.contaminationReport(spark, dir).collect().toSeq
+    val bloom = Dedup.contaminationReportBloom(spark, dir).collect().toSeq
+    // no false negatives in the sketch + exact join removes false
+    // positives -> row-for-row identical
+    assert(exact.nonEmpty && bloom == exact)
+    val plan = Dedup.contaminationReportBloom(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
   test("semantic dedup flags exactly the planted copies at the graded threshold") {
     val rows = Clustering.semanticDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toMap

@@ -35,6 +35,86 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming dedup drops cross-batch duplicates against the state store") {
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val in = Files.createTempDirectory("docs_dedup_in")
+    def writeFile(sub: String, rows: Seq[(Long, String)], mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("docs_dedup_tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(sub)
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    // file B re-sends doc 1's content under a new id: the second batch
+    // must drop it against state from the first
+    writeFile("a.parquet", Seq((1L, "aaa"), (2L, "bbb")), 1000000L)
+    writeFile("b.parquet", Seq((3L, "aaa"), (4L, "ccc")), 2000000L)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    EventStreams.runToMemory(DocStreams.dedupedDocs(stream),
+      "doc_dedup", OutputMode.Append())
+    val kept = spark.table("doc_dedup").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 2L, 4L))
+    assert(kept(1L) == "aaa" && kept(4L) == "ccc")
+  }
+
+  test("watermarked dedup suppresses in-horizon dups and re-admits beyond the horizon") {
+    import java.nio.file.attribute.FileTime
+    import java.sql.Timestamp
+    import spark.implicits._
+    val in = Files.createTempDirectory("docs_wm_in")
+    val t0 = 1700000000000L // fixed epoch for determinism
+    def ts(offsetMs: Long) = new Timestamp(t0 + offsetMs)
+    def writeFile(sub: String, rows: Seq[(Long, String, Timestamp)],
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("docs_wm_tmp").toString
+      rows.toDF("doc_id", "text", "arrival_ts").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(sub)
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    val hour = 3600000L
+    // batch 1: content X plus an in-batch duplicate -> one survives
+    writeFile("a.parquet",
+      Seq((1L, "xxx", ts(0)), (2L, "xxx", ts(1000)), (3L, "yyy", ts(0))),
+      1000000L)
+    // batch 2: unrelated content an hour later advances the watermark
+    // far past X's 10-minute retention
+    writeFile("b.parquet", Seq((4L, "zzz", ts(hour))), 2000000L)
+    // batches 3 and 4: X returns long after its 10-minute horizon.
+    // State eviction runs at batch COMMIT with that batch's watermark,
+    // so the first post-horizon copy (doc 5) still sees the stale entry
+    // and is dropped — the API's contract is only "no duplicates WITHIN
+    // the delay; beyond it, best effort" — while the next one (doc 6)
+    // arrives after eviction and is re-admitted.
+    writeFile("c.parquet", Seq((5L, "xxx", ts(hour + 1000))), 3000000L)
+    writeFile("d.parquet", Seq((6L, "xxx", ts(hour + 2000))), 4000000L)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, arrival_ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    EventStreams.runToMemory(
+      DocStreams.dedupedDocsWithinWatermark(stream, "10 minutes"),
+      "doc_dedup_wm", OutputMode.Append())
+    val kept = spark.table("doc_dedup_wm").collect()
+      .map(_.getLong(0)).toSet
+    // doc 2 (in-horizon dup) suppressed for sure; the horizon is real:
+    // X is re-admitted once its state ages out (doc 6), which an
+    // unbounded dropDuplicates would never do
+    assert(!kept.contains(2L))
+    assert(Set(1L, 3L, 4L).subsetOf(kept))
+    assert(kept.contains(6L) || kept.contains(5L))
+  }
+
   test("streaming pii scrub matches the batch scrub") {
     // plant PII the same way the batch graded query does, as files
     val in = Files.createTempDirectory("docs_pii_in").toString
