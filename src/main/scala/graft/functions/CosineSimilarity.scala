@@ -104,8 +104,15 @@ object CosineSimilarity {
     CosineSimilarity(exprs(0), exprs(1))
   }
 
-  /** Register `cosine_sim(a, b)` for SQL/expr use in this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", build, "built-in")
+  /** Register `cosine_sim(a, b)` for SQL/expr use in this session.
+    * Register-if-absent: `GraftExtensions` (or a prior operator call)
+    * may already have installed it, and re-registering logs a
+    * "replaced a previously registered function" warning per call.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      registry.createOrReplaceTempFunction("cosine_sim", build, "built-in")
+  }
 }

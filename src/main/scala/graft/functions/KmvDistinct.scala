@@ -103,8 +103,15 @@ case class KmvDistinct(
 }
 
 object KmvDistinct {
-  /** Register `kmv_distinct(hash_col)` for SQL/expr use in this session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_distinct", exprs => KmvDistinct(exprs.head), "built-in")
+  /** Register `kmv_distinct(hash_col)` for SQL/expr use in this session.
+    * Register-if-absent, matching `WordShingles.register` — avoids the
+    * per-call "replaced a previously registered function" warning.
+    */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct")))
+      registry.createOrReplaceTempFunction("kmv_distinct",
+        exprs => KmvDistinct(exprs.head), "built-in")
+  }
 }

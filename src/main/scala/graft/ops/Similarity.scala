@@ -124,20 +124,15 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** The nPlanes×64 ±1 hyperplane matrix, derived from md5("p_i")
-    * first-digit parity — precomputed driver-side with the exact formula
-    * the DuckDB oracle evaluates in SQL, then shipped as a literal. This
-    * turns ~(nPlanes·64) md5 calls PER ROW into nPlanes·64 total.
+  /** The nPlanes×64 ±1 hyperplane matrix — md5("p_i") first-digit
+    * parity, single-sourced in `LshBuckets.flatPlanes` (the same table
+    * the fused kernel bakes into codegen, and the formula the DuckDB
+    * oracle evaluates in SQL).
     */
   private[graft] def hyperplanes(nPlanes: Int): Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until nPlanes).map { p =>
-      (1 to 64).map { i =>
-        val digest = md.digest(s"${p}_$i".getBytes("UTF-8"))
-        val firstHexDigit = (digest(0) >> 4) & 0xf
-        if ((firstHexDigit & 1) == 1) 1.0 else -1.0
-      }
-    }
+    val flat = graft.functions.LshBuckets.flatPlanes(nPlanes)
+    val d = graft.functions.LshBuckets.Dims
+    (0 until nPlanes).map(p => flat.slice(p * d, (p + 1) * d).toSeq)
   }
 
   /** Attach sign-random-projection LSH bucket columns b0..b{nTables-1}:
@@ -148,22 +143,22 @@ object Similarity {
     * and bitsPerTable is the precision lever (2^bits buckets per table).
     * At corpus scale both are raised together (e.g. 8 tables × 16 bits)
     * so per-bucket candidate counts stay ~N/2^bits per table.
-    * Sequential fold ⇒ bit-identical dot products in Spark and DuckDB.
+    *
+    * All nTables buckets come from ONE fused `lsh_buckets` call (native
+    * codegen'd kernel, `functions/LshBuckets.scala`) — the composed
+    * HOF-fold form this replaces paid nTables·bitsPerTable interpreted
+    * 64-dim lambda folds per row, which dominated q29 at 16×4. Sequential
+    * accumulation in the kernel keeps dot products bit-identical to the
+    * fold and to DuckDB's `list_reduce` (`lshBucketSql`).
     */
   private[graft] def lshBucketed(corpus: DataFrame, nTables: Int,
       bitsPerTable: Int): DataFrame = {
-    def tableExpr(lo: Int): String =
-      s"""aggregate(transform(sequence($lo, ${lo + bitsPerTable - 1}), p ->
-         |  IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
-         |       acc + CAST(element_at(v, i) AS DOUBLE) *
-         |             element_at(element_at(__planes, p + 1), i))
-         |     >= 0, shiftleft(1, p - $lo), 0)),
-         |  0, (acc, x) -> acc + x)""".stripMargin
-    val withPlanes = corpus
-      .withColumn("__planes", typedLit(hyperplanes(nTables * bitsPerTable)))
-    (0 until nTables).foldLeft(withPlanes) { (df, t) =>
-      df.withColumn(s"b$t", expr(tableExpr(t * bitsPerTable)))
-    }.drop("__planes")
+    graft.functions.LshBuckets.register(corpus.sparkSession)
+    val withArr = corpus.withColumn("__bks",
+      expr(s"lsh_buckets(v, $nTables, $bitsPerTable)"))
+    (0 until nTables).foldLeft(withArr) { (df, t) =>
+      df.withColumn(s"b$t", col("__bks").getItem(t))
+    }.drop("__bks")
   }
 
   /** Hyperplane-LSH ANN: candidates share any table's bucket with the

@@ -150,8 +150,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   * }}}
   *
   * Registers the range-join rewrite rule and the engine's custom
-  * functions (`cosine_sim`), so an extensions-built session needs no
-  * per-session `register` calls — SQL and `expr` resolve them directly.
+  * functions (`cosine_sim`, `word_shingles`, `lsh_buckets`), so an
+  * extensions-built session needs no per-session `register` calls —
+  * SQL and `expr` resolve them directly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -168,5 +169,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.WordShingles].getCanonicalName,
         "word_shingles"),
       graft.functions.WordShingles.build _))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_buckets"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.LshBuckets].getCanonicalName,
+        "lsh_buckets"),
+      graft.functions.LshBuckets.build _))
   }
 }
