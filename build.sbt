@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits one or more compiled classes per query
+  // stage; a 59-query bench (warm-up pass + timed pass) overflows the
+  // default 240 MB code cache, and the resulting JIT eviction re-compiles
+  // hot loops DURING timed runs (observed: late-alphabet queries timing
+  // 2x their steady state while a focused re-run converges back).
+  "-XX:ReservedCodeCacheSize=1g",
 )
