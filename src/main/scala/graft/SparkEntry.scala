@@ -102,6 +102,12 @@ object SparkEntry {
       TextOps.lmQualityScore(s, d)),
     "q59_decontaminate_bloom" ->
       ((s: SparkSession, d: String) => Dedup.contaminationReportBloom(s, d)),
+    "q60_importance_weights" ->
+      ((s: SparkSession, d: String) =>
+        Importance.importanceReport(s, d, DsirTargetLang)),
+    "q61_quantized_knn" ->
+      ((s: SparkSession, d: String) => Quantization.quantizedTopK(s, d, QuantTopK)),
+    "q62_audio_features" -> Multimodal.audioStats _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1323,6 +1329,103 @@ object SparkEntry {
         |  round(CAST(SUM(CAST(logp AS DECIMAL(38, 18))) AS DOUBLE)
         |    / COUNT(*), 6) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Replays Importance.importanceReportOf: hashed-bigram occurrence
+    // buckets, add-one-smoothed likelihood ratio decided by integer
+    // cross-multiplication in decimal, per-doc majority vote. The bucket
+    // count and target language interpolate from the same constants the
+    // Scala operator receives.
+    "q60_importance_weights" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(gram), 1, 6) AS BIGINT) % ${Importance.NumBuckets}
+        |      AS bucket
+        |  FROM g),
+        |hist AS (
+        |  SELECT bucket, COUNT(*) AS r_cnt,
+        |    SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS t_cnt
+        |  FROM b GROUP BY bucket),
+        |tot AS (SELECT SUM(r_cnt) AS r_total, SUM(t_cnt) AS t_total FROM hist),
+        |lean AS (
+        |  SELECT bucket,
+        |    CAST(t_cnt + 1 AS DECIMAL(19, 0)) *
+        |      CAST(r_total + ${Importance.NumBuckets} AS DECIMAL(19, 0)) >
+        |    CAST(r_cnt + 1 AS DECIMAL(19, 0)) *
+        |      CAST(t_total + ${Importance.NumBuckets} AS DECIMAL(19, 0))
+        |      AS target_leaning
+        |  FROM hist CROSS JOIN tot)
+        |SELECT b.doc_id, COUNT(*) AS n_grams,
+        |  SUM(CASE WHEN target_leaning THEN 1 ELSE 0 END) AS n_target_leaning,
+        |  SUM(CASE WHEN target_leaning THEN 1 ELSE 0 END) * 2 > COUNT(*)
+        |    AS dsir_keep
+        |FROM b JOIN lean USING (bucket)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // Replays Quantization.quantizedTopK: L2-normalize, then fixed-scale
+    // int8 quantization (floor(u*127 + 0.5) — floor, not round: see the
+    // operator doc), exact bigint dot products, top-k by
+    // (qdot DESC, vec_id ASC) over the q21 probe set.
+    "q61_quantized_knn" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e,
+        |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+        |qt AS (
+        |  SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(e, x -> 0)
+        |    ELSE list_transform(e,
+        |      x -> CAST(floor(x / nrm * 127.0 + 0.5) AS INTEGER)) END AS q
+        |  FROM s),
+        |p AS (
+        |  SELECT qs.vec_id AS q_id, t.vec_id,
+        |    list_sum(list_transform(range(1, len(qs.q) + 1),
+        |      i -> CAST(qs.q[i] AS BIGINT) * CAST(t.q[i] AS BIGINT))) AS qdot
+        |  FROM qt t CROSS JOIN (SELECT * FROM qt WHERE vec_id < 8) qs
+        |  WHERE t.vec_id <> qs.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id, qdot,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id ASC)
+        |      AS rn
+        |  FROM p)
+        |SELECT q_id, rn, vec_id, qdot FROM r WHERE rn <= $QuantTopK
+        |ORDER BY q_id, rn""".stripMargin,
+
+    // Recomputes Multimodal.AudioCodec's planted-sample arithmetic: the
+    // Spark side must DECODE real WAV bytes back to these integers, so
+    // any header/frame/endianness misread hash-mismatches (q25's
+    // planted-value pattern, audio edition).
+    "q62_audio_features" ->
+      """WITH d AS (SELECT doc_id, lang FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(0, CAST(50 + doc_id % 32 AS BIGINT) - 1)) AS i
+        |  FROM d),
+        |v AS (
+        |  SELECT doc_id, lang, i,
+        |    (doc_id * 131 + i * 37) % 65536 - 32768 AS smp
+        |  FROM s),
+        |z AS (
+        |  SELECT doc_id, lang, smp,
+        |    lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM v),
+        |f AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_samples, SUM(abs(smp)) AS sum_abs,
+        |    MAX(abs(smp)) AS peak,
+        |    SUM(CASE WHEN prev * smp < 0 THEN 1 ELSE 0 END) AS n_zero_cross
+        |  FROM z GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_media, SUM(n_samples) AS sum_samples,
+        |  SUM(sum_abs) AS sum_abs, MAX(peak) AS max_peak,
+        |  SUM(n_zero_cross) AS sum_zero_cross
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map
@@ -1351,6 +1454,10 @@ object SparkEntry {
   private val BlockSize = 20
   // q57: SemDeDup cosine threshold (paper operates at 0.9-0.95+).
   private val SemDedupTau = 0.95
+  // q60: DSIR target distribution = the English slice of the corpus.
+  private val DsirTargetLang = "en"
+  // q61: neighbors per probe under the quantized integer dot product.
+  private val QuantTopK = 3
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

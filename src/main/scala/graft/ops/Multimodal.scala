@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   * hash-mismatch — the planted-value pattern q48 uses for PII. Resize is
   * a real `Graphics2D` rescale through the same encode/decode pair.
   *
+  * The AUDIO path is real the same way (see [[AudioCodec]]): 16-bit PCM
+  * WAVs synthesized per document, round-tripped through JDK
+  * `javax.sound.sampled.AudioSystem`, graded as q62.
+  *
   * Video frame extraction remains a byte-level stand-in (`sampleFrames`
   * — no video codec ships with the JDK): the flatMap-over-partitions
   * plumbing is real and tested, the "frames" are fixed-size byte slices.
@@ -145,6 +149,108 @@ object Multimodal {
       }
     }
   }
+
+  final case class AudioFeatures(doc_id: Long, lang: String,
+      n_samples: Long, sum_abs: Long, peak: Long, n_zero_cross: Long)
+
+  /** Deterministic WAV codec — the AUDIO path is REAL in the same sense
+    * the image path is: a 16-bit PCM mono WAV is synthesized per
+    * document (every sample an integer function of `(doc_id, i)`),
+    * encoded and decoded through JDK `javax.sound.sampled.AudioSystem`
+    * (module java.desktop — no external dependency), and the graded q62
+    * aggregates features of the DECODED samples. PCM is lossless, so a
+    * decode that misread the header, frame size, or byte order would
+    * shift every sample and hash-mismatch against the oracle's
+    * arithmetic recomputation.
+    */
+  object AudioCodec {
+    private val Format = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false) // 16-bit signed PCM, mono, little-endian
+
+    def nSamples(docId: Long): Int = (50 + docId % 32).toInt
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 131 + i.toLong * 37) % 65536).toInt - 32768
+
+    def encode(docId: Long): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i)
+        pcm(i * 2) = (s & 0xff).toByte // little-endian
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm), Format, n.toLong)
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Real AudioSystem decode: parse the WAV container, stream the PCM
+      * frames, and fold sample statistics. Zero crossings are strict
+      * sign flips (`s_{i-1} * s_i < 0`); zero-valued samples break a
+      * flip, mirroring the oracle's predicate exactly.
+      */
+    def decode(docId: Long, lang: String, bytes: Array[Byte]): AudioFeatures = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val frameBytes = in.getFormat.getFrameSize
+      val buf = in.readAllBytes()
+      in.close()
+      val n = buf.length / frameBytes
+      var (sumAbs, peak, crossings) = (0L, 0L, 0L)
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val s = ((buf(i * 2 + 1) << 8) | (buf(i * 2) & 0xff))
+        sumAbs += math.abs(s.toLong)
+        if (math.abs(s.toLong) > peak) peak = math.abs(s.toLong)
+        if (i > 0 && prev.toLong * s < 0) crossings += 1
+        prev = s
+        i += 1
+      }
+      AudioFeatures(docId, lang, n.toLong, sumAbs, peak, crossings)
+    }
+  }
+
+  /** Synthesize the audio table from `documents`: one real WAV per
+    * document, encoded inside the partition like [[imageTable]].
+    */
+  def audioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, source, lang) =>
+          MediaRow(id, AudioCodec.encode(id), MediaMeta("audio/wav", source, lang))
+        }
+      }
+  }
+
+  /** Partition-batched WAV decode, the audio twin of [[decodeImages]]. */
+  def decodeAudio(spark: SparkSession, dir: String): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audioTable(spark, dir).mapPartitions { rows =>
+      val codec = AudioCodec // per-partition init point
+      rows.map(r => codec.decode(r.doc_id, r.meta.lang, r.content))
+    }
+  }
+
+  /** Per-language aggregate of the DECODED audio features (graded q62). */
+  def audioStats(spark: SparkSession, dir: String): DataFrame =
+    decodeAudio(spark, dir).toDF()
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_samples")).as("sum_samples"),
+        sum(col("sum_abs")).as("sum_abs"),
+        max(col("peak")).as("max_peak"),
+        sum(col("n_zero_cross")).as("sum_zero_cross"))
+      .orderBy("lang")
 
   final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 

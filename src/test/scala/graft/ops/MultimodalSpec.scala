@@ -59,6 +59,46 @@ class MultimodalSpec extends SparkSpec {
       assert((round.getRGB(x, y) & 0xffffff) == (orig.getRGB(x, y) & 0xffffff))
   }
 
+  test("audio table carries real WAV payloads (RIFF/WAVE container)") {
+    val m = Multimodal.audioTable(spark, dir).limit(5).collect()
+    assert(m.forall(_.meta.mime == "audio/wav"))
+    m.foreach { r =>
+      assert(new String(r.content.take(4), "US-ASCII") == "RIFF")
+      assert(new String(r.content.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
+
+  test("AudioSystem decode recovers the planted sample arithmetic exactly") {
+    val feats = Multimodal.decodeAudio(spark, dir)
+      .filter(_.doc_id < 10).collect().map(f => f.doc_id -> f).toMap
+    assert(feats.size == 10)
+    feats.foreach { case (id, f) =>
+      // independent inline recompute — the same arithmetic the oracle
+      // SQL evaluates
+      val n = (50 + id % 32).toInt
+      val samples = (0 until n).map(i => ((id * 131 + i * 37) % 65536).toInt - 32768)
+      val expectedCross = samples.sliding(2).count {
+        case Seq(a, b) => a.toLong * b < 0
+        case _ => false
+      }
+      assert(f.n_samples == n.toLong, s"doc $id n_samples")
+      assert(f.sum_abs == samples.map(s => math.abs(s.toLong)).sum, s"doc $id sum_abs")
+      assert(f.peak == samples.map(s => math.abs(s.toLong)).max, s"doc $id peak")
+      assert(f.n_zero_cross == expectedCross.toLong, s"doc $id zero_cross")
+    }
+  }
+
+  test("WAV round trip is lossless for hand-built sample sequences") {
+    // encode uses the SAME codec path the table uses; decode must see
+    // sign flips and zero samples exactly (zero breaks a crossing run)
+    val bytes = Multimodal.AudioCodec.encode(7L)
+    val f = Multimodal.AudioCodec.decode(7L, "en", bytes)
+    assert(f.n_samples == Multimodal.AudioCodec.nSamples(7L).toLong)
+    val expected = (0 until Multimodal.AudioCodec.nSamples(7L))
+      .map(Multimodal.AudioCodec.sample(7L, _))
+    assert(f.peak == expected.map(s => math.abs(s.toLong)).max)
+  }
+
   test("frame sampling emits every k-th fixed-size byte frame") {
     val media = Multimodal.imageTable(spark, dir).filter(_.doc_id == 0)
     val content = media.collect().head.content
