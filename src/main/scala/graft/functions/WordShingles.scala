@@ -45,11 +45,44 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct = true)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordShingles.compute($c, $n)")
+      s"graft.functions.WordShingles.compute($c, $n, true)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ALL n-word-gram occurrences (no dedup, corpus order) — the sibling
+  * of [[WordShingles]] for occurrence-counting consumers (importance
+  * weighting, LM scoring): set semantics would silently change their
+  * statistics. Same fused kernel, same tokenizer equivalence; exists
+  * because the composed `transform(sequence(...), i -> concat_ws(...))`
+  * HOF form is not just interpreted — under project-collapse the
+  * tokenizer alias is substituted into the lambda and re-evaluated per
+  * element (the q38 pushdown bug class), which measured 11.8s vs 0.4s
+  * on the sf0.1 corpus for the SAME bigrams.
+  */
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && n >= 1) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams expects (string, n >= 1), got " +
+        s"(${child.dataType.simpleString}, $n)")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles.compute($c, $n, false)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,10 +90,11 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
 
-  /** One pass: lowercase+tokenize into [a-z0-9]+ runs, shingle, dedup
-    * in first-occurrence order. Called from both eval paths.
+  /** One pass: lowercase+tokenize into [a-z0-9]+ runs, shingle, and
+    * (when `distinct`) dedup in first-occurrence order. Called from the
+    * eval paths of both [[WordShingles]] and [[WordNgrams]].
     */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     // the same lowercase Spark's lower() applies, THEN a literal scan —
     // identical to regexp_extract_all(lower(text), '[a-z0-9]+')
     val s = text.toLowerCase.toString
@@ -83,7 +117,11 @@ object WordShingles {
     }
     val m = tokens.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
+    // LinkedHashSet when deduping; ArrayList (insertion order, dups
+    // kept) for the occurrence variant — one branch, shared loop
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String]()
+      else new java.util.ArrayList[String](m)
     var j = 0
     while (j < m) {
       val sb = new java.lang.StringBuilder(tokens.get(j))
@@ -130,5 +168,22 @@ object WordShingles {
     if (!registry.functionExists(
         new org.apache.spark.sql.catalyst.FunctionIdentifier("word_shingles")))
       registry.createOrReplaceTempFunction("word_shingles", build, "built-in")
+    if (!registry.functionExists(
+        new org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams")))
+      registry.createOrReplaceTempFunction("word_ngrams", buildNgrams, "built-in")
+  }
+
+  /** Expression builder for SQL registration: word_ngrams(text, n). */
+  def buildNgrams(exprs: Seq[Expression]): Expression = {
+    if (exprs.length != 2) {
+      throw new IllegalArgumentException(
+        s"word_ngrams expects exactly 2 arguments, got ${exprs.length}")
+    }
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"word_ngrams: n must be an integer literal, got $other")
+    }
+    WordNgrams(exprs(0), n)
   }
 }

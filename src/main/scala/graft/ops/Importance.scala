@@ -49,7 +49,12 @@ object Importance {
   val NumBuckets = 8192
 
   /** All bigram occurrences of the tokenized text (NOT distinct —
-    * importance weighting is over occurrence counts). `toks` must exist.
+    * importance weighting is over occurrence counts). `toks` must
+    * exist. This composed form documents the semantics and anchors the
+    * `word_ngrams` equivalence test; the hot path runs the fused kernel
+    * instead — under project-collapse the tokenizer alias is
+    * substituted into the lambda and re-evaluated PER ELEMENT (the q38
+    * pushdown bug class), which measured 11.8s vs 0.4s at sf0.1.
     */
   val bigramsExpr: String =
     """CASE WHEN size(toks) >= 2 THEN
@@ -61,15 +66,18 @@ object Importance {
     s"cast(conv(substring(md5($gramCol), 1, 6), 16, 10) as bigint) % $NumBuckets"
 
   /** One row per (document, bucket): `cnt` bigram occurrences of
-    * `doc_id` hashed into `bucket`. The single corpus-sized pass.
+    * `doc_id` hashed into `bucket`. The single corpus-sized pass —
+    * tokenize+shingle fused into the codegen'd `word_ngrams` kernel.
     */
-  def hashedBigramCounts(docs: DataFrame): DataFrame =
-    TextOps.tokenizedOf(docs)
-      .withColumn("grams", expr(bigramsExpr))
-      .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+  def hashedBigramCounts(docs: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"),
+        explode(expr("word_ngrams(text, 2)")).as("gram"))
       .withColumn("bucket", expr(bucketOf("gram")))
       .groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Graded q60: per-document hashed-bigram importance verdict against
     * the `lang = targetLang` target distribution. Emits documents with

@@ -150,7 +150,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   * }}}
   *
   * Registers the range-join rewrite rule and the engine's custom
-  * functions (`cosine_sim`, `word_shingles`, `lsh_buckets`), so an
+  * functions (`cosine_sim`, `word_shingles`, `word_ngrams`,
+  * `lsh_buckets`), so an
   * extensions-built session needs no per-session `register` calls —
   * SQL and `expr` resolve them directly.
   */
@@ -169,6 +170,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.WordShingles].getCanonicalName,
         "word_shingles"),
       graft.functions.WordShingles.build _))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("word_ngrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.WordNgrams].getCanonicalName,
+        "word_ngrams"),
+      graft.functions.WordShingles.buildNgrams _))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_buckets"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -29,6 +29,29 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("word_ngrams equals the composed occurrence form on the whole corpus") {
+    WordShingles.register(spark)
+    val rows = Tables(spark, dir, "documents")
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .withColumn("expected", expr(graft.ops.Importance.bigramsExpr))
+      .withColumn("actual", expr("word_ngrams(text, 2)"))
+      .select("doc_id", "expected", "actual")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("word_ngrams keeps duplicate occurrences in corpus order") {
+    import spark.implicits._
+    WordShingles.register(spark)
+    val out = Seq((1L, "a b c a b c a b"))
+      .toDF("doc_id", "text")
+      .select(expr("word_ngrams(text, 2)")).head.getSeq[String](0)
+    assert(out == Seq("a b", "b c", "c a", "a b", "b c", "c a", "a b"))
+  }
+
   test("edge cases: short, empty, case, punctuation, digits, dedup order") {
     import spark.implicits._
     WordShingles.register(spark)
@@ -72,7 +95,8 @@ class WordShinglesSpec extends SparkSpec {
       .limit(50).collect().map(_.getString(0))
     texts.foreach { t =>
       val direct = WordShingles
-        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t), 3,
+          distinct = true)
       val viaPlan = Seq(t).toDF("text")
         .select(expr("word_shingles(text, 3)")).head.getSeq[String](0)
       assert(direct.numElements() == viaPlan.length)
