@@ -87,12 +87,30 @@ object Importance {
       targetLang: String = "en"): DataFrame =
     importanceReportOf(Tables(spark, dir, "documents"), targetLang)
 
-  def importanceReportOf(docs: DataFrame, targetLang: String): DataFrame = {
-    val perDoc = CachedStages.track(hashedBigramCounts(docs).persist())
+  /** The fitted model: the set of target-leaning bucket ids, collected
+    * to the driver. This is a MODEL-ARTIFACT extraction (≤ [[NumBuckets]]
+    * longs — the hashed-n-gram analogue of a classifier's weight
+    * vector), not a data-path collect: the streaming scorer
+    * (`DocStreams.importanceScoredDocs`) inlines it as a literal so
+    * in-flight scoring is a stateless projection.
+    */
+  def leanBucketSet(docs: DataFrame, targetLang: String): Seq[Long] =
+    leanTable(docs, targetLang)
+      .filter(col("target_leaning"))
+      .select("bucket").collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Per-bucket verdict table (bucket, target_leaning) from a bucket
+    * count table — the model-fitting stage, shared by the graded batch
+    * report and [[leanBucketSet]].
+    */
+  def leanTable(docs: DataFrame, targetLang: String): DataFrame =
+    leanOf(hashedBigramCounts(docs), targetLang)
+
+  private def leanOf(perDoc: DataFrame, targetLang: String): DataFrame = {
     // B-row histogram of raw and target occurrence counts (one pass over
-    // the cached counts); the corpus totals ride along as an unbounded
-    // window over the histogram itself — one exchange of B tiny rows,
-    // not a second aggregation pass over perDoc.
+    // the counts); the corpus totals ride along as an unbounded window
+    // over the histogram itself — one exchange of B tiny rows, not a
+    // second aggregation pass over perDoc.
     val hist = perDoc.groupBy("bucket").agg(
       sum(col("cnt")).as("r_cnt"),
       sum(when(col("lang") === targetLang, col("cnt")).otherwise(0L))
@@ -103,13 +121,18 @@ object Importance {
     // on BOTH engines (DuckDB rejects a multiply whose result precision
     // would exceed 38; 19 digits comfortably hold any corpus count).
     def d19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-    val lean = hist
+    hist
       .withColumn("r_total", sum(col("r_cnt")).over(totalW))
       .withColumn("t_total", sum(col("t_cnt")).over(totalW))
       .withColumn("target_leaning",
         d19(col("t_cnt") + 1) * d19(col("r_total") + NumBuckets) >
           d19(col("r_cnt") + 1) * d19(col("t_total") + NumBuckets))
       .select("bucket", "target_leaning")
+  }
+
+  def importanceReportOf(docs: DataFrame, targetLang: String): DataFrame = {
+    val perDoc = CachedStages.track(hashedBigramCounts(docs).persist())
+    val lean = leanOf(perDoc, targetLang)
     perDoc.join(broadcast(lean), "bucket")
       .groupBy("doc_id")
       .agg(

@@ -77,4 +77,56 @@ object DocStreams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("arrival_ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** DSIR importance scoring in flight — the streaming twin of q60.
+    * The target-leaning bucket set is a FROZEN MODEL ARTIFACT fitted by
+    * the batch pass (`Importance.leanBucketSet`, ≤ NumBuckets longs —
+    * the hashed-n-gram analogue of shipping classifier weights to a
+    * scorer); with the model inlined as a literal, the per-document
+    * verdict needs no shuffle, no state, and no stream-side
+    * aggregation: hash the document's bigrams, count membership, vote.
+    * Exactly what an ingestion edge runs: score-and-route documents as
+    * they land against last night's fitted distribution.
+    */
+  def importanceScoredDocs(stream: DataFrame,
+      leanBuckets: Seq[Long]): DataFrame = {
+    graft.functions.WordShingles.register(stream.sparkSession)
+    val leanLit = typedlit(leanBuckets.sorted)
+    stream
+      .withColumn("buckets", expr(
+        s"""transform(word_ngrams(text, 2), g ->
+           |  cast(conv(substring(md5(g), 1, 6), 16, 10) as bigint)
+           |    % ${graft.ops.Importance.NumBuckets})""".stripMargin))
+      .withColumn("n_grams", size(col("buckets")).cast("long"))
+      .filter(col("n_grams") >= 1)
+      .withColumn("n_target_leaning",
+        size(filter(col("buckets"), b => array_contains(leanLit, b)))
+          .cast("long"))
+      .withColumn("dsir_keep", col("n_target_leaning") * 2 > col("n_grams"))
+      .select("doc_id", "n_grams", "n_target_leaning", "dsir_keep")
+  }
+}
+
+/** Streaming formulation of the embedding surface: vectors arriving as
+  * files are int8-quantized in flight (the q61 quantizer) — one
+  * stateless codegen'd projection, the write-path shape a vector store
+  * runs so the ANN index ingests quantized codes directly.
+  */
+object EmbeddingStreams {
+
+  /** File-source schema of the embeddings parquet layout. */
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddingStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingSchema).parquet(dir)
+
+  /** Quantize in flight — the streaming twin of q61's quantization
+    * stage, sharing `Quantization.quantizedOf` verbatim.
+    */
+  def quantizedVectors(stream: DataFrame): DataFrame =
+    graft.ops.Quantization.quantizedOf(
+      stream.select(col("vec_id"), col("embedding")))
 }

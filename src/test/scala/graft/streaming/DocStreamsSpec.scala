@@ -35,6 +35,40 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming importance scoring matches the batch report under a frozen model") {
+    val batchDocs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    // fit on the batch corpus, ship the lean set to the stream
+    val model = graft.ops.Importance.leanBucketSet(batchDocs, "en")
+    val stream = DocStreams.readDocStream(spark, streamDir)
+    EventStreams.runToMemory(
+      DocStreams.importanceScoredDocs(stream, model),
+      "doc_importance", OutputMode.Append())
+    val streamed = spark.table("doc_importance").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val batch = graft.ops.Importance.importanceReportOf(batchDocs, "en")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    graft.ops.CachedStages.release(spark)
+  }
+
+  test("streaming quantization matches the batch quantizer") {
+    val d = Files.createTempDirectory("emb_stream")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(EmbeddingStreams.quantizedVectors(stream),
+      "emb_quant", OutputMode.Append())
+    val streamed = spark.table("emb_quant").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("qvec"))).toMap
+    val batch = graft.ops.Quantization
+      .quantizedVectors(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("qvec"))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops cross-batch duplicates against the state store") {
     import java.nio.file.attribute.FileTime
     import spark.implicits._
