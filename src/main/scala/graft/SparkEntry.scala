@@ -108,6 +108,7 @@ object SparkEntry {
     "q61_quantized_knn" ->
       ((s: SparkSession, d: String) => Quantization.quantizedTopK(s, d, QuantTopK)),
     "q62_audio_features" -> Multimodal.audioStats _,
+    "q63_token_accounting" -> TextOps.tokenAccounting _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1426,6 +1427,16 @@ object SparkEntry {
         |  SUM(sum_abs) AS sum_abs, MAX(peak) AS max_peak,
         |  SUM(n_zero_cross) AS sum_zero_cross
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Replays TextOps.tokenAccountingOf. The piece regex is restricted
+    // to the Java∩RE2 subset (disjoint maximal-run classes) so both
+    // engines segment identically.
+    "q63_token_accounting" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
+        |    AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

@@ -160,19 +160,20 @@ object TextOps {
   def repetitionStatsOf(docs: DataFrame): DataFrame = {
     // one tagged gram stream: struct(k, gram) for k = 2 and 3; docs with
     // fewer than 3 tokens are excluded (both gram sets must be nonempty
-    // for the CASE arms to type-agree, and a 2-token doc cannot repeat)
+    // for the CASE arms to type-agree, and a 2-token doc cannot repeat).
+    // Gram generation runs the fused word_ngrams kernel — the composed
+    // HOF form re-evaluates the tokenizer alias per lambda element
+    // under project-collapse (the q38/q60 substitution class); tagging
+    // transforms over the ALREADY-MATERIALIZED gram arrays, which the
+    // substitution cannot reach into.
+    graft.functions.WordShingles.register(docs.sparkSession)
     val tagged = docs
-      .select(col("doc_id"), expr(tokensExpr).as("toks"))
-      .filter(size(col("toks")) >= 3)
+      .filter(size(expr(tokensExpr)) >= 3)
       .select(col("doc_id"), explode(expr(
         """concat(
-          |  transform(sequence(1, size(toks) - 1), i ->
-          |    named_struct('k', 2, 'g',
-          |      concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))),
-          |  transform(sequence(1, size(toks) - 2), i ->
-          |    named_struct('k', 3, 'g',
-          |      concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
-          |                element_at(toks, i + 2)))))""".stripMargin)).as("tg"))
+          |  transform(word_ngrams(text, 2), g -> named_struct('k', 2, 'g', g)),
+          |  transform(word_ngrams(text, 3), g -> named_struct('k', 3, 'g', g)))"""
+          .stripMargin)).as("tg"))
       .select(col("doc_id"), col("tg.k").as("k"), col("tg.g").as("g"))
     tagged
       .groupBy("doc_id", "k", "g").agg(count(lit(1)).as("n"))
@@ -266,16 +267,20 @@ object TextOps {
 
   /** Core of `lmQualityScore` over any `(doc_id, text)` corpus. */
   def lmQualityScoreOf(docs0: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(docs0.sparkSession)
     val docs = docs0
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), expr(tokensExpr).as("toks"))
-    val trans = docs.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> struct(element_at(toks, i) AS w1,
-          |              element_at(toks, i + 1) AS w2))""".stripMargin))
-        .as("t"))
-      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    // bigram transitions from the fused word_ngrams kernel (the HOF
+    // struct-pair form re-evaluates the tokenizer per element — the
+    // q38/q60 substitution class); tokens are [a-z0-9]+ runs, so
+    // splitting the gram on its single space recovers (w1, w2) exactly
+    val trans = docs0
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 2)")).as("g"))
+      .select(col("doc_id"),
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
     val uni = docs.select(explode(col("toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -320,6 +325,30 @@ object TextOps {
   def winnowFingerprints(spark: SparkSession, dir: String,
       k: Int = 3, w: Int = 4): DataFrame =
     winnowFingerprintsOf(Tables(spark, dir, "documents"), k, w)
+
+  /** Graded q63: per-document token accounting under BOTH granularities
+    * a training pipeline budgets in — whitespace tokens (what corpus
+    * stats and shard budgets usually quote) and BPE-ish pretokenizer
+    * pieces (closer to what the tokenizer will actually emit). The
+    * piece segmentation is the GPT-2 pretokenizer's core classes as
+    * maximal runs — letters / digits / other-non-space — which keeps
+    * the regex in the Java∩RE2 subset (disjoint character classes, no
+    * lookarounds, no alternation-order sensitivity) so DuckDB matches
+    * literally. Pure per-row projection: at 100 TB this is a scan-only
+    * pass whose only shuffle is the output sort.
+    */
+  def tokenAccounting(spark: SparkSession, dir: String): DataFrame =
+    tokenAccountingOf(Tables(spark, dir, "documents"))
+
+  def tokenAccountingOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_ws_tokens",
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long"))
+      .withColumn("n_pieces",
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0))")
+          .cast("long"))
+      .select("doc_id", "n_ws_tokens", "n_pieces")
+      .orderBy("doc_id")
 
   /** Core of `winnowFingerprints` over any DataFrame with `(doc_id,
     * text)` — split out so OpsPropSpec can compare it against a

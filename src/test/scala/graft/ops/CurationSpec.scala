@@ -15,6 +15,34 @@ class CurationSpec extends SparkSpec {
   val dir = "/root/testdata/sf0.001"
   import spark.implicits._
 
+  // --- q63: token accounting ---
+
+  test("token accounting: hand-computed whitespace tokens and pretokenizer pieces") {
+    val docs = Seq(
+      (1L, "hello, world! 42 foo-bar"),
+      (2L, "   "),               // whitespace-only: 0 / 0
+      (3L, ""),                  // empty: 0 / 0
+      (4L, "abc123def"),         // class switches split pieces: 3 of 1 ws token
+      (5L, "A B\tC")             // tabs are whitespace; case folds
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenAccountingOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 ws: [hello,][world!][42][foo-bar];
+    // pieces: hello , world ! 42 foo - bar
+    assert(out(1L) == ((4L, 8L)))
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((1L, 3L)))
+    assert(out(5L) == ((3L, 3L)))
+  }
+
+  test("token accounting: pieces never undercount whitespace tokens") {
+    // every non-space run is at least one piece, so n_pieces >= n_ws
+    val bad = TextOps.tokenAccounting(spark, dir)
+      .filter($"n_pieces" < $"n_ws_tokens").count()
+    assert(bad == 0L)
+  }
+
   // --- q46: repetition stats ---
 
   test("repetition stats: hand-computed grams on a repetitive doc") {
