@@ -240,6 +240,44 @@ object Multimodal {
     }
   }
 
+  /** Real audio downsample: decode the WAV, keep every `factor`-th PCM
+    * sample (decimation — the honest no-filter resample), re-encode —
+    * the audio twin of [[resizeImages]], partition-batched.
+    */
+  def decimateAudio(spark: SparkSession, media: Dataset[MediaRow],
+      factor: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(r.content))
+        val fmt = in.getFormat
+        val buf = in.readAllBytes()
+        in.close()
+        val frameBytes = fmt.getFrameSize
+        val n = buf.length / frameBytes
+        val kept = (0 until n by factor).toArray
+        val outPcm = new Array[Byte](kept.length * frameBytes)
+        var i = 0
+        while (i < kept.length) {
+          System.arraycopy(buf, kept(i) * frameBytes, outPcm,
+            i * frameBytes, frameBytes)
+          i += 1
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          fmt.getSampleRate / factor, fmt.getSampleSizeInBits,
+          fmt.getChannels, true, fmt.isBigEndian)
+        val out = new ByteArrayOutputStream()
+        val stream = new javax.sound.sampled.AudioInputStream(
+          new ByteArrayInputStream(outPcm), outFmt, kept.length.toLong)
+        javax.sound.sampled.AudioSystem.write(stream,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        r.copy(content = out.toByteArray)
+      }
+    }
+  }
+
   /** Per-language aggregate of the DECODED audio features (graded q62). */
   def audioStats(spark: SparkSession, dir: String): DataFrame =
     decodeAudio(spark, dir).toDF()

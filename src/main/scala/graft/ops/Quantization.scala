@@ -70,8 +70,16 @@ object Quantization {
   /** Graded q61: top-3 neighbors per probe (vec_id < 8, the q21 probe
     * set) under the quantized integer dot product, self excluded.
     */
-  def quantizedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val quant = quantizedVectors(spark, dir)
+  def quantizedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    quantizedTopKOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")), k)
+
+  /** Core of `quantizedTopK` over any `(vec_id, embedding)` frame —
+    * split out so OpsPropSpec can compare it against a driver-side
+    * brute force on random vector sets.
+    */
+  def quantizedTopKOf(vecs: DataFrame, k: Int): DataFrame = {
+    val quant = quantizedOf(vecs)
     val probes = quant.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("qvec").as("q_qvec"))
     val w = Window.partitionBy("q_id")

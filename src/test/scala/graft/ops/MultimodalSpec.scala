@@ -99,6 +99,27 @@ class MultimodalSpec extends SparkSpec {
     assert(f.peak == expected.map(s => math.abs(s.toLong)).max)
   }
 
+  test("audio decimation keeps exactly every k-th sample, re-encoded as WAV") {
+    val media = Multimodal.audioTable(spark, dir).filter(_.doc_id < 5)
+    val halved = Multimodal.decimateAudio(spark, media, 2).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(halved.size == 5)
+    halved.foreach { case (id, r) =>
+      val f = Multimodal.AudioCodec.decode(id, "en", r.content)
+      val n = Multimodal.AudioCodec.nSamples(id)
+      assert(f.n_samples == (n + 1) / 2, s"doc $id sample count")
+      // decoded samples must be the ORIGINAL even-index samples
+      val expected = (0 until n by 2)
+        .map(i => Multimodal.AudioCodec.sample(id, i))
+      assert(f.sum_abs == expected.map(s => math.abs(s.toLong)).sum,
+        s"doc $id decimated content")
+    }
+    // factor 1 is the identity
+    val same = Multimodal.decimateAudio(spark, media, 1).collect().head
+    val f1 = Multimodal.AudioCodec.decode(same.doc_id, "en", same.content)
+    assert(f1.n_samples == Multimodal.AudioCodec.nSamples(same.doc_id).toLong)
+  }
+
   test("frame sampling emits every k-th fixed-size byte frame") {
     val media = Multimodal.imageTable(spark, dir).filter(_.doc_id == 0)
     val content = media.collect().head.content

@@ -328,4 +328,94 @@ class OpsPropSpec extends SparkSpec {
         s"seed $seed: no shared fingerprint for shared run '$run'")
     }
   }
+
+  /** Independent driver-side DSIR verdict: same tokenizer regex, bigram
+    * occurrences, md5-prefix bucket, add-one cross-multiplied ratio and
+    * majority vote — in BigInt so the decimal(38,0) products can't be
+    * the thing being tested against itself.
+    */
+  private def dsirScala(corpus: Seq[(Long, String, String)], target: String)
+      : Map[Long, (Long, Long, Boolean)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def buckets(text: String): Seq[Long] = {
+      val toks = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+      toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).map { g =>
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(6)
+        java.lang.Long.parseLong(hex, 16) % Importance.NumBuckets
+      }.toSeq
+    }
+    val perDoc = corpus.map { case (id, lang, t) => (id, lang, buckets(t)) }
+    val all = perDoc.flatMap { case (_, lang, bs) => bs.map(lang -> _) }
+    val rCnt = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tCnt = all.filter(_._1 == target)
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val (rTot, tTot) = (all.size.toLong,
+      all.count(_._1 == target).toLong)
+    val B = Importance.NumBuckets.toLong
+    def leans(b: Long): Boolean =
+      BigInt(tCnt.getOrElse(b, 0L) + 1) * BigInt(rTot + B) >
+        BigInt(rCnt.getOrElse(b, 0L) + 1) * BigInt(tTot + B)
+    perDoc.collect { case (id, _, bs) if bs.nonEmpty =>
+      val pos = bs.count(leans).toLong
+      id -> ((bs.size.toLong, pos, pos * 2 > bs.size))
+    }.toMap
+  }
+
+  test("DSIR importance report == driver-side recompute, random corpora") {
+    val genLangDoc: Gen[(String, String)] = for {
+      lang <- Gen.oneOf("en", "de", "fr")
+      doc <- genDoc
+    } yield (lang, doc)
+    (0 until 4).foreach { i =>
+      val seed = 4000L + i
+      val rows = sample(Gen.chooseNum(6, 20)
+        .flatMap(n => Gen.listOfN(n, genLangDoc)), seed)
+        .zipWithIndex.map { case ((lang, t), id) => (id.toLong, lang, t) }
+      val df = rows.toDF("doc_id", "lang", "text")
+      val got = Importance.importanceReportOf(df, "en").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      val expected = dsirScala(rows, "en")
+      assert(got == expected, s"seed $seed: got ${got.size} docs, " +
+        s"expected ${expected.size}; first diff ${
+          (expected.toSet -- got.toSet).take(2)}")
+      CachedStages.release(spark)
+    }
+  }
+
+  /** Independent driver-side quantized top-k (IEEE doubles end-to-end,
+    * same left-to-right norm fold and floor rule).
+    */
+  test("quantized KNN == driver-side brute force, random vector sets") {
+    val genVec: Gen[Seq[Float]] =
+      Gen.listOfN(6, Gen.chooseNum(-100, 100)).map(_.map(_ / 10.0f))
+    (0 until 4).foreach { i =>
+      val seed = 5000L + i
+      val vecs = sample(Gen.chooseNum(10, 24)
+        .flatMap(n => Gen.listOfN(n, genVec)), seed)
+        .zipWithIndex.map { case (v, id) => (id.toLong, v) }
+      def quant(v: Seq[Float]): Seq[Long] = {
+        val norm = math.sqrt(v.foldLeft(0.0)((a, x) =>
+          a + x.toDouble * x.toDouble))
+        if (norm == 0) v.map(_ => 0L)
+        else v.map(x => math.floor(x.toDouble / norm * 127.0 + 0.5).toLong)
+      }
+      val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+      val expected = (for {
+        (qid, qv) <- q.toSeq if qid < 8
+        ranked = q.toSeq.filter(_._1 != qid)
+          .map { case (cid, cv) =>
+            (cid, qv.zip(cv).map { case (a, b) => a * b }.sum) }
+          .sortBy { case (cid, dot) => (-dot, cid) }.take(3)
+        ((cid, dot), rn) <- ranked.zipWithIndex
+      } yield (qid, rn + 1L, cid, dot)).toSet
+      val got = Quantization.quantizedTopKOf(
+        vecs.toDF("vec_id", "embedding"), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == expected, s"seed $seed: missed ${
+        (expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
+    }
+  }
 }
