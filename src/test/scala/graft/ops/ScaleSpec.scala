@@ -269,4 +269,28 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q60 plan: bucket-count stage cached once, lean verdicts broadcast back") {
+    val report = Importance.importanceReport(spark, dir)
+    val plan = report.queryExecution.executedPlan.toString
+    // the corpus-sized counts table must come from the persisted stage
+    // (scored AND histogrammed off one materialization) ...
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    // ... and the 8192-row lean table must broadcast onto it — a
+    // shuffle join here would shuffle the corpus-sized side
+    assert(plan.contains("BroadcastHashJoin")
+      || plan.contains("BroadcastExchange"), plan.take(2000))
+    CachedStages.release(spark)
+  }
+
+  test("q61 plan: probes broadcast, corpus side never exchanges before the window") {
+    val topk = Quantization.quantizedTopK(spark, dir, 3)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // quantization is a projection: no exchange may appear below the
+    // broadcast join (the only shuffles are the rank window + sort)
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!beforeJoin.replaceAll("(?s)BroadcastExchange.*", "")
+      .contains("Exchange hashpartitioning"), plan.take(2000))
+  }
 }
