@@ -30,6 +30,8 @@ object EventStreams {
     StructField("props", StringType)))
 
   final case class Ev(user_id: Long, ts_sec: Long)
+  final case class EvT(user_id: Long, ts_sec: Long,
+      ts_utc: java.sql.Timestamp)
   final case class SessionState(lastSec: Long, nSessions: Int, nEvents: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
@@ -81,6 +83,65 @@ object EventStreams {
           UserSessions(user, st.nEvents, st.nSessions)
       }
     counted
+  }
+
+  final case class ClosedSession(user_id: Long, start_sec: Long,
+      end_sec: Long, n_events: Long)
+  final case class OpenSession(startSec: Long, lastSec: Long, nEvents: Long)
+
+  /** Session EMISSION via flatMapGroupsWithState + event-time timeout —
+    * the production-shaped sibling of [[sessionCounts]]: instead of
+    * re-reporting cumulative per-user counters every trigger, each
+    * session is emitted EXACTLY ONCE, as a row, the moment it closes —
+    * either because a later event arrived past the 30-minute gap, or
+    * because the WATERMARK passed the open session's gap horizon (the
+    * timeout fires with no new data, closing the tail session a
+    * counter-based formulation would hold open forever). State per user
+    * is one open session (three longs) and is dropped on timeout — the
+    * state-eviction contract an always-on pipeline needs; downstream
+    * consumers get an append-only stream of finished sessions to join
+    * or aggregate without reprocessing.
+    */
+  def closedSessions(spark: SparkSession, stream: DataFrame): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val evs = stream
+      .withWatermark("ts_utc", "0 seconds")
+      .select(col("user_id"), col("ts_sec"), col("ts_utc")).as[EvT]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[OpenSession]) =>
+          if (!it.hasNext) {
+            // timeout: the watermark passed the gap horizon — close and
+            // evict whatever session is still open
+            val out = state.getOption.map(s =>
+              ClosedSession(user, s.startSec, s.lastSec, s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts_sec)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_sec - s.lastSec <= 1800 =>
+                  open = Some(OpenSession(s.startSec, e.ts_sec, s.nEvents + 1))
+                case Some(s) =>
+                  closed += ClosedSession(user, s.startSec, s.lastSec, s.nEvents)
+                  open = Some(OpenSession(e.ts_sec, e.ts_sec, 1))
+                case None =>
+                  open = Some(OpenSession(e.ts_sec, e.ts_sec, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the WATERMARK (event time, not wall clock)
+              // passes the open session's gap deadline
+              state.setTimeoutTimestamp(s.lastSec * 1000L + 1800L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
   }
 
   /** Streaming exact-dedup — the streaming member of the dedup family

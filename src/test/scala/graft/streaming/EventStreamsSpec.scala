@@ -108,6 +108,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(expected.nonEmpty && streamed == expected)
   }
 
+  test("flatMapGroupsWithState emits each session once: gap-closed and timeout-closed") {
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("ev_sessions_in")
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)],
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("ev_sess_tmp").toString
+      rows.toDF("event_id", "user_id", "sec")
+        .select(col("event_id"), col("user_id"),
+          lit("view").as("event_type"), (col("sec") * 1000000000L).as("ts"),
+          lit(1.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(name)
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    // batch 1: user 1 has two events 500s apart (one session); user 2 one
+    // event. batch 2: user 1 returns after a >30 min gap (closes session
+    // 1 by GAP). batch 3: an unrelated user far in the future advances
+    // the watermark past user 2's deadline (closes session by TIMEOUT).
+    writeFile("a.parquet", Seq((1L, 1L, 1000L), (2L, 1L, 1500L),
+      (3L, 2L, 1200L)), 1000000L)
+    writeFile("b.parquet", Seq((4L, 1L, 10000L)), 2000000L)
+    writeFile("c.parquet", Seq((5L, 9L, 50000L)), 3000000L)
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    EventStreams.runToMemory(
+      EventStreams.closedSessions(spark, stream).toDF(),
+      "closed_sessions", OutputMode.Append())
+    val got = spark.table("closed_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // user 1's first session: closed by the gap when event 4 arrived
+    assert(got.contains((1L, 1000L, 1500L, 2L)),
+      s"gap-closed session missing from $got")
+    // user 2's session: closed by the event-time TIMEOUT (no later
+    // event for user 2 ever arrived — only the watermark moved)
+    assert(got.contains((2L, 1200L, 1200L, 1L)),
+      s"timeout-closed session missing from $got")
+    // nothing is emitted twice
+    assert(got.size == spark.table("closed_sessions").count())
+  }
+
   test("streaming dedup suppresses re-delivered events and keeps every unique one") {
     import org.apache.spark.sql.functions._
     // an at-least-once source: the same parquet file lands twice, plus a
