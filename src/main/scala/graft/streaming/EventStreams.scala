@@ -104,16 +104,23 @@ object EventStreams {
     */
   def closedSessions(spark: SparkSession, stream: DataFrame): Dataset[ClosedSession] = {
     import spark.implicits._
+    // a REAL watermark delay: with EventTimeTimeout the watermark also
+    // gates the late-data filter in front of this operator, so a
+    // 0-second delay would silently drop any event arriving out of
+    // order across micro-batches — sessions would go missing, not just
+    // close early. 30 minutes matches the gap horizon: an event later
+    // than that belongs to a new session anyway.
     val evs = stream
-      .withWatermark("ts_utc", "0 seconds")
+      .withWatermark("ts_utc", "30 minutes")
       .select(col("user_id"), col("ts_sec"), col("ts_utc")).as[EvT]
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, it, state: GroupState[OpenSession]) =>
-          if (!it.hasNext) {
-            // timeout: the watermark passed the gap horizon — close and
-            // evict whatever session is still open
+          if (state.hasTimedOut) {
+            // the watermark passed the gap horizon — close and evict
+            // whatever session is still open (hasTimedOut, not
+            // iterator-emptiness: that is the documented contract)
             val out = state.getOption.map(s =>
               ClosedSession(user, s.startSec, s.lastSec, s.nEvents))
             state.remove()

@@ -158,6 +158,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.size == spark.table("closed_sessions").count())
   }
 
+  test("closed sessions on the real corpus == driver-side sessionization minus open tails") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(
+      EventStreams.closedSessions(spark, stream).toDF(),
+      "closed_real", OutputMode.Append())
+    val got = spark.table("closed_real").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // independent driver-side sessionizer over the same events. The
+    // stream must emit (a) every gap-closed session, plus (b) tail
+    // sessions whose timeout deadline fell behind the final watermark —
+    // Spark runs a no-data batch after the watermark advances, firing
+    // eviction timeouts. (a) is exact; (b) is bracketed generously
+    // (<=) so a millisecond boundary tie can't flap the test.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.schema(EventStreams.eventSchema)
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("user_id", "ts div 1000000000 as sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val wmSec = evs.map(_._2).max - 1800 // 30-minute watermark delay
+    val perUser = evs.groupBy(_._1).map { case (user, rows) =>
+      val secs = rows.map(_._2).sorted
+      val sessions = secs.tail.foldLeft(
+        List((secs.head, secs.head, 1L))) { case (acc, s) =>
+        val (st, last, n) = acc.head
+        if (s - last <= 1800) (st, s, n + 1) :: acc.tail
+        else (s, s, 1L) :: acc
+      }.reverse
+      user -> sessions
+    }
+    val gapClosed = perUser.flatMap { case (u, ss) =>
+      ss.dropRight(1).map { case (st, last, n) => (u, st, last, n) } }.toSet
+    val eligibleTails = perUser.flatMap { case (u, ss) =>
+      ss.takeRight(1).collect {
+        case (st, last, n) if last + 1800 <= wmSec => (u, st, last, n) } }.toSet
+    assert(gapClosed.subsetOf(got),
+      s"gap-closed sessions missing: ${(gapClosed -- got).take(3)}")
+    assert(got.subsetOf(gapClosed ++ eligibleTails),
+      s"unexpected emissions: ${(got -- gapClosed -- eligibleTails).take(3)}")
+    // emit-once: no session appears twice
+    assert(got.size == spark.table("closed_real").count())
+  }
+
   test("streaming dedup suppresses re-delivered events and keeps every unique one") {
     import org.apache.spark.sql.functions._
     // an at-least-once source: the same parquet file lands twice, plus a
