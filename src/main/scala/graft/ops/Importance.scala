@@ -31,9 +31,9 @@ import org.apache.spark.sql.types.DecimalType
   * document of plain integers, orders of magnitude smaller than the
   * text — which is persisted and feeds both passes: the global bucket
   * histogram (map-side partial agg → a [[NumBuckets]]-row shuffle) and
-  * the per-document verdict (broadcast join of the 128-row lean table
-  * back onto the counts, one partial-agg'd groupBy on doc_id). The raw
-  * text is never shuffled and never read twice.
+  * the per-document verdict (broadcast join of the ≤ [[NumBuckets]]-row
+  * lean table back onto the counts, one partial-agg'd groupBy on
+  * doc_id). The raw text is never shuffled and never read twice.
   */
 object Importance {
 
@@ -62,7 +62,12 @@ object Importance {
       |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))
       |ELSE array() END""".stripMargin
 
-  private def bucketOf(gramCol: String): String =
+  /** The ONE feature-hash expression (md5-prefix bucket). Shared with
+    * the streaming scorer (`DocStreams.importanceScoredDocs`): a frozen
+    * lean-bucket model is only valid against the exact hash that fitted
+    * it, so there must be a single definition to drift from.
+    */
+  private[graft] def bucketOf(gramCol: String): String =
     s"cast(conv(substring(md5($gramCol), 1, 6), 16, 10) as bigint) % $NumBuckets"
 
   /** One row per (document, bucket): `cnt` bigram occurrences of

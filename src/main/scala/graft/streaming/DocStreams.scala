@@ -94,9 +94,8 @@ object DocStreams {
     val leanLit = typedlit(leanBuckets.sorted)
     stream
       .withColumn("buckets", expr(
-        s"""transform(word_ngrams(text, 2), g ->
-           |  cast(conv(substring(md5(g), 1, 6), 16, 10) as bigint)
-           |    % ${graft.ops.Importance.NumBuckets})""".stripMargin))
+        s"""transform(word_ngrams(text, 2),
+           |  g -> ${graft.ops.Importance.bucketOf("g")})""".stripMargin))
       .withColumn("n_grams", size(col("buckets")).cast("long"))
       .filter(col("n_grams") >= 1)
       .withColumn("n_target_leaning",

@@ -131,8 +131,18 @@ object EventStreams {
             val closed = Seq.newBuilder[ClosedSession]
             sorted.foreach { e =>
               open match {
+                // merge with min/max, not assignment: an in-watermark
+                // event from a LATER file can still be earlier than the
+                // stored lastSec (cross-batch disorder — the very case
+                // the watermark delay keeps alive), and blind
+                // assignment would emit end < start and measure the
+                // next gap from the wrong edge. A straggler predating
+                // the open session entirely also merges — one open
+                // session per key is the state contract; its span
+                // widens to cover the straggler.
                 case Some(s) if e.ts_sec - s.lastSec <= 1800 =>
-                  open = Some(OpenSession(s.startSec, e.ts_sec, s.nEvents + 1))
+                  open = Some(OpenSession(math.min(s.startSec, e.ts_sec),
+                    math.max(s.lastSec, e.ts_sec), s.nEvents + 1))
                 case Some(s) =>
                   closed += ClosedSession(user, s.startSec, s.lastSec, s.nEvents)
                   open = Some(OpenSession(e.ts_sec, e.ts_sec, 1))

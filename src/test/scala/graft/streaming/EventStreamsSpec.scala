@@ -158,6 +158,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.size == spark.table("closed_sessions").count())
   }
 
+  test("an in-watermark straggler widens the open session instead of corrupting it") {
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = Files.createTempDirectory("ev_ooo_in")
+    def writeFile(name: String, rows: Seq[(Long, Long, Long)],
+        mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory("ev_ooo_tmp").toString
+      rows.toDF("event_id", "user_id", "sec")
+        .select(col("event_id"), col("user_id"),
+          lit("view").as("event_type"), (col("sec") * 1000000000L).as("ts"),
+          lit(1.0).as("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(name)
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+    }
+    // batch 2 delivers an event EARLIER than batch 1's (in-watermark:
+    // 9000 >= 10000-1800). A naive lastSec assignment would leave state
+    // (start=10000, last=9000) and batch 3's event at 11000 would
+    // measure its gap from 9000 and spuriously split the session.
+    writeFile("a.parquet", Seq((1L, 1L, 10000L)), 1000000L)
+    writeFile("b.parquet", Seq((2L, 1L, 9000L)), 2000000L)
+    writeFile("c.parquet", Seq((3L, 1L, 11000L)), 3000000L)
+    writeFile("d.parquet", Seq((4L, 9L, 50000L)), 4000000L) // advance wm
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    EventStreams.runToMemory(
+      EventStreams.closedSessions(spark, stream).toDF(),
+      "ooo_sessions", OutputMode.Append())
+    val user1 = spark.table("ooo_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1 == 1L).toSet
+    // ONE session spanning all three events, start widened to 9000
+    assert(user1 == Set((1L, 9000L, 11000L, 3L)), s"got $user1")
+  }
+
   test("closed sessions on the real corpus == driver-side sessionization minus open tails") {
     val stream = EventStreams.readEventStream(spark, streamDir)
     EventStreams.runToMemory(
