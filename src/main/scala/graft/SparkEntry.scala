@@ -109,6 +109,7 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Quantization.quantizedTopK(s, d, QuantTopK)),
     "q62_audio_features" -> Multimodal.audioStats _,
     "q63_token_accounting" -> TextOps.tokenAccounting _,
+    "q64_funnel" -> Events.funnelStages _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1437,6 +1438,39 @@ object SparkEntry {
         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+'))
         |    AS n_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Replays Events.funnelStagesOf: four stacked window minima over one
+    // user partitioning, each stage's first event strictly after the
+    // previous stage's.
+    "q64_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' AND ts > t1 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t2 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |s4 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t3 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t4 FROM s3),
+        |u AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN t4 IS NOT NULL THEN 4
+        |         WHEN t3 IS NOT NULL THEN 3
+        |         WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1
+        |         ELSE 0 END AS stage
+        |  FROM s4)
+        |SELECT stage,
+        |  CASE stage WHEN 4 THEN 'purchase' WHEN 3 THEN 'click'
+        |       WHEN 2 THEN 'view' WHEN 1 THEN 'signup'
+        |       ELSE 'none' END AS stage_name,
+        |  COUNT(*) AS n_users
+        |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

@@ -197,4 +197,53 @@ object Events {
           .cast("double") / col("exact_users") <= 0.2, 1L).otherwise(0L)
           .as("approx_ok"))
       .orderBy("event_type")
+
+  /** Graded q64: ordered conversion funnel signup → view → click →
+    * purchase. A stage counts only if its FIRST qualifying event falls
+    * strictly after the previous stage's first qualifying event — the
+    * textbook ordered-funnel semantics (an early purchase before signup
+    * does not convert), computed without self-joins: four stacked
+    * unbounded window aggregates over ONE user partitioning. Each
+    * `min(CASE WHEN type AND ts > prev)` reads the previous stage's
+    * per-user constant, so the plan is one shuffle on user_id + one
+    * sort, and the window chain streams — the shape that holds when the
+    * events table is the 100 TB side. Raw nanosecond longs compare on
+    * the Spark side; the oracle compares native TIMESTAMP_NS — both
+    * monotone in the same order.
+    */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame =
+    funnelStagesOf(events(spark, dir))
+
+  def funnelStagesOf(evs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    def firstAfter(tpe: String, prev: Option[String]) = {
+      val cond = prev match {
+        case Some(p) => col("event_type") === tpe && col("ts") > col(p)
+        case None => col("event_type") === tpe
+      }
+      min(when(cond, col("ts"))).over(w)
+    }
+    val staged = evs.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", firstAfter("signup", None))
+      .withColumn("t2", firstAfter("view", Some("t1")))
+      .withColumn("t3", firstAfter("click", Some("t2")))
+      .withColumn("t4", firstAfter("purchase", Some("t3")))
+      .withColumn("stage",
+        when(col("t4").isNotNull, 4)
+          .when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0))
+      .select("user_id", "stage").distinct()
+    staged.groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("stage_name",
+        when(col("stage") === 4, "purchase")
+          .when(col("stage") === 3, "click")
+          .when(col("stage") === 2, "view")
+          .when(col("stage") === 1, "signup")
+          .otherwise("none"))
+      .select("stage", "stage_name", "n_users")
+      .orderBy("stage")
+  }
 }

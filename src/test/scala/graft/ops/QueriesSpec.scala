@@ -55,6 +55,33 @@ class QueriesSpec extends SparkSpec {
       r.getAs[Long]("n_sessions") <= r.getAs[Long]("n_events")))
   }
 
+  test("q64 funnel: hand-computed ordered stages, out-of-order events do not convert") {
+    import spark.implicits._
+    // user 1: full ordered funnel; user 2: purchase BEFORE signup (the
+    // purchase must not count — only the ordered prefix converts);
+    // user 3: view without signup (stage 0); user 4: signup only
+    val evs = Seq(
+      (1L, "signup", 100L), (1L, "view", 200L), (1L, "click", 300L),
+      (1L, "purchase", 400L),
+      (2L, "purchase", 50L), (2L, "signup", 100L), (2L, "view", 150L),
+      (3L, "view", 10L), (3L, "click", 20L),
+      (4L, "signup", 99L)
+    ).toDF("user_id", "event_type", "ts")
+    val got = Events.funnelStagesOf(evs).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(4) == (("purchase", 1L))) // user 1
+    assert(got(2) == (("view", 1L)))     // user 2: signup→view, purchase too early
+    assert(got(0) == (("none", 1L)))     // user 3: never signed up
+    assert(got(1) == (("signup", 1L)))   // user 4
+    assert(!got.contains(3))
+    // equal first-times do NOT convert (strictly-after semantics)
+    val tie = Seq((9L, "signup", 100L), (9L, "view", 100L))
+      .toDF("user_id", "event_type", "ts")
+    val tied = Events.funnelStagesOf(tie).collect()
+      .map(r => r.getInt(0)).toSet
+    assert(tied == Set(1))
+  }
+
   test("q53 quantiles match a driver-side sort-and-index recompute") {
     val pcts = Seq(25, 50, 75, 90, 99)
     val rows = Relational.groupedQuantiles(spark, dir, pcts).collect()
