@@ -110,6 +110,7 @@ object SparkEntry {
     "q62_audio_features" -> Multimodal.audioStats _,
     "q63_token_accounting" -> TextOps.tokenAccounting _,
     "q64_funnel" -> Events.funnelStages _,
+    "q65_retention_cohorts" -> Events.retentionCohorts _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1471,6 +1472,23 @@ object SparkEntry {
         |       ELSE 'none' END AS stage_name,
         |  COUNT(*) AS n_users
         |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
+
+    // Replays Events.retentionCohortsOf: integer epoch-week buckets
+    // (no calendar semantics to reconcile), distinct activity matrix,
+    // cohort week as a per-user window minimum.
+    "q65_retention_cohorts" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_ns(ts) // 1000000000) // 604800 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, week,
+        |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM a)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM c GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

@@ -246,4 +246,29 @@ object Events {
       .select("stage", "stage_name", "n_users")
       .orderBy("stage")
   }
+
+  /** Graded q65: weekly retention cohorts. Users are bucketed by their
+    * first-seen epoch week (integer `ts_sec div 604800` — identical
+    * arithmetic in any engine, no calendar/timezone semantics to
+    * reconcile); a cohort's week-k row counts the users active k weeks
+    * after first touch. Shape: the (user, week) activity matrix is
+    * distinct-ed FIRST (shrinking events to at most |users|×|weeks|
+    * rows before anything wide), the cohort week rides along as one
+    * unbounded window minimum per user, and the final count is a plain
+    * groupBy — two compact shuffles regardless of event volume.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohortsOf(events(spark, dir))
+
+  def retentionCohortsOf(evs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    evs.select(col("user_id"),
+        expr("ts_sec div 604800").as("week"))
+      .distinct()
+      .withColumn("cohort_week", min(col("week")).over(w))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -82,6 +82,34 @@ class QueriesSpec extends SparkSpec {
     assert(tied == Set(1))
   }
 
+  test("q65 retention: hand-computed cohorts; offsets and totals consistent") {
+    import spark.implicits._
+    val wk = 604800L
+    // user 1 first seen week 0, active weeks 0,1,3; user 2 first week 1,
+    // active 1,2; user 3 only week 0; two events in one week dedupe
+    val evs = Seq(
+      (1L, 0L * wk), (1L, 0L * wk + 5), (1L, 1L * wk + 10), (1L, 3L * wk),
+      (2L, 1L * wk + 1), (2L, 2L * wk + 1),
+      (3L, 100L)
+    ).toDF("user_id", "ts_sec")
+    val got = Events.retentionCohortsOf(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // users 1 and 3 in cohort 0 at offset 0
+      (0L, 1L) -> 1L, (0L, 3L) -> 1L, // user 1 retained
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L  // user 2's cohort
+    ))
+    // invariant on the real corpus: offset-0 count == cohort size >= any
+    // later offset's count
+    val real = Events.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCohort = real.groupBy(_._1)
+    byCohort.values.foreach { rows =>
+      val base = rows.find(_._2 == 0L).map(_._3).getOrElse(0L)
+      assert(rows.forall(_._3 <= base), s"offset-0 must dominate: $rows")
+    }
+  }
+
   test("q53 quantiles match a driver-side sort-and-index recompute") {
     val pcts = Seq(25, 50, 75, 90, 99)
     val rows = Relational.groupedQuantiles(spark, dir, pcts).collect()
