@@ -1333,15 +1333,28 @@ object SparkEntry {
         |    / COUNT(*), 6) AS avg_logp
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Replays Importance.importanceReportOf: hashed-bigram occurrence
-    // buckets, add-one-smoothed likelihood ratio decided by integer
-    // cross-multiplication in decimal, per-doc majority vote. The bucket
-    // count and target language interpolate from the same constants the
-    // Scala operator receives.
+    // Replays Importance.importanceReportOf over the planted-target
+    // corpus: hashed-bigram occurrence buckets, add-one-smoothed
+    // likelihood ratio decided by integer cross-multiplication in
+    // decimal, per-doc majority vote. The bucket count, target language,
+    // and planted vocabularies interpolate from the same constants the
+    // Scala operator uses.
     "q60_importance_weights" ->
-      s"""WITH t AS (
+      s"""WITH base AS (SELECT doc_id, lang, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'en', '${Importance.TonicText}'
+        |  FROM base WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'xx', '${Importance.TonicText}'
+        |  FROM base WHERE doc_id % 100 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, 'xx', '${Importance.JunkText}'
+        |  FROM base WHERE doc_id % 100 = 0),
+        |t AS (
         |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-        |  FROM documents),
+        |  FROM corpus),
         |g AS (
         |  SELECT doc_id, lang,
         |    unnest(list_transform(generate_series(1, len(toks) - 1),

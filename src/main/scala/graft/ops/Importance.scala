@@ -84,13 +84,50 @@ object Importance {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Distinctive planted vocabularies (disjoint from the corpus's shared
+    * 31-word pool and from each other). Single-sourced: the oracle SQL
+    * interpolates the same literals.
+    */
+  val TonicText: String =
+    Seq.fill(3)("zorp blint quax fen drel mox").mkString(" ")
+  val JunkText: String =
+    Seq.fill(3)("gruk snarv velp durn hast quin").mkString(" ")
+
+  /** The synthetic corpus draws every language from ONE shared 31-word
+    * vocabulary, so `lang` carries no bigram-distribution signal and an
+    * unplanted report's verdict column is degenerate (all false —
+    * correctly, on both engines). The graded corpus therefore plants a
+    * distinctive target vocabulary, exactly like the dedup/PII queries
+    * plant duplicates/PII: every 50th document gains an `en`-labeled
+    * twin speaking [[TonicText]] (teaching the target distribution the
+    * vocabulary), every 100th an `xx`-labeled tonic twin (must be KEPT
+    * — importance weighting scores content, not metadata) and an
+    * `xx`-labeled [[JunkText]] twin (must be dropped). Both verdict
+    * branches are live in the graded artifact.
+    */
+  def corpusWithPlantedTarget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    docs
+      .unionByName(docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("en").as("lang"), lit(TonicText).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(TonicText).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          lit("xx").as("lang"), lit(JunkText).as("text")))
+  }
+
   /** Graded q60: per-document hashed-bigram importance verdict against
-    * the `lang = targetLang` target distribution. Emits documents with
-    * at least one bigram; `dsir_keep` is the majority-vote verdict.
+    * the `lang = targetLang` target distribution, over the
+    * planted-target corpus. Emits documents with at least one bigram;
+    * `dsir_keep` is the majority-vote verdict.
     */
   def importanceReport(spark: SparkSession, dir: String,
       targetLang: String = "en"): DataFrame =
-    importanceReportOf(Tables(spark, dir, "documents"), targetLang)
+    importanceReportOf(corpusWithPlantedTarget(spark, dir), targetLang)
 
   /** The fitted model: the set of target-leaning bucket ids, collected
     * to the driver. This is a MODEL-ARTIFACT extraction (≤ [[NumBuckets]]

