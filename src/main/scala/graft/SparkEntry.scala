@@ -111,6 +111,8 @@ object SparkEntry {
     "q63_token_accounting" -> TextOps.tokenAccounting _,
     "q64_funnel" -> Events.funnelStages _,
     "q65_retention_cohorts" -> Events.retentionCohorts _,
+    "q66_ivf_quantized_knn" -> ((s: SparkSession, d: String) =>
+      Quantization.ivfQuantizedKnn(s, d, KmeansK, KmeansIters, QuantTopK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1502,6 +1504,49 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM c GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    // Replays Quantization.ivfQuantizedKnn: the q43 probe chain (shared
+    // kmeans CTEs, full-precision centroid probe) with the in-cluster
+    // search swapped to the q61 quantizer's exact integer dot products.
+    "q66_ivf_quantized_knn" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+         |qt AS (
+         |  SELECT a.vec_id, a.cluster,
+         |    CASE WHEN nrm = 0 THEN list_transform(e, x -> 0)
+         |    ELSE list_transform(e,
+         |      x -> CAST(floor(x / nrm * 127.0 + 0.5) AS INTEGER)) END AS q
+         |  FROM (SELECT vec_id, cluster, e,
+         |          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |        FROM a$KmeansIters) a),
+         |probe AS (
+         |  SELECT q_id, cluster AS probe_cluster FROM (
+         |    SELECT q_id, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |                         ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT v.vec_id AS q_id, cc.cluster,
+         |        list_reduce(list_transform(range(1, 65),
+         |          ii -> (v.e[ii] - cc.c[ii]) * (v.e[ii] - cc.c[ii])),
+         |          (x2, y2) -> x2 + y2) AS dist
+         |      FROM v CROSS JOIN cent${KmeansIters - 1} cc
+         |      WHERE v.vec_id < 8) p0) p1
+         |  WHERE rn = 1),
+         |search AS (
+         |  SELECT probe.q_id, probe.probe_cluster, t.vec_id,
+         |    list_sum(list_transform(range(1, len(qq.q) + 1),
+         |      ii -> CAST(qq.q[ii] AS BIGINT) * CAST(t.q[ii] AS BIGINT)))
+         |      AS qdot
+         |  FROM qt t
+         |  JOIN probe ON t.cluster = probe.probe_cluster
+         |  JOIN (SELECT vec_id AS q2, q FROM qt) qq ON probe.q_id = qq.q2
+         |  WHERE t.vec_id <> probe.q_id),
+         |r AS (
+         |  SELECT q_id, probe_cluster, vec_id, qdot,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY qdot DESC, vec_id ASC) AS rn
+         |  FROM search)
+         |SELECT q_id, probe_cluster, rn, vec_id, qdot FROM r WHERE rn <= $QuantTopK
+         |ORDER BY q_id, rn""".stripMargin,
   )
 
   /** The graded parameterizations, single-sourced: the `queries` map

@@ -36,7 +36,7 @@ object Clustering {
   /** Sequential squared-L2 between `vCol` (float array) and `c` (double
     * array) — index-order fold, never a reassociated sum.
     */
-  private def distExpr(vCol: String): String =
+  private[ops] def distExpr(vCol: String): String =
     s"""aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
        |  (acc, i) -> acc + (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i))
        |                  * (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i)))"""

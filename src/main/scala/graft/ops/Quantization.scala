@@ -67,6 +67,48 @@ object Quantization {
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as bigint) * cast(y as bigint)),
        |  cast(0 as bigint), (acc, p) -> acc + p)""".stripMargin
 
+  /** Graded q66: the SCALE PATH for quantized search — IVF + int8, the
+    * FAISS `IVF,SQ8` composition. The k-means index is trained by
+    * `Clustering.kmeansModel` (broadcast-assign Lloyd rounds), the
+    * probe picks its nearest centroid in full precision (index probes
+    * stay float — only the stored corpus is quantized), and the search
+    * runs exact integer dot products over the ONE probed cluster
+    * instead of the whole corpus. Quantization here reads the model's
+    * double vectors; floats widen to double losslessly, so the codes
+    * are bit-identical to [[quantizedOf]]'s and the oracle's.
+    */
+  def ivfQuantizedKnn(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3, kNeighbors: Int = 3): DataFrame = {
+    val (cents, assigned) = Clustering.kmeansModel(spark, dir, k, iters)
+    val quant = assigned.select(col("vec_id"), col("v"), col("cluster"))
+      .withColumn("nrm", expr(
+        """sqrt(aggregate(transform(v, x -> x * x),
+          |  cast(0 as double), (acc, s) -> acc + s))""".stripMargin))
+      .withColumn("qvec", expr(
+        """CASE WHEN nrm = 0D THEN transform(v, x -> 0)
+          |ELSE transform(v, x -> cast(floor(x / nrm * 127.0D + 0.5D) as int))
+          |END""".stripMargin))
+    val probe = quant.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"),
+        col("qvec").as("q_qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", expr(Clustering.distExpr("q_vec")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("q_qvec"), col("cluster").as("probe_cluster"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    quant.select(col("vec_id"), col("qvec"), col("cluster"))
+      .join(broadcast(probe), col("cluster") === col("probe_cluster"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("qdot", expr(qdotExpr("q_qvec", "qvec")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kNeighbors)
+      .select("q_id", "probe_cluster", "rn", "vec_id", "qdot")
+      .orderBy("q_id", "rn")
+  }
+
   /** Graded q61: top-3 neighbors per probe (vec_id < 8, the q21 probe
     * set) under the quantized integer dot product, self excluded.
     */

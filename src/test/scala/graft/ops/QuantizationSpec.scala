@@ -68,6 +68,34 @@ class QuantizationSpec extends SparkSpec {
     assert(agree >= 0.75, s"quantized/float top-1 agreement $agree")
   }
 
+  test("IVF+int8 == driver-side in-cluster brute force over the same codes") {
+    // replay the whole composition independently: take the trained
+    // cluster assignments and the quantized codes, and brute-force the
+    // integer ranking inside each probe's own cluster
+    val assigned = Clustering.kmeans(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("cluster").longValue).toMap
+    val codes = Quantization.quantizedVectors(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](r.fieldIndex("qvec"))).toMap
+    val got = Quantization.ivfQuantizedKnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("probe_cluster").longValue,
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val cluster = rows.head._2
+      // the probed cluster must be the query's own home cluster here
+      // (a vector is closest to the centroid it converged under)
+      assert(cluster == assigned(q), s"probe $q")
+      val expected = codes.toSeq
+        .filter { case (id, _) => id != q && assigned(id) == cluster }
+        .map { case (id, c) =>
+          (id, c.zip(codes(q)).map { case (a, b) => a.toLong * b }.sum) }
+        .sortBy { case (id, dot) => (-dot, id) }.take(3)
+      val gotRanked = rows.sortBy(_._3).map(r => (r._4, r._5)).toSeq
+      assert(gotRanked == expected, s"probe $q: $gotRanked vs $expected")
+    }
+  }
+
   test("q61 output shape: 3 neighbors per probe, ordered, self excluded") {
     val rows = Quantization.quantizedTopK(spark, dir, 3).collect()
     val byQ = rows.groupBy(_.getLong(0))
