@@ -101,41 +101,52 @@ object Sampling {
         .select(col(stratumCol), col("rn"), col(keyCol))
         .orderBy(col(stratumCol), col("rn"))
     } else {
-      val spark = df.sparkSession
-      import spark.implicits._
-      val keyed = df.filter(col(keyCol).isNotNull)
-        .select(col(stratumCol).cast("string"),
-          md5(col(keyCol).cast("string")), col(keyCol).cast("long"))
-        .as[(String, String, Long)]
-      // phase 1 (narrow): per input partition, a bounded MAX-heap per
-      // stratum holds the cap smallest (hash, key) pairs seen so far —
-      // a new row only displaces the current partition-local maximum
-      val ord = Ordering.Tuple2(Ordering.String, Ordering.Long)
-      val survivors = keyed.mapPartitions { rows =>
-        val heaps = scala.collection.mutable.Map.empty[
-          String, scala.collection.mutable.PriorityQueue[(String, Long)]]
-        rows.foreach { case (stratum, hk, key) =>
-          val heap = heaps.getOrElseUpdate(stratum,
-            scala.collection.mutable.PriorityQueue.empty[(String, Long)](ord))
-          if (heap.size < cap) heap.enqueue((hk, key))
-          else if (ord.lt((hk, key), heap.head)) {
+      // phase 1 runs over generic Rows — an earlier typed-tuple
+      // formulation cast the key to long and the stratum to string,
+      // which nulled out (and crashed on) any non-numeric key and
+      // changed the output schema vs the exact path. Rows keep native
+      // types end-to-end. The heap's md5-tie-break uses the key's
+      // string form; it can differ from the exact path's native-order
+      // tie-break only when two distinct keys share an md5 — the same
+      // impossibility every md5-keyed operator here already rests on.
+      val pruned = df.filter(col(keyCol).isNotNull)
+        .select(col(stratumCol), col(keyCol),
+          md5(col(keyCol).cast("string")).as("__hk"))
+      val rowEnc = org.apache.spark.sql.Encoders.row(pruned.schema)
+      type Rank = (String, String)
+      val rankOrd: Ordering[Rank] = Ordering.Tuple2(Ordering.String, Ordering.String)
+      val heapOrd: Ordering[(Rank, org.apache.spark.sql.Row)] =
+        Ordering.by[(Rank, org.apache.spark.sql.Row), Rank](_._1)(rankOrd)
+      // per input partition, a bounded MAX-heap per stratum holds the
+      // cap smallest (hash, key) pairs seen so far — a new row only
+      // displaces the current partition-local maximum; narrow, no
+      // corpus shuffle
+      val survivors = pruned.mapPartitions { rows =>
+        val heaps = scala.collection.mutable.Map.empty[Any,
+          scala.collection.mutable.PriorityQueue[(Rank, org.apache.spark.sql.Row)]]
+        rows.foreach { r =>
+          val rank = (r.getString(2), String.valueOf(r.get(1)))
+          val heap = heaps.getOrElseUpdate(r.get(0),
+            scala.collection.mutable.PriorityQueue
+              .empty[(Rank, org.apache.spark.sql.Row)](heapOrd))
+          if (heap.size < cap) heap.enqueue((rank, r))
+          else if (rankOrd.lt(rank, heap.head._1)) {
             heap.dequeue()
-            heap.enqueue((hk, key))
+            heap.enqueue((rank, r))
           }
         }
-        heaps.iterator.flatMap { case (stratum, heap) =>
-          heap.iterator.map { case (hk, key) => (stratum, hk, key) }
-        }
-      }.toDF("stratum", "hk", "key")
+        heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+      }(rowEnc)
       // phase 2: exact rank over the tiny survivor set — the only
-      // shuffle in the plan moves ≤ cap × n_partitions rows per stratum
+      // shuffle in the plan moves ≤ cap × n_partitions rows per
+      // stratum; the window's tie-break is the NATIVE key order,
+      // identical to the exact path
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("stratum").orderBy(col("hk").asc, col("key").asc)
+        .partitionBy(stratumCol).orderBy(col("__hk").asc, col(keyCol).asc)
       survivors
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= cap)
-        .select(col("stratum").as(stratumCol), col("rn"),
-          col("key").as(keyCol))
+        .select(col(stratumCol), col("rn"), col(keyCol))
         .orderBy(col(stratumCol), col("rn"))
     }
   }

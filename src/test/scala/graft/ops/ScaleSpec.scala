@@ -228,6 +228,18 @@ class ScaleSpec extends SparkSpec {
     val s2 = Sampling.stratifiedCapOf(docs, "lang", 3, exact = false)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(e2.nonEmpty && s2 == e2)
+    // a STRING key must survive the heap path with its native type and
+    // schema (an earlier typed formulation cast keys to long, nulling
+    // out and crashing on non-numeric keys)
+    val exactStr = Sampling.stratifiedCapOf(docs, "lang", 4, keyCol = "text")
+    val scaleStr =
+      Sampling.stratifiedCapOf(docs, "lang", 4, keyCol = "text", exact = false)
+    assert(scaleStr.schema == exactStr.schema, scaleStr.schema)
+    val e3 = exactStr.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val s3 = scaleStr.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(e3.nonEmpty && s3 == e3)
   }
 
   test("range join: inverted intervals yield zero rows, not a descending grid") {
