@@ -113,6 +113,10 @@ object SparkEntry {
     "q65_retention_cohorts" -> Events.retentionCohorts _,
     "q66_ivf_quantized_knn" -> ((s: SparkSession, d: String) =>
       Quantization.ivfQuantizedKnn(s, d, KmeansK, KmeansIters, QuantTopK)),
+    "q67_scd2_history" -> Cdc.scd2History _,
+    "q68_cdc_apply" -> Cdc.cdcApply _,
+    "q69_copurchase_pagerank" -> ((s: SparkSession, d: String) =>
+      Graph.copurchasePagerank(s, d, PagerankIters)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1547,7 +1551,93 @@ object SparkEntry {
          |  FROM search)
          |SELECT q_id, probe_cluster, rn, vec_id, qdot FROM r WHERE rn <= $QuantTopK
          |ORDER BY q_id, rn""".stripMargin,
+
+    // Replays Cdc.scd2HistoryOf: gaps-and-islands run detection via lag,
+    // interval closing via lead over the surviving run boundaries.
+    "q67_scd2_history" ->
+      """WITH m AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n_total
+        |  FROM events),
+        |i AS (
+        |  SELECT * FROM m WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type, tus AS valid_from_us, rn, n_total,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS version,
+        |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to_us,
+        |    LEAD(rn) OVER (PARTITION BY user_id ORDER BY rn) AS next_rn
+        |  FROM i)
+        |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+        |  COALESCE(next_rn, n_total + 1) - rn AS n_events,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
+
+    // Replays Cdc.cdcApply: changelog compaction to the latest row per
+    // key, then a full-outer MERGE with error-tombstones dropped.
+    "q68_cdc_apply" ->
+      """WITH latest AS (
+        |  SELECT user_id AS key, event_type AS change_type,
+        |    value AS change_value
+        |  FROM (
+        |    SELECT user_id, event_type, value,
+        |      ROW_NUMBER() OVER (PARTITION BY user_id
+        |                         ORDER BY epoch_us(ts) DESC, event_id DESC)
+        |        AS rn
+        |    FROM events) x
+        |  WHERE rn = 1),
+        |base AS (
+        |  SELECT c_custkey AS key, c_acctbal AS base_balance FROM customer)
+        |SELECT COALESCE(b.key, l.key) AS key,
+        |  COALESCE(l.change_value, b.base_balance) AS balance,
+        |  CASE WHEN b.key IS NULL THEN 'insert'
+        |       WHEN l.key IS NULL THEN 'keep'
+        |       ELSE 'update' END AS op
+        |FROM base b FULL OUTER JOIN latest l ON b.key = l.key
+        |WHERE l.change_type IS NULL OR l.change_type <> 'error'
+        |ORDER BY key""".stripMargin,
+
+    // Replays Graph.copurchasePagerank: the same fixed-point integer
+    // iterations unrolled as chained CTEs (r1..rK). All arithmetic is
+    // bigint floor division — bit-identical across engines by
+    // construction, no FP summation order to reconcile. DuckDB's SUM
+    // over bigint widens to hugeint; the CAST narrows it back to the
+    // bigint Spark carries throughout.
+    "q69_copurchase_pagerank" ->
+      s"""WITH ${pagerankCtes(PagerankIters)}
+         |SELECT id AS part_id, r AS rank_fp FROM r$PagerankIters
+         |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
   )
+
+  /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
+    * edge build, out-degrees, then `iters` chained rank CTEs mirroring
+    * `Graph.pagerank`'s integer arithmetic (teleport `3S div 20N`,
+    * damping `17/20`, per-edge contribution `r div deg`).
+    */
+  private def pagerankCtes(iters: Int): String = {
+    val s = Graph.RankScale
+    val head =
+      s"""lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         |      FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, $s // (SELECT n FROM nn) AS r FROM deg)"""
+        .stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    CAST(3 * $s // (20 * (SELECT n FROM nn)) +
+         |         (17 * SUM(r${i - 1}.r // deg.deg)) // 20 AS BIGINT) AS r
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |  JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** The graded parameterizations, single-sourced: the `queries` map
     * passes them EXPLICITLY to the Scala operators, and the oracle-SQL
@@ -1558,6 +1648,7 @@ object SparkEntry {
   private val KmeansK = 4
   private val QuantilePcts = Seq(25, 50, 75, 90, 99)
   private val KmeansIters = 3
+  private val PagerankIters = 5
   // 16 tables x 4 bits: RecallSpec measures top-3 recall 0.875 on this
   // corpus (8x4 measured 0.625 — a graded point a 100 TB deployment
   // would not ship; the nTables lever is the recall knob).

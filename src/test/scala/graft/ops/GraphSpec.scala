@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Fixed-point PageRank (q69). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side replay of Graph.pagerank's integer arithmetic. */
+  private def naivePagerank(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = outDeg.size.toLong
+    val teleport = 3L * Graph.RankScale / (20L * n)
+    var ranks = outDeg.keys.map(_ -> Graph.RankScale / n).toMap
+    for (_ <- 1 to iters) {
+      val mass = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) =>
+        mass(d) += ranks(s) / outDeg(s)
+      }
+      ranks = mass.map { case (d, m) => d -> (teleport + 17L * m / 20L) }.toMap
+    }
+    ranks
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pagerank(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("star graph: the hub outranks every leaf") {
+    // undirected star 0-{1,2,3,4}: every leaf sends its whole rank to 0
+    val spokes = (1L to 4L).flatMap(i => Seq((0L, i), (i, 0L)))
+    val ranks = run(spokes, 5)
+    assert(ranks == naivePagerank(spokes, 5))
+    val hub = ranks(0L)
+    (1L to 4L).foreach(i => assert(hub > ranks(i)))
+    // symmetry: all leaves identical
+    assert((1L to 4L).map(ranks).distinct.size == 1)
+  }
+
+  test("symmetric triangle: all nodes tie at ~1/3 mass") {
+    val tri = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (2L, 0L), (0L, 2L))
+    val ranks = run(tri, 4)
+    assert(ranks.values.toSeq.distinct.size == 1)
+    // each holds SCALE/3 up to the two floor divisions per iteration
+    assert(math.abs(ranks(0L) - Graph.RankScale / 3) < 16)
+  }
+
+  test("random graphs match the driver-side integer replay exactly") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val nodes = 5 + trial * 3
+      val raw = (1 to nodes * 3).map { _ =>
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong)
+      }.filter { case (a, b) => a != b }
+      // symmetrize so every node with an edge has out-degree >= 1
+      val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      assert(run(edges, 5) == naivePagerank(edges, 5))
+    }
+  }
+
+  test("graded co-purchase ranks: mass conserved within floor loss") {
+    val out = Graph.copurchasePagerank(spark, "/root/testdata/sf0.001", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length > 50)
+    // descending total order
+    assert(out.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+    // every iteration only loses mass to floor division (≤ |E| + 2|N|
+    // units per round): total never exceeds RankScale and stays within
+    // 1e-4 relative of it from below
+    val total = out.map(_._2).sum
+    assert(total <= Graph.RankScale &&
+      total > Graph.RankScale - Graph.RankScale / 10000)
+  }
+}
