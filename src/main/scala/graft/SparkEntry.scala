@@ -117,6 +117,12 @@ object SparkEntry {
     "q68_cdc_apply" -> Cdc.cdcApply _,
     "q69_copurchase_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.copurchasePagerank(s, d, PagerankIters)),
+    "q70_copurchase_triangles" -> Graph.copurchaseTriangles _,
+    "q71_zorder_layout" -> ((s: SparkSession, d: String) =>
+      Layout.zorderBucketStats(s, d, ZorderBits, ZorderBucketBits)),
+    "q72_approx_quantile_bound" -> ((s: SparkSession, d: String) =>
+      Events.approxQuantileBound(s, d, ApproxQuantileAccuracy)),
+    "q73_fuzzy_name_match" -> EntityMatch.fuzzyNameMatches _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1610,6 +1616,72 @@ object SparkEntry {
       s"""WITH ${pagerankCtes(PagerankIters)}
          |SELECT id AS part_id, r AS rank_fp FROM r$PagerankIters
          |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
+    // Replays Graph.copurchaseTriangles: the same degree orientation
+    // (low-(deg, id) endpoint -> high), wedge join, closing-edge join,
+    // three-corner rollup. All joins and counts are integer-exact.
+    "q70_copurchase_triangles" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |und AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.k = b.k AND a.p < b.p),
+        |deg AS (
+        |  SELECT id, COUNT(*) AS deg FROM (
+        |    SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+        |  GROUP BY id),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |      THEN und.u ELSE und.v END AS a,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND und.u < und.v)
+        |      THEN und.v ELSE und.u END AS b
+        |  FROM und
+        |  JOIN deg du ON und.u = du.id
+        |  JOIN deg dv ON und.v = dv.id),
+        |tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM o e1
+        |  JOIN o e2 ON e1.b = e2.a
+        |  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b AS id FROM tri
+        |  UNION ALL SELECT c AS id FROM tri)
+        |SELECT id AS part_id, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY id
+        |ORDER BY n_triangles DESC, part_id ASC""".stripMargin,
+    // Replays Layout.zorderBucketStats: the identical unrolled bit
+    // interleave (generated from the same Scala loop — one formula,
+    // two engines), bucket = top bits of z, per-bucket bounding boxes.
+    "q71_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    ${Layout.zValueSql("l_partkey", "l_suppkey", ZorderBits)} AS zv
+         |  FROM lineitem)
+         |SELECT zv >> ${2 * ZorderBits - ZorderBucketBits} AS bucket,
+         |  COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+         |  MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+         |FROM z GROUP BY bucket
+         |ORDER BY bucket""".stripMargin,
+    // Deterministic columns exact; approx_ok = the GK sketch's own
+    // rank-error contract, verified Spark-side against the data.
+    "q72_approx_quantile_bound" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(value) AS min_value, MAX(value) AS max_value,
+        |  CAST(1 AS BIGINT) AS approx_ok
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // Deliberately UNMIRRORED brute-force cross join: a hash-match
+    // proves the deletion-neighborhood blocking lossless (q38 pattern).
+    "q73_fuzzy_name_match" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a
+        |JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
@@ -1649,6 +1721,13 @@ object SparkEntry {
   private val QuantilePcts = Seq(25, 50, 75, 90, 99)
   private val KmeansIters = 3
   private val PagerankIters = 5
+  // 11 bits cover l_partkey < 2048 at the graded sf; 6 bucket bits =
+  // 64 z-range "files". At cluster scale raise both together — the
+  // interleave is O(bits) arithmetic per row, never a sort.
+  private val ZorderBits = 11
+  private val ZorderBucketBits = 6
+  // GK sketch accuracy K=100 => contracted rank error eps = 1/100.
+  private val ApproxQuantileAccuracy = 100
   // 16 tables x 4 bits: RecallSpec measures top-3 recall 0.875 on this
   // corpus (8x4 measured 0.625 — a graded point a 100 TB deployment
   // would not ship; the nTables lever is the recall knob).

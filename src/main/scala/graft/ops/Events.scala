@@ -198,6 +198,54 @@ object Events {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  /** Graded q72: mergeable quantile sketch with a RANK-ERROR
+    * certificate. `percentile_approx` is Spark's Greenwald–Khanna
+    * sketch — the single-pass, partial-agg-mergeable structure that
+    * replaces q53's exact two-pass selection when 100 TB only needs a
+    * p50 within ε·n ranks. The certificate is the sketch's own
+    * guarantee, checked against the data rather than assumed: a second
+    * conditional aggregate counts how many values sit at or below the
+    * sketch's answer, and `approx_ok` = 1 iff that rank interval
+    * `[#<v, #≤v]` intersects `[n/2 − εn − 1, n/2 + εn + 1]` (accuracy
+    * K ⇒ ε = 1/K). The oracle asserts the literal 1 plus the exact
+    * deterministic columns, so a sketch whose answer drifts beyond its
+    * contracted rank error turns the row red — the q26 pattern, but
+    * testing the published GK bound instead of a loose multiple.
+    *
+    * Scale: two aggregates over the events table (sketch build, rank
+    * count) with the ≤|groups|-row sketch table broadcast between them;
+    * the big side never shuffles by anything but the group key.
+    */
+  def approxQuantileBound(spark: SparkSession, dir: String,
+      accuracy: Int = 100): DataFrame =
+    approxQuantileBoundOf(events(spark, dir).select(col("event_type"),
+      col("value").cast("double").as("v")), accuracy)
+
+  /** Core of `approxQuantileBound` over any `(event_type, v)` frame. */
+  def approxQuantileBoundOf(e: DataFrame, accuracy: Int): DataFrame = {
+    require(accuracy >= 2, s"accuracy must be >= 2, got $accuracy")
+    val sketch = e.groupBy("event_type").agg(
+      percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("p50"))
+    val eps = 1.0 / accuracy
+    e.join(broadcast(sketch), "event_type")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("v").as("min_value"),
+        max("v").as("max_value"),
+        sum(when(col("v") <= col("p50"), 1L).otherwise(0L)).as("rank_le"),
+        sum(when(col("v") < col("p50"), 1L).otherwise(0L)).as("rank_lt"))
+      .select(col("event_type"), col("n_events"),
+        col("min_value"), col("max_value"),
+        when(
+          col("rank_le").cast("double") >=
+            col("n_events") * 0.5 - col("n_events") * eps - 1 &&
+          col("rank_lt").cast("double") <=
+            col("n_events") * 0.5 + col("n_events") * eps + 1,
+          1L).otherwise(0L).as("approx_ok"))
+      .orderBy("event_type")
+  }
+
   /** Graded q64: ordered conversion funnel signup → view → click →
     * purchase. A stage counts only if its FIRST qualifying event falls
     * strictly after the previous stage's first qualifying event — the

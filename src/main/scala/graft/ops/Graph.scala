@@ -61,6 +61,70 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("part_id").asc)
   }
 
+  /** Graded q70: per-part triangle participation in the co-purchase
+    * graph — how many closed item-item-item loops each part sits on
+    * (the local-clustering numerator; in curation terms, a part inside
+    * many triangles is embedded in a dense co-occurrence community,
+    * while rank (q69) only measures reach).
+    *
+    * Scale shape is Suri & Vassilvitskii's degree-oriented count
+    * (WWW'11 "Counting triangles and the curse of the last reducer"):
+    * each undirected edge is ORIENTED from its lower-(degree, id)
+    * endpoint to its higher one, so every wedge is enumerated exactly
+    * once AT ITS LOWEST-DEGREE CORNER. A hub of degree d contributes
+    * not O(d²) wedges but only the wedges among its higher-degree
+    * neighbors — the "last reducer" that makes naive wedge-joins die on
+    * power-law graphs never forms. Both the wedge build and the closing
+    * check are plain equi-joins on the oriented edge list (shuffle by
+    * key, AQE-splittable); per-node rollup unions the three corners and
+    * map-side combines. The oracle replays the identical orientation in
+    * DuckDB, so counts hash-match bit-for-bit.
+    */
+  def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+    val und = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") < col("p2"))
+      .select(col("p").as("u"), col("p2").as("v"))
+      .distinct()
+    triangleCounts(und)
+      .select(col("id").as("part_id"), col("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part_id").asc)
+  }
+
+  /** Core triangle count over any undirected edge list given as
+    * canonical `(u, v)` pairs with `u < v`, one row per edge. Returns
+    * `(id, n_triangles)` for every node on at least one triangle.
+    */
+  def triangleCounts(und: DataFrame): DataFrame = {
+    // undirected degree: each edge touches both endpoints
+    val deg = und.select(col("u").as("id"))
+      .union(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) -> high-(deg, id); total order, so exactly
+    // one direction survives per edge and every triangle becomes one
+    // directed path a->b, b->c plus the closing edge a->c
+    val du = deg.select(col("id").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
+    val oriented = und.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val wedges = oriented
+      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+    val tris = wedges.join(
+      oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tris.select(col("a").as("id"))
+      .union(tris.select(col("b").as("id")))
+      .union(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Core PageRank over any directed `(src, dst)` edge list in which
     * every node has out-degree ≥ 1 (callers with dangling nodes add
     * self-loops or drop them first). Returns `(id, rank_fp)` with

@@ -76,4 +76,72 @@ class GraphSpec extends SparkSpec {
     assert(total <= Graph.RankScale &&
       total > Graph.RankScale - Graph.RankScale / 10000)
   }
+
+  // ---- triangle counting (q70) ----
+
+  /** Driver-side brute force: count triangles per node by scanning all
+    * id triples of the adjacency set.
+    */
+  private def naiveTriangles(und: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = und.toSet
+    def linked(a: Long, b: Long) =
+      adj.contains((math.min(a, b), math.max(a, b)))
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.size
+      k <- j + 1 until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if linked(a, b) && linked(b, c) && linked(a, c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def runTri(und: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(und.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("K4: four triangles, every node on three of them") {
+    val k4 = for (a <- 0L to 3L; b <- a + 1 to 3L) yield (a, b)
+    val tri = runTri(k4)
+    assert(tri == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("a chain has no triangles; adding one closing edge makes one") {
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    assert(runTri(chain).isEmpty)
+    val closed = chain :+ (0L, 2L)
+    assert(runTri(closed) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("random graphs match driver-side brute force, incl. a hub") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nodes = 8 + trial * 4
+      // a hub wired to everything plus random background edges — the
+      // degree-orientation's target case (the hub must NOT enumerate
+      // its own O(d^2) wedges into the count incorrectly)
+      val hub = (1L until nodes).map(i => (0L, i))
+      val raw = (1 to nodes * 2).map { _ =>
+        val a = rnd.nextInt(nodes).toLong; val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }
+      val und = (hub ++ raw).distinct
+      assert(runTri(und) == naiveTriangles(und))
+    }
+  }
+
+  test("graded co-purchase triangles: ordered, positive, consistent") {
+    val out = Graph.copurchaseTriangles(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 > 0))
+    // total participation divides by 3 (each triangle has 3 corners)
+    assert(out.map(_._2).sum % 3 == 0)
+    assert(out.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+  }
 }

@@ -131,4 +131,25 @@ class QueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q72 sketch answer honors its contracted rank error") {
+    import spark.implicits._
+    // controlled group: 0..999 — true median rank band is explicit
+    val e = (0 until 1000).map(i => ("g", i.toDouble)).toDF("event_type", "v")
+    val row = Events.approxQuantileBoundOf(e, 100).collect().head
+    assert(row.getAs[Long]("n_events") == 1000L)
+    assert(row.getAs[Double]("min_value") == 0.0)
+    assert(row.getAs[Double]("max_value") == 999.0)
+    assert(row.getAs[Long]("approx_ok") == 1L)
+    // the certificate must be falsifiable: a "sketch" that answered the
+    // max would land at rank 1000, far outside [n/2 - eps*n - 1, ...]
+    val n = 1000.0; val eps = 1.0 / 100
+    assert(n > n * 0.5 + eps * n + 1,
+      "bound too loose to ever reject a broken sketch")
+    // and on the graded table every group certifies
+    val graded = Events.approxQuantileBound(spark, dir, 100).collect()
+    assert(graded.nonEmpty)
+    graded.foreach(r => assert(r.getAs[Long]("approx_ok") == 1L,
+      s"rank certificate failed for ${r.getString(0)}"))
+  }
 }
