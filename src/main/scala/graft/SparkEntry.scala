@@ -123,6 +123,10 @@ object SparkEntry {
     "q72_approx_quantile_bound" -> ((s: SparkSession, d: String) =>
       Events.approxQuantileBound(s, d, ApproxQuantileAccuracy)),
     "q73_fuzzy_name_match" -> EntityMatch.fuzzyNameMatches _,
+    "q74_grouping_sets" -> Relational.groupingSetsLineitem _,
+    "q75_decayed_spend" -> ((s: SparkSession, d: String) =>
+      Features.decayedSpendOf(Tables(s, d, "orders"), DecayLags)),
+    "q76_minmax_embeddings" -> Features.minmaxScaledEmbeddings _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1682,6 +1686,56 @@ object SparkEntry {
         |JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // Non-hierarchical sets (skipping the (flag) grain) — neither
+    // ROLLUP nor CUBE covers this; GROUPING_ID bit order matches
+    // Spark's no-arg grouping_id() over (flag, status).
+    "q74_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_linestatus), ())
+        |ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    // Replays Features.decayedSpendOf: the identical truncated
+    // fixed-point decay sum, lag chain generated from the same
+    // DecayLags constant — integer floor division per term, so the
+    // engines agree bit-for-bit.
+    "q75_decayed_spend" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, o_orderkey, o_orderdate,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         |      AS lag_0
+         |  FROM orders),
+         |l AS (
+         |  SELECT o_custkey, o_orderkey, lag_0,
+         |    ${(1 until DecayLags).map(j =>
+              s"lag(lag_0, $j) OVER w AS lag_$j").mkString(",\n    ")}
+         |  FROM o
+         |  WINDOW w AS (PARTITION BY o_custkey
+         |               ORDER BY o_orderdate, o_orderkey))
+         |SELECT o_custkey, o_orderkey,
+         |  ${(0 until DecayLags).map(j =>
+              s"COALESCE(lag_$j, 0) // ${1L << (j + 1)}").mkString(" +\n  ")}
+         |    AS decayed_cents
+         |FROM l
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // Replays Features.minmaxScaledOf: exact per-dimension min/max
+    // PICKS, one subtraction + one division on identical doubles.
+    "q76_minmax_embeddings" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |x AS (
+        |  SELECT vec_id, t.i - 1 AS dim, e[t.i] AS val
+        |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+        |r AS (
+        |  SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY dim)
+        |SELECT x.vec_id, CAST(x.dim AS BIGINT) AS dim,
+        |  CASE WHEN r.mx > r.mn THEN (x.val - r.mn) / (r.mx - r.mn)
+        |       ELSE 0.0 END AS scaled
+        |FROM x JOIN r ON x.dim = r.dim
+        |ORDER BY vec_id, dim""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
@@ -1728,6 +1782,8 @@ object SparkEntry {
   private val ZorderBucketBits = 6
   // GK sketch accuracy K=100 => contracted rank error eps = 1/100.
   private val ApproxQuantileAccuracy = 100
+  // q75: 16 half-life lags — weights beyond lag 15 are < 1/65536 cent.
+  private val DecayLags = 16
   // 16 tables x 4 bits: RecallSpec measures top-3 recall 0.875 on this
   // corpus (8x4 measured 0.625 — a graded point a 100 TB deployment
   // would not ship; the nTables lever is the recall knob).

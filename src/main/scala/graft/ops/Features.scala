@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature engineering for model-input pipelines: decay-weighted
+  * history features and per-dimension normalization. Both are
+  * hash-stable by construction — the decay sum is integer fixed-point,
+  * the scaler only ever divides two IEEE doubles picked (not summed)
+  * from the data — so the DuckDB oracle matches bit-for-bit.
+  */
+object Features {
+
+  /** Graded q75: exponentially decayed spend per order sequence — the
+    * classic "recency-weighted customer value" feature. For each
+    * customer's orders in `(o_orderdate, o_orderkey)` sequence order,
+    *
+    *   decayed_cents(t) = Σ_{j=0..15} cents(totalprice_{t−j}) div 2^{j+1}
+    *
+    * — a half-life-one EWMA truncated at 16 lags, in integer cents with
+    * floor division per term (weights beyond lag 15 contribute < 1/65536
+    * of a cent: dropping them is the fixed-point answer to the infinite
+    * recursion, and what makes the value ORDER-INDEPENDENT of Spark's
+    * aggregation internals). The 16 `lag` terms share ONE window
+    * partitioning: one shuffle on the customer key, one in-partition
+    * sort, then every term streams — the shape that holds when orders
+    * is the 100 TB side. (A recursive `s_t = (x_t + s_{t−1}) div 2`
+    * cannot be window-expressed AND accumulates floor error; the
+    * truncated explicit sum is both expressible and exactly mirrorable.)
+    */
+  def decayedSpend(spark: SparkSession, dir: String): DataFrame =
+    decayedSpendOf(Tables(spark, dir, "orders"), lags = 16)
+
+  /** Core of `decayedSpend` over any
+    * `(o_custkey, o_orderkey, o_orderdate, o_totalprice)` frame.
+    */
+  def decayedSpendOf(orders: DataFrame, lags: Int): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags must be in [1,62], got $lags")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // cents via the shared decimal route (package.dec2) — the same
+    // double→DECIMAL(12,2) conversion the oracle's CAST performs
+    val cents = (dec2(col("o_totalprice")) * 100).cast("long")
+    val decayed = (0 until lags).map { j =>
+      // floor-div AFTER the lag pick: each term is an integer derived
+      // from exactly one row, so the sum has no rounding interplay
+      expr(s"coalesce(lag_$j, 0L) div ${1L << (j + 1)}")
+    }.reduce(_ + _)
+    (0 until lags)
+      .foldLeft(orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), cents.as("lag_0"))) { (df, j) =>
+        if (j == 0) df
+        else df.withColumn(s"lag_$j", lag(col("lag_0"), j).over(w))
+      }
+      .withColumn("decayed_cents", decayed)
+      .select("o_custkey", "o_orderkey", "decayed_cents")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Graded q76: per-dimension min–max scaling of the embedding
+    * corpus — the feature-normalization pass run before quantization or
+    * distance search so no dimension dominates by raw range. Output is
+    * LONG format `(vec_id, dim, scaled)`: `(x − min_d) / (max_d − min_d)`,
+    * constant dimensions pinned to 0.0.
+    *
+    * Scale shape: posexplode to `(dim, val)`, ONE partial-agg shuffle
+    * collapses to the |dims|-row min/max table, which broadcasts back
+    * onto the exploded stream — the corpus itself never shuffles, and
+    * min/max are exact element PICKS (never sums), so the only FP op is
+    * one subtraction and one division on identical doubles in both
+    * engines.
+    */
+  def minmaxScaledEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    minmaxScaledOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Core of `minmaxScaledEmbeddings` over any `(vec_id, embedding)`. */
+  def minmaxScaledOf(vecs: DataFrame): DataFrame = {
+    val long = vecs.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .withColumn("x", col("raw").cast("double"))
+    val ranges = long.groupBy("dim")
+      .agg(min("x").as("min_x"), max("x").as("max_x"))
+    long.join(broadcast(ranges), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("max_x") > col("min_x"),
+          (col("x") - col("min_x")) / (col("max_x") - col("min_x")))
+          .otherwise(lit(0.0)).as("scaled"))
+      .orderBy("vec_id", "dim")
+  }
+}

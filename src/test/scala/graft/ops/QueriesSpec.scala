@@ -152,4 +152,19 @@ class QueriesSpec extends SparkSpec {
     graded.foreach(r => assert(r.getAs[Long]("approx_ok") == 1L,
       s"rank certificate failed for ${r.getString(0)}"))
   }
+
+  test("q74 grouping sets: exactly the declared grains, totals consistent") {
+    val rows = Relational.groupingSetsLineitem(spark, dir).collect()
+    // gid 0 = (flag,status), 2 = (status) [flag bit set], 3 = ()
+    assert(rows.map(_.getAs[Long]("gid")).toSet == Set(0L, 2L, 3L))
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1)
+    val n = Tables(spark, dir, "lineitem").count()
+    assert(total.head.getAs[Long]("n_rows") == n)
+    // each grain's counts re-sum to the total
+    Seq(0L, 2L).foreach { g =>
+      assert(rows.filter(_.getAs[Long]("gid") == g)
+        .map(_.getAs[Long]("n_rows")).sum == n, s"grain $g")
+    }
+  }
 }
