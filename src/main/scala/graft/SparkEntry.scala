@@ -127,6 +127,9 @@ object SparkEntry {
     "q75_decayed_spend" -> ((s: SparkSession, d: String) =>
       Features.decayedSpendOf(Tables(s, d, "orders"), DecayLags)),
     "q76_minmax_embeddings" -> Features.minmaxScaledEmbeddings _,
+    "q77_above_nation_avg" -> Relational.customersAboveNationAvg _,
+    "q78_quality_audit" -> Quality.qualityAudit _,
+    "q79_incremental_agg" -> Cdc.incrementalCustomerAgg _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1736,6 +1739,55 @@ object SparkEntry {
         |       ELSE 0.0 END AS scaled
         |FROM x JOIN r ON x.dim = r.dim
         |ORDER BY vec_id, dim""".stripMargin,
+    // The correlated form itself — DuckDB decorrelates it internally;
+    // the integer cross-multiplication mirrors the Spark comparison.
+    "q77_above_nation_avg" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        |s AS (
+        |  SELECT c_nationkey, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |    COUNT(*) AS n
+        |  FROM c GROUP BY c_nationkey)
+        |SELECT c.c_custkey, n.n_name AS nation, c.c_acctbal
+        |FROM c
+        |JOIN s ON c.c_nationkey = s.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.cents * s.n > s.sum_cents
+        |ORDER BY c_custkey""".stripMargin,
+    "q78_quality_audit" ->
+      """SELECT metric, value FROM (
+        |  SELECT 'lineitem_rows' AS metric, COUNT(*) AS value FROM lineitem
+        |  UNION ALL SELECT 'orders_rows', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'customer_rows', COUNT(*) FROM customer
+        |  UNION ALL SELECT 'orders_distinct_keys',
+        |    COUNT(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'orders_dup_keys', COUNT(*) FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY o_orderkey
+        |    HAVING COUNT(*) > 1)
+        |  UNION ALL SELECT 'lineitem_orphans', COUNT(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                      WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL SELECT 'orders_orphans', COUNT(*) FROM orders o
+        |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                      WHERE c.c_custkey = o.o_custkey)
+        |  UNION ALL SELECT 'lineitem_null_shipdate', COUNT(*) FROM lineitem
+        |    WHERE l_shipdate IS NULL
+        |  UNION ALL SELECT 'lineitem_nonpositive_qty', COUNT(*) FROM lineitem
+        |    WHERE l_quantity <= 0
+        |  UNION ALL SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
+        |    WHERE l_discount < 0 OR l_discount > 1)
+        |ORDER BY metric""".stripMargin,
+    // Deliberately the FULL recompute (no split): a hash-match proves
+    // the incremental merge exactly equals re-aggregating everything.
+    "q79_incremental_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase

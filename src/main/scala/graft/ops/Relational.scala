@@ -132,6 +132,31 @@ object Relational {
         d("l_returnflag").asc_nulls_first, d("l_linestatus").asc_nulls_first))
   }
 
+  /** Graded q77: the correlated-scalar-subquery pattern —
+    * `WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2 WHERE
+    * c2.c_nationkey = c.c_nationkey)` — decorrelated by hand into ONE
+    * per-nation aggregate broadcast back onto the customer scan (what
+    * Catalyst's RewriteCorrelatedScalarSubquery does mechanically,
+    * stated explicitly so the plan is auditable: no per-row subquery, no
+    * repeated scan). The average COMPARISON runs as integer
+    * cross-multiplication (`cents·n > sum_cents`) instead of dividing —
+    * decimal-division scale rules differ across engines, integer
+    * products don't (the q60 likelihood-ratio trick).
+    */
+  def customersAboveNationAvg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        (dec2(col("c_acctbal")) * 100).cast("long").as("cents"))
+    val stats = cust.groupBy("c_nationkey")
+      .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("n"))
+    cust.join(broadcast(stats), "c_nationkey")
+      .filter(col("cents") * col("n") > col("sum_cents"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"), col("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** Left-semi join (EXISTS): customers having at least one finished
     * order. Semi joins ship only the join key of the build side — at scale
     * the distinct o_custkey set is tiny vs the orders table.

@@ -128,4 +128,44 @@ object EmbeddingStreams {
   def quantizedVectors(stream: DataFrame): DataFrame =
     graft.ops.Quantization.quantizedOf(
       stream.select(col("vec_id"), col("embedding")))
+
+  /** Min–max scale in flight under a FROZEN range model — the q76
+    * normalization as an ingestion-edge projection. The batch-fitted
+    * per-dimension `(min, max)` vector ships as a literal (the DSIR
+    * frozen-model pattern), so scaling each arriving vector is
+    * stateless: no shuffle, no state store, no stream-side aggregation.
+    * Serving and training then share ONE normalization — the
+    * train/serve-skew guard feature platforms exist to provide.
+    */
+  def minmaxScaledVectors(stream: DataFrame,
+      mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"range model mismatch: ${mins.length} mins vs ${maxs.length} maxs")
+    val minLit = typedlit(mins)
+    val maxLit = typedlit(maxs)
+    stream
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(element_at(maxLit, col("dim").cast("int") + 1) >
+            element_at(minLit, col("dim").cast("int") + 1),
+          (col("raw").cast("double") -
+            element_at(minLit, col("dim").cast("int") + 1)) /
+            (element_at(maxLit, col("dim").cast("int") + 1) -
+              element_at(minLit, col("dim").cast("int") + 1)))
+          .otherwise(lit(0.0)).as("scaled"))
+  }
+
+  /** Fit the frozen range model for `minmaxScaledVectors` from a batch
+    * corpus: per-dimension `(min, max)` as driver-side vectors (|dims|
+    * doubles — model-sized, not data-sized).
+    */
+  def fitMinmaxRanges(vecs: org.apache.spark.sql.DataFrame)
+      : (Seq[Double], Seq[Double]) = {
+    val rows = graft.ops.Features.minmaxRangesOf(vecs).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("min_x"),
+        r.getAs[Double]("max_x")))
+      .sortBy(_._1)
+    (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+  }
 }

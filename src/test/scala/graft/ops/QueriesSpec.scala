@@ -167,4 +167,60 @@ class QueriesSpec extends SparkSpec {
         .map(_.getAs[Long]("n_rows")).sum == n, s"grain $g")
     }
   }
+
+  test("q77 matches a driver-side correlated-subquery replay") {
+    val custs = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue(),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)))
+    val byNation = custs.groupBy(_._2)
+    val want = custs.filter { case (_, nk, bal) =>
+      val grp = byNation(nk)
+      bal * grp.length > grp.map(_._3).sum
+    }.map(_._1).toSet
+    val got = Relational.customersAboveNationAvg(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q78 audit: anomaly metrics are zero, volume metrics are exact") {
+    val m = Quality.qualityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("orders_dup_keys", "lineitem_orphans", "orders_orphans",
+      "lineitem_null_shipdate", "lineitem_nonpositive_qty",
+      "lineitem_discount_range").foreach(k =>
+      assert(m(k) == 0L, s"$k expected clean"))
+    assert(m("lineitem_rows") == Tables(spark, dir, "lineitem").count())
+    assert(m("orders_rows") == m("orders_distinct_keys"))
+    // falsifiability: a corrupted frame must trip the checks
+    import spark.implicits._
+    val badOrders = Seq((1L, 10L), (1L, 11L)).toDF("o_orderkey", "o_custkey")
+    val dups = badOrders.groupBy("o_orderkey")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+      .filter($"c" > 1).count()
+    assert(dups == 1L)
+  }
+
+  test("q79 incremental merge is invariant to the split point") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("sum_cents"))).toMap
+    val full = asMap(orders.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"), sum("cents").as("sum_cents")))
+    // three different cutoffs, one degenerate (empty delta): all equal
+    Seq("1996-06-01", "2000-01-01", "2039-01-01").foreach { c =>
+      val cut = lit(c).cast("timestamp")
+      val inc = asMap(Cdc.incrementalAggOf(
+        orders.filter(col("o_orderdate") < cut),
+        orders.filter(col("o_orderdate") >= cut)))
+      assert(inc == full, s"cutoff $c diverged")
+    }
+  }
 }

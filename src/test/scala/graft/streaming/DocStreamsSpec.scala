@@ -69,6 +69,29 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming min-max scaling under a frozen range model matches batch") {
+    val src = "/root/testdata/sf0.001"
+    val vecs = graft.ops.Tables(spark, src, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    // freeze the model from the SAME corpus the batch op normalizes, so
+    // the in-flight projection must reproduce q76 row for row
+    val (mins, maxs) = EmbeddingStreams.fitMinmaxRanges(vecs)
+    assert(mins.length == maxs.length && mins.length == 64)
+    val d = Files.createTempDirectory("emb_minmax_stream")
+    Files.copy(Paths.get(s"$src/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(
+      EmbeddingStreams.minmaxScaledVectors(stream, mins, maxs),
+      "emb_minmax", OutputMode.Append())
+    val streamed = spark.table("emb_minmax").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val batch = graft.ops.Features.minmaxScaledOf(vecs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops cross-batch duplicates against the state store") {
     import java.nio.file.attribute.FileTime
     import spark.implicits._
