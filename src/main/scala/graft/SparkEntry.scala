@@ -130,6 +130,8 @@ object SparkEntry {
     "q77_above_nation_avg" -> Relational.customersAboveNationAvg _,
     "q78_quality_audit" -> Quality.qualityAudit _,
     "q79_incremental_agg" -> Cdc.incrementalCustomerAgg _,
+    "q80_sliding_distinct_users" -> Events.slidingDistinctUsers _,
+    "q81_pit_enrichment" -> Cdc.pointInTimeEnrichment _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1788,6 +1790,72 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    // q33's exact KMV replay, per sliding-window start (q37's two-row
+    // window duplication): bottom-64 hashes, kth at rank 64, estimator
+    // regime mirrored.
+    "q80_sliding_distinct_users" ->
+      """WITH s AS (
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+        |    AS ws, user_id
+        |  FROM events
+        |  UNION ALL
+        |  SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+        |           - INTERVAL 30 MINUTE,
+        |    user_id
+        |  FROM events),
+        |h AS (
+        |  SELECT DISTINCT ws,
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+        |  FROM s),
+        |r AS (
+        |  SELECT ws, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY ws ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY ws) AS nd
+        |  FROM h),
+        |g AS (
+        |  SELECT ws, MAX(nd) AS nd,
+        |    MAX(CASE WHEN rn = 64 THEN hv END) AS kth_hash
+        |  FROM r GROUP BY ws),
+        |x AS (
+        |  SELECT ws, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM s GROUP BY ws)
+        |SELECT g.ws AS window_start,
+        |  CASE WHEN g.nd < 64 THEN CAST(g.nd AS DOUBLE)
+        |       ELSE round(63.0 * 1152921504606846976 / CAST(g.kth_hash AS DOUBLE), 4)
+        |  END AS est_distinct,
+        |  CASE WHEN g.nd < 64 THEN NULL ELSE g.kth_hash END AS kth_hash,
+        |  x.exact_users
+        |FROM g JOIN x ON g.ws = x.ws
+        |ORDER BY window_start""".stripMargin,
+    // Replays Cdc.pointInTimeEnrichment: q67's SCD2 CTEs over the even
+    // (dimension) feed, odd facts joined into the containing interval.
+    "q81_pit_enrichment" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+        |  FROM events WHERE event_id % 2 = 0),
+        |m AS (
+        |  SELECT user_id, event_type, tus,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY tus, event_id) AS rn,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY tus, event_id) AS prev_type
+        |  FROM d),
+        |i AS (
+        |  SELECT * FROM m WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (
+        |  SELECT user_id, event_type AS active_type, tus AS valid_from_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS version,
+        |    LEAD(tus) OVER (PARTITION BY user_id ORDER BY rn) AS valid_to_us
+        |  FROM i),
+        |f AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS fus
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT f.event_id AS fact_event_id, f.user_id, v.version,
+        |  v.active_type, f.event_type AS fact_type
+        |FROM f JOIN v ON f.user_id = v.user_id
+        |  AND f.fus >= v.valid_from_us
+        |  AND (v.valid_to_us IS NULL OR f.fus < v.valid_to_us)
+        |ORDER BY fact_event_id""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase

@@ -127,6 +127,47 @@ object Cdc {
           .otherwise("update").as("op"))
   }
 
+  /** Graded q81: POINT-IN-TIME enrichment — the feature-store temporal
+    * join. The event stream splits into a DIMENSION feed (even
+    * event_ids → SCD2 history via the q67 machinery) and a FACT feed
+    * (odd event_ids); each fact joins the dimension VERSION whose
+    * validity interval contains the fact's event time — strictly
+    * backward-looking (`valid_from ≤ t < valid_to`, open tail), the
+    * join discipline that keeps future dimension states out of
+    * training features (label leakage). Facts preceding their key's
+    * first version drop (inner join): "no dimension state existed yet"
+    * is the honest answer, not a default row.
+    *
+    * Scale shape: ONE equi-shuffle on the key, then the interval
+    * predicate filters within each key's (small) version set — the
+    * standard PIT plan while per-key version counts stay bounded, with
+    * the q24/q32 machinery as the fallback when they don't. Each fact
+    * matches AT MOST ONE version (intervals partition the timeline), so
+    * output cardinality is bounded by the fact count.
+    */
+  def pointInTimeEnrichment(spark: SparkSession, dir: String): DataFrame = {
+    val evs = Events.events(spark, dir)
+    pointInTimeEnrichmentOf(
+      evs.filter(col("event_id") % 2 === 0),
+      evs.filter(col("event_id") % 2 === 1))
+  }
+
+  /** Core PIT join: SCD2 over `dim`, facts matched into intervals. */
+  def pointInTimeEnrichmentOf(dim: DataFrame, facts: DataFrame): DataFrame = {
+    val hist = scd2HistoryOf(dim).select(col("user_id"), col("version"),
+      col("event_type").as("active_type"),
+      col("valid_from_us"), col("valid_to_us"))
+    facts
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("f_us"), col("event_type").as("fact_type"))
+      .join(hist, Seq("user_id"))
+      .filter(col("f_us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("f_us") < col("valid_to_us")))
+      .select(col("event_id").as("fact_event_id"), col("user_id"),
+        col("version"), col("active_type"), col("fact_type"))
+      .orderBy("fact_event_id")
+  }
+
   /** Graded q79: incremental aggregate maintenance — the materialized-
     * view update shape. The orders table is split at an (arbitrary)
     * date cutoff into a "yesterday's snapshot" and a "today's delta";

@@ -198,6 +198,34 @@ object Events {
           .as("approx_ok"))
       .orderBy("event_type")
 
+  /** Graded q80: distinct users per SLIDING event-time window via the
+    * KMV sketch — the q33 mergeable bottom-k composed with q37's
+    * overlapping windows. This is the shape exact distinct CANNOT take
+    * at scale: a 1h/30m slide duplicates every event into two windows,
+    * so `COUNT(DISTINCT)` would re-shuffle the raw id stream per
+    * window, while the KMV buffer is a ≤k-hash partial-agg state that
+    * merges across partitions AND windows (bottom-k of a union = merge
+    * of bottom-ks). The struct carries the sketch verdict and the exact
+    * count side by side; both are deterministic, so the oracle replays
+    * the sketch bit-for-bit from the same md5-derived 60-bit hashes —
+    * per window start this time.
+    */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.KmvDistinct.register(spark)
+    events(spark, dir)
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"))
+      .agg(
+        expr("kmv_distinct(hv)").as("s"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("w.start").as("window_start"),
+        round(col("s.est_distinct"), 4).as("est_distinct"),
+        col("s.kth_hash"),
+        col("exact_users"))
+      .orderBy("window_start")
+  }
+
   /** Graded q72: mergeable quantile sketch with a RANK-ERROR
     * certificate. `percentile_approx` is Spark's Greenwald–Khanna
     * sketch — the single-pass, partial-agg-mergeable structure that

@@ -223,4 +223,54 @@ class QueriesSpec extends SparkSpec {
       assert(inc == full, s"cutoff $c diverged")
     }
   }
+
+  test("q80 sliding KMV: exact below k, estimator regime above") {
+    val rows = Events.slidingDistinctUsers(spark, dir).collect()
+      .map(r => (r.getAs[Double]("est_distinct"),
+        Option(r.getAs[java.lang.Long]("kth_hash")),
+        r.getAs[Long]("exact_users")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, kth, exact) =>
+      if (kth.isEmpty) assert(est == exact.toDouble,
+        s"sub-k window must report exactly: est=$est exact=$exact")
+      else {
+        // KMV with k=64 on a uniform hash: require the estimate within
+        // 60% of truth — loose enough to never flake, tight enough to
+        // catch a broken estimator (off by 2^k-style bugs)
+        assert(exact >= 64L)
+        assert(math.abs(est - exact) / exact <= 0.6,
+          s"estimator off: est=$est exact=$exact")
+      }
+    }
+  }
+
+  test("q81 PIT join: versions, boundaries, open tail, pre-history drop") {
+    import spark.implicits._
+    // dim (even ids): user 1 is type A from t=1000us, B from t=3000us
+    // (ts column is raw NANOS, as in the events table)
+    val dim = Seq(
+      (1L, 2L, 1000000L, "A"), (1L, 4L, 2000000L, "A"),
+      (1L, 6L, 3000000L, "B")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val facts = Seq(
+      (1L, 1L, 500000L, "x"),   // before first version -> dropped
+      (1L, 3L, 1000000L, "x"),  // boundary: == valid_from -> version 1
+      (1L, 5L, 2999000L, "y"),  // inside version 1
+      (1L, 7L, 3000000L, "y"),  // boundary: == v2 start -> version 2
+      (1L, 9L, 99000000L, "z"), // far future -> open tail, version 2
+      (2L, 11L, 1000000L, "w")  // user with no dim feed -> dropped
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Cdc.pointInTimeEnrichmentOf(dim, facts).collect()
+      .map(r => r.getAs[Long]("fact_event_id") ->
+        (r.getAs[Long]("version"), r.getAs[String]("active_type")))
+      .toMap
+    assert(got == Map(
+      3L -> (1L, "A"), 5L -> (1L, "A"),
+      7L -> (2L, "B"), 9L -> (2L, "B")))
+    // graded surface: every fact matches at most once
+    val graded = Cdc.pointInTimeEnrichment(spark, dir).collect()
+    assert(graded.nonEmpty)
+    val ids = graded.map(_.getAs[Long]("fact_event_id"))
+    assert(ids.distinct.length == ids.length, "a fact matched two versions")
+  }
 }
