@@ -305,4 +305,32 @@ class ScaleSpec extends SparkSpec {
     assert(!beforeJoin.replaceAll("(?s)BroadcastExchange.*", "")
       .contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("q70 plan: both enumeration joins broadcast — the wedge stream never shuffles") {
+    val tri = Graph.copurchaseTriangles(spark, dir)
+    val plan = tri.queryExecution.executedPlan.toString
+    // wedge build + closing probe both against broadcast edge sets
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan.take(3000))
+    // the oriented edge list itself is the persisted stage
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q76 plan: the |dims|-row range table broadcasts; the corpus stream stays in place") {
+    val scaled = Features.minmaxScaledEmbeddings(spark, dir)
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the exploded corpus side must not hash-exchange before the join
+    // (only the range-table aggregate and the final sort may exchange)
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val corpusSide = plan.substring(joinIdx)
+      .replaceAll("(?s)BroadcastExchange.*", "")
+    assert(!corpusSide.contains("Exchange hashpartitioning"), plan.take(3000))
+  }
+
+  test("q78 plan: referential checks are anti joins, not full joins") {
+    val audit = Quality.qualityAudit(spark, dir)
+    val plan = audit.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
 }
