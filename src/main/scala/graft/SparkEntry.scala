@@ -132,6 +132,8 @@ object SparkEntry {
     "q79_incremental_agg" -> Cdc.incrementalCustomerAgg _,
     "q80_sliding_distinct_users" -> Events.slidingDistinctUsers _,
     "q81_pit_enrichment" -> Cdc.pointInTimeEnrichment _,
+    "q82_embedding_drift" -> ((s: SparkSession, d: String) =>
+      Features.embeddingDriftReport(s, d, DriftBuckets)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1856,6 +1858,35 @@ object SparkEntry {
         |  AND f.fus >= v.valid_from_us
         |  AND (v.valid_to_us IS NULL OR f.fus < v.valid_to_us)
         |ORDER BY fact_event_id""".stripMargin,
+    // Replays Features.embeddingDriftReport: identical bucket formula
+    // (same FP op order), q44's md5 membership rule, integer drift sum.
+    "q82_embedding_drift" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |x AS (
+         |  SELECT vec_id, t.i - 1 AS dim, e[t.i] AS val
+         |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+         |r AS (
+         |  SELECT dim, MIN(val) AS mn, MAX(val) AS mx FROM x GROUP BY dim),
+         |b AS (
+         |  SELECT x.vec_id, x.dim,
+         |    CASE WHEN r.mx > r.mn
+         |      THEN least(CAST(floor(((x.val - r.mn) / (r.mx - r.mn))
+         |                            * $DriftBuckets) AS BIGINT),
+         |                 ${DriftBuckets - 1})
+         |      ELSE 0 END AS bucket,
+         |    CAST('0x' || substr(md5(x.vec_id::VARCHAR), 1, 6) AS BIGINT)
+         |      % 100 < 50 AS in_half
+         |  FROM x JOIN r ON x.dim = r.dim),
+         |h AS (
+         |  SELECT dim, bucket, COUNT(*) AS full_n,
+         |    COUNT(*) FILTER (WHERE in_half) AS half_n
+         |  FROM b GROUP BY dim, bucket)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(SUM(full_n) AS BIGINT) AS full_n,
+         |  CAST(SUM(half_n) AS BIGINT) AS half_n,
+         |  CAST(SUM(abs(2 * half_n - full_n)) AS BIGINT) AS drift_num
+         |FROM h GROUP BY dim ORDER BY dim""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
@@ -1904,6 +1935,8 @@ object SparkEntry {
   private val ApproxQuantileAccuracy = 100
   // q75: 16 half-life lags — weights beyond lag 15 are < 1/65536 cent.
   private val DecayLags = 16
+  // q82: 16 equi-width buckets per embedding dimension.
+  private val DriftBuckets = 16
   // 16 tables x 4 bits: RecallSpec measures top-3 recall 0.875 on this
   // corpus (8x4 measured 0.625 — a graded point a 100 TB deployment
   // would not ship; the nTables lever is the recall knob).

