@@ -120,18 +120,25 @@ object Graph {
           .as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist())
-    // Both enumeration joins BROADCAST the oriented edge list: the
-    // wedge stream (sum of per-source C(outdeg,2) — 41M rows at sf0.1)
-    // is generated AND closed map-side, never shuffled; the only
-    // exchange left is the final per-node rollup (≤ |V| rows after
-    // partial agg). Holds while |E| fits an executor (~10⁸ packed
-    // edges); beyond that drop the hints — AQE picks shuffle joins and
-    // the same plan degrades gracefully instead of breaking.
-    val wedges = oriented
-      .join(broadcast(oriented.select(col("a").as("b"), col("b").as("c"))),
-        "b")
-    val tris = wedges.join(
-      broadcast(oriented.select(col("a"), col("b").as("c"))), Seq("a", "c"))
+    // EDGE-ITERATOR enumeration: collapse the oriented list to sorted
+    // higher-neighbor adjacency arrays (|V| rows), broadcast them, and
+    // intersect `nbrs(a) ∩ nbrs(b)` per edge — every triangle surfaces
+    // exactly once at its lowest oriented edge. This replaces the
+    // wedge-join's Σ C(outdeg,2) intermediate rows (41M at sf0.1) with
+    // |E| sorted-array intersections whose operand lengths the degree
+    // orientation already bounded; nothing but the |V|-row adjacency
+    // build and the final per-node rollup ever shuffles. Holds while
+    // the adjacency fits an executor (~10⁸ packed edges); beyond that
+    // drop the broadcasts — AQE picks shuffle joins and the same plan
+    // degrades gracefully instead of breaking.
+    val adj = oriented.groupBy("a")
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val tris = oriented
+      .join(broadcast(adj), "a")
+      .join(broadcast(adj.select(col("a").as("b"),
+        col("nbrs").as("nbrs_b"))), "b")
+      .select(col("a"), col("b"),
+        explode(array_intersect(col("nbrs"), col("nbrs_b"))).as("c"))
     // one pass over tris: each triangle contributes its three corners
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
