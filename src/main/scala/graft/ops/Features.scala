@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,10 +135,7 @@ object Features {
         expr(Sampling.bucketExpr("vec_id")) < 50)
     val bucketed = long.join(broadcast(minmaxRangesOf(vecs)), "dim")
       .withColumn("bucket",
-        when(col("max_x") > col("min_x"),
-          least(floor((col("x") - col("min_x")) /
-            (col("max_x") - col("min_x")) * buckets), lit(buckets - 1L)))
-          .otherwise(lit(0L)))
+        bucketCol(col("x"), col("min_x"), col("max_x"), buckets))
       .groupBy("dim", "bucket")
       .agg(count(lit(1)).as("full_n"),
         sum(when(col("in_half"), 1L).otherwise(0L)).as("half_n"))
@@ -150,5 +147,32 @@ object Features {
       .select(col("dim").cast("long").as("dim"), col("full_n"),
         col("half_n"), col("drift_num"))
       .orderBy("dim")
+  }
+
+  /** THE equi-width bucket formula — one definition shared by the q82
+    * batch report, `embeddingHistogramOf`, and the streaming
+    * `DocStreams.driftHistogram` twin, so a vector lands in the same
+    * bucket on every path (same FP op order: ratio, scale, floor,
+    * clamp).
+    */
+  private[graft] def bucketCol(x: Column, mn: Column, mx: Column,
+      buckets: Int): Column =
+    when(mx > mn,
+      least(floor((x - mn) / (mx - mn) * buckets), lit(buckets - 1L)))
+      .otherwise(lit(0L))
+
+  /** Batch `(dim, bucket, n)` histogram — the frozen REFERENCE side of
+    * the streaming drift monitor.
+    */
+  def embeddingHistogramOf(vecs: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    vecs.select(posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .withColumn("x", col("raw").cast("double"))
+      .join(broadcast(minmaxRangesOf(vecs)), "dim")
+      .select(col("dim").cast("long").as("dim"),
+        bucketCol(col("x"), col("min_x"), col("max_x"), buckets)
+          .as("bucket"))
+      .groupBy("dim", "bucket")
+      .agg(count(lit(1)).as("n"))
   }
 }

@@ -168,4 +168,31 @@ object EmbeddingStreams {
       .sortBy(_._1)
     (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
   }
+
+  /** Streaming drift histogram under the same frozen range model — the
+    * live tail of the q82 monitor. Arriving vectors bucket against the
+    * batch-fitted `(min, max)` literals (identical FP formula, so a
+    * vector lands in the SAME bucket it would batch-side) and aggregate
+    * to per-(dim, bucket) counts in Complete mode; the caller compares
+    * each emitted snapshot against the frozen reference histogram. The
+    * only state is the ≤ dims·B-row count table — the stream itself is
+    * never retained.
+    */
+  def driftHistogram(stream: DataFrame,
+      mins: Seq[Double], maxs: Seq[Double], buckets: Int): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"range model mismatch: ${mins.length} mins vs ${maxs.length} maxs")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val minLit = typedlit(mins)
+    val maxLit = typedlit(maxs)
+    val i = col("dim").cast("int") + 1
+    stream
+      .select(posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("dim").cast("long").as("dim"),
+        graft.ops.Features.bucketCol(col("raw").cast("double"),
+          element_at(minLit, i), element_at(maxLit, i), buckets)
+          .as("bucket"))
+      .groupBy("dim", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
 }

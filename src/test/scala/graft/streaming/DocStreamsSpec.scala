@@ -92,6 +92,28 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming drift histogram equals the batch reference histogram") {
+    val src = "/root/testdata/sf0.001"
+    val vecs = graft.ops.Tables(spark, src, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val (mins, maxs) = EmbeddingStreams.fitMinmaxRanges(vecs)
+    val d = Files.createTempDirectory("emb_drift_stream")
+    Files.copy(Paths.get(s"$src/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(
+      EmbeddingStreams.driftHistogram(stream, mins, maxs, 16),
+      "emb_drift", OutputMode.Complete())
+    val streamed = spark.table("emb_drift").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the whole corpus streamed through => the candidate histogram must
+    // equal the batch reference bucket for bucket (shared bucketCol)
+    val batch = graft.ops.Features.embeddingHistogramOf(vecs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops cross-batch duplicates against the state store") {
     import java.nio.file.attribute.FileTime
     import spark.implicits._
