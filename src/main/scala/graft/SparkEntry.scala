@@ -134,6 +134,10 @@ object SparkEntry {
     "q81_pit_enrichment" -> Cdc.pointInTimeEnrichment _,
     "q82_embedding_drift" -> ((s: SparkSession, d: String) =>
       Features.embeddingDriftReport(s, d, DriftBuckets)),
+    "q83_packed_sequences" -> ((s: SparkSession, d: String) =>
+      Sampling.packSequences(s, d, SeqPackLen)),
+    "q84_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.hardNegatives(s, d, HardNegK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1887,6 +1891,61 @@ object SparkEntry {
          |  CAST(SUM(half_n) AS BIGINT) AS half_n,
          |  CAST(SUM(abs(2 * half_n - full_n)) AS BIGINT) AS drift_num
          |FROM h GROUP BY dim ORDER BY dim""".stripMargin,
+    // The oracle lays the corpus out with the NAIVE single global
+    // window (as q52's does) and unnests each document's sequence span
+    // arithmetically — proving the two-phase offsets and the
+    // boundary-split arithmetic exact, piece by piece.
+    "q83_packed_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_toks,
+         |    md5(doc_id::VARCHAR) AS h
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, n_toks,
+         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_tok
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, n_toks, start_tok,
+         |    start_tok + n_toks AS end_tok,
+         |    unnest(generate_series(start_tok // $SeqPackLen,
+         |                           (start_tok + n_toks - 1) // $SeqPackLen))
+         |      AS seq
+         |  FROM c WHERE n_toks > 0)
+         |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+         |  CAST(greatest(start_tok, seq * $SeqPackLen)
+         |       - seq * $SeqPackLen AS BIGINT) AS seq_start,
+         |  CAST(greatest(start_tok, seq * $SeqPackLen)
+         |       - start_tok AS BIGINT) AS doc_off,
+         |  CAST(least(end_tok, (seq + 1) * $SeqPackLen)
+         |       - greatest(start_tok, seq * $SeqPackLen) AS BIGINT)
+         |      AS piece_toks
+         |FROM p ORDER BY doc_id, seq""".stripMargin,
+    "q84_hard_negatives" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, e AS qe
+         |  FROM v WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.q_id, q.q_label, v.vec_id, v.label AS neg_label,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM v CROSS JOIN q
+         |  WHERE v.vec_id <> q.q_id AND v.label <> q.q_label),
+         |r AS (
+         |  SELECT q_id, q_label, vec_id, neg_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM p)
+         |SELECT q_id, q_label, rn, vec_id, neg_label, cos
+         |FROM r WHERE rn <= $HardNegK
+         |ORDER BY q_id, rn""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
@@ -1958,6 +2017,12 @@ object SparkEntry {
   private val DsirTargetLang = "en"
   // q61: neighbors per probe under the quantized integer dot product.
   private val QuantTopK = 3
+  // q83: tokens per packed context window. Graded small so boundary
+  // splits actually occur at sf0.01 (~300-token docs straddle often);
+  // a 2k/4k/8k production window only changes this constant.
+  private val SeqPackLen = 512L
+  // q84: hard negatives mined per anchor.
+  private val HardNegK = 5
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -205,6 +205,21 @@ object Sampling {
   /** Core of `tokenShards` over any `(doc_id, text)` corpus. */
   def tokenShardsOf(df: DataFrame, shardSize: Long): DataFrame = {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    globalTokenOffsets(df)
+      // integer div, not FP `/`: double rounding would misplace a
+      // boundary doc once offsets exceed 2^53 tokens
+      .withColumn("shard", expr(s"start_tok div $shardSize"))
+      .select("doc_id", "n_toks", "start_tok", "shard")
+      .orderBy("doc_id")
+  }
+
+  /** `(doc_id, n_toks, start_tok)` — each document's token count and its
+    * exclusive global token offset in the deterministic md5-hash layout
+    * order. The distributed two-phase prefix sum shared by q52's shard
+    * assignment and q83's sequence packing (see `tokenShards` for the
+    * decomposition argument and its 100 TB widening).
+    */
+  private def globalTokenOffsets(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df
       .filter(col("doc_id").isNotNull)
@@ -227,11 +242,56 @@ object Sampling {
       .select("grp", "offset")
     within.join(broadcast(offsets), "grp")
       .withColumn("start_tok", col("offset") + col("cum_in") - col("n_toks"))
-      // integer div, not FP `/`: double rounding would misplace a
-      // boundary doc once offsets exceed 2^53 tokens
-      .withColumn("shard", expr(s"start_tok div $shardSize"))
-      .select("doc_id", "n_toks", "start_tok", "shard")
-      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "start_tok")
+  }
+
+  /** Graded q83: GPT-style sequence packing — the training corpus is
+    * concatenated in the deterministic layout order and chunked into
+    * fixed `seqLen`-token context windows; a document that straddles a
+    * window boundary is SPLIT, contributing a piece to each window it
+    * overlaps (Brown et al. 2020 §2.3 pack documents this way, with a
+    * delimiter token between them; the delimiter is a tokenizer concern,
+    * not a layout one). One output row per (document, sequence) piece:
+    *
+    *   - `seq`        the context-window id the piece lands in,
+    *   - `seq_start`  the piece's offset WITHIN that window,
+    *   - `doc_off`    how far into the document the piece starts,
+    *   - `piece_toks` how many tokens the piece contributes.
+    *
+    * Every window is exactly full (piece sizes in a window sum to
+    * `seqLen`, final ragged window excepted) — the invariant the data
+    * loader relies on to never pad.
+    *
+    * Scale shape: the offsets come from the same two-phase prefix sum as
+    * q52 (no global window); the span explode is per-row arithmetic —
+    * `sequence(first, last)` emits `ceil(n_toks / seqLen) + 1` elements
+    * at most, so output size is O(docs + total_tokens / seqLen), never
+    * quadratic. Zero-token documents occupy no layout space and emit no
+    * piece (`sequence()` would descend for them; they are filtered with
+    * the same rule the oracle applies).
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      seqLen: Long = 512L): DataFrame =
+    packSequencesOf(Tables(spark, dir, "documents"), seqLen)
+
+  /** Core of `packSequences` over any `(doc_id, text)` corpus. */
+  def packSequencesOf(df: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    globalTokenOffsets(df)
+      .filter(col("n_toks") > 0)
+      .withColumn("end_tok", col("start_tok") + col("n_toks"))
+      .withColumn("seq", explode(expr(
+        s"sequence(start_tok div $seqLen, (end_tok - 1) div $seqLen)")))
+      .withColumn("piece_start",
+        greatest(col("start_tok"), col("seq") * seqLen))
+      .select(
+        col("doc_id"),
+        col("seq"),
+        (col("piece_start") - col("seq") * seqLen).as("seq_start"),
+        (col("piece_start") - col("start_tok")).as("doc_off"),
+        (least(col("end_tok"), (col("seq") + 1) * seqLen)
+          - col("piece_start")).as("piece_toks"))
+      .orderBy("doc_id", "seq")
   }
 
   /** Core of `mixtureSample` over any corpus with a stratum column and a

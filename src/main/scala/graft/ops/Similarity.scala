@@ -78,6 +78,33 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Graded q84: hard-negative mining for contrastive training — for
+    * each anchor (the probe set), the top-k most-similar vectors whose
+    * label DIFFERS from the anchor's. These near-miss negatives are what
+    * a retrieval/embedding model trains against (random negatives are
+    * trivially separable; the informative ones sit just across the
+    * decision boundary — Xiong et al. 2021 ANCE mines them exactly this
+    * way, with ANN search over the current embedding space).
+    *
+    * Scale shape: identical to q21's — anchors broadcast, one corpus
+    * scan, label-mismatch filtered BEFORE the ranking window so
+    * same-label rows never enter the top-k state. At 100 TB the
+    * brute-force scan swaps for the IVF/LSH probe (q28/q29) with the
+    * same mismatch filter; the emitted triplets are O(anchors · k)
+    * either way.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cosined(spark, rawVectors(spark, dir), queries(spark, dir), None)
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("q_label"), col("rn"), col("vec_id"),
+        col("label").as("neg_label"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Full two-stage IVF search: (1) compute per-label centroids, (2)
     * assign each query vector to its nearest centroid by squared L2
     * distance, (3) score cosine only against vectors in that one cluster

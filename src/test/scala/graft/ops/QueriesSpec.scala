@@ -49,6 +49,36 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q84 hard negatives: labels always differ, recompute agrees") {
+    val rows = Similarity.hardNegatives(spark, dir, 5).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r =>
+      r.getAs[Int]("neg_label") != r.getAs[Int]("q_label")))
+    // driver-side brute force over the whole sf0.001 corpus: for each
+    // anchor the mined set must be EXACTLY the top-5 other-label
+    // vectors under the same rounded-cosine, vec_id-tiebroken order
+    val all = Tables(spark, dir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (qId, g) =>
+      val (_, qLabel, qVec) = all.find(_._1 == qId).get
+      val expect = all
+        .filter(v => v._1 != qId && v._2 != qLabel)
+        .map(v => (v._1, cos(qVec, v._3)))
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1).toSeq
+      val got = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got == expect, s"anchor $qId: $got != $expect")
+    }
+  }
+
   test("q12 session counts bounded by event counts") {
     val rows = Events.userSessions(spark, dir).collect()
     assert(rows.forall(r =>

@@ -60,6 +60,56 @@ class SamplingSpec extends SparkSpec {
     assert(shards == (0L to shards.max).toSet)
   }
 
+  test("packed sequences tile the layout exactly and split boundary docs") {
+    import spark.implicits._
+    val seqLen = 7L
+    val corpus = Seq(
+      (1L, "a b c d e"),          // 5 tokens
+      (2L, "f g h i j k l m n"),  // 9 tokens — must straddle a boundary
+      (3L, ""),                   // 0 tokens — occupies no layout space
+      (4L, "o p q"),              // 3 tokens
+      (5L, "r s t u v w x y z aa bb cc dd ee ff gg")) // 16 toks, >=3 pieces
+      .toDF("doc_id", "text")
+    val rows = Sampling.packSequencesOf(corpus, seqLen).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // zero-token docs emit no piece; everyone else appears
+    assert(!rows.exists(_._1 == 3L))
+    assert(rows.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
+    // per-doc pieces reassemble the doc: doc_offs are contiguous from 0
+    // and piece sizes sum to the doc's token count
+    val nToks = Map(1L -> 5L, 2L -> 9L, 4L -> 3L, 5L -> 16L)
+    nToks.foreach { case (id, n) =>
+      val pieces = rows.filter(_._1 == id).sortBy(_._4)
+      assert(pieces.map(_._5).sum == n, s"doc $id pieces != $n toks")
+      var off = 0L
+      pieces.foreach { p =>
+        assert(p._4 == off, s"doc $id: doc_off ${p._4} != $off")
+        off += p._5
+      }
+    }
+    // per-sequence pieces tile the window: seq_starts contiguous from 0,
+    // every window except the last exactly seqLen full
+    val total = nToks.values.sum
+    val lastSeq = (total - 1) / seqLen
+    rows.groupBy(_._2).foreach { case (seq, ps) =>
+      val sorted = ps.sortBy(_._3)
+      var at = 0L
+      sorted.foreach { p =>
+        assert(p._3 == at, s"seq $seq: seq_start ${p._3} != $at")
+        at += p._5
+      }
+      if (seq < lastSeq) assert(at == seqLen, s"seq $seq not full: $at")
+      else assert(at == total - seqLen * lastSeq)
+    }
+    // sequences are dense from 0 — the loader never sees a hole
+    assert(rows.map(_._2).toSet == (0L to lastSeq).toSet)
+    // a straddling doc's pieces land in CONSECUTIVE windows (16 tokens
+    // over 7-token windows: 3 or 4 pieces depending on its layout offset)
+    val d5 = rows.filter(_._1 == 5L).sortBy(_._4).map(_._2)
+    assert(d5.length >= 3 && d5.zip(d5.tail).forall(p => p._2 == p._1 + 1))
+  }
+
   test("hash sample is deterministic, monotone in pct, and exact at the ends") {
     val docs = Tables(spark, dir, "documents")
     def ids(pct: Int): Set[Long] =
