@@ -333,4 +333,32 @@ class ScaleSpec extends SparkSpec {
     val plan = audit.queryExecution.executedPlan.toString
     assert(plan.contains("LeftAnti"), plan.take(3000))
   }
+
+  test("q83 plan: corpus windows are range-partitioned; offsets broadcast back") {
+    val packed = Sampling.packSequences(spark, dir, 512L)
+    val plan = packed.queryExecution.executedPlan.toString
+    // phase 1 runs as parallel per-group windows — the corpus exchange
+    // is BY GROUP, never a single global ordering
+    assert(plan.contains("Exchange hashpartitioning(grp"), plan.take(3000))
+    // the 16-row offset table comes back as a broadcast join
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // exactly one single-partition exchange is tolerable: the final
+    // presentation sort. The offsets window's own singleton exchange
+    // sits over a 16-row aggregate; it must NOT be fed by the corpus
+    // scan (the scan appears below the grp-partitioned side only).
+    val single = plan.split("Exchange SinglePartition").length - 1
+    assert(single <= 2, s"unexpected global exchanges ($single)\n" +
+      plan.take(3000))
+  }
+
+  test("q84 plan: anchors broadcast; corpus never exchanges before the rank window") {
+    val negs = Similarity.hardNegatives(spark, dir, 5)
+    val plan = negs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the label-mismatch filter runs scan-side: no corpus exchange may
+    // appear below the broadcast join
+    val beforeJoin = plan.substring(plan.indexOf("BroadcastNestedLoopJoin"))
+    assert(!beforeJoin.replaceAll("(?s)BroadcastExchange.*", "")
+      .contains("Exchange hashpartitioning"), plan.take(2000))
+  }
 }
