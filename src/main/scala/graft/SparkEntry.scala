@@ -138,6 +138,7 @@ object SparkEntry {
       Sampling.packSequences(s, d, SeqPackLen)),
     "q84_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.hardNegatives(s, d, HardNegK)),
+    "q85_snapshot_dedup" -> Dedup.snapshotDedup _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1946,6 +1947,97 @@ object SparkEntry {
          |SELECT q_id, q_label, rn, vec_id, neg_label, cos
          |FROM r WHERE rn <= $HardNegK
          |ORDER BY q_id, rn""".stripMargin,
+    // Incremental snapshot dedup: the oracle rebuilds the same synthetic
+    // snapshot, the same exact-hash stage, and doc-level 4-band MinHash
+    // LSH restricted to new×old pairs, with the integer Jaccard rule.
+    "q85_snapshot_dedup" ->
+      """WITH old AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+        |nw AS (
+        |  SELECT doc_id + 6000000 AS new_id, text FROM old
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, text || ' rr tt yy' FROM old
+        |  WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 8000000,
+        |    'novel snapshot page revision entry ' || doc_id FROM old
+        |  WHERE doc_id % 10 = 2),
+        |ex AS (
+        |  SELECT n.new_id, MIN(o.doc_id) AS m_exact
+        |  FROM nw n JOIN old o ON md5(n.text) = md5(o.text)
+        |  GROUP BY n.new_id),
+        |rest AS (
+        |  SELECT new_id, text FROM nw
+        |  WHERE new_id NOT IN (SELECT new_id FROM ex)),
+        |osg AS (
+        |  SELECT doc_id AS id, shingles FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |      ELSE [] END AS shingles
+        |    FROM (SELECT doc_id,
+        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |          FROM old))
+        |  WHERE len(shingles) > 0),
+        |nsg AS (
+        |  SELECT new_id AS id, shingles FROM (
+        |    SELECT new_id,
+        |      CASE WHEN len(toks) >= 3 THEN
+        |        list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |      ELSE [] END AS shingles
+        |    FROM (SELECT new_id,
+        |            regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |          FROM rest))
+        |  WHERE len(shingles) > 0),
+        |osig AS (
+        |  SELECT id, shingles,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |  FROM osg),
+        |nsig AS (
+        |  SELECT id, shingles,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |  FROM nsg),
+        |obands AS (
+        |  SELECT id, 0 AS band, mh0 AS h FROM osig
+        |  UNION ALL SELECT id, 1, mh1 FROM osig
+        |  UNION ALL SELECT id, 2, mh2 FROM osig
+        |  UNION ALL SELECT id, 3, mh3 FROM osig),
+        |nbands AS (
+        |  SELECT id, 0 AS band, mh0 AS h FROM nsig
+        |  UNION ALL SELECT id, 1, mh1 FROM nsig
+        |  UNION ALL SELECT id, 2, mh2 FROM nsig
+        |  UNION ALL SELECT id, 3, mh3 FROM nsig),
+        |cand AS (
+        |  SELECT DISTINCT n.id AS new_id, o.id AS old_id
+        |  FROM nbands n JOIN obands o ON n.band = o.band AND n.h = o.h),
+        |near AS (
+        |  SELECT new_id, MIN(old_id) AS m_near FROM (
+        |    SELECT cand.new_id, cand.old_id,
+        |      len(list_intersect(ns.shingles, os.shingles)) AS c,
+        |      len(ns.shingles) AS ln, len(os.shingles) AS lo
+        |    FROM cand
+        |    JOIN nsig ns ON cand.new_id = ns.id
+        |    JOIN osig os ON cand.old_id = os.id)
+        |  WHERE c * 2 >= ln + lo - c
+        |  GROUP BY new_id)
+        |SELECT n.new_id,
+        |  CASE WHEN ex.m_exact IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.m_near IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS verdict,
+        |  CAST(COALESCE(ex.m_exact, near.m_near) AS BIGINT) AS matched_id
+        |FROM nw n
+        |LEFT JOIN ex ON n.new_id = ex.new_id
+        |LEFT JOIN near ON n.new_id = near.new_id
+        |ORDER BY n.new_id""".stripMargin,
   )
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase

@@ -738,4 +738,101 @@ object Dedup {
           " ").as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic "next crawl snapshot" over the base corpus — the
+    * graded q85 input. Three arrival classes, tagged by id range the
+    * oracle mirrors:
+    *
+    *  - re-crawls (`base % 10 == 0`, new id +6e6): byte-identical text —
+    *    the overwhelming majority of a real re-crawl;
+    *  - revisions (`base % 10 == 1`, new id +7e6): the page edited a
+    *    little (3 appended tokens — high Jaccard to its base);
+    *  - genuinely new pages (`base % 10 == 2`, new id +8e6): novel
+    *    per-doc vocabulary no base doc shares.
+    */
+  def nextSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull).select("doc_id", "text")
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 6000000L).as("new_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 1)
+        .select((col("doc_id") + 7000000L).as("new_id"),
+          concat(col("text"), lit(" rr tt yy")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 2)
+        .select((col("doc_id") + 8000000L).as("new_id"),
+          concat(lit("novel snapshot page revision entry "),
+            col("doc_id")).as("text")))
+  }
+
+  /** Graded q85: INCREMENTAL snapshot dedup — classify every document of
+    * a newly arrived crawl snapshot against the FROZEN existing corpus:
+    * `exact_dup` (content hash already present), `near_dup` (MinHash-LSH
+    * candidate verified at Jaccard ≥ 1/2 against some old doc), or
+    * `new`; `matched_id` is the smallest matching old doc. This is the
+    * production shape of dedup at 100 TB: the curated corpus is never
+    * re-deduped against itself per crawl — only the (much smaller) delta
+    * is searched against it, and old×old pairs are never formed.
+    *
+    * Scale shape: the old side's content hashes and MinHash signatures
+    * are the INDEX — computed once here, but persisted-to-storage
+    * artifacts in production (each new crawl reuses them; the exact join
+    * and the band join both read the index, never the old corpus text).
+    * The exact stage settles first and only its survivors enter LSH
+    * (re-crawls are the bulk of a snapshot; they never pay shingling).
+    * The band join is new-side × index on (band, h) — candidate volume
+    * is bounded by the delta's bucket occupancy, and the Jaccard verify
+    * is integer-decided (`2c ≥ |a| + |b| − c`, no FP threshold).
+    */
+  def snapshotDedup(spark: SparkSession, dir: String): DataFrame =
+    snapshotDedupOf(
+      Tables(spark, dir, "documents")
+        .filter(col("doc_id").isNotNull).select("doc_id", "text"),
+      nextSnapshot(spark, dir))
+
+  /** Core of `snapshotDedup`: classify `nw` (`new_id`, `text`) against
+    * the frozen `old` (`doc_id`, `text`).
+    */
+  def snapshotDedupOf(old: DataFrame, nw: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(old.sparkSession)
+    // exact stage: one equi-join on the content-hash index
+    val oldHashes = old.select(md5(col("text")).as("h"), col("doc_id"))
+    val exact = nw.select(col("new_id"), md5(col("text")).as("h"))
+      .join(oldHashes, "h")
+      .groupBy("new_id").agg(min(col("doc_id")).as("m_exact"))
+
+    // near stage over exact-stage survivors only
+    def sigsOf(df: DataFrame, idCol: String) = df
+      .withColumn("shingles", expr("word_shingles(text, 3)"))
+      .filter(size(col("shingles")) > 0)
+      .select(Seq(col(idCol), col("shingles")) ++
+        (0 until 4).map(k => expr(minhashExpr(k)).as(s"mh$k")): _*)
+    def bandsOf(df: DataFrame, idCol: String) = df
+      .select(col(idCol), posexplode(
+        array((0 until 4).map(k => col(s"mh$k")): _*)).as(Seq("band", "h")))
+    val oldSigs = sigsOf(old, "doc_id")
+    val newSigs = sigsOf(
+      nw.join(exact, Seq("new_id"), "left_anti"), "new_id")
+    val cand = bandsOf(newSigs, "new_id")
+      .join(bandsOf(oldSigs, "doc_id")
+        .withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))
+      .select("new_id", "old_id").distinct()
+    val near = cand
+      .join(newSigs.select(col("new_id"), col("shingles").as("sh_n")),
+        "new_id")
+      .join(oldSigs.select(col("doc_id").as("old_id"),
+        col("shingles").as("sh_o")), "old_id")
+      .withColumn("c", size(array_intersect(col("sh_n"), col("sh_o"))))
+      .filter(col("c") * 2 >= size(col("sh_n")) + size(col("sh_o")) - col("c"))
+      .groupBy("new_id").agg(min(col("old_id")).as("m_near"))
+
+    nw.select("new_id")
+      .join(exact, Seq("new_id"), "left")
+      .join(near, Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("m_exact").isNotNull, "exact_dup")
+          .when(col("m_near").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("m_exact"), col("m_near")).as("matched_id"))
+      .orderBy("new_id")
+  }
 }

@@ -359,4 +359,43 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1 == "small") == 2)
     assert(out.count(_._1 == "big") == 3)
   }
+
+  // --- q85: incremental snapshot dedup ---
+
+  test("snapshot dedup classifies re-crawls, revisions, and new pages") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val old = Seq(
+      (1L, base),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally different ancient content here still unrelated"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (101L, base),                          // byte-identical re-crawl
+      (102L, base + " qq ww"),               // light revision of doc 1
+      (103L, "fresh unseen vocabulary page about nothing prior"))
+      .toDF("new_id", "text")
+    val out = Dedup.snapshotDedupOf(old, nw).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(101L) == ("exact_dup", 1L))
+    // the revision keeps all 8 of doc 1's shingles and adds 2 (Jaccard
+    // 8/10 >= 1/2); a band collides unless BOTH added shingles out-hash
+    // all 8 kept ones under all 4 seeds — verified found on this input
+    assert(out(102L) == ("near_dup", 1L))
+    assert(out(103L) == ("new", -1L))
+  }
+
+  test("snapshot dedup never pairs old docs with each other") {
+    // two old docs are near-identical — an incremental pass must NOT
+    // report anything about them (only the delta is classified)
+    val old = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val nw = Seq((101L, "entirely novel snapshot content page"))
+      .toDF("new_id", "text")
+    val rows = Dedup.snapshotDedupOf(old, nw).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(101L))
+    assert(rows.head.getString(1) == "new")
+  }
 }
