@@ -104,6 +104,32 @@ object DocStreams {
       .withColumn("dsir_keep", col("n_target_leaning") * 2 > col("n_grams"))
       .select("doc_id", "n_grams", "n_target_leaning", "dsir_keep")
   }
+
+  /** Snapshot classification in flight — the streaming twin of q85's
+    * EXACT stage as a STREAM-STATIC join: each arriving document's
+    * content hash probes the frozen corpus index (`old`: the curated
+    * corpus as of the last batch pass) and is either routed out as
+    * `exact_dup` immediately or forwarded as a `candidate` for the batch
+    * near-dup pass. This is the ingestion-edge division of labor at
+    * 100 TB: the exact gate — which kills the bulk of a re-crawl —
+    * costs one md5 and one join probe per arriving row, needs NO stream
+    * state (the static side is the state, refreshed per micro-batch
+    * from storage), and the expensive LSH machinery only ever sees the
+    * survivors.
+    */
+  def snapshotClassifiedDocs(stream: DataFrame, old: DataFrame): DataFrame = {
+    val idx = old
+      .filter(col("doc_id").isNotNull)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("matched_id"))
+    stream
+      .select(col("doc_id").as("new_id"), md5(col("text")).as("h"))
+      .join(idx, Seq("h"), "left")
+      .select(col("new_id"),
+        when(col("matched_id").isNotNull, "exact_dup")
+          .otherwise("candidate").as("verdict"),
+        col("matched_id"))
+  }
 }
 
 /** Streaming formulation of the embedding surface: vectors arriving as

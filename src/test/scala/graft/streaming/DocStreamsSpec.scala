@@ -114,6 +114,33 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("stream-static snapshot classification agrees with the batch exact stage") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val src = "/root/testdata/sf0.001"
+    val old = Tables(spark, src, "documents")
+    val d = Files.createTempDirectory("snap_stream")
+    graft.ops.Dedup.nextSnapshot(spark, src)
+      .select(col("new_id").as("doc_id"), col("text"))
+      .write.parquet(d.toString + "/data")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(d.toString + "/data")
+    EventStreams.runToMemory(
+      DocStreams.snapshotClassifiedDocs(stream, old),
+      "snap_cls", OutputMode.Append())
+    val streamed = spark.table("snap_cls").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // batch reference: q85's report with the near-dup stage collapsed —
+    // in flight only the exact gate decides; everything else forwards
+    val batch = graft.ops.Dedup.snapshotDedup(spark, src).collect().map { r =>
+      val exact = r.getString(1) == "exact_dup"
+      (r.getLong(0), if (exact) "exact_dup" else "candidate",
+        if (exact) r.getLong(2) else -1L)
+    }.toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops cross-batch duplicates against the state store") {
     import java.nio.file.attribute.FileTime
     import spark.implicits._
