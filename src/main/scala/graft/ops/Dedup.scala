@@ -809,9 +809,12 @@ object Dedup {
     def bandsOf(df: DataFrame, idCol: String) = df
       .select(col(idCol), posexplode(
         array((0 until 4).map(k => col(s"mh$k")): _*)).as(Seq("band", "h")))
-    val oldSigs = sigsOf(old, "doc_id")
-    val newSigs = sigsOf(
-      nw.join(exact, Seq("new_id"), "left_anti"), "new_id")
+    // both signature tables are read twice (band join + Jaccard verify)
+    // — persisted so each side shingles ONCE (the q19 discipline; in
+    // production the old side is the stored index and never recomputes)
+    val oldSigs = CachedStages.track(sigsOf(old, "doc_id").persist())
+    val newSigs = CachedStages.track(sigsOf(
+      nw.join(exact, Seq("new_id"), "left_anti"), "new_id").persist())
     val cand = bandsOf(newSigs, "new_id")
       .join(bandsOf(oldSigs, "doc_id")
         .withColumnRenamed("doc_id", "old_id"), Seq("band", "h"))

@@ -221,13 +221,18 @@ object Sampling {
     */
   private def globalTokenOffsets(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df
+    // PERSISTED: both phases read this projection — without the persist
+    // the per-group totals re-run the corpus scan AND the tokenizer
+    // (PlanAudit showed regexp_extract_all twice); the cached stage is
+    // 4 slim columns, the full text never enters it
+    val toks = CachedStages.track(df
       .filter(col("doc_id").isNotNull)
       .withColumn("n_toks",
         size(expr(graft.ops.TextOps.tokensExpr)).cast("long"))
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("grp", substring(col("h"), 1, 1))
       .select("doc_id", "n_toks", "h", "grp")
+      .persist())
     // phase 1: parallel per-group inclusive cumsums (one window each)
     val withinW = Window.partitionBy("grp").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
