@@ -139,6 +139,8 @@ object SparkEntry {
     "q84_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.hardNegatives(s, d, HardNegK)),
     "q85_snapshot_dedup" -> Dedup.snapshotDedup _,
+    "q86_copurchase_communities" -> ((s: SparkSession, d: String) =>
+      Graph.copurchaseCommunities(s, d, LpaIters)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2038,7 +2040,35 @@ object SparkEntry {
         |LEFT JOIN ex ON n.new_id = ex.new_id
         |LEFT JOIN near ON n.new_id = near.new_id
         |ORDER BY n.new_id""".stripMargin,
+    "q86_copurchase_communities" ->
+      s"""WITH ${lpaCtes(LpaIters)}
+         |SELECT id AS part_id, CAST(lbl AS BIGINT) AS community
+         |FROM l$LpaIters ORDER BY part_id""".stripMargin,
   )
+
+  /** Oracle-side replay of the q86 synchronous LPA loop — same edge
+    * build as q69's, per-round neighbor-label counts, but the argmax is
+    * an INDEPENDENT implementation (a ranking window, vs Spark's
+    * partial-aggregable struct-max).
+    */
+  private def lpaCtes(iters: Int): String = {
+    val head =
+      """lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |      FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+        |l0 AS (SELECT DISTINCT dst AS id, dst AS lbl FROM e)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (
+         |  SELECT dst AS id, lbl FROM (
+         |    SELECT dst, lbl, ROW_NUMBER() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, lbl ASC) AS rn
+         |    FROM (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+         |          FROM e JOIN l${i - 1} l ON e.src = l.id
+         |          GROUP BY e.dst, l.lbl))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** Oracle-side replay of the q69 fixed-point PageRank loop: co-purchase
     * edge build, out-degrees, then `iters` chained rank CTEs mirroring
@@ -2115,6 +2145,9 @@ object SparkEntry {
   private val SeqPackLen = 512L
   // q84: hard negatives mined per anchor.
   private val HardNegK = 5
+  // q86: synchronous LPA rounds (deterministic; convergence not
+  // required — a fixed round count is the reproducibility contract).
+  private val LpaIters = 3
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -144,6 +144,65 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Graded q86: label-propagation communities over the part
+    * co-purchase graph (Raghavan et al. 2007) — the third graph view of
+    * the catalog: q69 ranks reach, q70 measures local density, LPA names
+    * the COMMUNITIES (in curation terms: the domain clusters a mixture
+    * sampler balances over). Deterministic synchronous variant: every
+    * node starts as its own label; each round it adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label — no RNG, no visit order, so a fixed round count
+    * yields bit-identical communities on every engine (the paper's
+    * async random-order sweep converges faster but is unreproducible;
+    * reproducibility is what a graded pipeline needs).
+    *
+    * Scale shape: the symmetric edge list builds once and persists
+    * (the q69 discipline); each round is label-join → per-(node, label)
+    * partial count → per-node argmax — two map-side-combinable
+    * shuffles, state is one label per node, `localCheckpoint` keeps the
+    * loop's lineage flat. Label frequency counting never materializes a
+    * neighborhood list, so hub nodes cost their degree, not their
+    * degree squared.
+    */
+  def copurchaseCommunities(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+    val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") =!= col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+      .distinct()
+    labelPropagation(edges, iters)
+      .select(col("id").as("part_id"), col("community"))
+      .orderBy("part_id")
+  }
+
+  /** Core synchronous LPA over a DIRECTED edge list that must already
+    * contain both directions of every undirected edge (as the
+    * co-purchase build does). Returns `(id, community)`.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val edgesCached = CachedStages.track(
+      edges.repartition(col("dst")).persist())
+    var labels = edgesCached.select(col("dst").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edgesCached
+        .join(broadcast(labels), col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        // argmax by (cnt, -lbl): most frequent neighbor label, smallest
+        // label on ties — one partial-aggregable max, no window
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+        .select(col("dst").as("id"), (-col("best.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Core PageRank over any directed `(src, dst)` edge list in which
     * every node has out-degree ≥ 1 (callers with dangling nodes add
     * self-loops or drop them first). Returns `(id, rank_fp)` with

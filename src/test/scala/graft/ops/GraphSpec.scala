@@ -132,6 +132,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("LPA separates two bridged triangles; hand-computed rounds") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4; both edge directions
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // synchronous rounds with the (max count, min label) rule, by hand:
+    //   r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   r3: 1->1 2->1 3->1 4->3 5->3 6->3
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 3L, 6L -> 3L), out.toString)
+    CachedStages.release(spark)
+  }
+
+  test("LPA on a clique collapses to the minimum id in two rounds") {
+    import spark.implicits._
+    val n = 5L
+    val edges = (for {
+      a <- 1L to n; b <- 1L to n if a != b
+    } yield (a, b)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1: every node adopts the min OTHER id (all neighbor labels tie
+    // at count 1); r2: label 1 holds a strict majority everywhere
+    assert(out.values.toSet == Set(1L), out.toString)
+    CachedStages.release(spark)
+  }
+
   test("graded co-purchase triangles: ordered, positive, consistent") {
     val out = Graph.copurchaseTriangles(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
