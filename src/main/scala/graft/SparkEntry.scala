@@ -141,6 +141,8 @@ object SparkEntry {
     "q85_snapshot_dedup" -> Dedup.snapshotDedup _,
     "q86_copurchase_communities" -> ((s: SparkSession, d: String) =>
       Graph.copurchaseCommunities(s, d, LpaIters)),
+    "q87_epoch_order" -> ((s: SparkSession, d: String) =>
+      Sampling.epochOrder(s, d, EpochCount)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2044,6 +2046,20 @@ object SparkEntry {
       s"""WITH ${lpaCtes(LpaIters)}
          |SELECT id AS part_id, CAST(lbl AS BIGINT) AS community
          |FROM l$LpaIters ORDER BY part_id""".stripMargin,
+    // The oracle ranks each epoch with the NAIVE per-epoch global
+    // window — the hash-match proves the 16-range count decomposition
+    // lands every document on its exact global position.
+    "q87_epoch_order" ->
+      s"""WITH x AS (
+         |  SELECT e.epoch, d.doc_id,
+         |    md5(e.epoch::VARCHAR || '_' || d.doc_id::VARCHAR) AS h
+         |  FROM documents d,
+         |    (SELECT unnest(generate_series(0, ${EpochCount - 1})) AS epoch) e
+         |  WHERE d.doc_id IS NOT NULL)
+         |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+         |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM x ORDER BY epoch, pos""".stripMargin,
   )
 
   /** Oracle-side replay of the q86 synchronous LPA loop — same edge
@@ -2148,6 +2164,8 @@ object SparkEntry {
   // q86: synchronous LPA rounds (deterministic; convergence not
   // required — a fixed round count is the reproducibility contract).
   private val LpaIters = 3
+  // q87: training epochs laid out (each gets its own hash order).
+  private val EpochCount = 3
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

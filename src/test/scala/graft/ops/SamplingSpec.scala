@@ -110,6 +110,34 @@ class SamplingSpec extends SparkSpec {
     assert(d5.length >= 3 && d5.zip(d5.tail).forall(p => p._2 == p._1 + 1))
   }
 
+  test("epoch order: per-epoch permutations matching a naive driver recompute") {
+    val epochs = 3
+    val rows = Sampling.epochOrder(spark, dir, epochs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Tables(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(e: Long, id: Long) =
+      md.digest(s"${e}_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0L until epochs).foreach { e =>
+      val ep = rows.filter(_._1 == e)
+      // a permutation: every doc exactly once, positions dense from 0
+      assert(ep.map(_._2).toSet == all && ep.length == all.size)
+      assert(ep.map(_._3).sorted.toSeq == (0L until all.size).toSeq)
+      // the naive recompute: global sort by (md5(e_id), id)
+      val expect = all.toSeq.map(id => (hex(e, id), id)).sorted
+        .zipWithIndex.map { case ((_, id), i) => id -> i.toLong }.toMap
+      ep.foreach { case (_, id, pos) =>
+        assert(pos == expect(id), s"epoch $e doc $id: $pos != ${expect(id)}")
+      }
+    }
+    // epochs are genuinely different orders
+    val o0 = rows.filter(_._1 == 0L).sortBy(_._3).map(_._2).toSeq
+    val o1 = rows.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    assert(o0 != o1)
+    CachedStages.release(spark)
+  }
+
   test("hash sample is deterministic, monotone in pct, and exact at the ends") {
     val docs = Tables(spark, dir, "documents")
     def ids(pct: Int): Set[Long] =
