@@ -145,6 +145,7 @@ object SparkEntry {
       Sampling.epochOrder(s, d, EpochCount)),
     "q88_curated_packing" -> ((s: SparkSession, d: String) =>
       TrainingPipeline.curatedPackedSequences(s, d, SeqPackLen)),
+    "q89_props_extract" -> Events.propsMetrics _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2068,6 +2069,15 @@ object SparkEntry {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
          |    ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM x ORDER BY epoch, pos""".stripMargin,
+    // DuckDB's JSON operators are an independent parser — agreement
+    // pins both the extraction semantics and the NULL degradation.
+    "q89_props_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(CAST(props->>'k' AS BIGINT)) AS n_parsed,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a

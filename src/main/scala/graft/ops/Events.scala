@@ -333,6 +333,38 @@ object Events {
     * unbounded window minimum per user, and the final count is a plain
     * groupBy — two compact shuffles regardless of event volume.
     */
+  /** Graded q89: semi-structured property extraction — the `props` JSON
+    * column parsed with a DECLARED schema (`from_json`, codegen'd; no
+    * per-row schema inference, no UDF) and rolled up per event type.
+    * `n_parsed` counts rows whose `k` actually materialized — corrupt or
+    * schema-less JSON degrades to NULL, never to a job failure, and the
+    * gap `n_events - n_parsed` is the data-quality signal. This is the
+    * event-instrumentation reality at 100 TB: properties arrive as JSON
+    * strings, and the engine must project them into columns scan-side
+    * (one pass, partial-agg shuffle of |event_types| rows) rather than
+    * ETL-ing the whole corpus into a typed table first.
+    */
+  def propsMetrics(spark: SparkSession, dir: String): DataFrame =
+    propsMetricsOf(events(spark, dir))
+
+  /** Core of `propsMetrics` over any frame with `event_type` and a JSON
+    * `props` string column.
+    */
+  def propsMetricsOf(evs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    evs
+      .withColumn("k",
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_parsed"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     retentionCohortsOf(events(spark, dir))
 

@@ -79,6 +79,23 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q89 props extraction degrades corrupt JSON to NULL, never fails") {
+    import spark.implicits._
+    val evs = Seq(
+      ("click", """{"k": 5}"""),
+      ("click", """{"k": 7}"""),
+      ("click", """not json at all"""),   // corrupt → k NULL
+      ("click", """{"other": 1}"""),      // schema miss → k NULL
+      ("view", null: String))             // null props → k NULL
+      .toDF("event_type", "props")
+    val out = Events.propsMetricsOf(evs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out("click") == ((4L, 2L, 12L)), out.toString)
+    assert(out("view") == ((1L, 0L, -1L)), out.toString)
+  }
+
   test("q12 session counts bounded by event counts") {
     val rows = Events.userSessions(spark, dir).collect()
     assert(rows.forall(r =>
