@@ -229,4 +229,74 @@ object EventStreams {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** `foreachBatch` incremental-maintenance sink — the streaming face of
+    * q79's maintained aggregate: per micro-batch, the arriving events'
+    * per-user `(n_events, sum_cents)` delta-state full-outer-merges with
+    * the current state table, exactly the `maintain(agg(base),
+    * agg(delta)) == agg(base ∪ delta)` law the q79 oracle proves.
+    *
+    * Exactly-once without a transactional sink: each batch writes the
+    * merged state to `stateDir/v_<batchId>` — batch ids are monotonic
+    * and replay-stable, so a restart that re-delivers a batch REWRITES
+    * the same version from the same pre-batch state (idempotent), never
+    * double-counts. The base read picks the largest version BELOW the
+    * current batch id for the same reason. (With a transactional table
+    * format this collapses to one MERGE INTO; plain parquet gets the
+    * versioned-overwrite recipe, which is also the time-travel debug
+    * surface.) State stays one row per user — aggregation happened
+    * before the merge, so version size is bounded by cardinality, not
+    * by event volume.
+    */
+  def maintainUserSpend(stream: DataFrame, stateDir: String,
+      checkpointDir: String): Unit = {
+    val q = stream
+      .select(col("user_id"),
+        (col("value") * 100).cast("long").as("cents"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = root.getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val prior =
+          if (!fs.exists(root)) Array.empty[Long]
+          else fs.listStatus(root).map(_.getPath.getName)
+            .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong)
+            .filter(_ < batchId)
+        val delta = batch.groupBy("user_id").agg(
+          count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+        val merged =
+          if (prior.isEmpty) delta
+          else {
+            val base = spark.read.parquet(s"$stateDir/v_${prior.max}")
+            base.withColumnRenamed("n_events", "n_b")
+              .withColumnRenamed("sum_cents", "s_b")
+              .join(delta.withColumnRenamed("n_events", "n_d")
+                .withColumnRenamed("sum_cents", "s_d"),
+                Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+                  .as("n_events"),
+                (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
+                  .as("sum_cents"))
+          }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** Path of the newest maintained state version under `stateDir`. */
+  def latestStatePath(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): String = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong)
+    require(vs.nonEmpty, s"no state versions under $stateDir")
+    s"$stateDir/v_${vs.max}"
+  }
 }

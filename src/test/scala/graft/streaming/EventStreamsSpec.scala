@@ -108,6 +108,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(expected.nonEmpty && streamed == expected)
   }
 
+  test("foreachBatch maintained spend equals the batch aggregate; one version per batch") {
+    import java.nio.file.attribute.FileTime
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val all = Events.events(spark, src)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val in = Files.createTempDirectory("ev_maint_in")
+    (0 until 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"ev_maint_tmp$i").toString
+      all.filter(col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(s"part$i.parquet")
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1000000L * (i + 1)))
+    }
+    val stream = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(in.toString)
+    val stateDir = Files.createTempDirectory("ev_maint_state").toString
+    val ckpt = Files.createTempDirectory("ev_maint_ckpt").toString
+    EventStreams.maintainUserSpend(stream, stateDir, ckpt)
+    // one merged version per micro-batch — the merge genuinely iterated
+    val versions = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v_"))
+    assert(versions.length == 3, versions.mkString(","))
+    val got = spark.read
+      .parquet(EventStreams.latestStatePath(spark, stateDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // maintain(agg, agg-delta) == agg(all): the q79 law, live
+    val expected = all
+      .select(col("user_id"), (col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == expected)
+  }
+
   test("flatMapGroupsWithState emits each session once: gap-closed and timeout-closed") {
     import java.nio.file.attribute.FileTime
     import org.apache.spark.sql.functions._
