@@ -146,6 +146,8 @@ object SparkEntry {
     "q88_curated_packing" -> ((s: SparkSession, d: String) =>
       TrainingPipeline.curatedPackedSequences(s, d, SeqPackLen)),
     "q89_props_extract" -> Events.propsMetrics _,
+    "q90_seeded_pagerank" -> ((s: SparkSession, d: String) =>
+      Graph.seededPagerank(s, d, PagerankIters)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2078,6 +2080,10 @@ object SparkEntry {
         |  CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q90_seeded_pagerank" ->
+      s"""WITH ${seededPagerankCtes(PagerankIters)}
+         |SELECT id AS part_id, r AS rank_fp FROM p$PagerankIters
+         |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2114,6 +2120,40 @@ object SparkEntry {
        |       - greatest(start_tok, seq * $SeqPackLen) AS BIGINT)
        |      AS piece_toks
        |FROM pk_p ORDER BY doc_id, seq""".stripMargin
+
+  /** Oracle-side replay of the q90 personalized-PageRank loop: q69's
+    * edge/degree build, URGENT-order seed set (graph members only),
+    * per-round damped mass UNION ALL seed-only teleport.
+    */
+  private def seededPagerankCtes(iters: Int): String = {
+    val s = Graph.RankScale
+    val head =
+      s"""lp AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         |      FROM lp a JOIN lp b ON a.k = b.k AND a.p <> b.p),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT DISTINCT lp.p AS id
+         |       FROM orders o JOIN lp ON o.o_orderkey = lp.k
+         |       JOIN (SELECT DISTINCT src FROM e) g ON lp.p = g.src
+         |       WHERE o.o_orderpriority = '1-URGENT'),
+         |ns AS (SELECT COUNT(*) AS n FROM sd),
+         |p0 AS (SELECT id, $s // (SELECT n FROM ns) AS r FROM sd)"""
+        .stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (
+         |  SELECT id, CAST(SUM(r) AS BIGINT) AS r FROM (
+         |    SELECT e.dst AS id,
+         |      (17 * SUM(p${i - 1}.r // deg.deg)) // 20 AS r
+         |    FROM e JOIN p${i - 1} ON e.src = p${i - 1}.id
+         |    JOIN deg ON e.src = deg.src
+         |    GROUP BY e.dst
+         |    UNION ALL
+         |    SELECT id, 3 * $s // (20 * (SELECT n FROM ns)) AS r FROM sd)
+         |  GROUP BY id
+         |  HAVING CAST(SUM(r) AS BIGINT) <> 0)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
 
   /** Oracle-side replay of the q86 synchronous LPA loop — same edge
     * build as q69's, per-round neighbor-label counts, but the argmax is

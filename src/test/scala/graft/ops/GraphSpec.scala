@@ -164,6 +164,47 @@ class GraphSpec extends SparkSpec {
     CachedStages.release(spark)
   }
 
+  test("personalized pagerank: mass stays near the seed, integer replay agrees") {
+    import spark.implicits._
+    // a 6-node path 1-2-3-4-5-6 (both directions), seed at node 1:
+    // rank must decay monotonically with distance from the seed
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val iters = 4
+    val got = Graph.personalizedPagerank(edges, seeds, iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side integer replay of the same loop
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val s = Graph.RankScale
+    val teleport = 3L * s / 20L
+    var r = Map(1L -> s)
+    (1 to iters).foreach { _ =>
+      val mass = scala.collection.mutable.Map.empty[Long, Long]
+      r.foreach { case (n, rv) =>
+        val out = adj(n); val c = rv / out.size
+        out.foreach(m => mass(m) = mass.getOrElse(m, 0L) + c)
+      }
+      r = (mass.keySet + 1L).map { n =>
+        n -> (17L * mass.getOrElse(n, 0L) / 20L +
+          (if (n == 1L) teleport else 0L))
+      }.toMap.filter(_._2 != 0L)
+    }
+    assert(got == r, s"$got != $r")
+    // the seed dominates: teleport replenishes node 1 every round while
+    // everything else only holds decayed walk mass (finite-horizon
+    // synchronous iteration is parity-wavy along the path, so full
+    // monotone-in-distance ordering is NOT asserted — only the limit
+    // has it)
+    assert(got(1L) == got.values.max, got.toString)
+    // the walk horizon: node 6 sits at distance 5 > iters rounds, so no
+    // mass can have reached it — the sparse frame must not contain it
+    assert(!got.contains(6L), got.toString)
+    CachedStages.release(spark)
+  }
+
   test("graded co-purchase triangles: ordered, positive, consistent") {
     val out = Graph.copurchaseTriangles(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
