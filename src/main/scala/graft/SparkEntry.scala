@@ -148,6 +148,8 @@ object SparkEntry {
     "q89_props_extract" -> Events.propsMetrics _,
     "q90_seeded_pagerank" -> ((s: SparkSession, d: String) =>
       Graph.seededPagerank(s, d, PagerankIters)),
+    "q91_binary_hamming_knn" -> ((s: SparkSession, d: String) =>
+      Quantization.binaryHammingTopK(s, d, QuantTopK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2084,6 +2086,35 @@ object SparkEntry {
       s"""WITH ${seededPagerankCtes(PagerankIters)}
          |SELECT id AS part_id, r AS rank_fp FROM p$PagerankIters
          |ORDER BY rank_fp DESC, part_id ASC""".stripMargin,
+    // Sign bits from the exact float→double widening; DuckDB's own
+    // bit_count/xor are the independent popcount implementation.
+    "q91_binary_hamming_knn" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |c AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(list_transform(range(1, 33), i ->
+         |      CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 1)
+         |           ELSE 0 END)) AS BIGINT) AS lo,
+         |    CAST(list_sum(list_transform(range(33, 65), i ->
+         |      CASE WHEN e[i] > 0 THEN 1::BIGINT << (i - 33)
+         |           ELSE 0 END)) AS BIGINT) AS hi
+         |  FROM v),
+         |q AS (
+         |  SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM c
+         |  WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.q_id, c.vec_id,
+         |    CAST(bit_count(xor(c.lo, q.q_lo))
+         |       + bit_count(xor(c.hi, q.q_hi)) AS BIGINT) AS hamming
+         |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, vec_id, hamming,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY hamming ASC, vec_id ASC) AS rn
+         |  FROM p)
+         |SELECT q_id, rn, vec_id, hamming FROM r WHERE rn <= $QuantTopK
+         |ORDER BY q_id, rn""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a

@@ -134,4 +134,50 @@ object Quantization {
       .select("q_id", "rn", "vec_id", "qdot")
       .orderBy("q_id", "rn")
   }
+
+  /** 1-BIT binary codes: each dimension's SIGN, packed into two 32-bit
+    * halves (`lo` = dims 1–32, `hi` = dims 33–64) carried as longs —
+    * two halves rather than one 64-bit word so no engine ever shifts
+    * into the sign bit. 64 dims × 4 bytes → 8 bytes/vector: the extreme
+    * end of the quantization ladder (float32 → q61's int8 → this), and
+    * the similarity becomes POPCOUNT-of-XOR, the cheapest distance a
+    * vector database knows.
+    */
+  def binaryCodesOf(vecs: DataFrame): DataFrame = {
+    def half(lowDim: Int): String =
+      s"""aggregate(sequence($lowDim, ${lowDim + 31}), cast(0 as bigint),
+         |  (acc, i) -> acc + IF(element_at(embedding, i) > 0,
+         |    shiftleft(cast(1 as bigint), i - $lowDim), cast(0 as bigint)))"""
+        .stripMargin
+    vecs.select(col("vec_id"),
+      expr(half(1)).as("lo"), expr(half(33)).as("hi"))
+  }
+
+  /** Graded q91: Hamming-distance KNN over the binary codes (the q21
+    * probe set, top-k by popcount(xor), vec_id ties). Ranking parity
+    * with cosine is again a measured recall property — what the 1-bit
+    * code buys is that the WHOLE corpus index is 16 bytes/row
+    * (id + code), so at 100 TB of source embeddings the search
+    * structure still fits a broadcast-or-bucket layout; candidates it
+    * surfaces get re-ranked by q61/q21's finer metrics.
+    */
+  def binaryHammingTopK(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val codes = binaryCodesOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+    val probes = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"),
+        col("hi").as("q_hi"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("q_id", "rn", "vec_id", "hamming")
+      .orderBy("q_id", "rn")
+  }
 }

@@ -108,4 +108,31 @@ class QuantizationSpec extends SparkSpec {
       assert(dots.sameElements(dots.sorted.reverse), "descending by qdot")
     }
   }
+
+  test("binary hamming KNN equals a driver-side sign-pack + popcount replay") {
+    val k = 3
+    val rows = Quantization.binaryHammingTopK(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val all = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+    def code(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach { i => if (v(i) > 0f) lo |= 1L << i }
+      (32 until 64).foreach { i => if (v(i) > 0f) hi |= 1L << (i - 32) }
+      (lo, hi)
+    }
+    val codes = all.map { case (id, v) => id -> code(v) }.toMap
+    rows.groupBy(_._1).foreach { case (qId, g) =>
+      val (qlo, qhi) = codes(qId)
+      val expect = codes.toSeq.filter(_._1 != qId)
+        .map { case (id, (lo, hi)) =>
+          (id, java.lang.Long.bitCount(lo ^ qlo).toLong +
+            java.lang.Long.bitCount(hi ^ qhi)) }
+        .sortBy { case (id, h) => (h, id) }.take(k)
+      val got = g.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(got == expect, s"probe $qId: $got != $expect")
+    }
+  }
 }
