@@ -150,6 +150,8 @@ object SparkEntry {
       Graph.seededPagerank(s, d, PagerankIters)),
     "q91_binary_hamming_knn" -> ((s: SparkSession, d: String) =>
       Quantization.binaryHammingTopK(s, d, QuantTopK)),
+    "q92_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.cdcChunkDedup(s, d, CdcChunkWindow, CdcChunkMask)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2115,6 +2117,56 @@ object SparkEntry {
          |  FROM p)
          |SELECT q_id, rn, vec_id, hamming FROM r WHERE rn <= $QuantTopK
          |ORDER BY q_id, rn""".stripMargin,
+    // The q39 rolling-hash fold decides boundaries; DuckDB's inclusive
+    // list slice toks[a:b] rebuilds each chunk for hashing.
+    "q92_cdc_chunk_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, 'pp qq rr ' || text FROM documents
+         |  WHERE doc_id % 100 = 0),
+         |t AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM corpus WHERE doc_id IS NOT NULL),
+         |f AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    list_transform(toks, tok ->
+         |      CAST('0x' || substr(md5(tok), 1, 6) AS BIGINT)) AS th
+         |  FROM t WHERE len(toks) > 0),
+         |kh AS (
+         |  SELECT doc_id, toks, n,
+         |    CASE WHEN n >= $CdcChunkWindow THEN
+         |      list_transform(generate_series(1, n - ${CdcChunkWindow - 1}), i ->
+         |        list_reduce(
+         |          list_transform(generate_series(0, ${CdcChunkWindow - 1}),
+         |            o -> th[i + o]),
+         |          (a, b) -> (a * 1000003 + b) % 33554432))
+         |    ELSE [] END AS khs
+         |  FROM f),
+         |bd AS (
+         |  SELECT doc_id, toks,
+         |    list_sort(list_distinct(list_concat(list_concat(
+         |      [0::BIGINT],
+         |      list_transform(
+         |        list_filter(generate_series(1, len(khs)),
+         |          i -> khs[i] % $CdcChunkMask = 0),
+         |        i -> (i + ${CdcChunkWindow - 1})::BIGINT)),
+         |      [n::BIGINT]))) AS bounds
+         |  FROM kh),
+         |ch AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(generate_series(2, len(bounds)), j ->
+         |      md5(array_to_string(toks[bounds[j-1] + 1 : bounds[j]], ' '))))
+         |      AS chunk_hash
+         |  FROM bd),
+         |sh AS (
+         |  SELECT chunk_hash FROM ch GROUP BY chunk_hash
+         |  HAVING COUNT(DISTINCT doc_id) > 1)
+         |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN sh.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_shared
+         |FROM ch LEFT JOIN sh ON ch.chunk_hash = sh.chunk_hash
+         |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2288,6 +2340,10 @@ object SparkEntry {
   // q86: synchronous LPA rounds (deterministic; convergence not
   // required — a fixed round count is the reproducibility contract).
   private val LpaIters = 3
+  // q92: content-defined chunking — rolling window width and boundary
+  // mask (expected chunk length ~ mask tokens).
+  private val CdcChunkWindow = 3
+  private val CdcChunkMask = 16
   // q87: training epochs laid out (each gets its own hash order).
   private val EpochCount = 3
 

@@ -739,6 +739,95 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** documents corpus with every 100th doc re-added with a 3-token
+    * PREFIX under doc_id + 9,000,000 — the planted input that makes
+    * shift-robustness GRADABLE: a prefix insertion shifts every
+    * fixed-width block boundary (q56 finds nothing shared), while
+    * content-defined chunk boundaries re-synchronize immediately.
+    */
+  def corpusWithPrefixDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(lit("pp qq rr "), col("text")).as("text")))
+  }
+
+  /** Graded q92: CONTENT-DEFINED chunking + chunk-level dedup (the
+    * LBFS/rsync/FastCDC boundary idea applied to token streams): cut
+    * after any position whose `window`-token Karp–Rabin hash (q39's
+    * exact fold) is ≡ 0 mod `mask`. Boundaries depend only on LOCAL
+    * content, so an insertion near the head re-synchronizes within one
+    * window — the shift-robust upgrade over q56's fixed-width blocks,
+    * whose boundaries all move. Expected chunk length ≈ `mask` tokens.
+    * Report: per doc, chunk count and how many of its chunk occurrences
+    * are shared with ANOTHER doc.
+    *
+    * Scale shape: chunking is one codegen'd per-row projection (HOFs
+    * over the token array — no shuffle, the q39 discipline); the dedup
+    * side is one chunk-hash groupBy (distinct-doc count) joined back —
+    * the q17 exact-dedup shape at chunk granularity. No min/max chunk
+    * bounds: the pure boundary rule keeps both engines' arithmetic
+    * identical (production FastCDC adds bounds; they'd be the same
+    * filter on both sides).
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String,
+      window: Int = 3, mask: Int = 16): DataFrame =
+    cdcChunkDedupOf(corpusWithPrefixDups(spark, dir), window, mask)
+
+  /** Per-document chunk table `(doc_id, pos, chunk_hash)` under the
+    * content-defined rule. Documents shorter than `window` tokens form
+    * one whole-doc chunk.
+    */
+  def cdcChunksOf(df: DataFrame, window: Int, mask: Int): DataFrame = {
+    require(window >= 1 && mask >= 1,
+      s"need window >= 1 and mask >= 1, got $window/$mask")
+    val B = 1000003L
+    val M = 1L << 25
+    df.filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .filter(size(col("toks")) > 0)
+      .withColumn("th", expr(
+        "transform(toks, t -> cast(conv(substring(md5(t), 1, 6), 16, 10) as bigint))"))
+      // rolling window hashes; a doc shorter than the window has none
+      // (sequence() would DESCEND on size(th) - window + 1 < 1)
+      .withColumn("kh", expr(
+        s"""CASE WHEN size(th) >= $window THEN
+           |  transform(sequence(1, size(th) - ${window - 1}), i ->
+           |    aggregate(sequence(0, ${window - 1}), 0L,
+           |      (acc, o) -> (acc * ${B}L + element_at(th, i + o)) % ${M}L))
+           |ELSE array() END""".stripMargin))
+      // cut AFTER the window ending at i + window - 1 when its hash
+      // lands on the mask; bounds always include 0 and n
+      .withColumn("bounds", expr(
+        s"""array_sort(array_distinct(concat(
+           |  array(0L),
+           |  transform(filter(sequence(1, size(kh)),
+           |      i -> size(kh) >= 1 AND element_at(kh, i) % $mask = 0),
+           |    i -> cast(i + ${window - 1} as long)),
+           |  array(cast(size(toks) as long)))))""".stripMargin))
+      .select(col("doc_id"), col("toks"), posexplode(expr(
+        """transform(sequence(2, size(bounds)), j ->
+          |  struct(element_at(bounds, j - 1) + 1 AS start,
+          |         element_at(bounds, j) - element_at(bounds, j - 1) AS len))"""
+          .stripMargin)).as(Seq("pos", "c")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(expr("array_join(slice(toks, c.start, c.len), ' ')"))
+          .as("chunk_hash"))
+  }
+
+  /** Core of `cdcChunkDedup`: chunk, then count cross-document sharing. */
+  def cdcChunkDedupOf(df: DataFrame, window: Int, mask: Int): DataFrame = {
+    val chunks = cdcChunksOf(df, window, mask)
+    val shared = chunks.groupBy("chunk_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(shared, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic "next crawl snapshot" over the base corpus — the
     * graded q85 input. Three arrival classes, tagged by id range the
     * oracle mirrors:

@@ -360,6 +360,61 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1 == "big") == 3)
   }
 
+  // --- q92: content-defined chunk dedup ---
+
+  test("CDC chunking re-syncs after a prefix insertion; fixed blocks share nothing") {
+    val baseToks = (1 to 60).map(i => f"w$i%02d")
+    val base = baseToks.mkString(" ")
+    val corpus = Seq((1L, base), (2L, "pp qq rr " + base))
+      .toDF("doc_id", "text")
+    val rep = Dedup.cdcChunkDedupOf(corpus, 3, 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // driver-side replay of the boundary rule and the sharing count
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(toks: Seq[String]): Seq[String] = {
+      val th = toks.map(t => java.lang.Long.parseLong(hex(t).take(6), 16))
+      val kh = if (toks.size >= 3)
+        (0 to toks.size - 3).map(i => (0 until 3).foldLeft(0L) {
+          (acc, o) => (acc * 1000003L + th(i + o)) % (1L << 25) })
+      else Seq.empty[Long]
+      val cuts = kh.zipWithIndex.collect {
+        case (h, i) if h % 16 == 0 => i + 3 }
+      val bounds = (Seq(0) ++ cuts ++ Seq(toks.size)).distinct.sorted
+      bounds.zip(bounds.tail).map { case (a, b) =>
+        hex(toks.slice(a, b).mkString(" ")) }
+    }
+    val c1 = chunksOf(baseToks)
+    val c2 = chunksOf(Seq("pp", "qq", "rr") ++ baseToks)
+    def sharedWith(mine: Seq[String], other: Seq[String]) =
+      mine.count(other.toSet)
+    assert(rep(1L) == ((c1.size.toLong, sharedWith(c1, c2).toLong)), rep.toString)
+    assert(rep(2L) == ((c2.size.toLong, sharedWith(c2, c1).toLong)), rep.toString)
+    // the content-defined boundaries RE-SYNC: the pair genuinely shares
+    // chunks despite the 3-token shift...
+    assert(rep(1L)._2 > 0 && rep(2L)._2 > 0, rep.toString)
+    // ...while fixed-width blocks all shifted: q56 on the same pair
+    // finds nothing to dedup (every block of both docs survives)
+    val blocks = Dedup.blockDedupOf(corpus, 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    blocks.foreach { case (id, (nBlocks, nKept)) =>
+      assert(nBlocks == nKept, s"doc $id: fixed blocks unexpectedly shared")
+    }
+  }
+
+  test("CDC chunk table: chunks partition each doc, short docs are one chunk") {
+    val corpus = Seq((1L, "aa bb"), (2L, "")).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunksOf(corpus, 3, 16).collect()
+    // a 2-token doc has no 3-token window => exactly one whole-doc chunk;
+    // an empty doc chunks to nothing
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest("aa bb".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.head.getString(2) == expect)
+  }
+
   // --- q85: incremental snapshot dedup ---
 
   test("snapshot dedup classifies re-crawls, revisions, and new pages") {
