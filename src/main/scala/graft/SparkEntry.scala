@@ -152,6 +152,8 @@ object SparkEntry {
       Quantization.binaryHammingTopK(s, d, QuantTopK)),
     "q92_cdc_chunk_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.cdcChunkDedup(s, d, CdcChunkWindow, CdcChunkMask)),
+    "q93_preference_pairs" -> ((s: SparkSession, d: String) =>
+      Quality.preferencePairs(s, d, PrefPairsPerGroup)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2167,6 +2169,38 @@ object SparkEntry {
          |    AS BIGINT) AS n_shared
          |FROM ch LEFT JOIN sh ON ch.chunk_hash = sh.chunk_hash
          |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+    "q93_preference_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, n_chars,
+         |    regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, source, n_chars, len(toks) AS n_toks,
+         |    len(list_filter(toks, t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |  FROM d),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |              WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |       + CASE WHEN n_toks >= 20 THEN 30 ELSE 15 END
+         |       + CASE WHEN hits * 50 >= n_toks AND hits * 5 <= n_toks
+         |              THEN 30 ELSE 10 END AS BIGINT) AS quality
+         |  FROM e),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id ASC) AS r_top,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id DESC) AS r_bot
+         |  FROM q)
+         |SELECT c.source, CAST(c.r_top AS BIGINT) AS pair_rank,
+         |  c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         |  c.quality - j.quality AS margin
+         |FROM r c JOIN r j
+         |  ON c.source = j.source AND c.r_top = j.r_bot
+         |WHERE c.r_top <= $PrefPairsPerGroup
+         |  AND c.doc_id <> j.doc_id AND c.quality > j.quality
+         |ORDER BY c.source, pair_rank""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2344,6 +2378,8 @@ object SparkEntry {
   // mask (expected chunk length ~ mask tokens).
   private val CdcChunkWindow = 3
   private val CdcChunkMask = 16
+  // q93: preference pairs built per source.
+  private val PrefPairsPerGroup = 3
   // q87: training epochs laid out (each gets its own hash order).
   private val EpochCount = 3
 

@@ -26,6 +26,51 @@ object Quality {
     * violations. Anomaly metrics COUNT rows, so a clean corpus reports
     * zeros — the audit asserts integrity rather than assuming it.
     */
+  /** Graded q93: PREFERENCE-PAIR construction — reward-model training
+    * data assembled from quality signals: within each source, pair the
+    * i-th BEST document (chosen) with the i-th WORST (rejected) for
+    * i ≤ `pairsPerGroup`, keeping only pairs with a strict quality
+    * margin. The mirror-image tie-breaks (best: quality desc, id asc;
+    * worst: quality asc, id DESC) make both rankings deterministic and
+    * keep a tie from pairing a document with itself before the margin
+    * filter even runs. This is the contrastive-pairs step a
+    * quality-classifier or reward-model pipeline runs over a scored
+    * corpus (the same construction RLHF data prep applies to rated
+    * responses).
+    *
+    * Scale shape: ONE hash shuffle on `source` feeds both ranking
+    * windows (same partitioning, two sort orders); the pair join moves
+    * ≤ 2·pairsPerGroup rows per source. Scores are q16's integer bands
+    * — single-sourced in `TextOps.qualityCol`.
+    */
+  def preferencePairs(spark: SparkSession, dir: String,
+      pairsPerGroup: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.tokenized(spark, dir)
+      .withColumn("quality", TextOps.qualityCol(
+        col("n_chars"), col("n_toks"), col("stop_hits")))
+      .select("doc_id", "source", "quality")
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val wBot = Window.partitionBy("source")
+      .orderBy(col("quality").asc, col("doc_id").desc)
+    val ranked = scored
+      .withColumn("r_top", row_number().over(wTop).cast("long"))
+      .withColumn("r_bot", row_number().over(wBot).cast("long"))
+    ranked.filter(col("r_top") <= pairsPerGroup).alias("c")
+      .join(ranked.filter(col("r_bot") <= pairsPerGroup).alias("r"),
+        col("c.source") === col("r.source") &&
+          col("c.r_top") === col("r.r_bot"))
+      .filter(col("c.doc_id") =!= col("r.doc_id") &&
+        col("c.quality") > col("r.quality"))
+      .select(col("c.source").as("source"),
+        col("c.r_top").as("pair_rank"),
+        col("c.doc_id").as("chosen_id"),
+        col("r.doc_id").as("rejected_id"),
+        (col("c.quality") - col("r.quality")).as("margin"))
+      .orderBy("source", "pair_rank")
+  }
+
   def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val orders = Tables(spark, dir, "orders")

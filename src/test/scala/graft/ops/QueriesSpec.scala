@@ -79,6 +79,30 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q93 preference pairs: strict margins, no self-pairs, recompute agrees") {
+    val rows = Quality.preferencePairs(spark, dir, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(p => p._5 > 0 && p._3 != p._4))
+    // driver-side recompute from independently derived scores
+    import org.apache.spark.sql.functions.col
+    val scored = TextOps.tokenized(spark, dir)
+      .withColumn("quality", TextOps.qualityCol(
+        col("n_chars"), col("n_toks"), col("stop_hits")))
+      .select("source", "doc_id", "quality").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = scored.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      val top = ds.sortBy(d => (-d._3, d._2)).take(3)
+      val bot = ds.sortBy(d => (d._3, -d._2)).take(3)
+      top.zip(bot).zipWithIndex.collect {
+        case ((c, r), i) if c._2 != r._2 && c._3 > r._3 =>
+          (src, (i + 1).toLong, c._2, r._2, c._3 - r._3)
+      }
+    }.toSet
+    assert(rows.toSet == expect, s"${rows.toSet} != $expect")
+  }
+
   test("q89 props extraction degrades corrupt JSON to NULL, never fails") {
     import spark.implicits._
     val evs = Seq(
