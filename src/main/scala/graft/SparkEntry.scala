@@ -154,6 +154,8 @@ object SparkEntry {
       Dedup.cdcChunkDedup(s, d, CdcChunkWindow, CdcChunkMask)),
     "q93_preference_pairs" -> ((s: SparkSession, d: String) =>
       Quality.preferencePairs(s, d, PrefPairsPerGroup)),
+    "q94_decontaminate_spans" -> ((s: SparkSession, d: String) =>
+      Dedup.decontaminateSpans(s, d, 3)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2201,6 +2203,54 @@ object SparkEntry {
          |WHERE c.r_top <= $PrefPairsPerGroup
          |  AND c.doc_id <> j.doc_id AND c.quality > j.quality
          |ORDER BY c.source, pair_rank""".stripMargin,
+    // Same train/bench construction as q47; positional grams, tainted
+    // position union, and the kept-token reassembly all replayed in
+    // DuckDB list arithmetic.
+    "q94_decontaminate_spans" ->
+      """WITH bench AS (
+        |  SELECT doc_id AS bench_id, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |tk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM train WHERE doc_id IS NOT NULL),
+        |tg AS (
+        |  SELECT doc_id, u.i AS pos,
+        |    toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS gram
+        |  FROM tk, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |bg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END) AS gram
+        |  FROM (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |        FROM bench)),
+        |hits AS (
+        |  SELECT tg.doc_id, list_distinct(list(tg.pos)) AS hits
+        |  FROM tg JOIN bg ON tg.gram = bg.gram
+        |  GROUP BY tg.doc_id),
+        |srg AS (
+        |  SELECT tk.doc_id, tk.toks,
+        |    list_distinct(flatten(list_transform(
+        |      COALESCE(hits.hits, []), p -> generate_series(p, p + 2))))
+        |      AS taints
+        |  FROM tk LEFT JOIN hits ON tk.doc_id = hits.doc_id),
+        |fin AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(generate_series(1, len(toks)),
+        |      i -> NOT list_contains(taints, i)) AS kept
+        |  FROM srg)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |  array_to_string(list_transform(kept, i -> toks[i]), ' ')
+        |    AS clean_text
+        |FROM fin ORDER BY doc_id""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a

@@ -739,6 +739,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Graded q94: SURGICAL decontamination — GPT-3's appendix-C
+    * procedure as actually run: rather than dropping a contaminated
+    * document wholesale (q47's `decontaminate`), excise the tokens
+    * belonging to any benchmark-overlapping n-gram and keep the clean
+    * remainder (Brown et al. 2020 removed the flagged spans and split
+    * the surrounding text; dropping whole documents at web scale costs
+    * real data for one leaked sentence). A position is tainted when any
+    * n-gram WINDOW covering it matches a benchmark shingle; overlapping
+    * matches merge by construction (the tainted-position SET is the
+    * union of all matched windows).
+    *
+    * Scale shape: q47's exact broadcast discipline with positions kept —
+    * positional grams stream map-side against the broadcast benchmark
+    * set, only MATCHES shuffle (benchmark-bounded volume), and the
+    * surgery itself is per-row HOF arithmetic on the join-back. The
+    * corpus never exchanges.
+    */
+  def decontaminateSpans(spark: SparkSession, dir: String,
+      n: Int = 3): DataFrame = {
+    val bench = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val train = corpusWithNearDupsTagged(spark, dir)
+      .filter(col("is_planted") || col("doc_id") % 100 =!= 0)
+      .select("doc_id", "text")
+    decontaminateSpansOf(train, bench, n)
+  }
+
+  /** Core of `decontaminateSpans` over any train/bench corpus pair. */
+  def decontaminateSpansOf(train: DataFrame, bench: DataFrame,
+      n: Int): DataFrame = {
+    require(n >= 1, s"gram width must be >= 1, got $n")
+    graft.functions.WordShingles.register(train.sparkSession)
+    val toks = CachedStages.track(train
+      .filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(TextOps.tokensExpr))
+      .select("doc_id", "toks")
+      .persist())
+    // positional grams (1-based start); a doc shorter than n has none
+    val tg = toks.filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> array_join(slice(toks, i, $n), ' '))""".stripMargin))
+        .as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val bg = bench.select(explode(expr(s"word_shingles(text, $n)"))
+      .as("gram")).distinct()
+    val hits = tg.join(broadcast(bg), "gram")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("hits"))
+    toks.join(hits, Seq("doc_id"), "left")
+      .withColumn("taints", expr(
+        s"""array_distinct(flatten(transform(coalesce(hits, array()),
+           |  p -> sequence(p, p + ${n - 1}))))""".stripMargin))
+      .withColumn("kept", expr(
+        """CASE WHEN size(toks) >= 1 THEN
+          |  filter(sequence(1, size(toks)), i -> NOT array_contains(taints, i))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        expr("array_join(transform(kept, i -> element_at(toks, i)), ' ')")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** documents corpus with every 100th doc re-added with a 3-token
     * PREFIX under doc_id + 9,000,000 — the planted input that makes
     * shift-robustness GRADABLE: a prefix insertion shifts every

@@ -360,6 +360,40 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1 == "big") == 3)
   }
 
+  // --- q94: surgical decontamination ---
+
+  test("span surgery excises exactly the benchmark-overlapping windows") {
+    val bench = Seq((100L, "secret bench gram extra")).toDF("bench_id", "text")
+    val train = Seq(
+      (1L, "x1 x2 secret bench gram x3 x4"), // one match at pos 3
+      (2L, "clean words only here nothing shared"),
+      (3L, "secret bench gram extra trailing"), // overlapping matches 1,2
+      (4L, "ab")) // shorter than a gram: untouchable
+      .toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpansOf(train, bench, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(out(1L) == ((7L, 3L, "x1 x2 x3 x4")), out.toString)
+    assert(out(2L) == ((6L, 0L, "clean words only here nothing shared")))
+    // overlapping tainted windows MERGE: positions 1-3 ∪ 2-4 = 1-4
+    assert(out(3L) == ((5L, 4L, "trailing")), out.toString)
+    assert(out(4L) == ((1L, 0L, "ab")), out.toString)
+  }
+
+  test("graded span surgery: planted copies lose most tokens, others keep all") {
+    val rows = Dedup.decontaminateSpans(spark, dir, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted near-copy of a benchmark doc (+1e6 ids) overlaps its
+    // original on nearly every window — surgery must strip most of it
+    val planted = rows.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, n, removed) =>
+      assert(removed * 2 > n, s"doc $id: only $removed of $n removed") }
+    // and surgery never invents removals: n_removed <= n_toks, >= 0
+    rows.foreach { case (_, n, removed) =>
+      assert(removed >= 0 && removed <= n) }
+  }
+
   // --- q92: content-defined chunk dedup ---
 
   test("CDC chunking re-syncs after a prefix insertion; fixed blocks share nothing") {
