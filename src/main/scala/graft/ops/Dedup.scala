@@ -788,7 +788,9 @@ object Dedup {
       .as("gram")).distinct()
     val hits = tg.join(broadcast(bg), "gram")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("hits"))
-    toks.join(hits, Seq("doc_id"), "left")
+    // hits is benchmark-bounded (docs with >= 1 match) — broadcast it so
+    // the surgery side of the corpus never exchanges either
+    toks.join(broadcast(hits), Seq("doc_id"), "left")
       .withColumn("taints", expr(
         s"""array_distinct(flatten(transform(coalesce(hits, array()),
            |  p -> sequence(p, p + ${n - 1}))))""".stripMargin))

@@ -351,6 +351,20 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q94 plan: benchmark grams and hits both broadcast; matches alone shuffle") {
+    val out = Dedup.decontaminateSpans(spark, dir, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // two broadcast joins: gram probe + hits join-back
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan.take(3000))
+    // the only hash exchange aggregates the MATCHES (groupBy doc_id on
+    // the post-broadcast-join stream); the corpus side never
+    // hash-exchanges
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 2, s"unexpected corpus exchanges ($hashEx)\n" +
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q84 plan: anchors broadcast; corpus never exchanges before the rank window") {
     val negs = Similarity.hardNegatives(spark, dir, 5)
     val plan = negs.queryExecution.executedPlan.toString
