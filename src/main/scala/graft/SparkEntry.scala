@@ -156,6 +156,8 @@ object SparkEntry {
       Quality.preferencePairs(s, d, PrefPairsPerGroup)),
     "q94_decontaminate_spans" -> ((s: SparkSession, d: String) =>
       Dedup.decontaminateSpans(s, d, 3)),
+    "q95_range_layout" -> ((s: SparkSession, d: String) =>
+      Layout.rangeLayoutStats(s, d, RangeLayoutBuckets)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2251,6 +2253,18 @@ object SparkEntry {
         |  array_to_string(list_transform(kept, i -> toks[i]), ' ')
         |    AS clean_text
         |FROM fin ORDER BY doc_id""".stripMargin,
+    // The oracle IS the naive global NTILE window — the hash match
+    // proves the histogram-selected boundary decomposition lands every
+    // row in its exact NTILE bucket.
+    "q95_range_layout" ->
+      s"""WITH r AS (
+         |  SELECT o_totalprice,
+         |    NTILE($RangeLayoutBuckets) OVER
+         |      (ORDER BY o_totalprice, o_orderkey) AS bucket
+         |  FROM orders)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
+         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2430,6 +2444,8 @@ object SparkEntry {
   private val CdcChunkMask = 16
   // q93: preference pairs built per source.
   private val PrefPairsPerGroup = 3
+  // q95: contiguous balanced key ranges in the sorted-export layout.
+  private val RangeLayoutBuckets = 8
   // q87: training epochs laid out (each gets its own hash order).
   private val EpochCount = 3
 

@@ -100,4 +100,69 @@ object Layout {
       .groupBy("pid")
       .agg(min("x").as("min_x"), max("x").as("max_x"),
         min("y").as("min_y"), max("y").as("max_y"))
+
+  /** Graded q95: DETERMINISTIC range layout — orders partitioned into
+    * `buckets` contiguous, balanced key ranges by `o_totalprice` (the
+    * sorted-export layout that makes file-level zone maps prune range
+    * scans; q71's Z-order is its 2-D sibling). `repartitionByRange`
+    * gets boundaries by RNG reservoir sampling — approximate sizes and
+    * a layout that changes run to run; here the boundaries are the
+    * EXACT NTILE rank rows (`k_i = i·(n div B) + min(i, n mod B)`),
+    * located by the q53 two-pass histogram selection, so every engine
+    * and every rerun produces the identical, perfectly balanced
+    * partition.
+    *
+    * Scale shape: pass 1 aggregates a ~|value/1000|-bucket histogram
+    * (tiny) and prefix-sums it; pass 2 ranks INSIDE the ≤ B-1 candidate
+    * histogram buckets only. The located boundary (value, key) pairs
+    * collapse to ONE array row broadcast over the corpus — bucket
+    * assignment is a per-row HOF count of boundary pairs below the
+    * row's own pair, no corpus shuffle, no global window. The oracle IS
+    * the naive global `NTILE` window, proving the decomposition
+    * row-exact.
+    */
+  def rangeLayoutStats(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("hb", floor(col("o_totalprice") / 1000))
+    val hist = orders.groupBy("hb").agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy("hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the only unpartitioned window runs over the HISTOGRAM (tiny)
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum("cnt").over(wb), lit(0L)))
+    val targets = orders.agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(sequence(lit(1), lit(buckets - 1))).as("i"))
+      // NTILE's boundary ranks, all-integer (div, never FP division)
+      .select(expr(s"""cast(i * (n div $buckets)
+        + least(cast(i as bigint), n % $buckets) as bigint)""").as("k"))
+    val located = targets.join(cum,
+        col("k") > col("cum_before") &&
+          col("k") <= col("cum_before") + col("cnt"))
+      .select(col("hb"), (col("k") - col("cum_before")).as("in_bucket_rank"))
+    val wib = Window.partitionBy("hb")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val bounds = orders
+      .join(broadcast(located.select("hb").distinct()), Seq("hb"))
+      .withColumn("rn", row_number().over(wib).cast("long"))
+      .join(broadcast(located), Seq("hb"))
+      .filter(col("rn") === col("in_bucket_rank"))
+      .agg(expr(
+        """array_sort(collect_list(
+          |  struct(o_totalprice AS bv, o_orderkey AS bk)))""".stripMargin)
+        .as("barr"))
+    orders.crossJoin(broadcast(bounds))
+      .withColumn("bucket", (size(expr(
+        """filter(barr, b -> b.bv < o_totalprice OR
+          |  (b.bv = o_totalprice AND b.bk < o_orderkey))""".stripMargin))
+        + 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+  }
 }

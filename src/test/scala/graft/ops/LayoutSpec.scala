@@ -80,4 +80,36 @@ class LayoutSpec extends SparkSpec {
     assert(zArea * 4 <= hashArea,
       s"z layout boxes not tighter: z=$zArea hash=$hashArea")
   }
+
+  test("range layout: balanced, contiguous, equal to a driver-side NTILE") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val B = 8
+    val rows = Layout.rangeLayoutStats(spark, dir, B).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to B).toSeq)
+    // perfectly balanced: sizes differ by at most one, big buckets first
+    val sizes = rows.map(_._2)
+    assert(sizes.max - sizes.min <= 1 &&
+      sizes.sameElements(sizes.sorted.reverse), sizes.mkString(","))
+    // contiguous: bucket i's max never exceeds bucket i+1's min
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"$a / $b")
+      case _ =>
+    }
+    // driver-side NTILE replay over the full (price, key) order
+    val all = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getDouble(1), r.getLong(0))).sorted
+    val n = all.length
+    val q = n / B; val rr = n % B
+    val expect = (1 to B).map { i =>
+      val start = (i - 1) * q + math.min(i - 1, rr)
+      val sz = if (i <= rr) q + 1 else q
+      val slice = all.slice(start, start + sz)
+      (i.toLong, sz.toLong, slice.map(_._1).min, slice.map(_._1).max)
+    }
+    assert(rows.toSeq == expect, s"${rows.toSeq} != $expect")
+  }
 }
