@@ -158,6 +158,7 @@ object SparkEntry {
       Dedup.decontaminateSpans(s, d, 3)),
     "q95_range_layout" -> ((s: SparkSession, d: String) =>
       Layout.rangeLayoutStats(s, d, RangeLayoutBuckets)),
+    "q96_dedup_threshold_sweep" -> Dedup.thresholdSensitivity _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2218,7 +2219,8 @@ object SparkEntry {
         |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
         |  WHERE doc_id % 100 = 0),
         |tk AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
         |  FROM train WHERE doc_id IS NOT NULL),
         |tg AS (
         |  SELECT doc_id, u.i AS pos,
@@ -2250,8 +2252,10 @@ object SparkEntry {
         |  FROM srg)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
         |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
-        |  array_to_string(list_transform(kept, i -> toks[i]), ' ')
-        |    AS clean_text
+        |  -- a fully-excised doc cleans to '' (DuckDB's array_to_string
+        |  -- of an empty list is NULL; Spark's array_join is '')
+        |  COALESCE(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+        |           '') AS clean_text
         |FROM fin ORDER BY doc_id""".stripMargin,
     // The oracle IS the naive global NTILE window — the hash match
     // proves the histogram-selected boundary decomposition lands every
@@ -2265,6 +2269,55 @@ object SparkEntry {
          |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_rows,
          |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Content-level banding (identical texts collapse BEFORE LSH, as
+    // the Spark side does) with NO acceptance threshold — the q19
+    // machinery reported as deciles.
+    "q96_dedup_threshold_sweep" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |contents AS (
+        |  SELECT DISTINCT text, md5(text) AS cid FROM corpus),
+        |d AS (
+        |  SELECT cid, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM contents),
+        |sg AS (
+        |  SELECT cid,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS shingles
+        |  FROM d),
+        |sig AS (
+        |  SELECT cid, shingles,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |  FROM sg),
+        |bands AS (
+        |  SELECT cid, 0 AS band, mh0 AS h FROM sig
+        |  UNION ALL SELECT cid, 1, mh1 FROM sig
+        |  UNION ALL SELECT cid, 2, mh2 FROM sig
+        |  UNION ALL SELECT cid, 3, mh3 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.cid AS ca, b.cid AS cb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h = b.h AND a.cid < b.cid),
+        |j AS (
+        |  SELECT ca, cb,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      (len(sa.shingles) + len(sb.shingles)
+        |       - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        |  FROM cand
+        |  JOIN sig sa ON cand.ca = sa.cid
+        |  JOIN sig sb ON cand.cb = sb.cid)
+        |SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band,
+        |  COUNT(*) AS n_pairs,
+        |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+        |FROM j GROUP BY band ORDER BY band""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a

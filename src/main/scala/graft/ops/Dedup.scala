@@ -115,6 +115,20 @@ object Dedup {
     * of reading it back from cache.
     */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (verified, sigs) = contentPairCandidates(spark, dir)
+    // identical-text docs pair at Jaccard 1 with no join; empty shingle
+    // sets are excluded (doc-level LSH never pairs them)
+    expandDocPairs(verified.filter(col("jaccard") >= 0.5),
+      sigs.filter(size(col("docs")) > 1 && size(col("shingles")) > 0))
+  }
+
+  /** The q19 candidate machinery WITHOUT the acceptance threshold:
+    * `(verified candidate content pairs with exact jaccard, persisted
+    * signature stage)` — q19 filters ≥ 0.5 and expands to doc pairs;
+    * q96's sensitivity report bands the same pairs instead.
+    */
+  private def contentPairCandidates(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     graft.functions.WordShingles.register(spark)
     val contents = corpusWithNearDups(spark, dir)
       .groupBy(col("text"))
@@ -146,12 +160,31 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("n_common").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
-      .filter(col("jaccard") >= 0.5)
+    (verified, sigs)
+  }
 
-    // identical-text docs pair at Jaccard 1 with no join; empty shingle
-    // sets are excluded (doc-level LSH never pairs them)
-    expandDocPairs(verified,
-      sigs.filter(size(col("docs")) > 1 && size(col("shingles")) > 0))
+  /** Graded q96: dedup threshold SENSITIVITY report — the LSH candidate
+    * pairs banded by exact Jaccard decile instead of filtered at one
+    * threshold. This is the tuning artifact behind every "near-dup at
+    * τ" decision: how many pairs each decile holds tells you what
+    * raising or lowering τ would sweep in (identical-text pairs are out
+    * of scope — they sit at Jaccard 1 by construction and no threshold
+    * choice affects them). `floor(jaccard·10)` is exact: one correctly-
+    * rounded division and multiplication, then floor — both engines
+    * band identically, no epsilon.
+    *
+    * Scale shape: identical to q19's (the banding replaces the filter);
+    * the report is |bands| rows.
+    */
+  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val (verified, _) = contentPairCandidates(spark, dir)
+    verified
+      .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("band")
   }
 
   /** Expand verified CONTENT pairs (docs_a, docs_b, jaccard) to ordered
@@ -772,9 +805,12 @@ object Dedup {
       n: Int): DataFrame = {
     require(n >= 1, s"gram width must be >= 1, got $n")
     graft.functions.WordShingles.register(train.sparkSession)
+    // NULL text surgically cleans to the empty string, not NULL — the
+    // coalesce keeps both engines' empty-document behavior identical
     val toks = CachedStages.track(train
       .filter(col("doc_id").isNotNull)
-      .withColumn("toks", expr(TextOps.tokensExpr))
+      .withColumn("toks", expr(
+        s"coalesce(${TextOps.tokensExpr}, cast(array() as array<string>))"))
       .select("doc_id", "toks")
       .persist())
     // positional grams (1-based start); a doc shorter than n has none

@@ -360,6 +360,24 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_._1 == "big") == 3)
   }
 
+  // --- q96: dedup threshold sensitivity ---
+
+  test("threshold sweep: bands legal, planted near-dups surface at the top") {
+    val rows = Dedup.thresholdSensitivity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (band, n, lo, hi) =>
+      assert(band >= 0 && band <= 10 && n > 0)
+      // the decile boundaries really contain their min/max
+      assert(lo >= band / 10.0 && hi < (band + 1) / 10.0 + 1e-12,
+        s"band $band: [$lo, $hi]")
+    }
+    // the planted suffix near-dups (Jaccard ~0.9) must populate a top band
+    assert(rows.exists { case (band, n, _, _) => band >= 9 && n > 0 },
+      rows.mkString(","))
+    CachedStages.release(spark)
+  }
+
   // --- q94: surgical decontamination ---
 
   test("span surgery excises exactly the benchmark-overlapping windows") {
