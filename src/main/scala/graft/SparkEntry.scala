@@ -159,6 +159,7 @@ object SparkEntry {
     "q95_range_layout" -> ((s: SparkSession, d: String) =>
       Layout.rangeLayoutStats(s, d, RangeLayoutBuckets)),
     "q96_dedup_threshold_sweep" -> Dedup.thresholdSensitivity _,
+    "q97_measure_unpivot" -> Relational.measureUnpivot _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2318,6 +2319,25 @@ object SparkEntry {
         |  COUNT(*) AS n_pairs,
         |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
         |FROM j GROUP BY band ORDER BY band""".stripMargin,
+    // Deliberately the NAIVE four-scan melt — Spark's one-Expand stack
+    // must be value-identical.
+    "q97_measure_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'discount' AS measure,
+        |    CAST(l_discount AS DECIMAL(12,2)) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'extendedprice',
+        |    CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'quantity',
+        |    CAST(l_quantity AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'tax',
+        |    CAST(l_tax AS DECIMAL(12,2)) FROM lineitem)
+        |SELECT l_returnflag, measure,
+        |  CAST(SUM(value) AS DOUBLE) AS sum_value, COUNT(*) AS n
+        |FROM m GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a

@@ -400,4 +400,29 @@ object Relational {
           .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** Graded q97: UNPIVOT — the inverse of q36's pivot: lineitem's four
+    * measure columns melted to long `(measure, value)` format with
+    * `stack`, then aggregated per (flag, measure). The long format is
+    * what metric stores and plotting layers consume; the engine question
+    * is HOW the melt runs: `stack` plans as ONE generator node over a
+    * single scan (4× rows map-side, partial-agg collapsed before the
+    * one shuffle) where the naive formulation is four scans unioned.
+    * The oracle deliberately IS the naive four-scan UNION ALL —
+    * matching proves the generator equivalent. Sums ride the decimal
+    * route (`ops.dec2`) like every money aggregate.
+    */
+  def measureUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), expr(
+        """stack(4,
+          |  'discount', cast(l_discount as decimal(12,2)),
+          |  'extendedprice', cast(l_extendedprice as decimal(12,2)),
+          |  'quantity', cast(l_quantity as decimal(12,2)),
+          |  'tax', cast(l_tax as decimal(12,2))) AS (measure, value)"""
+          .stripMargin))
+      .groupBy("l_returnflag", "measure")
+      .agg(sum(col("value")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "measure")
 }

@@ -351,6 +351,16 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q97 plan: the melt is ONE generator over one scan, not four unioned scans") {
+    val out = Relational.measureUnpivot(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate stack"), plan.take(2000))
+    // exactly one scan of lineitem feeds the generator, and the partial
+    // aggregate collapses the 4x row stream before the one shuffle
+    assert(plan.split("FileScan parquet").length - 1 == 1, plan.take(3000))
+    assert(plan.contains("partial_sum"), plan.take(3000))
+  }
+
   test("q94 plan: benchmark grams and hits both broadcast; matches alone shuffle") {
     val out = Dedup.decontaminateSpans(spark, dir, 3)
     val plan = out.queryExecution.executedPlan.toString
