@@ -120,6 +120,26 @@ class QueriesSpec extends SparkSpec {
     assert(out("view") == ((1L, 0L, -1L)), out.toString)
   }
 
+  test("q12 lag-based sessions equal Spark's native session_window operator") {
+    import org.apache.spark.sql.functions._
+    // q12 keeps a session while gap <= 1800 floor-seconds; the native
+    // operator closes at >= gap — on integer seconds, gap <= 1800 is
+    // exactly gap < 1801, so session_window('1801 seconds') over the
+    // floored timestamps must reproduce the lag-based counts
+    val native = Events.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("ts_sec")), "1801 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lagBased = Events.userSessions(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(native == lagBased,
+      s"diff: ${(native.toSet diff lagBased.toSet).take(3)}")
+  }
+
   test("q12 session counts bounded by event counts") {
     val rows = Events.userSessions(spark, dir).collect()
     assert(rows.forall(r =>
