@@ -455,6 +455,20 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunk lengths measure near the mask: corpus mean within [mask/2, 2*mask]") {
+    val chunks = Dedup.cdcChunksOf(
+      Tables(spark, dir, "documents").select("doc_id", "text"), 3, 16)
+      .collect()
+    val toks = Tables(spark, dir, "documents").collect().map { r =>
+      val t = r.getAs[String]("text")
+      if (t == null) 0
+      else "[a-z0-9]+".r.findAllIn(t.toLowerCase).length
+    }.sum
+    val mean = toks.toDouble / chunks.length
+    assert(mean >= 8 && mean <= 32,
+      s"mean chunk length $mean outside the mask-16 band")
+  }
+
   test("CDC chunk table: chunks partition each doc, short docs are one chunk") {
     val corpus = Seq((1L, "aa bb"), (2L, "")).toDF("doc_id", "text")
     val rows = Dedup.cdcChunksOf(corpus, 3, 16).collect()

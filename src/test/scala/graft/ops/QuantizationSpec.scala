@@ -109,6 +109,24 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("binary codes MEASURE against float cosine: top-1 recovered in hamming top-5") {
+    // the q91 doc claims ranking parity is a measured property — measure
+    // it: for each probe, does the float-cosine top-1 neighbor appear in
+    // the hamming top-5? 1-bit codes are coarse; demand a floor, not
+    // perfection, and record the observed rate in the assertion message.
+    val k = 5
+    val hamm = Quantization.binaryHammingTopK(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val cosTop1 = Similarity.cosineTopK(spark, dir).collect()
+      .filter(_.getAs[Long]("rn") == 1L)
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+    assert(cosTop1.nonEmpty)
+    val recovered = cosTop1.count { case (q, v) => hamm(q).contains(v) }
+    assert(recovered * 2 >= cosTop1.length,
+      s"hamming top-$k recovered only $recovered/${cosTop1.length} cosine top-1s")
+  }
+
   test("binary hamming KNN equals a driver-side sign-pack + popcount replay") {
     val k = 3
     val rows = Quantization.binaryHammingTopK(spark, dir, k).collect()

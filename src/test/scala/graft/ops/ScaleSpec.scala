@@ -351,6 +351,16 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q86 plan: label counting never materializes a neighborhood list") {
+    val out = Graph.copurchaseCommunities(spark, dir, 2)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-round argmax is a partial-aggregable struct-max — no
+    // collect_list/collect_set anywhere in the loop's final plan
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q97 plan: the melt is ONE generator over one scan, not four unioned scans") {
     val out = Relational.measureUnpivot(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
