@@ -2448,14 +2448,18 @@ object SparkEntry {
          |nn AS (SELECT COUNT(*) AS n FROM deg),
          |r0 AS (SELECT src AS id, $s // (SELECT n FROM nn) AS r FROM deg)"""
         .stripMargin
+    // left join from the full node set (as the Spark loop does): a
+    // source-only node keeps its teleport share every round
     val steps = (1 to iters).map { i =>
       s"""r$i AS (
-         |  SELECT e.dst AS id,
+         |  SELECT deg.src AS id,
          |    CAST(3 * $s // (20 * (SELECT n FROM nn)) +
-         |         (17 * SUM(r${i - 1}.r // deg.deg)) // 20 AS BIGINT) AS r
-         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
-         |  JOIN deg ON e.src = deg.src
-         |  GROUP BY e.dst)""".stripMargin
+         |         (17 * COALESCE(m.msum, 0)) // 20 AS BIGINT) AS r
+         |  FROM deg LEFT JOIN (
+         |    SELECT e.dst, SUM(r${i - 1}.r // dg.deg) AS msum
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) m ON deg.src = m.dst)""".stripMargin
     }
     (head +: steps).mkString(",\n")
   }

@@ -22,9 +22,11 @@ object Cdc {
   /** Graded q67: SCD Type-2 history build — collapse each user's event
     * stream into validity intervals of its `event_type` runs
     * (gaps-and-islands). Each output row is one version:
-    * `[valid_from_ns, valid_to_ns)` in raw event-time nanos, open-ended
-    * (null `valid_to_ns`, `is_current` = true) for the latest run, with
-    * `n_events` counting the rows the run absorbed.
+    * `[valid_from_us, valid_to_us)` in µs-floor event time (see
+    * `scd2HistoryOf` for the µs reconciliation with DuckDB's
+    * TIMESTAMP_NS), open-ended (null `valid_to_us`, `is_current` =
+    * true) for the latest run, with `n_events` counting the rows the
+    * run absorbed.
     *
     * Scale shape: ONE shuffle (hash by `user_id`), then everything —
     * run detection (`lag`), per-user totals, version numbering and

@@ -323,16 +323,6 @@ object Events {
       .orderBy("stage")
   }
 
-  /** Graded q65: weekly retention cohorts. Users are bucketed by their
-    * first-seen epoch week (integer `ts_sec div 604800` — identical
-    * arithmetic in any engine, no calendar/timezone semantics to
-    * reconcile); a cohort's week-k row counts the users active k weeks
-    * after first touch. Shape: the (user, week) activity matrix is
-    * distinct-ed FIRST (shrinking events to at most |users|×|weeks|
-    * rows before anything wide), the cohort week rides along as one
-    * unbounded window minimum per user, and the final count is a plain
-    * groupBy — two compact shuffles regardless of event volume.
-    */
   /** Graded q89: semi-structured property extraction — the `props` JSON
     * column parsed with a DECLARED schema (`from_json`, codegen'd; no
     * per-row schema inference, no UDF) and rolled up per event type.
@@ -365,6 +355,16 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Graded q65: weekly retention cohorts. Users are bucketed by their
+    * first-seen epoch week (integer `ts_sec div 604800` — identical
+    * arithmetic in any engine, no calendar/timezone semantics to
+    * reconcile); a cohort's week-k row counts the users active k weeks
+    * after first touch. Shape: the (user, week) activity matrix is
+    * distinct-ed FIRST (shrinking events to at most |users|×|weeks|
+    * rows before anything wide), the cohort week rides along as one
+    * unbounded window minimum per user, and the final count is a plain
+    * groupBy — two compact shuffles regardless of event volume.
+    */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame =
     retentionCohortsOf(events(spark, dir))
 

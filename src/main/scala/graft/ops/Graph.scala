@@ -23,6 +23,23 @@ object Graph {
     */
   val RankScale: Long = 1000000000000L
 
+  /** Distinct `(l_orderkey AS k, l_partkey AS p)` incidence pairs — the
+    * bipartite table every co-purchase graph build (and the q90 seed
+    * set) reads. ONE definition so the edge semantics cannot drift
+    * between the four graph queries and their oracle CTEs.
+    */
+  private def orderParts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+      .distinct()
+
+  /** Directed co-purchase edges (both directions, no self-loops). */
+  private def copurchaseEdges(li: DataFrame): DataFrame =
+    li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") =!= col("p2"))
+      .select(col("p").as("src"), col("p2").as("dst"))
+      .distinct()
+
   /** Graded q69: PageRank over the part co-purchase graph — parts are
     * linked when some order contains both (the classic item-item graph;
     * rank = centrality in the catalog). Damping 0.85, fixed iteration
@@ -49,14 +66,7 @@ object Graph {
     */
   def copurchasePagerank(spark: SparkSession, dir: String,
       iters: Int = 5): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
-      .filter(col("p") =!= col("p2"))
-      .select(col("p").as("src"), col("p2").as("dst"))
-      .distinct()
-    pagerank(edges, iters)
+    pagerank(copurchaseEdges(orderParts(spark, dir)), iters)
       .select(col("id").as("part_id"), col("rank_fp"))
       .orderBy(col("rank_fp").desc, col("part_id").asc)
   }
@@ -81,9 +91,7 @@ object Graph {
     * DuckDB, so counts hash-match bit-for-bit.
     */
   def copurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .distinct()
+    val li = orderParts(spark, dir)
     val und = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
       .filter(col("p") < col("p2"))
       .select(col("p").as("u"), col("p2").as("v"))
@@ -166,14 +174,7 @@ object Graph {
     */
   def copurchaseCommunities(spark: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
-      .filter(col("p") =!= col("p2"))
-      .select(col("p").as("src"), col("p2").as("dst"))
-      .distinct()
-    labelPropagation(edges, iters)
+    labelPropagation(copurchaseEdges(orderParts(spark, dir)), iters)
       .select(col("id").as("part_id"), col("community"))
       .orderBy("part_id")
   }
@@ -218,13 +219,8 @@ object Graph {
     */
   def seededPagerank(spark: SparkSession, dir: String,
       iters: Int = 5): DataFrame = {
-    val li = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
-      .distinct()
-    val edges = li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
-      .filter(col("p") =!= col("p2"))
-      .select(col("p").as("src"), col("p2").as("dst"))
-      .distinct()
+    val li = orderParts(spark, dir)
+    val edges = copurchaseEdges(li)
     val seeds = Tables(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k"))
@@ -296,14 +292,21 @@ object Graph {
     var ranks = nodes.select(col("src").as("id"),
       lit(RankScale / n).as("rank_fp")).localCheckpoint()
     for (_ <- 1 to iters) {
-      ranks = edgesDeg
+      val mass = edgesDeg
         .join(broadcast(ranks), col("src") === col("id"))
         .select(col("dst"),
           expr("rank_fp div deg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("mass"))
-        .select(col("dst").as("id"),
-          (lit(teleport) + expr("17 * mass div 20")).as("rank_fp"))
+      // LEFT join from the full node set: a node no edge points at
+      // (source-only in an asymmetric graph) still holds its teleport
+      // share and keeps emitting — dropping it would leak rank mass
+      // from its neighbors in every later round
+      ranks = nodes
+        .join(mass, col("src") === col("dst"), "left")
+        .select(col("src").as("id"),
+          (lit(teleport) +
+            expr("17 * coalesce(mass, 0L) div 20")).as("rank_fp"))
         .localCheckpoint()
     }
     ranks

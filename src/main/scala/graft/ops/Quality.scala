@@ -21,11 +21,6 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
-  /** Graded q78: audit the TPC-H-ish core — row counts, key
-    * cardinalities, referential orphans, duplicate PKs, domain
-    * violations. Anomaly metrics COUNT rows, so a clean corpus reports
-    * zeros — the audit asserts integrity rather than assuming it.
-    */
   /** Graded q93: PREFERENCE-PAIR construction — reward-model training
     * data assembled from quality signals: within each source, pair the
     * i-th BEST document (chosen) with the i-th WORST (rejected) for
@@ -71,6 +66,11 @@ object Quality {
       .orderBy("source", "pair_rank")
   }
 
+  /** Graded q78: audit the TPC-H-ish core — row counts, key
+    * cardinalities, referential orphans, duplicate PKs, domain
+    * violations. Anomaly metrics COUNT rows, so a clean corpus reports
+    * zeros — the audit asserts integrity rather than assuming it.
+    */
   def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val orders = Tables(spark, dir, "orders")

@@ -82,11 +82,17 @@ object Quantization {
     val (cents, assigned) = Clustering.kmeansModel(spark, dir, k, iters)
     val quant = assigned.select(col("vec_id"), col("v"), col("cluster"))
       .withColumn("nrm", expr(
-        """sqrt(aggregate(transform(v, x -> x * x),
+        // square AFTER widening to double — identical to quantizedOf and
+        // the oracle's embedding::DOUBLE[]; a float-precision square
+        // could shift the norm's low bits and flip a code that sits
+        // within rounding distance of a floor boundary
+        """sqrt(aggregate(
+          |  transform(v, x -> cast(x as double) * cast(x as double)),
           |  cast(0 as double), (acc, s) -> acc + s))""".stripMargin))
       .withColumn("qvec", expr(
         """CASE WHEN nrm = 0D THEN transform(v, x -> 0)
-          |ELSE transform(v, x -> cast(floor(x / nrm * 127.0D + 0.5D) as int))
+          |ELSE transform(v,
+          |  x -> cast(floor(cast(x as double) / nrm * 127.0D + 0.5D) as int))
           |END""".stripMargin))
     val probe = quant.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("v").as("q_vec"),

@@ -252,7 +252,9 @@ object EventStreams {
       checkpointDir: String): Unit = {
     val q = stream
       .select(col("user_id"),
-        (col("value") * 100).cast("long").as("cents"))
+        // the q79 decimal route, NOT a raw double multiply: 0.29 * 100
+        // is 28.999... in IEEE double and would truncate to 28 cents
+        (graft.ops.dec2(col("value")) * 100).cast("long").as("cents"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -19,7 +19,10 @@ class GraphSpec extends SparkSpec {
       edges.foreach { case (s, d) =>
         mass(d) += ranks(s) / outDeg(s)
       }
-      ranks = mass.map { case (d, m) => d -> (teleport + 17L * m / 20L) }.toMap
+      // over ALL nodes, not just mass receivers: a source-only node
+      // keeps its teleport share (mirrors the operator's left join)
+      ranks = outDeg.keys
+        .map(d => d -> (teleport + 17L * mass(d) / 20L)).toMap
     }
     ranks
   }
@@ -58,6 +61,20 @@ class GraphSpec extends SparkSpec {
       val edges = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
       assert(run(edges, 5) == naivePagerank(edges, 5))
     }
+  }
+
+  test("asymmetric graph: a source-only node keeps teleport and keeps emitting") {
+    // 1 -> 2, 2 <-> 3: node 1 has out-degree 1 but NOTHING points at it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L))
+    val iters = 4
+    val ranks = run(edges, iters)
+    assert(ranks == naivePagerank(edges, iters), ranks.toString)
+    // node 1 is retained at exactly its teleport share...
+    val teleport = 3L * Graph.RankScale / (20L * 3L)
+    assert(ranks(1L) == teleport, ranks.toString)
+    // ...and no node is dropped: the pre-fix loop lost node 1 (and its
+    // teleport emission) after round one
+    assert(ranks.keySet == Set(1L, 2L, 3L), ranks.toString)
   }
 
   test("graded co-purchase ranks: mass conserved within floor loss") {

@@ -139,9 +139,11 @@ class EventStreamsSpec extends SparkSpec {
     val got = spark.read
       .parquet(EventStreams.latestStatePath(spark, stateDir))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // maintain(agg, agg-delta) == agg(all): the q79 law, live
+    // maintain(agg, agg-delta) == agg(all): the q79 law, live — on the
+    // same decimal cents route the batch q79 uses
     val expected = all
-      .select(col("user_id"), (col("value") * 100).cast("long").as("cents"))
+      .select(col("user_id"),
+        (graft.ops.dec2(col("value")) * 100).cast("long").as("cents"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
