@@ -91,15 +91,25 @@ object Bench {
       // the iterative fixpoint queries swing 1.5-2x with GC/eviction
       // luck; when even the min-of-2 is slow, buy one more sample —
       // min-of-3 costs seconds and stabilizes exactly the queries that
-      // dominate the reported total
+      // dominate the reported total. The per-query sample count is
+      // recorded in the emitted JSON so cross-round comparisons know
+      // which statistic (min-of-2 vs min-of-3) each number is.
       if (times.forall(_ >= 0) && times.min > 3.0) times = times :+ timed()
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min, times.size)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val ns = results.map { case (k, (_, n)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total =
-      if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum
+      else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
+    // The driver tail-captures stdout, and the full line above can lose
+    // its head (round 7's BENCH json lost the total). Re-emit the
+    // headline metric LAST so the round record is self-contained even
+    // under truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

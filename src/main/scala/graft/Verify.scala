@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write timestamps as TIMESTAMP_MICROS (not INT96): arrow then reads
+      // the dump as timestamp[us], the exact type DuckDB's oracle emits, so
+      // the driver's type-sensitive hash needs no unit normalization.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

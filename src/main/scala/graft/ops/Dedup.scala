@@ -827,9 +827,13 @@ object Dedup {
       .as("gram")).distinct()
     val hits = tg.join(broadcast(bg), "gram")
       .groupBy("doc_id").agg(collect_set(col("pos")).as("hits"))
-    // hits is benchmark-bounded (docs with >= 1 match) — broadcast it so
-    // the surgery side of the corpus never exchanges either
-    toks.join(broadcast(hits), Seq("doc_id"), "left")
+    // hits is bounded by the number of CONTAMINATED train docs, not by
+    // benchmark size — one benchmark shingle that happens to be common
+    // boilerplate in the corpus makes it corpus-scale. No broadcast hint
+    // here: AQE broadcasts the join-back when hits turns out small (the
+    // expected case) and falls back to a safe shuffle join when a hot
+    // shingle blows it up.
+    toks.join(hits, Seq("doc_id"), "left")
       .withColumn("taints", expr(
         s"""array_distinct(flatten(transform(coalesce(hits, array()),
            |  p -> sequence(p, p + ${n - 1}))))""".stripMargin))

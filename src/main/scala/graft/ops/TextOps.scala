@@ -374,4 +374,112 @@ object TextOps {
       .select("doc_id", "fp")
       .orderBy("doc_id", "fp")
   }
+
+  /** Graded q98: BPE vocabulary induction, step zero — the adjacent
+    * symbol-pair statistics a byte-pair-encoding trainer computes before
+    * its first merge (Sennrich et al. 2016: "count all symbol pairs" over
+    * the word-frequency dictionary). Pairs here are adjacent CHARACTER
+    * bigrams within a word, weighted by the word's corpus frequency; the
+    * top-`k` pairs are the trainer's first merge candidates.
+    *
+    * Scale shape — the exact optimization real BPE trainers apply: the
+    * corpus collapses to the distinct-WORD frequency table first (one
+    * token shuffle with map-side partial counts; vocab-sized, orders of
+    * magnitude under corpus size), and the pair explode then runs over
+    * |vocab| rows only — the 100 TB corpus is scanned exactly once and
+    * never re-enters. The pair table itself is alphabet-bounded (≤ 36²
+    * distinct bigrams over [a-z0-9]), so the final rank is a window over
+    * ≤ 1,296 rows — driver-sized by construction, not by luck.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame =
+    bpePairCountsOf(Tables(spark, dir, "documents"), k)
+
+  /** Core of `bpePairCounts` over any `(doc_id, text)` corpus. */
+  def bpePairCountsOf(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.filter(col("doc_id").isNotNull)
+      .select(explode(expr(tokensExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val pairs = words.filter(length(col("word")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("n_occ"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("pair").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select("rank", "pair", "n_occ")
+      .orderBy("rank")
+  }
+
+  /** Graded q100: capped inverted index — per-term document frequency
+    * plus a sorted posting list, with lists SUPPRESSED (NULL) for terms
+    * whose df exceeds `maxDf`: the classic stop-term guard. Postings
+    * serialize as a space-joined string (hash-stable across engines).
+    *
+    * Scale shape: the zipf head is the whole problem — 'the' alone would
+    * hand one reducer a posting list the size of the corpus. The cap is
+    * therefore enforced BEFORE any list materializes: pass 1 computes
+    * df (count-only partial agg), pass 2 collects lists only for rows
+    * surviving a semi-join against the sub-cap terms — no reducer ever
+    * holds a hot term's postings, at any corpus size. Both passes
+    * shuffle on `term`; the exchange is reused.
+    */
+  def invertedIndex(spark: SparkSession, dir: String,
+      maxDf: Long = 50L): DataFrame =
+    invertedIndexOf(Tables(spark, dir, "documents"), maxDf)
+
+  /** Core of `invertedIndex` over any `(doc_id, text)` corpus. */
+  def invertedIndexOf(docs: DataFrame, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val postings = docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($tokensExpr)")).as("term"))
+    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val kept = postings
+      .join(dfs.filter(col("df") <= maxDf).select("term"), "term")
+      .groupBy("term")
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), " ")
+        .as("postings"))
+    dfs.join(kept, Seq("term"), "left")
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
+  /** Graded q102: out-of-vocabulary rate per source against the corpus'
+    * own top-`vocabSize` token vocabulary — the health metric run before
+    * committing a tokenizer vocab to a pretraining corpus (a source with
+    * a high OOV ppm is foreign-language, encoding-mangled, or evidence
+    * the vocab needs a bump). Rates are integer parts-per-million
+    * (`div`), so the hash is exact.
+    *
+    * Scale shape: token counts are one partial-agg shuffle; the vocab
+    * cut is `orderBy(...).limit(vocabSize)` — Spark plans
+    * TakeOrderedAndProject (per-partition bounded heaps, no global
+    * window, no full sort); the vocab then BROADCASTS back against the
+    * token stream, and per-source rates are a second partial-agg
+    * shuffle. The corpus is scanned once per pass and never collected.
+    */
+  def vocabOovRates(spark: SparkSession, dir: String,
+      vocabSize: Int = 1000): DataFrame =
+    vocabOovRatesOf(Tables(spark, dir, "documents"), vocabSize)
+
+  /** Core of `vocabOovRates` over any `(doc_id, text, source)` corpus. */
+  def vocabOovRatesOf(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
 }

@@ -37,13 +37,26 @@ object TrainingPipeline {
     */
   def curatedPackedSequences(spark: SparkSession, dir: String,
       seqLen: Long): DataFrame = {
-    val train = curatedSplit(spark, dir)
-      .filter(col("split") === "train").select("doc_id")
-    Sampling.packSequencesOf(
-      Dedup.corpusWithNearDups(spark, dir).join(train, "doc_id"), seqLen)
+    // the quality stage already tokenized every survivor — hand its
+    // n_toks straight to the packer instead of re-running the tokenizer
+    // over the full train text (one whole corpus scan saved; the packer
+    // needs only counts, never the text)
+    val train = curatedSplitScored(spark, dir)
+      .filter(col("split") === "train").select("doc_id", "n_toks")
+    Sampling.packSequencesFromCounts(train, seqLen)
   }
 
-  def curatedSplit(spark: SparkSession, dir: String): DataFrame = {
+  def curatedSplit(spark: SparkSession, dir: String): DataFrame =
+    curatedSplitScored(spark, dir)
+      .select("doc_id", "quality", "split")
+      .orderBy("doc_id")
+
+  /** [[curatedSplit]] plus each survivor's `n_toks` from the quality
+    * tokenization — kept so downstream packing (q88) reuses the count
+    * instead of re-tokenizing.
+    */
+  private def curatedSplitScored(spark: SparkSession,
+      dir: String): DataFrame = {
     val corpus = Dedup.corpusWithNearDups(spark, dir)
     val comps = Dedup.connectedComponents(
       Dedup.nearDupPairs(spark, dir).select("doc_a", "doc_b"))
@@ -56,12 +69,13 @@ object TrainingPipeline {
     val scored = TextOps.tokenizedOf(survivors)
       .withColumn("quality", TextOps.qualityCol(
         length(col("text")), col("n_toks"), col("stop_hits")))
-      .select("doc_id", "quality")
+      .select(col("doc_id"), col("quality"), col("n_toks").cast("long")
+        .as("n_toks"))
       // boundary BEFORE the quality filter: predicate pushdown would
       // otherwise substitute the quality aliases into the pushed
       // condition and re-run the tokenizer ~11x per row (the q38 bug
       // class; PlanAudit-confirmed here too). The checkpointed frame is
-      // two slim columns — ~16 bytes/row at any corpus size.
+      // three slim columns — ~24 bytes/row at any corpus size.
       .localCheckpoint()
     scored
       .filter(col("quality") >= 60)
@@ -70,7 +84,6 @@ object TrainingPipeline {
       .filter(col("doc_id").isNotNull)
       .withColumn("bucket", expr(Sampling.bucketExpr("doc_id")))
       .withColumn("split", Sampling.splitCol(col("bucket")))
-      .select("doc_id", "quality", "split")
-      .orderBy("doc_id")
+      .select("doc_id", "quality", "split", "n_toks")
   }
 }

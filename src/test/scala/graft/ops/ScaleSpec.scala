@@ -385,6 +385,48 @@ class ScaleSpec extends SparkSpec {
     CachedStages.release(spark)
   }
 
+  test("pagerank scale mode: identical ranks, edge side reuses its persisted partitioning") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sess = spark
+    import sess.implicits._
+    // small asymmetric-but-no-dangling graph: a 6-cycle plus chords
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 1L),
+      (1L, 4L), (4L, 1L), (2L, 5L), (5L, 2L)).toDF("src", "dst")
+    // both modes, same integer arithmetic -> bit-identical ranks
+    val b = Graph.pagerank(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Graph.pagerank(edges, 3, broadcastRanks = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == s, s"scale mode diverged: broadcast=$b shuffle=$s")
+    // plan-audit one round directly (the loop's localCheckpoint hides
+    // the join from the final frame): the rank join must be a
+    // shuffle-hash join whose edge side is the persisted scan with NO
+    // Exchange above it — only the rank side exchanges per round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    edgesDeg.count()
+    val nodes = edgesDeg.select("src").distinct().localCheckpoint()
+    val ranks = nodes.select(col("src").as("id"),
+      lit(1000000L).as("rank_fp")).localCheckpoint()
+    val round = Graph.pagerankRound(edgesDeg, nodes, 7L, ranks,
+      broadcastRanks = false)
+    val shj = round.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "scale mode must pin a shuffle-hash rank join\n" +
+      round.queryExecution.sparkPlan.toString.take(3000))
+    val edgeSides = shj.flatMap(_.children).filter(c =>
+      c.collect { case t: InMemoryTableScanExec => t }.nonEmpty)
+    assert(edgeSides.nonEmpty, "rank join must read the persisted edges")
+    assert(edgeSides.forall(c =>
+      c.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      "edge side must reuse the persisted src partitioning, not re-exchange")
+    edgesDeg.unpersist()
+    CachedStages.release(spark)
+  }
+
   test("q84 plan: anchors broadcast; corpus never exchanges before the rank window") {
     val negs = Similarity.hardNegatives(spark, dir, 5)
     val plan = negs.queryExecution.executedPlan.toString

@@ -9,6 +9,7 @@ where <verify_out_dir> was produced by `graft.Verify <sf_dir> <verify_out_dir>`.
 """
 import sys, json, glob, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -19,6 +20,36 @@ def canon(df):
     # driver sorts columns by name before hashing values
     df = df[sorted(df.columns)]
     return df
+
+
+def norm_type(t):
+    """Arrow type → comparison key. Normalizes ONLY what the driver's hash
+    normalizes (timestamp unit/tz) plus pure width variants of the same
+    logical type (string vs large_string, list vs large_list). Everything
+    else — decimal vs int64, int32 vs int64, float vs double, date32 vs
+    timestamp — must match exactly, because the driver's hash is
+    type-sensitive (round 7: DuckDB HUGEINT vs Spark BIGINT red rows)."""
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{norm_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def schema_diffs(stbl, dtbl):
+    """Column-name-aligned arrow type mismatches (names already checked)."""
+    diffs = []
+    for sf_, df_ in zip(stbl.schema, dtbl.schema):
+        if norm_type(sf_.type) != norm_type(df_.type):
+            diffs.append((sf_.name, str(sf_.type), str(df_.type)))
+    return diffs
 
 
 def values_equal(a, b):
@@ -49,14 +80,22 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output")
             continue
-        sdf = canon(pq.read_table(files[0]).to_pandas())
+        stbl = pq.read_table(files[0])
+        sdf = canon(stbl.to_pandas())
         try:
-            ddf = canon(con.execute(oracle[name]).df())
+            dtbl = con.execute(oracle[name]).arrow()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             continue
+        ddf = canon(dtbl.to_pandas())
         if list(sdf.columns) != list(ddf.columns):
             print(f"FAIL {name}: columns spark={list(sdf.columns)} duck={list(ddf.columns)}")
+            continue
+        tdiffs = schema_diffs(stbl.select(sorted(stbl.column_names)),
+                              dtbl.select(sorted(dtbl.column_names)))
+        if tdiffs:
+            for col, st, dt in tdiffs:
+                print(f"FAIL {name}: type mismatch col={col} spark={st} duck={dt}")
             continue
         if len(sdf) != len(ddf):
             print(f"FAIL {name}: rows spark={len(sdf)} duck={len(ddf)}")
