@@ -46,7 +46,11 @@ object EventStreams {
   /** Tumbling 1-hour counts per event type with a 2-hour watermark — the
     * streaming twin of Events.hourlyCounts. In append mode a window only
     * emits once the watermark passes its end, bounding state to ~3 open
-    * windows per type.
+    * windows per type. The window start is cast to `timestamp_ntz` so the
+    * twins stay TYPE-identical: the batch side adopted NTZ for oracle
+    * alignment (Events.hourlyCounts), and a twin that differs only in
+    * timezone annotation would desynchronize every downstream consumer
+    * (and the equality spec) while printing identical wall-clock values.
     */
   def hourlyCounts(stream: DataFrame): DataFrame =
     stream
@@ -54,8 +58,8 @@ object EventStreams {
       .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         graft.ops.moneySum(col("value")).as("sum_value"))
-      .select(col("window.start").as("hour"), col("event_type"),
-        col("n_events"), col("sum_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
 
   /** Stateful sessionization via mapGroupsWithState: per user, count
     * sessions split by >30-minute gaps (the streaming twin of
