@@ -160,6 +160,12 @@ object SparkEntry {
       Layout.rangeLayoutStats(s, d, RangeLayoutBuckets)),
     "q96_dedup_threshold_sweep" -> Dedup.thresholdSensitivity _,
     "q97_measure_unpivot" -> Relational.measureUnpivot _,
+    "q98_bpe_pairs" -> ((s: SparkSession, d: String) =>
+      TextOps.bpePairCounts(s, d, BpePairsK)),
+    "q99_inverted_index" -> ((s: SparkSession, d: String) =>
+      TextOps.invertedIndex(s, d, InvertedIndexMaxDf)),
+    "q100_oov_rates" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabOovRates(s, d, OovVocabSize)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2353,6 +2359,65 @@ object SparkEntry {
         |  CAST(SUM(value) AS DOUBLE) AS sum_value, COUNT(*) AS n
         |FROM m GROUP BY l_returnflag, measure
         |ORDER BY l_returnflag, measure""".stripMargin,
+    // The word-frequency collapse happens first on both sides; pair
+    // weights are SUM(freq), cast to BIGINT (DuckDB sums to HUGEINT).
+    "q98_bpe_pairs" ->
+      s"""WITH words AS (
+         |  SELECT word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |    FROM documents WHERE doc_id IS NOT NULL) uw
+         |  GROUP BY word),
+         |pairs AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(generate_series(1, length(word) - 1),
+         |        i -> substring(word, i, 2))) AS pair
+         |    FROM words WHERE length(word) >= 2) up
+         |  GROUP BY pair),
+         |ranked AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, pair ASC) AS rank,
+         |    pair, n_occ
+         |  FROM pairs)
+         |SELECT CAST(rank AS BIGINT) AS rank, pair, n_occ
+         |FROM ranked WHERE rank <= $BpePairsK ORDER BY rank""".stripMargin,
+    // Postings serialize as the space-joined doc_id list (numeric sort)
+    // on both sides; suppressed lists stay NULL through the left join.
+    "q99_inverted_index" ->
+      s"""WITH postings AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         |      AS term
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |dfs AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+         |kept AS (
+         |  SELECT p.term,
+         |    string_agg(CAST(p.doc_id AS VARCHAR), ' ' ORDER BY p.doc_id)
+         |      AS postings
+         |  FROM postings p JOIN dfs d
+         |    ON p.term = d.term AND d.df <= $InvertedIndexMaxDf
+         |  GROUP BY p.term)
+         |SELECT d.term, d.df, k.postings
+         |FROM dfs d LEFT JOIN kept k ON d.term = k.term
+         |ORDER BY d.term""".stripMargin,
+    // The vocab cut is the same (count DESC, token ASC) top-N on both
+    // sides; rates are integer parts-per-million so the hash is exact.
+    "q100_oov_rates" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM toks GROUP BY token) tc
+         |  ORDER BY n DESC, token ASC LIMIT $OovVocabSize)
+         |SELECT t.source,
+         |  COUNT(*) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000000
+         |       // COUNT(*) AS BIGINT) AS oov_ppm
+         |FROM toks t LEFT JOIN vocab v ON t.token = v.token
+         |GROUP BY t.source ORDER BY t.source""".stripMargin,
   )
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2545,6 +2610,12 @@ object SparkEntry {
   private val RangeLayoutBuckets = 8
   // q87: training epochs laid out (each gets its own hash order).
   private val EpochCount = 3
+  // q98: first-merge candidate pairs reported by the BPE pair counter.
+  private val BpePairsK = 20
+  // q99: stop-term df cap — posting lists above this df stay NULL.
+  private val InvertedIndexMaxDf = 50L
+  // q100: corpus-top-N token vocabulary OOV rates are measured against.
+  private val OovVocabSize = 1000
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -415,7 +415,7 @@ object TextOps {
       .orderBy("rank")
   }
 
-  /** Graded q100: capped inverted index — per-term document frequency
+  /** Graded q99: capped inverted index — per-term document frequency
     * plus a sorted posting list, with lists SUPPRESSED (NULL) for terms
     * whose df exceeds `maxDf`: the classic stop-term guard. Postings
     * serialize as a space-joined string (hash-stable across engines).
@@ -449,7 +449,7 @@ object TextOps {
       .orderBy("term")
   }
 
-  /** Graded q102: out-of-vocabulary rate per source against the corpus'
+  /** Graded q100: out-of-vocabulary rate per source against the corpus'
     * own top-`vocabSize` token vocabulary — the health metric run before
     * committing a tokenizer vocab to a pretraining corpus (a source with
     * a high OOV ppm is foreign-language, encoding-mangled, or evidence

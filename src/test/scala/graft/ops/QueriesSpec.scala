@@ -364,4 +364,51 @@ class QueriesSpec extends SparkSpec {
     val ids = graded.map(_.getAs[Long]("fact_event_id"))
     assert(ids.distinct.length == ids.length, "a fact matched two versions")
   }
+
+  test("q98 BPE pair counts match a hand-computed corpus") {
+    import spark.implicits._
+    // word freqs: aa=3, ab=1, b=1, cab=1 (b is single-char -> no pairs).
+    // pair weights: 'aa' from word aa (freq 3); 'ab' from words ab + cab
+    // (1+1); 'ca' from cab (1). Null doc_id/text rows contribute nothing.
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "aa ab AA"),
+      (java.lang.Long.valueOf(2L), "aa b cab!"),
+      (java.lang.Long.valueOf(3L), null),
+      (null.asInstanceOf[java.lang.Long], "zz zz")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpePairCountsOf(docs, 20).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "aa", 3L), (2L, "ab", 2L), (3L, "ca", 1L)), got)
+    // the k cut truncates the ranking, never reorders it
+    val top2 = TextOps.bpePairCountsOf(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(top2 == got.take(2), top2)
+  }
+
+  test("q99 inverted index: postings exact below the df cap, NULL above it") {
+    import spark.implicits._
+    // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.
+    // doc 3 repeats y -> array_distinct keeps its df at 2, postings "1 3".
+    val docs = Seq(
+      (1L, "x y"), (2L, "x z"), (3L, "x y w y")
+    ).toDF("doc_id", "text")
+    val got = TextOps.invertedIndexOf(docs, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(got == Seq(("w", 1L, "3"), ("x", 3L, null),
+      ("y", 2L, "1 3"), ("z", 1L, "2")), got)
+  }
+
+  test("q100 OOV rates against the corpus-top-N vocab, hand-computed") {
+    import spark.implicits._
+    // token counts: a=4, b=2, c=1, d=2. vocabSize=2 keeps {a, b} — the
+    // b-vs-d tie at n=2 breaks on token ASC, exactly the oracle's cut.
+    val docs = Seq(
+      (1L, "a b a", "s1"), (2L, "a c", "s1"), (3L, "d d b a", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.vocabOovRatesOf(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("s1", 5L, 1L, 200000L), ("s2", 4L, 2L, 500000L)), got)
+  }
 }
