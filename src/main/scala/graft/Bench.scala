@@ -105,11 +105,37 @@ object Bench {
       if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum
       else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$ns,"sf":"$sfDir"}""")
-    // The driver tail-captures stdout, and the full line above can lose
-    // its head (round 7's BENCH json lost the total). Re-emit the
-    // headline metric LAST so the round record is self-contained even
-    // under truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
+    // Scale-strategy variant, timed but NOT in the total (it re-answers
+    // q69 with the 100×-scale join strategy): pagerank with the rank
+    // table SHUFFLE-joined per round instead of broadcast — the mode
+    // ScaleSpec plan-asserts for clusters where ranks outgrow a
+    // broadcast. Recording its cost alongside q69's makes the strategy
+    // switch a measured trade, not an assumed one.
+    val variantSec = {
+      cleanup()
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.Graph.copurchasePagerankShuffle(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    // The driver tail-captures only the LAST ~1.9KB of stdout (every
+    // archived BENCH_r*.json is a ~2KB "tail" string), so the full
+    // per-query dict above (~3KB) can never survive it. The lines below
+    // are the self-contained round record, sized to fit that window:
+    // a qNN-short-keyed times dict (~1.2KB; the qNN prefix is unique
+    // per query), the list of queries that earned a third sample, and
+    // the headline total LAST — under the distinct key "total_tail" so
+    // the record never carries a duplicated "metric":"total".
+    def short(k: String): String = k.takeWhile(_ != '_')
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qt = results.toSeq.sortBy(_._1).map { case (k, (v, _)) =>
+      "\"" + short(k) + "\":" + r3(v) }.mkString("{", ",", "}")
+    val extra = results.toSeq.filter(_._2._2 > 2).map(_._1).sorted
+      .map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
+    println(s"""{"metric":"variant","name":"q69_shuffle_ranks","value":${r3(variantSec)},"unit":"sec"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

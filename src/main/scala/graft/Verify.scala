@@ -19,7 +19,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev lever, mirroring Bench: SPARK_GRAFT_ONLY=q69_...,q86_... dumps
+    // (and lists oracle SQL for) a subset — used for targeted sf0.1
+    // spot-checks of the iterative family. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.filter(kv => included(kv._1)).foreach { case (name, fn) =>
       // release the previous query's cached plans and localCheckpoint
       // RDDs (iterative pipelines leave them behind); each dump is
       // self-contained, so nothing live is dropped
@@ -30,6 +37,7 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.toString).take(800)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -45,9 +53,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => included(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A query that threw has no output dir, which a checker iterating
+    // over outputs would silently SKIP (round 9: 17 analysis errors
+    // left zero trace in the correctness artifact). errors.json makes
+    // every registered-but-undumped query and its error part of the
+    // dump itself; check_oracle.py folds it into the FAIL report.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

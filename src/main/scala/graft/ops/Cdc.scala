@@ -40,14 +40,13 @@ object Cdc {
     scd2HistoryOf(Events.events(spark, dir))
 
   /** Core of `scd2History` over any `(user_id, event_id, ts, event_type)`
-    * frame (`ts` = long nanos; `event_id` breaks same-instant ties).
-    * Interval bounds and ordering are µs-floor epochs — DuckDB reads this
-    * parquet's TIMESTAMP(NANOS) truncated to µs, so nanos on the Spark
-    * side would order and bound intervals on digits the oracle cannot
-    * see (same reconciliation as the q24 as-of join).
+    * frame (`ts` = long nanos or a µs timestamp — see Events.tsMicros;
+    * `event_id` breaks same-instant ties). Interval bounds and ordering
+    * are µs-floor epochs, the precision both engines share regardless of
+    * the parquet shape (same reconciliation as the q24 as-of join).
     */
   def scd2HistoryOf(evs: DataFrame): DataFrame = {
-    val withUs = evs.withColumn("__us", expr("ts div 1000"))
+    val withUs = evs.withColumn("__us", Events.tsMicros(evs))
     val w = Window.partitionBy("user_id")
       .orderBy(col("__us").asc, col("event_id").asc)
     val wAll = Window.partitionBy("user_id")
@@ -106,7 +105,7 @@ object Cdc {
   def latestChanges(evs: DataFrame): DataFrame = {
     // µs ordering for the same oracle-visibility reason as scd2HistoryOf
     val w = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000").desc, col("event_id").desc)
+      .orderBy(Events.tsMicros(evs).desc, col("event_id").desc)
     evs.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id").cast("long").as("key"),
@@ -161,7 +160,7 @@ object Cdc {
       col("valid_from_us"), col("valid_to_us"))
     facts
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("f_us"), col("event_type").as("fact_type"))
+        Events.tsMicros(facts).as("f_us"), col("event_type").as("fact_type"))
       .join(hist, Seq("user_id"))
       .filter(col("f_us") >= col("valid_from_us") &&
         (col("valid_to_us").isNull || col("f_us") < col("valid_to_us")))

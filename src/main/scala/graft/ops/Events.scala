@@ -1,32 +1,70 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Time-series operators over the `events` table (batch analogues of the
   * Structured Streaming shapes — tumbling windows, sessionization). The
   * reference has no streaming/windowing surface at all (SURVEY.md §2.9);
   * these fill that slot for the driver's north-star brief.
   *
-  * Nanosecond caveat: `events.ts` is parquet TIMESTAMP(NANOS), which Spark
-  * 4.x rejects outright (PARQUET_TYPE_ILLEGAL). We read it via the
-  * `spark.sql.legacy.parquet.nanosAsLong` escape hatch as raw nanos and
-  * derive µs timestamps / floor-second epochs ourselves. DuckDB reads the
-  * same column natively as TIMESTAMP_NS; both engines therefore agree on
-  * hour truncation and second-granularity gaps.
+  * Timestamp adaptivity: the `ts` column has shipped in two physical
+  * shapes — parquet TIMESTAMP(NANOS) (readable only as a raw-nanos long
+  * via `spark.sql.legacy.parquet.nanosAsLong`, set at session build) and
+  * plain timestamp[us] (read as TIMESTAMP_NTZ). The reader branches on
+  * the observed type and derives the same canonical columns either way,
+  * so every downstream operator and its DuckDB oracle see identical
+  * µs-precision time regardless of which shape the files carry. Session
+  * timezone is pinned UTC everywhere (Verify/Bench/SparkSpec), so
+  * NTZ↔LTZ wall clocks agree.
   */
 object Events {
 
-  /** events with `ts` as raw nanos (long) plus derived columns:
-    * `ts_utc` (µs-truncated timestamp) and `ts_sec` (floor epoch seconds).
+  /** events plus canonical derived time columns, adaptive to the
+    * physical type of `ts` (see [[withTimeColumns]]):
+    * `ts_utc` (µs timestamp), `ts_us` (long epoch µs), `ts_sec`
+    * (long floor epoch seconds).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(spark, dir, "events")
-      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+  def events(spark: SparkSession, dir: String): DataFrame =
+    withTimeColumns(Tables(spark, dir, "events"))
+
+  /** Derive `ts_utc`/`ts_us`/`ts_sec` from `ts`, branching on its type:
+    * LongType = raw epoch nanos (legacy TIMESTAMP(NANOS)-as-long shape);
+    * TimestampType/TimestampNTZType = native µs timestamp. Values are
+    * positive (2024+), so integer `div` floor == truncation in both
+    * branches.
+    */
+  def withTimeColumns(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      raw
+        .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_sec", expr("ts div 1000000000"))
+    case TimestampNTZType | TimestampType =>
+      raw
+        .withColumn("ts_utc", col("ts").cast("timestamp"))
+        .withColumn("ts_us", expr("unix_micros(CAST(ts AS TIMESTAMP))"))
+        .withColumn("ts_sec",
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+    case other => throw new IllegalArgumentException(
+      s"unsupported events.ts type: $other (expected LONG or TIMESTAMP)")
+  }
+
+  /** µs-floor epoch expression for any frame carrying a raw `ts` column
+    * in either physical shape — the single place Cdc/PIT consumers get
+    * their interval bounds from, so both shapes order identically.
+    */
+  def tsMicros(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000")
+    case _ => expr("unix_micros(CAST(ts AS TIMESTAMP))")
+  }
+
+  /** Floor-second epoch expression for any frame with a raw `ts` column. */
+  def tsSeconds(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType => expr("ts div 1000000000")
+    case _ => expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
   }
 
   /** Tumbling 1-hour window counts per event type — the batch shape of
@@ -290,9 +328,9 @@ object Events {
     * `min(CASE WHEN type AND ts > prev)` reads the previous stage's
     * per-user constant, so the plan is one shuffle on user_id + one
     * sort, and the window chain streams — the shape that holds when the
-    * events table is the 100 TB side. Raw nanosecond longs compare on
-    * the Spark side; the oracle compares native TIMESTAMP_NS — both
-    * monotone in the same order.
+    * events table is the 100 TB side. Raw `ts` compares on the Spark
+    * side (longs or timestamps — both orderable); the oracle compares
+    * its native timestamp — monotone in the same order.
     */
   def funnelStages(spark: SparkSession, dir: String): DataFrame =
     funnelStagesOf(events(spark, dir))

@@ -71,6 +71,20 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("part_id").asc)
   }
 
+  /** q69 with the per-round rank join SHUFFLED instead of broadcast —
+    * the strategy a 1000-executor cluster needs once the rank table
+    * outgrows a broadcast (ScaleSpec plan-asserts the mode; Bench
+    * records its measured cost alongside q69's so the switch point is
+    * a known trade, not an assumption). Same answer by construction.
+    */
+  def copurchasePagerankShuffle(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    pagerank(copurchaseEdges(orderParts(spark, dir)), iters,
+        broadcastRanks = false)
+      .select(col("id").as("part_id"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part_id").asc)
+  }
+
   /** Graded q70: per-part triangle participation in the co-purchase
     * graph — how many closed item-item-item loops each part sits on
     * (the local-clustering numerator; in curation terms, a part inside

@@ -17,13 +17,18 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet file-source schema: `ts` as raw nanos (long) — see
-    * graft.ops.Events for the TIMESTAMP(NANOS) story. The streaming read
-    * needs the same `nanosAsLong` conf as batch.
+  /** Parquet file-source schema with `ts` in the LEGACY raw-nanos (long)
+    * shape — kept for fixtures that author long-nanos events themselves.
+    * Real directories should go through [[readEventStream]], which peeks
+    * the batch footer and picks the right `ts` type (see
+    * graft.ops.Events.withTimeColumns for the two physical shapes).
     */
-  val eventSchema: StructType = StructType(Seq(
+  val eventSchema: StructType = eventSchemaFor(LongType)
+
+  /** The events file-source schema with the given physical `ts` type. */
+  def eventSchemaFor(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -35,12 +40,16 @@ object EventStreams {
   final case class SessionState(lastSec: Long, nSessions: Int, nEvents: Long)
   final case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
-  /** Open the events directory as a stream. */
+  /** Open the events directory as a stream, with the same canonical
+    * derived time columns as the batch reader. A streaming source needs
+    * an explicit schema, so the physical `ts` type is peeked from the
+    * directory's parquet footers with one driver-side batch read — a
+    * metadata-only operation (no data scan), done once per query build.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventSchema).parquet(dir)
-      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.ops.Events.withTimeColumns(
+      spark.readStream.schema(eventSchemaFor(tsType)).parquet(dir))
   }
 
   /** Tumbling 1-hour counts per event type with a 2-hour watermark — the

@@ -39,13 +39,11 @@ class EventStreamsSpec extends SparkSpec {
     val in = Files.createTempDirectory("ev_ck_in").toString
     val out = Files.createTempDirectory("ev_ck_out").toString
     val ck = Files.createTempDirectory("ev_ck_meta").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.eventSchema)
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     def proj(df: org.apache.spark.sql.DataFrame) =
       df.filter(col("event_type") =!= "click")
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000000000").as("sec"))
+          Events.tsSeconds(df).as("sec"))
     // run 1: only the even half of the input exists
     raw.filter(col("event_id") % 2 === 0).write.mode("append").parquet(in)
     EventStreams.runToParquet(
@@ -94,10 +92,7 @@ class EventStreamsSpec extends SparkSpec {
     val streamed = spark.table("pv_joins").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // batch twin: identical predicate over the same files read as batch
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(EventStreams.eventSchema).parquet(streamDir)
-      .withColumn("ts_utc", expr("timestamp_micros(ts div 1000)"))
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val batch = Events.withTimeColumns(spark.read.parquet(streamDir))
     val (bp, bv) = sides(batch)
     val expected = bp.alias("p").join(bv.alias("v"),
         expr("""p.user_id = v.user_id AND
@@ -246,6 +241,7 @@ class EventStreamsSpec extends SparkSpec {
   }
 
   test("closed sessions on the real corpus == driver-side sessionization minus open tails") {
+    import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventStream(spark, streamDir)
     EventStreams.runToMemory(
       EventStreams.closedSessions(spark, stream).toDF(),
@@ -259,10 +255,9 @@ class EventStreamsSpec extends SparkSpec {
     // Spark runs a no-data batch after the watermark advances, firing
     // eviction timeouts. (a) is exact; (b) is bracketed generously
     // (<=) so a millisecond boundary tie can't flap the test.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.read.schema(EventStreams.eventSchema)
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .selectExpr("user_id", "ts div 1000000000 as sec").collect()
+    val rawEvs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evs = rawEvs
+      .select(col("user_id"), Events.tsSeconds(rawEvs).as("sec")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val wmSec = evs.map(_._2).max - 1800 // 30-minute watermark delay
     val perUser = evs.groupBy(_._1).map { case (user, rows) =>
@@ -293,9 +288,7 @@ class EventStreamsSpec extends SparkSpec {
     // an at-least-once source: the same parquet file lands twice, plus a
     // second copy of the odd half — every event arrives 2 or 3 times
     val in = Files.createTempDirectory("ev_dedup_in").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.schema(EventStreams.eventSchema)
-      .parquet("/root/testdata/sf0.001/events.parquet")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     raw.write.mode("append").parquet(in)
     raw.write.mode("append").parquet(in)
     raw.filter(col("event_id") % 2 === 1).write.mode("append").parquet(in)

@@ -74,11 +74,16 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    try:
+        errors = json.load(open(f"{out}/errors.json"))
+    except Exception:
+        errors = {}
     n_ok = 0
     for name in sorted(oracle):
         files = sorted(glob.glob(f"{out}/{name}/*.parquet"))
         if not files:
-            print(f"FAIL {name}: no spark output")
+            why = errors.get(name, "no spark output")
+            print(f"FAIL {name}: {why}")
             continue
         stbl = pq.read_table(files[0])
         sdf = canon(stbl.to_pandas())
