@@ -166,6 +166,8 @@ object SparkEntry {
       TextOps.invertedIndex(s, d, InvertedIndexMaxDf)),
     "q100_oov_rates" -> ((s: SparkSession, d: String) =>
       TextOps.vocabOovRates(s, d, OovVocabSize)),
+    "q101_bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextOps.bpeMerges(s, d, BpeMergeSteps)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2418,7 +2420,58 @@ object SparkEntry {
          |       // COUNT(*) AS BIGINT) AS oov_ppm
          |FROM toks t LEFT JOIN vocab v ON t.token = v.token
          |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    // Oracle-side replay of the q101 BPE training loop: one CTE triple
+    // (pair counts, winning pair, rewritten vocab) per merge round over
+    // the same spaced-symbol word representation, so the literal
+    // `replace` merge semantics are identical on both engines.
+    "q101_bpe_merges" -> bpeMergesOracle(BpeMergeSteps),
   )
+
+  /** CTE chain replaying `TextOps.bpeMergesOf(k)` in DuckDB: `w0` the
+    * spaced-symbol word-frequency vocabulary, then per round t: `p$t`
+    * (adjacent-pair counts), `b$t` (the adopted pair — max count, ties
+    * on the pair string ascending), `w$t` (vocab after the literal
+    * replace). The final SELECT unions the k adopted pairs.
+    */
+  private def bpeMergesOracle(k: Int): String = {
+    val rounds = (1 to k).map { t =>
+      s"""p$t AS (
+         |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
+         |    SELECT freq,
+         |      unnest(list_transform(generate_series(1, len(syms) - 1),
+         |        i -> syms[i] || ' ' || syms[i + 1])) AS pair
+         |    FROM (SELECT freq, string_split(trim(w), '  ') AS syms
+         |          FROM w${t - 1})
+         |    WHERE len(syms) >= 2) up
+         |  GROUP BY pair),
+         |b$t AS (
+         |  SELECT $t AS step, split_part(pair, ' ', 1) AS lhs,
+         |    split_part(pair, ' ', 2) AS rhs, n_occ
+         |  FROM p$t ORDER BY n_occ DESC, pair ASC LIMIT 1),
+         |w$t AS (
+         |  SELECT replace(w, ' ' || lhs || '  ' || rhs || ' ',
+         |    ' ' || lhs || rhs || ' ') AS w, freq
+         |  FROM w${t - 1}, b$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(t => s"SELECT * FROM b$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT ' ' || array_to_string(
+       |      list_transform(generate_series(1, length(word)),
+       |        i -> substring(word, i, 1)), '  ') || ' ' AS w,
+       |    freq
+       |  FROM (
+       |    SELECT word, COUNT(*) AS freq FROM (
+       |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+       |        AS word
+       |      FROM documents WHERE doc_id IS NOT NULL) uw
+       |    GROUP BY word) wf),
+       |$rounds
+       |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
+       |  lhs || rhs AS merged, n_occ
+       |FROM ($union)
+       |ORDER BY step""".stripMargin
+  }
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
     * `pk_src(doc_id, text)` CTE with the NAIVE global window (the
@@ -2616,6 +2669,8 @@ object SparkEntry {
   private val InvertedIndexMaxDf = 50L
   // q100: corpus-top-N token vocabulary OOV rates are measured against.
   private val OovVocabSize = 1000
+  // q101: BPE merge-learning rounds (the oracle replays each as a CTE).
+  private val BpeMergeSteps = 8
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -449,6 +449,76 @@ object TextOps {
       .orderBy("term")
   }
 
+  /** Graded q101: BPE merge LEARNING — the iterative half of the
+    * Sennrich et al. 2016 trainer that q98 only scores the first step
+    * of. Each round counts adjacent-symbol pairs over the word-frequency
+    * vocabulary, adopts the most frequent pair (ties broken on the pair
+    * string ascending) as a new merged symbol, rewrites the vocabulary,
+    * and repeats — emitting the learned merge table `(step, lhs, rhs,
+    * merged, n_occ)` that IS a BPE tokenizer's model artifact.
+    *
+    * Representation: each word is a spaced symbol string — single
+    * sentinel spaces at the ends, double spaces between symbols
+    * (`" a  b  c "`). A merge is then one literal
+    * `replace(w, " a  b ", " ab ")`: the double separator means the
+    * left-to-right non-overlapping scan both engines implement for
+    * `replace` consumes one space from each boundary and leaves the
+    * invariant intact, giving exactly BPE's greedy left-to-right merge
+    * semantics ("aaaa" + (a,a) → "aa aa", "aaa" → "aa a") with no
+    * regex and no per-row state machine.
+    *
+    * Scale shape: the corpus collapses to the distinct-word frequency
+    * table ONCE (the q98 collapse — one token shuffle, vocab-sized
+    * output) and never re-enters; each of the `k` rounds runs over
+    * |vocab| rows, the winning pair is a 1-row TakeOrdered that
+    * broadcast-joins back (never a driver collect), and the vocabulary
+    * is `localCheckpoint`ed per round so lineage stays flat (the
+    * q69-pagerank discipline). Training cost is k × O(|vocab|),
+    * independent of corpus size — the same reason real BPE trainers
+    * precompute word frequencies.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    bpeMergesOf(Tables(spark, dir, "documents"), k)
+
+  /** Core of `bpeMerges` over any `(doc_id, text)` corpus. */
+  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var vocab = docs.filter(col("doc_id").isNotNull)
+      .select(explode(expr(tokensExpr)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "), expr(
+        "array_join(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), '  ')"), lit(" ")).as("w"),
+        col("freq"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (step <- 1 to k) {
+      val pairs = vocab
+        .select(col("freq"), expr("split(trim(w), '  ')").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n_occ"))
+      val best = pairs.orderBy(col("n_occ").desc, col("pair").asc).limit(1)
+        .select(lit(step.toLong).as("step"),
+          expr("split_part(pair, ' ', 1)").as("lhs"),
+          expr("split_part(pair, ' ', 2)").as("rhs"),
+          col("n_occ"))
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.unionByName(best)
+      vocab = vocab.crossJoin(broadcast(best.select("lhs", "rhs")))
+        .select(expr("replace(w, ' ' || lhs || '  ' || rhs || ' ', " +
+          "' ' || lhs || rhs || ' ')").as("w"), col("freq"))
+        .localCheckpoint()
+    }
+    merges
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("n_occ"))
+      .orderBy("step")
+  }
+
   /** Graded q100: out-of-vocabulary rate per source against the corpus'
     * own top-`vocabSize` token vocabulary — the health metric run before
     * committing a tokenizer vocab to a pretraining corpus (a source with

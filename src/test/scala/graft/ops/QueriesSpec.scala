@@ -385,6 +385,32 @@ class QueriesSpec extends SparkSpec {
     assert(top2 == got.take(2), top2)
   }
 
+  test("q101 BPE merges: hand-computed training loop with tie-break and rewrite") {
+    import spark.implicits._
+    // words: aa=2, ab=1, abc=1, b=1. Round 1: pairs (a,a)=2 and (a,b)=2
+    // tie; "a a" < "a b" so (a,a) is adopted. Round 2: with aa fused,
+    // (a,b)=2 from ab+abc wins. Round 3: only (ab,c)=1 remains.
+    val docs = Seq((1L, "aa ab aa"), (2L, "abc b")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOf(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "a", "aa", 2L), (2L, "a", "b", "ab", 2L),
+      (3L, "ab", "c", "abc", 1L)), got)
+  }
+
+  test("q101 merge application is greedy left-to-right, like a real BPE trainer") {
+    import spark.implicits._
+    // (a,a) over "aaaa" must yield [aa,aa] (two merges) and over "aaa"
+    // [aa,a] (one) — the left-to-right non-overlap semantics; round 2
+    // then ties (aa,a)=1 vs (aa,aa)=1 and adopts "aa a" (prefix order).
+    val docs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMergesOf(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, "a", "a", "aa", 5L),
+      (2L, "aa", "a", "aaa", 1L)), got)
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.

@@ -407,6 +407,20 @@ class ScaleSpec extends SparkSpec {
         out.queryExecution.sparkPlan.toString.take(3000))
   }
 
+  test("q101 plan: after the vocab collapse the corpus never re-enters the merge loop") {
+    val out = TextOps.bpeMerges(spark, dir, 3)
+    // every round reads the localCheckpointed vocab of the previous one
+    // — the final merge-table plan therefore contains NO corpus scan at
+    // all (the q69-pagerank lineage discipline): training cost is
+    // k x O(|vocab|), independent of corpus size
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.split("FileScan parquet").length - 1 == 0, plan.take(3000))
+    // the winning-pair rewrite joined back via broadcast (it lives in
+    // the checkpointed vocab lineage); nothing degraded to a cartesian
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q99 plan: posting lists materialize only behind the df-cap join") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
