@@ -168,6 +168,8 @@ object SparkEntry {
       TextOps.vocabOovRates(s, d, OovVocabSize)),
     "q101_bpe_merges" -> ((s: SparkSession, d: String) =>
       TextOps.bpeMerges(s, d, BpeMergeSteps)),
+    "q102_bpe_encode_stats" -> ((s: SparkSession, d: String) =>
+      TextOps.bpeEncodeStats(s, d, BpeMergeSteps)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2424,16 +2426,43 @@ object SparkEntry {
     // (pair counts, winning pair, rewritten vocab) per merge round over
     // the same spaced-symbol word representation, so the literal
     // `replace` merge semantics are identical on both engines.
-    "q101_bpe_merges" -> bpeMergesOracle(BpeMergeSteps),
+    "q101_bpe_merges" -> {
+      val union = (1 to BpeMergeSteps).map(t => s"SELECT * FROM b$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ${bpeCtes(BpeMergeSteps)}
+         |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
+         |  lhs || rhs AS merged, n_occ
+         |FROM ($union)
+         |ORDER BY step""".stripMargin
+    },
+    // q102 re-joins the per-source word table against the trained
+    // vocabulary (w$k) and reports integer-ppm fertility/compression.
+    "q102_bpe_encode_stats" ->
+      s"""WITH ${bpeCtes(BpeMergeSteps)}
+         |SELECT source, n_words, n_pieces,
+         |  CAST(n_pieces * 1000000 // n_words AS BIGINT)
+         |    AS pieces_per_word_ppm,
+         |  CAST(n_chars * 1000000 // n_pieces AS BIGINT)
+         |    AS chars_per_piece_ppm
+         |FROM (
+         |  SELECT s.source, CAST(SUM(s.cnt) AS BIGINT) AS n_words,
+         |    CAST(SUM(s.cnt * len(string_split(trim(v.w), '  '))) AS BIGINT)
+         |      AS n_pieces,
+         |    CAST(SUM(s.cnt * length(s.word)) AS BIGINT) AS n_chars
+         |  FROM sw s JOIN w$BpeMergeSteps v USING (word)
+         |  GROUP BY s.source) agg
+         |ORDER BY source""".stripMargin,
   )
 
-  /** CTE chain replaying `TextOps.bpeMergesOf(k)` in DuckDB: `w0` the
-    * spaced-symbol word-frequency vocabulary, then per round t: `p$t`
-    * (adjacent-pair counts), `b$t` (the adopted pair — max count, ties
-    * on the pair string ascending), `w$t` (vocab after the literal
-    * replace). The final SELECT unions the k adopted pairs.
+  /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
+    * per-source word counts (the single corpus collapse), `wf`/`w0` the
+    * global spaced-symbol word-frequency vocabulary, then per round t:
+    * `p$t` (adjacent-pair counts), `b$t` (the adopted pair — max count,
+    * ties on the pair string ascending), `w$t` (vocab after the literal
+    * replace). Shared by q101 (unions the `b$t`) and q102 (joins `sw`
+    * against the final `w$k`).
     */
-  private def bpeMergesOracle(k: Int): String = {
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { t =>
       s"""p$t AS (
          |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
@@ -2449,28 +2478,24 @@ object SparkEntry {
          |    split_part(pair, ' ', 2) AS rhs, n_occ
          |  FROM p$t ORDER BY n_occ DESC, pair ASC LIMIT 1),
          |w$t AS (
-         |  SELECT replace(w, ' ' || lhs || '  ' || rhs || ' ',
+         |  SELECT word, replace(w, ' ' || lhs || '  ' || rhs || ' ',
          |    ' ' || lhs || rhs || ' ') AS w, freq
          |  FROM w${t - 1}, b$t)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(t => s"SELECT * FROM b$t")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w0 AS (
-       |  SELECT ' ' || array_to_string(
+    s"""sw AS (
+       |  SELECT source, word, COUNT(*) AS cnt FROM (
+       |    SELECT source,
+       |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |    FROM documents WHERE doc_id IS NOT NULL) ut
+       |  GROUP BY source, word),
+       |wf AS (SELECT word, SUM(cnt) AS freq FROM sw GROUP BY word),
+       |w0 AS (
+       |  SELECT word, ' ' || array_to_string(
        |      list_transform(generate_series(1, length(word)),
        |        i -> substring(word, i, 1)), '  ') || ' ' AS w,
        |    freq
-       |  FROM (
-       |    SELECT word, COUNT(*) AS freq FROM (
-       |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
-       |        AS word
-       |      FROM documents WHERE doc_id IS NOT NULL) uw
-       |    GROUP BY word) wf),
-       |$rounds
-       |SELECT CAST(step AS BIGINT) AS step, lhs, rhs,
-       |  lhs || rhs AS merged, n_occ
-       |FROM ($union)
-       |ORDER BY step""".stripMargin
+       |  FROM wf),
+       |$rounds""".stripMargin
   }
 
   /** Packing CTE tail replaying `Sampling.packSequencesOf` over a
@@ -2669,7 +2694,8 @@ object SparkEntry {
   private val InvertedIndexMaxDf = 50L
   // q100: corpus-top-N token vocabulary OOV rates are measured against.
   private val OovVocabSize = 1000
-  // q101: BPE merge-learning rounds (the oracle replays each as a CTE).
+  // q101/q102: BPE merge-learning rounds (the oracle replays each as a
+  // CTE); q102 encodes the corpus with the round-k vocabulary.
   private val BpeMergeSteps = 8
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:

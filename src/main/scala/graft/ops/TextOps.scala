@@ -481,12 +481,21 @@ object TextOps {
     bpeMergesOf(Tables(spark, dir, "documents"), k)
 
   /** Core of `bpeMerges` over any `(doc_id, text)` corpus. */
-  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    var vocab = docs.filter(col("doc_id").isNotNull)
+  def bpeMergesOf(docs: DataFrame, k: Int): DataFrame =
+    bpeTrain(docs.filter(col("doc_id").isNotNull)
       .select(explode(expr(tokensExpr)).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "), expr(
+      .groupBy("word").agg(count(lit(1)).as("freq")), k)._1
+
+  /** Shared BPE trainer over any `(word, freq)` vocabulary: runs the k
+    * merge rounds and returns (merge table, final rewritten vocabulary
+    * `(word, w, freq)` with `w` the spaced-symbol form after all k
+    * merges). Used by q101 (the merges ARE the output) and q102 (the
+    * final vocabulary encodes the corpus).
+    */
+  private[ops] def bpeTrain(words: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var vocab = words
+      .select(col("word"), concat(lit(" "), expr(
         "array_join(transform(sequence(1, length(word)), " +
           "i -> substring(word, i, 1)), '  ')"), lit(" ")).as("w"),
         col("freq"))
@@ -509,14 +518,53 @@ object TextOps {
         .localCheckpoint()
       merges = if (merges == null) best else merges.unionByName(best)
       vocab = vocab.crossJoin(broadcast(best.select("lhs", "rhs")))
-        .select(expr("replace(w, ' ' || lhs || '  ' || rhs || ' ', " +
+        .select(col("word"), expr("replace(w, ' ' || lhs || '  ' || rhs || ' ', " +
           "' ' || lhs || rhs || ' ')").as("w"), col("freq"))
         .localCheckpoint()
     }
-    merges
+    (merges
       .select(col("step"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("n_occ"))
-      .orderBy("step")
+      .orderBy("step"), vocab)
+  }
+
+  /** Graded q102: BPE ENCODING stats — the trained q101 merges applied
+    * back to the corpus, reported as per-source fertility (pieces per
+    * word) and compression (characters per piece) in integer ppm: the
+    * acceptance metric that decides whether a tokenizer ships for a
+    * corpus slice (a source whose fertility stays near its character
+    * count is one the learned merges do not cover).
+    *
+    * Scale shape: the corpus collapses ONCE to the per-source word
+    * table `(source, word, cnt)` (one token shuffle; persisted — it
+    * both rolls up into the trainer's global vocabulary and carries
+    * the per-source weights for the final join). Training is the q101
+    * loop; encoding is a vocab-sized equi-join (the corpus itself
+    * never re-enters), and the report is a |sources|-row aggregate.
+    */
+  def bpeEncodeStats(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    bpeEncodeStatsOf(Tables(spark, dir, "documents"), k)
+
+  /** Core of `bpeEncodeStats` over any `(doc_id, text, source)` corpus. */
+  def bpeEncodeStatsOf(docs: DataFrame, k: Int): DataFrame = {
+    val sw = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(tokensExpr)).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      .persist())
+    val words = sw.groupBy("word").agg(sum(col("cnt")).as("freq"))
+    val vocab = bpeTrain(words, k)._2
+    val pieces = vocab.select(col("word"),
+      size(expr("split(trim(w), '  ')")).cast("long").as("w_pieces"))
+    sw.join(pieces, "word")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("w_pieces")).as("n_pieces"),
+        sum(col("cnt") * length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 div n_words").as("pieces_per_word_ppm"),
+        expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_ppm"))
+      .orderBy("source")
   }
 
   /** Graded q100: out-of-vocabulary rate per source against the corpus'

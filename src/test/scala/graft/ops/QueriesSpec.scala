@@ -411,6 +411,21 @@ class QueriesSpec extends SparkSpec {
       (2L, "aa", "a", "aaa", 1L)), got)
   }
 
+  test("q102 BPE encode stats: hand-computed fertility and compression per source") {
+    import spark.implicits._
+    // Same corpus as the q101 hand test, now with sources. Training
+    // (k=2): merges (a,a) then (a,b). Final vocab pieces: aa=1, ab=1,
+    // abc=2 ("ab","c"), b=1. s1 = {aa x2, ab}: 3 words, 3 pieces,
+    // 6 chars; s2 = {abc, b}: 2 words, 3 pieces, 4 chars.
+    val docs = Seq((1L, "aa ab aa", "s1"), (2L, "abc b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.bpeEncodeStatsOf(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("s1", 3L, 3L, 1000000L, 2000000L),
+      ("s2", 2L, 3L, 1500000L, 1333333L)), got)
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.

@@ -421,6 +421,24 @@ class ScaleSpec extends SparkSpec {
     CachedStages.release(spark)
   }
 
+  test("q102 plan: one corpus collapse feeds both training and encoding") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.bpeEncodeStats(spark, dir, 3)
+    // the corpus enters only through the persisted (source, word, cnt)
+    // stage: the encode join reads that cache (InMemoryTableScan), the
+    // trainer's vocab is checkpointed away, and the query tree itself
+    // holds NO direct parquet scan — no second corpus pass anywhere
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      tree.toString.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.nonEmpty,
+      tree.toString.take(3000))
+    assert(!tree.toString.contains("CartesianProduct"),
+      tree.toString.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q99 plan: posting lists materialize only behind the df-cap join") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
