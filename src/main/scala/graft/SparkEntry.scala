@@ -170,6 +170,8 @@ object SparkEntry {
       TextOps.bpeMerges(s, d, BpeMergeSteps)),
     "q102_bpe_encode_stats" -> ((s: SparkSession, d: String) =>
       TextOps.bpeEncodeStats(s, d, BpeMergeSteps)),
+    "q103_embedding_decontam" -> ((s: SparkSession, d: String) =>
+      Similarity.embeddingDecontamination(s, d, EmbedDecontTau)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2452,6 +2454,35 @@ object SparkEntry {
          |  FROM sw s JOIN w$BpeMergeSteps v USING (word)
          |  GROUP BY s.source) agg
          |ORDER BY source""".stripMargin,
+    // The q21 dot-product/norm formulation verbatim (broadcast side's
+    // elements first), benchmark = every 100th vector ×2 (exact in both
+    // engines: float ×2 then cast, vs double ×2 — identical doubles).
+    "q103_embedding_decontam" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (
+         |  SELECT vec_id AS b_id, list_transform(e, x -> x * 2) AS be
+         |  FROM v WHERE vec_id % 100 = 0),
+         |p AS (
+         |  SELECT v.label, v.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(be) + 1), i -> be[i] * e[i])) /
+         |      (sqrt(list_sum(list_transform(be, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM v CROSS JOIN b),
+         |f AS (
+         |  SELECT label,
+         |    COUNT(DISTINCT CASE WHEN cos >= $EmbedDecontTau THEN vec_id END)
+         |      AS n_flagged
+         |  FROM p GROUP BY label),
+         |n AS (SELECT label, COUNT(*) AS n_vecs FROM v GROUP BY label)
+         |SELECT CAST(n.label AS BIGINT) AS label,
+         |  CAST(n.n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |  CAST(COALESCE(f.n_flagged, 0) * 1000000 // n.n_vecs AS BIGINT)
+         |    AS flagged_ppm
+         |FROM n LEFT JOIN f USING (label)
+         |ORDER BY label""".stripMargin,
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
@@ -2697,6 +2728,9 @@ object SparkEntry {
   // q101/q102: BPE merge-learning rounds (the oracle replays each as a
   // CTE); q102 encodes the corpus with the round-k vocabulary.
   private val BpeMergeSteps = 8
+  // q103: embedding-decontamination gate. The planted ×2-rescaled leaks
+  // score 1.0; the measured cross-set background tops out near 0.45.
+  private val EmbedDecontTau = 0.95
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

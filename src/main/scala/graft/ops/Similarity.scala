@@ -105,6 +105,61 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Graded q103: EMBEDDING-SPACE decontamination — the vector-side
+    * member of the decontamination family (Dedup's 3/13-gram and span
+    * surgeries are its text-side siblings). A benchmark/eval embedding
+    * set is screened against the training corpus: any corpus vector
+    * whose cosine to some benchmark vector reaches `tau` is a leak the
+    * n-gram screens cannot see (paraphrases, translations, format
+    * shifts — near-identical in embedding space, token-disjoint on the
+    * surface). The report is per-label flag counts in integer ppm — the
+    * release-gate number an eval-integrity check signs off on.
+    *
+    * The benchmark here is DERIVED with a planted leak: every 100th
+    * corpus vector, rescaled ×2. Cosine is scale-invariant, so each of
+    * those is an exact (similarity 1.0) leaked twin of a corpus row —
+    * the renormalized-copy scenario real eval sets exhibit — while the
+    * measured cross-set background on this corpus tops out at ~0.45,
+    * far under the 0.95 gate: the op must flag exactly the planted
+    * set, and a kernel that drifts either way turns the row red.
+    *
+    * Scale shape: q94's decontamination plan transplanted to vectors —
+    * the benchmark side BROADCASTS (eval sets are small by nature), the
+    * corpus is scanned once through the fused codegen'd cosine kernel
+    * with no shuffle, and only (label, flagged vec_id) survivors enter
+    * the distinct-count aggregate, so the exchange after the scan
+    * carries flagged pairs (rare), never the corpus.
+    */
+  def embeddingDecontamination(spark: SparkSession, dir: String,
+      tau: Double = 0.95): DataFrame =
+    embeddingDecontaminationOf(spark, rawVectors(spark, dir), tau)
+
+  /** Core of `embeddingDecontamination` over any `(vec_id, label, v)`
+    * float-vector corpus.
+    */
+  def embeddingDecontaminationOf(spark: SparkSession, corpus: DataFrame,
+      tau: Double): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val bench = corpus.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("b_id"),
+        // ×2 is exact in float and cancels in the cosine — a planted
+        // similarity-1.0 leak of every 100th corpus vector
+        expr("transform(v, x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))")
+          .as("b_vec"))
+    val flags = corpus.crossJoin(broadcast(bench))
+      .withColumn("cos", round(expr("cosine_sim(b_vec, v)"), 6))
+      .groupBy("label")
+      .agg(countDistinct(when(col("cos") >= tau, col("vec_id")))
+        .as("n_flagged"))
+    corpus.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      .join(flags, Seq("label"), "left")
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        expr("coalesce(n_flagged, 0) * 1000000 div n_vecs")
+          .as("flagged_ppm"))
+      .orderBy("label")
+  }
+
   /** Full two-stage IVF search: (1) compute per-label centroids, (2)
     * assign each query vector to its nearest centroid by squared L2
     * distance, (3) score cosine only against vectors in that one cluster

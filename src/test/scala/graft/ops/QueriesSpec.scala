@@ -426,6 +426,25 @@ class QueriesSpec extends SparkSpec {
       ("s2", 2L, 3L, 1500000L, 1333333L)), got)
   }
 
+  test("q103 embedding decontamination: planted rescaled leaks flagged, threshold is a live lever") {
+    import spark.implicits._
+    // bench = {0, 100} rescaled x2. Cosines: v0 and v100 hit their own
+    // twins at 1.0; v2=[1,1] reaches 0.989949 vs bench100=[6,8]; v1
+    // tops out at 0.8. tau=0.95 catches the twins plus that near-miss;
+    // tau=0.995 isolates exactly the planted twins; tau>1 flags nothing.
+    val corpus = Seq(
+      (0L, 0, Array(1f, 0f)), (1L, 0, Array(0f, 1f)),
+      (2L, 1, Array(1f, 1f)), (100L, 1, Array(3f, 4f))
+    ).toDF("vec_id", "label", "v")
+    def run(tau: Double) =
+      Similarity.embeddingDecontaminationOf(spark, corpus, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    assert(run(0.95) == Seq((0L, 2L, 1L, 500000L), (1L, 2L, 2L, 1000000L)))
+    assert(run(0.995) == Seq((0L, 2L, 1L, 500000L), (1L, 2L, 1L, 500000L)))
+    assert(run(1.01) == Seq((0L, 2L, 0L, 0L), (1L, 2L, 0L, 0L)))
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.
