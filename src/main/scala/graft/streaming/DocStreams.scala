@@ -195,6 +195,41 @@ object EmbeddingStreams {
     (rows.map(_._2).toSeq, rows.map(_._3).toSeq)
   }
 
+  /** Fit the frozen benchmark model for [[screenedVectors]] from the
+    * batch corpus: the q103 benchmark derivation (every 100th vector,
+    * ×2-rescaled) collected driver-side as the literal the screen
+    * ships. The third documented frozen-model fitter (with
+    * `Importance.leanBucketSet` and [[fitMinmaxRanges]]): the result is
+    * |benchmark| × dims floats — eval-set-sized by NATURE (a benchmark
+    * is small or it is not a benchmark), never corpus-sized.
+    */
+  def fitBenchmark(corpus: DataFrame): Seq[Seq[Float]] =
+    corpus.filter(col("vec_id") % 100 === 0)
+      .select(expr("transform(v, x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))"))
+      .collect().map(_.getSeq[Float](0).toSeq).toSeq
+
+  /** Screen arriving vectors against the FROZEN benchmark in flight —
+    * the streaming twin of q103's embedding decontamination and the
+    * gate an ingestion edge applies BEFORE a leaked eval vector ever
+    * lands in the training store. The benchmark ships as a literal
+    * (the [[minmaxScaledVectors]]/DSIR frozen-model pattern), each
+    * arriving vector folds the fused cosine kernel over it inside one
+    * `exists(...)` projection, and the emitted row carries the
+    * verdict: stateless — no shuffle, no watermark, no state store,
+    * and the same 6-decimal rounding as batch, so the in-flight
+    * verdict equals the batch report's row for row.
+    */
+  def screenedVectors(spark: SparkSession, stream: DataFrame,
+      bench: Seq[Seq[Float]], tau: Double): DataFrame = {
+    require(bench.nonEmpty, "empty benchmark: nothing to screen against")
+    graft.functions.CosineSimilarity.register(spark)
+    val benchLit = typedlit(bench)
+    stream.select(col("vec_id"), col("label"), col("embedding"),
+      exists(benchLit, b =>
+        round(call_function("cosine_sim", b, col("embedding")), 6)
+          >= lit(tau)).as("contaminated"))
+  }
+
   /** Streaming drift histogram under the same frozen range model — the
     * live tail of the q82 monitor. Arriving vectors bucket against the
     * batch-fitted `(min, max)` literals (identical FP formula, so a

@@ -92,6 +92,38 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming decontamination screen under a frozen benchmark matches the batch q103 flags") {
+    val src = "/root/testdata/sf0.001"
+    val corpus = graft.ops.Similarity.rawVectors(spark, src)
+    val bench = EmbeddingStreams.fitBenchmark(corpus)
+    assert(bench.nonEmpty && bench.forall(_.length == 64))
+    val d = Files.createTempDirectory("emb_screen_stream")
+    Files.copy(Paths.get(s"$src/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(
+      EmbeddingStreams.screenedVectors(spark, stream, bench, 0.95),
+      "emb_screen", OutputMode.Append())
+    val streamed = spark.table("emb_screen").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated")))
+      .toMap
+    // independent batch formulation: the q103 pair scorer's flag per
+    // vector (same benchmark derivation, same kernel, same rounding)
+    graft.functions.CosineSimilarity.register(spark)
+    val benchDf = corpus.filter(col("vec_id") % 100 === 0)
+      .select(expr("transform(v, x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))")
+        .as("b_vec"))
+    val batch = corpus.crossJoin(broadcast(benchDf))
+      .withColumn("cos", round(expr("cosine_sim(b_vec, v)"), 6))
+      .groupBy("vec_id")
+      .agg(max(when(col("cos") >= 0.95, 1).otherwise(0)).as("flag"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1) == 1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // the planted twins are live in this fixture: every 100th flagged
+    assert(streamed.filter(_._2).keySet ==
+      streamed.keySet.filter(_ % 100 == 0))
+  }
+
   test("streaming drift histogram equals the batch reference histogram") {
     val src = "/root/testdata/sf0.001"
     val vecs = graft.ops.Tables(spark, src, "embeddings")
