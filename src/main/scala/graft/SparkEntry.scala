@@ -172,6 +172,8 @@ object SparkEntry {
       TextOps.bpeEncodeStats(s, d, BpeMergeSteps)),
     "q103_embedding_decontam" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingDecontamination(s, d, EmbedDecontTau)),
+    "q104_session_sequences" -> ((s: SparkSession, d: String) =>
+      Events.sessionSequences(s, d, SessionSeqTopK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2483,6 +2485,34 @@ object SparkEntry {
          |    AS flagged_ppm
          |FROM n LEFT JOIN f USING (label)
          |ORDER BY label""".stripMargin,
+    // q12's gap rule (floor-second, 1800s) + µs ordering; the sequence
+    // serializes via ORDER BY inside the aggregate, the Spark side via
+    // sorted (ts_us, event_id, type) structs — identical strings.
+    "q104_session_sequences" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(ts) AS us, epoch_us(ts) // 1000000 AS sec
+         |  FROM events),
+         |m AS (
+         |  SELECT *, CASE WHEN lag(sec) OVER w IS NOT NULL
+         |      AND sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+         |  FROM m),
+         |q AS (
+         |  SELECT user_id, sess,
+         |    string_agg(event_type, ' ' ORDER BY us, event_id) AS seq
+         |  FROM s GROUP BY user_id, sess),
+         |c AS (SELECT seq, COUNT(*) AS n_sessions FROM q GROUP BY seq),
+         |r AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_sessions DESC, seq ASC)
+         |    AS rank, seq, n_sessions
+         |  FROM c)
+         |SELECT CAST(rank AS BIGINT) AS rank, seq,
+         |  CAST(n_sessions AS BIGINT) AS n_sessions
+         |FROM r WHERE rank <= $SessionSeqTopK ORDER BY rank""".stripMargin,
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
@@ -2731,6 +2761,8 @@ object SparkEntry {
   // q103: embedding-decontamination gate. The planted ×2-rescaled leaks
   // score 1.0; the measured cross-set background tops out near 0.45.
   private val EmbedDecontTau = 0.95
+  // q104: behavior-vocabulary cut — top-k most common session shapes.
+  private val SessionSeqTopK = 20
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

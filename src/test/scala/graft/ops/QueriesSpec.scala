@@ -445,6 +445,30 @@ class QueriesSpec extends SparkSpec {
     assert(run(1.01) == Seq((0L, 2L, 0L, 0L), (1L, 2L, 0L, 0L)))
   }
 
+  test("q104 session sequences: hand-computed gap splits, ordering, and vocabulary cut") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // user 1: view@0, click@100 (same session), view@3000 (gap 2900s >
+    // 1800 -> new session). user 2: view@0, click@50. Sequences:
+    // "view click" x2, "view" x1. The k=1 cut keeps only the head.
+    val evs = Seq(
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 100L),
+      (1L, 12L, "view", 3000L),
+      (2L, 20L, "view", 0L), (2L, 21L, "click", 50L)
+    ).toDF("user_id", "event_id", "event_type", "ts_sec")
+      .withColumn("ts_us", col("ts_sec") * 1000000L)
+    def run(k: Int) = Events.sessionSequencesOf(evs, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(run(20) == Seq((1L, "view click", 2L), (2L, "view", 1L)))
+    assert(run(1) == Seq((1L, "view click", 2L)))
+    // same-second events order on event_id: swap ids so "click" wins
+    val tied = Seq((3L, 31L, "b_click", 0L), (3L, 30L, "a_view", 0L))
+      .toDF("user_id", "event_id", "event_type", "ts_sec")
+      .withColumn("ts_us", col("ts_sec") * 1000000L)
+    assert(Events.sessionSequencesOf(tied, 5).collect()
+      .map(r => r.getString(1)).toSeq == Seq("a_view b_click"))
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.

@@ -456,6 +456,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.split("FileScan parquet").length - 1 == 3, plan.take(3000))
   }
 
+  test("q104 plan: one user shuffle covers sessionization and per-session lists; TakeOrdered vocab cut") {
+    val out = Events.sessionSequences(spark, dir, 20)
+    val plan = out.queryExecution.executedPlan.toString
+    // the behavior-vocabulary cut is bounded per-partition heaps, not a
+    // global sort of the sequence-count table
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // exactly two hash exchanges: user_id (windows + per-session lists
+    // reuse it — grouping keys contain the partitioning key) and the
+    // sequence-count shuffle; a third would mean the session agg
+    // re-shuffled what the window already clustered
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx\n" +
+      plan.take(3000))
+  }
+
   test("q99 plan: posting lists materialize only behind the df-cap join") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
