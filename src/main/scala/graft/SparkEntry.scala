@@ -174,6 +174,7 @@ object SparkEntry {
       Similarity.embeddingDecontamination(s, d, EmbedDecontTau)),
     "q104_session_sequences" -> ((s: SparkSession, d: String) =>
       Events.sessionSequences(s, d, SessionSeqTopK)),
+    "q105_split_leakage" -> Sampling.splitLeakageAudit _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2513,6 +2514,27 @@ object SparkEntry {
          |SELECT CAST(rank AS BIGINT) AS rank, seq,
          |  CAST(n_sessions AS BIGINT) AS n_sessions
          |FROM r WHERE rank <= $SessionSeqTopK ORDER BY rank""".stripMargin,
+    // The q19 pair machinery verbatim, then q44's md5-bucket split
+    // recomputed on each endpoint id — no corpus re-access.
+    "q105_split_leakage" ->
+      s"""WITH $nearDupPairCtes,
+         |sp AS (
+         |  SELECT
+         |    CASE WHEN CAST('0x' || substr(md5(doc_a::VARCHAR), 1, 6) AS BIGINT) % 100 < 90 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(doc_a::VARCHAR), 1, 6) AS BIGINT) % 100 < 95 THEN 'validation'
+         |         ELSE 'test' END AS sa,
+         |    CASE WHEN CAST('0x' || substr(md5(doc_b::VARCHAR), 1, 6) AS BIGINT) % 100 < 90 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5(doc_b::VARCHAR), 1, 6) AS BIGINT) % 100 < 95 THEN 'validation'
+         |         ELSE 'test' END AS sb
+         |  FROM pairs),
+         |c AS (
+         |  SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+         |    COUNT(*) AS n_pairs
+         |  FROM sp GROUP BY 1, 2)
+         |SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_leak
+         |FROM c ORDER BY split_a, split_b""".stripMargin,
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the

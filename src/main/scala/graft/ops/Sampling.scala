@@ -53,6 +53,40 @@ object Sampling {
       .select("doc_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Graded q105: SPLIT-LEAKAGE audit — the check that closes the loop
+    * between dedup (q19) and splitting (q44). A hash split is blind to
+    * content: two near-duplicate documents hash to independent buckets,
+    * so ~10% of dup pairs straddle the train/held-out boundary and the
+    * eval set silently contains paraphrases of training rows (the
+    * dedup-before-split rule exists precisely for this; the q45
+    * pipeline applies it — this op measures what skipping it costs).
+    * Output: near-dup pair counts per unordered split pair, with
+    * cross-split rows marked `is_leak` — the number a release review
+    * demands be zero.
+    *
+    * Scale shape: the expensive half IS q19 (banded LSH + exact
+    * verify, proven plan); the audit itself is an md5 projection on
+    * the pair endpoints (no corpus access, no join — the split is
+    * recomputed from the id, which is the whole point of hash splits)
+    * and a ≤|splits|²-row aggregate.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAuditOf(Dedup.nearDupPairs(spark, dir)
+      .select("doc_a", "doc_b"))
+
+  /** Core of `splitLeakageAudit` over any `(doc_a, doc_b)` pair set. */
+  def splitLeakageAuditOf(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("sa", splitCol(expr(bucketExpr("doc_a"))))
+      .withColumn("sb", splitCol(expr(bucketExpr("doc_b"))))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        (col("split_a") =!= col("split_b")).cast("long"))
+      .orderBy("split_a", "split_b")
+
   /** Deterministic fraction sample: keep rows whose bucket falls below
     * `pct`. The 1%-of-100-TB debugging slice that is the SAME slice on
     * every run and every engine.

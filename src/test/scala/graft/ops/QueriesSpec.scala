@@ -469,6 +469,21 @@ class QueriesSpec extends SparkSpec {
       .map(r => r.getString(1)).toSeq == Seq("a_view b_click"))
   }
 
+  test("q105 split-leakage audit: hand-computed pair routing and leak marks") {
+    import spark.implicits._
+    // md5 buckets: 1,3→train; 2→validation; 7,22→test. Unordered split
+    // pairs canonicalize alphabetically (test < train < validation).
+    val pairs = Seq((1L, 3L), (1L, 2L), (7L, 1L), (7L, 22L), (2L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = Sampling.splitLeakageAuditOf(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("test", "test", 1L, 0L), ("test", "train", 1L, 1L),
+      ("test", "validation", 1L, 1L), ("train", "train", 1L, 0L),
+      ("train", "validation", 1L, 1L)), got)
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.
