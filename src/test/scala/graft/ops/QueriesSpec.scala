@@ -484,6 +484,26 @@ class QueriesSpec extends SparkSpec {
       ("train", "validation", 1L, 1L)), got)
   }
 
+  test("q106 mixture weights: hand-computed temperature sampling at alpha = 1/2") {
+    import spark.implicits._
+    // tokens: s1 = 4, s2 = 1 (null doc dropped). total 5, sqrt 2 and 1,
+    // sum_sqrt 3. weights 2/3 and 1/3; boosts (2/3)*5/4 and (1/3)*5/1.
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), "a b", "s1"),
+      (java.lang.Long.valueOf(2L), "c d", "s1"),
+      (java.lang.Long.valueOf(3L), "e", "s2"),
+      (null.asInstanceOf[java.lang.Long], "zz zz", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = Sampling.mixtureWeightsOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("s1", 4L, 800000L, 0.666667, 0.833333),
+      ("s2", 1L, 200000L, 0.333333, 1.666667)), got)
+    // the up/down-sampling law: low-resource boosted, high damped, and
+    // the weighted mix is a distribution (weights sum to ~1)
+    assert(got.map(_._4).sum > 0.999999 && got.map(_._4).sum < 1.000001)
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.
