@@ -176,6 +176,8 @@ object SparkEntry {
       Events.sessionSequences(s, d, SessionSeqTopK)),
     "q105_split_leakage" -> Sampling.splitLeakageAudit _,
     "q106_mixture_weights" -> Sampling.mixtureWeights _,
+    "q107_vocab_coverage" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabCoverage(s, d, VocabCurveSizes)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2558,6 +2560,30 @@ object SparkEntry {
         |  round(sqrt(n_tokens::DOUBLE) / sum_sqrt * total::DOUBLE
         |    / n_tokens::DOUBLE, 6) AS boost
         |FROM counts, t ORDER BY source""".stripMargin,
+    // Same (count DESC, token ASC) cut as q100 at each size; integer
+    // ppm so the hash is exact.
+    "q107_vocab_coverage" -> {
+      val points = VocabCurveSizes.sorted.map { k =>
+        s"""  SELECT $k AS vocab_size, (
+           |    SELECT CAST(SUM(n) AS BIGINT) FROM (
+           |      SELECT n FROM counts ORDER BY n DESC, token ASC LIMIT $k) v)
+           |    AS n_tokens_covered""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH counts AS (
+         |  SELECT token, COUNT(*) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |      AS token
+         |    FROM documents WHERE doc_id IS NOT NULL) ut
+         |  GROUP BY token),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+         |pts AS (
+         |$points)
+         |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+         |  n_tokens_covered,
+         |  CAST(n_tokens_covered * 1000000 // total AS BIGINT)
+         |    AS coverage_ppm
+         |FROM pts, t ORDER BY vocab_size""".stripMargin
+    },
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
@@ -2808,6 +2834,8 @@ object SparkEntry {
   private val EmbedDecontTau = 0.95
   // q104: behavior-vocabulary cut — top-k most common session shapes.
   private val SessionSeqTopK = 20
+  // q107: the vocab sizes the coverage curve is evaluated at.
+  private val VocabCurveSizes = Seq(100, 1000, 10000)
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

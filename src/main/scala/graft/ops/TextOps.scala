@@ -567,6 +567,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Graded q107: VOCABULARY COVERAGE curve — what fraction of the
+    * corpus' token stream the top-`N` vocabulary covers, at several N:
+    * the sizing curve a tokenizer/vocab decision reads (the knee says
+    * when growing the vocab stops paying; q100 reports the complement
+    * — OOV — at ONE size, this sweeps the lever). Integer ppm, so the
+    * hash is exact.
+    *
+    * Scale shape: ONE token-count shuffle builds the frequency table;
+    * each curve point is then an `orderBy.limit(N)` vocab cut —
+    * TakeOrderedAndProject's bounded per-partition heaps, NEVER a
+    * global rank window over the whole vocabulary (the q100
+    * discipline; a row_number over |vocab| would single-partition the
+    * zipf table) — followed by a ≤N-row sum. Points union to a
+    * |sizes|-row result.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      sizes: Seq[Int] = Seq(100, 1000, 10000)): DataFrame =
+    vocabCoverageOf(Tables(spark, dir, "documents"), sizes)
+
+  /** Core of `vocabCoverage` over any `(doc_id, text)` corpus. */
+  def vocabCoverageOf(docs: DataFrame, sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1),
+      s"sizes must be >= 1, got $sizes")
+    val counts = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist())
+    val total = counts.agg(sum(col("n")).as("total"))
+    val points = sizes.sorted.map { k =>
+      counts.orderBy(col("n").desc, col("token").asc).limit(k)
+        .agg(sum(col("n")).as("covered"))
+        .select(lit(k.toLong).as("vocab_size"), col("covered"))
+    }.reduce(_ unionByName _)
+    points.crossJoin(broadcast(total))
+      .select(col("vocab_size"),
+        col("covered").as("n_tokens_covered"),
+        expr("covered * 1000000 div total").as("coverage_ppm"))
+      .orderBy("vocab_size")
+  }
+
   /** Graded q100: out-of-vocabulary rate per source against the corpus'
     * own top-`vocabSize` token vocabulary — the health metric run before
     * committing a tokenizer vocab to a pretraining corpus (a source with

@@ -504,6 +504,18 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._4).sum > 0.999999 && got.map(_._4).sum < 1.000001)
   }
 
+  test("q107 vocab coverage: hand-computed curve with the q100 tie-break") {
+    import spark.implicits._
+    // counts: a=4, b=2, d=2, c=1 (b before d on token ASC at n=2);
+    // total 9. N=1 covers 4/9; N=3 covers 8/9; N=10 covers all.
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d b a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.vocabCoverageOf(docs, Seq(3, 1, 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 4L, 444444L), (3L, 8L, 888888L),
+      (10L, 9L, 1000000L)), got)
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.

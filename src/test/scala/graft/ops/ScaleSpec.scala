@@ -471,6 +471,22 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
   }
 
+  test("q107 plan: every curve point is a TakeOrdered cut over the cached count table") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.vocabCoverage(spark, dir, Seq(100, 1000))
+    val plan = out.queryExecution.executedPlan.toString
+    // one TakeOrderedAndProject per size — bounded heaps, never a
+    // global rank window over the zipf vocabulary
+    assert(plan.split("TakeOrderedAndProject").length - 1 == 2,
+      plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the corpus collapses once into the persisted count table; the
+    // query tree reads that cache, not parquet, for every point
+    assert(out.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.isEmpty, plan.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q99 plan: posting lists materialize only behind the df-cap join") {
     import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
     import org.apache.spark.sql.execution.joins.BaseJoinExec
