@@ -27,6 +27,12 @@ class QueriesSpec extends SparkSpec {
     test(s"$name executes at sf0.001") {
       val df = fn(spark, dir)
       val n = df.count()
+      // the Verify/Bench cleanup discipline: a query's persisted stages
+      // must not outlive its test — a leftover cache whose logical plan
+      // matches a LATER suite's subtree silently rewrites that suite's
+      // asserted plan (q107's token counts shadowed q98's word-frequency
+      // scan until this release)
+      CachedStages.release(spark)
       // q09 legitimately yields 0 rows at sf0.001; everything else must
       // produce data for the oracle compare to be meaningful.
       if (name != "q09_setops_customers") assert(n > 0, s"$name returned 0 rows")

@@ -392,6 +392,10 @@ class ScaleSpec extends SparkSpec {
   test("q98 plan: corpus scanned once; pair explode consumes the word-frequency aggregate") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    // scan-count assertions below are meaningless if an earlier suite's
+    // cached plan shadows the word-frequency subtree (suites share one
+    // session; suite order put QueriesSpec's q107 cache here once)
+    spark.catalog.clearCache()
     val out = TextOps.bpePairCounts(spark, dir, 20)
     val plan = out.queryExecution.executedPlan.toString
     // the 100 TB corpus enters exactly once (the vocab collapse);
