@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC") // match Verify's shapes
+      // match Verify: legacy TIMESTAMP(NANOS) events files read as raw
+      // longs instead of failing at analysis (no-op on timestamp[us])
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -15,6 +15,11 @@ object Verify {
       // the dump as timestamp[us], the exact type DuckDB's oracle emits, so
       // the driver's type-sensitive hash needs no unit normalization.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Legacy testdata shape: events.ts has shipped as parquet
+      // TIMESTAMP(NANOS), which Spark can only read as a raw-nanos long.
+      // No-op on timestamp[us] files; without it a NANOS file fails at
+      // analysis before Events.withTimeColumns can adapt.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -87,6 +87,32 @@ class EventsReaderSpec extends SparkSpec {
     run(Events.funnelStages) // q64: raw-ts comparisons inside windows
   }
 
+  test("genuine TIMESTAMP(NANOS) parquet is readable end to end") {
+    // Unlike the in-spec "nanos_long" shape (a plain INT64 column
+    // authored by Spark), this checked-in fixture carries the real
+    // legacy physical annotation Timestamp(isAdjustedToUTC=false,
+    // NANOS) — regenerate with tools/make_nanos_fixture.py. Without
+    // spark.sql.legacy.parquet.nanosAsLong=true in SparkSpec's builder
+    // this read throws ILLEGAL_PARQUET_TYPE at analysis, so this test
+    // is the tripwire for the conf going missing again.
+    val dir = fixturePath("events_nanos")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType == LongType)
+    val derived = Events.events(spark, dir)
+      .select("event_id", "ts_utc", "ts_us")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2))).toSet
+    // expected wall clocks authored in the fixture (UTC session)
+    assert(derived == Set(
+      (1L, "2024-03-01 12:00:00.0", 1709294400000000L),
+      (2L, "2024-03-01 12:05:00.0", 1709294700000000L),
+      (3L, "2024-03-01 13:00:00.0", 1709298000000000L),
+      (4L, "2024-03-01 14:00:00.123456", 1709301600123456L),
+      (5L, "2024-03-02 12:00:00.0", 1709380800000000L)))
+    // and a graded-query shape runs over it end to end
+    assert(Events.hourlyCounts(spark, dir).count() == 5)
+  }
+
   test("the streaming reader adapts to both shapes and matches batch") {
     import org.apache.spark.sql.streaming.OutputMode
     def streamed(dir: String, name: String): Set[String] = {
