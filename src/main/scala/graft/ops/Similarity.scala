@@ -134,11 +134,28 @@ object Similarity {
       tau: Double = 0.95): DataFrame =
     embeddingDecontaminationOf(spark, rawVectors(spark, dir), tau)
 
+  /** Hard bound on the broadcast benchmark side of
+    * [[embeddingDecontaminationOf]]: 2^18 rows (~64 MB at the fixture's
+    * 64-dim float vectors) — model-sized in the same sense as
+    * DocStreams.fitBenchmark's frozen eval set. Real benchmark/eval
+    * sets are fixed-size by nature; the synthetic graded set is derived
+    * as `vec_id % 100` of the corpus and therefore GROWS with it, so
+    * without this gate a corpus-proportional caller would silently turn
+    * the broadcast into a scale-killer. Above the cap the op refuses
+    * loudly rather than degrade: the right fallback is an LSH-bucketed
+    * prefilter (the q29 plan) joining corpus to benchmark on shared
+    * buckets, which no longer needs the benchmark in one executor.
+    */
+  val MaxDecontamBenchRows: Int = 1 << 18
+
   /** Core of `embeddingDecontamination` over any `(vec_id, label, v)`
-    * float-vector corpus.
+    * float-vector corpus. The benchmark side must fit the
+    * [[MaxDecontamBenchRows]] broadcast bound — checked with an
+    * early-exit `limit(cap+1).count()` probe (reads only `vec_id`
+    * after pruning, stops as soon as the cap is disproven).
     */
   def embeddingDecontaminationOf(spark: SparkSession, corpus: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, maxBenchRows: Int = MaxDecontamBenchRows): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
     val bench = corpus.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("b_id"),
@@ -146,6 +163,12 @@ object Similarity {
         // similarity-1.0 leak of every 100th corpus vector
         expr("transform(v, x -> CAST(x * CAST(2 AS FLOAT) AS FLOAT))")
           .as("b_vec"))
+    val nBench = bench.select("b_id").limit(maxBenchRows + 1).count()
+    require(nBench <= maxBenchRows,
+      s"embedding-decontamination benchmark side exceeds the broadcast " +
+        s"bound ($nBench+ rows > $maxBenchRows): eval sets must be " +
+        s"model-sized; for a corpus-proportional set use an LSH-bucketed " +
+        s"prefilter (Similarity.annLsh / q29 plan) instead of broadcast")
     val flags = corpus.crossJoin(broadcast(bench))
       .withColumn("cos", round(expr("cosine_sim(b_vec, v)"), 6))
       .groupBy("label")

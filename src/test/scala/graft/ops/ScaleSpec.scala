@@ -460,6 +460,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.split("FileScan parquet").length - 1 == 3, plan.take(3000))
   }
 
+  test("q103 guard: a benchmark side over the broadcast bound refuses loudly") {
+    // the synthetic bench set is vec_id % 100 of the corpus, i.e. it
+    // GROWS with the input — the MaxDecontamBenchRows probe must turn a
+    // corpus-proportional benchmark into a loud refusal (pointing at the
+    // LSH prefilter) instead of an unbounded broadcast
+    import spark.implicits._
+    val corpus = (0L until 1000L).map(i =>
+        (i, (i % 3).toInt, Array(1.0f, i.toFloat)))
+      .toDF("vec_id", "label", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingDecontaminationOf(spark, corpus, 0.95,
+        maxBenchRows = 5) // derived bench has 10 rows (0,100,...,900)
+    }
+    assert(e.getMessage.contains("broadcast bound"))
+    assert(e.getMessage.contains("LSH"))
+    // and under the cap the same corpus passes the probe untouched
+    assert(Similarity.embeddingDecontaminationOf(spark, corpus, 0.95)
+      .count() == 3)
+  }
+
   test("q104 plan: one user shuffle covers sessionization and per-session lists; TakeOrdered vocab cut") {
     val out = Events.sessionSequences(spark, dir, 20)
     val plan = out.queryExecution.executedPlan.toString
