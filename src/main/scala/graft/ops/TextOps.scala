@@ -501,7 +501,9 @@ object TextOps {
         col("freq"))
       .localCheckpoint()
     var merges: DataFrame = null
-    for (step <- 1 to k) {
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val pairs = vocab
         .select(col("freq"), expr("split(trim(w), '  ')").as("syms"))
         .filter(size(col("syms")) >= 2)
@@ -516,11 +518,22 @@ object TextOps {
           expr("split_part(pair, ' ', 2)").as("rhs"),
           col("n_occ"))
         .localCheckpoint()
-      merges = if (merges == null) best else merges.unionByName(best)
-      vocab = vocab.crossJoin(broadcast(best.select("lhs", "rhs")))
-        .select(col("word"), expr("replace(w, ' ' || lhs || '  ' || rhs || ' ', " +
-          "' ' || lhs || rhs || ' ')").as("w"), col("freq"))
-        .localCheckpoint()
+      // a small vocabulary can run out of adjacent pairs before round k
+      // (every word fully merged to one symbol): stop instead of
+      // cross-joining the empty winner, which would wipe the vocabulary
+      // and silently empty every later round. The isEmpty probe is a
+      // limit(1) over the already-checkpointed 0/1-row winner — free.
+      if (best.isEmpty) {
+        if (merges == null) merges = best // empty, correct schema
+        exhausted = true
+      } else {
+        merges = if (merges == null) best else merges.unionByName(best)
+        vocab = vocab.crossJoin(broadcast(best.select("lhs", "rhs")))
+          .select(col("word"), expr("replace(w, ' ' || lhs || '  ' || rhs || ' ', " +
+            "' ' || lhs || rhs || ' ')").as("w"), col("freq"))
+          .localCheckpoint()
+      }
+      step += 1
     }
     (merges
       .select(col("step"), col("lhs"), col("rhs"),
