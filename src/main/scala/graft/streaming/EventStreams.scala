@@ -174,6 +174,85 @@ object EventStreams {
       }
   }
 
+  final case class SeqEv(user_id: Long, ts_us: Long, event_id: Long,
+      event_type: String, ts_sec: Long, ts_utc: java.sql.Timestamp)
+  final case class SessionEv(tsUs: Long, eventId: Long, eventType: String)
+  final case class OpenSeqSession(startSec: Long, lastSec: Long,
+      evs: List[SessionEv])
+  final case class SessionSequence(user_id: Long, start_sec: Long,
+      seq: String, n_events: Long)
+
+  /** Streaming twin of q104 (Events.sessionSequences): each
+    * 30-minute-gap session serialized to its ordered event-type string
+    * — the behavior document a next-event LM trains on — emitted
+    * EXACTLY ONCE when the session closes, by gap or by watermark
+    * timeout (the [[closedSessions]] eviction contract). State per user
+    * is the ONE open session's event buffer, human-bounded by the gap
+    * rule itself (a session ends 30 minutes after its user stops
+    * acting) — the same reason the batch `collect_list` group is never
+    * hot. The emitted sequence's internal order is exact: the buffer
+    * re-sorts on `(ts_us, event_id)` at emission (the batch
+    * `array_sort` key), so an in-watermark straggler lands in its true
+    * position regardless of arrival order. Downstream, this append-only
+    * stream feeds the same sequence-count/top-k cut the batch
+    * vocabulary runs — EventStreamsSpec asserts the round trip equals
+    * batch q104 on the fixture.
+    */
+  def closedSessionSequences(spark: SparkSession,
+      stream: DataFrame): Dataset[SessionSequence] = {
+    import spark.implicits._
+    val evs = stream
+      .withWatermark("ts_utc", "30 minutes")
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        col("event_type"), col("ts_sec"), col("ts_utc")).as[SeqEv]
+    def emit(user: Long, s: OpenSeqSession): SessionSequence =
+      SessionSequence(user, s.startSec,
+        s.evs.sortBy(e => (e.tsUs, e.eventId)).map(_.eventType)
+          .mkString(" "), s.evs.size.toLong)
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSeqSession, SessionSequence](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state: GroupState[OpenSeqSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => emit(user, s))
+            state.remove()
+            out.iterator
+          } else {
+            // sort by the batch ordering key, not just ts_sec: within a
+            // trigger the gap fold must walk events in the exact order
+            // the batch window ranks them, or a same-second tie could
+            // split differently
+            val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSequence]
+            sorted.foreach { e =>
+              open match {
+                // min/max widening for in-watermark stragglers — the
+                // closedSessions discipline; the buffer re-sorts at
+                // emission so the straggler still lands in order
+                case Some(s) if e.ts_sec - s.lastSec <= 1800 =>
+                  open = Some(OpenSeqSession(
+                    math.min(s.startSec, e.ts_sec),
+                    math.max(s.lastSec, e.ts_sec),
+                    SessionEv(e.ts_us, e.event_id, e.event_type) :: s.evs))
+                case Some(s) =>
+                  closed += emit(user, s)
+                  open = Some(OpenSeqSession(e.ts_sec, e.ts_sec,
+                    SessionEv(e.ts_us, e.event_id, e.event_type) :: Nil))
+                case None =>
+                  open = Some(OpenSeqSession(e.ts_sec, e.ts_sec,
+                    SessionEv(e.ts_us, e.event_id, e.event_type) :: Nil))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSec * 1000L + 1800L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming exact-dedup — the streaming member of the dedup family
     * (graft.ops.Dedup covers batch; this is the twin of its
     * content-hash groupBy shape, keyed on event_id). Suppresses

@@ -240,6 +240,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(user1 == Set((1L, 9000L, 11000L, 3L)), s"got $user1")
   }
 
+  test("q104 twin: streamed session sequences reproduce the batch behavior vocabulary") {
+    import org.apache.spark.sql.functions._
+    val src = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // sentinel: one far-future event from a user outside the corpus —
+    // its event time pushes the final watermark past every real
+    // session's timeout deadline, so every tail session closes and the
+    // stream's emitted session multiset is the batch session set
+    // EXACTLY (the sentinel's own session never closes and is filtered)
+    val sentinel = raw.orderBy("event_id").limit(1)
+      .withColumn("user_id", lit(-999L))
+      .withColumn("ts", expr("ts + INTERVAL 100 DAYS"))
+    val in = Files.createTempDirectory("seq_twin_in").toString
+    raw.select(cols.map(col): _*)
+      .unionByName(sentinel.select(cols.map(col): _*))
+      .coalesce(1).write.mode("overwrite").parquet(s"$in/events.parquet")
+    val stream = EventStreams.readEventStream(spark, s"$in/events.parquet")
+    EventStreams.runToMemory(
+      EventStreams.closedSessionSequences(spark, stream).toDF(),
+      "seq_twin", OutputMode.Append())
+    val emitted = spark.table("seq_twin").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .filter(_._1 != -999L).map(_._2).toSeq
+    assert(emitted.nonEmpty)
+    // replay the batch vocabulary cut (count per sequence, n desc then
+    // sequence asc, top k, rank) over the emitted closed sessions
+    val k = 20
+    val gotTop = emitted.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (s, n) => (-n, s) }.take(k).zipWithIndex
+      .map { case ((s, n), i) => ((i + 1).toLong, s, n) }.toSeq
+    val batch = Events.sessionSequences(spark, src, k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(gotTop == batch)
+  }
+
   test("closed sessions on the real corpus == driver-side sessionization minus open tails") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.readEventStream(spark, streamDir)
