@@ -178,6 +178,9 @@ object SparkEntry {
     "q106_mixture_weights" -> Sampling.mixtureWeights _,
     "q107_vocab_coverage" -> ((s: SparkSession, d: String) =>
       TextOps.vocabCoverage(s, d, VocabCurveSizes)),
+    "q108_gopher_gate" -> (TextOps.gopherGate _),
+    "q109_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextOps.cmsHeavyHitters(s, d, CmsWidth, CmsDepth, CmsTopK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2584,6 +2587,70 @@ object SparkEntry {
          |    AS coverage_ppm
          |FROM pts, t ORDER BY vocab_size""".stripMargin
     },
+    // Each rule decided in integers (cross-multiplication, containment
+    // over the FIXED 7-word stop list); empty token lists coalesce to 0
+    // chars on both engines, so the vacuous r_wordlen pass agrees.
+    "q108_gopher_gate" ->
+      """WITH d AS (
+        |  SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |e AS (
+        |  SELECT source, len(toks) AS n_toks,
+        |    COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
+        |      AS tok_chars,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+        |      AS n_alpha,
+        |    len(list_filter(['the','a','of','and','is','to','in'],
+        |      s -> list_contains(toks, s))) AS n_stop
+        |  FROM d),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN n_toks BETWEEN 25 AND 100000 THEN 1 ELSE 0 END
+        |      AS r_count,
+        |    CASE WHEN tok_chars >= n_toks * 3 AND tok_chars <= n_toks * 10
+        |      THEN 1 ELSE 0 END AS r_wordlen,
+        |    CASE WHEN n_alpha * 10 >= n_toks * 8 THEN 1 ELSE 0 END
+        |      AS r_alpha,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        |  FROM e),
+        |r AS (
+        |  SELECT source, r_count, r_wordlen, r_alpha, r_stop,
+        |    r_count * r_wordlen * r_alpha * r_stop AS pass
+        |  FROM g)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(r_count) AS BIGINT) AS n_count_ok,
+        |  CAST(SUM(r_wordlen) AS BIGINT) AS n_wordlen_ok,
+        |  CAST(SUM(r_alpha) AS BIGINT) AS n_alpha_ok,
+        |  CAST(SUM(r_stop) AS BIGINT) AS n_stop_ok,
+        |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+        |  CAST(SUM(pass) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // The q44 md5-bucket rule seeded per hash row ('cms' || j || ':'):
+    // counters replayed as a (j, b) grouped sum, estimates as the min
+    // over each top-k token's d cells — overcount >= 0 structurally.
+    "q109_cms_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |    AS token
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+        |jx AS (SELECT unnest(range(4)) AS j),
+        |bk AS (
+        |  SELECT j, token, n,
+        |    CAST('0x' || substr(md5('cms' || j::VARCHAR || ':' || token),
+        |      1, 6) AS BIGINT) % 1024 AS b
+        |  FROM cnt CROSS JOIN jx),
+        |ctr AS (
+        |  SELECT j, b, CAST(SUM(n) AS BIGINT) AS c FROM bk GROUP BY j, b),
+        |topk AS (
+        |  SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 20)
+        |SELECT t.token, t.n AS n_exact, MIN(c.c) AS est,
+        |  MIN(c.c) - t.n AS overcount
+        |FROM topk t
+        |JOIN bk ON bk.token = t.token
+        |JOIN ctr c ON c.j = bk.j AND c.b = bk.b
+        |GROUP BY t.token, t.n
+        |ORDER BY n_exact DESC, t.token ASC""".stripMargin,
   )
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
@@ -2836,6 +2903,13 @@ object SparkEntry {
   private val SessionSeqTopK = 20
   // q107: the vocab sizes the coverage curve is evaluated at.
   private val VocabCurveSizes = Seq(100, 1000, 10000)
+  // q109: count-min-sketch geometry (w buckets × d hash rows) and the
+  // heavy-hitter report size. w ≫ the corpus vocabulary's heavy tail,
+  // so the graded point shows near-clean estimates; shrink w in specs
+  // to force collisions.
+  private val CmsWidth = 1024
+  private val CmsDepth = 4
+  private val CmsTopK = 20
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -653,4 +653,137 @@ object TextOps {
       .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
       .orderBy("source")
   }
+
+  /** Graded q108: Gopher-style DOCUMENT-LEVEL quality gate — the
+    * rule-conjunction filter of Rae et al. 2021 §A1 (the sibling of
+    * q46's §A1.1 repetition rules, which score n-gram structure; these
+    * score the document's surface statistics), adapted to the
+    * newline-free corpus. Four integer-decided rules per document:
+    *
+    *  - `r_count`: token count within [25, 100000] (too-short docs are
+    *    boilerplate/fragments, too-long are concatenation accidents);
+    *  - `r_wordlen`: mean token length within [3, 10], decided by
+    *    cross-multiplication (`3·n ≤ Σlen ≤ 10·n` — no FP division);
+    *  - `r_alpha`: ≥ 80% of tokens contain an alphabetic character
+    *    (`10·n_alpha ≥ 8·n` — numeral/id floods fail here);
+    *  - `r_stop`: ≥ 2 DISTINCT stop-list words present (Gopher's
+    *    natural-language evidence rule; decided by filtering the fixed
+    *    7-word list by containment, so the check is list-sized, not
+    *    token-sized).
+    *
+    * The gate is the conjunction; the report is per-source rule and
+    * overall pass counts plus integer pass-ppm — the slice-level view
+    * that decides which sources need cleaning before a pretraining run.
+    *
+    * Scale shape: one projection pass over the corpus (every rule is a
+    * per-row HOF on the token array — no explode, no join), then ONE
+    * partial-agg shuffle on `source` to |sources| rows. No window, no
+    * sort until the presentation ORDER BY.
+    */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame =
+    gopherGateOf(Tables(spark, dir, "documents"))
+
+  /** Core of `gopherGate` over any `(doc_id, text, source)` corpus. */
+  def gopherGateOf(docs: DataFrame): DataFrame = {
+    val stopArr = stopList.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val d = docs.filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("tok_chars",
+        expr("aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop_distinct",
+        expr(s"size(filter($stopArr, s -> array_contains(toks, s)))")
+          .cast("long"))
+      .withColumn("r_count",
+        (col("n_toks") >= 25 && col("n_toks") <= 100000).cast("long"))
+      .withColumn("r_wordlen",
+        (col("tok_chars") >= col("n_toks") * 3 &&
+          col("tok_chars") <= col("n_toks") * 10).cast("long"))
+      .withColumn("r_alpha",
+        (col("n_alpha") * 10 >= col("n_toks") * 8).cast("long"))
+      .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("long"))
+      .withColumn("pass",
+        col("r_count") * col("r_wordlen") * col("r_alpha") * col("r_stop"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_count")).as("n_count_ok"),
+        sum(col("r_wordlen")).as("n_wordlen_ok"),
+        sum(col("r_alpha")).as("n_alpha_ok"),
+        sum(col("r_stop")).as("n_stop_ok"),
+        sum(col("pass")).as("n_pass"))
+      .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
+  /** The deterministic count-min-sketch bucket rule, shared by the q109
+    * batch sketch, its streaming twin, and (textually) the DuckDB
+    * oracle: row `j`'s bucket for a token is the first 6 hex digits of
+    * `md5('cms' || j || ':' || token)` mod `w` — the q44 md5-bucket
+    * discipline (engine-portable, uniform, seedable by row index).
+    */
+  private[graft] def cmsBucketExpr(j: String, token: String, w: Int): String =
+    s"cast(conv(substring(md5(concat('cms', cast($j as string), ':', " +
+      s"$token)), 1, 6), 16, 10) as bigint) % $w"
+
+  /** `(j, b, c)` count-min-sketch counters over any token-count table
+    * `(token, n)`: each of the `d` hash rows buckets every token into
+    * `w` cells and sums the counts. The sketch is the SAME aggregate
+    * whether fed exact per-token counts (batch: vocab-sized input) or
+    * raw occurrences (streaming: each micro-batch's tokens land with
+    * n=1) — sum is associative, which is the whole point of CMS as a
+    * mergeable, fixed-size (d×w) summary.
+    */
+  def cmsCountersOf(tokenCounts: DataFrame, w: Int, d: Int): DataFrame =
+    tokenCounts
+      .select(col("token"), col("n"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+      .withColumn("b", expr(cmsBucketExpr("j", "token", w)))
+      .groupBy("j", "b").agg(sum(col("n")).as("c"))
+
+  /** Graded q109: count-min-sketch HEAVY HITTERS (Cormode &
+    * Muthukrishnan 2005) — frequency estimation under a FIXED d×w
+    * summary, the sketch an always-on ingestion edge keeps where exact
+    * per-token counts would grow with the vocabulary. Each of `d` hash
+    * rows buckets every token into `w` cells; a token's estimate is the
+    * MINIMUM of its `d` cells, which can only overcount (collisions add,
+    * never subtract) — `overcount = est − exact ≥ 0` is the structural
+    * guarantee the spec and the oracle both assert, and the report
+    * shows the estimate landing on the true top-k (`w` ≫ heavy-hitter
+    * count, so their cells are near-clean).
+    *
+    * Scale shape: the corpus collapses ONCE to the (token, n) vocab
+    * table (the q14/q98/q107 shape — one token shuffle); the sketch is
+    * a d×|vocab|-row projection into a d×w-row aggregate (map-side
+    * combined, output FIXED at d×w regardless of corpus); the top-k
+    * candidates come from a TakeOrdered cut of the same persisted vocab
+    * (bounded heaps, no global sort), and their estimates join the d×w
+    * counter table via broadcast. The streaming twin
+    * (DocStreams.cmsCounterStream) maintains the identical counters in
+    * update mode with state bounded at d×w forever.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String, w: Int = 1024,
+      d: Int = 4, k: Int = 20): DataFrame =
+    cmsHeavyHittersOf(Tables(spark, dir, "documents"), w, d, k)
+
+  /** Core of `cmsHeavyHitters` over any `(doc_id, text)` corpus. */
+  def cmsHeavyHittersOf(docs: DataFrame, w: Int, d: Int, k: Int): DataFrame = {
+    require(w >= 2 && d >= 1 && k >= 1, s"bad sketch params w=$w d=$d k=$k")
+    val counts = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist())
+    val counters = cmsCountersOf(counts, w, d)
+    val topk = counts.orderBy(col("n").desc, col("token").asc).limit(k)
+    topk
+      .select(col("token"), col("n"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("j"))
+      .withColumn("b", expr(cmsBucketExpr("j", "token", w)))
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy("token", "n").agg(min(col("c")).as("est"))
+      .select(col("token"), col("n").as("n_exact"), col("est"),
+        (col("est") - col("n")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
 }

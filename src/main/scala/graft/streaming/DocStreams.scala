@@ -130,6 +130,24 @@ object DocStreams {
           .otherwise("candidate").as("verdict"),
         col("matched_id"))
   }
+
+  /** Streaming twin of q109's count-min sketch: the SAME `(j, b)`
+    * counter aggregation (`TextOps.cmsCountersOf` — shared code, shared
+    * md5 bucket rule) maintained over the arriving token stream. Each
+    * micro-batch's tokens land with n=1 and sum into the counters;
+    * state is FIXED at d×w rows forever — the whole point of CMS at
+    * the ingestion edge, where exact per-token counts would grow with
+    * the vocabulary. No watermark needed: the key space IS the sketch
+    * geometry, bounded by construction. DocStreamsSpec asserts the
+    * streamed counters equal the batch sketch cell for cell.
+    */
+  def cmsCounterStream(stream: DataFrame, w: Int = 1024,
+      d: Int = 4): DataFrame =
+    graft.ops.TextOps.cmsCountersOf(
+      stream.filter(col("doc_id").isNotNull)
+        .select(explode(expr(graft.ops.TextOps.tokensExpr)).as("token"),
+          lit(1L).as("n")),
+      w, d)
 }
 
 /** Streaming formulation of the embedding surface: vectors arriving as

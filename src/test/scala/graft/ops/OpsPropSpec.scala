@@ -418,4 +418,39 @@ class OpsPropSpec extends SparkSpec {
         (expected -- got).take(3)}, extra ${(got -- expected).take(3)}")
     }
   }
+
+  test("CMS heavy hitters == driver-side sketch replay, random corpora") {
+    import spark.implicits._
+    def bucket(j: Int, t: String, w: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cms$j:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % w
+    }
+    (0 until 5).foreach { i =>
+      val texts = sample(genCorpus, 9300L + i)
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      // widths small enough that collisions actually happen (8 vocab
+      // words into 4-16 buckets), so the min-over-rows logic is load-
+      // bearing, not a pass-through of clean cells
+      val (w, d, k) = (if (i % 2 == 0) 4 else 16, i % 3 + 1, 5)
+      val counts = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val counters = (for { (t, n) <- counts.toSeq; j <- 0 until d }
+        yield ((j, bucket(j, t, w)), n))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val exp = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+        .map { case (t, n) =>
+          val est = (0 until d).map(j => counters((j, bucket(j, t, w)))).min
+          (t, n, est, est - n)
+        }
+      val got = TextOps.cmsHeavyHittersOf(df, w, d, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == exp, s"seed ${9300L + i} w=$w d=$d: got $got exp $exp")
+      // the CMS bound holds for every reported token
+      assert(got.forall(_._4 >= 0), s"undercount at seed ${9300L + i}")
+    }
+  }
 }

@@ -522,6 +522,62 @@ class QueriesSpec extends SparkSpec {
       (10L, 9L, 1000000L)), got)
   }
 
+  test("q108 gopher gate: each rule falsified separately on controlled docs") {
+    import spark.implicits._
+    val cat23 = Seq.fill(23)("cat").mkString(" ")
+    val docs = Seq(
+      // pass all: 25 toks, 75 chars (the 3*n lower bound EXACTLY — the
+      // >= boundary is in play), all alpha, stops {the, and}
+      (java.lang.Long.valueOf(1L), s"the and $cat23", "s"),
+      // fail r_count only: 3 toks (9 chars keeps wordlen on-boundary)
+      (java.lang.Long.valueOf(2L), "the and cat", "s"),
+      // fail r_wordlen only: mean token length 52/25 < 3
+      (java.lang.Long.valueOf(3L), "the and " + Seq.fill(23)("ab").mkString(" "), "s"),
+      // fail r_alpha only: 6/25 numeral tokens > 20% (len-3 numerals
+      // keep tok_chars at exactly 75, isolating the alpha rule)
+      (java.lang.Long.valueOf(4L),
+        "the and " + Seq.fill(17)("cat").mkString(" ") + " " +
+          Seq.fill(6)("123").mkString(" "), "s"),
+      // fail r_stop only: zero stop-list words
+      (java.lang.Long.valueOf(5L), Seq.fill(25)("cat").mkString(" "), "s"),
+      // null doc_id dropped
+      (null.asInstanceOf[java.lang.Long], "the and " + cat23, "s")
+    ).toDF("doc_id", "text", "source")
+    val got = TextOps.gopherGateOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == Seq(("s", 5L, 4L, 4L, 4L, 4L, 1L, 200000L)), got)
+  }
+
+  test("q109 CMS heavy hitters: estimates equal a driver-side sketch replay") {
+    import spark.implicits._
+    val (w, d, k) = (4, 2, 2)
+    // counts: a=4, b=2, c=2; top-2 cut = a, then b on token ASC
+    val docs = Seq((1L, "a b a b c"), (2L, "a c a"))
+      .toDF("doc_id", "text")
+    // independent replay of the shared md5 bucket rule
+    def bucket(j: Int, t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"cms$j:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % w
+    }
+    val counts = Map("a" -> 4L, "b" -> 2L, "c" -> 2L)
+    val counters = (for { (t, n) <- counts.toSeq; j <- 0 until d }
+      yield ((j, bucket(j, t)), n))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val exp = Seq("a", "b").map { t =>
+      val est = (0 until d).map(j => counters((j, bucket(j, t)))).min
+      (t, counts(t), est, est - counts(t))
+    }
+    val got = TextOps.cmsHeavyHittersOf(docs, w, d, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == exp, s"got $got expected $exp")
+    // CMS structural guarantee: collisions only overcount
+    assert(got.forall(_._4 >= 0))
+  }
+
   test("q99 inverted index: postings exact below the df cap, NULL above it") {
     import spark.implicits._
     // dfs: x=3, y=2, z=1, w=1. maxDf=2 suppresses x's posting list only.

@@ -480,6 +480,37 @@ class ScaleSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("q108 plan: generator-free rule projection, one source shuffle, no window") {
+    val out = TextOps.gopherGate(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // every rule is a per-row HOF over the token array: the token
+    // stream never explodes, so there is no Generate node and the only
+    // hash exchange is the per-source aggregate
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      plan.take(3000))
+  }
+
+  test("q109 plan: TakeOrdered candidate cut; d-by-w counters broadcast back") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val out = TextOps.cmsHeavyHitters(spark, dir, 64, 3, 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // top-k candidates via bounded per-partition heaps, never a global
+    // sort of the vocabulary
+    assert(plan.split("TakeOrderedAndProject").length - 1 == 1,
+      plan.take(3000))
+    // the fixed d-by-w counter table rides a broadcast to meet the
+    // candidates — no shuffle of either side at estimation time
+    assert(out.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty, plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the corpus collapses once into the persisted vocab; both the
+    // sketch and the candidate cut read the cache
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
   test("q104 plan: one user shuffle covers sessionization and per-session lists; TakeOrdered vocab cut") {
     val out = Events.sessionSequences(spark, dir, 20)
     val plan = out.queryExecution.executedPlan.toString

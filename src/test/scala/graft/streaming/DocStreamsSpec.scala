@@ -253,6 +253,28 @@ class DocStreamsSpec extends SparkSpec {
     assert(kept.contains(6L) || kept.contains(5L))
   }
 
+  test("q109 twin: streamed CMS counters equal the batch sketch cell for cell") {
+    val w = 64 // small width forces real collisions through the twin
+    val d = 3
+    val stream = DocStreams.readDocStream(spark, streamDir)
+    EventStreams.runToMemory(
+      DocStreams.cmsCounterStream(stream, w, d),
+      "cms_counters", OutputMode.Complete())
+    val streamed = spark.table("cms_counters").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // batch sketch over the exact vocab counts of the same corpus —
+    // sum associativity is what makes the n=1 streaming feed equivalent
+    val batch = TextOps.cmsCountersOf(
+      Tables(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("doc_id").isNotNull)
+        .select(explode(expr(TextOps.tokensExpr)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n")), w, d)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // the state bound the twin exists for: never more than d*w cells
+    assert(streamed.size <= d * w)
+  }
+
   test("streaming pii scrub matches the batch scrub") {
     // plant PII the same way the batch graded query does, as files
     val in = Files.createTempDirectory("docs_pii_in").toString
