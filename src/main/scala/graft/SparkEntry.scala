@@ -181,6 +181,11 @@ object SparkEntry {
     "q108_gopher_gate" -> (TextOps.gopherGate _),
     "q109_cms_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextOps.cmsHeavyHitters(s, d, CmsWidth, CmsDepth, CmsTopK)),
+    "q110_hll_distinct" -> ((s: SparkSession, d: String) =>
+      Events.hllDistinctUsers(s, d, HllRegisters, HllAlphaPerMille)),
+    "q111_cross_source_neardups" -> Dedup.crossSourceNearDups _,
+    "q112_normalized_dedup" -> Dedup.normalizedDedupGain _,
+    "q113_ngram_novelty" -> TextOps.ngramNovelty _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2651,7 +2656,109 @@ object SparkEntry {
         |JOIN ctr c ON c.j = bk.j AND c.b = bk.b
         |GROUP BY t.token, t.n
         |ORDER BY n_exact DESC, t.token ASC""".stripMargin,
+    // Register-exact HLL replay: 40-bit md5-prefix hash, low log2(m)
+    // bits the register, rho = leading zeros + 1 via the minimal-bin
+    // length (identical on both engines), estimate as ONE integral
+    // division of the alpha-scaled numerator.
+    "q110_hll_distinct" -> hllOracleSql(HllRegisters, HllAlphaPerMille),
+    "q111_cross_source_neardups" ->
+      s"""WITH $nearDupPairCtes,
+         |sm AS (SELECT doc_id, source FROM documents),
+         |pb AS (
+         |  SELECT CASE WHEN doc_a >= 1000000 THEN doc_a - 1000000
+         |              ELSE doc_a END AS ba,
+         |         CASE WHEN doc_b >= 1000000 THEN doc_b - 1000000
+         |              ELSE doc_b END AS bb,
+         |         jaccard
+         |  FROM pairs),
+         |ps AS (
+         |  SELECT least(sa.source, sb.source) AS source_a,
+         |         greatest(sa.source, sb.source) AS source_b, jaccard
+         |  FROM pb JOIN sm sa ON pb.ba = sa.doc_id
+         |          JOIN sm sb ON pb.bb = sb.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jaccard = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_exact,
+         |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
+         |FROM ps GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+    "q112_normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text) || ' !!', source
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |h AS (
+        |  SELECT source, md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS norm_h
+        |  FROM corpus),
+        |g AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT raw_h) AS n_raw_distinct,
+        |    COUNT(DISTINCT norm_h) AS n_norm_distinct
+        |  FROM h GROUP BY source)
+        |SELECT source, n_docs, n_raw_distinct, n_norm_distinct,
+        |  n_raw_distinct - n_norm_distinct AS n_collapsed,
+        |  (n_docs - n_norm_distinct) * 1000000 // n_docs AS dup_ppm_norm
+        |FROM g ORDER BY source""".stripMargin,
+    "q113_ngram_novelty" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS shingles
+        |  FROM d),
+        |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sg),
+        |df AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram),
+        |per AS (
+        |  SELECT g.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_unique
+        |  FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+        |SELECT doc_id, n_grams, n_unique,
+        |  n_unique * 1000000 // n_grams AS novelty_ppm
+        |FROM per ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
+    * mirrors one stage of the Spark plan (hash, register project, max
+    * aggregate, integer estimate, exact join-back).
+    */
+  private def hllOracleSql(m: Int, alphaPerMille: Long): String = {
+    val kMax = 41 - Integer.numberOfTrailingZeros(m)
+    val num = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+       |      1, 10) AS BIGINT) AS h
+       |  FROM events),
+       |r AS (
+       |  SELECT event_type, h % $m AS idx,
+       |    CASE WHEN h // $m = 0 THEN $kMax
+       |         ELSE $kMax - length(bin(h // $m)) END AS rho
+       |  FROM h),
+       |reg AS (SELECT event_type, idx, MAX(rho) AS mj
+       |        FROM r GROUP BY event_type, idx),
+       |s AS (
+       |  SELECT event_type, COUNT(*) AS n_present,
+       |    CAST(SUM(1::BIGINT << ($kMax - mj)) AS BIGINT) AS s_present
+       |  FROM reg GROUP BY event_type),
+       |e AS (
+       |  SELECT event_type, $m - n_present AS n_zero_regs,
+       |    $num // (1000 * (s_present + ($m - n_present) *
+       |      ${1L << kMax})) AS est_hll
+       |  FROM s),
+       |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY event_type)
+       |SELECT x.event_type, x.n_exact, e.n_zero_regs, e.est_hll,
+       |  abs(e.est_hll - x.n_exact) * 1000000 // x.n_exact AS abs_err_ppm
+       |FROM x JOIN e USING (event_type) ORDER BY x.event_type""".stripMargin
+  }
 
   /** CTE chain replaying `TextOps.bpeTrain(k)` in DuckDB: `sw` the
     * per-source word counts (the single corpus collapse), `wf`/`w0` the
@@ -2910,6 +3017,12 @@ object SparkEntry {
   private val CmsWidth = 1024
   private val CmsDepth = 4
   private val CmsTopK = 20
+  // q110: HLL register count (m, a power of two ≤ 4096) and Flajolet's
+  // bias constant α_64 = 0.7213/(1 + 1.079/64) ≈ 0.709, scaled to
+  // per-mille so the estimator is pure integer arithmetic on both
+  // engines. Raising m is the accuracy lever (rse ≈ 1.04/√m).
+  private val HllRegisters = 64
+  private val HllAlphaPerMille = 709L
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

@@ -211,6 +211,103 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Graded q111: cross-source CONTAMINATION PROVENANCE matrix — the
+    * q19 near-dup pairs rolled up by which source pair produced them
+    * (planted copies under the id-offset convention map back to their
+    * base document's source). A same-source cell is internal
+    * boilerplate; an off-diagonal cell is one source republishing
+    * another's content — the provenance signal that decides WHICH
+    * feed gets deduped against which before a pretraining mix is
+    * frozen. `n_exact` counts identical-content pairs (Jaccard exactly
+    * 1 by construction on both engines); min/max Jaccard bound each
+    * cell's similarity band.
+    *
+    * Scale shape: rides the q19 banded-LSH plan unchanged (pairs are
+    * dedup OUTPUT — orders of magnitude smaller than the corpus); the
+    * two provenance joins meet the doc→source map on doc_id with the
+    * pairs side tiny, so AQE broadcasts it; the matrix aggregate is
+    * ≤ |sources|² rows. Nothing here rescans text.
+    */
+  def crossSourceNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = nearDupPairs(spark, dir)
+    val srcs = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .withColumn("ba", expr(
+        "CASE WHEN doc_a >= 1000000 THEN doc_a - 1000000 ELSE doc_a END"))
+      .withColumn("bb", expr(
+        "CASE WHEN doc_b >= 1000000 THEN doc_b - 1000000 ELSE doc_b END"))
+      .join(srcs.select(col("doc_id").as("ba"), col("source").as("sa")), "ba")
+      .join(srcs.select(col("doc_id").as("bb"), col("source").as("sb")), "bb")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("jaccard") === 1.0).cast("long")).as("n_exact"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** documents corpus with every 100th doc re-added under
+    * doc_id + 2,000,000 as `upper(text) || ' !!'` — case- and
+    * punctuation-perturbed copies, the near-miss class EXACT dedup
+    * (q17) cannot see and full near-dup LSH (q19) is overkill for.
+    */
+  def corpusWithCaseDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text", "source")
+    docs.unionByName(
+      docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"),
+          col("source")))
+  }
+
+  /** The CCNet/C4-style normalization rule shared by q112 and its
+    * DuckDB oracle: lowercase, every non-alphanumeric run to one
+    * space, trim. Spark's regexp_replace is replace-all by default;
+    * the oracle passes the 'g' flag for the same semantics.
+    */
+  val normalizeExpr: String =
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+
+  /** Graded q112: NORMALIZATION DEDUP GAIN — per source, how many
+    * distinct raw texts collapse once hashing runs on the normalized
+    * form (md5 of `normalizeExpr`) instead of the raw bytes. This is
+    * the measurement behind the normalize-before-hash rule every
+    * web-scale dedup pipeline (CCNet, C4) applies: case and
+    * punctuation jitter defeats raw-byte hashing, and the gain column
+    * says exactly how much each source suffers from it. Planted
+    * perturbed copies (corpusWithCaseDups) make the effect graded:
+    * raw hashing counts them as new content, normalized hashing
+    * collapses them onto their base doc.
+    *
+    * Scale shape: one projection computes BOTH hashes per document in
+    * a single text pass (no explode — md5 of the whole string), then
+    * ONE per-source aggregate carrying two count-distincts (a 2×
+    * expand, each branch hash-sized not text-sized). Integer ppm, so
+    * the hash-compare is exact.
+    */
+  def normalizedDedupGain(spark: SparkSession, dir: String): DataFrame =
+    normalizedDedupGainOf(corpusWithCaseDups(spark, dir))
+
+  /** Core of `normalizedDedupGain` over any `(doc_id, text, source)`
+    * corpus.
+    */
+  def normalizedDedupGainOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("source"), md5(col("text")).as("raw_h"),
+        md5(expr(normalizeExpr)).as("norm_h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_raw_distinct"),
+        countDistinct(col("norm_h")).as("n_norm_distinct"))
+      .withColumn("n_collapsed",
+        col("n_raw_distinct") - col("n_norm_distinct"))
+      .withColumn("dup_ppm_norm",
+        expr("(n_docs - n_norm_distinct) * 1000000 div n_docs"))
+      .orderBy("source")
+
   /** Attach a SimHash fingerprint column of `bits` width (16 or 64): for
     * each bit b, majority vote over distinct tokens of one md5(token)
     * bit. Bit b reads bit (b div 32) of hex digit (b mod 32) — for the

@@ -197,6 +197,95 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Per-user `(event_type, idx, rho)` HyperLogLog observables, shared
+    * by the batch sketch (q110), its streaming twin
+    * (EventStreams.hllRegisterStream) and — textually — the DuckDB
+    * oracle: a 40-bit hash from the first 10 hex digits of
+    * `md5('hll:' || user_id)`, its low `log2(m)` bits the register
+    * index, and `rho` = 1 + the count of leading zeros in the remaining
+    * bits (Flajolet et al. 2007). `bin()` yields the minimal binary
+    * string on both engines, so `rho = restBits + 1 - length(bin(rest))`
+    * is pure integer logic — no log2, no FP.
+    */
+  def hllProjected(ev: DataFrame, m: Int): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0 && m <= 4096,
+      s"m must be a power of two in [2, 4096], got $m")
+    val restBits = 40 - Integer.numberOfTrailingZeros(m)
+    ev.select(col("event_type"), expr(
+        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING)))," +
+          " 1, 10), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), (col("h") % m).as("idx"),
+        expr(s"CASE WHEN h div $m = 0 THEN ${restBits + 1} " +
+          s"ELSE ${restBits + 1} - length(bin(h div $m)) END").as("rho"))
+  }
+
+  /** The m-register HLL table per event type: `max(rho)` per register —
+    * an idempotent, commutative, mergeable aggregate (duplicates change
+    * nothing, shards/micro-batches merge by max), which is the whole
+    * sketch contract. Output is bounded at `m × |event types|` rows no
+    * matter the input size.
+    */
+  def hllRegistersOf(ev: DataFrame, m: Int): DataFrame =
+    hllProjected(ev, m)
+      .groupBy("event_type", "idx").agg(max(col("rho")).as("mj"))
+
+  /** Graded q110: ENGINE-PORTABLE HyperLogLog distinct-user estimation
+    * per event type. q26 already runs Spark's built-in HLL++, but its
+    * sketch internals are engine-private, so its oracle can only bound
+    * the estimate. This operator is the complement: the md5-derived
+    * register sketch is specified down to the bit on both engines, so
+    * the ESTIMATE ITSELF hash-matches DuckDB — the portability a
+    * multi-engine lakehouse needs when sketch state is persisted and
+    * merged across systems.
+    *
+    * The estimator is Flajolet's raw HLL estimate in exact integer
+    * arithmetic: with `S = Σ_j 2^(Kmax − M_j)` (Kmax = restBits + 1,
+    * absent registers at M=0), `E = α_m·m²·2^Kmax / S` computed as one
+    * integral division `(αpm·m²·2^Kmax) div (1000·S)` — α scaled to
+    * per-mille so no FP enters either engine. The report carries the
+    * exact distinct count (the verification column a production run
+    * would drop), the zero-register count V (what the small-range
+    * linear-counting correction would key on), and the absolute error
+    * in ppm.
+    *
+    * Scale shape: the register path is ONE map-side-combined max
+    * aggregate — no distinct, no expand — with state bounded at
+    * m×|types| rows forever; the exact column is a separate
+    * count-distinct branch joined back by broadcast (|types| rows). At
+    * 100 TB the sketch branch alone is the query; registers from
+    * shards, days, or the streaming twin merge by max.
+    */
+  def hllDistinctUsers(spark: SparkSession, dir: String, m: Int = 64,
+      alphaPerMille: Long = 709): DataFrame =
+    hllDistinctUsersOf(events(spark, dir), m, alphaPerMille)
+
+  /** Core of `hllDistinctUsers` over any `(event_type, user_id)`
+    * relation.
+    */
+  def hllDistinctUsersOf(ev: DataFrame, m: Int,
+      alphaPerMille: Long): DataFrame = {
+    val restBits = 40 - Integer.numberOfTrailingZeros(m)
+    val kMax = restBits + 1
+    // α·m²·2^Kmax ≤ 709·2^(41 + log2 m) < 2^63 for m ≤ 4096 (the
+    // hllProjected bound), so the numerator is a safe long literal.
+    val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
+    val est = hllRegistersOf(ev, m)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $kMax - mj)")).as("s_present"))
+      .select(col("event_type"),
+        (lit(m.toLong) - col("n_present")).as("n_zero_regs"),
+        expr(s"$numerator div (1000 * (s_present + " +
+          s"(${m.toLong} - n_present) * ${1L << kMax}))").as("est_hll"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(broadcast(est), Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("n_zero_regs"),
+        col("est_hll"),
+        expr("abs(est_hll - n_exact) * 1000000 div n_exact").as("abs_err_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Range join: aggregate events into 100 deterministic time windows
     * (7-hour stride, 1–5 hour lengths) via the grid-bucketed
     * point-in-interval join. The DuckDB oracle runs the NAIVE non-equi

@@ -270,6 +270,22 @@ object EventStreams {
       .withWatermark("ts_utc", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** q110's twin: the m-register HyperLogLog table maintained AT the
+    * ingestion edge — `graft.ops.Events.hllRegistersOf` verbatim over
+    * the stream, so each micro-batch's (event_type, idx, rho) rows fold
+    * into the registers by max. Max is idempotent, commutative and
+    * mergeable, which is why the streamed registers equal the batch
+    * sketch cell for cell (EventStreamsSpec asserts it) and why NO
+    * watermark is needed: state is FIXED at m × |event types| rows
+    * forever — the key space IS the sketch geometry, the same bound the
+    * CMS twin (DocStreams.cmsCounterStream) rides. A reader computes
+    * the estimate from the registers at any moment without stopping
+    * the stream.
+    */
+  def hllRegisterStream(stream: DataFrame, m: Int = 64): DataFrame =
+    graft.ops.Events.hllRegistersOf(
+      stream.select(col("event_type"), col("user_id")), m)
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

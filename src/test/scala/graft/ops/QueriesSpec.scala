@@ -604,4 +604,109 @@ class QueriesSpec extends SparkSpec {
       .toSeq
     assert(got == Seq(("s1", 5L, 1L, 200000L), ("s2", 4L, 2L, 500000L)), got)
   }
+
+  test("q110 HLL distinct: estimate equals a driver-side register replay") {
+    import spark.implicits._
+    val m = 8 // small m so register collisions are real
+    val alphaPm = 709L
+    val restBits = 40 - Integer.numberOfTrailingZeros(m) // 37
+    val kMax = restBits + 1
+    // type a: users 1..40 each seen TWICE (sketch must be insensitive
+    // to duplication); type b: users 1..5
+    val rows = (1 to 40).flatMap(u => Seq(("a", u.toLong), ("a", u.toLong))) ++
+      (1 to 5).map(u => ("b", u.toLong))
+    val df = rows.toDF("event_type", "user_id")
+    // independent replay of the 40-bit md5-prefix register rule
+    def hash(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"hll:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 10), 16)
+    }
+    def replay(users: Seq[Long]): (Long, Long, Long) = {
+      val regs = users.map(hash).groupBy(_ % m)
+        .view.mapValues(_.map { h =>
+          val rest = h / m
+          if (rest == 0) kMax
+          else kMax - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        }.max).toMap
+      val s = regs.values.map(mj => 1L << (kMax - mj)).sum +
+        (m - regs.size) * (1L << kMax)
+      val est = (alphaPm * m * m * (1L << kMax)) / (1000L * s)
+      val exact = users.distinct.size.toLong
+      (est, (m - regs.size).toLong, exact)
+    }
+    val (estA, zeroA, exactA) = replay((1L to 40L).toSeq)
+    val (estB, zeroB, exactB) = replay((1L to 5L).toSeq)
+    val got = Events.hllDistinctUsersOf(df, m, alphaPm).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val exp = Seq(
+      ("a", exactA, zeroA, estA, math.abs(estA - exactA) * 1000000L / exactA),
+      ("b", exactB, zeroB, estB, math.abs(estB - exactB) * 1000000L / exactB))
+    assert(got == exp, s"got $got expected $exp")
+    // 8 registers at 40/5 distinct: the sketch is coarse but sane —
+    // within a factor of ~2 either side at this deliberately tiny m
+    assert(estA > exactA / 2 && estA < exactA * 2, (estA, exactA))
+  }
+
+  test("q111 cross-source matrix equals a driver-side rollup of the q19 pairs") {
+    val pairs = Dedup.nearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exp = pairs.map { case (a, b, j) =>
+      val sa = src(if (a >= 1000000L) a - 1000000L else a)
+      val sb = src(if (b >= 1000000L) b - 1000000L else b)
+      (if (sa <= sb) (sa, sb) else (sb, sa), j)
+    }.groupBy(_._1).map { case ((lo, hi), vs) =>
+      val js = vs.map(_._2)
+      (lo, hi, js.size.toLong, js.count(_ == 1.0).toLong, js.min, js.max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Dedup.crossSourceNearDups(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == exp, s"got $got expected $exp")
+    // the planted copies guarantee a non-empty matrix, and every cell's
+    // Jaccard band is well-formed
+    assert(got.nonEmpty && got.forall(c => c._4 <= c._3 && c._5 <= c._6))
+    CachedStages.release(spark)
+  }
+
+  test("q112 normalization gain: case/punct jitter collapses, real edits survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "big cat!", "s1"),
+      (2L, "Big  Cat", "s1"), // raw-distinct, norm-collapses with 1 and 3
+      (3L, "big cat", "s1"),
+      (4L, "other text", "s1"),
+      (5L, "dog", "s2"),
+      (6L, "dog", "s2"), // raw exact dup — already collapsed pre-norm
+      (7L, "dogs", "s2") // a REAL edit: normalization must NOT merge it
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.normalizedDedupGainOf(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("s1", 4L, 4L, 2L, 2L, 500000L),
+      ("s2", 3L, 2L, 2L, 0L, 333333L)), got)
+  }
+
+  test("q113 ngram novelty: hand-computed df-1 fractions, <3-token docs drop") {
+    import spark.implicits._
+    // doc 1/2 share gram "a b c" (df=2); each keeps one private gram;
+    // doc 3 has no 3-gram; doc 5's repeated window exercises the
+    // DISTINCT-shingle rule ({m n m, n m n}, both df=1)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c x"), (3L, "z z"), (4L, "p q r"),
+      (5L, "m n m n m")
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramNoveltyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 500000L), (2L, 2L, 1L, 500000L),
+      (4L, 1L, 1L, 1000000L), (5L, 2L, 2L, 1000000L)), got)
+    CachedStages.release(spark)
+  }
 }

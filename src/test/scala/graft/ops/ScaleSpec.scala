@@ -624,4 +624,61 @@ class ScaleSpec extends SparkSpec {
     assert(!beforeJoin.replaceAll("(?s)BroadcastExchange.*", "")
       .contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("q110 plan: register path is ONE max-aggregate; estimate meets exact by broadcast") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // the sketch branch alone — what a 100 TB run would execute — is a
+    // single map-side-combined hash aggregate: no distinct expand, no
+    // window, no explode, state bounded at m x |types|
+    val regPlan = Events.hllRegistersOf(Events.events(spark, dir), 64)
+      .queryExecution.executedPlan.toString
+    assert(!regPlan.contains("Expand"), regPlan.take(3000))
+    assert(!regPlan.contains("Window"), regPlan.take(3000))
+    assert(!regPlan.contains("Generate"), regPlan.take(3000))
+    assert(regPlan.split("Exchange hashpartitioning").length - 1 == 1,
+      regPlan.take(3000))
+    // the full graded query joins the |types|-row estimate back to the
+    // exact branch by broadcast — never a shuffle join of two aggregates
+    val out = Events.hllDistinctUsers(spark, dir, 64, 709L)
+    assert(out.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      out.queryExecution.executedPlan.toString.take(3000))
+  }
+
+  test("q111 plan: provenance rollup rides the cached q19 signature stage, no cartesian") {
+    val out = Dedup.crossSourceNearDups(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // pairs come from the persisted signature stage (never re-shingled)
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q112 plan: single text pass — no explode, no window, one distinct expand") {
+    val out = Dedup.normalizedDedupGain(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // both hashes are whole-string md5s computed in one projection; the
+    // token stream never explodes and nothing needs a window
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the two count-distincts share ONE Expand (hash-sized rows, not
+    // text-sized) — a second would mean the corpus was re-aggregated
+    assert(plan.split("Expand").length - 1 == 1, plan.take(3000))
+  }
+
+  test("q113 plan: gram stage cached once; df join and doc rollup stay within 3 exchanges") {
+    val out = TextOps.ngramNovelty(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // the (doc_id, gram) explode is computed once and persisted; both
+    // the df aggregate and the probe side read the cache
+    assert(plan.contains("InMemoryTableScan"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // df agg (gram), probe-side exchange (gram), doc rollup (doc_id) —
+    // a fourth hash exchange would mean the df side re-shuffled
+    val hashEx = plan.split("Exchange hashpartitioning").length - 1
+    assert(hashEx <= 3, s"expected <= 3 hash exchanges, got $hashEx\n" +
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
 }

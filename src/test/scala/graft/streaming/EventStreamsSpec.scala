@@ -341,4 +341,22 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(got.toSet == expected)
   }
+
+  test("q110 twin: streamed HLL registers equal the batch sketch cell for cell") {
+    val m = 8 // small register count forces real max-collisions in-cell
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(EventStreams.hllRegisterStream(stream, m),
+      "hll_regs", OutputMode.Complete())
+    val streamed = spark.table("hll_regs").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+    // max associativity/idempotence is what makes micro-batch folding
+    // equivalent to the one-shot batch aggregate
+    val batch = Events.hllRegistersOf(
+        Events.events(spark, "/root/testdata/sf0.001"), m).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // the fixed-state bound the twin exists for: m registers per type
+    val nTypes = streamed.keySet.map(_._1).size
+    assert(streamed.size <= m * nTypes)
+  }
 }
