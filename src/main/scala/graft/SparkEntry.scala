@@ -186,6 +186,11 @@ object SparkEntry {
     "q111_cross_source_neardups" -> Dedup.crossSourceNearDups _,
     "q112_normalized_dedup" -> Dedup.normalizedDedupGain _,
     "q113_ngram_novelty" -> TextOps.ngramNovelty _,
+    "q114_cluster_split" -> ((s: SparkSession, d: String) =>
+      Sampling.clusterAwareSplit(s, d)),
+    "q115_token_budget" -> ((s: SparkSession, d: String) =>
+      Sampling.tokenBudgetAllocation(s, d, TokenBudget)),
+    "q116_session_transitions" -> Events.sessionTransitions _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2723,6 +2728,64 @@ object SparkEntry {
         |SELECT doc_id, n_grams, n_unique,
         |  n_unique * 1000000 // n_grams AS novelty_ppm
         |FROM per ORDER BY doc_id""".stripMargin,
+    // q40's recursive closure + the q44 bucket rule keyed on the
+    // canonical id (identity for unclustered docs).
+    "q114_cluster_split" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |cs AS (
+         |  SELECT c.doc_id,
+         |    COALESCE(comp.canonical_id, c.doc_id) AS canonical_id
+         |  FROM corpus c LEFT JOIN comp ON c.doc_id = comp.doc_id),
+         |b AS (
+         |  SELECT doc_id, canonical_id,
+         |    CAST('0x' || substr(md5(canonical_id::VARCHAR), 1, 6)
+         |      AS BIGINT) % 100 AS bucket
+         |  FROM cs)
+         |SELECT doc_id, canonical_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "q115_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents WHERE doc_id IS NOT NULL GROUP BY source),
+         |w AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+         |  FROM t),
+         |d AS (SELECT CAST(SUM(w_sqrt) AS BIGINT) AS denom FROM w)
+         |SELECT source, n_tokens, w_sqrt,
+         |  $TokenBudget * w_sqrt // denom AS alloc_tokens,
+         |  ($TokenBudget * w_sqrt // denom) * 1000 // n_tokens
+         |    AS epochs_permille
+         |FROM w, d ORDER BY source""".stripMargin,
+    // the q12 lag-window session rule (gap > 1800 s breaks the chain);
+    // row-normalization totals re-derived from the transition counts.
+    "q116_session_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type
+        |  FROM e
+        |  WHERE prev_ts IS NOT NULL
+        |    AND date_diff('second', prev_ts, ts) <= 1800),
+        |c AS (SELECT prev_type, next_type, COUNT(*) AS n_trans
+        |      FROM t GROUP BY prev_type, next_type),
+        |tot AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+        |        FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n_trans,
+        |  c.n_trans * 1000000 // tot.n_from AS p_ppm
+        |FROM c JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3023,6 +3086,11 @@ object SparkEntry {
   // engines. Raising m is the accuracy lever (rse ≈ 1.04/√m).
   private val HllRegisters = 64
   private val HllAlphaPerMille = 709L
+  // q115: the fixed token budget the α=1/2 mixture is allocated
+  // against. Graded at 1M so low-resource sources land above one epoch
+  // (epochs_permille > 1000) at sf0.01 — the decision point the table
+  // exists to show; a production 10T-token budget only changes this.
+  private val TokenBudget = 1000000L
 
   /** CTE chain replaying `Clustering.kmeansModel(k, iters)` in DuckDB:
     * `v` (vectors), `cent0` (seeds) … `a$iters` (final assignment), with

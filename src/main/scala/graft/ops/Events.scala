@@ -554,6 +554,51 @@ object Events {
       .orderBy("rank")
   }
 
+  /** Graded q116: SESSION-SCOPED Markov transition matrix — for every
+    * ordered `(prev_type, next_type)` pair of CONSECUTIVE events inside
+    * one session (the q12/q104 30-minute-gap rule: a gap > 1800 s
+    * breaks the chain, so no transition spans sessions), the count and
+    * the row-normalized probability in integer ppm. This is the
+    * first-order behavior model behind q104's session vocabulary: q104
+    * reports which whole session shapes are common, this reports the
+    * step law that generates them — the table a product-analytics or
+    * behavioral-cloning pipeline reads as "after a view, 62% of
+    * next-steps are a purchase".
+    *
+    * Scale shape: ONE user_id shuffle drives the lag window (the q104
+    * discipline — ordering by (ts_us, event_id) pins tie order); the
+    * transition aggregate is map-side combined down to ≤ |types|² rows
+    * and PERSISTED, so the row totals re-aggregate the tiny cached
+    * matrix and broadcast back — the event stream is scanned exactly
+    * once (ScaleSpec pins the single scan; unpersisted, the totals
+    * branch would re-run the window over the full stream).
+    */
+  def sessionTransitions(spark: SparkSession, dir: String): DataFrame =
+    sessionTransitionsOf(events(spark, dir))
+
+  /** Core of `sessionTransitions` over any events relation carrying
+    * `(user_id, event_id, event_type, ts_us, ts_sec)`.
+    */
+  def sessionTransitionsOf(evs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val trans = CachedStages.track(evs
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev_sec").isNotNull &&
+        col("ts_sec") - col("prev_sec") <= 1800)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_trans"))
+      .persist())
+    val totals = trans.groupBy("prev_type")
+      .agg(sum(col("n_trans")).as("n_from"))
+    trans.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        expr("n_trans * 1000000 div n_from").as("p_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

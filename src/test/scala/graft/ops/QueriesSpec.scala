@@ -709,4 +709,79 @@ class QueriesSpec extends SparkSpec {
       (4L, 1L, 1L, 1000000L), (5L, 2L, 2L, 1000000L)), got)
     CachedStages.release(spark)
   }
+
+  test("q114 cluster split: clusters move whole, the q105 audit reads zero leaks") {
+    val split = Sampling.clusterAwareSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // total coverage: every corpus doc (base + planted) is assigned
+    assert(split.length ==
+      Dedup.corpusWithNearDups(spark, dir).count())
+    // a cluster is one unit: every member shares its canonical's split
+    val byCluster = split.groupBy(_._2).values
+    assert(byCluster.forall(_.map(_._3).distinct.size == 1))
+    // and some real multi-doc cluster exists (the planted pairs)
+    assert(byCluster.exists(_.size > 1))
+    // the closing of the q105 loop: NO near-dup pair straddles splits
+    val splitOf = split.map(t => t._1 -> t._3).toMap
+    val pairs = Dedup.nearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty &&
+      pairs.forall { case (a, b) => splitOf(a) == splitOf(b) })
+    // contrast: the doc_id-keyed q44 rule DOES leak on the same pairs
+    // (otherwise this operator would be proving nothing)
+    val audit = Sampling.splitLeakageAuditOf(
+      Dedup.nearDupPairs(spark, dir).select("doc_a", "doc_b")).collect()
+    assert(audit.exists(r => r.getLong(3) == 1L),
+      "expected the naive split to leak on this corpus")
+    CachedStages.release(spark)
+  }
+
+  test("q115 token budget: hand-computed integer sqrt allocation") {
+    import spark.implicits._
+    // token counts: s1 = 16 (isqrt 4), s2 = 9 (isqrt 3), s3 = 100
+    // (isqrt 10); denom 17, budget 1700 -> allocs 400/300/1000
+    val docs = Seq(
+      (java.lang.Long.valueOf(1L), Seq.fill(16)("t").mkString(" "), "s1"),
+      (java.lang.Long.valueOf(2L), Seq.fill(9)("t").mkString(" "), "s2"),
+      (java.lang.Long.valueOf(3L), Seq.fill(60)("t").mkString(" "), "s3"),
+      (java.lang.Long.valueOf(4L), Seq.fill(40)("t").mkString(" "), "s3"),
+      (null.asInstanceOf[java.lang.Long], "dropped", "s3")
+    ).toDF("doc_id", "text", "source")
+    val got = Sampling.tokenBudgetAllocationOf(docs, 1700L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("s1", 16L, 4L, 400L, 25000L),
+      ("s2", 9L, 3L, 300L, 33333L),
+      ("s3", 100L, 10L, 1000L, 10000L)), got)
+    // allocation law: integral division never over-allocates the budget
+    assert(got.map(_._4).sum <= 1700L)
+    // temperature direction: the low-resource source repeats most
+    assert(got.maxBy(_._5)._1 == "s2" && got.minBy(_._5)._1 == "s3")
+    CachedStages.release(spark)
+  }
+
+  test("q116 session transitions: gap breaks the chain, ties order by event_id") {
+    import spark.implicits._
+    val us = 1000000L
+    // user 1: a->b (60 s), b->a (60 s), then a 2-hour gap (NO c
+    // transition from a), then c->a; user 2: simultaneous pair — the
+    // event_id tiebreak makes it b->a, then a->b 10 s later
+    val evs = Seq(
+      (1L, 10L, "a", 0L), (1L, 11L, "b", 60L), (1L, 12L, "a", 120L),
+      (1L, 13L, "c", 7400L), (1L, 14L, "a", 7460L),
+      (2L, 20L, "b", 0L), (2L, 21L, "a", 0L), (2L, 22L, "b", 10L)
+    ).map { case (u, e, t, sec) => (u, e, t, sec * us, sec) }
+      .toDF("user_id", "event_id", "event_type", "ts_us", "ts_sec")
+    val got = Events.sessionTransitionsOf(evs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // transitions: u1: (a,b),(b,a),(c,a); u2: (b,a),(a,b)
+    // rows: a->b 2 of 2 from a; b->a 2 of 2 from b; c->a 1 of 1
+    assert(got == Seq(
+      ("a", "b", 2L, 1000000L),
+      ("b", "a", 2L, 1000000L),
+      ("c", "a", 1L, 1000000L)), got)
+    CachedStages.release(spark)
+  }
 }

@@ -681,4 +681,55 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q114 plan: corpus-side canonical join broadcasts the cluster table") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val out = Sampling.clusterAwareSplit(spark, dir)
+    // the cluster table (pair-cluster-sized) must ride a broadcast onto
+    // the corpus — a shuffle join here would re-partition the whole
+    // corpus for a table orders of magnitude smaller
+    assert(out.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      out.queryExecution.executedPlan.toString.take(3000))
+    assert(!out.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    CachedStages.release(spark)
+  }
+
+  test("q115 plan: one corpus scan; budget math reads the cached count table") {
+    val out = Sampling.tokenBudgetAllocation(spark, dir, 1000000L)
+    val plan = out.queryExecution.executedPlan.toString
+    // token counts are size(regexp) per row — the stream never explodes
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    // the denominator and the allocation both read the persisted
+    // |sources|-row table: NO file scan outside the cached stage
+    // (unpersisted, the 1-row sum re-runs the full corpus aggregate)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q116 plan: one events scan; totals re-aggregate the cached matrix, never the stream") {
+    val out = Events.sessionTransitions(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // a naive formulation scans events twice (transitions + totals);
+    // this one persists the |types|^2 matrix and re-aggregates THAT:
+    // no file scan outside the cached stage, both consumers on cache
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    // the row totals meet the matrix by broadcast, not a shuffle join
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
