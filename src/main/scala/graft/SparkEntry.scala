@@ -191,6 +191,15 @@ object SparkEntry {
     "q115_token_budget" -> ((s: SparkSession, d: String) =>
       Sampling.tokenBudgetAllocation(s, d, TokenBudget)),
     "q116_session_transitions" -> Events.sessionTransitions _,
+    "q117_pq_knn" -> ((s: SparkSession, d: String) =>
+      Quantization.pqAdcTopK(s, d, PqM, PqSubDim, PqKSub, PqIters, QuantTopK)),
+    "q118_kmv_vocab_overlap" -> TextOps.kmvVocabOverlap _,
+    "q119_pmi_collocations" -> TextOps.pmiCollocations _,
+    "q120_purchase_hits" -> ((s: SparkSession, d: String) =>
+      Graph.purchaseHits(s, d, HitsIters, HitsTopK)),
+    "q121_related_docs" -> ((s: SparkSession, d: String) =>
+      TextOps.relatedDocs(s, d, RelatedDfCap, RelatedTopK)),
+    "q122_markov_eval" -> Events.markovEval _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2786,6 +2795,192 @@ object SparkEntry {
         |  c.n_trans * 1000000 // tot.n_from AS p_ppm
         |FROM c JOIN tot USING (prev_type)
         |ORDER BY prev_type, next_type""".stripMargin,
+
+    // Replays Quantization.pqAdcTopK: per-sub-space kmeans training
+    // (pqCtes — the kmeansCtes shape with `sub` in every key), code
+    // assignment, per-probe distance tables, and the sub-order ADC fold.
+    "q117_pq_knn" ->
+      s"""WITH ${pqCtes(PqM, PqSubDim, PqKSub, PqIters)},
+         |codes AS (
+         |  SELECT vec_id, list(cluster ORDER BY sub) AS codes
+         |  FROM a$PqIters GROUP BY vec_id),
+         |dt AS (
+         |  SELECT s.vec_id AS q_id, c.sub, c.cluster,
+         |    list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+         |      ii -> (s.sv[ii] - c.c[ii]) * (s.sv[ii] - c.c[ii])),
+         |      (x2, y2) -> x2 + y2) AS d2
+         |  FROM sv s JOIN cent${PqIters - 1} c ON s.sub = c.sub
+         |  WHERE s.vec_id < 8),
+         |dtab AS (
+         |  SELECT q_id, list(d2 ORDER BY sub, cluster) AS dtab
+         |  FROM dt GROUP BY q_id),
+         |ad AS (
+         |  SELECT d.q_id, cd.vec_id,
+         |    list_reduce(list_transform(range(0, $PqM),
+         |      s2 -> d.dtab[s2 * $PqKSub + cd.codes[s2 + 1] + 1]),
+         |      (x2, y2) -> x2 + y2) AS adist
+         |  FROM codes cd CROSS JOIN dtab d
+         |  WHERE cd.vec_id <> d.q_id),
+         |r AS (
+         |  SELECT q_id, vec_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM ad)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, ROUND(adist, 6) AS adist
+         |FROM r WHERE rn <= $QuantTopK ORDER BY q_id, rn""".stripMargin,
+
+    // Replays TextOps.kmvVocabOverlap: per-source bottom-64 distinct
+    // 56-bit hashes (the kmv_values state) via a ranked window, then
+    // the identical sketch algebra per pair.
+    "q118_kmv_vocab_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |h AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(token), 1, 14))::BIGINT AS hv
+         |  FROM toks),
+         |rk AS (
+         |  SELECT source, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT source, list(hv ORDER BY hv) AS sk
+         |  FROM rk WHERE rn <= $KmvOverlapK GROUP BY source),
+         |p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, a.sk AS ska,
+         |    b.sk AS skb, list_sort(list_distinct(a.sk || b.sk)) AS mrg
+         |  FROM sk a JOIN sk b ON a.source < b.source),
+         |c AS (
+         |  SELECT src_a, src_b, ska, skb, mrg,
+         |    greatest(least($KmvOverlapK, len(mrg)), 1) AS uk,
+         |    CASE WHEN len(ska) < $KmvOverlapK THEN CAST(len(ska) AS BIGINT)
+         |      ELSE (${KmvOverlapK - 1}::BIGINT * $KmvOverlapDomain) // ska[$KmvOverlapK]
+         |      END AS est_a,
+         |    CASE WHEN len(skb) < $KmvOverlapK THEN CAST(len(skb) AS BIGINT)
+         |      ELSE (${KmvOverlapK - 1}::BIGINT * $KmvOverlapDomain) // skb[$KmvOverlapK]
+         |      END AS est_b,
+         |    CASE WHEN len(mrg) < $KmvOverlapK THEN CAST(len(mrg) AS BIGINT)
+         |      ELSE (${KmvOverlapK - 1}::BIGINT * $KmvOverlapDomain) // mrg[$KmvOverlapK]
+         |      END AS est_union
+         |  FROM p)
+         |SELECT src_a, src_b, est_a, est_b, est_union,
+         |  greatest(est_a + est_b - est_union, 0) AS est_intersect,
+         |  CAST(len(list_filter(list_slice(mrg, 1, uk),
+         |    x -> list_contains(ska, x) AND list_contains(skb, x)))
+         |    AS BIGINT) AS n_common,
+         |  CAST(len(list_filter(list_slice(mrg, 1, uk),
+         |    x -> list_contains(ska, x) AND list_contains(skb, x)))
+         |    AS BIGINT) * 1000 // uk AS jaccard_permille
+         |FROM c ORDER BY src_a, src_b""".stripMargin,
+
+    // Replays TextOps.pmiCollocations: adjacent bigrams via the list
+    // index walk (the word_ngrams mirror), HUGEINT cross-multiplication
+    // and one floor division for the ppm score.
+    "q119_pmi_collocations" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |uc AS (
+         |  SELECT word, COUNT(*) AS n FROM (
+         |    SELECT unnest(tk) AS word FROM toks) u GROUP BY word),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uc),
+         |bc AS (
+         |  SELECT bigram, COUNT(*) AS n_xy FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+         |    FROM toks) b
+         |  GROUP BY bigram HAVING COUNT(*) >= $PmiMinCountSql),
+         |j AS (
+         |  SELECT b.bigram, b.n_xy, x.n AS n_x, y.n AS n_y,
+         |    CAST((b.n_xy::HUGEINT * t.n_total * 1000000)
+         |      // (x.n::HUGEINT * y.n) AS BIGINT) AS pmi_ppm
+         |  FROM bc b
+         |  JOIN uc x ON split_part(b.bigram, ' ', 1) = x.word
+         |  JOIN uc y ON split_part(b.bigram, ' ', 2) = y.word
+         |  CROSS JOIN tot t),
+         |r AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY pmi_ppm DESC, n_xy DESC,
+         |    bigram ASC) AS rank, bigram, n_xy, n_x, n_y, pmi_ppm
+         |  FROM j)
+         |SELECT CAST(rank AS BIGINT) AS rank, bigram, n_xy, n_x, n_y, pmi_ppm
+         |FROM r WHERE rank <= $PmiTopKSql ORDER BY rank""".stripMargin,
+
+    // Replays Graph.purchaseHits: the bipartite incidence set, then
+    // iters x (sum half-round, HUGEINT max-normalization) per side,
+    // finally the two ranked leaderboards.
+    "q120_purchase_hits" -> hitsOracleSql(HitsIters, HitsTopK),
+
+    // Replays TextOps.relatedDocs: distinct postings, the 2..cap df
+    // band with integer rarity weights, the term self-join, and the
+    // per-anchor top-k.
+    "q121_related_docs" ->
+      s"""WITH postings AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+         |      AS term
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |rare AS (
+         |  SELECT term, COUNT(*) AS df, 1000000 // COUNT(*) AS wt
+         |  FROM postings GROUP BY term
+         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $RelatedDfCap),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared_rare,
+         |    CAST(SUM(r.wt) AS BIGINT) AS score
+         |  FROM postings a
+         |  JOIN rare r ON a.term = r.term
+         |  JOIN postings b ON b.term = a.term AND b.doc_id <> a.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |ranked AS (
+         |  SELECT doc_a, doc_b, n_shared_rare, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_a
+         |                       ORDER BY score DESC, doc_b ASC) AS rn
+         |  FROM pairs)
+         |SELECT doc_a AS doc_id, CAST(rn AS BIGINT) AS rn,
+         |  doc_b AS related_doc_id, n_shared_rare, score
+         |FROM ranked WHERE rn <= $RelatedTopK
+         |ORDER BY doc_id, rn""".stripMargin,
+
+    // Replays Events.markovEval: the q116 lag/session rule, the
+    // integer 80%-of-window cutoff, train-side argmax, test rollup.
+    "q122_markov_eval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, epoch_us(ts) AS tus,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type,
+        |    lag(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events),
+        |b AS (SELECT MIN(tus) + (MAX(tus) - MIN(tus)) * 8 // 10 AS cutoff
+        |      FROM e),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type,
+        |    tus > (SELECT cutoff FROM b) AS is_test
+        |  FROM e
+        |  WHERE prev_ts IS NOT NULL
+        |    AND date_diff('second', prev_ts, ts) <= 1800),
+        |cnt AS (SELECT prev_type, next_type, is_test, COUNT(*) AS n
+        |        FROM t GROUP BY prev_type, next_type, is_test),
+        |model AS (
+        |  SELECT prev_type, next_type AS predicted_type FROM (
+        |    SELECT prev_type, next_type,
+        |      ROW_NUMBER() OVER (PARTITION BY prev_type
+        |                         ORDER BY n DESC, next_type ASC) AS rn
+        |    FROM cnt WHERE NOT is_test) m WHERE rn = 1)
+        |SELECT c.prev_type, mo.predicted_type,
+        |  CAST(SUM(c.n) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN c.next_type = mo.predicted_type THEN c.n
+        |    ELSE 0 END) AS BIGINT) AS n_correct,
+        |  CAST(SUM(CASE WHEN c.next_type = mo.predicted_type THEN c.n
+        |    ELSE 0 END) AS BIGINT) * 1000000 // CAST(SUM(c.n) AS BIGINT)
+        |    AS acc_ppm
+        |FROM cnt c LEFT JOIN model mo USING (prev_type)
+        |WHERE c.is_test
+        |GROUP BY c.prev_type, mo.predicted_type
+        |ORDER BY c.prev_type""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3038,6 +3233,21 @@ object SparkEntry {
   private val DsirTargetLang = "en"
   // q61: neighbors per probe under the quantized integer dot product.
   private val QuantTopK = 3
+  // q117: PQ geometry — 4 sub-spaces x 16 dims, 4 codewords each
+  // (kSub^m = 256 virtual centroids from 16 stored ones), 2 Lloyd
+  // rounds per codebook. Production raises kSub to 256 (8-bit codes);
+  // the oracle CTE chain scales as m * iters.
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqKSub = 4
+  private val PqIters = 2
+  // q120: HITS half-round count and per-side leaderboard size.
+  private val HitsIters = 3
+  private val HitsTopK = 20
+  // q121: related-docs df cap (q99's zipf-head rule: signal filter AND
+  // join fan-out bound) and neighbors per anchor.
+  private val RelatedDfCap = 50L
+  private val RelatedTopK = 3
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.
@@ -3125,5 +3335,102 @@ object SparkEntry {
       s"cent0 AS (\n  SELECT vec_id AS cluster, e AS c FROM v WHERE vec_id < $k)") ++
       (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
       assignCte(iters)).mkString(",\n")
+  }
+
+  // q118: sketch size and hash domain (2^56 — 14 md5 hex chars, chosen
+  // so (k−1)·domain fits a bigint), single-sourced from TextOps.
+  private val KmvOverlapK = ops.TextOps.KmvK
+  private val KmvOverlapDomain = ops.TextOps.KmvDomain
+  // q119: collocation count floor and leaderboard size, from TextOps.
+  private val PmiMinCountSql = ops.TextOps.PmiMinCount
+  private val PmiTopKSql = ops.TextOps.PmiTopK
+
+  /** CTE chain replaying `Quantization.pqModel(m, subDim, kSub, iters)`
+    * in DuckDB — `kmeansCtes`' structure with the sub-space id `sub` in
+    * every key: `sv` (sliced vectors), `cent0` (per-sub seeds) …
+    * `a$iters` (final per-sub assignment), `cent${iters-1}` the
+    * codebooks that produced it.
+    */
+  private def pqCtes(m: Int, subDim: Int, kSub: Int, iters: Int): String = {
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+         |  SELECT vec_id, sub, sv, cluster FROM (
+         |    SELECT vec_id, sub, sv, cluster,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY dist ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT s.vec_id, s.sub, s.sv, cc.cluster,
+         |        list_reduce(list_transform(range(1, ${subDim + 1}),
+         |          ii -> (s.sv[ii] - cc.c[ii]) * (s.sv[ii] - cc.c[ii])),
+         |          (x2, y2) -> x2 + y2) AS dist
+         |      FROM sv s JOIN cent${i - 1} cc ON s.sub = cc.sub) d$i) t$i
+         |  WHERE rn = 1)""".stripMargin
+    def centCte(i: Int): String =
+      s"""cent$i AS (
+         |  SELECT sub, cluster, list(cd ORDER BY dim) AS c FROM (
+         |    SELECT sub, cluster, dim,
+         |      list_reduce(list_sort(list(val)), (x2, y2) -> x2 + y2) / COUNT(*) AS cd
+         |    FROM (SELECT a.sub, a.cluster, t.i - 1 AS dim, a.sv[t.i] AS val
+         |          FROM a$i a, (SELECT unnest(generate_series(1, $subDim)) AS i) t) e$i
+         |    GROUP BY sub, cluster, dim) g$i
+         |  GROUP BY sub, cluster)""".stripMargin
+    (Seq(
+      "v AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+      s"""sv AS (
+         |  SELECT vec_id, s.sub,
+         |    list_slice(e, s.sub * $subDim + 1, (s.sub + 1) * $subDim) AS sv
+         |  FROM v, (SELECT unnest(range(0, $m)) AS sub) s)""".stripMargin,
+      s"""cent0 AS (
+         |  SELECT sub, vec_id AS cluster, sv AS c FROM sv WHERE vec_id < $kSub)"""
+        .stripMargin) ++
+      (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
+      assignCte(iters)).mkString(",\n")
+  }
+
+  /** DuckDB replay of `Graph.purchaseHits(iters, kTop)`: the bipartite
+    * incidence set, `iters` pairs of (authority half-round, hub
+    * half-round) — each an exact integer in-edge sum followed by the
+    * HUGEINT max-normalization — then the two bounded leaderboards.
+    */
+  private def hitsOracleSql(iters: Int, kTop: Int): String = {
+    val scale = ops.Graph.HitsScale
+    val rounds = (1 to iters).map { i =>
+      val hPrev = s"h${i - 1}"
+      s"""ar$i AS (
+         |  SELECT part, CAST(SUM(score) AS BIGINT) AS raw
+         |  FROM e JOIN $hPrev USING (cust) GROUP BY part),
+         |a$i AS (
+         |  SELECT part, CAST((raw::HUGEINT * $scale)
+         |    // (SELECT MAX(raw) FROM ar$i) AS BIGINT) AS score
+         |  FROM ar$i),
+         |hr$i AS (
+         |  SELECT cust, CAST(SUM(score) AS BIGINT) AS raw
+         |  FROM e JOIN a$i USING (part) GROUP BY cust),
+         |h$i AS (
+         |  SELECT cust, CAST((raw::HUGEINT * $scale)
+         |    // (SELECT MAX(raw) FROM hr$i) AS BIGINT) AS score
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |h0 AS (
+       |  SELECT cust, ${scale}::BIGINT AS score
+       |  FROM (SELECT DISTINCT cust FROM e) c0),
+       |$rounds,
+       |auth AS (
+       |  SELECT 'authority' AS kind,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, part ASC) AS rank,
+       |    CAST(part AS BIGINT) AS node_id, score AS score_fp
+       |  FROM a$iters),
+       |hub AS (
+       |  SELECT 'hub' AS kind,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, cust ASC) AS rank,
+       |    CAST(cust AS BIGINT) AS node_id, score AS score_fp
+       |  FROM h$iters)
+       |SELECT kind, CAST(rank AS BIGINT) AS rank, node_id, score_fp
+       |FROM (SELECT * FROM auth WHERE rank <= $kTop
+       |      UNION ALL SELECT * FROM hub WHERE rank <= $kTop) u
+       |ORDER BY kind, rank""".stripMargin
   }
 }

@@ -599,6 +599,65 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Graded q122: TEMPORAL-SPLIT next-event evaluation — train the
+    * q116 session Markov model on the FIRST 80% of the observation
+    * window, evaluate next-event prediction accuracy on the last 20%.
+    * Two capabilities in one operator: (a) the TIME-based train/test
+    * split (the q44 hash split's chronological sibling — the only
+    * honest split for forecasting tasks, where hash splits leak the
+    * future into training), with the cutoff derived as integer µs
+    * arithmetic `min + (max − min)·8 div 10` (one min/max aggregate,
+    * no order statistic, deterministic at any scale); and (b) the
+    * model-evaluation shape: per prev_type, the trained argmax
+    * next-event (ties next_type asc), test-set support, hits, and
+    * accuracy in integer ppm. A prev_type first seen in test gets a
+    * NULL prediction and zero hits — surfaced, not dropped.
+    *
+    * Scale shape: ONE events scan through the q116 user-window lag;
+    * the cutoff is a 1-row broadcast; transitions collapse to the
+    * (prev, next, is_test) matrix (≤ 2·|types|² rows — model-sized)
+    * which is persisted and re-read by the train-side argmax window,
+    * the test rollup, and the broadcast model join. The only
+    * corpus-sized exchange is the user_id shuffle the lag needs.
+    */
+  def markovEval(spark: SparkSession, dir: String): DataFrame =
+    markovEvalOf(events(spark, dir))
+
+  /** Core of `markovEval` over any events relation carrying
+    * `(user_id, event_id, event_type, ts_us, ts_sec)`.
+    */
+  def markovEvalOf(evs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val bounds = evs.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .select(expr("mn + (mx - mn) * 8 div 10").as("cutoff"))
+    val trans = CachedStages.track(evs
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_sec", lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev_sec").isNotNull &&
+        col("ts_sec") - col("prev_sec") <= 1800)
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"),
+        (col("ts_us") > col("cutoff")).as("is_test"))
+      .agg(count(lit(1)).as("n"))
+      .persist())
+    // train-side argmax: the rank window runs over the model-sized
+    // matrix (|types|² rows), never the event stream
+    val model = trans.filter(!col("is_test"))
+      .withColumn("rn", row_number().over(Window.partitionBy("prev_type")
+        .orderBy(col("n").desc, col("next_type").asc)))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted_type"))
+    trans.filter(col("is_test"))
+      .join(broadcast(model), Seq("prev_type"), "left")
+      .groupBy("prev_type", "predicted_type")
+      .agg(sum(col("n")).as("n_test"),
+        sum(when(col("next_type") === col("predicted_type"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_test"))
+      .orderBy("prev_type")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

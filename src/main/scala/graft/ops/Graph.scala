@@ -364,4 +364,106 @@ object Graph {
         (lit(teleport) +
           expr("17 * coalesce(mass, 0L) div 20")).as("rank_fp"))
   }
+
+  /** Fixed-point scale for HITS scores: bigint units of 1e-9. Smaller
+    * than PageRank's 1e-12 deliberately — a HITS partial sum is bounded
+    * by scale × max-degree (scores are max-normalized to ≤ scale each
+    * half-round), so 1e9 keeps the un-normalized sum inside int64 up to
+    * a billion-node side; the normalization product itself runs in
+    * decimal(38) and never overflows at any scale.
+    */
+  val HitsScale: Long = 1000000000L
+
+  /** Bipartite purchase incidence: distinct (cust, part) pairs through
+    * the orders join — the hub side (customers) and authority side
+    * (parts) of q120's HITS run.
+    */
+  private def purchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+      .join(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_partkey").as("part")), Seq("k"))
+      .select("cust", "part").distinct()
+
+  /** Graded q120: HITS hubs & authorities (Kleinberg, JACM 1999) over
+    * the bipartite customer→part purchase graph — authorities are parts
+    * whose buyers are themselves broad, high-quality buyers; hubs are
+    * the customers whose baskets define those parts. The natural
+    * bipartite HITS reading, and the third member of the centrality
+    * family: q69 ranks reach, q70 ranks local density, this ranks
+    * mutual reinforcement.
+    *
+    * Integer fixed point, same discipline as q69: scores are bigints of
+    * [[HitsScale]] units; each half-round is an exact integer sum over
+    * in-edges followed by MAX-normalization — `score · scale div max` —
+    * computed as one decimal(38) cross-multiplication and one integral
+    * division (the power-iteration normalizer is a free choice: any
+    * positive constant per round leaves the ranking and the fixed point
+    * direction unchanged, and max, unlike the classical L2 norm, is
+    * integer-exact on both engines). Fixed `iters` rounds, ties broken
+    * by id — the oracle replays every round as chained CTEs and the
+    * result hash-matches bit-for-bit.
+    *
+    * Scale shape: the incidence table is built once and persisted TWICE
+    * — partitioned by `cust` for the hub→authority half-round and by
+    * `part` for the way back — so the stationary 100-TB side never
+    * re-shuffles; each half-round joins a BROADCAST score vector to the
+    * right-oriented copy and partial-aggregates (map-side combine) into
+    * ≤|side| rows. The max is a 1-row broadcast. Score vectors that
+    * outgrow a broadcast take exactly q69's documented
+    * `broadcastRanks=false` switch (shuffle-hash the vector against the
+    * pre-partitioned incidence copy). Output is the top-`kTop` of each
+    * side via TakeOrdered, rank stamped over the bounded result.
+    */
+  def purchaseHits(spark: SparkSession, dir: String, iters: Int = 3,
+      kTop: Int = 20): DataFrame =
+    purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop)
+
+  /** One HITS half-round over an oriented incidence copy: sum the
+    * BROADCAST score vector over `joinKey`'s in-edges into `outKey`
+    * rows (map-side-combined), then max-normalize — the decimal(38)
+    * product cannot overflow at any graph size. Split out so ScaleSpec
+    * can plan-audit the join strategy (the loop's localCheckpoint hides
+    * it from the final frame's plan, exactly as for `pagerankRound`).
+    */
+  private[ops] def hitsHalfRound(oriented: DataFrame, scores: DataFrame,
+      joinKey: String, outKey: String): DataFrame = {
+    val raw = oriented.join(broadcast(scores), Seq(joinKey))
+      .groupBy(outKey).agg(sum(col("score")).as("raw"))
+    val mx = raw.agg(max(col("raw")).as("mx"))
+    raw.crossJoin(broadcast(mx))
+      .select(col(outKey), expr(
+        s"CAST(CAST(raw AS DECIMAL(38, 0)) * $HitsScale div mx AS BIGINT)")
+        .as("score"))
+  }
+
+  /** Core of `purchaseHits` over any `(cust, part)` incidence frame. */
+  def purchaseHitsOf(e: DataFrame, iters: Int, kTop: Int): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val eCust = CachedStages.track(e.repartition(col("cust")).persist())
+    val ePart = CachedStages.track(e.repartition(col("part")).persist())
+    val custs = eCust.select("cust").distinct().localCheckpoint()
+
+    var hubs = custs.select(col("cust"), lit(HitsScale).as("score"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = hitsHalfRound(eCust, hubs, "cust", "part").localCheckpoint()
+      hubs = hitsHalfRound(ePart, auths, "part", "cust").localCheckpoint()
+    }
+
+    // TakeOrdered cut per side; the rank window runs over the ≤ kTop
+    // surviving rows (the q107 bounded-frame rule), never the corpus
+    def top(side: DataFrame, idCol: String, kind: String): DataFrame = {
+      val cut = side.orderBy(col("score").desc, col(idCol).asc).limit(kTop)
+      cut.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col(idCol).asc)).cast("long"))
+        .select(lit(kind).as("kind"), col("rank"),
+          col(idCol).cast("long").as("node_id"), col("score").as("score_fp"))
+    }
+    top(auths, "part", "authority")
+      .unionByName(top(hubs, "cust", "hub"))
+      .orderBy("kind", "rank")
+  }
 }

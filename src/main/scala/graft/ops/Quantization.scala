@@ -186,4 +186,161 @@ object Quantization {
       .select("q_id", "rn", "vec_id", "hamming")
       .orderBy("q_id", "rn")
   }
+
+  /** Sequential squared-L2 between `svCol` (float slice) and `c`
+    * (double array), over `subDim` dims — `Clustering.distExpr`'s fold
+    * with the length parameterized; the index-order accumulation keeps
+    * the double bit-identical across engines.
+    */
+  private[ops] def subDistExpr(svCol: String, subDim: Int): String =
+    s"""aggregate(sequence(1, $subDim), CAST(0 AS DOUBLE),
+       |  (acc, i) -> acc + (CAST(element_at($svCol, i) AS DOUBLE) - element_at(c, i))
+       |                  * (CAST(element_at($svCol, i) AS DOUBLE) - element_at(c, i)))"""
+      .stripMargin
+
+  /** PRODUCT QUANTIZATION codebooks (Jégou, Douze & Schmid, TPAMI 2011
+    * — the FAISS `PQ` index): the 64-dim space is split into `m`
+    * contiguous sub-spaces of `subDim` dims and an INDEPENDENT k-means
+    * codebook (`kSub` centroids) is trained per sub-space, so `m` codes
+    * of log2(kSub) bits represent kSub^m virtual centroids — the
+    * compression jump past q61's int8 (64 B) down to `m` small ints,
+    * which is what lets a 100 TB embedding corpus keep its whole search
+    * structure resident.
+    *
+    * All `m` codebooks train in ONE Lloyd loop: vectors are sliced once
+    * into an (vec_id, sub, sv) frame (persisted — the only corpus-width
+    * pass), and each round is a single broadcast of the m·kSub centroid
+    * rows joined on `sub`, assignment ties broken (dist asc, cluster
+    * asc), update = q42's exact sorted-fold mean keyed by (sub,
+    * cluster, dim). Determinism: seeding is vec_id < kSub per sub-space
+    * (no RNG), iteration count fixed, the per-sub distance is an
+    * index-order fold — the oracle replays every round bit-for-bit.
+    *
+    * Returns (centroids (sub, cluster, c), codes (vec_id, codes)) where
+    * `codes[s]` is the sub-space-s codeword, assembled in sub order.
+    */
+  private[graft] def pqModel(vecs: DataFrame, m: Int, subDim: Int,
+      kSub: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(m >= 1 && subDim >= 1 && kSub >= 1 && iters >= 1,
+      s"bad PQ params m=$m subDim=$subDim kSub=$kSub iters=$iters")
+    val sliced = CachedStages.track(vecs
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "sv")))
+      .persist())
+    var cents = sliced.filter(col("vec_id") < kSub)
+      .select(col("sub"), col("vec_id").as("cluster"),
+        expr("transform(sv, x -> CAST(x AS DOUBLE))").as("c"))
+      .localCheckpoint()
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("dist").asc, col("cluster").asc)
+    def assign(): DataFrame = sliced.join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", expr(subDistExpr("sv", subDim)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "sv", "cluster")
+      .localCheckpoint()
+    var assigned = assign()
+    for (_ <- 1 until iters) {
+      // exact sorted-fold per-(sub, cluster, dim) mean — q42's update
+      // with the sub-space in the key; both engines add the same
+      // doubles in the same sorted order
+      val perDim = assigned
+        .select(col("sub"), col("cluster"),
+          posexplode(col("sv")).as(Seq("dim", "val")))
+        .withColumn("val", col("val").cast("double"))
+      cents = perDim.groupBy("sub", "cluster", "dim")
+        .agg(sort_array(collect_list(col("val"))).as("vals"),
+          count(lit(1)).as("n"))
+        .withColumn("cd", expr(
+          "aggregate(slice(vals, 2, size(vals)), vals[0], (a, x) -> a + x)") /
+          col("n"))
+        .groupBy("sub", "cluster")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)")
+          .as("c"))
+        .localCheckpoint()
+      assigned = assign()
+    }
+    val codes = assigned.groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, cluster))), s -> s.cluster)")
+        .as("codes"))
+      .localCheckpoint()
+    (cents, codes)
+  }
+
+  /** Graded q117: PQ + ASYMMETRIC DISTANCE COMPUTATION top-k — the
+    * paper's ADC search and the reason PQ scans are fast: each probe
+    * precomputes its squared-L2 to every sub-space centroid ONCE (an
+    * m·kSub-entry table, here 16 doubles), and a corpus vector's
+    * approximate distance is just `m` table lookups summed in sub-space
+    * order — the float vectors are never touched again after encoding.
+    *
+    * Scale shape: the search side streams the codes table (m small
+    * ints/row) against a BROADCAST of |probes| distance-table rows; no
+    * corpus shuffle, no float math per row, and the whole index for a
+    * billion vectors is m bytes each. Ranking parity with exact cosine
+    * is a measured recall property (QuantizationSpec), exactly as for
+    * q61/q91 — PQ candidates re-rank under the finer metrics.
+    *
+    * Output: (q_id, rn, vec_id, adist) — top `kNeighbors` by (adist
+    * asc, vec_id asc), self excluded, adist rounded to 6dp for display
+    * AFTER ranking on the exact double (both engines rank the same
+    * bit-identical folds).
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String, m: Int = 4,
+      subDim: Int = 16, kSub: Int = 4, iters: Int = 2,
+      kNeighbors: Int = 3): DataFrame =
+    pqAdcTopKOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v")),
+      m, subDim, kSub, iters, kNeighbors)
+
+  /** Core of `pqAdcTopK` over any `(vec_id, v)` frame — split out so
+    * QuantizationSpec can replay the full train→encode→ADC pipeline
+    * driver-side on controlled fixtures.
+    */
+  def pqAdcTopKOf(vecs: DataFrame, m: Int, subDim: Int, kSub: Int,
+      iters: Int, kNeighbors: Int): DataFrame = {
+    val (cents, codes) = pqModel(vecs, m, subDim, kSub, iters)
+    pqSearch(vecs.filter(col("vec_id") < 8), cents, codes,
+      m, subDim, kSub, kNeighbors)
+  }
+
+  /** The ADC search stage alone — split out so ScaleSpec can assert the
+    * search plan touches only codes + the broadcast tables (no parquet
+    * scan, no per-row float vector math).
+    */
+  private[ops] def pqSearch(probeVecs: DataFrame, cents: DataFrame,
+      codes: DataFrame, m: Int, subDim: Int, kSub: Int,
+      kNeighbors: Int): DataFrame = {
+    // per-probe distance table, (sub, cluster)-major: entry index of
+    // (sub, code) is sub * kSub + code (0-based)
+    val dtab = probeVecs
+      .select(col("vec_id").as("q_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "sv")))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", expr(subDistExpr("sv", subDim)))
+      .groupBy("q_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, cluster, d2))), s -> s.d2)")
+        .as("dtab"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.crossJoin(broadcast(dtab))
+      .filter(col("vec_id") =!= col("q_id"))
+      // sub-order fold over the lookup table: acc order is s = 0..m-1,
+      // the same order the oracle's list_reduce evaluates
+      .withColumn("adist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE),
+           |  (acc, s) -> acc + element_at(dtab,
+           |    CAST(s * $kSub + element_at(codes, s + 1) + 1 AS INT)))"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kNeighbors)
+      .select(col("q_id"), col("rn"), col("vec_id"),
+        round(col("adist"), 6).as("adist"))
+      .orderBy("q_id", "rn")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table: tokenization,
@@ -827,5 +828,195 @@ object TextOps {
         sum((col("df") === 1L).cast("long")).as("n_unique"))
       .withColumn("novelty_ppm", expr("n_unique * 1000000 div n_grams"))
       .orderBy("doc_id")
+  }
+
+  /** Graded q117: PMI COLLOCATION MINING (Church & Hanks, Comp.
+    * Linguistics 1990) — the top-k adjacent-word pairs whose observed
+    * co-occurrence most exceeds independence, the classic phrase /
+    * multi-word-expression detector a tokenizer- or vocab-building
+    * pass runs to decide which word pairs deserve a single token
+    * ("new york", "machine learning"). PMI = log(n_xy·N / (n_x·n_y)),
+    * and since log is monotone the RANKING never needs it: the score
+    * kept here is the log's argument in integer parts-per-million,
+    * `n_xy·N·10⁶ div (n_x·n_y)` — decimal(38) cross-multiplication
+    * then ONE integral division (the q77/q110 discipline), so both
+    * engines rank identical bigints and the hash is exact. Pairs below
+    * `minCount` occurrences are dropped first (PMI's classic
+    * instability at tiny counts — Church & Hanks' own caveat).
+    *
+    * Scale shape: ONE corpus scan produces unigrams and bigrams
+    * together (the fused `word_ngrams` kernel emits both widths into a
+    * single generator, q46's union-of-grams shape), collapsing to a
+    * (width, gram) count table via one partial-agg shuffle. Everything
+    * after is vocabulary-sized: the bigram rows join the unigram
+    * counts twice on the word key, the total-token count arrives as a
+    * 1-row broadcast, and the top-k is a TakeOrdered — no global
+    * window, no second corpus pass.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOf(Tables(spark, dir, "documents"))
+
+  private[graft] val PmiMinCount = 5L
+  private[graft] val PmiTopK = 25
+
+  /** Core of `pmiCollocations` over any `(doc_id, text)` corpus. */
+  def pmiCollocationsOf(docs: DataFrame): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    val grams = docs.filter(col("doc_id").isNotNull)
+      .select(explode(expr(
+        """concat(
+          |  transform(word_ngrams(text, 1), g -> named_struct('k', 1, 'g', g)),
+          |  transform(word_ngrams(text, 2), g -> named_struct('k', 2, 'g', g)))"""
+          .stripMargin)).as("kg"))
+      .groupBy(col("kg.k").as("k"), col("kg.g").as("g"))
+      .agg(count(lit(1)).as("n"))
+    val cached = CachedStages.track(grams.persist())
+    val uni = cached.filter(col("k") === 1)
+      .select(col("g").as("word"), col("n"))
+    val total = uni.agg(sum(col("n")).as("n_total"))
+    val ranked = cached.filter(col("k") === 2 && col("n") >= PmiMinCount)
+      .select(col("g").as("bigram"), col("n").as("n_xy"),
+        expr("split(g, ' ')[0]").as("w1"), expr("split(g, ' ')[1]").as("w2"))
+      .join(uni.select(col("word").as("w1"), col("n").as("n_x")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("n").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_ppm", expr(
+        """CAST((CAST(n_xy AS DECIMAL(38, 0)) * n_total * 1000000)
+          |  div (CAST(n_x AS DECIMAL(38, 0)) * n_y) AS BIGINT)""".stripMargin))
+      .orderBy(col("pmi_ppm").desc, col("n_xy").desc, col("bigram").asc)
+      .limit(PmiTopK)
+    // rank stamped AFTER the TakeOrdered cut: the window frame is the
+    // ≤ k-row result, never the corpus (the q107 bounded-frame rule)
+    ranked.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_ppm").desc, col("n_xy").desc,
+          col("bigram").asc)).cast("long"))
+      .select("rank", "bigram", "n_xy", "n_x", "n_y", "pmi_ppm")
+      .orderBy("rank")
+  }
+
+  /** Graded q118: CROSS-SOURCE VOCABULARY OVERLAP VIA KMV SKETCH
+    * ALGEBRA (Beyer et al., SIGMOD'07 "On synopses for distinct-value
+    * estimation") — for every source pair, the estimated distinct-token
+    * cardinalities |A|, |B|, |A ∪ B|, |A ∩ B| and a bottom-k Jaccard,
+    * ALL derived from one tiny per-source sketch. This is q111's
+    * contamination matrix at the vocabulary level: it answers "which
+    * feeds speak the same language / share a template vocabulary"
+    * before any pairwise document work is committed — and it
+    * demonstrates the sketch-algebra property that makes KMV the
+    * persisted-state choice at 100 TB: sketches UNION by merge-and-trim
+    * (bottom-k of a union is the merge of bottom-ks), so |sources|²
+    * pair estimates cost zero additional corpus passes.
+    *
+    * Determinism: the hash is the 56-bit md5 prefix (both engines
+    * compute it identically), estimates are ONE integral division of
+    * `(k−1)·2⁵⁶` by the k-th smallest hash ((k−1)·2⁵⁶ = 4.5e18 fits a
+    * bigint — the reason for 56 bits, not 60), the intersection is
+    * inclusion–exclusion clamped at 0, and the Jaccard is the count of
+    * union-bottom-K hashes present in both sketches, in integer
+    * permille. The oracle replays the sketch bit-for-bit via a
+    * per-source bottom-k window.
+    *
+    * Scale shape: ONE corpus scan feeds the mergeable `kmv_values`
+    * aggregate (TypedImperativeAggregate, ≤ k longs of state per
+    * source, duplicate hashes absorbed by the buffer — no DISTINCT
+    * pre-shuffle); everything downstream operates on the |sources|-row
+    * sketch table with plain array ops.
+    */
+  def kmvVocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvVocabOverlapOf(Tables(spark, dir, "documents"))
+
+  private[graft] val KmvK = 64
+  private[graft] val KmvDomain = 72057594037927936L // 2^56
+
+  /** Core of `kmvVocabOverlap` over any `(source, text)` corpus. */
+  def kmvVocabOverlapOf(docs: DataFrame): DataFrame = {
+    graft.functions.KmvDistinct.register(docs.sparkSession)
+    // persisted |sources|-row sketch table: the corpus is scanned ONCE
+    // to build it; the pair self-join below reads the cache twice
+    val sk = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .withColumn("hv", expr(
+        "cast(conv(substring(md5(token), 1, 14), 16, 10) as bigint)"))
+      .groupBy("source")
+      .agg(expr("kmv_values(hv)").as("sk"))
+      .persist())
+    def estExpr(skCol: String): String =
+      s"""CASE WHEN size($skCol) < $KmvK THEN CAST(size($skCol) AS BIGINT)
+         |ELSE (CAST(${KmvK - 1} AS BIGINT) * $KmvDomain)
+         |  div element_at($skCol, $KmvK) END""".stripMargin
+    sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+        col("src_a") < col("src_b"))
+      .withColumn("mrg", expr("array_sort(array_distinct(concat(ska, skb)))"))
+      // ≥1 guard: a degenerate pair of empty vocabularies would divide
+      // by zero (Spark nulls, DuckDB errors — a hash mismatch either way)
+      .withColumn("uk", expr(s"greatest(least($KmvK, size(mrg)), 1)"))
+      .withColumn("est_a", expr(estExpr("ska")))
+      .withColumn("est_b", expr(estExpr("skb")))
+      .withColumn("est_union", expr(
+        s"""CASE WHEN size(mrg) < $KmvK THEN CAST(size(mrg) AS BIGINT)
+           |ELSE (CAST(${KmvK - 1} AS BIGINT) * $KmvDomain)
+           |  div element_at(mrg, $KmvK) END""".stripMargin))
+      .withColumn("est_intersect",
+        expr("greatest(est_a + est_b - est_union, CAST(0 AS BIGINT))"))
+      .withColumn("n_common", expr(
+        """CAST(size(filter(slice(mrg, 1, uk),
+          |  x -> array_contains(ska, x) AND array_contains(skb, x)))
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("jaccard_permille", expr("n_common * 1000 div uk"))
+      .select("src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_intersect", "n_common", "jaccard_permille")
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Graded q121: RELATED-DOCUMENT SEARCH over the capped inverted
+    * index — per document, the top-k lexically related other documents
+    * by shared RARE terms, each shared term weighted by its integer
+    * rarity `10⁶ div df`. This is the SPARSE retrieval sibling of the
+    * dense q21/q29 embedding KNN (the "more-like-this" query every
+    * search engine ships, tf-idf's discriminative core with the idf
+    * made integer-exact): two documents are related when they share
+    * terms few OTHER documents use — stopwords carry no signal and are
+    * excluded by construction, df=1 terms pair with nobody and drop.
+    *
+    * Scale shape: the df cap is BOTH the signal filter and the skew
+    * guard (q99's zipf-head rule): a term survives only with
+    * 2 ≤ df ≤ cap, so the posting self-join's fan-out is ≤ cap
+    * partners per posting and the candidate pair set is Σ df² over
+    * rare terms — linear-ish in the corpus, never |docs|². One corpus
+    * scan builds the distinct (doc, term) postings (persisted); df is
+    * one partial-agg shuffle; the self-join runs term-partitioned; the
+    * per-anchor top-k window partitions on the anchor with
+    * cap-bounded partitions. All scoring is integer.
+    */
+  def relatedDocs(spark: SparkSession, dir: String, maxDf: Long = 50L,
+      k: Int = 3): DataFrame =
+    relatedDocsOf(Tables(spark, dir, "documents"), maxDf, k)
+
+  /** Core of `relatedDocs` over any `(doc_id, text)` corpus. */
+  def relatedDocsOf(docs: DataFrame, maxDf: Long, k: Int): DataFrame = {
+    val postings = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(s"array_distinct($tokensExpr)")).as("term"))
+      .persist())
+    val rare = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .withColumn("wt", expr("1000000 div df"))
+    val rarePostings = postings.join(rare, Seq("term"))
+    val pairs = rarePostings.select(col("term"), col("wt"),
+        col("doc_id").as("doc_a"))
+      .join(rarePostings.select(col("term"), col("doc_id").as("doc_b")),
+        Seq("term"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_rare"), sum(col("wt")).as("score"))
+    val w = Window.partitionBy("doc_a")
+      .orderBy(col("score").desc, col("doc_b").asc)
+    pairs.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("doc_a").as("doc_id"), col("rn"),
+        col("doc_b").as("related_doc_id"), col("n_shared_rare"),
+        col("score"))
+      .orderBy("doc_id", "rn")
   }
 }

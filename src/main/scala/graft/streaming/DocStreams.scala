@@ -248,6 +248,60 @@ object EmbeddingStreams {
           >= lit(tau)).as("contaminated"))
   }
 
+  /** Fit the frozen PQ codebooks for [[pqEncodedVectors]] from a batch
+    * corpus: `Quantization.pqModel`'s trained centroids collected as
+    * nested driver-side vectors — m × kSub × subDim doubles
+    * (model-sized: 4·4·16 = 256 here), the fourth documented
+    * frozen-model fitter.
+    */
+  def fitPqCodebooks(vecs: DataFrame, m: Int = 4, subDim: Int = 16,
+      kSub: Int = 4, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    val (cents, _) =
+      graft.ops.Quantization.pqModel(vecs, m, subDim, kSub, iters)
+    val rows = cents.collect().map(r => (r.getAs[Int]("sub"),
+      r.getAs[Long]("cluster"), r.getSeq[Double](r.fieldIndex("c")).toSeq))
+    (0 until m).map(s => (0L until kSub.toLong).map(cl =>
+      rows.find(r => r._1 == s && r._2 == cl)
+        .getOrElse(throw new IllegalStateException(
+          s"codebook missing centroid (sub=$s, cluster=$cl)"))._3).toSeq).toSeq
+  }
+
+  /** PQ-encode arriving vectors under FROZEN codebooks — the streaming
+    * twin of q117's encoding stage and the shape a vector-ingestion
+    * edge actually runs: codebooks train offline (batch, [[fitPqCodebooks]]),
+    * ship as a literal (the frozen-model pattern), and each arriving
+    * vector collapses to its m codes in one stateless projection — no
+    * shuffle, no state store, m·kSub·subDim flops per row. The
+    * distance folds run index-order like batch, and the code is the
+    * FIRST minimum (`array_position` of `array_min`), which is exactly
+    * the batch (dist asc, cluster asc) tie rule — DocStreamsSpec
+    * asserts code-for-code equality with `pqModel`'s assignment.
+    */
+  def pqEncodedVectors(stream: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]], subDim: Int): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "empty PQ codebook")
+    val m = codebooks.length
+    val kSub = codebooks.head.length
+    require(codebooks.forall(_.length == kSub),
+      "ragged codebook: every sub-space needs the same cluster count")
+    stream
+      .withColumn("cb", typedlit(codebooks))
+      .withColumn("dists", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(0, ${kSub - 1}), cl ->
+           |    aggregate(sequence(1, $subDim), CAST(0 AS DOUBLE),
+           |      (acc, i) -> acc +
+           |        (CAST(element_at(embedding, s * $subDim + i) AS DOUBLE)
+           |          - element_at(element_at(element_at(cb, s + 1), cl + 1), i))
+           |        * (CAST(element_at(embedding, s * $subDim + i) AS DOUBLE)
+           |          - element_at(element_at(element_at(cb, s + 1), cl + 1), i)))))"""
+          .stripMargin))
+      .select(col("vec_id"), expr(
+        "transform(dists, ds -> array_position(ds, array_min(ds)) - 1)")
+        .as("codes"))
+  }
+
   /** Streaming drift histogram under the same frozen range model — the
     * live tail of the q82 monitor. Arriving vectors bucket against the
     * batch-fitted `(min, max)` literals (identical FP formula, so a

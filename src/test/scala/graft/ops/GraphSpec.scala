@@ -234,4 +234,73 @@ class GraphSpec extends SparkSpec {
       case _ => true
     })
   }
+
+  /** Driver-side replay of Graph.purchaseHitsOf's integer arithmetic:
+    * per half-round an exact integer in-edge sum, then max-normalization
+    * as one BigInt product and one truncating division — the same
+    * decimal(38) cross-multiply `div` the operator runs.
+    */
+  private def naiveHits(edges: Seq[(Long, Long)], iters: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val s = Graph.HitsScale
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> (BigInt(v) * s / mx).toLong }
+    }
+    var hubs = edges.map(_._1).distinct.map(_ -> s).toMap
+    var auths = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val ar = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (c, p) => ar(p) += hubs(c) }
+      auths = norm(ar.toMap)
+      val hr = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (c, p) => hr(c) += auths(p) }
+      hubs = norm(hr.toMap)
+    }
+    (hubs, auths)
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int, kTop: Int)
+      : (Map[Long, Long], Map[Long, Long]) = {
+    val rows = Graph.purchaseHitsOf(edges.toDF("cust", "part"), iters, kTop)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    (rows.filter(_._1 == "hub").map(r => r._3 -> r._4).toMap,
+      rows.filter(_._1 == "authority").map(r => r._3 -> r._4).toMap)
+  }
+
+  test("HITS: random bipartite graphs match the driver-side replay exactly") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val nc = 4 + trial * 2
+      val np = 5 + trial
+      val edges = (1 to nc * 3).map { _ =>
+        (rnd.nextInt(nc).toLong, 100L + rnd.nextInt(np))
+      }.distinct
+      val (gotH, gotA) = runHits(edges, 3, 100) // kTop covers every node
+      val (expH, expA) = naiveHits(edges, 3)
+      assert(gotH == expH, s"hubs trial $trial: $gotH != $expH")
+      assert(gotA == expA, s"auths trial $trial: $gotA != $expA")
+      CachedStages.release(spark)
+    }
+  }
+
+  test("HITS: a universal buyer is the top hub, its exclusive part gains authority") {
+    // customers 1..3, parts 100..103. Customer 1 buys everything (the
+    // universal hub); part 100 is bought by everyone (the universal
+    // authority); part 103 ONLY by the hub; part 102 only by customer 3.
+    val edges = Seq(
+      (1L, 100L), (1L, 101L), (1L, 103L),
+      (2L, 100L), (2L, 101L),
+      (3L, 100L), (3L, 102L))
+    val (hubs, auths) = runHits(edges, 3, 100)
+    assert(hubs(1L) == Graph.HitsScale) // max-normalized top hub
+    assert(hubs(1L) > hubs(2L) && hubs(1L) > hubs(3L))
+    assert(auths(100L) == Graph.HitsScale) // bought by every hub
+    // both are single-buyer parts, but 103's one buyer is the top hub
+    assert(auths(103L) > auths(102L))
+    CachedStages.release(spark)
+  }
 }

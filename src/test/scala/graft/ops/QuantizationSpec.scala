@@ -153,4 +153,93 @@ class QuantizationSpec extends SparkSpec {
       assert(got == expect, s"probe $qId: $got != $expect")
     }
   }
+
+  /** Driver-side replay of the FULL PQ pipeline (pqModel + ADC search):
+    * per-sub-space Lloyd with vec_id < kSub seeding, (dist, cluster)
+    * ties, sorted-fold centroid means, then the sub-order lookup-table
+    * fold — every double added in the same order the operator adds it.
+    */
+  private def naivePq(vecs: Seq[(Long, Array[Float])], m: Int, subDim: Int,
+      kSub: Int, iters: Int, kNeighbors: Int): Seq[(Long, Long, Long, Double)] = {
+    val sliced = vecs.flatMap { case (id, v) =>
+      (0 until m).map(s => (id, s, v.slice(s * subDim, (s + 1) * subDim)))
+    }
+    def d2(sv: Array[Float], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val d = sv(i).toDouble - c(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    var cents: Map[(Int, Long), Array[Double]] = sliced
+      .filter(_._1 < kSub)
+      .map { case (id, s, sv) => (s, id) -> sv.map(_.toDouble) }.toMap
+    def assign(): Seq[(Long, Int, Array[Float], Long)] =
+      sliced.map { case (id, s, sv) =>
+        val best = (0L until kSub.toLong)
+          .map(cl => (d2(sv, cents((s, cl))), cl)).minBy(identity)
+        (id, s, sv, best._2)
+      }
+    var assigned = assign()
+    for (_ <- 1 until iters) {
+      cents = assigned.groupBy(a => (a._2, a._4)).map { case ((s, cl), g) =>
+        val c = (0 until subDim).map { dim =>
+          val vals = g.map(_._3(dim).toDouble).sorted
+          vals.reduceLeft(_ + _) / g.size
+        }.toArray
+        (s, cl) -> c
+      }
+      assigned = assign()
+    }
+    val codes = assigned.groupBy(_._1)
+      .map { case (id, g) => id -> g.sortBy(_._2).map(_._4).toArray }
+    val probes = vecs.filter(_._1 < 8)
+    probes.flatMap { case (qId, qv) =>
+      // dtab in (sub, cluster) order, exactly the operator's sort key
+      val dtab = (0 until m).flatMap(s =>
+        (0L until kSub.toLong).map(cl =>
+          d2(qv.slice(s * subDim, (s + 1) * subDim), cents((s, cl))))).toArray
+      codes.toSeq.filter(_._1 != qId).map { case (id, cs) =>
+        var acc = 0.0
+        (0 until m).foreach(s => acc += dtab(s * kSub + cs(s).toInt))
+        (id, acc)
+      }.sortBy { case (id, d) => (d, id) }.take(kNeighbors)
+        .zipWithIndex.map { case ((id, d), i) =>
+          (qId, (i + 1).toLong, id,
+            BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("PQ ADC top-k equals the driver-side train+encode+search replay") {
+    val vecs = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toSeq
+    val got = Quantization.pqAdcTopK(spark, dir, 4, 16, 4, 2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    val expect = naivePq(vecs, 4, 16, 4, 2, 3)
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      expect.map(r => (r._1, r._2, r._3)),
+      s"ranking mismatch:\n$got\n$expect")
+    got.zip(expect).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 1e-9, s"$g vs $e")
+    }
+    CachedStages.release(spark)
+  }
+
+  test("PQ codes stay within the codebook range") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val (cents, codes) = Quantization.pqModel(vecs, 4, 16, 4, 2)
+    assert(cents.count() == 16L) // m * kSub codebook rows
+    val bad = codes
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 4).count()
+    assert(bad == 0L)
+    assert(codes.select(expr("size(codes)")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(4))
+    CachedStages.release(spark)
+  }
 }

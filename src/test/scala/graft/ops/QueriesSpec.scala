@@ -784,4 +784,140 @@ class QueriesSpec extends SparkSpec {
       ("c", "a", 1L, 1000000L)), got)
     CachedStages.release(spark)
   }
+
+  test("q118 KMV overlap: exact regime is true set algebra, hand-computed") {
+    import spark.implicits._
+    // every vocabulary < k=64 distinct hashes, so the sketch IS the
+    // vocabulary: estimates are exact counts, inclusion-exclusion is
+    // the true intersection, jaccard_permille the true Jaccard
+    val docs = Seq(
+      (1L, "x", "apple banana cherry"),
+      (2L, "x", "apple banana"), // duplicates change nothing
+      (3L, "y", "banana cherry date"),
+      (4L, "z", "zebra")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.kmvVocabOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    // (src_a, src_b, est_a, est_b, est_union, est_intersect, n_common, jac)
+    assert(got == Seq(
+      ("x", "y", 3L, 3L, 4L, 2L, 2L, 500L),
+      ("x", "z", 3L, 1L, 4L, 0L, 0L, 0L),
+      ("y", "z", 3L, 1L, 4L, 0L, 0L, 0L)), got.mkString("\n"))
+  }
+
+  test("q118 KMV overlap: estimator regime equals a driver-side sketch replay") {
+    import spark.implicits._
+    def h(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 14), 16)
+    }
+    // 200-token vocabularies with a planted 100-token overlap — both
+    // sketches saturate (k = 64), so every output column exercises the
+    // estimator path
+    val aToks = (0 until 200).map(i => s"tok$i")
+    val bToks = (100 until 300).map(i => s"tok$i")
+    val docs = Seq(
+      (1L, "a", aToks.mkString(" ")),
+      (2L, "b", bToks.mkString(" "))).toDF("doc_id", "source", "text")
+    val got = TextOps.kmvVocabOverlapOf(docs).collect().map(r =>
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7))).toSeq
+    val k = 64
+    val dom = BigInt(72057594037927936L)
+    def sk(toks: Seq[String]): Seq[Long] = toks.map(h).distinct.sorted.take(k)
+    def est(s: Seq[Long]): Long =
+      if (s.size < k) s.size.toLong
+      else (BigInt(k - 1) * dom / s(k - 1)).toLong
+    val (ska, skb) = (sk(aToks), sk(bToks))
+    val mrg = (ska ++ skb).distinct.sorted
+    val uk = math.max(math.min(k, mrg.size), 1)
+    val estU = if (mrg.size < k) mrg.size.toLong
+      else (BigInt(k - 1) * dom / mrg(k - 1)).toLong
+    val common = mrg.take(uk)
+      .count(x => ska.contains(x) && skb.contains(x)).toLong
+    val expect = (est(ska), est(skb), estU,
+      math.max(est(ska) + est(skb) - estU, 0L), common, common * 1000 / uk)
+    assert(got == Seq(expect), s"$got != $expect")
+    // and the estimate is actually in the neighborhood of the truth
+    val (estA, _, estUnion, estInter, _, _) = got.head
+    assert(estA > 100 && estA < 400, s"est_a=$estA vs true 200")
+    assert(estUnion > 150 && estUnion < 600, s"est_union=$estUnion vs true 300")
+    assert(estInter >= 0, s"est_intersect=$estInter")
+  }
+
+  test("q119 PMI collocations: hand-computed ranking with both tie-breaks") {
+    import spark.implicits._
+    // 6 docs "visit new york today" + 5 docs "new deal":
+    // N = 34 tokens; counts: visit 6, new 11, york 6, today 6, deal 5.
+    // bigrams >= 5: visit new 6, new york 6, york today 6, new deal 5.
+    // ppm = n_xy*N*1e6 div (n_x*n_y):
+    //   york today: 6*34e6 div 36   = 5666666
+    //   visit new:  6*34e6 div 66   = 3090909
+    //   new york:   6*34e6 div 66   = 3090909
+    //   new deal:   5*34e6 div 55   = 3090909
+    // tie at 3090909 -> n_xy desc puts new deal (5) last; the 6-6 tie
+    // breaks bigram asc: "new york" < "visit new"
+    val docs = ((1 to 6).map(i => (i.toLong, "visit new york today")) ++
+      (7 to 11).map(i => (i.toLong, "new deal")))
+      .toDF("doc_id", "text")
+    val got = TextOps.pmiCollocationsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, "york today", 6L, 6L, 6L, 5666666L),
+      (2L, "new york", 6L, 11L, 6L, 3090909L),
+      (3L, "visit new", 6L, 6L, 11L, 3090909L),
+      (4L, "new deal", 5L, 11L, 5L, 3090909L)), got.mkString("\n"))
+    CachedStages.release(spark)
+  }
+
+  test("q121 related docs: rarity weights, df band, and ranking hand-computed") {
+    import spark.implicits._
+    // dfs: alpha 2, beta 2, gamma 2 (rare at cap 3); delta/epsilon/
+    // zeta/eta df=1 (pair with nobody); common df=4 > cap (zipf head)
+    val docs = Seq(
+      (1L, "alpha beta gamma common"),
+      (2L, "alpha beta delta common"),
+      (3L, "gamma epsilon common"),
+      (4L, "zeta eta common")
+    ).toDF("doc_id", "text")
+    val got = TextOps.relatedDocsOf(docs, 3L, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // wt = 1000000 div 2 = 500000 for each rare term
+    assert(got == Seq(
+      (1L, 1L, 2L, 2L, 1000000L), // shares alpha+beta with doc 2
+      (1L, 2L, 3L, 1L, 500000L), // shares gamma with doc 3
+      (2L, 1L, 1L, 2L, 1000000L),
+      (3L, 1L, 1L, 1L, 500000L)), got.mkString("\n"))
+    // doc 4 has no rare shared term: absent, not zero-scored
+    assert(!got.exists(_._1 == 4L))
+    CachedStages.release(spark)
+  }
+
+  test("q122 markov eval: temporal cutoff, argmax training, unseen-prev NULL") {
+    import spark.implicits._
+    val us = 1000000L
+    // window [0 s, 95 s] -> cutoff = 76 s. Train transitions (next <=
+    // 76 s): a->b x2, b->a x2 -> model a->b, b->a. Test: (a->b)@90 hit,
+    // (b->c)@95 miss, (d->e)@95 with d unseen in train -> NULL model
+    val evs = Seq(
+      (1L, 10L, "a", 0L), (1L, 11L, "b", 10L), (1L, 12L, "a", 20L),
+      (1L, 13L, "b", 30L), (1L, 14L, "a", 40L), (1L, 15L, "b", 90L),
+      (1L, 16L, "c", 95L),
+      (2L, 20L, "d", 85L), (2L, 21L, "e", 95L)
+    ).map { case (u, e, t, sec) => (u, e, t, sec * us, sec) }
+      .toDF("user_id", "event_id", "event_type", "ts_us", "ts_sec")
+    val got = Events.markovEvalOf(evs).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", Some("b"), 1L, 1L, 1000000L),
+      ("b", Some("a"), 1L, 0L, 0L),
+      ("d", None, 1L, 0L, 0L)), got.mkString("\n"))
+    CachedStages.release(spark)
+  }
 }

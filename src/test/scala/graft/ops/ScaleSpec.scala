@@ -732,4 +732,120 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q117 plan: ADC search touches codes + broadcast tables only — no vectors, no file scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Quantization.pqAdcTopK(spark, dir, 4, 16, 4, 2, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // training/encoding ran behind localCheckpoints; the SEARCH plan
+    // reads the checkpointed codes RDD plus ONE probe-side scan whose
+    // `vec_id < 8` predicate is PUSHED to parquet — the corpus
+    // embeddings are never re-scanned for the search
+    val scans = tree.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 1, plan.take(3000))
+    assert(scans.head.toString.contains("LessThan(vec_id,8)"),
+      scans.head.toString.take(1000))
+    // the |probes|-row distance tables broadcast against the streamed
+    // codes (BroadcastNestedLoopJoin is the bounded |probes|x|corpus|
+    // fan-out every brute-force probe family uses — q21/q61/q91)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the per-row search work is the m-lookup fold: no per-row float
+    // vector column survives into the search side's schema
+    assert(!out.columns.contains("v"))
+    CachedStages.release(spark)
+  }
+
+  test("q118 plan: sketches partial-aggregate map-side; pair algebra has no corpus re-entry") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.kmvVocabOverlap(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // the kmv_values TypedImperativeAggregate runs in partial mode
+    // before the source shuffle: <= k longs travel per (partition,
+    // source), never the token stream
+    assert(plan.contains("partial_kmv_values") ||
+      plan.contains("partial kmv_values") ||
+      (plan.contains("kmv_values") && plan.contains("ObjectHashAggregate")),
+      plan.take(3000))
+    // the pair self-join reads the PERSISTED |sources|-row sketch table
+    // on both sides: no corpus file scan survives into the pair plan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q119 plan: unigrams and bigrams share one corpus scan; top-k is a TakeOrdered") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.pmiCollocations(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val tree = out.queryExecution.sparkPlan
+    // ONE corpus pass: both gram widths ride a single generator into
+    // the persisted (k, gram) count table; every downstream consumer
+    // (bigram side, two unigram joins, the 1-row total) reads the
+    // cache — no parquet scan survives into the final plan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // the 1-row token total broadcasts; the rank window runs over the
+    // <= 25 surviving rows, after the cut
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q120 HITS half-round plan: score vector broadcasts, sums partial-aggregate") {
+    import spark.implicits._
+    val e = Seq((1L, 100L), (1L, 101L), (2L, 100L)).toDF("cust", "part")
+    val scores = Seq((1L, Graph.HitsScale), (2L, Graph.HitsScale))
+      .toDF("cust", "score")
+    val round = Graph.hitsHalfRound(e, scores, "cust", "part")
+    val plan = round.queryExecution.executedPlan.toString
+    // the stationary incidence side streams; the score vector (and the
+    // 1-row max) arrive by broadcast — per-round exchange volume is the
+    // partial-aggregated |side| rows, never the edge table
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q121 plan: one corpus pass into the cached postings; join sides read cache") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.relatedDocs(spark, dir, 50L, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the (doc, term) postings persist once; df, and both self-join
+    // sides, re-read the cache — the documents parquet never re-scans
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q122 plan: one events scan; model and eval read the cached matrix") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.markovEval(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the corpus-sized work (user window + cutoff tag) happens ONCE
+    // inside the persisted (prev, next, is_test) matrix; the train-side
+    // argmax window and the test rollup both operate on the model-sized
+    // cache, and the model meets the test rows by broadcast
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }

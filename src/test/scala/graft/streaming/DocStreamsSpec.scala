@@ -292,4 +292,29 @@ class DocStreamsSpec extends SparkSpec {
       .toSet
     assert(streamed == batch && streamed.size == 10)
   }
+
+  test("q117 twin: streaming PQ encode under frozen codebooks equals the batch codes") {
+    val src = "/root/testdata/sf0.001"
+    val vecs = Tables(spark, src, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    // train offline on the SAME corpus the stream replays, so the
+    // in-flight encoder must reproduce pqModel's assignment exactly
+    val cb = EmbeddingStreams.fitPqCodebooks(vecs, 4, 16, 4, 2)
+    assert(cb.length == 4 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 16)))
+    val d = Files.createTempDirectory("emb_pq_stream")
+    Files.copy(Paths.get(s"$src/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(
+      EmbeddingStreams.pqEncodedVectors(stream, cb, 16),
+      "emb_pq", OutputMode.Append())
+    val streamed = spark.table("emb_pq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val (_, codes) = graft.ops.Quantization.pqModel(vecs, 4, 16, 4, 2)
+    val batch = codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    graft.ops.CachedStages.release(spark)
+  }
 }
