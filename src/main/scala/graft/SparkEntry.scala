@@ -200,6 +200,11 @@ object SparkEntry {
     "q121_related_docs" -> ((s: SparkSession, d: String) =>
       TextOps.relatedDocs(s, d, RelatedDfCap, RelatedTopK)),
     "q122_markov_eval" -> Events.markovEval _,
+    "q123_rag_chunks" -> ((s: SparkSession, d: String) =>
+      TextOps.ragChunks(s, d, RagChunkSize, RagOverlap)),
+    "q124_volume_bursts" -> Events.volumeBursts _,
+    "q125_attribution" -> ((s: SparkSession, d: String) =>
+      Events.purchaseAttribution(s, d, AttrWindowSec)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2981,6 +2986,96 @@ object SparkEntry {
         |WHERE c.is_test
         |GROUP BY c.prev_type, mo.predicted_type
         |ORDER BY c.prev_type""".stripMargin,
+
+    // Replays TextOps.ragChunks: the same chunk-count rule and span
+    // arithmetic; DuckDB's list_slice takes an INCLUSIVE end index,
+    // which is exactly `end_tok` in 1-based terms.
+    "q123_rag_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |c AS (
+         |  SELECT doc_id, tk, n,
+         |    unnest(range(0,
+         |      ((greatest(n - $RagChunkSize, 0) + ${RagChunkSize - RagOverlap - 1})
+         |        // ${RagChunkSize - RagOverlap}) + 1)) AS idx
+         |  FROM d)
+         |SELECT doc_id, CAST(idx AS BIGINT) AS chunk_id,
+         |  idx * ${RagChunkSize - RagOverlap} AS start_tok,
+         |  least(idx * ${RagChunkSize - RagOverlap} + $RagChunkSize, n) AS end_tok,
+         |  least(idx * ${RagChunkSize - RagOverlap} + $RagChunkSize, n)
+         |    - idx * ${RagChunkSize - RagOverlap} AS n_tokens,
+         |  array_to_string(list_slice(tk,
+         |    CAST(idx * ${RagChunkSize - RagOverlap} + 1 AS INT),
+         |    CAST(least(idx * ${RagChunkSize - RagOverlap} + $RagChunkSize, n)
+         |      AS INT)), ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Replays Events.volumeBursts: day buckets by double floor
+    // division, the q53 lower-median rank rule, the integer 2.5x flag.
+    "q124_volume_bursts" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, day, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY n ASC, day ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS m
+        |  FROM daily),
+        |med AS (SELECT event_type, n AS median_n FROM r
+        |        WHERE rn = (m + 1) // 2)
+        |SELECT d.event_type, d.day, d.n, med.median_n,
+        |  CAST(CASE WHEN d.n * 10 >= med.median_n * 25 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_burst
+        |FROM daily d JOIN med USING (event_type)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Replays Events.purchaseAttribution: the user-keyed window join,
+    // last-touch via the (t_ts, t_id) ranked window (= the struct max),
+    // linear ppm by integral division, the direct remainder row.
+    "q125_attribution" ->
+      s"""WITH p AS (
+         |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (
+         |  SELECT user_id, event_type AS touch_type, event_id AS t_id,
+         |    epoch_us(ts) AS t_ts
+         |  FROM events WHERE event_type IN ('view', 'click')),
+         |pr AS (
+         |  SELECT p.p_id, t.touch_type, t.t_id, t.t_ts
+         |  FROM p JOIN t USING (user_id)
+         |  WHERE t.t_ts < p.p_ts
+         |    AND t.t_ts >= p.p_ts - ${AttrWindowSec * 1000000L}),
+         |pp AS (SELECT p_id, COUNT(*) AS n_touches FROM pr GROUP BY p_id),
+         |last AS (
+         |  SELECT p_id, touch_type FROM (
+         |    SELECT p_id, touch_type,
+         |      ROW_NUMBER() OVER (PARTITION BY p_id
+         |                         ORDER BY t_ts DESC, t_id DESC) AS rn
+         |    FROM pr) x WHERE rn = 1),
+         |lt AS (SELECT touch_type, COUNT(*) AS n_last_touch
+         |       FROM last GROUP BY touch_type),
+         |lin AS (
+         |  SELECT pr.touch_type,
+         |    CAST(SUM(1000000 // pp.n_touches) AS BIGINT) AS linear_ppm
+         |  FROM pr JOIN pp USING (p_id) GROUP BY pr.touch_type),
+         |direct AS (
+         |  SELECT 'direct' AS touch_type, COUNT(*) AS n_last_touch,
+         |    COUNT(*) * 1000000 AS linear_ppm
+         |  FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)),
+         |merged AS (
+         |  SELECT COALESCE(lt.touch_type, lin.touch_type) AS touch_type,
+         |    COALESCE(lt.n_last_touch, 0) AS n_last_touch,
+         |    COALESCE(lin.linear_ppm, 0) AS linear_ppm
+         |  FROM lt FULL OUTER JOIN lin ON lt.touch_type = lin.touch_type)
+         |SELECT touch_type, CAST(n_last_touch AS BIGINT) AS n_last_touch,
+         |  CAST(linear_ppm AS BIGINT) AS linear_ppm
+         |FROM (SELECT * FROM merged UNION ALL SELECT * FROM direct) u
+         |ORDER BY touch_type""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3248,6 +3343,13 @@ object SparkEntry {
   // join fan-out bound) and neighbors per anchor.
   private val RelatedDfCap = 50L
   private val RelatedTopK = 3
+  // q123: retrieval chunk geometry — 64-token windows, 16-token
+  // overlap (stride 48). Graded small so multi-chunk docs and short
+  // tails occur at sf0.01; a production 512/64 only changes these.
+  private val RagChunkSize = 64
+  private val RagOverlap = 16
+  // q125: attribution lookback window (24 h).
+  private val AttrWindowSec = 86400L
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.

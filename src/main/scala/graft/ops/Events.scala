@@ -658,6 +658,107 @@ object Events {
       .orderBy("prev_type")
   }
 
+  /** Graded q124: VOLUME-BURST DETECTION — per event type, flag the
+    * days whose event count exceeds 2.5× that type's median daily
+    * volume. The operational anomaly monitor every ingestion pipeline
+    * runs (a burst is a bot, an outage replay, or a crawler loop — all
+    * things a training-data feed wants quarantined before they skew
+    * the mixture): median-based because a mean is dragged by the very
+    * bursts it should detect. The median is the exact lower median by
+    * the q53 integer rank rule (`rn = (m+1) div 2` over counts asc,
+    * day-asc ties), and the flag is integer cross-multiplication
+    * `n·10 ≥ median·25` — no floating point anywhere.
+    *
+    * Scale shape: ONE events scan collapses to the persisted
+    * (type, day, n) daily matrix — day-granular, so |types|·|days|
+    * rows at ANY corpus size; the median rank window partitions by
+    * type over day-bounded partitions, and the |types|-row median
+    * table broadcasts back onto the matrix.
+    */
+  def volumeBursts(spark: SparkSession, dir: String): DataFrame =
+    volumeBurstsOf(events(spark, dir))
+
+  /** Core of `volumeBursts` over any events relation with
+    * `(event_type, ts_sec)`.
+    */
+  def volumeBurstsOf(evs: DataFrame): DataFrame = {
+    val daily = CachedStages.track(evs
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist())
+    val w = Window.partitionBy("event_type")
+    val med = daily
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n").asc, col("day").asc)))
+      .withColumn("m", count(lit(1)).over(w))
+      .filter(col("rn") === expr("(m + 1) div 2"))
+      .select(col("event_type"), col("n").as("median_n"))
+    daily.join(broadcast(med), Seq("event_type"))
+      .withColumn("is_burst",
+        (col("n") * 10 >= col("median_n") * 25).cast("long"))
+      .select("event_type", "day", "n", "median_n", "is_burst")
+      .orderBy("event_type", "day")
+  }
+
+  /** Graded q125: PURCHASE ATTRIBUTION — route each purchase's credit
+    * back to the view/click touches that preceded it within a 24-hour
+    * window, under the two standard marketing-attribution models at
+    * once: LAST-TOUCH (the latest touch by (ts, event_id) takes the
+    * whole purchase) and LINEAR (each of the n touches takes
+    * `10⁶ div n` ppm). Purchases with no in-window touch land in the
+    * `direct` row at full credit, so both models' totals reconcile to
+    * `|purchases| · 10⁶` up to integral-division floors — the audit
+    * invariant the spec asserts.
+    *
+    * Scale shape: ONE user_id equi-join pairs purchases with touches
+    * (per-user fan-out is human-bounded activity², the q24/q12
+    * assumption), the time window filters inside the join, and
+    * everything downstream is per-purchase aggregates collapsing to a
+    * |touch types|+1-row report. Last-touch is a partial-aggregable
+    * struct-max — never a sort or window over the pair stream.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String,
+      windowSec: Long = 86400L): DataFrame =
+    purchaseAttributionOf(events(spark, dir), windowSec)
+
+  /** Core of `purchaseAttribution` over any events relation carrying
+    * `(user_id, event_id, event_type, ts_us)`.
+    */
+  def purchaseAttributionOf(evs: DataFrame, windowSec: Long): DataFrame = {
+    val purchases = evs.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts_us").as("p_ts"))
+    val touches = evs.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("event_id").as("t_id"), col("ts_us").as("t_ts"))
+    val pairs = CachedStages.track(purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - lit(windowSec * 1000000L))
+      .select("p_id", "touch_type", "t_id", "t_ts")
+      .persist())
+    val perPurchase = pairs.groupBy("p_id")
+      .agg(count(lit(1)).as("n_touches"),
+        max(struct(col("t_ts"), col("t_id"), col("touch_type"))).as("last"))
+    val lastTouch = perPurchase.groupBy(col("last.touch_type").as("touch_type"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    val linear = pairs
+      .join(perPurchase.select(col("p_id"), col("n_touches")), Seq("p_id"))
+      .groupBy("touch_type")
+      .agg(sum(expr("1000000 div n_touches")).as("linear_ppm"))
+    val direct = purchases
+      .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_last_touch"))
+      .select(lit("direct").as("touch_type"), col("n_last_touch"),
+        (col("n_last_touch") * 1000000L).as("linear_ppm"))
+    // FULL outer: a touch type can hold linear credit yet never win
+    // last-touch (or, degenerately, vice versa) — both sides survive
+    lastTouch.join(linear, Seq("touch_type"), "full_outer")
+      .na.fill(0L, Seq("n_last_touch", "linear_ppm"))
+      .select(col("touch_type"), col("n_last_touch"), col("linear_ppm"))
+      .unionByName(direct)
+      .orderBy("touch_type")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

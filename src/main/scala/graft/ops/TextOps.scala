@@ -1019,4 +1019,52 @@ object TextOps {
         col("score"))
       .orderBy("doc_id", "rn")
   }
+
+  /** Graded q123: OVERLAPPING CHUNKING for retrieval ingestion — each
+    * document split into fixed-size token windows with a fixed overlap
+    * (the RAG / embedding-ingestion primitive: chunks small enough to
+    * embed, overlapping so no answer span is cut in half), each chunk
+    * carrying its `(start_tok, end_tok)` provenance so a retrieval hit
+    * maps back to its source span. The chunk count rule is
+    * `1 + ceil(max(n − size, 0) / stride)` with `stride = size −
+    * overlap`: every token is covered, the final chunk may be short,
+    * an empty document yields one empty chunk (surfaced, not dropped).
+    *
+    * Where q83 packs MANY documents into training windows (boundary
+    * docs split across windows), this chunks WITHIN each document for
+    * retrieval — same span arithmetic, opposite direction.
+    *
+    * Scale shape: a pure per-row generator — tokenize once, emit
+    * `posexplode(sequence(...))` chunk indices, slice and re-join
+    * tokens per chunk. No shuffle at all except the presentation sort;
+    * no window, no join, no aggregate — the ideal 100 TB operator.
+    */
+  def ragChunks(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame =
+    ragChunksOf(Tables(spark, dir, "documents"), chunkSize, overlap)
+
+  /** Core of `ragChunks` over any `(doc_id, text)` corpus. */
+  def ragChunksOf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    docs.filter(col("doc_id").isNotNull)
+      .withColumn("toks", expr(tokensExpr))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(expr(
+          s"sequence(0, (greatest(n - $chunkSize, 0L) + ${stride - 1}) div $stride)"))
+          .as(Seq("chunk_id", "start_idx")))
+      .select(col("doc_id"), col("toks"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("start_idx") * stride).as("start_tok"),
+        expr(s"least(start_idx * $stride + $chunkSize, n)").as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+      .withColumn("chunk_text", expr(
+        // re-derive the slice off the SAME row's toks: posexplode kept it
+        "array_join(slice(toks, CAST(start_tok + 1 AS INT), CAST(n_tokens AS INT)), ' ')"))
+      .select("doc_id", "chunk_id", "start_tok", "end_tok", "n_tokens",
+        "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+  }
 }

