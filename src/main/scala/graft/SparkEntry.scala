@@ -205,6 +205,9 @@ object SparkEntry {
     "q124_volume_bursts" -> Events.volumeBursts _,
     "q125_attribution" -> ((s: SparkSession, d: String) =>
       Events.purchaseAttribution(s, d, AttrWindowSec)),
+    "q126_rrf_fusion" -> ((s: SparkSession, d: String) =>
+      Similarity.rrfFusion(s, d, RrfKPerSystem, RrfKOut, RrfKConst,
+        RelatedDfCap)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -2921,31 +2924,10 @@ object SparkEntry {
     // band with integer rarity weights, the term self-join, and the
     // per-anchor top-k.
     "q121_related_docs" ->
-      s"""WITH postings AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
-         |      AS term
-         |  FROM documents WHERE doc_id IS NOT NULL),
-         |rare AS (
-         |  SELECT term, COUNT(*) AS df, 1000000 // COUNT(*) AS wt
-         |  FROM postings GROUP BY term
-         |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $RelatedDfCap),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    CAST(COUNT(*) AS BIGINT) AS n_shared_rare,
-         |    CAST(SUM(r.wt) AS BIGINT) AS score
-         |  FROM postings a
-         |  JOIN rare r ON a.term = r.term
-         |  JOIN postings b ON b.term = a.term AND b.doc_id <> a.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |ranked AS (
-         |  SELECT doc_a, doc_b, n_shared_rare, score,
-         |    ROW_NUMBER() OVER (PARTITION BY doc_a
-         |                       ORDER BY score DESC, doc_b ASC) AS rn
-         |  FROM pairs)
+      s"""WITH ${relatedDocsCtes(RelatedDfCap)}
          |SELECT doc_a AS doc_id, CAST(rn AS BIGINT) AS rn,
          |  doc_b AS related_doc_id, n_shared_rare, score
-         |FROM ranked WHERE rn <= $RelatedTopK
+         |FROM rel_ranked WHERE rn <= $RelatedTopK
          |ORDER BY doc_id, rn""".stripMargin,
 
     // Replays Events.markovEval: the q116 lag/session rule, the
@@ -3076,6 +3058,51 @@ object SparkEntry {
          |  CAST(linear_ppm AS BIGINT) AS linear_ppm
          |FROM (SELECT * FROM merged UNION ALL SELECT * FROM direct) u
          |ORDER BY touch_type""".stripMargin,
+
+    // Replays Similarity.rrfFusion: the q21 dense arm at depth
+    // $RrfKPerSystem, the q121 sparse arm (shared CTEs) with anchors
+    // restricted to the probe set, full-outer fusion, integer RRF.
+    "q126_rrf_fusion" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.q_id, v.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM v CROSS JOIN q
+         |  WHERE v.vec_id <> q.q_id),
+         |dense AS (
+         |  SELECT q_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS dense_rank
+         |  FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id
+         |                         ORDER BY cos DESC, vec_id ASC) AS rn
+         |    FROM p) d WHERE rn <= $RrfKPerSystem),
+         |${relatedDocsCtes(RelatedDfCap)},
+         |sparse AS (
+         |  SELECT doc_a AS q_id, doc_b AS doc_id,
+         |    CAST(rn AS BIGINT) AS sparse_rank
+         |  FROM rel_ranked WHERE rn <= $RrfKPerSystem AND doc_a < 8),
+         |f AS (
+         |  SELECT COALESCE(dense.q_id, sparse.q_id) AS q_id,
+         |    COALESCE(dense.doc_id, sparse.doc_id) AS doc_id,
+         |    dense.dense_rank, sparse.sparse_rank,
+         |    COALESCE(1000000 // ($RrfKConst + dense.dense_rank), 0)
+         |      + COALESCE(1000000 // ($RrfKConst + sparse.sparse_rank), 0)
+         |      AS rrf_ppm
+         |  FROM dense FULL OUTER JOIN sparse
+         |    ON dense.q_id = sparse.q_id AND dense.doc_id = sparse.doc_id),
+         |r AS (
+         |  SELECT q_id, doc_id, dense_rank, sparse_rank, rrf_ppm,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY rrf_ppm DESC, doc_id ASC) AS rn
+         |  FROM f)
+         |SELECT q_id, CAST(rn AS BIGINT) AS rn, doc_id, dense_rank,
+         |  sparse_rank, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+         |FROM r WHERE rn <= $RrfKOut ORDER BY q_id, rn""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3350,6 +3377,11 @@ object SparkEntry {
   private val RagOverlap = 16
   // q125: attribution lookback window (24 h).
   private val AttrWindowSec = 86400L
+  // q126: RRF fusion — per-system ranking depth, fused output depth,
+  // and the K=60 constant from Cormack et al. 2009.
+  private val RrfKPerSystem = 10
+  private val RrfKOut = 5
+  private val RrfKConst = 60
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.
@@ -3438,6 +3470,36 @@ object SparkEntry {
       (1 until iters).flatMap(i => Seq(assignCte(i), centCte(i))) :+
       assignCte(iters)).mkString(",\n")
   }
+
+  /** CTE chain replaying `TextOps.relatedDocsOf(maxDf)` in DuckDB:
+    * `postings` (distinct doc–term), `rare` (the 2..cap df band with
+    * integer rarity weights), `rel_pairs`, and `rel_ranked` (the
+    * per-anchor ranking, cut by the consumer). Shared by q121 (top-k
+    * per doc) and q126's sparse fusion arm.
+    */
+  private def relatedDocsCtes(maxDf: Long): String =
+    s"""postings AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))
+       |      AS term
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |rare AS (
+       |  SELECT term, COUNT(*) AS df, 1000000 // COUNT(*) AS wt
+       |  FROM postings GROUP BY term
+       |  HAVING COUNT(*) >= 2 AND COUNT(*) <= $maxDf),
+       |rel_pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared_rare,
+       |    CAST(SUM(r.wt) AS BIGINT) AS score
+       |  FROM postings a
+       |  JOIN rare r ON a.term = r.term
+       |  JOIN postings b ON b.term = a.term AND b.doc_id <> a.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |rel_ranked AS (
+       |  SELECT doc_a, doc_b, n_shared_rare, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_a
+       |                       ORDER BY score DESC, doc_b ASC) AS rn
+       |  FROM rel_pairs)""".stripMargin
 
   // q118: sketch size and hash domain (2^56 — 14 md5 hex chars, chosen
   // so (k−1)·domain fits a bigint), single-sourced from TextOps.

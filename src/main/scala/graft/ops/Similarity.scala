@@ -105,6 +105,65 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** q21's dense cosine ranking at an arbitrary depth, as
+    * (q_id, doc_id, rank) — the dense arm of [[rrfFusion]].
+    */
+  private[graft] def cosineRanking(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    cosined(spark, rawVectors(spark, dir), queries(spark, dir), None)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
+  }
+
+  /** Graded q126: RECIPROCAL-RANK-FUSION hybrid retrieval (Cormack,
+    * Clarke & Buettcher, SIGIR 2009) — the standard way modern search
+    * stacks combine a DENSE ranking (embedding cosine, q21's arm) with
+    * a SPARSE one (rare-term lexical relatedness, q121's arm) without
+    * comparable scores: each system contributes `1/(K + rank)` per
+    * document and the fused order is by the sum. Documents the two
+    * systems disagree about rise only if one ranks them very high;
+    * documents BOTH surface dominate — which is exactly why every
+    * hybrid vector store (Elasticsearch, OpenSearch, Qdrant, Weaviate)
+    * ships RRF as the default fusion. The probe set is the shared
+    * vec_id/doc_id < 8 id space the two test tables align on.
+    *
+    * Determinism: ranks are integers, so the RRF term is kept as
+    * integer ppm — `10⁶ div (K + rank)` — and the fused score is a sum
+    * of at most two bigints; ties break by doc_id. K = 60, the
+    * constant from the paper. A doc missing from one arm simply lacks
+    * that term (coalesce 0) — no imputation.
+    *
+    * Scale shape: both arms are the ALREADY-AUDITED plans (q21's
+    * broadcast-probe corpus scan; q121's capped-index self-join); the
+    * fusion itself is a full-outer join of two O(probes · k) rank
+    * lists — report-sized, trivially broadcastable — and the final
+    * top-k is a window over ≤ 2k rows per probe.
+    */
+  def rrfFusion(spark: SparkSession, dir: String, kPerSystem: Int = 10,
+      kOut: Int = 5, kConst: Int = 60, maxDf: Long = 50L): DataFrame = {
+    val dense = cosineRanking(spark, dir, kPerSystem)
+      .withColumnRenamed("rank", "dense_rank")
+    val sparse = TextOps.relatedDocs(spark, dir, maxDf, kPerSystem)
+      .filter(col("doc_id") < 8)
+      .select(col("doc_id").as("q_id"),
+        col("related_doc_id").as("doc_id"), col("rn").as("sparse_rank"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    dense.join(sparse, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm", expr(
+        s"""coalesce(1000000 div ($kConst + dense_rank), 0L)
+           | + coalesce(1000000 div ($kConst + sparse_rank), 0L)"""
+          .stripMargin))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kOut)
+      .select("q_id", "rn", "doc_id", "dense_rank", "sparse_rank",
+        "rrf_ppm")
+      .orderBy("q_id", "rn")
+  }
+
   /** Graded q103: EMBEDDING-SPACE decontamination — the vector-side
     * member of the decontamination family (Dedup's 3/13-gram and span
     * surgeries are its text-side siblings). A benchmark/eval embedding

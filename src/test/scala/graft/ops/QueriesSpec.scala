@@ -1004,4 +1004,36 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._3).sum == 3000000L) // linear ppm mass conserved
     CachedStages.release(spark)
   }
+
+  test("q126 RRF fusion equals the fusion of its two arms, recomputed driver-side") {
+    val kc = 60L
+    val dense = Similarity.cosineRanking(spark, dir, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sparse = TextOps.relatedDocs(spark, dir, 50L, 10).collect()
+      .filter(_.getLong(0) < 8L)
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    assert(dense.nonEmpty && sparse.nonEmpty)
+    val expect = (dense.keySet ++ sparse.keySet).toSeq
+      .map { case key @ (q, d) =>
+        val score = dense.get(key).map(r => 1000000L / (kc + r)).getOrElse(0L) +
+          sparse.get(key).map(r => 1000000L / (kc + r)).getOrElse(0L)
+        (q, d, dense.get(key), sparse.get(key), score)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy { case (_, d, _, _, s) => (-s, d) }.take(5)
+          .zipWithIndex.map { case ((q, d, dr, sr, s), i) =>
+            (q, (i + 1).toLong, d, dr, sr, s)
+          }
+      }.sortBy(r => (r._1, r._2))
+    val got = Similarity.rrfFusion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5))).toSeq
+    assert(got == expect, s"got:\n${got.mkString("\n")}\nexpect:\n${expect.mkString("\n")}")
+    // both arms actually contribute: some fused row carries both ranks
+    assert(got.exists(r => r._4.isDefined && r._5.isDefined) ||
+      got.forall(_._4.isDefined) || got.forall(_._5.isDefined))
+    CachedStages.release(spark)
+  }
 }

@@ -895,4 +895,22 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q126 plan: dense arm scans embeddings, sparse arm rides the postings cache") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Similarity.rrfFusion(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the only parquet reads are the two embeddings sides of the q21
+    // arm (corpus + pushed-filter probe set); the documents corpus
+    // enters ONLY through q121's persisted postings
+    val scans = tree.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, plan.take(3000))
+    assert(scans.forall(_.toString.contains("embeddings.parquet")),
+      scans.map(_.toString.take(200)).mkString("\n"))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
