@@ -208,6 +208,8 @@ object SparkEntry {
     "q126_rrf_fusion" -> ((s: SparkSession, d: String) =>
       Similarity.rrfFusion(s, d, RrfKPerSystem, RrfKOut, RrfKConst,
         RelatedDfCap)),
+    "q127_snapshot_diff" -> Cdc.snapshotDiff _,
+    "q128_weighted_quantiles" -> TextOps.weightedLengthQuantiles _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3103,6 +3105,43 @@ object SparkEntry {
          |SELECT q_id, CAST(rn AS BIGINT) AS rn, doc_id, dense_rank,
          |  sparse_rank, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
          |FROM r WHERE rn <= $RrfKOut ORDER BY q_id, rn""".stripMargin,
+
+    // Replays Cdc.snapshotDiff: the derived md5-bucket snapshot, the
+    // full-outer PK join, null-safe per-column comparison, the melted
+    // report (SQL generated from the same column list as the operator).
+    "q127_snapshot_diff" -> snapshotDiffOracleSql,
+
+    // Replays TextOps.weightedLengthQuantiles: the (source, len)
+    // histogram, value-domain cumulative window, exact integer picks.
+    "q128_weighted_quantiles" ->
+      """WITH hist AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      AS len,
+        |    COUNT(*) AS n_docs_len
+        |  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1, 2),
+        |h2 AS (SELECT source, len, n_docs_len,
+        |         len * n_docs_len AS toks_len FROM hist),
+        |c AS (
+        |  SELECT source, len,
+        |    SUM(n_docs_len) OVER (PARTITION BY source ORDER BY len ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_docs,
+        |    SUM(toks_len) OVER (PARTITION BY source ORDER BY len ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks
+        |  FROM h2),
+        |t AS (SELECT source, CAST(SUM(n_docs_len) AS BIGINT) AS n_docs,
+        |        CAST(SUM(toks_len) AS BIGINT) AS total_tokens
+        |      FROM h2 GROUP BY source)
+        |SELECT c.source, t.n_docs, t.total_tokens,
+        |  MIN(CASE WHEN c.cum_docs >= (t.n_docs + 1) // 2
+        |      THEN c.len END) AS doc_median_len,
+        |  MIN(CASE WHEN c.cum_toks >= (t.total_tokens + 1) // 2
+        |      THEN c.len END) AS tok_median_len,
+        |  MIN(CASE WHEN c.cum_toks >= (9 * t.total_tokens + 9) // 10
+        |      THEN c.len END) AS tok_p90_len
+        |FROM c JOIN t USING (source)
+        |GROUP BY c.source, t.n_docs, t.total_tokens
+        |ORDER BY c.source""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3500,6 +3539,56 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY doc_a
        |                       ORDER BY score DESC, doc_b ASC) AS rn
        |  FROM rel_pairs)""".stripMargin
+
+  /** DuckDB replay of `Cdc.snapshotDiff`, generated from the same
+    * non-key column list the operator derives from the schema — the
+    * derivation (buckets 0-4 modified, 5-7 removed, 8-9 cloned), the
+    * full-outer join, null-safe comparisons, and the melted report.
+    */
+  private def snapshotDiffOracleSql: String = {
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val same = cols.map(c => s"b.$c IS NOT DISTINCT FROM s.$c")
+      .mkString("\n         AND ")
+    val pairCols = cols.map(c => s"b.$c AS b_$c, s.$c AS s_$c")
+      .mkString(",\n       |    ")
+    val chgSelects = cols.map(c =>
+      s"""SELECT 'chg_$c' AS metric,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT (b_$c IS NOT DISTINCT FROM s_$c)
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n
+         |  FROM j WHERE change_type = 'modified'""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH bb AS (
+       |  SELECT *, CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+       |    AS BIGINT) % 100 AS bkt
+       |  FROM orders),
+       |snap AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    CASE WHEN bkt < 5 THEN o_totalprice + 1.0 ELSE o_totalprice END
+       |      AS o_totalprice,
+       |    o_orderdate,
+       |    CASE WHEN bkt < 5 THEN 'RUSHED' ELSE o_orderpriority END
+       |      AS o_orderpriority
+       |  FROM bb WHERE bkt < 5 OR bkt >= 8
+       |  UNION ALL
+       |  SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+       |    o_totalprice, o_orderdate, o_orderpriority
+       |  FROM bb WHERE bkt >= 8 AND bkt < 10),
+       |j AS (
+       |  SELECT
+       |    CASE WHEN b.o_orderkey IS NULL THEN 'added'
+       |         WHEN s.o_orderkey IS NULL THEN 'removed'
+       |         WHEN $same THEN 'unchanged'
+       |         ELSE 'modified' END AS change_type,
+       |    $pairCols
+       |  FROM orders b FULL OUTER JOIN snap s ON b.o_orderkey = s.o_orderkey)
+       |SELECT metric, n FROM (
+       |  SELECT 'n_' || change_type AS metric, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM j GROUP BY change_type
+       |  UNION ALL
+       |  $chgSelects
+       |) u ORDER BY metric""".stripMargin
+  }
 
   // q118: sketch size and hash domain (2^56 — 14 md5 hex chars, chosen
   // so (k−1)·domain fits a bigint), single-sourced from TextOps.

@@ -204,4 +204,83 @@ object Cdc {
         (coalesce(col("s_b"), lit(0L)) + coalesce(col("s_d"), lit(0L)))
           .as("sum_cents"))
   }
+
+  /** Graded q127: SNAPSHOT DIFF — the data-reconciliation operator
+    * (the "data diff" every migration, backfill, and replication
+    * verifies with): two keyed snapshots full-outer-join on the PK and
+    * every row classifies as `added` / `removed` / `modified` /
+    * `unchanged`, with per-COLUMN change counts telling you WHICH
+    * fields drifted. The generic core works over any schema (columns
+    * compared null-safely, schema-driven), and the graded instance
+    * diffs `orders` against a deterministically derived new snapshot
+    * ([[ordersSnapshot]]: md5-bucket rule — buckets 0-4 modified in
+    * two columns, 5-7 deleted, 8-9 cloned under shifted keys — so the
+    * report's exact counts are a property of the rule, not luck).
+    *
+    * Scale shape: ONE full-outer PK shuffle join (the irreducible cost
+    * of keyed reconciliation — at 100 TB both sides arrive
+    * co-partitioned if written bucketed, and AQE handles the skew);
+    * classification and per-column comparison are codegen projections;
+    * the output is ONE aggregate pass melted to the report
+    * (q97's stack shape) — report-sized, never row-sized.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+    snapshotDiffOf(base, ordersSnapshot(base), "o_orderkey")
+  }
+
+  /** The derived "new day" snapshot of `orders`: q44's md5-bucket rule
+    * picks disjoint slices — buckets 0-4 get `o_totalprice + 1.0` and
+    * `o_orderpriority = 'RUSHED'` (modified), 5-7 vanish (removed),
+    * 8-9 are duplicated under `o_orderkey + 10⁹` (added).
+    */
+  private[ops] def ordersSnapshot(base: DataFrame): DataFrame = {
+    val b = base.withColumn("bkt", expr(
+      "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 6), 16, 10) as bigint) % 100"))
+    val kept = b.filter(col("bkt") < 5 || col("bkt") >= 8)
+      .withColumn("o_totalprice",
+        when(col("bkt") < 5, col("o_totalprice") + 1.0d)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("bkt") < 5, lit("RUSHED")).otherwise(col("o_orderpriority")))
+    val added = b.filter(col("bkt") >= 8 && col("bkt") < 10)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+    kept.unionByName(added).drop("bkt")
+  }
+
+  /** Generic core of `snapshotDiff`: any two same-schema keyed frames.
+    * Output is the long-format report: `n_<change_type>` rows plus
+    * `chg_<column>` counts over the modified rows, ordered by metric.
+    */
+  def snapshotDiffOf(base: DataFrame, snap: DataFrame,
+      pk: String): DataFrame = {
+    require(base.columns.sameElements(snap.columns),
+      s"schema mismatch: ${base.columns.toSeq} vs ${snap.columns.toSeq}")
+    val cols = base.columns.filterNot(_ == pk).toSeq
+    def packed(df: DataFrame, side: String): DataFrame =
+      df.select(col(pk), struct(cols.map(col): _*).as(side))
+    val same = cols.map(c => col(s"b.$c") <=> col(s"s.$c")).reduce(_ && _)
+    val j = CachedStages.track(
+      packed(base, "b").join(packed(snap, "s"), Seq(pk), "full_outer")
+        .withColumn("change_type",
+          when(col("b").isNull, "added")
+            .when(col("s").isNull, "removed")
+            .when(same, "unchanged")
+            .otherwise("modified"))
+        .persist())
+    val summary = j.groupBy("change_type").agg(count(lit(1)).as("n"))
+      .select(concat(lit("n_"), col("change_type")).as("metric"), col("n"))
+    // ONE aggregate computes every per-column count; stack melts the
+    // single row to the long format (the q97 generator shape)
+    // coalesce: an all-unchanged diff has zero modified rows and the
+    // sums would otherwise go NULL instead of 0
+    val chgAggs = cols.map(c => coalesce(sum(
+      (!(col(s"b.$c") <=> col(s"s.$c"))).cast("long")), lit(0L)).as(s"chg_$c"))
+    val stackArgs = cols.map(c => s"'chg_$c', chg_$c").mkString(", ")
+    val colChanges = j.filter(col("change_type") === "modified")
+      .agg(chgAggs.head, chgAggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stackArgs) AS (metric, n)"))
+    summary.unionByName(colChanges).orderBy("metric")
+  }
 }

@@ -1067,4 +1067,56 @@ object TextOps {
         "chunk_text")
       .orderBy("doc_id", "chunk_id")
   }
+
+  /** Graded q128: TOKEN-WEIGHTED length quantiles per source — the
+    * length of the document a TYPICAL TOKEN lives in, vs the typical
+    * document's length. The two medians answer different curation
+    * questions: doc-median says what most documents look like;
+    * token-weighted median says what most of the TRAINING MASS looks
+    * like (a source can be 90% short docs yet 90% long-doc tokens —
+    * budget decisions follow tokens, not documents). Exact integer
+    * selection rules throughout: pick the smallest length whose
+    * cumulative count reaches `ceil(total/2)` (median) or
+    * `ceil(9·total/10)` (p90) — the q53 rank discipline applied to
+    * WEIGHTED ranks.
+    *
+    * Scale shape: the corpus collapses once to the (source, length)
+    * HISTOGRAM — its cardinality is bounded by the VALUE DOMAIN
+    * (distinct lengths), not the row count, which is what makes the
+    * cumulative window safe at 100 TB: the per-source frame holds at
+    * most |distinct lengths| rows no matter how many documents exist.
+    * (The naive per-document window q53 exists to avoid never forms.)
+    * Totals broadcast back; the final pick is a conditional min.
+    */
+  def weightedLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    weightedLengthQuantilesOf(Tables(spark, dir, "documents"))
+
+  /** Core of `weightedLengthQuantiles` over any `(source, text)` corpus. */
+  def weightedLengthQuantilesOf(docs: DataFrame): DataFrame = {
+    val hist = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), expr(s"size($tokensExpr)").cast("long").as("len"))
+      .groupBy("source", "len")
+      .agg(count(lit(1)).as("n_docs_len"))
+      .withColumn("toks_len", col("len") * col("n_docs_len"))
+      .persist())
+    val w = Window.partitionBy("source").orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_docs", sum(col("n_docs_len")).over(w))
+      .withColumn("cum_toks", sum(col("toks_len")).over(w))
+    val totals = hist.groupBy("source")
+      .agg(sum(col("n_docs_len")).as("n_docs"),
+        sum(col("toks_len")).as("total_tokens"))
+    cum.join(broadcast(totals), Seq("source"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("total_tokens")).as("total_tokens"),
+        min(when(expr("cum_docs >= (n_docs + 1) div 2"), col("len")))
+          .as("doc_median_len"),
+        min(when(expr("cum_toks >= (total_tokens + 1) div 2"), col("len")))
+          .as("tok_median_len"),
+        min(when(expr("cum_toks >= (9 * total_tokens + 9) div 10"), col("len")))
+          .as("tok_p90_len"))
+      .orderBy("source")
+  }
 }

@@ -1036,4 +1036,68 @@ class QueriesSpec extends SparkSpec {
       got.forall(_._4.isDefined) || got.forall(_._5.isDefined))
     CachedStages.release(spark)
   }
+
+  test("q127 snapshot diff: generic classification and per-column counts, hand-computed") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Some("x"), 10L), // unchanged
+      (2L, Some("x"), 20L), // a modified
+      (3L, Some("x"), 30L), // both modified
+      (4L, Some("x"), 40L), // removed
+      (5L, None: Option[String], 50L) // null col, unchanged (null-safe)
+    ).toDF("pk", "a", "b")
+    val snap = Seq(
+      (1L, Some("x"), 10L),
+      (2L, Some("y"), 20L),
+      (3L, Some("z"), 31L),
+      (5L, None: Option[String], 50L),
+      (6L, Some("x"), 60L) // added
+    ).toDF("pk", "a", "b")
+    val got = Cdc.snapshotDiffOf(base, snap, "pk").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(
+      ("chg_a", 2L), ("chg_b", 1L),
+      ("n_added", 1L), ("n_modified", 2L), ("n_removed", 1L),
+      ("n_unchanged", 2L)), got.mkString("\n"))
+    CachedStages.release(spark)
+  }
+
+  test("q127 snapshot diff: the graded orders derivation reports exact bucket counts") {
+    val buckets = Tables(spark, dir, "orders")
+      .selectExpr("cast(conv(substring(md5(cast(o_orderkey as string)), 1, 6), 16, 10) as bigint) % 100 as bkt")
+      .collect().map(_.getLong(0))
+    val nMod = buckets.count(_ < 5).toLong
+    val nRem = buckets.count(b => b >= 5 && b < 8).toLong
+    val nAdd = buckets.count(b => b >= 8 && b < 10).toLong
+    val got = Cdc.snapshotDiff(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_added") == nAdd && got("n_removed") == nRem &&
+      got("n_modified") == nMod, got.toString)
+    assert(got("n_unchanged") == buckets.length - nMod - nRem)
+    // exactly the two derived columns drift, in every modified row
+    assert(got("chg_o_totalprice") == nMod &&
+      got("chg_o_orderpriority") == nMod)
+    assert(got("chg_o_custkey") == 0L && got("chg_o_orderstatus") == 0L &&
+      got("chg_o_orderdate") == 0L)
+    CachedStages.release(spark)
+  }
+
+  test("q128 weighted quantiles: token mass and doc counts diverge, hand-computed") {
+    import spark.implicits._
+    val docs = Seq(
+      // source x: lengths (1, 1, 10) — most DOCS are short, most
+      // TOKENS live in the long one: doc median 1, token median 10
+      (1L, "x", "a"), (2L, "x", "b"),
+      (3L, "x", "a b c d e f g h i j"),
+      // source y: uniform lengths (2, 2)
+      (4L, "y", "a b"), (5L, "y", "c d")
+    ).toDF("doc_id", "source", "text")
+    val got = TextOps.weightedLengthQuantilesOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("x", 3L, 12L, 1L, 10L, 10L),
+      ("y", 2L, 4L, 2L, 2L, 2L)), got.mkString("\n"))
+    CachedStages.release(spark)
+  }
 }

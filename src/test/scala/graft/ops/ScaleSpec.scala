@@ -913,4 +913,39 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q127 plan: the full-outer reconciliation runs once; report reads the cache") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Cdc.snapshotDiff(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the PK shuffle join + classification persist once; the summary
+    // rollup and the per-column melt both read the cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    // the per-column counts melt via ONE stack generator, not a query
+    // per column
+    assert(plan.contains("Generate"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q128 plan: value-domain histogram cached; cumulative window over it; totals broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.weightedLengthQuantiles(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the corpus collapses once into the persisted (source, len)
+    // histogram — bounded by the value domain, so the cumulative
+    // window's frames are safe at any row count
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
