@@ -286,6 +286,40 @@ object EventStreams {
     graft.ops.Events.hllRegistersOf(
       stream.select(col("event_type"), col("user_id")), m)
 
+  /** Fit the frozen per-type median daily volume for
+    * [[burstFlaggedDays]] — the batch q124 medians collected as a
+    * |types|-entry map (model-sized; the fifth documented frozen-model
+    * fitter).
+    */
+  def fitBurstMedians(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Map[String, Long] =
+    graft.ops.Events.volumeBursts(spark, dir)
+      .select(col("event_type"), col("median_n")).distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** q124's twin: LIVE volume-burst flags under the FROZEN per-type
+    * median model. Arriving events aggregate to per-(type, day) counts
+    * in Complete mode — state is the day-granular count matrix, which
+    * grows one row per (type, day), never with event volume — and each
+    * emitted day carries the same integer `n·10 ≥ median·25` verdict
+    * batch q124 computes, against the medians the OFFLINE pass fitted
+    * (the monitoring shape: thresholds re-fit daily/weekly offline,
+    * applied in-flight). Types unseen at fit time surface with a NULL
+    * median and a NULL flag — the "new event type" alarm itself.
+    */
+  def burstFlaggedDays(stream: DataFrame,
+      medians: Map[String, Long]): DataFrame = {
+    require(medians.nonEmpty, "empty median model: nothing to flag against")
+    val medLit = typedlit(medians)
+    stream
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("median_n", element_at(medLit, col("event_type")))
+      .withColumn("is_burst",
+        (col("n") * 10 >= col("median_n") * 25).cast("long"))
+  }
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

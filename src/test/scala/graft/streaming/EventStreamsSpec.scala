@@ -359,4 +359,26 @@ class EventStreamsSpec extends SparkSpec {
     val nTypes = streamed.keySet.map(_._1).size
     assert(streamed.size <= m * nTypes)
   }
+
+  test("q124 twin: streamed burst flags equal batch under the frozen median model") {
+    val src = "/root/testdata/sf0.001"
+    // freeze the model from the SAME corpus the stream replays, so the
+    // in-flight verdicts must reproduce batch q124 row for row
+    val medians = EventStreams.fitBurstMedians(spark, src)
+    assert(medians.nonEmpty)
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(
+      EventStreams.burstFlaggedDays(stream, medians),
+      "burst_days", OutputMode.Complete())
+    val streamed = spark.table("burst_days").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val batch = Events.volumeBursts(spark, src).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+    // state bound: one row per (type, day), never per event
+    assert(streamed.size == batch.size)
+    graft.ops.CachedStages.release(spark)
+  }
 }
