@@ -210,6 +210,8 @@ object SparkEntry {
         RelatedDfCap)),
     "q127_snapshot_diff" -> Cdc.snapshotDiff _,
     "q128_weighted_quantiles" -> TextOps.weightedLengthQuantiles _,
+    "q129_image_neardups" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageNearDups(s, d, ImgHammingMax)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3142,6 +3144,56 @@ object SparkEntry {
         |FROM c JOIN t USING (source)
         |GROUP BY c.source, t.n_docs, t.total_tokens
         |ORDER BY c.source""".stripMargin,
+
+    // q129's oracle is the deliberately-unmirrored brute force: pixels
+    // and clones recomputed arithmetically (the q25 pattern), dHash
+    // packed by the same luma/bit rules, then an ALL-PAIRS within-dims
+    // scan — so the hash match proves the Spark side's band join
+    // lossless for the threshold (the q38 pattern).
+    "q129_image_neardups" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS img_id, doc_id AS base, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, 1 FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |g AS (
+         |  SELECT img_id, CAST(4 + base % 5 AS BIGINT) AS w,
+         |    CAST(3 + base % 4 AS BIGINT) AS h,
+         |    flatten(list_transform(generate_series(0, 3 + base % 4 - 1), y ->
+         |      list_transform(generate_series(0, 4 + base % 5 - 1), x ->
+         |        299 * (CASE WHEN pert = 1 AND x = 0 AND y = 0
+         |               THEN (base * 31 + 40) % 256
+         |               ELSE (base * 31 + x * 7 + y * 13 + x * y * 29) % 256 END)
+         |        + 587 * ((base * 17 + x * 3 + y * 5 + x * y * 23) % 256)
+         |        + 114 * ((base * 11 + x + y + x * y * 19) % 256)))) AS lum
+         |  FROM ids),
+         |hsh AS (
+         |  SELECT img_id, w, h,
+         |    CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+         |      list_transform(generate_series(0, w - 2), x ->
+         |        CASE WHEN lum[y * w + x + 2] > lum[y * w + x + 1]
+         |        THEN (1::BIGINT << (y * (w - 1) + x)) ELSE 0::BIGINT END))))
+         |      AS BIGINT) AS dhash
+         |  FROM g),
+         |pr AS (
+         |  SELECT a.w, a.h,
+         |    bit_count(xor(a.dhash, b.dhash)) AS hamming,
+         |    CASE WHEN b.img_id - a.img_id = 1000000 THEN 1 ELSE 0 END
+         |      AS planted
+         |  FROM hsh a JOIN hsh b
+         |    ON a.w = b.w AND a.h = b.h AND a.img_id < b.img_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $ImgHammingMax),
+         |rep AS (
+         |  SELECT w, h, COUNT(*) AS n_pairs, SUM(hamming) AS sum_hamming,
+         |    SUM(planted) AS n_planted
+         |  FROM pr GROUP BY w, h),
+         |n AS (SELECT w, h, COUNT(*) AS n_images FROM hsh GROUP BY w, h)
+         |SELECT n.w, n.h, CAST(n.n_images AS BIGINT) AS n_images,
+         |  CAST(COALESCE(rep.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(rep.sum_hamming, 0) AS BIGINT) AS sum_hamming,
+         |  CAST(COALESCE(rep.n_planted, 0) AS BIGINT) AS n_planted
+         |FROM n LEFT JOIN rep ON n.w = rep.w AND n.h = rep.h
+         |ORDER BY n.w, n.h""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3421,6 +3473,9 @@ object SparkEntry {
   private val RrfKPerSystem = 10
   private val RrfKOut = 5
   private val RrfKConst = 60
+  // q129: dHash near-dup Hamming threshold (4 bands of 11 bits cover
+  // <= 3 flips by pigeonhole over the <= 44-bit hash space).
+  private val ImgHammingMax = 3
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.

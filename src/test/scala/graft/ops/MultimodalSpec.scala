@@ -134,4 +134,62 @@ class MultimodalSpec extends SparkSpec {
         content.slice(f.frame_idx * 32, (f.frame_idx + 1) * 32)))
     }
   }
+
+  /** Arithmetic replay of the q129 dHash from the textured formulas. */
+  private def naiveDHash(base: Long, pert: Boolean): (Long, Long, Long) = {
+    val w = Multimodal.ImageCodec.width(base)
+    val h = Multimodal.ImageCodec.height(base)
+    def luma(x: Int, y: Int): Long = {
+      val r = if (pert && x == 0 && y == 0) (base * 31 + 40) % 256
+        else Multimodal.TexturedCodec.red(base, x, y).toLong
+      299L * r + 587L * Multimodal.TexturedCodec.green(base, x, y) +
+        114L * Multimodal.TexturedCodec.blue(base, x, y)
+    }
+    var hash = 0L
+    var idx = 0
+    for (y <- 0 until h; x <- 0 until w - 1) {
+      if (luma(x + 1, y) > luma(x, y)) hash |= 1L << idx
+      idx += 1
+    }
+    (w.toLong, h.toLong, hash)
+  }
+
+  test("q129: decoded dHashes equal the arithmetic replay, clones included") {
+    val got = Multimodal.imageDHashes(spark, dir).collect()
+      .map(r => r.doc_id -> (r.w, r.h, r.dhash)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, t) =>
+      val (base, pert) =
+        if (id >= 1000000L) (id - 1000000L, true) else (id, false)
+      assert(t == naiveDHash(base, pert), s"img $id")
+    }
+    // the retouch flips at most one bit of its original's hash
+    got.keys.filter(_ >= 1000000L).foreach { cid =>
+      val (_, _, ch) = got(cid)
+      val (_, _, bh) = got(cid - 1000000L)
+      assert(java.lang.Long.bitCount(ch ^ bh) <= 1, s"clone $cid")
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q129: report equals a driver-side brute force; every planted clone recovered") {
+    val hashes = Multimodal.imageDHashes(spark, dir).collect()
+      .map(r => (r.doc_id, r.w, r.h, r.dhash))
+    val brute = hashes.groupBy(r => (r._2, r._3)).map { case (dims, g) =>
+      val pairs = for {
+        a <- g; b <- g if a._1 < b._1
+        hm = java.lang.Long.bitCount(a._4 ^ b._4).toLong if hm <= 3
+      } yield (hm, if (b._1 - a._1 == 1000000L) 1L else 0L)
+      dims -> ((g.length.toLong, pairs.length.toLong,
+        pairs.map(_._1).sum, pairs.map(_._2).sum))
+    }
+    val got = Multimodal.imageNearDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == brute, s"got $got\nbrute $brute")
+    // recovery: one near-dup pair per planted clone, all found
+    val nClones = hashes.count(_._1 >= 1000000L).toLong
+    assert(nClones > 0 && got.values.map(_._4).sum == nClones)
+    CachedStages.release(spark)
+  }
 }
