@@ -212,6 +212,8 @@ object SparkEntry {
     "q128_weighted_quantiles" -> TextOps.weightedLengthQuantiles _,
     "q129_image_neardups" -> ((s: SparkSession, d: String) =>
       Multimodal.imageNearDups(s, d, ImgHammingMax)),
+    "q130_audio_neardups" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioNearDups(s, d, ImgHammingMax)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3194,6 +3196,41 @@ object SparkEntry {
          |  CAST(COALESCE(rep.n_planted, 0) AS BIGINT) AS n_planted
          |FROM n LEFT JOIN rep ON n.w = rep.w AND n.h = rep.h
          |ORDER BY n.w, n.h""".stripMargin,
+
+    // q130's oracle: the textured PCM recomputed arithmetically
+    // (cube-mix v = (t³ div 4096) mod 2¹⁶, t = base·131 + i·37 + 11;
+    // the clone shifts sample 0 by +500 mod 2¹⁶), the 48 sign bits
+    // (v ≥ 32768 ⟺ s ≥ 0) packed by the same rules, then the
+    // brute-force all-pairs scan.
+    "q130_audio_neardups" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id AS clip_id, doc_id AS base, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, 1 FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |fp AS (
+         |  SELECT clip_id,
+         |    CAST(list_sum(list_transform(generate_series(0, 47), i ->
+         |      CASE WHEN
+         |        (CASE WHEN pert = 1 AND i = 0
+         |         THEN (((base * 131 + 11) * (base * 131 + 11) * (base * 131 + 11)
+         |               // 4096) % 65536 + 500) % 65536
+         |         ELSE ((base * 131 + i * 37 + 11) * (base * 131 + i * 37 + 11)
+         |               * (base * 131 + i * 37 + 11) // 4096) % 65536 END)
+         |        >= 32768
+         |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS f
+         |  FROM ids),
+         |pr AS (
+         |  SELECT bit_count(xor(a.f, b.f)) AS hamming,
+         |    CASE WHEN b.clip_id - a.clip_id = 1000000 THEN 1 ELSE 0 END
+         |      AS planted
+         |  FROM fp a JOIN fp b ON a.clip_id < b.clip_id
+         |  WHERE bit_count(xor(a.f, b.f)) <= $ImgHammingMax)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_clips,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming,
+         |  CAST(COALESCE(SUM(planted), 0) AS BIGINT) AS n_planted
+         |FROM pr""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE

@@ -325,6 +325,126 @@ object Multimodal {
       .orderBy("lang")
 
   final case class ImageHash(doc_id: Long, w: Long, h: Long, dhash: Long)
+  final case class AudioFp(doc_id: Long, fp: Long)
+
+  /** TEXTURED PCM formulas for the q130 corpus — q62's near-linear ramp
+    * replaced by a cubed-and-shifted mix, `((id·131 + i·37 + 11)³ div
+    * 4096) mod 2¹⁶`, whose sign bits are near-uniform AND decorrelated
+    * across ids (measured: 10 background Hamming-≤3 pairs over 510
+    * clips, vs >10k under any id-additive formula — linear-in-id PCM
+    * shifts every sample equally, so sign patterns barely move). Max
+    * intermediate (6.6e5)³ ≈ 2.8e17 fits int64 at every test scale;
+    * the formula is fixture SYNTHESIS only — the operator consumes
+    * whatever PCM the decoder yields. Same 16-bit arithmetic, same WAV
+    * round-trip, same oracle-replayability.
+    */
+  private[ops] object TexturedAudio {
+    def nSamples(docId: Long): Int = AudioCodec.nSamples(docId)
+    def sample(docId: Long, i: Int, pert: Boolean): Int = {
+      val t = docId * 131 + i.toLong * 37 + 11
+      val base = (t * t * t / 4096) % 65536
+      val v = if (pert && i == 0) (base + 500) % 65536 else base
+      v.toInt - 32768
+    }
+
+    def encode(docId: Long, pert: Boolean): Array[Byte] = {
+      val n = nSamples(docId)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(docId, i, pert)
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val out = new ByteArrayOutputStream()
+      val stream = new javax.sound.sampled.AudioInputStream(
+        new ByteArrayInputStream(pcm),
+        new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false),
+        n.toLong)
+      javax.sound.sampled.AudioSystem.write(stream,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+  }
+
+  /** Decode a WAV and fingerprint its first `AudioFpBits` samples: one
+    * bit per sample's SIGN (`s(i) ≥ 0`) — the zero-crossing signature,
+    * the simplest member of the acoustic-fingerprint family (Shazam /
+    * Chromaprint quantize richer spectra the same way: a waveform
+    * reduced to robust bits), tolerant of small amplitude retouches
+    * because a ±ε nudge flips a bit only when the sample sits within ε
+    * of zero. Every fixture clip has ≥ 50 samples, so the 48-bit
+    * fingerprint is defined for all of them and every pair is
+    * comparable.
+    */
+  private[ops] val AudioFpBits = 48
+
+  private[ops] def audioFpOf(bytes: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val buf = in.readAllBytes()
+    in.close()
+    def s(i: Int): Int = (buf(i * 2 + 1) << 8) | (buf(i * 2) & 0xff)
+    var fp = 0L
+    var i = 0
+    while (i < AudioFpBits) {
+      if (s(i) >= 0) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** The q130 corpus: every document's textured clip plus, for each
+    * `doc_id % 50 == 0`, its one-sample-retouched clone under
+    * `doc_id + 10⁶` — then decode-and-fingerprint, partition-batched.
+    */
+  def audioFingerprints(spark: SparkSession, dir: String): Dataset[AudioFp] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val base = AudioFp(id, audioFpOf(TexturedAudio.encode(id, pert = false)))
+          if (id % 50 == 0)
+            Seq(base, AudioFp(id + 1000000L,
+              audioFpOf(TexturedAudio.encode(id, pert = true))))
+          else Seq(base)
+        }
+      }
+  }
+
+  /** Graded q130: AUDIO NEAR-DUPLICATE report via the banded acoustic
+    * fingerprint — q129's discipline on the DECODED PCM path, closing
+    * the dedup family across every modality the engine carries (text
+    * q17/q19, embeddings q30, images q129, audio here). The 48-bit
+    * fingerprints band into 4 × 12 bits; Hamming ≤ 3 pairs must share
+    * a band (pigeonhole), the popcount verify runs on candidates only,
+    * and the graded output is the single-row corpus report whose exact
+    * counts against the oracle's brute-force all-pairs scan prove the
+    * banding lossless.
+    */
+  def audioNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = CachedStages.track(audioFingerprints(spark, dir).toDF().persist())
+    def bands(side: String): DataFrame = fps
+      .select(col("doc_id").as(s"id_$side"), col("fp").as(s"fp_$side"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bv", expr(s"shiftright(fp_$side, CAST(band * 12 AS INT)) & 4095"))
+    val pairs = bands("a").join(bands("b"), Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val n = fps.agg(count(lit(1)).as("n_clips"))
+    n.crossJoin(pairs.agg(
+        coalesce(count(lit(1)), lit(0L)).as("n_pairs"),
+        coalesce(sum(col("hamming")), lit(0L)).as("sum_hamming"),
+        coalesce(sum((col("id_b") - col("id_a") === 1000000L).cast("long")),
+          lit(0L)).as("n_planted")))
+      .select("n_clips", "n_pairs", "sum_hamming", "n_planted")
+  }
 
   /** TEXTURED pixel formulas for the q129 corpus — q25's linear
     * gradients made nonlinear with an `x·y` cross term per channel.

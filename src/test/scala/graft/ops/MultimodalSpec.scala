@@ -192,4 +192,41 @@ class MultimodalSpec extends SparkSpec {
     assert(nClones > 0 && got.values.map(_._4).sum == nClones)
     CachedStages.release(spark)
   }
+
+  /** Arithmetic replay of the q130 sign-bit fingerprint. */
+  private def naiveAudioFp(base: Long, pert: Boolean): Long = {
+    var fp = 0L
+    for (i <- 0 until Multimodal.AudioFpBits) {
+      if (Multimodal.TexturedAudio.sample(base, i, pert) >= 0) fp |= 1L << i
+    }
+    fp
+  }
+
+  test("q130: decoded audio fingerprints equal the arithmetic replay, clones included") {
+    val got = Multimodal.audioFingerprints(spark, dir).collect()
+      .map(r => r.doc_id -> r.fp).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, fp) =>
+      val (base, pert) =
+        if (id >= 1000000L) (id - 1000000L, true) else (id, false)
+      assert(fp == naiveAudioFp(base, pert), s"clip $id")
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q130: report equals a driver-side brute force; every planted clone recovered") {
+    val fps = Multimodal.audioFingerprints(spark, dir).collect()
+      .map(r => (r.doc_id, r.fp))
+    val pairs = for {
+      a <- fps; b <- fps if a._1 < b._1
+      hm = java.lang.Long.bitCount(a._2 ^ b._2).toLong if hm <= 3
+    } yield (hm, if (b._1 - a._1 == 1000000L) 1L else 0L)
+    val row = Multimodal.audioNearDups(spark, dir).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((fps.length.toLong, pairs.length.toLong,
+        pairs.map(_._1).sum, pairs.map(_._2).sum)))
+    val nClones = fps.count(_._1 >= 1000000L).toLong
+    assert(nClones > 0 && row.getLong(3) == nClones)
+    CachedStages.release(spark)
+  }
 }
