@@ -214,6 +214,9 @@ object SparkEntry {
       Multimodal.imageNearDups(s, d, ImgHammingMax)),
     "q130_audio_neardups" -> ((s: SparkSession, d: String) =>
       Multimodal.audioNearDups(s, d, ImgHammingMax)),
+    "q131_learning_curve" -> ((s: SparkSession, d: String) =>
+      Sampling.learningCurveTiers(s, d, CurveTiers)),
+    "q132_conversion_delay" -> Events.conversionDelay _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3231,6 +3234,65 @@ object SparkEntry {
          |  CAST(COALESCE(SUM(hamming), 0) AS BIGINT) AS sum_hamming,
          |  CAST(COALESCE(SUM(planted), 0) AS BIGINT) AS n_planted
          |FROM pr""".stripMargin,
+
+    // Replays Sampling.learningCurveTiers: the md5-bucket smallest-tier
+    // label, per-(source, tier) rollup, tier-ordered cumulative.
+    "q131_learning_curve" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+         |      AS BIGINT) % 100 AS bkt,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |t AS (
+         |  SELECT source,
+         |    CASE ${CurveTiers.map(t => s"WHEN bkt < $t THEN ${t}")
+                .mkString(" ")} END AS tier,
+         |    n_toks
+         |  FROM d),
+         |p AS (
+         |  SELECT source, CAST(tier AS BIGINT) AS tier,
+         |    COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY source, tier)
+         |SELECT source, tier, n_docs, n_tokens,
+         |  CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY tier
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_docs,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY tier
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens
+         |FROM p ORDER BY source, tier""".stripMargin,
+
+    // Replays Events.conversionDelay: first-view/first-purchase mins,
+    // the minute-granular histogram, ceil-rank picks over its
+    // cumulative, integer ppm conversion.
+    "q132_conversion_delay" ->
+      """WITH fv AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |dl AS (
+        |  SELECT e.user_id,
+        |    (MIN(epoch_us(e.ts)) - fv.v_ts) // 60000000 AS delay_min
+        |  FROM events e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.v_ts
+        |  GROUP BY e.user_id, fv.v_ts),
+        |h AS (SELECT delay_min, COUNT(*) AS n FROM dl GROUP BY delay_min),
+        |c AS (
+        |  SELECT delay_min,
+        |    SUM(n) OVER (ORDER BY delay_min
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_converted FROM h),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers FROM fv)
+        |SELECT v.n_viewers, t.n_converted,
+        |  t.n_converted * 1000000 // v.n_viewers AS conv_ppm,
+        |  MIN(CASE WHEN c.cum >= (t.n_converted + 1) // 2
+        |      THEN c.delay_min END) AS median_delay_min,
+        |  MIN(CASE WHEN c.cum >= (9 * t.n_converted + 9) // 10
+        |      THEN c.delay_min END) AS p90_delay_min
+        |FROM c, t, v
+        |GROUP BY v.n_viewers, t.n_converted""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3513,6 +3575,8 @@ object SparkEntry {
   // q129: dHash near-dup Hamming threshold (4 bands of 11 bits cover
   // <= 3 flips by pigeonhole over the <= 44-bit hash space).
   private val ImgHammingMax = 3
+  // q131: nested scaling-law subset percentages (md5-bucket rule).
+  private val CurveTiers = Seq(10, 25, 50, 100)
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.

@@ -759,6 +759,56 @@ object Events {
       .orderBy("touch_type")
   }
 
+  /** Graded q132: VIEW→PURCHASE CONVERSION-DELAY quantiles — the
+    * time-to-convert distribution behind every funnel decision: for
+    * each user, the minutes between their FIRST view and their first
+    * purchase at-or-after it, summarized as conversion rate (ppm of
+    * viewers) plus the exact median and p90 delay. The quantiles use
+    * the q128 discipline: delays collapse to a MINUTE-GRANULAR
+    * histogram whose cardinality is bounded by the observation window
+    * (a value domain), the cumulative window runs over that bounded
+    * frame — partition-less but histogram-sized, the benign class —
+    * and the picks are integer ceil-rank conditional mins. Assumes a
+    * non-empty conversion set (true of the fixture corpus — q64's
+    * funnel rides the same guarantee).
+    *
+    * Scale shape: two per-user min-aggregates (map-side combinable),
+    * one user-keyed join, then everything is histogram-sized; the
+    * totals broadcast. All integer.
+    */
+  def conversionDelay(spark: SparkSession, dir: String): DataFrame =
+    conversionDelayOf(events(spark, dir))
+
+  /** Core of `conversionDelay` over any events relation carrying
+    * `(user_id, event_type, ts_us)`.
+    */
+  def conversionDelayOf(evs: DataFrame): DataFrame = {
+    val firstView = evs.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_us")).as("v_ts"))
+    val delays = evs.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") >= col("v_ts"))
+      .groupBy("user_id", "v_ts").agg(min(col("ts_us")).as("p_ts"))
+      .withColumn("delay_min", expr("(p_ts - v_ts) div 60000000"))
+    val hist = CachedStages.track(delays.groupBy("delay_min")
+      .agg(count(lit(1)).as("n")).persist())
+    val w = Window.orderBy(col("delay_min").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("n")).over(w))
+    val nConv = hist.agg(sum(col("n")).as("n_converted"))
+    val nView = firstView.agg(count(lit(1)).as("n_viewers"))
+    cum.crossJoin(broadcast(nConv))
+      .agg(max(col("n_converted")).as("n_converted"),
+        min(when(expr("cum >= (n_converted + 1) div 2"), col("delay_min")))
+          .as("median_delay_min"),
+        min(when(expr("cum >= (9 * n_converted + 9) div 10"), col("delay_min")))
+          .as("p90_delay_min"))
+      .crossJoin(broadcast(nView))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_viewers"))
+      .select("n_viewers", "n_converted", "conv_ppm", "median_delay_min",
+        "p90_delay_min")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

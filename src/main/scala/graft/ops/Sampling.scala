@@ -548,4 +548,50 @@ object Sampling {
       .select(col(stratumCol), col("pct"), col("doc_id"))
       .orderBy(stratumCol, "doc_id")
   }
+
+  /** Graded q131: LEARNING-CURVE TIERS — the scaling-law sampling
+    * manifest: NESTED 10% / 25% / 50% / 100% subsets of the corpus via
+    * the q44 md5-bucket rule (`bucket < t` ⊂ `bucket < t'` for t < t',
+    * so every smaller subset is contained in every larger one BY
+    * CONSTRUCTION — the property a data-scaling study needs so each
+    * point trains on a superset of the previous, isolating the
+    * data-quantity axis). Each document is labelled with its SMALLEST
+    * containing tier; the report rolls up per (source, tier) doc and
+    * token counts plus the running cumulative — the cumulative AT tier
+    * t IS subset t, so the table reads directly as the per-point
+    * training budget.
+    *
+    * Scale shape: one corpus scan (bucket + token count are per-row
+    * projections) into a |sources|·|tiers| aggregate; the cumulative
+    * window runs over ≤ |tiers| rows per source. All integer.
+    */
+  def learningCurveTiers(spark: SparkSession, dir: String,
+      tiers: Seq[Int] = Seq(10, 25, 50, 100)): DataFrame =
+    learningCurveTiersOf(Tables(spark, dir, "documents"), tiers)
+
+  /** Core of `learningCurveTiers` over any `(doc_id, source, text)`
+    * corpus.
+    */
+  def learningCurveTiersOf(docs: DataFrame, tiers: Seq[Int]): DataFrame = {
+    require(tiers.nonEmpty && tiers == tiers.sorted && tiers.last == 100 &&
+      tiers.forall(t => t > 0 && t <= 100),
+      s"tiers must be ascending percentages ending at 100, got $tiers")
+    val tierCase = tiers.map(t => s"WHEN bkt < $t THEN ${t}L")
+      .mkString("CASE ", " ", " END")
+    val perTier = docs.filter(col("doc_id").isNotNull)
+      .withColumn("bkt", expr(bucketExpr("doc_id")))
+      .withColumn("tier", expr(tierCase))
+      .withColumn("n_toks",
+        expr(s"size(${TextOps.tokensExpr})").cast("long"))
+      .groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("tier").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perTier
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .orderBy("source", "tier")
+  }
 }

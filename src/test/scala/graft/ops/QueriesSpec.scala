@@ -1100,4 +1100,57 @@ class QueriesSpec extends SparkSpec {
       ("y", 2L, 4L, 2L, 2L, 2L)), got.mkString("\n"))
     CachedStages.release(spark)
   }
+
+  test("q131 learning curve: tiers nest by construction and match a driver-side replay") {
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val tiers = Seq(10, 25, 50, 100)
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        s"CAST(size(${TextOps.tokensExpr}) AS LONG) AS n_toks")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.map { case (id, src, nt) =>
+      (src, tiers.find(bucket(id) < _).get.toLong, nt)
+    }
+    val got = Sampling.learningCurveTiers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    got.foreach { case (src, tier, nDocs, nToks, cumDocs, cumToks) =>
+      val atTier = expect.filter(e => e._1 == src && e._2 == tier)
+      assert(nDocs == atTier.length && nToks == atTier.map(_._3).sum,
+        s"($src, $tier)")
+      // the cumulative at tier t IS subset t: docs whose bucket < t
+      val subset = docs.filter(d => d._2 == src && bucket(d._1) < tier)
+      assert(cumDocs == subset.length && cumToks == subset.map(_._3).sum,
+        s"cum ($src, $tier)")
+    }
+    // totality: the 100-tier cumulative covers every doc of the source
+    val bySrc = docs.groupBy(_._2)
+    got.filter(_._2 == 100L).foreach { case (src, _, _, _, cumDocs, _) =>
+      assert(cumDocs == bySrc(src).length)
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q132 conversion delay: hand-computed funnel with non-converting viewers") {
+    import spark.implicits._
+    val us = 1000000L
+    val evs = Seq(
+      (1L, "view", 0L), (1L, "purchase", 600L), // 10 min
+      (2L, "view", 0L), (2L, "purchase", 60L), // 1 min
+      (3L, "view", 0L), (3L, "purchase", 6000L), // 100 min
+      (4L, "view", 0L), // viewer, never converts
+      (5L, "purchase", 0L), (5L, "view", 10L) // purchase precedes view
+    ).map { case (u, t, sec) => (u, t, sec * us) }
+      .toDF("user_id", "event_type", "ts_us")
+    val got = Events.conversionDelayOf(evs).collect()(0)
+    // n_viewers 5, converted {1,10,100}-minute delays: median 10 (cum
+    // >= 2), p90 100 (cum >= ceil(27/10) = 3), conv_ppm 600000
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == ((5L, 3L, 600000L, 10L, 100L)), got.toString)
+    CachedStages.release(spark)
+  }
 }
