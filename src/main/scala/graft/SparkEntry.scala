@@ -217,6 +217,7 @@ object SparkEntry {
     "q131_learning_curve" -> ((s: SparkSession, d: String) =>
       Sampling.learningCurveTiers(s, d, CurveTiers)),
     "q132_conversion_delay" -> Events.conversionDelay _,
+    "q133_skew_report" -> SkewJoin.skewReport _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3293,6 +3294,12 @@ object SparkEntry {
         |      THEN c.delay_min END) AS p90_delay_min
         |FROM c, t, v
         |GROUP BY v.n_viewers, t.n_converted""".stripMargin,
+
+    // Replays SkewJoin.skewReport: per key a group-size histogram, its
+    // cumulative, ceil-rank picks, hottest-key share (SQL generated
+    // from the same key list the operator receives).
+    "q133_skew_report" ->
+      skewOracleSql(Seq("l_orderkey", "l_partkey", "l_suppkey")),
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3744,6 +3751,42 @@ object SparkEntry {
        |  UNION ALL
        |  $chgSelects
        |) u ORDER BY metric""".stripMargin
+  }
+
+  /** DuckDB replay of `SkewJoin.skewReport`, generated per key column:
+    * the size-value histogram, its cumulative, exact ceil-rank picks,
+    * hottest-key row share.
+    */
+  private def skewOracleSql(keys: Seq[String]): String = {
+    val ctes = keys.flatMap { k =>
+      Seq(
+        s"""h_$k AS (
+           |  SELECT sz, COUNT(*) AS nk FROM (
+           |    SELECT $k, COUNT(*) AS sz FROM lineitem GROUP BY $k) s_$k
+           |  GROUP BY sz)""".stripMargin,
+        s"""c_$k AS (
+           |  SELECT sz, SUM(nk) OVER (ORDER BY sz
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM h_$k)""".stripMargin)
+    }.mkString(",\n")
+    val blocks = keys.map { k =>
+      s"""SELECT '$k' AS key_col,
+         |  (SELECT CAST(SUM(sz * nk) AS BIGINT) FROM h_$k) AS n_rows,
+         |  (SELECT CAST(SUM(nk) AS BIGINT) FROM h_$k) AS n_keys,
+         |  (SELECT CAST(MAX(sz) AS BIGINT) FROM h_$k) AS max_group,
+         |  MIN(CASE WHEN cum >= ((SELECT SUM(nk) FROM h_$k) + 1) // 2
+         |      THEN sz END) AS p50_group,
+         |  MIN(CASE WHEN cum >= (99 * (SELECT SUM(nk) FROM h_$k) + 99) // 100
+         |      THEN sz END) AS p99_group,
+         |  (SELECT CAST(MAX(sz) AS BIGINT) FROM h_$k) * 1000000
+         |    // (SELECT CAST(SUM(sz * nk) AS BIGINT) FROM h_$k)
+         |    AS top_share_ppm
+         |FROM c_$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ctes
+       |SELECT * FROM (
+       |$blocks
+       |) u ORDER BY key_col""".stripMargin
   }
 
   // q118: sketch size and hash domain (2^56 — 14 md5 hex chars, chosen

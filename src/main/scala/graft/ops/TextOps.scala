@@ -1044,7 +1044,15 @@ object TextOps {
     ragChunksOf(Tables(spark, dir, "documents"), chunkSize, overlap)
 
   /** Core of `ragChunks` over any `(doc_id, text)` corpus. */
-  def ragChunksOf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+  def ragChunksOf(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame =
+    ragChunkRows(docs, chunkSize, overlap).orderBy("doc_id", "chunk_id")
+
+  /** `ragChunksOf` without the presentation sort — the projection-only
+    * form a STREAMING consumer can run as-is (sorts are illegal on
+    * unbounded frames; the chunker itself is stateless), shared by the
+    * batch operator and `DocStreams.chunkedDocs`.
+    */
+  def ragChunkRows(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
     require(chunkSize >= 1 && overlap >= 0 && overlap < chunkSize,
       s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
     val stride = chunkSize - overlap
@@ -1065,7 +1073,6 @@ object TextOps {
         "array_join(slice(toks, CAST(start_tok + 1 AS INT), CAST(n_tokens AS INT)), ' ')"))
       .select("doc_id", "chunk_id", "start_tok", "end_tok", "n_tokens",
         "chunk_text")
-      .orderBy("doc_id", "chunk_id")
   }
 
   /** Graded q128: TOKEN-WEIGHTED length quantiles per source — the

@@ -148,6 +148,16 @@ object DocStreams {
         .select(explode(expr(graft.ops.TextOps.tokensExpr)).as("token"),
           lit(1L).as("n")),
       w, d)
+
+  /** q123's twin: chunk arriving documents for retrieval ingestion in
+    * flight — `TextOps.ragChunkRows` shared VERBATIM (the chunker is a
+    * pure per-row generator: no sort, no window, no state), so a
+    * document chunks identically whether it arrives by batch backfill
+    * or live feed and the retrieval store sees ONE chunking.
+    */
+  def chunkedDocs(stream: DataFrame, chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame =
+    graft.ops.TextOps.ragChunkRows(stream, chunkSize, overlap)
 }
 
 /** Streaming formulation of the embedding surface: vectors arriving as

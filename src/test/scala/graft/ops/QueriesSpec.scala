@@ -1153,4 +1153,18 @@ class QueriesSpec extends SparkSpec {
       got.getLong(4)) == ((5L, 3L, 600000L, 10L, 100L)), got.toString)
     CachedStages.release(spark)
   }
+
+  test("q133 skew report: hand-computed group-size distribution") {
+    import spark.implicits._
+    // key sizes {5, 3, 1, 1}: 10 rows over 4 keys; sorted sizes
+    // (1, 1, 3, 5) -> p50 rank ceil(5/2) = 2 -> 1; p99 rank
+    // ceil(99*4/100) = 4 -> 5; hottest key holds 500000 ppm
+    val df = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 4L))
+      .map(k => (k, k * 2)).toDF("k", "payload")
+    val got = SkewJoin.skewReportOf(df, Seq("k")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(("k", 10L, 4L, 5L, 1L, 5L, 500000L)), got.mkString)
+    CachedStages.release(spark)
+  }
 }

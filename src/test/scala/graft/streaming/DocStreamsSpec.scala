@@ -293,6 +293,21 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 10)
   }
 
+  test("q123 twin: streaming chunker equals the batch chunk set") {
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(streamDir)
+    EventStreams.runToMemory(DocStreams.chunkedDocs(stream),
+      "doc_chunks", OutputMode.Append())
+    val streamed = spark.table("doc_chunks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    val batch = TextOps.ragChunks(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("q117 twin: streaming PQ encode under frozen codebooks equals the batch codes") {
     val src = "/root/testdata/sf0.001"
     val vecs = Tables(spark, src, "embeddings")
