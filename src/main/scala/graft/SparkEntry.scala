@@ -218,6 +218,10 @@ object SparkEntry {
       Sampling.learningCurveTiers(s, d, CurveTiers)),
     "q132_conversion_delay" -> Events.conversionDelay _,
     "q133_skew_report" -> SkewJoin.skewReport _,
+    "q134_vocab_maintenance" -> ((s: SparkSession, d: String) =>
+      TextOps.vocabMaintenance(s, d, VocabMaintSize, VocabPromoteMin,
+        VocabMaintTopK)),
+    "q135_modality_audit" -> Quality.modalityAudit _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3300,6 +3304,64 @@ object SparkEntry {
     // from the same key list the operator receives).
     "q133_skew_report" ->
       skewOracleSql(Seq("l_orderkey", "l_partkey", "l_suppkey")),
+
+    // Replays TextOps.vocabMaintenance: the md5 old/new split, q100's
+    // vocab cut on the old side, OOV counts on the delta, the flagged
+    // promotion leaderboard.
+    "q134_vocab_maintenance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+         |      AS BIGINT) % 100 AS bkt
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS n FROM (
+         |      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |        AS token
+         |      FROM d WHERE bkt < 90) ot GROUP BY token) tc
+         |  ORDER BY n DESC, token ASC LIMIT $VocabMaintSize),
+         |oov AS (
+         |  SELECT token, COUNT(*) AS n_delta FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+         |      AS token
+         |    FROM d WHERE bkt >= 90) dt
+         |  WHERE token NOT IN (SELECT token FROM vocab)
+         |  GROUP BY token),
+         |r AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY n_delta DESC, token ASC)
+         |    AS rank, token, n_delta
+         |  FROM oov)
+         |SELECT CAST(rank AS BIGINT) AS rank, token, n_delta,
+         |  CAST(CASE WHEN n_delta >= $VocabPromoteMin THEN 1 ELSE 0 END
+         |    AS BIGINT) AS promote
+         |FROM r WHERE rank <= $VocabMaintTopK ORDER BY rank""".stripMargin,
+
+    // Replays Quality.modalityAudit: each check an independent count
+    // or NOT-IN over the id sets, melted to the long format.
+    "q135_modality_audit" ->
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, COUNT(*) AS value FROM documents
+        |  UNION ALL SELECT 'n_vecs', COUNT(*) FROM embeddings
+        |  UNION ALL SELECT 'docs_without_vec', COUNT(*) FROM
+        |    (SELECT DISTINCT doc_id FROM documents) dd
+        |    WHERE doc_id NOT IN (SELECT vec_id FROM embeddings)
+        |  UNION ALL SELECT 'vecs_without_doc', COUNT(*) FROM
+        |    (SELECT DISTINCT vec_id FROM embeddings) vv
+        |    WHERE vec_id NOT IN (SELECT doc_id FROM documents)
+        |  UNION ALL SELECT 'dup_vec_ids',
+        |    COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) FROM
+        |    (SELECT vec_id, COUNT(*) AS n FROM embeddings GROUP BY vec_id) g
+        |  UNION ALL SELECT 'dim_violations',
+        |    SUM(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+        |  FROM embeddings
+        |  UNION ALL SELECT 'zero_vectors',
+        |    SUM(CASE WHEN list_sum(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) = 0 THEN 1 ELSE 0 END)
+        |  FROM embeddings
+        |  UNION ALL SELECT 'null_text_docs',
+        |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM documents
+        |) u ORDER BY metric""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3584,6 +3646,14 @@ object SparkEntry {
   private val ImgHammingMax = 3
   // q131: nested scaling-law subset percentages (md5-bucket rule).
   private val CurveTiers = Seq(10, 25, 50, 100)
+  // q134: frozen-vocab size, promotion threshold, report depth. The
+  // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
+  // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size
+  // cut like q100's would make every delta token in-vocab and the
+  // maintenance loop vacuous).
+  private val VocabMaintSize = 20
+  private val VocabPromoteMin = 5L
+  private val VocabMaintTopK = 50
   // q83: tokens per packed context window. Graded small so boundary
   // splits actually occur at sf0.01 (~300-token docs straddle often);
   // a 2k/4k/8k production window only changes this constant.

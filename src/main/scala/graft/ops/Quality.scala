@@ -109,4 +109,60 @@ object Quality {
           .otherwise(0L)).as("value"))))
     checks.reduce(_.unionAll(_)).orderBy("metric")
   }
+
+  /** Graded q135: MODALITY-ALIGNMENT audit — q78's contract checks
+    * extended to the multimodal star: a text↔embedding pipeline is only
+    * trainable when the two tables describe the SAME corpus, so the
+    * audit counts documents without a vector, vectors without a
+    * document, duplicate vector ids, dimensionality violations
+    * (`size(embedding) ≠ 64`), zero vectors, and null-text documents.
+    * Long-format `(metric, value)` like q78 — new checks are new rows.
+    * On the clean fixture every anomaly metric is zero and the volume
+    * metrics are exact — the checks COUNT rows, so integrity is
+    * asserted, not assumed.
+    *
+    * Scale shape: each check is one column-pruned aggregate or
+    * distinct-key anti-join (ship only the id sets); no check touches
+    * more than the columns it audits.
+    */
+  def modalityAudit(spark: SparkSession, dir: String): DataFrame =
+    modalityAuditOf(Tables(spark, dir, "documents"),
+      Tables(spark, dir, "embeddings"))
+
+  /** Core of `modalityAudit` over any (docs, vecs) pair — split out so
+    * the spec can falsify every check on corrupted frames.
+    */
+  def modalityAuditOf(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    def one(metric: String, v: DataFrame): DataFrame =
+      v.select(lit(metric).as("metric"),
+        coalesce(col("value"), lit(0L)).cast("long").as("value"))
+    val checks = Seq(
+      one("n_docs", docs.agg(count(lit(1)).as("value"))),
+      one("n_vecs", vecs.agg(count(lit(1)).as("value"))),
+      one("docs_without_vec",
+        docs.select("doc_id").distinct()
+          .join(vecs.select(col("vec_id")),
+            col("doc_id") === col("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))),
+      one("vecs_without_doc",
+        vecs.select("vec_id").distinct()
+          .join(docs.select(col("doc_id")),
+            col("vec_id") === col("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))),
+      one("dup_vec_ids",
+        vecs.groupBy("vec_id").agg(count(lit(1)).as("n"))
+          .agg(sum(when(col("n") > 1, col("n") - 1).otherwise(0L))
+            .as("value"))),
+      one("dim_violations",
+        vecs.agg(sum(when(expr("size(embedding)") =!= 64, 1L)
+          .otherwise(0L)).as("value"))),
+      one("zero_vectors",
+        vecs.agg(sum(when(
+          expr("aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + abs(CAST(x AS DOUBLE)))") === 0.0d,
+          1L).otherwise(0L)).as("value"))),
+      one("null_text_docs",
+        docs.agg(sum(when(col("text").isNull, 1L).otherwise(0L))
+          .as("value"))))
+    checks.reduce(_.unionAll(_)).orderBy("metric")
+  }
 }

@@ -1075,6 +1075,50 @@ object TextOps {
         "chunk_text")
   }
 
+  /** Graded q134: VOCABULARY MAINTENANCE — the tokenizer-upkeep pass a
+    * long-lived pipeline runs per crawl: the vocabulary stays FROZEN
+    * (retraining the tokenizer invalidates every cached encoding), new
+    * data is screened against it, and the out-of-vocabulary tokens the
+    * new crawl actually uses become PROMOTION candidates for the next
+    * scheduled retrain. The old/new split is the q85 snapshot
+    * convention (md5 bucket ≥ 90 = the 10% "new crawl"); the frozen
+    * vocab is q100's top-`vocabSize` cut of the OLD corpus (count
+    * desc, token asc — the deterministic tie-break both engines
+    * share); the report is the top-`k` OOV tokens of the delta by
+    * frequency, each flagged `promote` when its count clears the
+    * threshold.
+    *
+    * Scale shape: one old-corpus pass → TakeOrdered vocab cut
+    * (vocab-sized, broadcasts); one delta pass → anti-join against the
+    * broadcast vocab → partial-agg counts → TakeOrdered. No global
+    * windows; the rank stamps over the ≤ k-row result.
+    */
+  def vocabMaintenance(spark: SparkSession, dir: String,
+      vocabSize: Int = 1000, minCount: Long = 5L, k: Int = 50): DataFrame =
+    vocabMaintenanceOf(Tables(spark, dir, "documents"), vocabSize, minCount, k)
+
+  /** Core of `vocabMaintenance` over any `(doc_id, text)` corpus. */
+  def vocabMaintenanceOf(docs: DataFrame, vocabSize: Int, minCount: Long,
+      k: Int): DataFrame = {
+    val tagged = docs.filter(col("doc_id").isNotNull)
+      .withColumn("bkt", expr(Sampling.bucketExpr("doc_id")))
+    val vocab = tagged.filter(col("bkt") < 90)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .select("token")
+    val oov = tagged.filter(col("bkt") >= 90)
+      .select(explode(expr(tokensExpr)).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left_anti")
+      .groupBy("token").agg(count(lit(1)).as("n_delta"))
+      .orderBy(col("n_delta").desc, col("token").asc).limit(k)
+    oov.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_delta").desc, col("token").asc)).cast("long"))
+      .withColumn("promote", (col("n_delta") >= minCount).cast("long"))
+      .select("rank", "token", "n_delta", "promote")
+      .orderBy("rank")
+  }
+
   /** Graded q128: TOKEN-WEIGHTED length quantiles per source — the
     * length of the document a TYPICAL TOKEN lives in, vs the typical
     * document's length. The two medians answer different curation

@@ -1167,4 +1167,63 @@ class QueriesSpec extends SparkSpec {
     assert(got == Seq(("k", 10L, 4L, 5L, 1L, 5L, 500000L)), got.mkString)
     CachedStages.release(spark)
   }
+
+  test("q134 vocab maintenance equals a driver-side replay of the split/cut/OOV chain") {
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    def toks(t: String): Seq[String] =
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val vocabSize = 5 // small cut at sf0.001 so the OOV tail is rich
+    val vocab = docs.filter(d => bucket(d._1) < 90)
+      .flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (t, g) => (t, g.size.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(vocabSize).map(_._1).toSet
+    val expect = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => toks(d._2)).filterNot(vocab)
+      .groupBy(identity).map { case (t, g) => (t, g.size.toLong) }.toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(50)
+      .zipWithIndex.map { case ((t, n), i) =>
+        ((i + 1).toLong, t, n, if (n >= 5) 1L else 0L)
+      }
+    val got = TextOps.vocabMaintenanceOf(
+        Tables(spark, dir, "documents"), vocabSize, 5L, 50).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty && got == expect,
+      s"got:\n${got.mkString("\n")}\nexpect:\n${expect.mkString("\n")}")
+    CachedStages.release(spark)
+  }
+
+  test("q135 modality audit: clean corpus zeros; every check falsifiable") {
+    import spark.implicits._
+    val clean = Quality.modalityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean("n_docs") > 0 && clean("n_docs") == clean("n_vecs"))
+    Seq("docs_without_vec", "vecs_without_doc", "dup_vec_ids",
+      "dim_violations", "zero_vectors", "null_text_docs")
+      .foreach(m => assert(clean(m) == 0L, s"$m = ${clean(m)}"))
+    // corrupted frames trip every check
+    val docs = Seq((1L, "t"), (2L, "t"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val v = Seq.fill(64)(1.0f)
+    val vecs = Seq(
+      (2L, v), (2L, v), // duplicate id
+      (4L, v), // orphan vector
+      (5L, Seq(1.0f, 2.0f, 3.0f)), // wrong dims
+      (6L, Seq.fill(64)(0.0f)) // zero vector (also an orphan)
+    ).toDF("vec_id", "embedding")
+    val bad = Quality.modalityAuditOf(docs, vecs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bad == Map("n_docs" -> 3L, "n_vecs" -> 5L,
+      "docs_without_vec" -> 2L, "vecs_without_doc" -> 3L,
+      "dup_vec_ids" -> 1L, "dim_violations" -> 1L, "zero_vectors" -> 1L,
+      "null_text_docs" -> 1L), bad.toString)
+    CachedStages.release(spark)
+  }
 }
