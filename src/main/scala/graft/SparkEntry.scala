@@ -222,6 +222,9 @@ object SparkEntry {
       TextOps.vocabMaintenance(s, d, VocabMaintSize, VocabPromoteMin,
         VocabMaintTopK)),
     "q135_modality_audit" -> Quality.modalityAudit _,
+    "q136_ab_readout" -> Events.abReadout _,
+    "q137_norm_outliers" -> Similarity.normOutliers _,
+    "q138_dedup_savings" -> Dedup.dedupSavings _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3362,6 +3365,81 @@ object SparkEntry {
         |  UNION ALL SELECT 'null_text_docs',
         |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) FROM documents
         |) u ORDER BY metric""".stripMargin,
+
+    // Replays Events.abReadout: md5 arm assignment on the distinct user
+    // set, purchase-converter flags, integer ppm.
+    "q136_ab_readout" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT user_id,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm
+        |  FROM u),
+        |c AS (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT a.arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_converted,
+        |  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
+        |FROM a LEFT JOIN c ON a.user_id = c.user_id
+        |GROUP BY a.arm ORDER BY a.arm""".stripMargin,
+
+    // Replays Similarity.normOutliers: index-order norm fold, centi
+    // quantization, value-domain histogram, ceil-rank median, the
+    // [median/2, 2*median] band counts.
+    "q137_norm_outliers" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    CAST(floor(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |      x -> x * x))) * 100.0) AS BIGINT) AS norm_cu
+        |  FROM embeddings),
+        |h AS (SELECT label, norm_cu, COUNT(*) AS nv
+        |      FROM n GROUP BY label, norm_cu),
+        |c AS (
+        |  SELECT label, norm_cu, nv,
+        |    SUM(nv) OVER (PARTITION BY label ORDER BY norm_cu
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h),
+        |t AS (SELECT label, CAST(SUM(nv) AS BIGINT) AS n_vecs
+        |      FROM h GROUP BY label),
+        |med AS (
+        |  SELECT c.label, MIN(c.norm_cu) AS median_norm_cu
+        |  FROM c JOIN t ON c.label = t.label
+        |  WHERE c.cum >= (t.n_vecs + 1) // 2
+        |  GROUP BY c.label)
+        |SELECT h.label, t.n_vecs, med.median_norm_cu,
+        |  CAST(SUM(CASE WHEN h.norm_cu * 2 < med.median_norm_cu
+        |    THEN h.nv ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN h.norm_cu > med.median_norm_cu * 2
+        |    THEN h.nv ELSE 0 END) AS BIGINT) AS n_high
+        |FROM h JOIN med ON h.label = med.label JOIN t ON h.label = t.label
+        |GROUP BY h.label, t.n_vecs, med.median_norm_cu
+        |ORDER BY h.label""".stripMargin,
+
+    // Replays Dedup.dedupSavings: the q40 recursive closure (shared
+    // CTEs) with the q114 identity fallback, rolled up per source.
+    "q138_dedup_savings" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |canonized AS (
+         |  SELECT t.source, t.n_toks,
+         |    CASE WHEN COALESCE(c.canonical_id, t.doc_id) = t.doc_id
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM tok t LEFT JOIN comp c ON t.doc_id = c.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+         |  CAST(SUM(kept * n_toks) AS BIGINT) AS n_tokens_kept,
+         |  (CAST(SUM(n_toks) AS BIGINT) - CAST(SUM(kept * n_toks) AS BIGINT))
+         |    * 1000000 // CAST(SUM(n_toks) AS BIGINT) AS savings_ppm
+         |FROM canonized GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE

@@ -1134,4 +1134,37 @@ object Dedup {
         coalesce(col("m_exact"), col("m_near")).as("matched_id"))
       .orderBy("new_id")
   }
+
+  /** Graded q138: DEDUP SAVINGS report — the headline number every
+    * dedup run is judged by: per source, documents and tokens before
+    * vs after keeping only each q40 cluster's canonical member
+    * (identity fallback for unclustered docs, the q114 rule), with the
+    * reclaimed token share in integer ppm. "We deduped" means nothing
+    * without this table: it is what decides whether the near-dup pass
+    * paid for itself, and which FEEDS carry the redundancy.
+    *
+    * Scale shape: the q40 component table (cluster-membership-sized,
+    * not corpus-sized) left-joins onto one corpus token pass; the
+    * rollup is |sources| rows. All integer.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val canon = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val tok = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST(size(${TextOps.tokensExpr}) AS LONG)").as("n_toks"))
+    tok.join(canon, Seq("doc_id"), "left")
+      .withColumn("kept",
+        (coalesce(col("canonical_id"), col("doc_id")) === col("doc_id"))
+          .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("kept")).as("n_docs_kept"),
+        sum(col("kept") * col("n_toks")).as("n_tokens_kept"))
+      .withColumn("savings_ppm",
+        expr("(n_tokens - n_tokens_kept) * 1000000 div n_tokens"))
+      .orderBy("source")
+  }
 }

@@ -809,6 +809,39 @@ object Events {
         "p90_delay_min")
   }
 
+  /** Graded q136: A/B EXPERIMENT READOUT — users deterministically
+    * assigned to arms by the q44 md5-bucket rule on `user_id` (the
+    * ONLY assignment that is retry-stable, coordination-free, and
+    * join-compatible across every event table an analysis touches —
+    * the experimentation platform's version of the hash split), each
+    * arm read out as users / converters (≥1 purchase) / conversion in
+    * integer ppm. The statistical significance call happens downstream
+    * of this table; what the ENGINE owes the experimenter is exact
+    * deterministic counts per arm.
+    *
+    * Scale shape: two distinct-user aggregates (map-side combinable)
+    * and one user-keyed left join — all integer.
+    */
+  def abReadout(spark: SparkSession, dir: String): DataFrame =
+    abReadoutOf(events(spark, dir))
+
+  /** Core of `abReadout` over any events relation carrying
+    * `(user_id, event_type)`.
+    */
+  def abReadoutOf(evs: DataFrame): DataFrame = {
+    val users = evs.select("user_id").distinct()
+      .withColumn("arm", expr(
+        s"CASE WHEN ${Sampling.bucketExpr("user_id")} < 50 THEN 'a' ELSE 'b' END"))
+    val conv = evs.filter(col("event_type") === "purchase")
+      .select("user_id").distinct().withColumn("converted", lit(1L))
+    users.join(conv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("converted"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      .orderBy("arm")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

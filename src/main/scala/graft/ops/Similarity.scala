@@ -105,6 +105,54 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Graded q137: EMBEDDING NORM QUARANTINE — per label, flag vectors
+    * whose L2 norm falls outside [median/2, 2·median]: the cheap
+    * pre-ANN screen every vector-ingestion pipeline runs, because
+    * near-zero norms make cosine numerically meaningless and runaway
+    * norms are upstream bugs (double-scaling, wrong dtype, un-pooled
+    * tokens) that would dominate inner-product retrieval. Norms
+    * quantize to CENTI-units (`floor(norm·100)` — floor is
+    * bit-deterministic cross-engine), collapsing to a value-domain
+    * histogram (the q128 discipline: bounded by the norm RANGE, not
+    * the corpus); the median is the exact ceil-rank pick and the
+    * outlier counts re-read the same histogram against the broadcast
+    * median. One corpus pass, then histogram-sized work; all integer
+    * after the quantization.
+    */
+  def normOutliers(spark: SparkSession, dir: String): DataFrame =
+    normOutliersOf(Tables(spark, dir, "embeddings"))
+
+  /** Core of `normOutliers` over any `(label, embedding)` frame. */
+  def normOutliersOf(vecs: DataFrame): DataFrame = {
+    val hist = CachedStages.track(vecs
+      .withColumn("norm", expr(
+        """sqrt(aggregate(
+          |  transform(embedding, x -> cast(x as double) * cast(x as double)),
+          |  cast(0 as double), (acc, s) -> acc + s))""".stripMargin))
+      .withColumn("norm_cu", expr("CAST(floor(norm * 100.0D) AS BIGINT)"))
+      .groupBy("label", "norm_cu").agg(count(lit(1)).as("nv"))
+      .persist())
+    val w = Window.partitionBy("label").orderBy(col("norm_cu").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy("label").agg(sum(col("nv")).as("n_vecs"))
+    val med = hist
+      .withColumn("cum", sum(col("nv")).over(w))
+      .join(broadcast(totals), Seq("label"))
+      .filter(expr("cum >= (n_vecs + 1) div 2"))
+      .groupBy("label")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        min(col("norm_cu")).as("median_norm_cu"))
+    hist.join(broadcast(med), Seq("label"))
+      .groupBy("label")
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        max(col("median_norm_cu")).as("median_norm_cu"),
+        sum(when(col("norm_cu") * 2 < col("median_norm_cu"), col("nv"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("norm_cu") > col("median_norm_cu") * 2, col("nv"))
+          .otherwise(0L)).as("n_high"))
+      .orderBy("label")
+  }
+
   /** q21's dense cosine ranking at an arbitrary depth, as
     * (q_id, doc_id, rank) — the dense arm of [[rrfFusion]].
     */

@@ -1226,4 +1226,79 @@ class QueriesSpec extends SparkSpec {
       "null_text_docs" -> 1L), bad.toString)
     CachedStages.release(spark)
   }
+
+  private def md5Bucket(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16) % 100
+  }
+
+  test("q136 A/B readout equals a driver-side replay of assignment and conversion") {
+    val evs = Tables(spark, dir, "events")
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val users = evs.map(_._1).distinct
+    val converters = evs.filter(_._2 == "purchase").map(_._1).toSet
+    def row(arm: String, in: Long => Boolean) = {
+      val u = users.filter(in)
+      val c = u.count(converters)
+      (arm, u.length.toLong, c.toLong, c.toLong * 1000000L / u.length)
+    }
+    val expect = Seq(row("a", id => md5Bucket(id) < 50),
+      row("b", id => md5Bucket(id) >= 50))
+    val got = Events.abReadout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got != $expect")
+    // both arms are populated — the split actually splits
+    assert(got.forall(_._2 > 0))
+    CachedStages.release(spark)
+  }
+
+  test("q137 norm outliers equal a driver-side replay of the centi-norm histogram") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def normCu(v: Array[Float]): Long = {
+      var acc = 0.0
+      v.foreach { x => val d = x.toDouble; acc += d * d }
+      math.floor(math.sqrt(acc) * 100.0).toLong
+    }
+    val expect = vecs.groupBy(_._1).toSeq.map { case (label, g) =>
+      val cus = g.map(v => normCu(v._2)).sorted
+      val n = cus.length.toLong
+      val median = cus((((n + 1) / 2) - 1).toInt)
+      (label.toLong, n, median,
+        cus.count(c => c * 2 < median).toLong,
+        cus.count(c => c > median * 2).toLong)
+    }.sortBy(_._1)
+    val got = Similarity.normOutliers(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
+
+  test("q138 dedup savings equals a rollup of the q40 canonical map") {
+    val canon = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        s"CAST(size(${TextOps.tokensExpr}) AS LONG) AS n_toks").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).toSeq.map { case (src, g) =>
+      val kept = g.filter(d => canon.getOrElse(d._1, d._1) == d._1)
+      val t = g.map(_._3).sum
+      val tk = kept.map(_._3).sum
+      (src, g.length.toLong, t, kept.length.toLong, tk,
+        (t - tk) * 1000000L / t)
+    }.sortBy(_._1)
+    val got = Dedup.dedupSavings(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"$got\n$expect")
+    // dedup actually reclaims something on the planted corpus
+    assert(got.exists(_._6 > 0))
+    CachedStages.release(spark)
+  }
 }
