@@ -225,6 +225,9 @@ object SparkEntry {
     "q136_ab_readout" -> Events.abReadout _,
     "q137_norm_outliers" -> Similarity.normOutliers _,
     "q138_dedup_savings" -> Dedup.dedupSavings _,
+    "q139_filter_chain" -> ((s: SparkSession, d: String) =>
+      TextOps.filterChain(s, d, FilterChainQualityMin)),
+    "q140_neardup_eval" -> Dedup.nearDupEval _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3440,6 +3443,111 @@ object SparkEntry {
          |  (CAST(SUM(n_toks) AS BIGINT) - CAST(SUM(kept * n_toks) AS BIGINT))
          |    * 1000000 // CAST(SUM(n_toks) AS BIGINT) AS savings_ppm
          |FROM canonized GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays TextOps.filterChain: the q16 quality CTE, the q46
+    // repetition chain (per doc, LEFT-joined — <3-token docs have no
+    // grams), the q108 gopher rules, conjoined and rolled up.
+    "q139_filter_chain" ->
+      s"""WITH tq AS (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |          WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |     + CASE WHEN len(toks) >= 20 THEN 30 ELSE 15 END
+         |     + CASE WHEN hits * 50 >= len(toks) AND hits * 5 <= len(toks)
+         |       THEN 30 ELSE 10 END) AS quality
+         |  FROM (
+         |    SELECT doc_id, source, n_chars, toks,
+         |      len(list_filter(toks,
+         |        t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |    FROM (
+         |      SELECT doc_id, source, n_chars,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM documents WHERE doc_id IS NOT NULL) d0) d1),
+         |t46 AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |tg AS (
+         |  SELECT doc_id, u.tg.k AS k, u.tg.g AS g
+         |  FROM t46,
+         |  UNNEST(list_concat(
+         |    list_transform(generate_series(1, len(toks) - 1), i ->
+         |      {'k': 2, 'g': toks[i] || ' ' || toks[i + 1]}),
+         |    list_transform(generate_series(1, len(toks) - 2), i ->
+         |      {'k': 3, 'g': toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]})))
+         |    AS u(tg)
+         |  WHERE len(toks) >= 3),
+         |cg AS (
+         |  SELECT doc_id, k, g, COUNT(*) AS n FROM tg GROUP BY 1, 2, 3),
+         |pk AS (
+         |  SELECT doc_id, k,
+         |    CAST(SUM(n) AS BIGINT) AS total,
+         |    CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup,
+         |    MAX(n) AS top
+         |  FROM cg GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT doc_id,
+         |    CASE WHEN MAX(CASE WHEN k = 3 THEN dup END) * 5
+         |           >= MAX(CASE WHEN k = 3 THEN total END)
+         |         OR (MAX(CASE WHEN k = 2 THEN top END) >= 2
+         |             AND MAX(CASE WHEN k = 2 THEN top END) * 10
+         |               >= MAX(CASE WHEN k = 2 THEN total END))
+         |    THEN 1 ELSE 0 END AS repetitive
+         |  FROM pk GROUP BY doc_id),
+         |ge AS (
+         |  SELECT doc_id, len(toks) AS n_toks,
+         |    COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
+         |      AS tok_chars,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         |      AS n_alpha,
+         |    len(list_filter(['the','a','of','and','is','to','in'],
+         |      s -> list_contains(toks, s))) AS n_stop
+         |  FROM t46),
+         |gp AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_toks BETWEEN 25 AND 100000 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN tok_chars >= n_toks * 3 AND tok_chars <= n_toks * 10
+         |       THEN 1 ELSE 0 END)
+         |    * (CASE WHEN n_alpha * 10 >= n_toks * 8 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS gpass
+         |  FROM ge),
+         |j AS (
+         |  SELECT tq.source, tq.quality,
+         |    COALESCE(rep.repetitive, 0) AS repetitive, gp.gpass
+         |  FROM tq
+         |  LEFT JOIN rep ON tq.doc_id = rep.doc_id
+         |  JOIN gp ON tq.doc_id = gp.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN quality >= $FilterChainQualityMin THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_quality_ok,
+         |  CAST(SUM(CASE WHEN repetitive = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_rep_clean,
+         |  CAST(SUM(gpass) AS BIGINT) AS n_gopher_ok,
+         |  CAST(SUM(CASE WHEN quality >= $FilterChainQualityMin
+         |    AND repetitive = 0 AND gpass = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_keep,
+         |  CAST(SUM(CASE WHEN quality >= $FilterChainQualityMin
+         |    AND repetitive = 0 AND gpass = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    * 1000000 // COUNT(*) AS keep_ppm
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays Dedup.nearDupEval: the shared q19 pair CTEs vs the
+    // planted-truth set, three scalar counts, integer recall.
+    "q140_neardup_eval" ->
+      s"""WITH $nearDupPairCtes,
+         |truth AS (
+         |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |hit AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs p
+         |  JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_detected,
+         |  (SELECT n FROM hit) AS n_truth_detected,
+         |  (SELECT n FROM hit) * 1000000
+         |    // (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS recall_ppm,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) - (SELECT n FROM hit)
+         |    AS n_organic""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3724,6 +3832,8 @@ object SparkEntry {
   private val ImgHammingMax = 3
   // q131: nested scaling-law subset percentages (md5-bucket rule).
   private val CurveTiers = Seq(10, 25, 50, 100)
+  // q139: the ensemble's quality-band floor (bands span 35..100).
+  private val FilterChainQualityMin = 60L
   // q134: frozen-vocab size, promotion threshold, report depth. The
   // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
   // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size

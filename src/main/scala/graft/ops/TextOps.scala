@@ -685,9 +685,23 @@ object TextOps {
     gopherGateOf(Tables(spark, dir, "documents"))
 
   /** Core of `gopherGate` over any `(doc_id, text, source)` corpus. */
-  def gopherGateOf(docs: DataFrame): DataFrame = {
+  def gopherGateOf(docs: DataFrame): DataFrame =
+    gopherFlagsOf(docs).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("r_count")).as("n_count_ok"),
+        sum(col("r_wordlen")).as("n_wordlen_ok"),
+        sum(col("r_alpha")).as("n_alpha_ok"),
+        sum(col("r_stop")).as("n_stop_ok"),
+        sum(col("pass")).as("n_pass"))
+      .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
+      .orderBy("source")
+
+  /** The PER-DOCUMENT gopher rule flags — split out of [[gopherGateOf]]
+    * so q139's filter-chain ensemble consumes the identical rules.
+    */
+  private[graft] def gopherFlagsOf(docs: DataFrame): DataFrame = {
     val stopArr = stopList.map(s => s"'$s'").mkString("array(", ", ", ")")
-    val d = docs.filter(col("doc_id").isNotNull)
+    docs.filter(col("doc_id").isNotNull)
       .withColumn("toks", expr(tokensExpr))
       .withColumn("n_toks", size(col("toks")).cast("long"))
       .withColumn("tok_chars",
@@ -707,14 +721,54 @@ object TextOps {
       .withColumn("r_stop", (col("n_stop_distinct") >= 2).cast("long"))
       .withColumn("pass",
         col("r_count") * col("r_wordlen") * col("r_alpha") * col("r_stop"))
-    d.groupBy("source")
+  }
+
+  /** Graded q139: the PRODUCTION FILTER CHAIN — q16's quality bands,
+    * q46's repetition rules, and q108's Gopher gate run as ONE
+    * conjunction per document, rolled up per source: what each filter
+    * passes alone, what survives all three, and the keep rate in ppm.
+    * Real curation ships a chain, not a single filter — a document must
+    * clear length/fluency bands AND not be machine-repetitive AND pass
+    * the Gopher rule set — and the per-filter columns show WHICH filter
+    * bites in each feed. Every rule is the SINGLE-SOURCED
+    * implementation the individual queries grade (`qualityCol`,
+    * `repetitionStatsOf`, `gopherFlagsOf`), so the ensemble cannot
+    * drift from its parts. Documents with < 3 tokens have no
+    * repetition row (no trigrams) and join as non-repetitive — the
+    * Gopher token floor rejects them anyway.
+    *
+    * Scale shape: three corpus passes (each already audited for its
+    * own query) meeting on ONE doc_id join, then a |sources|-row
+    * rollup. All integer.
+    */
+  def filterChain(spark: SparkSession, dir: String,
+      qualityMin: Long = 60L): DataFrame =
+    filterChainOf(Tables(spark, dir, "documents"), qualityMin)
+
+  /** Core of `filterChain` over any `(doc_id, source, text, n_chars)`
+    * corpus.
+    */
+  def filterChainOf(docs: DataFrame, qualityMin: Long): DataFrame = {
+    val q = tokenizedOf(docs).filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("source"),
+        qualityCol(col("n_chars"), col("n_toks"), col("stop_hits"))
+          .as("quality"))
+    val rep = repetitionStatsOf(docs).select(col("doc_id"), col("repetitive"))
+    val gop = gopherFlagsOf(docs)
+      .select(col("doc_id"), col("pass").as("gopher_pass"))
+    q.join(rep, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("repetitive"))
+      .join(gop, Seq("doc_id"))
+      .withColumn("keep",
+        ((col("quality") >= qualityMin) && col("repetitive") === 0L &&
+          col("gopher_pass") === 1L).cast("long"))
+      .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("r_count")).as("n_count_ok"),
-        sum(col("r_wordlen")).as("n_wordlen_ok"),
-        sum(col("r_alpha")).as("n_alpha_ok"),
-        sum(col("r_stop")).as("n_stop_ok"),
-        sum(col("pass")).as("n_pass"))
-      .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
+        sum((col("quality") >= qualityMin).cast("long")).as("n_quality_ok"),
+        sum((col("repetitive") === 0L).cast("long")).as("n_rep_clean"),
+        sum(col("gopher_pass")).as("n_gopher_ok"),
+        sum(col("keep")).as("n_keep"))
+      .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
       .orderBy("source")
   }
 

@@ -1301,4 +1301,52 @@ class QueriesSpec extends SparkSpec {
     assert(got.exists(_._6 > 0))
     CachedStages.release(spark)
   }
+
+  test("q139 filter chain equals a rollup of its three component filters") {
+    val docs = Tables(spark, dir, "documents")
+    val quality = TextOps.tokenizedOf(docs).selectExpr("doc_id", "source",
+      "CAST(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40 WHEN n_chars > 300 THEN 25 ELSE 10 END " +
+        "+ CASE WHEN n_toks >= 20 THEN 30 ELSE 15 END " +
+        "+ CASE WHEN stop_hits * 50 >= n_toks AND stop_hits * 5 <= n_toks THEN 30 ELSE 10 END AS LONG) AS q")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rep = TextOps.repetitionStatsOf(docs).select("doc_id", "repetitive")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gop = TextOps.gopherFlagsOf(docs).select("doc_id", "pass")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = quality.toSeq.groupBy(_._2._1).toSeq.map { case (src, g) =>
+      val rows = g.map { case (id, (_, q)) =>
+        (q >= 60L, rep.getOrElse(id, 0L) == 0L, gop(id) == 1L)
+      }
+      (src, rows.length.toLong, rows.count(_._1).toLong,
+        rows.count(_._2).toLong, rows.count(_._3).toLong,
+        rows.count(r => r._1 && r._2 && r._3).toLong)
+    }.map(r => (r._1, r._2, r._3, r._4, r._5, r._6,
+      r._6 * 1000000L / r._2)).sortBy(_._1)
+    val got = TextOps.filterChain(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"$got\n$expect")
+    // the conjunction is never looser than any single filter
+    got.foreach { r =>
+      assert(r._6 <= r._3 && r._6 <= r._4 && r._6 <= r._5)
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q140 neardup eval: perfect planted recall, organic pairs counted honestly") {
+    val row = Dedup.nearDupEval(spark, dir).collect()(0)
+    val (nTruth, nDet, nHit, recall, organic) = (row.getLong(0),
+      row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    val planted = Tables(spark, dir, "documents")
+      .where("doc_id % 100 = 0").count()
+    assert(nTruth == planted && nTruth > 0)
+    assert(nHit == nTruth && recall == 1000000L,
+      s"planted recall $nHit/$nTruth") // the q19 detector finds them all
+    assert(nDet == nHit + organic && organic >= 0)
+    // cross-check against the detector's own pair set
+    val det = Dedup.nearDupPairs(spark, dir).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nDet == det.size.toLong)
+    CachedStages.release(spark)
+  }
 }
