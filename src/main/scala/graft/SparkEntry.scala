@@ -228,6 +228,7 @@ object SparkEntry {
     "q139_filter_chain" -> ((s: SparkSession, d: String) =>
       TextOps.filterChain(s, d, FilterChainQualityMin)),
     "q140_neardup_eval" -> Dedup.nearDupEval _,
+    "q141_token_drift" -> TextOps.tokenDrift _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3548,6 +3549,28 @@ object SparkEntry {
          |    // (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS recall_ppm,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) - (SELECT n FROM hit)
          |    AS n_organic""".stripMargin,
+    "q141_token_drift" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |    FROM documents WHERE doc_id IS NOT NULL) t
+        |  GROUP BY source, token),
+        |s AS (
+        |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_src,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |  FROM c GROUP BY source),
+        |v AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n_tok FROM c GROUP BY token),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM c),
+        |j AS (
+        |  SELECT s.source, s.n_src, s.n_distinct, v.n_tok, t.n_total,
+        |    COALESCE(c.n, 0) AS n
+        |  FROM v CROSS JOIN s CROSS JOIN t
+        |  LEFT JOIN c ON c.source = s.source AND c.token = v.token)
+        |SELECT source, MAX(n_src) AS n_tokens, MAX(n_distinct) AS n_distinct,
+        |  CAST(SUM(abs(n::HUGEINT * n_total - n_tok::HUGEINT * n_src)) * 1000000
+        |    // (2::HUGEINT * MAX(n_src) * MAX(n_total)) AS BIGINT) AS tv_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE

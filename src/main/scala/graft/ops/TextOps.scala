@@ -1224,4 +1224,72 @@ object TextOps {
           .as("tok_p90_len"))
       .orderBy("source")
   }
+
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame =
+    tokenDriftOf(Tables(spark, dir, "documents"))
+
+  /** Graded q141: per-source TOKEN-DISTRIBUTION DRIFT — the total-
+    * variation distance between each source's unigram distribution and
+    * the whole-corpus distribution, in integer ppm. TV is the standard
+    * distribution-shift monitor a data pipeline runs per feed (and
+    * between crawl snapshots): a source whose token mix diverges from
+    * the corpus — template spam, language drift, a scraper gone wrong —
+    * surfaces as a high TV long before perplexity filters see it, and
+    * unlike KL it is bounded, symmetric, and defined when supports
+    * differ (no smoothing constant to pick).
+    *
+    * Determinism: TV = ½·Σ_t |n_st/N_s − n_t/N| is evaluated entirely
+    * in integers by cross-multiplication —
+    * `tv_ppm = (10⁶ · Σ_t |n_st·N − n_t·N_s|) div (2·N_s·N)` — with the
+    * per-term products in DECIMAL(38,0) (at 100 TB, n·N reaches ~10²⁶,
+    * far past bigint), so both engines produce the identical integer.
+    *
+    * Scale shape: ONE corpus scan collapses into the persisted
+    * `(source, token, n)` count table (map-side combined — the shuffle
+    * carries per-partition vocabularies, not tokens); the per-source
+    * totals, the per-token corpus totals, and the grand total are all
+    * re-aggregations of that cache. The full grid is built from the
+    * VOCAB side (the big one — real corpora reach 10⁸ distinct tokens)
+    * against the broadcast |sources|-row totals, so absent (source,
+    * token) cells — which contribute |0 − n_t·N_s| and CANNOT be
+    * dropped — appear without densifying through any corpus-sized
+    * join; the final aggregate is |sources| rows.
+    */
+  def tokenDriftOf(docs: DataFrame): DataFrame =
+    tokenDriftOfCounts(docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n")))
+
+  /** TV computation over an already-aggregated `(source, token, n)`
+    * count table — split out so the streaming twin's maintained counts
+    * feed the IDENTICAL arithmetic (DocStreams.driftCounterStream).
+    */
+  def tokenDriftOfCounts(tokenCounts: DataFrame): DataFrame = {
+    val counts = CachedStages.track(tokenCounts.persist())
+    val srcTotals = counts.groupBy("source")
+      .agg(sum(col("n")).as("n_src"), count(lit(1)).as("n_distinct"))
+    val vocab = counts.groupBy("token").agg(sum(col("n")).as("n_tok"))
+    val total = counts.agg(sum(col("n")).as("n_total"))
+    val grid = vocab
+      .crossJoin(broadcast(srcTotals.crossJoin(total)))
+    grid.join(counts, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("term", expr(
+        """abs(CAST(n AS DECIMAL(38, 0)) * n_total
+          | - CAST(n_tok AS DECIMAL(38, 0)) * n_src)""".stripMargin))
+      .groupBy("source")
+      .agg(
+        max(col("n_src")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("term")).as("tv_num"),
+        max(col("n_src")).as("ns2"),
+        max(col("n_total")).as("nt2"))
+      .withColumn("tv_ppm", expr(
+        """CAST(tv_num * 1000000
+          | div (2 * CAST(ns2 AS DECIMAL(38, 0)) * nt2) AS BIGINT)"""
+          .stripMargin))
+      .select("source", "n_tokens", "n_distinct", "tv_ppm")
+      .orderBy("source")
+  }
 }

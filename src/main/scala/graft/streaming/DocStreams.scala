@@ -158,6 +158,26 @@ object DocStreams {
   def chunkedDocs(stream: DataFrame, chunkSize: Int = 64,
       overlap: Int = 16): DataFrame =
     graft.ops.TextOps.ragChunkRows(stream, chunkSize, overlap)
+
+  /** Streaming twin of q141's drift monitor: the SAME `(source, token,
+    * n)` unigram count matrix (the exact aggregation `TextOps.
+    * tokenDriftOf` builds in batch) maintained over the arriving
+    * document stream — each micro-batch's tokens sum in, and the sink
+    * (or a foreachBatch hook) feeds the counts into `TextOps.
+    * tokenDriftOfCounts` for the IDENTICAL integer TV arithmetic.
+    * State is bounded by |sources| x |vocabulary| — the same bound the
+    * batch op's persisted count table has, and the reason the monitor
+    * keeps counts rather than documents. No watermark: unigram counts
+    * are a monotone CRDT-style sum, never retracted. DocStreamsSpec
+    * asserts the streamed matrix equals the batch one cell for cell
+    * and that the TVs computed from it match batch q141 row for row.
+    */
+  def driftCounterStream(stream: DataFrame): DataFrame =
+    stream.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(graft.ops.TextOps.tokensExpr))
+        .as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
 }
 
 /** Streaming formulation of the embedding surface: vectors arriving as

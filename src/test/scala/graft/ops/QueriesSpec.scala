@@ -1349,4 +1349,36 @@ class QueriesSpec extends SparkSpec {
     assert(nDet == det.size.toLong)
     CachedStages.release(spark)
   }
+  test("q141 token drift equals a driver-side BigInt TV replay") {
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokRe = "[a-z0-9]+".r
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach { case (src, text) =>
+      tokRe.findAllIn(text.toLowerCase).foreach { t =>
+        counts((src, t)) = counts.getOrElse((src, t), 0L) + 1
+      }
+    }
+    val bySrc = counts.groupBy(_._1._1)
+    val vocab = counts.groupBy(_._1._2)
+      .map { case (t, m) => t -> m.values.sum }
+    val nTotal = counts.values.sum
+    val expect = bySrc.toSeq.map { case (src, m) =>
+      val nSrc = m.values.sum
+      val num = vocab.toSeq.map { case (t, nTok) =>
+        (BigInt(m.getOrElse((src, t), 0L)) * nTotal - BigInt(nTok) * nSrc).abs
+      }.sum
+      (src, nSrc, m.size.toLong,
+        (num * 1000000 / (BigInt(2) * nSrc * nTotal)).toLong)
+    }.sortBy(_._1)
+    val got = TextOps.tokenDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got != $expect")
+    // TV is bounded in [0, 1e6] and nontrivial somewhere on this corpus
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
+    assert(got.exists(_._4 > 0))
+    CachedStages.release(spark)
+  }
 }

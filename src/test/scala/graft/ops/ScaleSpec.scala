@@ -948,4 +948,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q141 plan: one corpus collapse into the count cache; totals broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.tokenDrift(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // every branch (vocab, per-source totals, grand total, the grid's
+    // left-join side) reads the persisted (source, token, n) table — the
+    // corpus parquet is scanned exactly once, at cache fill
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 4,
+      plan.take(3000))
+    // the |sources|-row totals ride a broadcast against the vocab side
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }

@@ -332,4 +332,32 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
     graft.ops.CachedStages.release(spark)
   }
+  test("q141 twin: streamed drift counts match batch cell for cell, TVs row for row") {
+    val stream = DocStreams.readDocStream(spark, streamDir)
+    EventStreams.runToMemory(
+      DocStreams.driftCounterStream(stream),
+      "drift_counters", OutputMode.Complete())
+    // localCheckpoint: the memory-sink view can't self-join (its plan
+    // carries fixed attribute ids), and the TV computation reads the
+    // count matrix from four branches
+    val streamedCounts = spark.table("drift_counters").localCheckpoint()
+    val got = streamedCounts.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val batchDocs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val batchCounts = batchDocs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(TextOps.tokensExpr)).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(got.nonEmpty && got == batchCounts)
+    // the maintained matrix feeds the IDENTICAL TV arithmetic
+    val streamedTv = TextOps.tokenDriftOfCounts(streamedCounts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val batchTv = TextOps.tokenDriftOf(batchDocs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamedTv == batchTv)
+    graft.ops.CachedStages.release(spark)
+  }
 }
