@@ -229,6 +229,8 @@ object SparkEntry {
       TextOps.filterChain(s, d, FilterChainQualityMin)),
     "q140_neardup_eval" -> Dedup.nearDupEval _,
     "q141_token_drift" -> TextOps.tokenDrift _,
+    "q142_assoc_rules" -> ((s: SparkSession, d: String) =>
+      Graph.assocRules(s, d, AssocMinPair, AssocTopK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3571,6 +3573,31 @@ object SparkEntry {
         |  CAST(SUM(abs(n::HUGEINT * n_total - n_tok::HUGEINT * n_src)) * 1000000
         |    // (2::HUGEINT * MAX(n_src) * MAX(n_total)) AS BIGINT) AS tv_ppm
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q142_assoc_rules" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |n AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_baskets FROM b),
+         |ic AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY p),
+         |u AS (
+         |  SELECT x.p AS pa, y.p AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM b x JOIN b y ON x.k = y.k AND x.p < y.p
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $AssocMinPair),
+         |d AS (
+         |  SELECT pa AS antecedent, pb AS consequent, n_ab FROM u
+         |  UNION ALL SELECT pb, pa, n_ab FROM u),
+         |r AS (
+         |  SELECT d.antecedent, d.consequent, d.n_ab,
+         |    ia.n_item AS n_ante, ib.n_item AS n_cons, n.n_baskets
+         |  FROM d JOIN ic ia ON ia.p = d.antecedent
+         |  JOIN ic ib ON ib.p = d.consequent CROSS JOIN n)
+         |SELECT antecedent, consequent, n_ab, n_ante, n_cons,
+         |  n_ab * 1000000 // n_baskets AS support_ppm,
+         |  n_ab * 1000000 // n_ante AS confidence_ppm,
+         |  CAST(n_ab::HUGEINT * n_baskets * 1000000
+         |    // (n_ante::HUGEINT * n_cons) AS BIGINT) AS lift_ppm
+         |FROM r
+         |ORDER BY lift_ppm DESC, antecedent ASC, consequent ASC
+         |LIMIT $AssocTopK""".stripMargin,
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3857,6 +3884,11 @@ object SparkEntry {
   private val CurveTiers = Seq(10, 25, 50, 100)
   // q139: the ensemble's quality-band floor (bands span 35..100).
   private val FilterChainQualityMin = 60L
+  // q142: association-rule min pair count and leaderboard depth. The
+  // min-count floor keeps singleton co-occurrences (pure noise, and
+  // the bulk of all pairs) out of the rule arithmetic.
+  private val AssocMinPair = 2L
+  private val AssocTopK = 20
   // q134: frozen-vocab size, promotion threshold, report depth. The
   // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
   // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size

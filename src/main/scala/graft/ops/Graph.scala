@@ -466,4 +466,72 @@ object Graph {
       .unionByName(top(hubs, "cust", "hub"))
       .orderBy("kind", "rank")
   }
+
+  def assocRules(spark: SparkSession, dir: String, minPairCount: Long = 2L,
+      topK: Int = 20): DataFrame =
+    assocRulesOf(orderParts(spark, dir), minPairCount, topK)
+
+  /** Graded q142: MARKET-BASKET ASSOCIATION RULES (Agrawal, Imieliński
+    * & Swami, SIGMOD 1993) over co-purchased parts — for each directed
+    * part pair `A → B` frequent enough to matter, the three classical
+    * measures: support (share of baskets holding both), confidence
+    * (share of A-baskets that also hold B), and lift (confidence over
+    * B's base rate — the only one that separates "bought together
+    * because both are popular" from a real association). The q69/q70
+    * centrality queries score NODES of the co-purchase graph; this
+    * scores its EDGES as actionable rules, the recommender/bundling
+    * primitive.
+    *
+    * Determinism: all three measures are integer ppm by
+    * cross-multiplication — `support = n_ab·10⁶ div N`, `confidence =
+    * n_ab·10⁶ div n_a`, `lift = n_ab·N·10⁶ div (n_a·n_b)`, the lift
+    * numerator in DECIMAL(38,0) (n_ab·N·10⁶ reaches ~10²⁶ at real
+    * basket counts). The leaderboard orders by (lift desc, antecedent,
+    * consequent) — fully pinned.
+    *
+    * Scale shape: baskets self-join on the ORDER key, so pair fan-out
+    * is bounded by basket size squared (orders hold ≤ tens of items),
+    * never |parts|²; the pair aggregate map-side combines; per-item
+    * counts are a dimension-sized table joined back by BROADCAST
+    * (twice — antecedent and consequent); the basket total is one
+    * scalar crossed in; the cut is TakeOrdered at topK rows. The
+    * min-count filter runs BEFORE the rule arithmetic and the join
+    * back, so the long tail of singleton pairs never leaves the
+    * aggregate.
+    */
+  def assocRulesOf(orderParts: DataFrame, minPairCount: Long,
+      topK: Int): DataFrame = {
+    val b = CachedStages.track(orderParts.persist())
+    val nBaskets = b.agg(countDistinct(col("k")).as("n_baskets"))
+    val itemCounts = b.groupBy("p").agg(count(lit(1)).as("n_item"))
+    val undirected = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("a"), col("p2").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    val directed = undirected
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"))
+      .unionByName(undirected.select(col("b").as("antecedent"),
+        col("a").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(itemCounts.withColumnRenamed("p", "antecedent")
+        .withColumnRenamed("n_item", "n_ante")), Seq("antecedent"))
+      .join(broadcast(itemCounts.withColumnRenamed("p", "consequent")
+        .withColumnRenamed("n_item", "n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support_ppm", expr("n_ab * 1000000 div n_baskets"))
+      .withColumn("confidence_ppm", expr("n_ab * 1000000 div n_ante"))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(n_ab AS DECIMAL(38, 0)) * n_baskets * 1000000
+          | div (CAST(n_ante AS DECIMAL(38, 0)) * n_cons) AS BIGINT)"""
+          .stripMargin))
+      .orderBy(col("lift_ppm").desc, col("antecedent").asc,
+        col("consequent").asc)
+      .limit(topK)
+      .select("antecedent", "consequent", "n_ab", "n_ante", "n_cons",
+        "support_ppm", "confidence_ppm", "lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("antecedent").asc,
+        col("consequent").asc)
+  }
 }

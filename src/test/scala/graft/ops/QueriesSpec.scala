@@ -1381,4 +1381,34 @@ class QueriesSpec extends SparkSpec {
     assert(got.exists(_._4 > 0))
     CachedStages.release(spark)
   }
+  test("q142 association rules equal a driver-side BigInt replay") {
+    val b = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = b.map(_._1).distinct.length.toLong
+    val itemN = b.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val byBasket = b.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairN = scala.collection.mutable.Map[(Long, Long), Long]()
+    byBasket.values.foreach { items =>
+      for (i <- items.indices; j <- i + 1 until items.length)
+        pairN((items(i), items(j))) =
+          pairN.getOrElse((items(i), items(j)), 0L) + 1
+    }
+    val rules = pairN.toSeq.filter(_._2 >= 2L).flatMap { case ((a, c), n) =>
+      Seq((a, c, n), (c, a, n))
+    }.map { case (a, c, nab) =>
+      val (na, nc) = (itemN(a), itemN(c))
+      (a, c, nab, na, nc,
+        nab * 1000000L / nBaskets, nab * 1000000L / na,
+        (BigInt(nab) * nBaskets * 1000000 / (BigInt(na) * nc)).toLong)
+    }
+    val expect = rules.sortBy(r => (-r._8, r._1, r._2)).take(20)
+    val got = Graph.assocRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // lift > 1e6 at the top of the board: real associations, not noise
+    assert(got.head._8 > 1000000L)
+    CachedStages.release(spark)
+  }
 }

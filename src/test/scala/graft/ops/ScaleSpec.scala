@@ -965,4 +965,23 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q142 plan: basket-bounded pair join off the cache; item counts broadcast; TakeOrdered cut") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Graph.assocRules(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the distinct (order, part) basket table fills once; the self-join,
+    // both item-count sides, and the basket total all read the cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    // 7 = self-join (2) + antecedent/consequent item counts (2) +
+    // basket total (1) + the distinct's two-phase pre-agg reads (2)
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 7,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // the leaderboard cut is TakeOrdered, never a global sort of all rules
+    assert(plan.contains("TakeOrdered"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
