@@ -231,6 +231,8 @@ object SparkEntry {
     "q141_token_drift" -> TextOps.tokenDrift _,
     "q142_assoc_rules" -> ((s: SparkSession, d: String) =>
       Graph.assocRules(s, d, AssocMinPair, AssocTopK)),
+    "q143_deletion_audit" -> ((s: SparkSession, d: String) =>
+      Privacy.deletionAudit(s, d, ForgetPct)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3598,6 +3600,33 @@ object SparkEntry {
          |FROM r
          |ORDER BY lift_ppm DESC, antecedent ASC, consequent ASC
          |LIMIT $AssocTopK""".stripMargin,
+    "q143_deletion_audit" -> {
+      def gone(k: String) =
+        s"CAST('0x' || substr(md5(CAST($k AS VARCHAR)), 1, 6) AS BIGINT) % 100 < $ForgetPct"
+      s"""WITH fo AS (
+         |  SELECT o_orderkey FROM orders WHERE ${gone("o_custkey")}),
+         |raw AS (
+         |  SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN ${gone("c_custkey")} THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_delete
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'events', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN ${gone("user_id")} THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN fo.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM lineitem LEFT JOIN fo ON l_orderkey = fo.o_orderkey
+         |  UNION ALL
+         |  SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN ${gone("o_custkey")} THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM orders)
+         |SELECT table_name, n_rows, n_delete,
+         |  n_delete * 1000000 // n_rows AS delete_ppm
+         |FROM raw ORDER BY table_name""".stripMargin
+    },
   )
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
@@ -3889,6 +3918,8 @@ object SparkEntry {
   // the bulk of all pairs) out of the rule arithmetic.
   private val AssocMinPair = 2L
   private val AssocTopK = 20
+  // q143: share of data subjects in the forget-set (md5-bucket rule).
+  private val ForgetPct = 5
   // q134: frozen-vocab size, promotion threshold, report depth. The
   // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
   // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size

@@ -72,4 +72,56 @@ object Privacy {
           .cast("long").as("n_phones"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"),
           PhoneRe, "[PHONE]").as("redacted"))
+
+  /** Graded q143: RIGHT-TO-BE-FORGOTTEN deletion audit — given a
+    * forget-set of data subjects (the q44 md5-bucket rule's fourth
+    * hat: here it selects the `forgetPct`% of subject ids whose
+    * erasure was requested), count what a compliant delete must
+    * cascade to in every table that carries the subject: their
+    * `customer` rows, their `orders`, the `lineitem` rows of those
+    * orders (reachable only THROUGH the order key — the indirect
+    * reference every deletion pipeline must chase), and their
+    * `events`. The long-format report (rows, rows-to-delete, share in
+    * ppm) is the artifact a privacy review signs off on BEFORE the
+    * irreversible delete runs, and the same counts verify the delete
+    * after.
+    *
+    * Scale shape: the subject rule is a pure hash of the key, so the
+    * three directly-keyed tables are screened by a pushed-down scan
+    * predicate — NO subject list is materialized or joined (the
+    * stateless-assignment property that makes md5-bucket selection
+    * retry-stable also makes the screen embarrassingly parallel).
+    * Only `lineitem` pays a join, on the order key against the
+    * forget-set's orders — an equi-join whose right side is
+    * `forgetPct`% of orders; at 100 TB that is a shuffle hash join on
+    * the natural key, not a broadcast (the forget-set scales with the
+    * data). Each per-table audit is a single-row aggregate; the
+    * report is 4 rows.
+    */
+  def deletionAudit(spark: SparkSession, dir: String,
+      forgetPct: Int = 5): DataFrame = {
+    def forgotten(keyCol: String) =
+      expr(s"${Sampling.bucketExpr(keyCol)} < $forgetPct")
+    def audit(name: String, df: DataFrame,
+        del: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(del, 1L).otherwise(0L)).as("n_delete"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("n_delete"), expr("n_delete * 1000000 div n_rows")
+            .as("delete_ppm"))
+    val forgetOrders = Tables(spark, dir, "orders")
+      .filter(forgotten("o_custkey"))
+      .select(col("o_orderkey"), lit(true).as("del"))
+    val li = Tables(spark, dir, "lineitem")
+      .join(forgetOrders,
+        col("l_orderkey") === forgetOrders("o_orderkey"), "left")
+    audit("customer", Tables(spark, dir, "customer"),
+        forgotten("c_custkey"))
+      .unionByName(audit("events", Tables(spark, dir, "events"),
+        forgotten("user_id")))
+      .unionByName(audit("lineitem", li, col("del").isNotNull))
+      .unionByName(audit("orders", Tables(spark, dir, "orders"),
+        forgotten("o_custkey")))
+      .orderBy("table_name")
+  }
 }

@@ -1411,4 +1411,38 @@ class QueriesSpec extends SparkSpec {
     assert(got.head._8 > 1000000L)
     CachedStages.release(spark)
   }
+  test("q143 deletion audit equals a driver-side cascade replay") {
+    import java.security.MessageDigest
+    def bucket(k: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(3).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    def gone(k: Long): Boolean = bucket(k) < 5
+    val cust = Tables(spark, dir, "customer").select("c_custkey")
+      .collect().map(_.getLong(0))
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey")
+      .collect().map(_.getLong(0))
+    val evs = Tables(spark, dir, "events").select("user_id")
+      .collect().map(_.getLong(0))
+    val forgottenOrders = orders.filter(o => gone(o._2)).map(_._1).toSet
+    def row(name: String, n: Long, d: Long) =
+      (name, n, d, d * 1000000L / n)
+    val expect = Seq(
+      row("customer", cust.length, cust.count(gone)),
+      row("events", evs.length, evs.count(gone)),
+      row("lineitem", li.length, li.count(forgottenOrders.contains)),
+      row("orders", orders.length, orders.count(o => gone(o._2))))
+    val got = Privacy.deletionAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got != $expect")
+    // the cascade is real: forgotten customers exist and drag orders
+    // and lineitems with them
+    assert(expect(0)._3 > 0 && expect(2)._3 > 0 && expect(3)._3 > 0)
+    CachedStages.release(spark)
+  }
 }

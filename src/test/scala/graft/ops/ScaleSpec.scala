@@ -984,4 +984,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("TakeOrdered"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q143 plan: stateless hash screens, only lineitem pays a join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Privacy.deletionAudit(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // 5 scans: customer, events, orders (audited + forget-set), and
+    // lineitem — no materialized subject list joined anywhere; the
+    // directly-keyed tables are screened by a scan predicate
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 5,
+      plan.take(3000))
+    // exactly one join in the whole report: lineitem chasing the order
+    // key into the forget-set's orders
+    assert(plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
