@@ -233,6 +233,8 @@ object SparkEntry {
       Graph.assocRules(s, d, AssocMinPair, AssocTopK)),
     "q143_deletion_audit" -> ((s: SparkSession, d: String) =>
       Privacy.deletionAudit(s, d, ForgetPct)),
+    "q144_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.mmrRerank(s, d, MmrProbes, MmrCand, MmrK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3627,7 +3629,74 @@ object SparkEntry {
          |  n_delete * 1000000 // n_rows AS delete_ppm
          |FROM raw ORDER BY table_name""".stripMargin
     },
+    "q144_mmr_rerank" -> mmrOracleSql(MmrProbes, MmrCand, MmrK),
   )
+
+  /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in
+    * DuckDB: the q21 cosine candidate stage cut to nCand, the pairwise
+    * candidate-sim table, then per greedy round r ≥ 2: `m$r` scores the
+    * remaining candidates (7·rel − 3·max-sim-to-selected, all integer
+    * ppm) and `s$r` takes the per-probe argmax (ties vec_id asc);
+    * round 1 is pure relevance. `sel$r` accumulates the selected set.
+    */
+  private def mmrOracleSql(nProbes: Int, nCand: Int, k: Int): String = {
+    val cosExpr = (a: String, b: String) =>
+      s"""round(
+         |      list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) /
+         |      (sqrt(list_sum(list_transform($a, x -> x * x))) *
+         |       sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (
+         |  SELECT c.q_id, c.vec_id, MAX(c.rel_ppm) AS rel_ppm,
+         |    7 * MAX(c.rel_ppm) - 3 * MAX(p2.sim_ppm) AS mmr_fp
+         |  FROM cand c
+         |  JOIN pr p2 ON p2.q_id = c.q_id AND p2.ia = c.vec_id
+         |  JOIN sel${r - 1} s ON s.q_id = p2.q_id AND s.vec_id = p2.ib
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |    WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.q_id, c.vec_id),
+         |s$r AS (
+         |  SELECT q_id, CAST($r AS BIGINT) AS rank, vec_id, rel_ppm, mmr_fp
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+         |    ORDER BY mmr_fp DESC, vec_id ASC) AS rr FROM m$r) t
+         |  WHERE rr = 1),
+         |sel$r AS (SELECT q_id, vec_id FROM sel${r - 1}
+         |  UNION ALL SELECT q_id, vec_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(r => s"SELECT * FROM s$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $nProbes),
+       |p AS (
+       |  SELECT q.q_id, v.vec_id, v.e,
+       |    ${cosExpr("qe", "e")} AS cos
+       |  FROM v CROSS JOIN q
+       |  WHERE v.vec_id <> q.q_id),
+       |cand AS (
+       |  SELECT q_id, vec_id, e,
+       |    CAST(round(cos * 1000000, 0) AS BIGINT) AS rel_ppm
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, vec_id ASC) AS rn FROM p) t
+       |  WHERE rn <= $nCand),
+       |pr AS (
+       |  SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
+       |    CAST(round(${cosExpr("a.e", "b.e")} * 1000000, 0) AS BIGINT)
+       |      AS sim_ppm
+       |  FROM cand a JOIN cand b
+       |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT q_id, CAST(1 AS BIGINT) AS rank, vec_id, rel_ppm,
+       |    7 * rel_ppm AS mmr_fp
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY 7 * rel_ppm DESC, vec_id ASC) AS rr FROM cand) t
+       |  WHERE rr = 1),
+       |sel1 AS (SELECT q_id, vec_id FROM s1),
+       |$rounds
+       |SELECT q_id, rank, vec_id, rel_ppm, mmr_fp FROM (
+       |  $unionAll) u
+       |ORDER BY q_id, rank""".stripMargin
+  }
 
   /** DuckDB replay of `Events.hllDistinctUsers(m, αpm)` — every CTE
     * mirrors one stage of the Spark plan (hash, register project, max
@@ -3920,6 +3989,12 @@ object SparkEntry {
   private val AssocTopK = 20
   // q143: share of data subjects in the forget-set (md5-bucket rule).
   private val ForgetPct = 5
+  // q144: MMR re-ranking — probe count, ANN candidate depth per
+  // probe, selections per probe. λ is fixed at 7/10 inside the
+  // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.
+  private val MmrProbes = 4
+  private val MmrCand = 10
+  private val MmrK = 5
   // q134: frozen-vocab size, promotion threshold, report depth. The
   // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
   // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size

@@ -568,4 +568,87 @@ object Similarity {
           .agg(avg(col("val")).as("centroid"))
     agged.select("label", "dim", "centroid").orderBy("label", "dim")
   }
+
+  /** Graded q144: MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998) — the diversification pass every retrieval
+    * stack runs AFTER the ANN arm: from each probe's top-`nCand`
+    * cosine candidates, greedily select `k` results maximizing
+    * `λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)` — relevance to the query
+    * minus redundancy against what is already selected. Plain top-k
+    * (q21) returns near-duplicate neighbors of one mode; MMR is what
+    * makes a RAG context window or a recommendation row COVER the
+    * query's modes instead.
+    *
+    * Determinism: cosines go through the established `round(·, 6)`
+    * kernel parity, then quantize to integer ppm via
+    * `round(cos·10⁶, 0)` (exact: the rounded double is integral ±1e-9,
+    * so both engines' nearest-integer agree); with λ = 7/10 the
+    * selection score is the INTEGER `7·rel_ppm − 3·maxsim_ppm` (kept
+    * un-divided — scale does not change the argmax, and dividing a
+    * possibly-negative score would hit the div-vs-floor engine
+    * mismatch). Ties break by vec_id ascending; round 1 is pure
+    * relevance (S empty → redundancy 0).
+    *
+    * Scale shape: the candidate stage IS q21's audited broadcast-probe
+    * corpus scan, cut to `nCand` per probe; everything after runs on
+    * PER-PROBE BOUNDED state — the persisted candidate table
+    * (probes·nCand rows, with vectors) and the pairwise sim table
+    * (probes·nCand² rows, built by a q_id-keyed self-join through the
+    * fused cosine kernel). Each of the k rounds is one bounded join
+    * (remaining × selected members' sims), a map-side-combined max,
+    * and a per-probe struct-max argmax — no window over anything
+    * corpus-sized, no driver loop over rows; rounds localCheckpoint
+    * to keep the plan flat (the q40/q69 iterative discipline).
+    */
+  def mmrRerank(spark: SparkSession, dir: String, nProbes: Int = 4,
+      nCand: Int = 10, k: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val probes = rawVectors(spark, dir).filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val cand = CachedStages.track(rawVectors(spark, dir)
+      .crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select(col("q_id"), col("vec_id"), col("v"),
+        expr("CAST(round(cos * 1000000, 0) AS BIGINT)").as("rel_ppm"))
+      .persist())
+    val pairs = CachedStages.track(cand
+      .select(col("q_id"), col("vec_id").as("a"), col("v").as("va"))
+      .join(cand.select(col("q_id"), col("vec_id").as("b"),
+        col("v").as("vb")), Seq("q_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim_ppm", expr(
+        "CAST(round(round(cosine_sim(va, vb), 6) * 1000000, 0) AS BIGINT)"))
+      .select("q_id", "a", "b", "sim_ppm")
+      .persist())
+    def argmax(scored: DataFrame, rank: Int): DataFrame =
+      scored.groupBy("q_id")
+        .agg(max(struct(col("mmr_fp"), (-col("vec_id")).as("nid"),
+          col("vec_id"), col("rel_ppm"))).as("m"))
+        .select(col("q_id"), lit(rank.toLong).as("rank"),
+          col("m.vec_id").as("vec_id"), col("m.rel_ppm").as("rel_ppm"),
+          col("m.mmr_fp").as("mmr_fp"))
+    var out = argmax(cand.withColumn("mmr_fp", expr("7 * rel_ppm")), 1)
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val sel = out.select(col("q_id"), col("vec_id"))
+      val redundancy = pairs
+        .join(sel.withColumnRenamed("vec_id", "b"), Seq("q_id", "b"))
+        .groupBy(col("q_id"), col("a").as("vec_id"))
+        .agg(max(col("sim_ppm")).as("ms"))
+      val remaining = cand.select("q_id", "vec_id", "rel_ppm")
+        .join(sel.withColumn("picked", lit(true)), Seq("q_id", "vec_id"),
+          "left")
+        .filter(col("picked").isNull)
+      val scored = remaining
+        .join(redundancy, Seq("q_id", "vec_id"))
+        .withColumn("mmr_fp", expr("7 * rel_ppm - 3 * ms"))
+      out = out.unionByName(argmax(scored, r)).localCheckpoint()
+    }
+    out.orderBy("q_id", "rank")
+  }
 }

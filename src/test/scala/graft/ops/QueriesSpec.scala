@@ -1445,4 +1445,55 @@ class QueriesSpec extends SparkSpec {
     assert(expect(0)._3 > 0 && expect(2)._3 > 0 && expect(3)._3 > 0)
     CachedStages.release(spark)
   }
+  test("q144 MMR selections equal a driver-side greedy replay and diversify") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def ppm(c: Double): Long = math.round(c * 1000000.0)
+    val expect = (0L until 4L).flatMap { q =>
+      val cand = vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, cos6(vecs(q), vecs(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(10)
+        .map { case (i, c) => (i, ppm(c)) }
+      val sims = (for ((a, _) <- cand; (b, _) <- cand if a != b)
+        yield (a, b) -> ppm(cos6(vecs(a), vecs(b)))).toMap
+      var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+      var sel = Set.empty[Long]
+      for (r <- 1 to 5) {
+        val scored = cand.filter(c => !sel(c._1)).map { case (i, rel) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(j => sims((i, j))).max
+          (i, rel, 7L * rel - (if (sel.isEmpty) 0L else 3L * ms))
+        }
+        val (i, rel, fp) = scored.maxBy { case (i, _, fp) => (fp, -i) }
+        selected :+= ((q, r.toLong, i, rel, fp))
+        sel += i
+      }
+      selected
+    }
+    val got = Similarity.mmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // diversification bites: for some probe the MMR set differs from
+    // the pure relevance top-5 (else the redundancy term is vacuous)
+    val divergent = (0L until 4L).exists { q =>
+      val rel5 = vecs.keys.filter(_ != q).toSeq
+        .map(i => (i, cos6(vecs(q), vecs(i))))
+        .sortBy { case (i, c) => (-c, i) }.take(5).map(_._1).toSet
+      got.filter(_._1 == q).map(_._3).toSet != rel5
+    }
+    assert(divergent, "MMR never diverged from pure top-k")
+    CachedStages.release(spark)
+  }
 }
