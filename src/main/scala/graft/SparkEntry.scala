@@ -235,6 +235,8 @@ object SparkEntry {
       Privacy.deletionAudit(s, d, ForgetPct)),
     "q144_mmr_rerank" -> ((s: SparkSession, d: String) =>
       Similarity.mmrRerank(s, d, MmrProbes, MmrCand, MmrK)),
+    "q145_trimmed_stats" -> ((s: SparkSession, d: String) =>
+      Events.trimmedStats(s, d, TrimPct)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3630,6 +3632,36 @@ object SparkEntry {
          |FROM raw ORDER BY table_name""".stripMargin
     },
     "q144_mmr_rerank" -> mmrOracleSql(MmrProbes, MmrCand, MmrK),
+    "q145_trimmed_stats" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT) AS cents,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT *, SUM(cnt) OVER (PARTITION BY event_type
+         |    ORDER BY cents ASC ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM h),
+         |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+         |      FROM h GROUP BY 1),
+         |j AS (
+         |  SELECT c.*, t.n, t.n * $TrimPct // 100 AS cut,
+         |    greatest(0, least(c.cum, t.n - t.n * $TrimPct // 100)
+         |      - greatest(c.cum - c.cnt + 1, t.n * $TrimPct // 100 + 1)
+         |      + 1) AS kept
+         |  FROM c JOIN t USING (event_type))
+         |SELECT event_type, MAX(n) AS n_values, MAX(cut) AS n_cut,
+         |  MIN(CASE WHEN cum >= cut + 1 THEN cents END) AS lo_cents,
+         |  MIN(CASE WHEN cum >= n - cut THEN cents END) AS hi_cents,
+         |  CAST(SUM(cents * cnt)::HUGEINT * 10000 // MAX(n) AS BIGINT)
+         |    AS mean_micro,
+         |  CAST(SUM(cents * kept)::HUGEINT * 10000
+         |    // (MAX(n) - 2 * MAX(cut)) AS BIGINT) AS trimmed_mean_micro,
+         |  CAST((SUM(cents * kept) + MAX(cut)
+         |      * (MIN(CASE WHEN cum >= cut + 1 THEN cents END)
+         |         + MIN(CASE WHEN cum >= n - cut THEN cents END)))::HUGEINT
+         |    * 10000 // MAX(n) AS BIGINT) AS winsor_mean_micro
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in
@@ -3995,6 +4027,8 @@ object SparkEntry {
   private val MmrProbes = 4
   private val MmrCand = 10
   private val MmrK = 5
+  // q145: rows trimmed per side, in percent of each type's count.
+  private val TrimPct = 5
   // q134: frozen-vocab size, promotion threshold, report depth. The
   // fixture corpus has 31 distinct tokens, so the graded cut is 20 —
   // smaller than the vocabulary, leaving a REAL OOV tail (a 1000-size

@@ -853,4 +853,72 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  def trimmedStats(spark: SparkSession, dir: String,
+      trimPct: Int = 5): DataFrame =
+    trimmedStatsOf(events(spark, dir), trimPct)
+
+  /** Graded q145: TRIMMED AND WINSORIZED means per event type — the
+    * robust-statistics sibling of the exact medians/quantiles family
+    * (q35/q53/q128/q132): the plain mean of a monetary stream is owned
+    * by its outliers (one fat-fingered refund or bot burst moves it),
+    * so monitoring and reconciliation report the α-trimmed mean (drop
+    * the top and bottom α% of ROWS) and the winsorized mean (clamp
+    * them to the cut boundaries instead — Tukey's compromise that
+    * keeps n constant).
+    *
+    * Exactness: values carry ≤2 decimals, so everything runs on
+    * integer CENTS through the value-domain histogram discipline —
+    * per type, the cumulative frame is bounded by |distinct values|,
+    * never the row count. The trim cut is `n·α div 100` rows per
+    * side; a histogram bucket's kept mass is the overlap of its rank
+    * interval `[cum−cnt+1, cum]` with the kept band `[cut+1, n−cut]`
+    * (pure integer interval arithmetic); the boundaries are ceil-rank
+    * conditional mins. Means are reported in integer MICRO-units
+    * (cents·10⁴ div n) with the products routed through DECIMAL(38)
+    * — at 10¹² rows a cents sum times 10⁴ passes bigint. Assumes
+    * non-negative values (monetary stream), so `div` truncation ==
+    * floor on both engines.
+    *
+    * Scale shape: ONE events scan collapses into the persisted
+    * (type, cents) histogram; totals re-aggregate the cache and
+    * broadcast back; the final aggregate is |types| rows.
+    */
+  def trimmedStatsOf(evs: DataFrame, trimPct: Int): DataFrame = {
+    val hist = CachedStages.track(evs
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("cnt"))
+      .persist())
+    val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = hist.groupBy("event_type").agg(sum(col("cnt")).as("n"))
+    cum.join(broadcast(totals), Seq("event_type"))
+      .withColumn("cut", expr(s"n * $trimPct div 100"))
+      .withColumn("kept", expr(
+        "greatest(0L, least(cum, n - cut) - greatest(cum - cnt + 1, cut + 1) + 1)"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_values"),
+        max(col("cut")).as("n_cut"),
+        min(when(expr("cum >= cut + 1"), col("cents"))).as("lo_cents"),
+        min(when(expr("cum >= n - cut"), col("cents"))).as("hi_cents"),
+        sum(expr("cents * cnt")).as("sum_cents"),
+        sum(expr("cents * kept")).as("trim_sum_cents"))
+      .withColumn("mean_micro", expr(
+        "CAST(CAST(sum_cents AS DECIMAL(38, 0)) * 10000 div n_values AS BIGINT)"))
+      .withColumn("trimmed_mean_micro", expr(
+        """CAST(CAST(trim_sum_cents AS DECIMAL(38, 0)) * 10000
+          | div (n_values - 2 * n_cut) AS BIGINT)""".stripMargin))
+      .withColumn("winsor_mean_micro", expr(
+        """CAST(CAST(trim_sum_cents + n_cut * (lo_cents + hi_cents)
+          |   AS DECIMAL(38, 0)) * 10000 div n_values AS BIGINT)"""
+          .stripMargin))
+      .select("event_type", "n_values", "n_cut", "lo_cents", "hi_cents",
+        "mean_micro", "trimmed_mean_micro", "winsor_mean_micro")
+      .orderBy("event_type")
+  }
 }

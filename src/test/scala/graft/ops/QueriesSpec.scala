@@ -1496,4 +1496,36 @@ class QueriesSpec extends SparkSpec {
     assert(divergent, "MMR never diverged from pure top-k")
     CachedStages.release(spark)
   }
+  test("q145 trimmed/winsorized means equal a driver-side sorted replay") {
+    val rows = Events.events(spark, dir)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100))
+      .map { case (t, c) => (t, c.toLongExact) }
+    val expect = rows.groupBy(_._1).toSeq.map { case (t, g) =>
+      val cents = g.map(_._2).sorted
+      val n = cents.length.toLong
+      val cut = (n * 5 / 100).toInt
+      val kept = cents.slice(cut, cents.length - cut)
+      val lo = cents(cut)          // rank cut+1
+      val hi = cents(cents.length - cut - 1) // rank n-cut
+      val sum = cents.map(BigInt(_)).sum
+      val tsum = kept.map(BigInt(_)).sum
+      val wsum = tsum + BigInt(cut) * (lo + hi)
+      (t, n, cut.toLong, lo, hi,
+        (sum * 10000 / n).toLong,
+        (tsum * 10000 / (n - 2 * cut)).toLong,
+        (wsum * 10000 / n).toLong)
+    }.sortBy(_._1)
+    val got = Events.trimmedStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // robustness is visible: trimming moves the mean somewhere
+    assert(got.exists(r => r._7 != r._6))
+    // winsorized sits between trimmed and raw ordering sanity: bounds hold
+    got.foreach { r => assert(r._4 <= r._5 && r._3 >= 0) }
+    CachedStages.release(spark)
+  }
 }

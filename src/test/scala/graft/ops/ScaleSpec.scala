@@ -1001,4 +1001,20 @@ class ScaleSpec extends SparkSpec {
       && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q145 plan: one events collapse into the cents histogram; totals broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.trimmedStats(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the event stream collapses once into the persisted (type, cents)
+    // histogram; the cumulative window's frames are bounded by the
+    // value domain, and the totals re-aggregate the cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
