@@ -237,6 +237,7 @@ object SparkEntry {
       Similarity.mmrRerank(s, d, MmrProbes, MmrCand, MmrK)),
     "q145_trimmed_stats" -> ((s: SparkSession, d: String) =>
       Events.trimmedStats(s, d, TrimPct)),
+    "q146_rfm_segments" -> Relational.rfmSegments _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3662,6 +3663,42 @@ object SparkEntry {
          |         + MIN(CASE WHEN cum >= n - cut THEN cents END)))::HUGEINT
          |    * 10000 // MAX(n) AS BIGINT) AS winsor_mean_micro
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q146_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_date,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12, 2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |met AS (
+        |  SELECT pc.*, CAST(date_diff('day', last_date,
+        |    (SELECT MAX(last_date) FROM pc)) AS BIGINT) AS rec_days
+        |  FROM pc),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM met),
+        |rq AS (
+        |  SELECT rec_days, CAST((5 * cum + n - 1) // n AS BIGINT) AS r_q FROM (
+        |    SELECT rec_days, SUM(cnt) OVER (ORDER BY rec_days ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT rec_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM met GROUP BY 1) h) c CROSS JOIN n),
+        |fq AS (
+        |  SELECT freq, CAST((5 * cum + n - 1) // n AS BIGINT) AS f_q FROM (
+        |    SELECT freq, SUM(cnt) OVER (ORDER BY freq ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT freq, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM met GROUP BY 1) h) c CROSS JOIN n),
+        |mq AS (
+        |  SELECT cents, CAST((5 * cum + n - 1) // n AS BIGINT) AS m_q FROM (
+        |    SELECT cents, SUM(cnt) OVER (ORDER BY cents ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |          FROM met GROUP BY 1) h) c CROSS JOIN n)
+        |SELECT 6 - r_q AS r_score, f_q AS f_score, m_q AS m_score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS monetary_cents
+        |FROM met JOIN rq USING (rec_days) JOIN fq USING (freq)
+        |  JOIN mq USING (cents)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in

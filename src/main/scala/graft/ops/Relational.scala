@@ -425,4 +425,71 @@ object Relational {
       .agg(sum(col("value")).cast("double").as("sum_value"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "measure")
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegmentsOf(Tables(spark, dir, "orders"))
+
+  /** Per-metric quintile score off a value-domain histogram: one row
+    * per DISTINCT metric value with `score = ceil(5·rank/n)` — the
+    * closed form of "smallest s whose ceil-rank band covers my rank",
+    * evaluated as `(5·cum + n − 1) div n` in pure integers. The
+    * cumulative window runs over the histogram (bounded by the value
+    * domain, the q53/q128/q145 discipline), never the customer table.
+    */
+  private def quintileMap(vals: DataFrame, valueCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = vals.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col(valueCol), expr("(5 * cum + n - 1) div n").as(scoreCol))
+  }
+
+  /** Graded q146: RFM SEGMENTATION (Hughes' recency/frequency/monetary
+    * quintile scoring — the classical customer-value grid every CRM and
+    * growth stack ships): per ordering customer, days since last order,
+    * order count, and lifetime spend, each scored 1..5 by exact
+    * quintile over the customer population, rolled up to segment cells
+    * with population and spend. R is inverted (5 = most RECENT) so the
+    * 5-5-5 cell is the champions corner, the conventional reading.
+    *
+    * Determinism: spend runs in integer cents through the dec2 cast;
+    * recency in whole days off the corpus max order date; quintiles via
+    * the integer closed form above — ties share a rank, so equal values
+    * can never straddle a cut. No floating point anywhere.
+    *
+    * Scale shape: ONE orders scan collapses into the persisted
+    * per-customer metric table; the three score maps are value-domain
+    * histograms (recency ≤ days in the window, frequency ≤ max orders
+    * per customer — both tiny, broadcast back; the monetary domain can
+    * approach |customers|, so its score map joins WITHOUT a broadcast
+    * hint — an equi-join on the cents value that AQE resolves by size,
+    * shuffle at 100 TB); the rollup is ≤ 125 cells.
+    */
+  def rfmSegmentsOf(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_date"),
+        count(lit(1)).as("freq"),
+        (sum(dec2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val maxDate = perCust.agg(max(col("last_date")).as("corpus_max"))
+    val met = CachedStages.track(perCust
+      .crossJoin(broadcast(maxDate))
+      .withColumn("rec_days",
+        datediff(col("corpus_max"), col("last_date")).cast("long"))
+      .persist())
+    val rq = quintileMap(met.select("rec_days"), "rec_days", "r_q")
+    val fq = quintileMap(met.select("freq"), "freq", "f_q")
+    val mq = quintileMap(met.select("cents"), "cents", "m_q")
+    met
+      .join(broadcast(rq), Seq("rec_days"))
+      .join(broadcast(fq), Seq("freq"))
+      .join(mq, Seq("cents"))
+      .select(expr("6 - r_q").as("r_score"), col("f_q").as("f_score"),
+        col("m_q").as("m_score"), col("cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("monetary_cents"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
 }

@@ -1528,4 +1528,43 @@ class QueriesSpec extends SparkSpec {
     got.foreach { r => assert(r._4 <= r._5 && r._3 >= 0) }
     CachedStages.release(spark)
   }
+  test("q146 RFM segments equal a driver-side quintile replay") {
+    val orders = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_orderdate", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val perCust = orders.groupBy(_._1).map { case (c, g) =>
+      (c, g.map(_._2).max, g.length.toLong, g.map(_._3).sum)
+    }.toSeq
+    val corpusMax = perCust.map(_._2).max
+    val met = perCust.map { case (c, last, freq, cents) =>
+      (c, (corpusMax - last) / 86400000L, freq, cents)
+    }
+    val n = met.length.toLong
+    def scores(vals: Seq[Long]): Map[Long, Long] = {
+      val hist = vals.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      hist.map { case (v, c) => cum += c; v -> ((5 * cum + n - 1) / n) }
+        .toMap
+    }
+    val (rs, fs, ms) = (scores(met.map(_._2)), scores(met.map(_._3)),
+      scores(met.map(_._4)))
+    val expect = met.groupBy(m => (6 - rs(m._2), fs(m._3), ms(m._4)))
+      .map { case (k, g) =>
+        (k._1, k._2, k._3, g.length.toLong, g.map(_._4).sum)
+      }.toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = Relational.rfmSegments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // score spread is real: every quintile level appears somewhere
+    assert(got.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 4L, 5L)
+      || got.map(_._2).distinct.size >= 3)
+    assert(got.map(_._4).sum == n)
+    CachedStages.release(spark)
+  }
 }
