@@ -238,6 +238,7 @@ object SparkEntry {
     "q145_trimmed_stats" -> ((s: SparkSession, d: String) =>
       Events.trimmedStats(s, d, TrimPct)),
     "q146_rfm_segments" -> Relational.rfmSegments _,
+    "q147_quality_dup_overlap" -> Dedup.qualityDupOverlap _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3699,6 +3700,32 @@ object SparkEntry {
         |FROM met JOIN rq USING (rec_days) JOIN fq USING (freq)
         |  JOIN mq USING (cents)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q147_quality_dup_overlap" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |          WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |     + CASE WHEN len(toks) >= 20 THEN 30 ELSE 15 END
+         |     + CASE WHEN hits * 50 >= len(toks) AND hits * 5 <= len(toks)
+         |       THEN 30 ELSE 10 END)::BIGINT AS quality
+         |  FROM (
+         |    SELECT doc_id, n_chars, toks,
+         |      len(list_filter(toks,
+         |        t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |    FROM (
+         |      SELECT doc_id, n_chars,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM documents WHERE doc_id IS NOT NULL) d0) d1),
+         |m AS (SELECT DISTINCT doc_id FROM comp)
+         |SELECT quality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_members,
+         |  CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM q LEFT JOIN m USING (doc_id)
+         |GROUP BY quality ORDER BY quality""".stripMargin,
   )
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in

@@ -1204,4 +1204,36 @@ object Dedup {
         expr("(n_tokens - n_tokens_kept) * 1000000 div n_tokens"))
       .orderBy("source")
   }
+
+  /** Graded q147: QUALITY × DUPLICATION overlap — per q16 quality band
+    * (the bounded 35..100 score domain), how many documents sit in a
+    * q40 near-dup cluster, as count and ppm. The two standard curation
+    * axes are usually run independently; this is the diagnostic that
+    * says whether they are CORRELATED on a given corpus — if low-band
+    * documents are also the duplicated ones (template spam usually
+    * is), the quality gate already removes most dup mass and the dedup
+    * pass's marginal savings (q138) shrink; if duplication concentrates
+    * in HIGH bands, dedup is load-bearing and must not be skipped.
+    * Membership = the document appears in any near-dup component (the
+    * planted clones' originals all do).
+    *
+    * Scale shape: the member set rides the audited q19→q40 banded-LSH
+    * + small-star/large-star plan; the quality pass is one corpus scan
+    * of integer band arithmetic; the join is a doc_id equi-join and
+    * the rollup is |bands| rows.
+    */
+  def qualityDupOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(spark, dir).select("doc_id").distinct()
+      .withColumn("is_dup", lit(1L))
+    val docs = TextOps.tokenized(spark, dir)
+      .withColumn("quality", TextOps.qualityCol(
+        col("n_chars"), col("n_toks"), col("stop_hits")))
+      .select("doc_id", "quality")
+    docs.join(members, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("is_dup"))
+      .groupBy("quality")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup_members"))
+      .withColumn("dup_ppm", expr("n_dup_members * 1000000 div n_docs"))
+      .orderBy("quality")
+  }
 }

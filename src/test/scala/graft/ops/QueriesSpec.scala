@@ -1567,4 +1567,33 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._4).sum == n)
     CachedStages.release(spark)
   }
+  test("q147 quality-dup overlap reconciles with its two parent queries") {
+    val got = Dedup.qualityDupOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // band populations reconcile with the corpus
+    import org.apache.spark.sql.functions.col
+    val nDocs = Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull).count()
+    assert(got.map(_._2).sum == nDocs)
+    // dup members reconcile with q40's member set restricted to real ids
+    val members = Dedup.dedupClusters(spark, dir).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).filter(_ < 1000000L).toSet
+    assert(got.map(_._3).sum == members.size.toLong)
+    // per-band recompute from the two parents
+    val quality = TextOps.tokenized(spark, dir)
+      .withColumn("quality", TextOps.qualityCol(
+        col("n_chars"), col("n_toks"), col("stop_hits")))
+      .select("doc_id", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = quality.groupBy(_._2).toSeq.map { case (q, g) =>
+      val dup = g.count(d => members(d._1)).toLong
+      (q, g.length.toLong, dup, dup * 1000000L / g.length)
+    }.sortBy(_._1)
+    assert(got == expect, s"$got != $expect")
+    // ppm is bounded and some band actually carries duplicates
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
+    assert(got.exists(_._3 > 0))
+    CachedStages.release(spark)
+  }
 }
