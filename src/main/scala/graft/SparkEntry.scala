@@ -239,6 +239,7 @@ object SparkEntry {
       Events.trimmedStats(s, d, TrimPct)),
     "q146_rfm_segments" -> Relational.rfmSegments _,
     "q147_quality_dup_overlap" -> Dedup.qualityDupOverlap _,
+    "q148_dim_stats" -> Features.dimStats _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3726,6 +3727,29 @@ object SparkEntry {
          |    AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
          |FROM q LEFT JOIN m USING (doc_id)
          |GROUP BY quality ORDER BY quality""".stripMargin,
+    "q148_dim_stats" ->
+      """WITH e AS (
+        |  SELECT u.i - 1 AS dim, embedding[u.i]::DOUBLE AS x
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) u),
+        |c AS (
+        |  SELECT CAST(dim AS BIGINT) AS dim, x,
+        |    CAST(floor(x * 100) AS BIGINT) AS cu
+        |  FROM e),
+        |a AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS zero_cnt,
+        |    MIN(cu) AS min_cu, MAX(cu) AS max_cu,
+        |    CAST(SUM(cu + 1000) AS BIGINT) AS s1,
+        |    SUM((cu + 1000)::HUGEINT * (cu + 1000)) AS s2
+        |  FROM c GROUP BY dim)
+        |SELECT dim, n_vecs, zero_cnt, min_cu, max_cu,
+        |  CAST(s1::HUGEINT * 1000000 // n_vecs AS BIGINT) - 1000000000
+        |    AS mean_cu_micro,
+        |  CAST((n_vecs * s2 - s1::HUGEINT * s1) * 1000000
+        |    // (n_vecs::HUGEINT * n_vecs) AS BIGINT) AS var_ccu_micro
+        |FROM a ORDER BY dim""".stripMargin,
   )
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in

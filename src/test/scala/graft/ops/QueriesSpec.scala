@@ -1596,4 +1596,27 @@ class QueriesSpec extends SparkSpec {
     assert(got.exists(_._3 > 0))
     CachedStages.release(spark)
   }
+  test("q148 per-dim stats equal a driver-side BigInt replay") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val expect = (0 until dims).map { d =>
+      val xs = vecs.map(v => v(d).toDouble)
+      val cus = xs.map(x => math.floor(x * 100).toLong)
+      val n = xs.length.toLong
+      val s1 = cus.map(c => BigInt(c + 1000)).sum
+      val s2 = cus.map(c => BigInt(c + 1000) * (c + 1000)).sum
+      (d.toLong, n, xs.count(_ == 0.0).toLong, cus.min, cus.max,
+        (s1 * 1000000 / n).toLong - 1000000000L,
+        ((BigInt(n) * s2 - s1 * s1) * 1000000 / (BigInt(n) * n)).toLong)
+    }
+    val got = Features.dimStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // every dim is alive on this corpus (variance > 0), and variance is
+    // non-negative everywhere by construction
+    assert(got.forall(_._7 >= 0) && got.forall(_._7 > 0))
+    CachedStages.release(spark)
+  }
 }

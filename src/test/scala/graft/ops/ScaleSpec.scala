@@ -1017,4 +1017,18 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q148 plan: one exploded pass, no join, no window, map-side combinable") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Features.dimStats(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
+      plan.take(3000))
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      plan.take(3000))
+    // partial aggregation before the dim shuffle: the exchange carries
+    // |dims| rows per partition, not elements
+    assert(plan.contains("partial"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
