@@ -240,6 +240,8 @@ object SparkEntry {
     "q146_rfm_segments" -> Relational.rfmSegments _,
     "q147_quality_dup_overlap" -> Dedup.qualityDupOverlap _,
     "q148_dim_stats" -> Features.dimStats _,
+    "q149_k_anonymity" -> ((s: SparkSession, d: String) =>
+      Privacy.kAnonymity(s, d, KAnonK)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3750,6 +3752,29 @@ object SparkEntry {
         |  CAST((n_vecs * s2 - s1::HUGEINT * s1) * 1000000
         |    // (n_vecs::HUGEINT * n_vecs) AS BIGINT) AS var_ccu_micro
         |FROM a ORDER BY dim""".stripMargin,
+    "q149_k_anonymity" -> {
+      def lvl(name: String, keys: String) =
+        s"""SELECT '$name' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN sz < $KAnonK THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  CAST(SUM(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END) AS BIGINT)
+           |    AS rows_at_risk,
+           |  CAST(SUM(CASE WHEN sz < $KAnonK THEN sz ELSE 0 END) AS BIGINT)
+           |    * 1000000 // CAST(SUM(sz) AS BIGINT) AS risk_ppm
+           |FROM (SELECT $keys, CAST(COUNT(*) AS BIGINT) AS sz
+           |      FROM base GROUP BY $keys) g""".stripMargin
+      s"""WITH base AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+         |    CAST(n_regionkey AS BIGINT) AS reg, c_mktsegment AS seg
+         |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT * FROM (
+         |  ${lvl("L0_nation_segment", "nat, seg")}
+         |  UNION ALL
+         |  ${lvl("L1_region_segment", "reg, seg")}
+         |  UNION ALL
+         |  ${lvl("L2_region", "reg")}) u
+         |ORDER BY level""".stripMargin
+    },
   )
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in
@@ -4109,6 +4134,8 @@ object SparkEntry {
   private val AssocTopK = 20
   // q143: share of data subjects in the forget-set (md5-bucket rule).
   private val ForgetPct = 5
+  // q149: the k in k-anonymity.
+  private val KAnonK = 5L
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

@@ -124,4 +124,54 @@ object Privacy {
         forgotten("o_custkey")))
       .orderBy("table_name")
   }
+
+  /** Graded q149: K-ANONYMITY audit over a GENERALIZATION ladder
+    * (Sweeney 2002) — the release-readiness check an anonymization
+    * pipeline runs before publishing a table: a row is re-identifiable
+    * when its quasi-identifier combination is shared by fewer than k
+    * individuals, and the fix is to GENERALIZE attributes (nation →
+    * region → drop) until every group reaches k. The audit walks the
+    * ladder and reports, per level, how many QI groups exist, how many
+    * violate k, and how many rows sit at risk — the table that decides
+    * WHICH generalization level a release needs (sibling of q48's
+    * redaction and q143's erasure: remove identifiers, then prove the
+    * remainder doesn't re-identify).
+    *
+    * Levels: L0 = (nation, segment); L1 = (region, segment) — nation
+    * generalizes through the region hierarchy; L2 = (region). All
+    * counts integer; risk in ppm of the population.
+    *
+    * Scale shape: customers join the |nations|-row hierarchy by
+    * BROADCAST once into the persisted base projection; each level is
+    * a re-aggregation of that cache whose group-size table is bounded
+    * by the QI DOMAIN (|nations|·|segments| etc.), and the per-level
+    * rollup reduces it to one row. Three bounded jobs, one customer
+    * scan total.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5L): DataFrame = {
+    val nations = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val base = CachedStages.track(Tables(spark, dir, "customer")
+      .join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        col("c_mktsegment").as("seg"))
+      .persist())
+    def level(name: String, keys: Seq[String]): DataFrame =
+      base.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_violations"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("sz")).as("n_rows"))
+        .select(lit(name).as("level"), col("n_groups"),
+          col("n_violations"), col("rows_at_risk"),
+          expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+    level("L0_nation_segment", Seq("nat", "seg"))
+      .unionByName(level("L1_region_segment", Seq("reg", "seg")))
+      .unionByName(level("L2_region", Seq("reg")))
+      .orderBy("level")
+  }
 }

@@ -1619,4 +1619,32 @@ class QueriesSpec extends SparkSpec {
     assert(got.forall(_._7 >= 0) && got.forall(_._7 > 0))
     CachedStages.release(spark)
   }
+  test("q149 k-anonymity ladder equals a driver-side replay; generalization monotone") {
+    val nat2reg = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1).toLong)).toMap
+    val cust = Tables(spark, dir, "customer")
+      .select("c_nationkey", "c_mktsegment").collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1)))
+    val n = cust.length.toLong
+    def lvl(name: String, key: ((Long, String)) => Any) = {
+      val sizes = cust.groupBy(key).map(_._2.length.toLong).toSeq
+      val risk = sizes.filter(_ < 5L).sum
+      (name, sizes.length.toLong, sizes.count(_ < 5L).toLong, risk,
+        risk * 1000000L / n)
+    }
+    val expect = Seq(
+      lvl("L0_nation_segment", c => (c._1, c._2)),
+      lvl("L1_region_segment", c => (nat2reg(c._1), c._2)),
+      lvl("L2_region", c => nat2reg(c._1)))
+    val got = Privacy.kAnonymity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // generalizing can only shrink risk: the ladder is monotone
+    assert(got(0)._4 >= got(1)._4 && got(1)._4 >= got(2)._4)
+    // the audit has teeth at L0 on this population
+    assert(got(0)._3 > 0)
+    CachedStages.release(spark)
+  }
 }
