@@ -320,6 +320,47 @@ object EventStreams {
         (col("n") * 10 >= col("median_n") * 25).cast("long"))
   }
 
+  /** Fit the frozen per-type winsorization clamp bounds for
+    * [[winsorizedValueStream]] — batch q145's `(lo_cents, hi_cents)`
+    * trim boundaries collected as a |types|-entry map (model-sized;
+    * the sixth documented frozen-model fitter).
+    */
+  def fitTrimBounds(spark: org.apache.spark.sql.SparkSession, dir: String,
+      trimPct: Int = 5): Map[String, (Long, Long)] =
+    graft.ops.Events.trimmedStats(spark, dir, trimPct)
+      .select(col("event_type"), col("lo_cents"), col("hi_cents"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+  /** q145's twin: WINSORIZED running value statistics under the FROZEN
+    * clamp bounds — the robust revenue monitor at the ingestion edge:
+    * bounds re-fit offline (daily/weekly), applied in-flight, so one
+    * fat-fingered refund or bot burst cannot move the running mean it
+    * is judged against. Each arriving value clamps statelessly to its
+    * type's `[lo, hi]` band; state is the |types|-row (n, winsorized
+    * cents sum) matrix, never per event. Replaying the fit corpus must
+    * reproduce batch q145's winsorized mean EXACTLY: clamping is
+    * pointwise-identical to the rank-interval arithmetic because
+    * values tied with a boundary clamp to themselves (EventStreamsSpec
+    * asserts it). Types unseen at fit time surface with NULL sums —
+    * the new-type alarm, as in the burst twin.
+    */
+  def winsorizedValueStream(stream: DataFrame,
+      bounds: Map[String, (Long, Long)]): DataFrame = {
+    require(bounds.nonEmpty, "empty bounds model: nothing to clamp to")
+    val lo = typedlit(bounds.view.mapValues(_._1).toMap)
+    val hi = typedlit(bounds.view.mapValues(_._2).toMap)
+    stream
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .withColumn("lo", element_at(lo, col("event_type")))
+      .withColumn("hi", element_at(hi, col("event_type")))
+      .withColumn("wcents", expr("greatest(least(cents, hi), lo)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("wcents")).as("winsor_sum_cents"))
+  }
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

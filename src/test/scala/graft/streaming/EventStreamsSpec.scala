@@ -381,4 +381,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.size == batch.size)
     graft.ops.CachedStages.release(spark)
   }
+  test("q145 twin: streamed winsorized sums reproduce the batch winsorized mean") {
+    val src = "/root/testdata/sf0.001"
+    val bounds = EventStreams.fitTrimBounds(spark, src)
+    assert(bounds.nonEmpty)
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(
+      EventStreams.winsorizedValueStream(stream, bounds),
+      "winsor_vals", OutputMode.Complete())
+    val streamed = spark.table("winsor_vals").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = Events.trimmedStats(spark, src).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(7)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // the clamped running sum re-derives batch q145's winsorized mean
+    // exactly: pointwise clamping == rank-interval winsorization
+    streamed.foreach { case (t, (n, wsum)) =>
+      assert(n == batch(t)._1)
+      assert((BigInt(wsum) * 10000 / n).toLong == batch(t)._2,
+        s"$t: ${(BigInt(wsum) * 10000 / n).toLong} != ${batch(t)._2}")
+    }
+    // state is |types|-row, never per event
+    assert(streamed.size == batch.size)
+    graft.ops.CachedStages.release(spark)
+  }
 }
