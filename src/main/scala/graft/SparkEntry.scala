@@ -242,6 +242,7 @@ object SparkEntry {
     "q148_dim_stats" -> Features.dimStats _,
     "q149_k_anonymity" -> ((s: SparkSession, d: String) =>
       Privacy.kAnonymity(s, d, KAnonK)),
+    "q150_table_stats" -> Stats.tableStats _,
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3774,6 +3775,45 @@ object SparkEntry {
          |  UNION ALL
          |  ${lvl("L2_region", "reg")}) u
          |ORDER BY level""".stripMargin
+    },
+    "q150_table_stats" -> {
+      // one SELECT per (table, column); the HLL scalar subquery replays
+      // ops.Stats' register sketch (q110's proven bit-level arithmetic)
+      val kMax = 35
+      val num = Stats.AlphaPerMille * Stats.M * Stats.M * (1L << kMax)
+      def one(t: String, c: String) =
+        s"""SELECT '$t' AS table_name, '$c' AS column_name,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $t) AS n_rows,
+           |  (SELECT CAST(SUM(CASE WHEN CAST($c AS VARCHAR) IS NULL
+           |     THEN 1 ELSE 0 END) AS BIGINT) FROM $t) AS n_nulls,
+           |  (SELECT CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+           |     FROM $t) AS ndv_exact,
+           |  (WITH h AS (
+           |     SELECT CAST('0x' || substr(md5('hll:' || CAST($c AS VARCHAR)),
+           |       1, 10) AS BIGINT) AS h
+           |     FROM $t WHERE $c IS NOT NULL),
+           |   r AS (SELECT h % ${Stats.M} AS idx,
+           |     CASE WHEN h // ${Stats.M} = 0 THEN $kMax
+           |          ELSE $kMax - length(bin(h // ${Stats.M})) END AS rho
+           |     FROM h),
+           |   reg AS (SELECT idx, MAX(rho) AS mj FROM r GROUP BY idx),
+           |   s AS (SELECT COUNT(*) AS np,
+           |     CAST(SUM(1::BIGINT << ($kMax - mj)) AS BIGINT) AS sp FROM reg)
+           |   SELECT $num // (1000 * (sp + (${Stats.M} - np) *
+           |     ${1L << kMax})) FROM s) AS ndv_hll""".stripMargin
+      val parts = Seq(
+        ("documents", Seq("source", "lang")),
+        ("events", Seq("user_id", "event_type")),
+        ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+        ("orders", Seq("o_orderkey", "o_custkey"))).flatMap {
+        case (t, cs) => cs.map(c => one(t, c))
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT table_name, column_name, n_rows, n_nulls, ndv_exact,
+         |  ndv_hll, abs(ndv_hll - ndv_exact) * 1000000 // ndv_exact
+         |    AS err_ppm
+         |FROM (
+         |  $parts) u
+         |ORDER BY table_name, column_name""".stripMargin
     },
   )
 

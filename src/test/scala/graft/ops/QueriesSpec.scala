@@ -1647,4 +1647,52 @@ class QueriesSpec extends SparkSpec {
     assert(got(0)._3 > 0)
     CachedStages.release(spark)
   }
+  test("q150 table stats equal a driver-side replay incl the HLL sketch") {
+    import java.security.MessageDigest
+    def hll40(vals: Iterable[String]): Long = {
+      val regs = new Array[Long](64)
+      vals.foreach { v =>
+        val hx = MessageDigest.getInstance("MD5")
+          .digest(("hll:" + v).getBytes("UTF-8"))
+          .take(5).map(b => f"$b%02x").mkString
+        val h = java.lang.Long.parseLong(hx, 16)
+        val idx = (h % 64).toInt
+        val rest = h / 64
+        val rho = if (rest == 0) 35
+          else 35 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+        if (rho > regs(idx)) regs(idx) = rho
+      }
+      val num = 709L * 64 * 64 * (1L << 35)
+      val sum = regs.map(m => 1L << (35 - m)).sum
+      num / (1000L * sum)
+    }
+    val specs = Seq(
+      ("documents", Seq("source", "lang")),
+      ("events", Seq("user_id", "event_type")),
+      ("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")),
+      ("orders", Seq("o_orderkey", "o_custkey")))
+    val expect = specs.flatMap { case (t, cs) =>
+      val df = Tables(spark, dir, t)
+      val n = df.count()
+      cs.map { c =>
+        val vals = df.select(df(c).cast("string")).collect()
+          .map(_.getString(0)).toSeq
+        val ndv = vals.distinct.length.toLong
+        val est = hll40(vals.distinct)
+        (t, c, n, vals.count(_ == null).toLong, ndv, est,
+          math.abs(est - ndv) * 1000000L / ndv)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Stats.tableStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the estimate is usable in the raw estimator's regime (Flajolet:
+    // above ~2.5m the raw HLL needs no linear-counting correction):
+    // every such column lands within 25% of exact at m=64
+    val inRegime = got.filter(_._5 >= 160L)
+    assert(inRegime.nonEmpty)
+    assert(inRegime.forall(_._7 <= 250000L), inRegime)
+    CachedStages.release(spark)
+  }
 }

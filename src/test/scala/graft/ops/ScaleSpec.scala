@@ -1031,4 +1031,19 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("partial"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q150 plan: each table melts once into its cache; estimates broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Stats.tableStats(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // 4 tables x (basic branch + sketch branch) — every branch reads the
+    // melted cache; no table parquet is scanned twice (or at all, here)
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 8,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
