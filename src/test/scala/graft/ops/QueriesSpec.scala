@@ -1695,4 +1695,30 @@ class QueriesSpec extends SparkSpec {
     assert(inRegime.forall(_._7 <= 250000L), inRegime)
     CachedStages.release(spark)
   }
+  test("q151 recall ladder reconciles with each method's own graded output") {
+    import org.apache.spark.sql.functions.col
+    val k = 3
+    val got = Similarity.annRecallLadder(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // control row: exact against itself is total recall
+    val ex = got.find(_._1 == "a_exact").get
+    assert(ex._2 == 8L && ex._3 == 8L * k && ex._4 == ex._3
+      && ex._5 == 1000000L)
+    // recompute hits from the parent queries' own outputs
+    def pairs(df: org.apache.spark.sql.DataFrame, q: String, v: String) =
+      df.select(q, v).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(spark, dir)
+      .filter(col("rn") <= k), "q_id", "vec_id")
+    val int8 = pairs(Quantization.quantizedTopK(spark, dir, k), "q_id",
+      "vec_id")
+    val pq = pairs(Quantization.pqAdcTopK(spark, dir, 4, 16, 4, 2, k),
+      "q_id", "vec_id")
+    assert(got.find(_._1 == "b_int8").get._4 ==
+      (int8 & exact).size.toLong)
+    assert(got.find(_._1 == "c_pq").get._4 == (pq & exact).size.toLong)
+    // no approximate method beats the exact control
+    got.foreach(r => assert(r._5 <= 1000000L && r._4 <= r._3))
+    CachedStages.release(spark)
+  }
 }
