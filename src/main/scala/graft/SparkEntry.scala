@@ -246,6 +246,8 @@ object SparkEntry {
     "q151_ann_recall_ladder" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallLadder(s, d, QuantTopK, LshAnnTables, LshAnnBits,
         PqM, PqSubDim, PqKSub, PqIters)),
+    "q152_shard_rebalance" -> ((s: SparkSession, d: String) =>
+      Sampling.shardRebalance(s, d, RingShards, RingVnodes)),
   )
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
@@ -3819,6 +3821,44 @@ object SparkEntry {
          |ORDER BY table_name, column_name""".stripMargin
     },
     "q151_ann_recall_ladder" -> annLadderOracleSql(QuantTopK),
+    "q152_shard_rebalance" -> {
+      val v = RingVnodes
+      def ring(n: Int, alias: String) =
+        s"""n$alias AS (
+           |  SELECT i // $v AS shard,
+           |    CAST('0x' || substr(md5('node:' || CAST(i // $v AS VARCHAR) ||
+           |      ':' || CAST(i % $v AS VARCHAR)), 1, 12) AS BIGINT) AS npos
+           |  FROM range(0, ${n * v}) t(i)),
+           |c$alias AS (SELECT shard, npos, npos * 32 + shard AS code
+           |            FROM n$alias),
+           |a$alias AS (
+           |  SELECT doc_id,
+           |    COALESCE(MIN(CASE WHEN npos >= kpos THEN code END),
+           |      MIN(code)) % 32 AS shard
+           |  FROM keys CROSS JOIN c$alias GROUP BY doc_id, kpos)"""
+          .stripMargin
+      s"""WITH keys AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5('key:' || CAST(doc_id AS VARCHAR)),
+         |      1, 12) AS BIGINT) AS kpos
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |${ring(RingShards, "o")},
+         |${ring(RingShards + 1, "n")}
+         |SELECT scheme, n_keys, n_moved,
+         |  n_moved * 1000000 // n_keys AS moved_ppm
+         |FROM (
+         |  SELECT 'mod' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(CASE WHEN doc_id % $RingShards <>
+         |      doc_id % ${RingShards + 1} THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_moved
+         |  FROM keys
+         |  UNION ALL
+         |  SELECT 'ring', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(CASE WHEN ao.shard <> an.shard THEN 1 ELSE 0 END)
+         |      AS BIGINT)
+         |  FROM ao JOIN an USING (doc_id)) u
+         |ORDER BY scheme""".stripMargin
+    },
   )
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
@@ -4314,6 +4354,9 @@ object SparkEntry {
   private val ForgetPct = 5
   // q149: the k in k-anonymity.
   private val KAnonK = 5L
+  // q152: ring geometry — shards before the grow step, vnodes/shard.
+  private val RingShards = 8
+  private val RingVnodes = 16
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

@@ -594,4 +594,69 @@ object Sampling {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .orderBy("source", "tier")
   }
+
+  /** Graded q152: SHARD-REBALANCE cost, mod vs CONSISTENT HASHING
+    * (Karger et al., STOC 1997) — the measurement behind every
+    * distributed cache/store's ring: when a cluster grows from N to
+    * N+1 shards, how many keys MOVE under each assignment scheme?
+    * `key mod N` reassigns ~N/(N+1) of everything (a full reshuffle);
+    * a hash ring with virtual nodes moves only the arcs the new
+    * shard's vnodes claim, ~1/(N+1). The report states both as
+    * measured ppm over the real key population — the number that
+    * justifies a ring's complexity.
+    *
+    * Determinism: ring positions are 48-bit md5 prefixes of stable
+    * node names (`node:<shard>:<vnode>` — shard s keeps its vnodes
+    * verbatim when N grows, THE consistent-hashing invariant) and key
+    * names; the successor-on-the-ring argmin is encoded as ONE
+    * integer min over `pos·32 + shard` (shard < 32, so the code fits
+    * a long and ties at equal positions break by shard asc
+    * identically on both engines), with the wrap-around as a coalesce
+    * to the global min.
+    *
+    * Scale shape: the key table persists once; each ring assignment
+    * is a broadcast of the N·V-row node table (model-sized by
+    * construction) crossed against keys with a map-side-combined
+    * per-key min — no shuffle wider than the key table itself; the
+    * mod comparison is a pushed-down projection. Output: 2 rows.
+    */
+  def shardRebalance(spark: SparkSession, dir: String, shards: Int = 8,
+      vnodes: Int = 16): DataFrame = {
+    require(shards >= 1 && shards + 1 < 32, s"shard code space: $shards")
+    def pos(arg: String) =
+      s"CAST(conv(substring(md5($arg), 1, 12), 16, 10) AS BIGINT)"
+    val keys = CachedStages.track(Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        expr(pos("concat('key:', CAST(doc_id AS STRING))")).as("kpos"))
+      .persist())
+    def ringAssign(n: Int, outCol: String): DataFrame = {
+      val nds = spark.range(n.toLong * vnodes).select(
+        expr(s"id div $vnodes").as("shard"),
+        expr(pos(s"concat('node:', CAST(id div $vnodes AS STRING), " +
+          s"':', CAST(id % $vnodes AS STRING))")).as("npos"))
+        .withColumn("code", expr("npos * 32 + shard"))
+      keys.crossJoin(broadcast(nds))
+        .groupBy("doc_id", "kpos")
+        .agg(min(when(col("npos") >= col("kpos"), col("code")))
+          .as("after"), min(col("code")).as("wrap"))
+        .select(col("doc_id"),
+          (coalesce(col("after"), col("wrap")) % 32).as(outCol))
+    }
+    val ringMoved = ringAssign(shards, "s_old")
+      .join(ringAssign(shards + 1, "s_new"), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L))
+          .as("n_moved"))
+    val modMoved = keys.agg(count(lit(1)).as("n_keys"),
+      sum(when(expr(s"doc_id % $shards <> doc_id % ${shards + 1}"), 1L)
+        .otherwise(0L)).as("n_moved"))
+    modMoved.select(lit("mod").as("scheme"), col("n_keys"),
+        col("n_moved"), expr("n_moved * 1000000 div n_keys")
+          .as("moved_ppm"))
+      .unionByName(ringMoved.select(lit("ring").as("scheme"),
+        col("n_keys"), col("n_moved"),
+        expr("n_moved * 1000000 div n_keys").as("moved_ppm")))
+      .orderBy("scheme")
+  }
 }

@@ -1721,4 +1721,33 @@ class QueriesSpec extends SparkSpec {
     got.foreach(r => assert(r._5 <= 1000000L && r._4 <= r._3))
     CachedStages.release(spark)
   }
+  test("q152 rebalance cost equals a driver-side ring replay; ring beats mod") {
+    import java.security.MessageDigest
+    def pos48(s: String): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val ids = Tables(spark, dir, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+    def ringShard(id: Long, n: Int): Long = {
+      val nodes = for (sh <- 0 until n; vn <- 0 until 16)
+        yield (pos48(s"node:$sh:$vn") * 32 + sh)
+      val kpos = pos48(s"key:$id")
+      val after = nodes.filter(c => c / 32 >= kpos)
+      (if (after.nonEmpty) after.min else nodes.min) % 32
+    }
+    val n = ids.length.toLong
+    val modMoved = ids.count(i => i % 8 != i % 9).toLong
+    val ringMoved = ids.count(i => ringShard(i, 8) != ringShard(i, 9)).toLong
+    val expect = Seq(
+      ("mod", n, modMoved, modMoved * 1000000L / n),
+      ("ring", n, ringMoved, ringMoved * 1000000L / n))
+    val got = Sampling.shardRebalance(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"$got != $expect")
+    // the point of the ring: growing N moves FAR fewer keys than mod
+    assert(got(1)._3 * 4 < got(0)._3)
+    CachedStages.release(spark)
+  }
 }
