@@ -248,7 +248,30 @@ object SparkEntry {
         PqM, PqSubDim, PqKSub, PqIters)),
     "q152_shard_rebalance" -> ((s: SparkSession, d: String) =>
       Sampling.shardRebalance(s, d, RingShards, RingVnodes)),
+    "q153_join_estimate" -> Stats.joinEstimates _,
   )
+
+  /** DuckDB scalar subquery computing the portable m-register HLL NDV
+    * of `$t.$c` — the bit-level replay of `Stats.ndvSketch`, shared by
+    * the q150 and q153 oracles.
+    */
+  private def hllNdvSql(t: String, c: String): String = {
+    val kMax = 35
+    val num = Stats.AlphaPerMille * Stats.M * Stats.M * (1L << kMax)
+    s"""(WITH h AS (
+       |     SELECT CAST('0x' || substr(md5('hll:' || CAST($c AS VARCHAR)),
+       |       1, 10) AS BIGINT) AS h
+       |     FROM $t WHERE $c IS NOT NULL),
+       |   r AS (SELECT h % ${Stats.M} AS idx,
+       |     CASE WHEN h // ${Stats.M} = 0 THEN $kMax
+       |          ELSE $kMax - length(bin(h // ${Stats.M})) END AS rho
+       |     FROM h),
+       |   reg AS (SELECT idx, MAX(rho) AS mj FROM r GROUP BY idx),
+       |   s AS (SELECT COUNT(*) AS np,
+       |     CAST(SUM(1::BIGINT << ($kMax - mj)) AS BIGINT) AS sp FROM reg)
+       |   SELECT $num // (1000 * (sp + (${Stats.M} - np) *
+       |     ${1L << kMax})) FROM s)""".stripMargin
+  }
 
   /** q47's oracle, shared verbatim by q59: the bloom-prefiltered
     * variant must produce the IDENTICAL contamination report (no false
@@ -3784,8 +3807,6 @@ object SparkEntry {
     "q150_table_stats" -> {
       // one SELECT per (table, column); the HLL scalar subquery replays
       // ops.Stats' register sketch (q110's proven bit-level arithmetic)
-      val kMax = 35
-      val num = Stats.AlphaPerMille * Stats.M * Stats.M * (1L << kMax)
       def one(t: String, c: String) =
         s"""SELECT '$t' AS table_name, '$c' AS column_name,
            |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $t) AS n_rows,
@@ -3793,19 +3814,7 @@ object SparkEntry {
            |     THEN 1 ELSE 0 END) AS BIGINT) FROM $t) AS n_nulls,
            |  (SELECT CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
            |     FROM $t) AS ndv_exact,
-           |  (WITH h AS (
-           |     SELECT CAST('0x' || substr(md5('hll:' || CAST($c AS VARCHAR)),
-           |       1, 10) AS BIGINT) AS h
-           |     FROM $t WHERE $c IS NOT NULL),
-           |   r AS (SELECT h % ${Stats.M} AS idx,
-           |     CASE WHEN h // ${Stats.M} = 0 THEN $kMax
-           |          ELSE $kMax - length(bin(h // ${Stats.M})) END AS rho
-           |     FROM h),
-           |   reg AS (SELECT idx, MAX(rho) AS mj FROM r GROUP BY idx),
-           |   s AS (SELECT COUNT(*) AS np,
-           |     CAST(SUM(1::BIGINT << ($kMax - mj)) AS BIGINT) AS sp FROM reg)
-           |   SELECT $num // (1000 * (sp + (${Stats.M} - np) *
-           |     ${1L << kMax})) FROM s) AS ndv_hll""".stripMargin
+           |  ${hllNdvSql(t, c)} AS ndv_hll""".stripMargin
       val parts = Seq(
         ("documents", Seq("source", "lang")),
         ("events", Seq("user_id", "event_type")),
@@ -3821,6 +3830,34 @@ object SparkEntry {
          |ORDER BY table_name, column_name""".stripMargin
     },
     "q151_ann_recall_ladder" -> annLadderOracleSql(QuantTopK),
+    "q153_join_estimate" -> {
+      def one(name: String, lt: String, lc: String, rt: String,
+          rc: String) =
+        s"""SELECT '$name' AS join_name,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) AS n_left,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) AS n_right,
+           |  ${hllNdvSql(lt, lc)} AS ndv_left,
+           |  ${hllNdvSql(rt, rc)} AS ndv_right,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM $lt JOIN $rt ON $lc = $rc) AS actual_rows""".stripMargin
+      val parts = Seq(
+        one("customer_orders", "customer", "c_custkey", "orders",
+          "o_custkey"),
+        one("orders_lineitem", "orders", "o_orderkey", "lineitem",
+          "l_orderkey"),
+        one("part_lineitem", "part", "p_partkey", "lineitem",
+          "l_partkey")).mkString("\n  UNION ALL\n")
+      s"""SELECT join_name, n_left, n_right, ndv_left, ndv_right,
+         |  CAST(n_left::HUGEINT * n_right
+         |    // greatest(ndv_left, ndv_right) AS BIGINT) AS est_rows,
+         |  actual_rows,
+         |  abs(CAST(n_left::HUGEINT * n_right
+         |    // greatest(ndv_left, ndv_right) AS BIGINT) - actual_rows)
+         |    * 1000000 // actual_rows AS err_ppm
+         |FROM (
+         |  $parts) u
+         |ORDER BY join_name""".stripMargin
+    },
     "q152_shard_rebalance" -> {
       val v = RingVnodes
       def ring(n: Int, alias: String) =

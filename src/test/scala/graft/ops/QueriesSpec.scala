@@ -1750,4 +1750,32 @@ class QueriesSpec extends SparkSpec {
     assert(got(1)._3 * 4 < got(0)._3)
     CachedStages.release(spark)
   }
+  test("q153 join estimates reconcile with q150's sketch and the real joins") {
+    val got = Stats.joinEstimates(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got.map(_._1) ==
+      Seq("customer_orders", "orders_lineitem", "part_lineitem"))
+    val joins = Map(
+      "customer_orders" -> (("customer", "c_custkey"), ("orders", "o_custkey")),
+      "orders_lineitem" -> (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+      "part_lineitem" -> (("part", "p_partkey"), ("lineitem", "l_partkey")))
+    got.foreach { r =>
+      val ((lt, lc), (rt, rc)) = joins(r._1)
+      val l = Tables(spark, dir, lt); val rt2 = Tables(spark, dir, rt)
+      // sides and truth reconcile with direct recomputation
+      assert(r._2 == l.count() && r._3 == rt2.count())
+      val actual = l.select(l(lc).as("k"))
+        .join(rt2.select(rt2(rc).as("k")), Seq("k")).count()
+      assert(r._7 == actual)
+      // the Selinger formula reproduced from the row's own columns
+      assert(r._6 ==
+        (BigInt(r._2) * r._3 / BigInt(r._4).max(BigInt(r._5))).toLong)
+      assert(r._8 == math.abs(r._6 - r._7) * 1000000L / r._7)
+      // the estimate is in the right ballpark on FK joins (< 35% err —
+      // the NDV sketch is the only noise source)
+      assert(r._8 <= 350000L, s"${r._1}: ${r._8}")
+    }
+    CachedStages.release(spark)
+  }
 }
