@@ -453,4 +453,79 @@ class OpsPropSpec extends SparkSpec {
       assert(got.forall(_._4 >= 0), s"undercount at seed ${9300L + i}")
     }
   }
+  test("token drift TV == driver-side BigInt replay, random corpora with sources") {
+    val genSrcDoc: Gen[(String, String)] = for {
+      src <- Gen.oneOf("s0", "s1", "s2")
+      doc <- genDoc
+    } yield (src, doc)
+    (0 until 5).foreach { i =>
+      val rows = sample(Gen.chooseNum(6, 30)
+        .flatMap(n => Gen.listOfN(n, genSrcDoc)), 7000L + i)
+      val df = rows.zipWithIndex
+        .map { case ((src, t), id) => (id.toLong, src, t) }
+        .toDF("doc_id", "source", "text")
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      rows.foreach { case (src, t) =>
+        t.split(" ").filter(_.nonEmpty).foreach { tok =>
+          counts((src, tok)) = counts.getOrElse((src, tok), 0L) + 1
+        }
+      }
+      val vocabN = counts.groupBy(_._1._2)
+        .map { case (t, m) => t -> m.values.sum }
+      val nTotal = counts.values.sum
+      val expect = counts.groupBy(_._1._1).toSeq.map { case (src, m) =>
+        val nSrc = m.values.sum
+        val num = vocabN.toSeq.map { case (t, nTok) =>
+          (BigInt(m.getOrElse((src, t), 0L)) * nTotal
+            - BigInt(nTok) * nSrc).abs
+        }.sum
+        (src, nSrc, m.size.toLong,
+          (num * 1000000 / (BigInt(2) * nSrc * nTotal)).toLong)
+      }.sortBy(_._1)
+      val got = TextOps.tokenDriftOf(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got == expect, s"seed ${7000 + i}: $got != $expect")
+      // TV bounds hold on every random corpus
+      assert(got.forall(r => r._4 >= 0 && r._4 <= 1000000))
+      CachedStages.release(spark)
+    }
+  }
+
+  test("trimmed/winsorized stats == driver-side sorted replay, random value streams") {
+    val genVals: Gen[List[(String, Double)]] = for {
+      n <- Gen.chooseNum(3, 60)
+      vs <- Gen.listOfN(n, for {
+        t <- Gen.oneOf("a", "b")
+        cents <- Gen.chooseNum(0L, 99999L)
+      } yield (t, cents / 100.0))
+    } yield vs
+    (0 until 5).foreach { i =>
+      val rows = sample(genVals, 8000L + i)
+      val df = rows.zipWithIndex.map { case ((t, v), id) =>
+        (id.toLong, t, v)
+      }.toDF("event_id", "event_type", "value")
+      val expect = rows.groupBy(_._1).toSeq.map { case (t, g) =>
+        val cents = g.map(v => (BigDecimal(v._2).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sorted
+        val n = cents.length.toLong
+        val cut = (n * 5 / 100).toInt
+        val kept = cents.slice(cut, cents.length - cut)
+        val lo = cents(cut)
+        val hi = cents(cents.length - cut - 1)
+        val sum = cents.map(BigInt(_)).sum
+        val tsum = kept.map(BigInt(_)).sum
+        (t, n, cut.toLong, lo, hi,
+          (sum * 10000 / n).toLong,
+          (tsum * 10000 / (n - 2 * cut)).toLong,
+          ((tsum + BigInt(cut) * (lo + hi)) * 10000 / n).toLong)
+      }.sortBy(_._1)
+      val got = Events.trimmedStatsOf(df, 5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSeq
+      assert(got == expect, s"seed ${8000 + i}: $got != $expect")
+      CachedStages.release(spark)
+    }
+  }
 }
