@@ -205,6 +205,15 @@ object Features {
     * window, no second scan.
     */
   def dimStatsOf(vecs: DataFrame): DataFrame =
+    dimStatsFromMoments(dimMomentsOf(vecs))
+
+  /** The per-dimension MOMENT aggregation alone — every term is a sum/
+    * min/max/count, so the same plan is legal on an unbounded stream
+    * (EmbeddingStreams.dimMomentStream maintains exactly this, state
+    * fixed at |dims| rows); the derived mean/variance columns divide,
+    * which a monitor does at READ time, not in the maintained state.
+    */
+  def dimMomentsOf(vecs: DataFrame): DataFrame =
     vecs.select(posexplode(col("embedding")).as(Seq("dim", "raw")))
       .select(col("dim").cast("long").as("dim"),
         col("raw").cast("double").as("x"))
@@ -217,6 +226,10 @@ object Features {
         sum(expr("cu + 1000")).as("s1"),
         sum(expr("CAST(cu + 1000 AS DECIMAL(38, 0)) * (cu + 1000)"))
           .as("s2"))
+
+  /** Derivation stage over the moment table (batch or streamed). */
+  def dimStatsFromMoments(moments: DataFrame): DataFrame =
+    moments
       .withColumn("mean_cu_micro", expr(
         """CAST(CAST(s1 AS DECIMAL(38, 0)) * 1000000 div n_vecs
           | AS BIGINT) - 1000000000""".stripMargin))

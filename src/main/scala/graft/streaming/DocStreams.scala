@@ -307,6 +307,18 @@ object EmbeddingStreams {
     * the batch (dist asc, cluster asc) tie rule — DocStreamsSpec
     * asserts code-for-code equality with `pqModel`'s assignment.
     */
+  /** q148's twin: per-dimension MOMENT maintenance at the vector-
+    * ingestion edge — `Features.dimMomentsOf` shared VERBATIM (counts,
+    * zero counts, min/max, offset sums: all merge-by-sum-or-extremum,
+    * the streaming-aggregate contract), state fixed at |dims| rows
+    * forever. The divide-time derivation (`dimStatsFromMoments`) runs
+    * at read, so the live dead-dim/variance dashboard and batch q148
+    * are the SAME arithmetic over the same maintained cells.
+    */
+  def dimMomentStream(stream: DataFrame): DataFrame =
+    graft.ops.Features.dimMomentsOf(
+      stream.select(col("vec_id"), col("embedding")))
+
   def pqEncodedVectors(stream: DataFrame,
       codebooks: Seq[Seq[Seq[Double]]], subDim: Int): DataFrame = {
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),

@@ -360,4 +360,31 @@ class DocStreamsSpec extends SparkSpec {
     assert(streamedTv == batchTv)
     graft.ops.CachedStages.release(spark)
   }
+  test("q148 twin: streamed dim moments equal batch; derivation equals q148") {
+    val d = Files.createTempDirectory("emb_dimstats")
+    Files.copy(Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      d.resolve("embeddings.parquet"))
+    val stream = EmbeddingStreams.readEmbeddingStream(spark, d.toString)
+    EventStreams.runToMemory(EmbeddingStreams.dimMomentStream(stream),
+      "dim_moments", OutputMode.Complete())
+    val streamedMoments = spark.table("dim_moments").localCheckpoint()
+    val batchVecs = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDecimal(6)))
+    val got = streamedMoments.collect().map(key).toMap
+    val batch = graft.ops.Features.dimMomentsOf(batchVecs).collect()
+      .map(key).toMap
+    assert(got.nonEmpty && got == batch)
+    // state bound: one row per dimension
+    assert(got.size == 64)
+    // the read-time derivation over the MAINTAINED cells equals q148
+    val derived = graft.ops.Features.dimStatsFromMoments(streamedMoments)
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6))).toSet
+    val q148 = graft.ops.Features.dimStats(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(5), r.getLong(6))).toSet
+    assert(derived == q148)
+    graft.ops.CachedStages.release(spark)
+  }
 }
