@@ -249,6 +249,8 @@ object SparkEntry {
     "q152_shard_rebalance" -> ((s: SparkSession, d: String) =>
       Sampling.shardRebalance(s, d, RingShards, RingVnodes)),
     "q153_join_estimate" -> Stats.joinEstimates _,
+    "q154_ab_bootstrap" -> ((s: SparkSession, d: String) =>
+      Events.abBootstrap(s, d, BootReps)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -3896,6 +3898,77 @@ object SparkEntry {
          |  FROM ao JOIN an USING (doc_id)) u
          |ORDER BY scheme""".stripMargin
     },
+    "q154_ab_bootstrap" ->
+      s"""WITH conv AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE event_type = 'purchase'
+         |    AND CAST(value AS DECIMAL(12, 2)) >= 200),
+         |u AS (
+         |  SELECT u0.user_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(u0.user_id AS VARCHAR)),
+         |      1, 6) AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm,
+         |    CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS converted
+         |  FROM (SELECT DISTINCT user_id FROM events) u0
+         |  LEFT JOIN conv c ON u0.user_id = c.user_id),
+         |g AS (
+         |  SELECT u.user_id, u.arm, u.converted, t.b
+         |  FROM u, range(0, $BootReps) t(b)),
+         |wts AS (
+         |  SELECT arm, b, converted,
+         |    CASE WHEN bucket < 367879 THEN 0 WHEN bucket < 735759 THEN 1
+         |      WHEN bucket < 919699 THEN 2 WHEN bucket < 981012 THEN 3
+         |      WHEN bucket < 996340 THEN 4 WHEN bucket < 999406 THEN 5
+         |      WHEN bucket < 999917 THEN 6 WHEN bucket < 999990 THEN 7
+         |      WHEN bucket < 999999 THEN 8 ELSE 9 END AS w
+         |  FROM (SELECT arm, b, converted,
+         |      CAST('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+         |        || CAST(user_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000000
+         |        AS bucket
+         |    FROM g) x),
+         |ar AS (
+         |  SELECT arm, b, CAST(SUM(w * converted) AS BIGINT) * 1000000
+         |    // NULLIF(CAST(SUM(w) AS BIGINT), 0) AS ppm
+         |  FROM wts GROUP BY arm, b),
+         |dr AS (
+         |  SELECT 'diff' AS series, b,
+         |    MAX(CASE WHEN arm = 'a' THEN ppm END)
+         |      - MAX(CASE WHEN arm = 'b' THEN ppm END) AS ppm
+         |  FROM ar GROUP BY b),
+         |reps AS (
+         |  SELECT arm AS series, b, ppm FROM ar
+         |  UNION ALL SELECT series, b, ppm FROM dr),
+         |fr AS (SELECT * FROM reps WHERE ppm IS NOT NULL),
+         |cnt AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS count_rn
+         |        FROM fr GROUP BY series),
+         |rk AS (
+         |  SELECT f.series, f.ppm, c.count_rn,
+         |    ROW_NUMBER() OVER (PARTITION BY f.series
+         |      ORDER BY f.ppm ASC, f.b ASC) AS rn
+         |  FROM fr f JOIN cnt c USING (series)),
+         |ci AS (
+         |  SELECT series, MAX(count_rn) AS n_reps,
+         |    MIN(CASE WHEN rn >= (count_rn * 25 + 999) // 1000
+         |      THEN ppm END) AS boot_lo_ppm,
+         |    MIN(CASE WHEN rn >= (count_rn * 975 + 999) // 1000
+         |      THEN ppm END) AS boot_hi_ppm
+         |  FROM rk GROUP BY series),
+         |pa AS (
+         |  SELECT arm AS series, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(converted) AS BIGINT) * 1000000 // COUNT(*)
+         |      AS point_ppm
+         |  FROM u GROUP BY arm),
+         |pd AS (
+         |  SELECT 'diff' AS series, CAST(SUM(n_users) AS BIGINT) AS n_users,
+         |    SUM(CASE WHEN series = 'a' THEN point_ppm END)
+         |      - SUM(CASE WHEN series = 'b' THEN point_ppm END) AS point_ppm
+         |  FROM pa),
+         |pts AS (SELECT series, n_users, point_ppm FROM pa
+         |        UNION ALL SELECT series, n_users, point_ppm FROM pd)
+         |SELECT p.series, p.n_users, CAST(p.point_ppm AS BIGINT)
+         |    AS point_ppm, ci.n_reps,
+         |  CAST(ci.boot_lo_ppm AS BIGINT) AS boot_lo_ppm,
+         |  CAST(ci.boot_hi_ppm AS BIGINT) AS boot_hi_ppm
+         |FROM pts p JOIN ci USING (series) ORDER BY p.series""".stripMargin,
   )
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
@@ -4394,6 +4467,8 @@ object SparkEntry {
   // q152: ring geometry — shards before the grow step, vnodes/shard.
   private val RingShards = 8
   private val RingVnodes = 16
+  // q154: Poisson-bootstrap replicate count.
+  private val BootReps = 100
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

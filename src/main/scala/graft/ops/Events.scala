@@ -854,6 +854,113 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  def abBootstrap(spark: SparkSession, dir: String,
+      nBoot: Int = 100): DataFrame =
+    abBootstrapOf(events(spark, dir), nBoot)
+
+  /** Graded q154: POISSON-BOOTSTRAP confidence intervals for the A/B
+    * readout — q136 reports point conversion rates; this attaches the
+    * error bars a launch decision actually needs, including the one
+    * row that matters: the CI of the ARM DIFFERENCE. The classical
+    * bootstrap (resample n-of-n users) is impossible on a distributed
+    * stream; the Poisson bootstrap (Chamandy et al., Google 2012,
+    * "Estimating uncertainty for massive data streams") replaces each
+    * replicate's multinomial with an independent Poisson(1) weight
+    * per (user, replicate) — embarrassingly parallel, single-pass.
+    *
+    * Determinism: the Poisson(1) draw is the md5-bucket rule's fifth
+    * hat — a 48-bit hash of `boot:<replicate>:<user>` mapped through
+    * the FIXED integer inverse-CDF thresholds of Poisson(1) in ppm
+    * (367879, 735759, 919699, 981012, 996340, 999406, 999917,
+    * 999990, 999999 → weights 0..9; the 2⁴⁸ mod 10⁶ bias is ~10⁻⁹,
+    * irrelevant statistically and identical on both engines). Each
+    * replicate's conversion is one integral division; the 2.5%/97.5%
+    * CI bounds are exact ceil-rank picks over the B replicate values
+    * (difference replicates subtract BEFORE ranking, so no division
+    * ever sees a negative). A replicate whose weight sum is zero
+    * (P ≈ e^-n_users, never in practice) drops out on both engines
+    * via the same IS NOT NULL filter and `n_reps` records it.
+    *
+    * Scale shape: the user table persists once; the replicate grid is
+    * a pure generator (users × B) that map-side combines straight
+    * down to |arms|·B rows — at 10⁹ users × 100 replicates the 10¹¹
+    * generated rows are codegen arithmetic that never materializes;
+    * every window after that runs over ≤ B rows per series.
+    */
+  def abBootstrapOf(evs: DataFrame, nBoot: Int): DataFrame = {
+    require(nBoot >= 4, s"need enough replicates for a CI, got $nBoot")
+    // conversion = a HIGH-VALUE purchase (>= 200.00, exact decimal
+    // compare) — the all-users-purchase fixture would otherwise make
+    // every replicate's rate 10^6 and the CI vacuous
+    val conv = evs.filter(col("event_type") === "purchase" &&
+        dec2(col("value")) >= 200)
+      .select("user_id").distinct().withColumn("converted", lit(1L))
+    val users = CachedStages.track(evs.select("user_id").distinct()
+      .withColumn("arm", expr(
+        s"CASE WHEN ${Sampling.bucketExpr("user_id")} < 50 THEN 'a' ELSE 'b' END"))
+      .join(conv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("converted"))
+      .persist())
+    val poissonW =
+      """CASE WHEN bucket < 367879 THEN 0 WHEN bucket < 735759 THEN 1
+        | WHEN bucket < 919699 THEN 2 WHEN bucket < 981012 THEN 3
+        | WHEN bucket < 996340 THEN 4 WHEN bucket < 999406 THEN 5
+        | WHEN bucket < 999917 THEN 6 WHEN bucket < 999990 THEN 7
+        | WHEN bucket < 999999 THEN 8 ELSE 9 END""".stripMargin
+    val armRep = CachedStages.track(users
+      .select(col("user_id"), col("arm"), col("converted"),
+        explode(expr(s"sequence(0, ${nBoot - 1})")).as("b"))
+      .withColumn("bucket", expr(
+        """CAST(conv(substring(md5(concat('boot:', CAST(b AS STRING),
+          | ':', CAST(user_id AS STRING))), 1, 12), 16, 10) AS BIGINT)
+          | % 1000000""".stripMargin))
+      .withColumn("w", expr(poissonW))
+      .groupBy("arm", "b")
+      .agg(sum(col("w")).as("wsum"),
+        sum(expr("w * converted")).as("wconv"))
+      .withColumn("ppm", expr("wconv * 1000000 div nullif(wsum, 0)"))
+      .persist())
+    val diffRep = armRep.groupBy("b")
+      .agg(max(when(col("arm") === "a", col("ppm"))).as("pa"),
+        max(when(col("arm") === "b", col("ppm"))).as("pb"))
+      .select(lit("diff").as("series"), col("b"),
+        (col("pa") - col("pb")).as("ppm"))
+    // armRep is persisted above: its lineage is the users×B generator,
+    // and the arm branch, the diff branch, the count pass, and the
+    // ranked pass must all read the |arms|·B-row cache, not regenerate
+    val reps = armRep.select(col("arm").as("series"), col("b"), col("ppm"))
+      .unionByName(diffRep)
+      .filter(col("ppm").isNotNull)
+    val w2 = Window.partitionBy("series").orderBy(col("ppm").asc,
+      col("b").asc)
+    // the ceil-rank cuts need the per-series replicate count alongside
+    // each ranked row; the count table is |series|-sized, broadcast
+    val cnts = reps.groupBy("series").agg(count(lit(1)).as("count_rn"))
+    val ranked = reps.join(broadcast(cnts), Seq("series"))
+      .withColumn("rn", row_number().over(w2))
+      .groupBy("series")
+      .agg(max(col("count_rn")).as("n_reps"),
+        min(when(expr("rn >= (count_rn * 25 + 999) div 1000"), col("ppm")))
+          .as("boot_lo_ppm"),
+        min(when(expr("rn >= (count_rn * 975 + 999) div 1000"), col("ppm")))
+          .as("boot_hi_ppm"))
+    val pointArms = users.groupBy(col("arm").as("series"))
+      .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("nc"))
+      .withColumn("point_ppm", expr("nc * 1000000 div n_users"))
+      .select("series", "n_users", "point_ppm")
+    val pointDiff = pointArms.agg(
+        sum(col("n_users")).as("n_users"),
+        sum(when(col("series") === "a", col("point_ppm"))).as("pa"),
+        sum(when(col("series") === "b", col("point_ppm"))).as("pb"))
+      .select(lit("diff").as("series"), col("n_users"),
+        (col("pa") - col("pb")).as("point_ppm"))
+    pointArms.unionByName(pointDiff)
+      .join(broadcast(ranked), Seq("series"))
+      .select("series", "n_users", "point_ppm", "n_reps", "boot_lo_ppm",
+        "boot_hi_ppm")
+      .orderBy("series")
+  }
+
   def trimmedStats(spark: SparkSession, dir: String,
       trimPct: Int = 5): DataFrame =
     trimmedStatsOf(events(spark, dir), trimPct)

@@ -1778,4 +1778,68 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q154 bootstrap CIs equal a driver-side Poisson-replicate replay") {
+    import java.security.MessageDigest
+    def md5hex(s: String, n: Int): Long = {
+      val h = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(n / 2).map(b => f"$b%02x").mkString, 16)
+    }
+    val thresholds = Seq(367879L, 735759L, 919699L, 981012L, 996340L,
+      999406L, 999917L, 999990L, 999999L)
+    def pois(b: Int, u: Long): Long = {
+      val bucket = md5hex(s"boot:$b:$u", 12) % 1000000L
+      thresholds.count(_ <= bucket).toLong
+    }
+    val ev = Events.events(spark, dir)
+    import org.apache.spark.sql.functions.col
+    val users = ev.select("user_id").distinct().collect()
+      .map(_.getLong(0)).sorted
+    val conv = ev.filter("event_type = 'purchase' AND " +
+        "CAST(value AS DECIMAL(12,2)) >= 200")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    def arm(u: Long) = if (md5hex(u.toString, 6) % 100 < 50) "a" else "b"
+    val reps = (for (b <- 0 until 100; series <- Seq("a", "b")) yield {
+      val us = users.filter(u => arm(u) == series)
+      val wsum = us.map(pois(b, _)).sum
+      val wconv = us.filter(conv).map(pois(b, _)).sum
+      ((series, b), if (wsum == 0) None else Some(wconv * 1000000L / wsum))
+    }).toMap
+    val diffReps = (0 until 100).map(b =>
+      (("diff", b), for (pa <- reps(("a", b)); pb <- reps(("b", b)))
+        yield pa - pb)).toMap
+    def ci(series: String): (Long, Long, Long) = {
+      // .toSeq BEFORE collect: collecting pairs out of a Map would
+      // rebuild a Map and silently dedup equal ppm values
+      val all = (reps ++ diffReps).toSeq.collect {
+        case ((s, b), Some(p)) if s == series => (p, b)
+      }.sortBy(identity)
+      val n = all.length.toLong
+      def pick(pm: Long) = all(((n * pm + 999) / 1000 - 1).toInt)._1
+      (n, pick(25), pick(975))
+    }
+    val expect = Seq("a", "b", "diff").map { series =>
+      val (n, lo, hi) = ci(series)
+      val (nu, point) = series match {
+        case "diff" =>
+          val na = users.count(u => arm(u) == "a").toLong
+          val nb = users.count(u => arm(u) == "b").toLong
+          val pa = users.filter(u => arm(u) == "a").count(conv) *
+            1000000L / na
+          val pb = users.filter(u => arm(u) == "b").count(conv) *
+            1000000L / nb
+          (users.length.toLong, pa - pb)
+        case s2 =>
+          val us = users.filter(u => arm(u) == s2)
+          (us.length.toLong, us.count(conv) * 1000000L / us.length)
+      }
+      (series, nu, point, n, lo, hi)
+    }
+    val got = Events.abBootstrap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the interval is an interval and brackets its point estimate
+    got.foreach { r => assert(r._5 <= r._6 && r._5 <= r._3 && r._3 <= r._6) }
+    CachedStages.release(spark)
+  }
 }
