@@ -251,6 +251,8 @@ object SparkEntry {
     "q153_join_estimate" -> Stats.joinEstimates _,
     "q154_ab_bootstrap" -> ((s: SparkSession, d: String) =>
       Events.abBootstrap(s, d, BootReps)),
+    "q155_retrieval_eval" -> ((s: SparkSession, d: String) =>
+      Similarity.retrievalLabelEval(s, d, RetrievalEvalK)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -3969,6 +3971,49 @@ object SparkEntry {
          |  CAST(ci.boot_lo_ppm AS BIGINT) AS boot_lo_ppm,
          |  CAST(ci.boot_hi_ppm AS BIGINT) AS boot_hi_ppm
          |FROM pts p JOIN ci USING (series) ORDER BY p.series""".stripMargin,
+    "q155_retrieval_eval" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, e AS qe
+         |      FROM v WHERE vec_id < 8),
+         |p AS (
+         |  SELECT q.q_id, q.q_label, v.vec_id, v.label AS d_label,
+         |    round(
+         |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i] * e[i])) /
+         |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6) AS cos
+         |  FROM v CROSS JOIN q
+         |  WHERE v.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, q_label, d_label,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rank
+         |  FROM p),
+         |pp AS (
+         |  SELECT q_id, q_label,
+         |    CAST(SUM(CASE WHEN d_label = q_label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS hits,
+         |    MIN(CASE WHEN d_label = q_label THEN rank END) AS first_rank
+         |  FROM rk WHERE rank <= $RetrievalEvalK
+         |  GROUP BY q_id, q_label),
+         |lc AS (SELECT label AS q_label, CAST(COUNT(*) AS BIGINT) AS n_label
+         |       FROM v GROUP BY label),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM v),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         |    CAST(SUM(hits) AS BIGINT) AS sum_hits,
+         |    CAST(SUM(COALESCE(1000000 // first_rank, 0)) AS BIGINT)
+         |      AS sum_rr,
+         |    CAST(SUM((lc.n_label - 1) * 1000000 // (nt.n_total - 1))
+         |      AS BIGINT) AS sum_base
+         |  FROM pp JOIN lc USING (q_label) CROSS JOIN nt)
+         |SELECT n_probes, CAST($RetrievalEvalK AS BIGINT) AS k,
+         |  sum_hits * 1000000 // (n_probes * $RetrievalEvalK) AS p_at_k_ppm,
+         |  sum_rr // n_probes AS mrr_ppm,
+         |  sum_base // n_probes AS base_rate_ppm,
+         |  (sum_hits * 1000000 // (n_probes * $RetrievalEvalK)) * 1000
+         |    // (sum_base // n_probes) AS lift_x1000
+         |FROM agg""".stripMargin,
   )
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
@@ -4469,6 +4514,8 @@ object SparkEntry {
   private val RingVnodes = 16
   // q154: Poisson-bootstrap replicate count.
   private val BootReps = 100
+  // q155: retrieval-eval ranking depth.
+  private val RetrievalEvalK = 10
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

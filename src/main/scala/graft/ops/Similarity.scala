@@ -699,4 +699,60 @@ object Similarity {
         lshAnn(spark, dir, lshTables, lshBits, k)))
       .orderBy("method")
   }
+
+  /** Graded q155: RETRIEVAL QUALITY against LABEL relevance —
+    * precision@k and MRR@k of the dense cosine ranking, where a
+    * neighbor is relevant when it carries the probe's label. q151
+    * grades the approximate arms against the exact ranking (index
+    * fidelity); this grades the exact ranking itself against ground
+    * truth (embedding quality) — the two numbers a retrieval stack
+    * tracks separately, because an index can be perfectly faithful to
+    * embeddings that retrieve garbage. The base rate (share of the
+    * corpus carrying the probe's label) sits alongside, so the lift
+    * column says how far above chance the embedding space actually
+    * ranks same-label items.
+    *
+    * Determinism: relevance is an exact label equality on the
+    * already-deterministic ranking; P@k is one integral division over
+    * hit counts; MRR keeps the per-probe reciprocal as `10⁶ div
+    * first_rank` (integer, 0 when no hit in the window) and divides
+    * by the probe count once; lift is a per-mille cross-ratio.
+    *
+    * Scale shape: the ranking is q21's audited broadcast-probe scan
+    * cut to k; labels attach by one broadcast (probes) and one
+    * vocab-sized join (corpus labels ride the same row); everything
+    * after is probes·k rows collapsing to ONE report row.
+    */
+  def retrievalLabelEval(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val labels = rawVectors(spark, dir).select(col("vec_id"), col("label"))
+    val probes = labels.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val perProbe = cosineRanking(spark, dir, k)
+      .join(broadcast(probes), Seq("q_id"))
+      .join(labels.withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("label", "d_label"), Seq("doc_id"))
+      .withColumn("hit", (col("d_label") === col("q_label")).cast("long"))
+      .groupBy("q_id", "q_label")
+      .agg(sum(col("hit")).as("hits"),
+        min(when(col("hit") === 1L, col("rank"))).as("first_rank"))
+    val labelCounts = labels.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val nTotal = labels.agg(count(lit(1)).as("n_total"))
+    perProbe
+      .join(broadcast(labelCounts), Seq("q_label"))
+      .crossJoin(broadcast(nTotal))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("hits")).as("sum_hits"),
+        sum(coalesce(expr("1000000 div first_rank"), lit(0L)))
+          .as("sum_rr"),
+        sum(expr("(n_label - 1) * 1000000 div (n_total - 1)"))
+          .as("sum_base"))
+      .select(col("n_probes"), lit(k.toLong).as("k"),
+        expr(s"sum_hits * 1000000 div (n_probes * $k)").as("p_at_k_ppm"),
+        expr("sum_rr div n_probes").as("mrr_ppm"),
+        expr("sum_base div n_probes").as("base_rate_ppm"))
+      .withColumn("lift_x1000", expr(
+        "p_at_k_ppm * 1000 div base_rate_ppm"))
+  }
 }

@@ -1842,4 +1842,46 @@ class QueriesSpec extends SparkSpec {
     got.foreach { r => assert(r._5 <= r._6 && r._5 <= r._3 && r._3 <= r._6) }
     CachedStages.release(spark)
   }
+  test("q155 retrieval eval equals a driver-side ranking replay") {
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    val k = 10
+    val probes = vecs.filter(_._1 < 8)
+    val per = probes.map { case (q, qv, ql) =>
+      val top = vecs.filter(_._1 != q)
+        .map(v => (v._1, cos6(qv, v._2), v._3))
+        .sortBy { case (i, c, _) => (-c, i) }.take(k)
+      val hits = top.count(_._3 == ql).toLong
+      val first = top.zipWithIndex.collectFirst {
+        case ((_, _, l), i) if l == ql => i + 1
+      }
+      (hits, first.map(r => 1000000L / r).getOrElse(0L),
+        (vecs.count(_._3 == ql) - 1).toLong * 1000000L /
+          (vecs.length - 1))
+    }
+    val nP = probes.length.toLong
+    val p = per.map(_._1).sum * 1000000L / (nP * k)
+    val mrr = per.map(_._2).sum / nP
+    val base = per.map(_._3).sum / nP
+    val expect = (nP, k.toLong, p, mrr, base, p * 1000L / base)
+    val row = Similarity.retrievalLabelEval(spark, dir).collect()(0)
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(got == expect, s"$got != $expect")
+    // the embedding space ranks same-label items above chance
+    assert(got._6 > 1000L)
+    CachedStages.release(spark)
+  }
 }
