@@ -253,6 +253,9 @@ object SparkEntry {
       Events.abBootstrap(s, d, BootReps)),
     "q155_retrieval_eval" -> ((s: SparkSession, d: String) =>
       Similarity.retrievalLabelEval(s, d, RetrievalEvalK)),
+    "q156_completeness_gate" -> ((s: SparkSession, d: String) =>
+      Events.completenessGate(s, d, GateWindowDays, GateMinPrior)),
+    "q157_order_aging" -> Relational.orderAging _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4014,6 +4017,54 @@ object SparkEntry {
          |  (sum_hits * 1000000 // (n_probes * $RetrievalEvalK)) * 1000
          |    // (sum_base // n_probes) AS lift_x1000
          |FROM agg""".stripMargin,
+    "q156_completeness_gate" ->
+      s"""WITH d AS (
+         |  SELECT event_type,
+         |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |wq AS (
+         |  SELECT event_type, day, n,
+         |    list_sort(COALESCE(list(n) OVER (PARTITION BY event_type
+         |      ORDER BY day RANGE BETWEEN $GateWindowDays PRECEDING
+         |      AND 1 PRECEDING), [])) AS prior
+         |  FROM d),
+         |e AS (
+         |  SELECT event_type, day, n, CAST(len(prior) AS BIGINT) AS m,
+         |    CASE WHEN len(prior) >= $GateMinPrior
+         |      THEN prior[CAST((len(prior) + 1) // 2 AS INT)] END
+         |      AS trailing_med
+         |  FROM wq)
+         |SELECT event_type, day, n, m, trailing_med,
+         |  CASE WHEN trailing_med IS NOT NULL
+         |    THEN CAST(n * 10 >= trailing_med * 8 AS BIGINT) END
+         |    AS is_complete
+         |FROM e ORDER BY event_type, day""".stripMargin,
+    "q157_order_aging" ->
+      """WITH snap AS (SELECT MAX(o_orderdate) AS snap FROM orders),
+        |open_o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', o_orderdate, snap.snap) AS BIGINT)
+        |      AS age_days,
+        |    CAST(o_totalprice AS DECIMAL(12, 2)) AS price
+        |  FROM orders CROSS JOIN snap
+        |  WHERE o_orderstatus = 'O'),
+        |b AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN age_days <= 30 THEN 'a_0_30'
+        |         WHEN age_days <= 90 THEN 'b_31_90'
+        |         WHEN age_days <= 365 THEN 'c_91_365'
+        |         ELSE 'd_365_plus' END AS bucket,
+        |    price
+        |  FROM open_o),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_open FROM b)
+        |SELECT o_orderpriority, bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(price) * 100 AS BIGINT) AS value_cents,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000 // tot.n_open AS share_ppm
+        |FROM b CROSS JOIN tot
+        |GROUP BY o_orderpriority, bucket, tot.n_open
+        |ORDER BY o_orderpriority, bucket""".stripMargin,
   )
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
@@ -4516,6 +4567,9 @@ object SparkEntry {
   private val BootReps = 100
   // q155: retrieval-eval ranking depth.
   private val RetrievalEvalK = 10
+  // q156: trailing-baseline window and the warmup floor.
+  private val GateWindowDays = 7
+  private val GateMinPrior = 4
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

@@ -961,6 +961,53 @@ object Events {
       .orderBy("series")
   }
 
+  def completenessGate(spark: SparkSession, dir: String,
+      windowDays: Int = 7, minPriorDays: Int = 4): DataFrame =
+    completenessGateOf(events(spark, dir), windowDays, minPriorDays)
+
+  /** Graded q156: PARTITION-COMPLETENESS gate — the freshness check a
+    * daily pipeline runs before consuming a day's data: is today's
+    * event volume at least 80% of the TRAILING `windowDays`-day median
+    * for this type? A day that fails is late-arriving or a broken
+    * feed, and the downstream job must not run on it. q124 flags days
+    * ABOVE a global median (bursts); this flags days BELOW a trailing
+    * one — the windowed baseline is what makes the gate adapt to slow
+    * traffic growth without re-fitting anything.
+    *
+    * Determinism: the trailing median is the exact lower median of the
+    * ≤ `windowDays` preceding day-counts (a RANGE frame on the integer
+    * day key, so absent days are simply absent), picked from the
+    * sorted frame array by the integer ceil-rank rule; the 80%
+    * verdict is the `n·10 ≥ med·8` cross-multiplication. Days with
+    * fewer than `minPriorDays` of history emit a NULL verdict — the
+    * warmup period is surfaced, not guessed.
+    *
+    * Scale shape: the event stream collapses once into the persisted
+    * day-granular (type, day, n) matrix (the q124 shape — one row per
+    * type-day at ANY volume); the trailing window runs over ≤
+    * `windowDays`-row frames of that matrix.
+    */
+  def completenessGateOf(evs: DataFrame, windowDays: Int,
+      minPriorDays: Int): DataFrame = {
+    val daily = CachedStages.track(evs
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .persist())
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rangeBetween(-windowDays.toLong, -1L)
+    daily
+      .withColumn("prior", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("m", size(col("prior")).cast("long"))
+      .withColumn("trailing_med",
+        when(col("m") >= minPriorDays,
+          element_at(col("prior"), expr("CAST((m + 1) div 2 AS INT)"))))
+      .withColumn("is_complete",
+        when(col("trailing_med").isNotNull,
+          (col("n") * 10 >= col("trailing_med") * 8).cast("long")))
+      .select("event_type", "day", "n", "m", "trailing_med", "is_complete")
+      .orderBy("event_type", "day")
+  }
+
   def trimmedStats(spark: SparkSession, dir: String,
       trimPct: Int = 5): DataFrame =
     trimmedStatsOf(events(spark, dir), trimPct)

@@ -492,4 +492,45 @@ object Relational {
         sum(col("cents")).as("monetary_cents"))
       .orderBy("r_score", "f_score", "m_score")
   }
+  def orderAging(spark: SparkSession, dir: String): DataFrame =
+    orderAgingOf(Tables(spark, dir, "orders"))
+
+  /** Graded q157: OPEN-ORDER AGING report — the receivables-style
+    * bucket table operations reads weekly: every order still open at
+    * the snapshot date (the corpus max order date), bucketed by age
+    * and split by priority, with counts, exact cents value, and each
+    * cell's share of the open book in ppm. The aging shape (0-30 /
+    * 31-90 / 91-365 / 365+) is the standard escalation ladder: the
+    * 365+ column is what gets a process audit.
+    *
+    * Determinism: ages are whole days off the corpus max date; value
+    * in integer cents via the dec2 cast; shares one integral division
+    * against the broadcast open-book total.
+    *
+    * Scale shape: one orders scan; the snapshot date and the open
+    * totals are 1-row broadcasts; the rollup is ≤ |priorities|·4 rows.
+    */
+  def orderAgingOf(orders: DataFrame): DataFrame = {
+    val open = CachedStages.track(orders
+      .filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(orders.agg(max(col("o_orderdate")).as("snap"))))
+      .withColumn("age_days",
+        datediff(col("snap"), col("o_orderdate")).cast("long"))
+      .withColumn("bucket",
+        when(col("age_days") <= 30, "a_0_30")
+          .when(col("age_days") <= 90, "b_31_90")
+          .when(col("age_days") <= 365, "c_91_365")
+          .otherwise("d_365_plus"))
+      .persist())
+    val tot = open.agg(count(lit(1)).as("n_open"))
+    open.groupBy("o_orderpriority", "bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(dec2(col("o_totalprice"))) * 100).cast("long")
+          .as("value_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("n_orders * 1000000 div n_open"))
+      .select("o_orderpriority", "bucket", "n_orders", "value_cents",
+        "share_ppm")
+      .orderBy("o_orderpriority", "bucket")
+  }
 }

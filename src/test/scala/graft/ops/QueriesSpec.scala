@@ -1884,4 +1884,64 @@ class QueriesSpec extends SparkSpec {
     assert(got._6 > 1000L)
     CachedStages.release(spark)
   }
+  test("q156 completeness gate equals a driver-side trailing-median replay") {
+    val daily = Events.events(spark, dir)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_sec div 86400").as("day"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val byDay = g.map(x => (x._2, x._3)).sortBy(_._1)
+      byDay.map { case (day, n) =>
+        val prior = byDay.filter(x => x._1 >= day - 7 && x._1 <= day - 1)
+          .map(_._2).sorted
+        val m = prior.length.toLong
+        val med = if (m >= 4) Some(prior(((m + 1) / 2 - 1).toInt)) else None
+        val flag = med.map(md => if (n * 10 >= md * 8) 1L else 0L)
+        (t, day, n, m, med, flag)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = Events.completenessGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == expect, s"${got.take(5)} != ${expect.take(5)}")
+    // warmup rows exist, and after warmup every row carries a verdict
+    assert(got.exists(_._6.isEmpty) && got.exists(_._6.nonEmpty))
+    got.foreach(r => assert((r._4 >= 4) == r._6.nonEmpty))
+    CachedStages.release(spark)
+  }
+
+  test("q157 order aging equals a driver-side bucket replay") {
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderstatus", "o_orderpriority", "o_orderdate",
+        "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli,
+        (BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val snap = orders.map(_._3).max
+    val open = orders.filter(_._1 == "O").map { o =>
+      val age = (snap - o._3) / 86400000L
+      val bucket =
+        if (age <= 30) "a_0_30" else if (age <= 90) "b_31_90"
+        else if (age <= 365) "c_91_365" else "d_365_plus"
+      (o._2, bucket, o._4)
+    }
+    val nOpen = open.length.toLong
+    val expect = open.groupBy(o => (o._1, o._2)).toSeq.map {
+      case ((p, b), g) =>
+        (p, b, g.length.toLong, g.map(_._3).sum,
+          g.length.toLong * 1000000L / nOpen)
+    }.sortBy(x => (x._1, x._2))
+    val got = Relational.orderAging(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the report covers the whole open book
+    assert(got.map(_._3).sum == nOpen && nOpen > 0)
+    CachedStages.release(spark)
+  }
 }
