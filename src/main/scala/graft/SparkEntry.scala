@@ -256,6 +256,8 @@ object SparkEntry {
     "q156_completeness_gate" -> ((s: SparkSession, d: String) =>
       Events.completenessGate(s, d, GateWindowDays, GateMinPrior)),
     "q157_order_aging" -> Relational.orderAging _,
+    "q158_revenue_bridge" -> ((s: SparkSession, d: String) =>
+      Relational.revenueBridge(s, d, BridgeY1, BridgeY2)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4065,6 +4067,45 @@ object SparkEntry {
         |FROM b CROSS JOIN tot
         |GROUP BY o_orderpriority, bucket, tot.n_open
         |ORDER BY o_orderpriority, bucket""".stripMargin,
+    "q158_revenue_bridge" ->
+      s"""WITH base AS (
+         |  SELECT p.p_brand, year(o.o_orderdate) AS yr,
+         |    CAST(l.l_quantity AS DECIMAL(12, 2)) AS qty,
+         |    CAST(l.l_extendedprice AS DECIMAL(12, 2))
+         |      * (1 - CAST(l.l_discount AS DECIMAL(12, 2))) AS rev
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE year(o.o_orderdate) IN ($BridgeY1, $BridgeY2)),
+         |per AS (
+         |  SELECT p_brand, yr,
+         |    CAST(SUM(qty) * 100 AS BIGINT) AS q_c,
+         |    CAST(SUM(rev) * 10000 AS BIGINT) AS r4
+         |  FROM base GROUP BY p_brand, yr),
+         |pv AS (
+         |  SELECT p_brand,
+         |    COALESCE(SUM(CASE WHEN yr = $BridgeY1 THEN q_c END), 0) AS q1,
+         |    COALESCE(SUM(CASE WHEN yr = $BridgeY1 THEN r4 END), 0) AS r1,
+         |    COALESCE(SUM(CASE WHEN yr = $BridgeY2 THEN q_c END), 0) AS q2,
+         |    COALESCE(SUM(CASE WHEN yr = $BridgeY2 THEN r4 END), 0) AS r2
+         |  FROM per GROUP BY p_brand),
+         |eff AS (
+         |  SELECT p_brand, CAST(q1 AS BIGINT) AS q1, CAST(r1 AS BIGINT) AS r1,
+         |    CAST(q2 AS BIGINT) AS q2, CAST(r2 AS BIGINT) AS r2,
+         |    CAST(r2 - r1 AS BIGINT) AS delta_r4,
+         |    CASE WHEN q1 = 0 OR q2 = 0 THEN CAST(r2 - r1 AS BIGINT)
+         |      WHEN q2 >= q1 THEN
+         |        CAST((q2 - q1)::HUGEINT * r1 // q1 AS BIGINT)
+         |      ELSE -CAST((q1 - q2)::HUGEINT * r1 // q1 AS BIGINT)
+         |      END AS volume_eff_r4,
+         |    CASE WHEN q1 = 0 OR q2 = 0 THEN 0
+         |      ELSE CAST(q1::HUGEINT * r2 // q2 AS BIGINT)
+         |        - CAST(r1 AS BIGINT)
+         |      END AS price_eff_r4
+         |  FROM pv)
+         |SELECT p_brand, r1, r2, delta_r4, volume_eff_r4, price_eff_r4,
+         |  delta_r4 - volume_eff_r4 - price_eff_r4 AS mix_residual_r4
+         |FROM eff ORDER BY p_brand""".stripMargin,
   )
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
@@ -4570,6 +4611,9 @@ object SparkEntry {
   // q156: trailing-baseline window and the warmup floor.
   private val GateWindowDays = 7
   private val GateMinPrior = 4
+  // q158: bridge periods.
+  private val BridgeY1 = 1999
+  private val BridgeY2 = 2000
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

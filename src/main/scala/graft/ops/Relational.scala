@@ -533,4 +533,74 @@ object Relational {
         "share_ppm")
       .orderBy("o_orderpriority", "bucket")
   }
+  def revenueBridge(spark: SparkSession, dir: String, y1: Int = 1999,
+      y2: Int = 2000): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val parts = Tables(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    revenueBridgeOf(
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey")),
+      y1, y2)
+  }
+
+  /** Graded q158: REVENUE BRIDGE — the period-over-period
+    * price/volume decomposition every finance review runs: per brand,
+    * how much of the revenue change from year 1 to year 2 came from
+    * selling MORE (volume effect, at old prices), from charging MORE
+    * (price effect, at old volumes), and from the interaction the
+    * linear split can't attribute (the mix residual). The three
+    * effects sum EXACTLY to the revenue delta — the audit identity
+    * that makes the bridge a reconciliation artifact, not an
+    * approximation: volume and price are the Laspeyres terms rounded
+    * by integral division, and the residual is DEFINED as the exact
+    * remainder, so the identity holds to the last unit.
+    *
+    * Determinism: quantities in centi-units, revenue in the exact
+    * scale-4 integer units of the q01 revenue term (both through
+    * decimal casts); each Laspeyres term is one integral division
+    * with a sign-split CASE so the numerator is never negative (the
+    * div-vs-floor engine hazard); products route through DECIMAL(38).
+    * A brand absent from a period (new or discontinued) takes its
+    * whole delta as volume — the convention that keeps zero
+    * denominators out and the identity intact.
+    *
+    * Scale shape: one lineitem scan filtered to the two years at the
+    * source (the year predicate pushes through the order join), brand
+    * attached by broadcast; the pivot and effect arithmetic run on
+    * the |brands|-row rollup.
+    */
+  def revenueBridgeOf(joined: DataFrame, y1: Int, y2: Int): DataFrame = {
+    val per = joined
+      .filter(col("yr") === y1 || col("yr") === y2)
+      .groupBy(col("p_brand"), col("yr"))
+      .agg((sum(dec2(col("l_quantity"))) * 100).cast("long").as("q_c"),
+        (sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+          * 10000).cast("long").as("r4"))
+    per.groupBy("p_brand")
+      .agg(
+        coalesce(sum(when(col("yr") === y1, col("q_c"))), lit(0L)).as("q1"),
+        coalesce(sum(when(col("yr") === y1, col("r4"))), lit(0L)).as("r1"),
+        coalesce(sum(when(col("yr") === y2, col("q_c"))), lit(0L)).as("q2"),
+        coalesce(sum(when(col("yr") === y2, col("r4"))), lit(0L)).as("r2"))
+      .withColumn("delta_r4", expr("r2 - r1"))
+      .withColumn("volume_eff_r4", expr(
+        """CASE WHEN q1 = 0 OR q2 = 0 THEN r2 - r1
+          | WHEN q2 >= q1 THEN
+          |   CAST(CAST(q2 - q1 AS DECIMAL(38, 0)) * r1 div q1 AS BIGINT)
+          | ELSE
+          |   -CAST(CAST(q1 - q2 AS DECIMAL(38, 0)) * r1 div q1 AS BIGINT)
+          | END""".stripMargin))
+      .withColumn("price_eff_r4", expr(
+        """CASE WHEN q1 = 0 OR q2 = 0 THEN 0
+          | ELSE CAST(CAST(q1 AS DECIMAL(38, 0)) * r2 div q2 AS BIGINT) - r1
+          | END""".stripMargin))
+      .withColumn("mix_residual_r4",
+        expr("delta_r4 - volume_eff_r4 - price_eff_r4"))
+      .select("p_brand", "r1", "r2", "delta_r4", "volume_eff_r4",
+        "price_eff_r4", "mix_residual_r4")
+      .orderBy("p_brand")
+  }
 }

@@ -1944,4 +1944,47 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._3).sum == nOpen && nOpen > 0)
     CachedStages.release(spark)
   }
+  test("q158 revenue bridge reconciles exactly and matches a BigInt replay") {
+    import org.apache.spark.sql.functions.{col, year}
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+    val parts = Tables(spark, dir, "part").select("p_partkey", "p_brand")
+    val rows = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .filter(col("yr") === 1999 || col("yr") === 2000)
+      .select("p_brand", "yr", "l_quantity", "l_extendedprice",
+        "l_discount").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    def d2(x: Double) = BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val expect = rows.groupBy(_._1).toSeq.map { case (brand, g) =>
+      def agg(y: Int) = {
+        val gg = g.filter(_._2 == y)
+        val q = (gg.map(r => d2(r._3)).sum * 100).toLongExact
+        val r4 = (gg.map(r => d2(r._4) * (1 - d2(r._5))).sum * 10000)
+          .toLongExact
+        (q, r4)
+      }
+      val ((q1, r1), (q2, r2)) = (agg(1999), agg(2000))
+      val delta = r2 - r1
+      val vol =
+        if (q1 == 0 || q2 == 0) delta
+        else if (q2 >= q1) (BigInt(q2 - q1) * r1 / q1).toLong
+        else -(BigInt(q1 - q2) * r1 / q1).toLong
+      val price = if (q1 == 0 || q2 == 0) 0L
+        else (BigInt(q1) * r2 / q2).toLong - r1
+      (brand, r1, r2, delta, vol, price, delta - vol - price)
+    }.sortBy(_._1)
+    val got = Relational.revenueBridge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // the audit identity holds to the last unit on every row
+    got.foreach(r => assert(r._4 == r._5 + r._6 + r._7))
+    // both effects are non-trivial somewhere (the bridge decomposes)
+    assert(got.exists(_._5 != 0L) && got.exists(_._6 != 0L))
+    CachedStages.release(spark)
+  }
 }
