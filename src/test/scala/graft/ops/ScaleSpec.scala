@@ -1046,4 +1046,46 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q154 plan: replicate grid reads the user cache, never parquet") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Events.abBootstrap(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the point estimates, the replicate counts, and the ranked CI pass
+    // all flow from the persisted user table and the persisted
+    // arm-replicate matrix — the events parquet is read only at cache
+    // fill, and the users x B grid is a generator, not a stored table
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q156 plan: one events collapse; trailing frame over the day matrix") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.completenessGate(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 1,
+      plan.take(3000))
+    // the window is the RANGE frame over the day-granular matrix — no
+    // join, no second aggregation of the raw stream
+    assert(plan.contains("Window"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q158 plan: one pass over the two-year slice, brand broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.revenueBridge(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 3,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
