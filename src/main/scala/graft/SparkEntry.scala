@@ -258,6 +258,10 @@ object SparkEntry {
     "q157_order_aging" -> Relational.orderAging _,
     "q158_revenue_bridge" -> ((s: SparkSession, d: String) =>
       Relational.revenueBridge(s, d, BridgeY1, BridgeY2)),
+    "q159_equidepth_histograms" -> ((s: SparkSession, d: String) =>
+      Stats.equidepthHistograms(s, d, HistBuckets)),
+    "q160_selectivity_audit" -> ((s: SparkSession, d: String) =>
+      Stats.selectivityAudit(s, d, HistBuckets)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4106,7 +4110,75 @@ object SparkEntry {
          |SELECT p_brand, r1, r2, delta_r4, volume_eff_r4, price_eff_r4,
          |  delta_r4 - volume_eff_r4 - price_eff_r4 AS mix_residual_r4
          |FROM eff ORDER BY p_brand""".stripMargin,
+    "q159_equidepth_histograms" -> {
+      val arms = Stats.HistogramColumns.map { case (t, c) =>
+        equidepthArmSql(t, c, HistBuckets,
+          "SELECT table_name, column_name, bucket, lo, hi, n_rows FROM rg")
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT * FROM (
+         |  $arms) u
+         |ORDER BY table_name, column_name, bucket""".stripMargin
+    },
+    "q160_selectivity_audit" -> {
+      val arms = Stats.AuditPredicates.map { case (name, t, c, plo, phi) =>
+        val pl = plo.getOrElse(Long.MinValue / 4)
+        val ph = phi.getOrElse(Long.MaxValue / 4)
+        val body =
+          s"""SELECT '$name' AS predicate,
+             |  (SELECT CAST(SUM(CASE WHEN hi > lo THEN
+             |      n_rows::HUGEINT
+             |        * greatest(0, least(hi, $ph) - greatest(lo, $pl - 1))
+             |        // (hi - lo)
+             |      ELSE 0 END) AS BIGINT) FROM rg) AS est_rows,
+             |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $t
+             |   WHERE CAST(CAST($c AS DECIMAL(12, 2)) * 100 AS BIGINT)
+             |     BETWEEN $pl AND $ph) AS actual_rows""".stripMargin
+        equidepthArmSql(t, c, HistBuckets, body)
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT predicate, est_rows, actual_rows,
+         |  abs(est_rows - actual_rows) * 1000000 // actual_rows AS err_ppm
+         |FROM (
+         |  $arms) u
+         |ORDER BY predicate""".stripMargin
+    },
   )
+
+  /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`
+    * up to the `rg` ranges-with-counts CTE, then running `body` over
+    * it — shared by the q159 and q160 oracles.
+    */
+  private def equidepthArmSql(t: String, c: String, buckets: Int,
+      body: String): String = {
+    val picks = (1 to buckets).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS bucket, (SELECT MIN(cents) FROM cm" +
+        s" WHERE cum * $buckets >= (SELECT n FROM tt) * $i) AS hi")
+      .mkString("\n    UNION ALL ")
+    s"""SELECT * FROM (
+       |WITH h AS (
+       |  SELECT CAST(CAST($c AS DECIMAL(12, 2)) * 100 AS BIGINT) AS cents,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM $t GROUP BY 1),
+       |cm AS (
+       |  SELECT cents, cnt,
+       |    SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM h),
+       |tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+       |       MIN(cents) - 1 AS floor_lo FROM h),
+       |bd AS (
+       |    $picks),
+       |rg0 AS (
+       |  SELECT '$t' AS table_name, '$c' AS column_name, bucket,
+       |    COALESCE(lag(hi) OVER (ORDER BY bucket),
+       |      (SELECT floor_lo FROM tt)) AS lo,
+       |    hi
+       |  FROM bd),
+       |rg AS (
+       |  SELECT table_name, column_name, bucket, lo, hi,
+       |    COALESCE((SELECT CAST(SUM(c2.cnt) AS BIGINT) FROM cm c2
+       |      WHERE c2.cents > rg0.lo AND c2.cents <= rg0.hi), 0) AS n_rows
+       |  FROM rg0)
+       |$body) arm_${t}_$c""".stripMargin
+  }
 
   /** Replays `Similarity.annRecallLadder(k)`: four UNION arms, each a
     * nested WITH holding the exact chain (x-prefixed CTEs, the q21
@@ -4614,6 +4686,8 @@ object SparkEntry {
   // q158: bridge periods.
   private val BridgeY1 = 1999
   private val BridgeY2 = 2000
+  // q159/q160: equi-depth bucket count.
+  private val HistBuckets = 8
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

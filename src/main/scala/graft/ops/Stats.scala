@@ -142,4 +142,135 @@ object Stats {
           "abs(est_rows - actual_rows) * 1000000 div actual_rows"))
     }.reduce(_ unionByName _).orderBy("join_name")
   }
+
+  /** The numeric columns the histogram/selectivity pair profiles —
+    * each with ≤2 decimals, so cents quantization is lossless.
+    */
+  val HistogramColumns: Seq[(String, String)] = Seq(
+    ("events", "value"),
+    ("lineitem", "l_quantity"),
+    ("orders", "o_totalprice"))
+
+  def equidepthHistograms(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame =
+    HistogramColumns.map { case (t, c) =>
+      equidepthOf(Tables(spark, dir, t), t, c, buckets)
+    }.reduce(_ unionByName _)
+      .orderBy("table_name", "column_name", "bucket")
+
+  /** Graded q159: EQUI-DEPTH HISTOGRAM construction — the third
+    * catalog artifact of the CBO family (q150 counts/NDVs, q153 join
+    * sizes, this one range selectivity): per column, `buckets`
+    * boundaries at the exact ceil-rank positions `⌈n·i/B⌉`, each
+    * bucket carrying its (lo, hi] value range and its EXACT row
+    * count. Equi-depth (not equi-width) is what every production
+    * optimizer builds, because real value distributions are skewed
+    * and equal-width buckets put all the resolution where no rows
+    * are. Ties land whole — a heavy value never splits across
+    * buckets, so counts deviate from n/B exactly where duplication
+    * forces them to (the honest histogram).
+    *
+    * Scale shape: one scan per column collapses into the persisted
+    * cents value-domain histogram (the q53/q128/q145 discipline);
+    * boundaries are conditional-min picks over the cumulative frame;
+    * bucket counts re-read the same cached histogram against the
+    * ≤ B-row broadcast boundary table. No sort of the data, ever.
+    */
+  def equidepthOf(df: DataFrame, table: String, column: String,
+      buckets: Int): DataFrame = {
+    val hist = CachedStages.track(df
+      .select(expr(s"CAST(CAST($column AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .persist())
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cents").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = hist.agg(sum(col("cnt")).as("n"),
+      (min(col("cents")) - 1).as("floor_lo"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot))
+    val picks = (1 to buckets).map(i =>
+      min(when(expr(s"cum * $buckets >= n * $i"), col("cents")))
+        .as(s"h$i"))
+    val bounds = cum.agg(picks.head, picks.tail: _*)
+      .select(expr(s"stack($buckets, " +
+        (1 to buckets).map(i => s"CAST($i AS BIGINT), h$i").mkString(", ") +
+        ") AS (bucket, hi)"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bucket").asc)
+    // bucket 1's exclusive lower bound is (min - 1), so every bucket is
+    // a closed-span (lo, hi] range — no NULL edges for the selectivity
+    // estimator (q160) to special-case
+    val ranges = bounds
+      .crossJoin(broadcast(tot.select(col("floor_lo"))))
+      .withColumn("lo", coalesce(lag(col("hi"), 1).over(wb), col("floor_lo")))
+      .select(col("bucket"), col("lo"), col("hi"))
+    val counts = cum.crossJoin(broadcast(ranges))
+      .filter(col("cents") > col("lo") && col("cents") <= col("hi"))
+      .groupBy("bucket")
+      .agg(sum(col("cnt")).as("n_rows"))
+    // left join + 0-fill: a tie boundary (one value heavier than n/B)
+    // collapses a bucket to zero span — it must still appear, empty
+    ranges.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .select(lit(table).as("table_name"), lit(column).as("column_name"),
+        col("bucket"), col("lo"), col("hi"), col("n_rows"))
+  }
+
+  /** The fixed audit predicates q160 grades, as closed cents ranges
+    * `[lo, hi]` (None = that side unbounded) — one per histogram
+    * column, chosen to cover a tail, a head, and a mid-band.
+    */
+  val AuditPredicates: Seq[(String, String, String, Option[Long], Option[Long])] =
+    Seq(
+      ("events_value_ge_100", "events", "value", Some(10000L), None),
+      ("lineitem_qty_le_25", "lineitem", "l_quantity", None, Some(2500L)),
+      ("orders_total_50k_150k", "orders", "o_totalprice",
+        Some(5000000L), Some(15000000L)))
+
+  def selectivityAudit(spark: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame =
+    AuditPredicates.map { case (name, t, c, plo, phi) =>
+      selectivityAuditOf(Tables(spark, dir, t), name, t, c, plo, phi,
+        buckets)
+    }.reduce(_ unionByName _).orderBy("predicate")
+
+  /** Graded q160: RANGE-SELECTIVITY estimation audited against truth —
+    * the fourth CBO artifact, consuming q159's equi-depth histogram
+    * exactly the way a planner does: buckets inside the predicate
+    * contribute whole, the straddling bucket contributes under the
+    * uniform-within-bucket assumption (`cnt · overlap div span`, the
+    * per-bucket floor summed — all integer; zero-span tie buckets hold
+    * no rows and contribute 0). The error column against the measured
+    * count is the histogram's real-world risk, per predicate.
+    *
+    * Scale shape: the estimate branch reads the CACHED value-domain
+    * histogram and the ≤ B-row boundary table — no data scan; the
+    * actual-count branch is the predicate itself (one scan with the
+    * range pushed down), the verification column a production run
+    * drops.
+    */
+  def selectivityAuditOf(df: DataFrame, name: String, table: String,
+      column: String, plo: Option[Long], phi: Option[Long],
+      buckets: Int): DataFrame = {
+    val h = equidepthOf(df, table, column, buckets)
+    val pl = plo.getOrElse(Long.MinValue / 4)
+    val ph = phi.getOrElse(Long.MaxValue / 4)
+    val est = h.agg(sum(expr(
+      s"""CASE WHEN hi > lo THEN
+         |  CAST(n_rows AS DECIMAL(38, 0))
+         |    * greatest(0L, least(hi, ${ph}L) - greatest(lo, ${pl}L - 1))
+         |    div (hi - lo)
+         |ELSE 0 END""".stripMargin)).cast("long").as("est_rows"))
+    val actual = df
+      .select(expr(s"CAST(CAST($column AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+        .as("cents"))
+      .filter(col("cents") >= pl && col("cents") <= ph)
+      .agg(count(lit(1)).as("actual_rows"))
+    est.crossJoin(broadcast(actual))
+      .select(lit(name).as("predicate"), col("est_rows"),
+        col("actual_rows"),
+        expr("abs(est_rows - actual_rows) * 1000000 div actual_rows")
+          .as("err_ppm"))
+  }
 }

@@ -1987,4 +1987,64 @@ class QueriesSpec extends SparkSpec {
     assert(got.exists(_._5 != 0L) && got.exists(_._6 != 0L))
     CachedStages.release(spark)
   }
+  test("q159 equi-depth histograms equal a driver-side sorted replay") {
+    val expect = Stats.HistogramColumns.flatMap { case (t, c) =>
+      val cents = Tables(spark, dir, t)
+        .select(org.apache.spark.sql.functions.col(c)).collect()
+        .map(r => (BigDecimal(r.getDouble(0)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sorted
+      val n = cents.length.toLong
+      val floorLo = cents.head - 1
+      val his = (1 to 8).map { i =>
+        // min value whose cum rank satisfies cum*8 >= n*i
+        cents(((n * i + 7) / 8 - 1).toInt)
+      }
+      (1 to 8).map { i =>
+        val lo = if (i == 1) floorLo else his(i - 2)
+        val hi = his(i - 1)
+        (t, c, i.toLong, lo, hi,
+          cents.count(v => v > lo && v <= hi).toLong)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    val got = Stats.equidepthHistograms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(4)} != ${expect.take(4)}")
+    // buckets partition the whole column on every profiled column
+    Stats.HistogramColumns.foreach { case (t, c) =>
+      val rows = got.filter(r => r._1 == t && r._2 == c)
+      assert(rows.map(_._6).sum == Tables(spark, dir, t).count())
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q160 selectivity audit reconciles with q159's own histogram") {
+    val hist = Stats.equidepthHistograms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val got = Stats.selectivityAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.map(_._1) == Stats.AuditPredicates.map(_._1).sorted)
+    Stats.AuditPredicates.foreach { case (name, t, c, plo, phi) =>
+      val pl = plo.getOrElse(Long.MinValue / 4)
+      val ph = phi.getOrElse(Long.MaxValue / 4)
+      val est = hist.filter(h => h._1 == t && h._2 == c).map {
+        case (_, _, lo, hi, nr) =>
+          if (hi > lo)
+            (BigInt(nr) * (0L.max((hi.min(ph)) - (lo.max(pl - 1)))) /
+              (hi - lo)).toLong
+          else 0L
+      }.sum
+      val actual = Tables(spark, dir, t)
+        .filter(s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+          s"BETWEEN $pl AND $ph").count()
+      val row = got.find(_._1 == name).get
+      assert(row._2 == est && row._3 == actual)
+      assert(row._4 == math.abs(est - actual) * 1000000L / actual)
+      // the histogram estimate is tight on these columns (< 5%)
+      assert(row._4 <= 50000L, s"$name: ${row._4}")
+    }
+    CachedStages.release(spark)
+  }
 }
