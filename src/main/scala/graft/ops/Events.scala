@@ -988,11 +988,19 @@ object Events {
     * `windowDays`-row frames of that matrix.
     */
   def completenessGateOf(evs: DataFrame, windowDays: Int,
-      minPriorDays: Int): DataFrame = {
-    val daily = CachedStages.track(evs
+      minPriorDays: Int): DataFrame =
+    gateFromDaily(CachedStages.track(evs
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
       .agg(count(lit(1)).as("n"))
-      .persist())
+      .persist()), windowDays, minPriorDays)
+
+  /** The gate derivation alone, over an already-built day-granular
+    * `(event_type, day, n)` matrix — split out so the streaming twin's
+    * maintained matrix feeds the IDENTICAL trailing-median arithmetic
+    * at read time (EventStreams.dailyCountStream).
+    */
+  def gateFromDaily(daily: DataFrame, windowDays: Int,
+      minPriorDays: Int): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
       .rangeBetween(-windowDays.toLong, -1L)
     daily

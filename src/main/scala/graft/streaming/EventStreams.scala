@@ -361,6 +361,22 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("wcents")).as("winsor_sum_cents"))
   }
 
+  /** q156's twin: the day-granular count matrix maintained at the
+    * ingestion edge — the SAME state the burst twin keeps (one row per
+    * (type, day), never per event; Complete mode, no watermark — day
+    * counts only grow), with the completeness verdicts derived at READ
+    * time by `Events.gateFromDaily` over the maintained matrix, so the
+    * live "is today's partition complete yet?" dashboard and batch
+    * q156 are one arithmetic. (A day's verdict naturally flips to
+    * complete as its events arrive — that is the gate's semantics, not
+    * a consistency bug: the batch twin sees the day's final count.)
+    */
+  def dailyCountStream(stream: DataFrame): DataFrame =
+    stream
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

@@ -405,4 +405,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.size == batch.size)
     graft.ops.CachedStages.release(spark)
   }
+  test("q156 twin: streamed day matrix feeds the identical gate derivation") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(EventStreams.dailyCountStream(stream),
+      "daily_counts", OutputMode.Complete())
+    val streamedDaily = spark.table("daily_counts").localCheckpoint()
+    val src = "/root/testdata/sf0.001"
+    val got = Events.gateFromDaily(streamedDaily, 7, 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    val batch = Events.completenessGate(spark, src).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == batch && got.nonEmpty)
+    // state bound: one row per (type, day)
+    assert(streamedDaily.count() == got.length.toLong)
+    graft.ops.CachedStages.release(spark)
+  }
 }
