@@ -262,6 +262,8 @@ object SparkEntry {
       Stats.equidepthHistograms(s, d, HistBuckets)),
     "q160_selectivity_audit" -> ((s: SparkSession, d: String) =>
       Stats.selectivityAudit(s, d, HistBuckets)),
+    "q161_cohort_ltv" -> Events.cohortLtv _,
+    "q162_supplier_hhi" -> Relational.supplierHhi _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4141,6 +4143,54 @@ object SparkEntry {
          |  $arms) u
          |ORDER BY predicate""".stripMargin
     },
+    "q161_cohort_ltv" ->
+      """WITH uw AS (
+        |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(12, 2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |ch AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY 1),
+        |g AS (
+        |  SELECT ch.cohort_week, uw.week - ch.cohort_week AS week_offset,
+        |    CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active,
+        |    CAST(SUM(uw.cents) AS BIGINT) AS rev_cents
+        |  FROM uw JOIN ch USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, n_active AS cohort_size FROM g
+        |       WHERE week_offset = 0),
+        |cumq AS (
+        |  SELECT g.cohort_week, g.week_offset, g.n_active, sz.cohort_size,
+        |    g.rev_cents,
+        |    CAST(SUM(g.rev_cents) OVER (PARTITION BY g.cohort_week
+        |      ORDER BY g.week_offset ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS cum_rev_cents
+        |  FROM g JOIN sz USING (cohort_week))
+        |SELECT cohort_week, week_offset, n_active, cohort_size, rev_cents,
+        |  cum_rev_cents,
+        |  CAST(cum_rev_cents::HUGEINT * 10000 // cohort_size AS BIGINT)
+        |    AS ltv_micro_per_user
+        |FROM cumq ORDER BY cohort_week, week_offset""".stripMargin,
+    "q162_supplier_hhi" ->
+      """WITH r AS (
+        |  SELECT s.s_nationkey AS nation, l.l_suppkey,
+        |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12, 2))
+        |      * (1 - CAST(l.l_discount AS DECIMAL(12, 2)))) * 10000
+        |      AS BIGINT) AS r4
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT CAST(nation AS BIGINT) AS nation,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(r4) AS BIGINT) AS tot_r4,
+        |    SUM(r4::HUGEINT * r4) AS sq_r4
+        |  FROM r GROUP BY 1)
+        |SELECT nation, n_suppliers, tot_r4,
+        |  CAST(sq_r4 * 1000000 // (tot_r4::HUGEINT * tot_r4) AS BIGINT)
+        |    AS hhi_ppm,
+        |  1000000000 // CAST(sq_r4 * 1000000
+        |    // (tot_r4::HUGEINT * tot_r4) AS BIGINT)
+        |    AS equiv_suppliers_x1000
+        |FROM agg ORDER BY nation""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

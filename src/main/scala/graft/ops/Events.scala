@@ -842,6 +842,55 @@ object Events {
       .orderBy("arm")
   }
 
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    cohortLtvOf(events(spark, dir))
+
+  /** Graded q161: COHORT LTV CURVES — q65's retention grid with MONEY
+    * on it: per signup cohort (a user's first-activity week) and week
+    * offset, the active-user count, the week's revenue, and the
+    * CUMULATIVE revenue per cohort member in micro-units — the
+    * lifetime-value curve a growth team reads cohort by cohort to see
+    * whether newer cohorts monetize faster. Cumulative-per-member is
+    * what makes curves comparable across cohorts of different sizes.
+    *
+    * Determinism: revenue in exact cents (dec2), the cumulative as a
+    * bounded window over week offsets (the frame is |weeks in the
+    * observation window| per cohort — day-granular matrix discipline),
+    * LTV one integral division of the DECIMAL(38)-routed product.
+    * Cohort size is the week-0 active count, fixed per cohort.
+    *
+    * Scale shape: one events scan collapses into the per-(user, week)
+    * activity/spend matrix; the cohort assignment is a per-user min
+    * re-aggregated from it; the grid is |cohorts|·|offsets| rows.
+    */
+  def cohortLtvOf(evs: DataFrame): DataFrame = {
+    val userWeeks = CachedStages.track(evs
+      .select(col("user_id"), expr("ts_sec div 604800").as("week"),
+        (dec2(col("value")) * 100).cast("long").as("cents"))
+      .groupBy("user_id", "week")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .persist())
+    val cohorts = userWeeks.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val grid = userWeeks.join(broadcast(cohorts), Seq("user_id"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val sizes = grid.filter(col("week_offset") === 0L)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    val w = Window.partitionBy("cohort_week").orderBy(col("week_offset").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .withColumn("ltv_micro_per_user", expr(
+        """CAST(CAST(cum_rev_cents AS DECIMAL(38, 0)) * 10000
+          | div cohort_size AS BIGINT)""".stripMargin))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size",
+        "rev_cents", "cum_rev_cents", "ltv_micro_per_user")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   def retentionCohortsOf(evs: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     evs.select(col("user_id"),

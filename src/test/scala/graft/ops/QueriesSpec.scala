@@ -2047,4 +2047,68 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q161 cohort LTV equals a driver-side replay; curves are monotone") {
+    val evs = Events.events(spark, dir)
+      .select("user_id", "ts_sec", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 604800L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val cohort = evs.groupBy(_._1).map { case (u, g) =>
+      u -> g.map(_._2).min
+    }
+    val grid = evs.groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .map { case ((cw, off), g) =>
+        ((cw, off), (g.map(_._1).distinct.length.toLong, g.map(_._3).sum))
+      }
+    val sizes = grid.collect { case ((cw, 0L), (na, _)) => cw -> na }
+    val expect = grid.toSeq.sortBy(_._1).map { case ((cw, off), (na, rev)) =>
+      val cum = grid.filter { case ((c2, o2), _) =>
+        c2 == cw && o2 <= off
+      }.map(_._2._2).sum
+      (cw, off, na, sizes(cw), rev, cum,
+        (BigInt(cum) * 10000 / sizes(cw)).toLong)
+    }
+    val got = Events.cohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // the LTV curve never decreases within a cohort
+    got.groupBy(_._1).values.foreach { c =>
+      val curve = c.sortBy(_._2).map(_._7)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a })
+    }
+    CachedStages.release(spark)
+  }
+
+  test("q162 supplier HHI equals a BigInt replay and its bounds") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val sup = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    def d2(x: Double) = BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    val perSupp = li.groupBy(_._1).map { case (sk, g) =>
+      (sup(sk), sk) -> (g.map(r => d2(r._2) * (1 - d2(r._3))).sum * 10000)
+        .toLongExact
+    }
+    val expect = perSupp.groupBy(_._1._1).toSeq.map { case (nat, g) =>
+      val r4s = g.values.toSeq
+      val tot = r4s.map(BigInt(_)).sum
+      val sq = r4s.map(r => BigInt(r) * r).sum
+      val hhi = (sq * 1000000 / (tot * tot)).toLong
+      (nat, r4s.length.toLong, tot.toLong, hhi, 1000000000L / hhi)
+    }.sortBy(_._1)
+    val got = Relational.supplierHhi(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // HHI bounds: between 10^6/n (perfect balance) and 10^6 (monopoly)
+    got.foreach { r =>
+      assert(r._4 >= 1000000L / r._2 - 1 && r._4 <= 1000000L)
+    }
+    CachedStages.release(spark)
+  }
 }
