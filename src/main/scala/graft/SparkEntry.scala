@@ -264,6 +264,8 @@ object SparkEntry {
       Stats.selectivityAudit(s, d, HistBuckets)),
     "q161_cohort_ltv" -> Events.cohortLtv _,
     "q162_supplier_hhi" -> Relational.supplierHhi _,
+    "q163_hll_growth_curve" -> ((s: SparkSession, d: String) =>
+      Events.hllGrowthCurve(s, d, HllRegisters, HllAlphaPerMille)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4191,6 +4193,60 @@ object SparkEntry {
         |    // (tot_r4::HUGEINT * tot_r4) AS BIGINT)
         |    AS equiv_suppliers_x1000
         |FROM agg ORDER BY nation""".stripMargin,
+    "q163_hll_growth_curve" -> {
+      val m = HllRegisters
+      val kMax = 41 - Integer.numberOfTrailingZeros(m)
+      val num = HllAlphaPerMille * m.toLong * m.toLong * (1L << kMax)
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+         |  FROM events),
+         |h AS (
+         |  SELECT day,
+         |    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+         |      1, 10) AS BIGINT) AS h
+         |  FROM ev),
+         |r AS (
+         |  SELECT day, h % $m AS idx,
+         |    CASE WHEN h // $m = 0 THEN $kMax
+         |         ELSE $kMax - length(bin(h // $m)) END AS rho
+         |  FROM h),
+         |daily AS (SELECT day, idx, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |grid AS (
+         |  SELECT days.day, g.idx FROM days
+         |  CROSS JOIN (SELECT unnest(range(0, $m)) AS idx) g),
+         |merged AS (
+         |  SELECT grid.day, grid.idx,
+         |    MAX(daily.mj) OVER (PARTITION BY grid.idx ORDER BY grid.day
+         |      ROWS UNBOUNDED PRECEDING) AS cum_mj
+         |  FROM grid LEFT JOIN daily
+         |    ON grid.day = daily.day AND grid.idx = daily.idx),
+         |est AS (
+         |  SELECT day,
+         |    CAST(SUM(CASE WHEN cum_mj IS NOT NULL
+         |      THEN 1::BIGINT << ($kMax - cum_mj) END) AS BIGINT)
+         |      AS s_present,
+         |    CAST(SUM(CASE WHEN cum_mj IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_present
+         |  FROM merged GROUP BY day),
+         |e2 AS (
+         |  SELECT day, $num // (1000 * (COALESCE(s_present, 0) +
+         |    ($m - n_present) * ${1L << kMax})) AS est_cum
+         |  FROM est),
+         |fs AS (
+         |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM (
+         |    SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id) f
+         |  GROUP BY day),
+         |ex AS (
+         |  SELECT days.day,
+         |    CAST(SUM(COALESCE(fs.n_new, 0)) OVER (ORDER BY days.day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum
+         |  FROM days LEFT JOIN fs ON days.day = fs.day)
+         |SELECT e2.day, ex.exact_cum, CAST(e2.est_cum AS BIGINT) AS est_cum,
+         |  abs(CAST(e2.est_cum AS BIGINT) - ex.exact_cum) * 1000000
+         |    // ex.exact_cum AS err_ppm
+         |FROM e2 JOIN ex USING (day) ORDER BY e2.day""".stripMargin
+    },
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

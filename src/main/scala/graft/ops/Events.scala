@@ -842,6 +842,83 @@ object Events {
       .orderBy("arm")
   }
 
+  def hllGrowthCurve(spark: SparkSession, dir: String,
+      m: Int = 64, alphaPerMille: Long = 709L): DataFrame =
+    hllGrowthCurveOf(events(spark, dir), m, alphaPerMille)
+
+  /** Graded q163: CUMULATIVE-DISTINCT GROWTH CURVE from merged daily
+    * HLL sketches — the operation that justifies persisting sketch
+    * state at all: per day, the distinct-users-so-far estimate is
+    * derived by MERGING the daily register tables (register-wise max,
+    * the q110 sketch's algebra) up to that day — no re-scan of any
+    * prior day, which is how a 100 TB history answers "cumulative
+    * audience by day" from |days|·m rows of state. The exact
+    * cumulative distinct count rides along as the verification column
+    * with the error in ppm.
+    *
+    * Determinism: the registers, the merge (a cumulative max over the
+    * densified day×register grid — max ignores the nulls of quiet
+    * registers), and the q110 integer estimator are all exact; the
+    * grid is |days|·m rows by construction.
+    *
+    * Scale shape: ONE events scan collapses into the daily register
+    * table (map-side-combined max); the grid cross of the |days|-row
+    * day list with the m-row register index is model-sized; the
+    * cumulative merge is a window over ≤ |days|-row frames per
+    * register. The exact branch is one sorted-by-first-seen
+    * aggregation (each user counts on their first day), joined back
+    * by broadcast.
+    */
+  def hllGrowthCurveOf(evs: DataFrame, m: Int,
+      alphaPerMille: Long): DataFrame = {
+    val restBits = 40 - Integer.numberOfTrailingZeros(m)
+    val kMax = restBits + 1
+    val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
+    val daily = CachedStages.track(evs
+      .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+      .select(col("day"), expr(
+        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING)))," +
+          " 1, 10), 16, 10) AS BIGINT)").as("h"))
+      .select(col("day"), (col("h") % m).as("idx"),
+        expr(s"CASE WHEN h div $m = 0 THEN $kMax " +
+          s"ELSE $kMax - length(bin(h div $m)) END").as("rho"))
+      .groupBy("day", "idx").agg(max(col("rho")).as("mj"))
+      .persist())
+    val days = daily.select("day").distinct()
+    val grid = days.crossJoin(
+      broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
+    val w = Window.partitionBy("idx").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = grid.join(daily, Seq("day", "idx"), "left")
+      .withColumn("cum_mj", max(col("mj")).over(w))
+    val est = merged.groupBy("day")
+      .agg(sum(when(col("cum_mj").isNotNull,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $kMax - cum_mj)")))
+        .as("s_present"),
+        sum(when(col("cum_mj").isNotNull, 1L).otherwise(0L))
+          .as("n_present"))
+      .select(col("day"), expr(
+        s"$numerator div (1000 * (coalesce(s_present, 0L) + " +
+          s"(${m.toLong} - n_present) * ${1L << kMax}))").as("est_cum"))
+    // exact: each user counts once, on their first-seen day; the
+    // cumulative is a window over the |days|-row first-seen rollup
+    val firstSeen = evs
+      .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val wd = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = days.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("exact_cum", sum(col("n_new")).over(wd))
+      .select("day", "exact_cum")
+    est.join(broadcast(exact), Seq("day"))
+      .select(col("day"), col("exact_cum"), col("est_cum"),
+        expr("abs(est_cum - exact_cum) * 1000000 div exact_cum")
+          .as("err_ppm"))
+      .orderBy("day")
+  }
+
   def cohortLtv(spark: SparkSession, dir: String): DataFrame =
     cohortLtvOf(events(spark, dir))
 

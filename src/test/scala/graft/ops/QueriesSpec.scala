@@ -2111,4 +2111,32 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q163 growth curve: merge == rescan, estimates monotone-consistent") {
+    val got = Events.hllGrowthCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got.nonEmpty)
+    // exact cumulative curve is non-decreasing and ends at the true total
+    val exacts = got.map(_._2)
+    assert(exacts.zip(exacts.tail).forall { case (a, b) => b >= a })
+    val total = Events.events(spark, dir).select("user_id").distinct().count()
+    assert(exacts.last == total)
+    // THE sketch-algebra law: the merged-to-day-d registers equal the
+    // registers of a single sketch over all events up to day d — so the
+    // per-day estimate must equal q110's estimator run on the prefix
+    import org.apache.spark.sql.functions.{col, expr}
+    val evs = Events.events(spark, dir)
+    got.foreach { case (day, _, estCum, _) =>
+      val prefix = evs.filter(expr(s"ts_sec div 86400 <= $day"))
+        .select(col("event_type"), col("user_id"))
+        .withColumn("event_type", org.apache.spark.sql.functions.lit("all"))
+      val one = Events.hllDistinctUsersOf(prefix, 64, 709L).collect()(0)
+      assert(one.getAs[Long]("est_hll") == estCum,
+        s"day $day: merge ${estCum} != rescan ${one.getAs[Long]("est_hll")}")
+    }
+    // per-row err arithmetic holds
+    got.foreach(r => assert(r._4 ==
+      math.abs(r._3 - r._2) * 1000000L / r._2))
+    CachedStages.release(spark)
+  }
 }
