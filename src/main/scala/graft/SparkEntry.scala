@@ -266,6 +266,8 @@ object SparkEntry {
     "q162_supplier_hhi" -> Relational.supplierHhi _,
     "q163_hll_growth_curve" -> ((s: SparkSession, d: String) =>
       Events.hllGrowthCurve(s, d, HllRegisters, HllAlphaPerMille)),
+    "q164_zonemap_report" -> ((s: SparkSession, d: String) =>
+      Layout.zonemapReport(s, d, ZoneFiles)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4247,6 +4249,38 @@ object SparkEntry {
          |    // ex.exact_cum AS err_ppm
          |FROM e2 JOIN ex USING (day) ORDER BY e2.day""".stripMargin
     },
+    "q164_zonemap_report" ->
+      s"""WITH base AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM orders),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |srt AS (
+         |  SELECT 'a_sorted' AS layout,
+         |    CAST(rank - 1 AS BIGINT) * $ZoneFiles // n.n AS file_id, cents
+         |  FROM (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents,
+         |    o_orderkey) AS rank FROM base) r CROSS JOIN n),
+         |hsh AS (
+         |  SELECT 'b_hashed' AS layout,
+         |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+         |      AS BIGINT) % 100 % $ZoneFiles AS file_id, cents
+         |  FROM base),
+         |ext AS (
+         |  SELECT layout, file_id, MIN(cents) AS min_c, MAX(cents) AS max_c
+         |  FROM (SELECT * FROM srt UNION ALL SELECT * FROM hsh) u
+         |  GROUP BY layout, file_id),
+         |pr AS (SELECT * FROM (VALUES ('total_lt_30k', CAST(0 AS BIGINT), CAST(3000000 AS BIGINT)), ('total_150k_200k', CAST(15000000 AS BIGINT), CAST(20000000 AS BIGINT)))
+         |  t(predicate, p_lo, p_hi))
+         |SELECT layout, predicate, CAST(COUNT(*) AS BIGINT) AS n_files,
+         |  CAST(SUM(CASE WHEN min_c <= p_hi AND max_c >= p_lo
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+         |  (CAST(COUNT(*) AS BIGINT) - CAST(SUM(CASE WHEN min_c <= p_hi
+         |    AND max_c >= p_lo THEN 1 ELSE 0 END) AS BIGINT)) * 1000000
+         |    // CAST(COUNT(*) AS BIGINT) AS skipped_ppm
+         |FROM ext CROSS JOIN pr
+         |GROUP BY layout, predicate
+         |ORDER BY layout, predicate""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`
@@ -4794,6 +4828,8 @@ object SparkEntry {
   private val BridgeY2 = 2000
   // q159/q160: equi-depth bucket count.
   private val HistBuckets = 8
+  // q164: file count per layout.
+  private val ZoneFiles = 16
   // q144: MMR re-ranking — probe count, ANN candidate depth per
   // probe, selections per probe. λ is fixed at 7/10 inside the
   // integer score (7·rel − 3·maxsim), shared with the oracle CTEs.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: Z-order (Morton) clustering.
@@ -164,5 +165,75 @@ object Layout {
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bucket")
+  }
+  /** The predicate bands the zone-map report audits, as closed cents
+    * ranges on o_totalprice.
+    */
+  val ZonePredicates: Seq[(String, Long, Long)] = Seq(
+    ("total_lt_30k", 0L, 3000000L),
+    ("total_150k_200k", 15000000L, 20000000L))
+
+  def zonemapReport(spark: SparkSession, dir: String,
+      files: Int = 16): DataFrame =
+    zonemapReportOf(Tables(spark, dir, "orders"), files)
+
+  /** Graded q164: ZONE-MAP SKIPPING effectiveness — the measurement
+    * behind every sort-on-write/clustering decision: lakehouse file
+    * skipping (parquet row-group stats, Iceberg/Delta file min/max)
+    * can only prune a file whose [min, max] band misses the
+    * predicate, so the BENEFIT of clustering is exactly "how many
+    * files a typical predicate skips". The report lays the same rows
+    * out two ways — SORTED by the predicate column (rank-chunked into
+    * equal files, the q95 discipline) vs HASH-scattered (the
+    * no-clustering baseline) — computes each file's min/max band, and
+    * counts prunable files per audit predicate. On the graded data the
+    * sorted layout skips most files while the hash layout scans every
+    * one: the number that justifies the sort.
+    *
+    * Determinism: row rank by (cents, o_orderkey) — fully pinned —
+    * chunked as `(rank−1)·F div n`; hash files by the q44 md5 rule
+    * mod F; band intersection is closed-interval integer arithmetic.
+    *
+    * Scale shape: the sorted rank is the q95 two-phase prefix-sum
+    * shape (a global window here at test scale; the group-prefix
+    * decomposition documented there applies unchanged); everything
+    * after runs on the 2·F-row extent table crossed with the
+    * |predicates|-row list.
+    */
+  def zonemapReportOf(orders: DataFrame, files: Int): DataFrame = {
+    val base = CachedStages.track(orders
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .persist())
+    val n = base.agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("cents").asc, col("o_orderkey").asc)
+    val sorted = base
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(n))
+      .select(lit("a_sorted").as("layout"),
+        expr(s"CAST((rank - 1) AS BIGINT) * $files div n").as("file_id"),
+        col("cents"))
+    val hashed = base
+      .select(lit("b_hashed").as("layout"),
+        expr(s"${Sampling.bucketExpr("o_orderkey")} % $files").as("file_id"),
+        col("cents"))
+    val extents = sorted.unionByName(hashed)
+      .groupBy("layout", "file_id")
+      .agg(min(col("cents")).as("min_c"), max(col("cents")).as("max_c"))
+    val preds = ZonePredicates.map { case (nm, lo, hi) =>
+      s"('$nm', CAST($lo AS BIGINT), CAST($hi AS BIGINT))"
+    }.mkString(", ")
+    val predDf = orders.sparkSession.sql(
+      s"SELECT * FROM VALUES $preds AS t(predicate, p_lo, p_hi)")
+    extents.crossJoin(broadcast(predDf))
+      .groupBy("layout", "predicate")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("min_c") <= col("p_hi") &&
+          col("max_c") >= col("p_lo"), 1L).otherwise(0L)).as("n_scanned"))
+      .withColumn("skipped_ppm",
+        expr("(n_files - n_scanned) * 1000000 div n_files"))
+      .select("layout", "predicate", "n_files", "n_scanned", "skipped_ppm")
+      .orderBy("layout", "predicate")
   }
 }

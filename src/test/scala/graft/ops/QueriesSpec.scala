@@ -2139,4 +2139,41 @@ class QueriesSpec extends SparkSpec {
       math.abs(r._3 - r._2) * 1000000L / r._2))
     CachedStages.release(spark)
   }
+  test("q164 zone-map report equals a driver-side layout replay") {
+    import java.security.MessageDigest
+    def bucket(k: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(3).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val rows = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), (BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val n = rows.length.toLong
+    val sortedFiles = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((_, c), i) => (i.toLong * 16 / n, c) }
+    val hashedFiles = rows.map { case (k, c) => (bucket(k) % 16, c) }
+    def report(name: String, fs: Seq[(Long, Long)]) = {
+      val ext = fs.groupBy(_._1).map { case (f, g) =>
+        (g.map(_._2).min, g.map(_._2).max)
+      }.toSeq
+      Seq(("total_150k_200k", 15000000L, 20000000L),
+        ("total_lt_30k", 0L, 3000000L)).map { case (p, lo, hi) =>
+        val scanned = ext.count { case (mn, mx) => mn <= hi && mx >= lo }
+        (name, p, ext.length.toLong, scanned.toLong,
+          (ext.length - scanned).toLong * 1000000L / ext.length)
+      }
+    }
+    val expect = (report("a_sorted", sortedFiles)
+      ++ report("b_hashed", hashedFiles)).sortBy(r => (r._1, r._2))
+    val got = Layout.zonemapReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the clustering pays: sorted skips most files, hashed skips none
+    got.filter(_._1 == "a_sorted").foreach(r => assert(r._5 >= 500000L))
+    got.filter(_._1 == "b_hashed").foreach(r => assert(r._5 == 0L))
+    CachedStages.release(spark)
+  }
 }
