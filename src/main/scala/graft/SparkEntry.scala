@@ -268,6 +268,7 @@ object SparkEntry {
       Events.hllGrowthCurve(s, d, HllRegisters, HllAlphaPerMille)),
     "q164_zonemap_report" -> ((s: SparkSession, d: String) =>
       Layout.zonemapReport(s, d, ZoneFiles)),
+    "q165_active_users" -> Events.activeUsers _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4281,6 +4282,30 @@ object SparkEntry {
          |FROM ext CROSS JOIN pr
          |GROUP BY layout, predicate
          |ORDER BY layout, predicate""".stripMargin,
+    "q165_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day),
+        |wx AS (
+        |  SELECT u.user_id, u.day + g.i AS day
+        |  FROM ud u, (SELECT unnest(range(0, 7)) AS i) g),
+        |wau AS (
+        |  SELECT wx.day, CAST(COUNT(DISTINCT wx.user_id) AS BIGINT) AS wau
+        |  FROM wx JOIN days ON wx.day = days.day GROUP BY wx.day),
+        |mx AS (
+        |  SELECT u.user_id, u.day + g.i AS day
+        |  FROM ud u, (SELECT unnest(range(0, 30)) AS i) g),
+        |mau AS (
+        |  SELECT mx.day, CAST(COUNT(DISTINCT mx.user_id) AS BIGINT) AS mau
+        |  FROM mx JOIN days ON mx.day = days.day GROUP BY mx.day)
+        |SELECT day, dau, wau, mau, dau * 1000000 // mau AS stickiness_ppm
+        |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

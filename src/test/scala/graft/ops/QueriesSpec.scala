@@ -2176,4 +2176,24 @@ class QueriesSpec extends SparkSpec {
     got.filter(_._1 == "b_hashed").foreach(r => assert(r._5 == 0L))
     CachedStages.release(spark)
   }
+  test("q165 active users equal a driver-side window replay") {
+    val ud = Events.events(spark, dir)
+      .select("user_id", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L)).distinct
+    val days = ud.map(_._2).distinct.sorted
+    val expect = days.map { d =>
+      def win(span: Int) =
+        ud.filter(u => u._2 <= d && u._2 > d - span).map(_._1)
+          .distinct.length.toLong
+      val (dau, wau, mau) = (win(1), win(7), win(30))
+      (d, dau, wau, mau, dau * 1000000L / mau)
+    }.toSeq
+    val got = Events.activeUsers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(4)} != ${expect.take(4)}")
+    // structural: DAU <= WAU <= MAU on every day
+    got.foreach(r => assert(r._2 <= r._3 && r._3 <= r._4))
+    CachedStages.release(spark)
+  }
 }
