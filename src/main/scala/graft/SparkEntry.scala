@@ -269,6 +269,7 @@ object SparkEntry {
     "q164_zonemap_report" -> ((s: SparkSession, d: String) =>
       Layout.zonemapReport(s, d, ZoneFiles)),
     "q165_active_users" -> Events.activeUsers _,
+    "q166_repeat_purchase" -> Events.repeatPurchase _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4306,6 +4307,41 @@ object SparkEntry {
         |SELECT day, dau, wau, mau, dau * 1000000 // mau AS stickiness_ppm
         |FROM dau JOIN wau USING (day) JOIN mau USING (day)
         |ORDER BY day""".stripMargin,
+    "q166_repeat_purchase" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id, ts_us,
+        |    lag(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM p),
+        |buyers AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_buyers,
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeat
+        |  FROM (SELECT user_id, COUNT(*) AS n FROM p GROUP BY 1) b),
+        |h AS (
+        |  SELECT (ts_us - prev_us) // 86400000000 AS gap_days,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g WHERE prev_us IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT gap_days, cnt, SUM(cnt) OVER (ORDER BY gap_days
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_gaps FROM h),
+        |q AS (
+        |  SELECT MAX(t.n_gaps) AS n_gaps,
+        |    MIN(CASE WHEN cum * 2 >= t.n_gaps THEN gap_days END)
+        |      AS median_gap_days,
+        |    MIN(CASE WHEN cum * 10 >= t.n_gaps * 9 THEN gap_days END)
+        |      AS p90_gap_days
+        |  FROM c CROSS JOIN t)
+        |SELECT b.n_buyers, b.n_repeat,
+        |  b.n_repeat * 1000000 // b.n_buyers AS repeat_ppm,
+        |  q.n_gaps, CAST(q.median_gap_days AS BIGINT) AS median_gap_days,
+        |  CAST(q.p90_gap_days AS BIGINT) AS p90_gap_days
+        |FROM buyers b CROSS JOIN q""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

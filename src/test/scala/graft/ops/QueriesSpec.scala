@@ -2196,4 +2196,28 @@ class QueriesSpec extends SparkSpec {
     got.foreach(r => assert(r._2 <= r._3 && r._3 <= r._4))
     CachedStages.release(spark)
   }
+  test("q166 repeat purchase equals a driver-side lifecycle replay") {
+    val p = Events.events(spark, dir)
+      .filter("event_type = 'purchase'")
+      .select("user_id", "ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = p.groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3))).toMap
+    val nBuyers = byUser.size.toLong
+    val nRepeat = byUser.count(_._2.length >= 2).toLong
+    val gapsArr = byUser.values.flatMap { ps =>
+      ps.zip(ps.tail).map { case (a, b) => (b._2 - a._2) / 86400000000L }
+    }.toSeq.sorted
+    val n = gapsArr.length.toLong
+    def pick(num: Long, den: Long) =
+      gapsArr(((n * num + den - 1) / den - 1).toInt)
+    val expect = (nBuyers, nRepeat, nRepeat * 1000000L / nBuyers, n,
+      pick(1, 2), pick(9, 10))
+    val row = Events.repeatPurchase(spark, dir).collect()(0)
+    val got = (row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3), row.getLong(4), row.getLong(5))
+    assert(got == expect, s"$got != $expect")
+    assert(got._5 <= got._6 && got._2 <= got._1)
+    CachedStages.release(spark)
+  }
 }
