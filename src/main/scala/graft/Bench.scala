@@ -139,6 +139,28 @@ object Bench {
     println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
     println(s"""{"metric":"variant","name":"q69_shuffle_ranks","value":${r3(variantSec)},"unit":"sec"}""")
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
+    // Self-contained round record (round-13 fix for the BENCH_r12
+    // truncation): the FULL-KEY per-query times map, sample counts, the
+    // variant, and the total, written to a real file the round commits —
+    // no dependence on any stdout capture window. Path overridable so
+    // dev runs don't clobber the round artifact.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
+    val fullQs = results.toSeq.sortBy(_._1).map { case (k, (v, _)) =>
+      "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val fullNs = results.toSeq.sortBy(_._1).map { case (k, (_, n)) =>
+      "\"" + k + "\":" + n }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
+         |"n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},
+         |"variant_q69_shuffle_ranks":${r3(variantSec)},
+         |"samples":$fullNs,
+         |"queries":$fullQs}
+         |""".stripMargin
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(sidecar),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"bench sidecar written: $sidecar")
+    } catch { case e: Throwable => System.err.println(s"sidecar write FAILED: $e") }
     spark.stop()
   }
 }

@@ -270,6 +270,7 @@ object SparkEntry {
       Layout.zonemapReport(s, d, ZoneFiles)),
     "q165_active_users" -> Events.activeUsers _,
     "q166_repeat_purchase" -> Events.repeatPurchase _,
+    "q167_dedup_report_suite" -> Dedup.dedupReportSuite _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -277,7 +278,9 @@ object SparkEntry {
     * the q150 and q153 oracles.
     */
   private def hllNdvSql(t: String, c: String): String = {
-    val kMax = 35
+    // derived from Stats.M exactly as Stats.ndvSketch derives it, so a
+    // change to M can never desynchronize the oracle from the sketch
+    val kMax = 41 - Integer.numberOfTrailingZeros(Stats.M)
     val num = Stats.AlphaPerMille * Stats.M * Stats.M * (1L << kMax)
     s"""(WITH h AS (
        |     SELECT CAST('0x' || substr(md5('hll:' || CAST($c AS VARCHAR)),
@@ -4193,8 +4196,8 @@ object SparkEntry {
         |SELECT nation, n_suppliers, tot_r4,
         |  CAST(sq_r4 * 1000000 // (tot_r4::HUGEINT * tot_r4) AS BIGINT)
         |    AS hhi_ppm,
-        |  1000000000 // CAST(sq_r4 * 1000000
-        |    // (tot_r4::HUGEINT * tot_r4) AS BIGINT)
+        |  1000000000 // nullif(CAST(sq_r4 * 1000000
+        |    // (tot_r4::HUGEINT * tot_r4) AS BIGINT), 0)
         |    AS equiv_suppliers_x1000
         |FROM agg ORDER BY nation""".stripMargin,
     "q163_hll_growth_curve" -> {
@@ -4342,6 +4345,93 @@ object SparkEntry {
         |  q.n_gaps, CAST(q.median_gap_days AS BIGINT) AS median_gap_days,
         |  CAST(q.p90_gap_days AS BIGINT) AS p90_gap_days
         |FROM buyers b CROSS JOIN q""".stripMargin,
+
+    // Composes the q138/q140/q147 oracle bodies over ONE shared pair +
+    // closure CTE chain and melts each report to (report, k, metric,
+    // value) BIGINT cells — the same melt the Spark suite performs.
+    "q167_dedup_report_suite" ->
+      s"""WITH RECURSIVE $nearDupPairCtes,
+         |$componentCtes,
+         |tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+         |      AS n_toks
+         |  FROM documents WHERE doc_id IS NOT NULL),
+         |canonized AS (
+         |  SELECT t.source, t.n_toks,
+         |    CASE WHEN COALESCE(c.canonical_id, t.doc_id) = t.doc_id
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM tok t LEFT JOIN comp c ON t.doc_id = c.doc_id),
+         |sv AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+         |    CAST(SUM(kept * n_toks) AS BIGINT) AS n_tokens_kept,
+         |    (CAST(SUM(n_toks) AS BIGINT) - CAST(SUM(kept * n_toks) AS BIGINT))
+         |      * 1000000 // CAST(SUM(n_toks) AS BIGINT) AS savings_ppm
+         |  FROM canonized GROUP BY source),
+         |truth AS (
+         |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |hit AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pairs p
+         |  JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+         |ev AS (
+         |  SELECT
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_detected,
+         |    (SELECT n FROM hit) AS n_truth_detected,
+         |    (SELECT n FROM hit) * 1000000
+         |      // (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS recall_ppm,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) - (SELECT n FROM hit)
+         |      AS n_organic),
+         |q AS (
+         |  SELECT doc_id,
+         |    (CASE WHEN n_chars BETWEEN 100 AND 300 THEN 40
+         |          WHEN n_chars > 300 THEN 25 ELSE 10 END
+         |     + CASE WHEN len(toks) >= 20 THEN 30 ELSE 15 END
+         |     + CASE WHEN hits * 50 >= len(toks) AND hits * 5 <= len(toks)
+         |       THEN 30 ELSE 10 END)::BIGINT AS quality
+         |  FROM (
+         |    SELECT doc_id, n_chars, toks,
+         |      len(list_filter(toks,
+         |        t -> t IN ('the','a','of','and','is','to','in'))) AS hits
+         |    FROM (
+         |      SELECT doc_id, n_chars,
+         |        regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+         |      FROM documents WHERE doc_id IS NOT NULL) d0) d1),
+         |m AS (SELECT DISTINCT doc_id FROM comp),
+         |ov AS (
+         |  SELECT quality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup_members,
+         |    CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT) AS dup_ppm
+         |  FROM q LEFT JOIN m USING (doc_id)
+         |  GROUP BY quality)
+         |SELECT report, k, metric, value FROM (
+         |  SELECT 'savings' AS report, source AS k, 'n_docs' AS metric,
+         |    n_docs AS value FROM sv
+         |  UNION ALL SELECT 'savings', source, 'n_tokens', n_tokens FROM sv
+         |  UNION ALL SELECT 'savings', source, 'n_docs_kept', n_docs_kept
+         |    FROM sv
+         |  UNION ALL SELECT 'savings', source, 'n_tokens_kept',
+         |    n_tokens_kept FROM sv
+         |  UNION ALL SELECT 'savings', source, 'savings_ppm', savings_ppm
+         |    FROM sv
+         |  UNION ALL SELECT 'eval', 'all', 'n_truth', n_truth FROM ev
+         |  UNION ALL SELECT 'eval', 'all', 'n_detected', n_detected FROM ev
+         |  UNION ALL SELECT 'eval', 'all', 'n_truth_detected',
+         |    n_truth_detected FROM ev
+         |  UNION ALL SELECT 'eval', 'all', 'recall_ppm', recall_ppm FROM ev
+         |  UNION ALL SELECT 'eval', 'all', 'n_organic', n_organic FROM ev
+         |  UNION ALL SELECT 'overlap', CAST(quality AS VARCHAR), 'n_docs',
+         |    n_docs FROM ov
+         |  UNION ALL SELECT 'overlap', CAST(quality AS VARCHAR),
+         |    'n_dup_members', n_dup_members FROM ov
+         |  UNION ALL SELECT 'overlap', CAST(quality AS VARCHAR), 'dup_ppm',
+         |    dup_ppm FROM ov) u
+         |ORDER BY report, k, metric""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

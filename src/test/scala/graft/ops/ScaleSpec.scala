@@ -995,8 +995,11 @@ class ScaleSpec extends SparkSpec {
     assert(tree.collect { case f: FileSourceScanExec => f }.size == 5,
       plan.take(3000))
     // exactly one join in the whole report: lineitem chasing the order
-    // key into the forget-set's orders
-    assert(plan.contains("Join"), plan.take(3000))
+    // key into the forget-set's orders (counted, so a regression that
+    // sneaks in a materialized subject-list join fails this test)
+    assert(tree.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size == 1, plan.take(3000))
     assert(!plan.contains("CartesianProduct")
       && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     CachedStages.release(spark)
@@ -1086,6 +1089,28 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+
+  test("q167 plan: ONE shared dedup pass — reports read caches, no LSH re-run") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Dedup.dedupReportSuite(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the reports' own corpus-side scans are all that may touch parquet:
+    // savings token counts (1), overlap quality bands (1), and the eval
+    // planted-truth screen (2 — referenced by both the truth count and
+    // the hit join, same as standalone q140). The pair table and the
+    // cluster map enter ONLY via their shared persisted frames (det for
+    // eval, canon for savings + overlap), so standalone's three
+    // LSH+components passes collapse to one.
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 4,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    // no report branch re-runs the shingle/minhash machinery
+    assert(!plan.contains("word_shingles"), plan.take(3000))
     CachedStages.release(spark)
   }
 }
