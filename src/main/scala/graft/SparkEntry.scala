@@ -271,6 +271,8 @@ object SparkEntry {
     "q165_active_users" -> Events.activeUsers _,
     "q166_repeat_purchase" -> Events.repeatPurchase _,
     "q167_dedup_report_suite" -> Dedup.dedupReportSuite _,
+    "q168_cuped_readout" -> Events.cupedReadout _,
+    "q169_km_retention" -> Events.kmRetention _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4432,6 +4434,115 @@ object SparkEntry {
          |  UNION ALL SELECT 'overlap', CAST(quality AS VARCHAR), 'dup_ppm',
          |    dup_ppm FROM ov) u
          |ORDER BY report, k, metric""".stripMargin,
+
+    // Replays Events.cupedReadoutOf: q122's 80% time cutoff, per-user
+    // (x, y) cents pairs, pooled centered moments in HUGEINT, the
+    // two-stage floored theta, and the sign-split adjustment division.
+    "q168_cuped_readout" ->
+      """WITH b AS (
+        |  SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts)))
+        |    * 8 // 10 AS cutoff FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) <= (SELECT cutoff FROM b)
+        |      THEN CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT) END),
+        |      0) AS x,
+        |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      AND epoch_us(ts) > (SELECT cutoff FROM b)
+        |      THEN CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT) END),
+        |      0) AS y
+        |  FROM events GROUP BY user_id),
+        |ua AS (
+        |  SELECT x, y,
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm
+        |  FROM u),
+        |p AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x::HUGEINT * x) AS sxx_raw, SUM(x::HUGEINT * y) AS sxy_raw,
+        |    SUM(y::HUGEINT * y) AS syy_raw
+        |  FROM ua),
+        |m AS (
+        |  SELECT n, sx, sy,
+        |    n * sxx_raw - sx::HUGEINT * sx AS sxx,
+        |    n * sxy_raw - sx::HUGEINT * sy AS sxy,
+        |    n * syy_raw - sy::HUGEINT * sy AS syy
+        |  FROM p),
+        |t AS (
+        |  SELECT *, CAST(sxy * 1000000 // nullif(sxx, 0) AS BIGINT)
+        |    AS theta_micro FROM m),
+        |t2 AS (
+        |  SELECT *, CAST(theta_micro * sxy // nullif(syy, 0) AS BIGINT)
+        |    AS rho2_ppm FROM t),
+        |a AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(x) AS BIGINT) AS sum_x_cents,
+        |    CAST(SUM(y) AS BIGINT) AS sum_y_cents
+        |  FROM ua GROUP BY arm),
+        |j AS (
+        |  SELECT a.*, t2.*,
+        |    sum_x_cents::HUGEINT * n - sx::HUGEINT * n_users AS dx_num
+        |  FROM a CROSS JOIN t2)
+        |SELECT arm, n_users, sum_y_cents,
+        |  sum_y_cents * 1000000 // n_users AS raw_mean_micro,
+        |  sum_y_cents * 1000000 // n_users
+        |    - CAST(CASE WHEN theta_micro * dx_num >= 0
+        |        THEN (theta_micro * dx_num)
+        |          // (n_users::HUGEINT * n)
+        |        ELSE -((-(theta_micro * dx_num))
+        |          // (n_users::HUGEINT * n))
+        |      END AS BIGINT) AS adj_mean_micro,
+        |  theta_micro, rho2_ppm
+        |FROM j ORDER BY arm""".stripMargin,
+
+    // Replays Events.kmRetentionOf: per-user (first_day, purch_day),
+    // censor at the window end, the offset histogram with at-risk
+    // counts, and the floored KM product as a LINEAR recursive CTE
+    // (one row per step — the same fold Spark runs as a prefix
+    // aggregate HOF).
+    "q169_km_retention" ->
+      """WITH RECURSIVE pu AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(ts) // 1000000 // 86400) AS first_day,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) // 1000000 // 86400 END) AS purch_day
+        |  FROM events GROUP BY user_id),
+        |mx AS (
+        |  SELECT MAX(epoch_us(ts) // 1000000 // 86400) AS max_day
+        |  FROM events),
+        |subj AS (
+        |  SELECT CASE WHEN purch_day IS NOT NULL
+        |      THEN purch_day - first_day
+        |      ELSE (SELECT max_day FROM mx) - first_day END AS t,
+        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM pu),
+        |h AS (
+        |  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+        |    CAST(SUM(1 - e) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM subj GROUP BY t),
+        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM h),
+        |risk AS (
+        |  SELECT t, d, c,
+        |    (SELECT n_total FROM tot)
+        |      - COALESCE(SUM(n_t) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS n_at_risk,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM h),
+        |km(rn, km_ppm) AS (
+        |  SELECT rn, 1000000 * (n_at_risk - d) // n_at_risk
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn, k.km_ppm * (r.n_at_risk - r.d) // r.n_at_risk
+        |  FROM km k JOIN risk r ON r.rn = k.rn + 1)
+        |SELECT r.t, CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
+        |  r.d AS n_events, r.c AS n_censored,
+        |  CAST(r.d * 1000000 // r.n_at_risk AS BIGINT) AS hazard_ppm,
+        |  CAST(k.km_ppm AS BIGINT) AS km_ppm
+        |FROM risk r JOIN km k ON r.rn = k.rn
+        |ORDER BY r.t""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -842,6 +842,151 @@ object Events {
       .orderBy("arm")
   }
 
+  def cupedReadout(spark: SparkSession, dir: String): DataFrame =
+    cupedReadoutOf(events(spark, dir))
+
+  /** Graded q168: CUPED variance-reduced A/B readout (Deng, Xu, Kohavi
+    * & Walker, WSDM 2013 — the standard production upgrade over the
+    * q136 raw readout): each user's PRE-period purchase spend X (before
+    * the q122 80% time cutoff) explains away the stable part of their
+    * POST-period spend Y, so the per-arm adjusted mean
+    * `mean(Y_a) − θ·(mean(X_a) − mean(X))` compares arms at the
+    * precision the raw mean reaches only with (1−ρ²)⁻¹ times the
+    * users. θ = Sxy/Sxx over POOLED users (never per-arm — a per-arm θ
+    * reintroduces the bias CUPED removes).
+    *
+    * Integer determinism: spend in exact cents; the centered moments
+    * Sxx/Sxy/Syy as n·Σab − Σa·Σb in DECIMAL(38); θ materializes as
+    * `theta_micro = Sxy·10⁶ div Sxx` and every later use divides the
+    * SAME floored value (two-stage division, exactly replayed by the
+    * oracle — never a real-valued θ). `rho2_ppm = theta_micro·Sxy div
+    * Syy` re-uses the floored θ for the variance-reduction headline.
+    * Degenerate pre-period (Sxx = 0) surfaces NULL adjusted columns
+    * via nullif — the "CUPED not applicable" signal itself.
+    *
+    * Scale shape: ONE events scan collapses into the per-user (x, y)
+    * spend pair (user-keyed partial aggregation); the pooled moment row
+    * and the |arms|-row rollup both re-read that |users|-bounded frame,
+    * and the pooled row joins back by broadcast. At 100 TB nothing
+    * beyond the per-user pair survives the first aggregation.
+    */
+  def cupedReadoutOf(evs: DataFrame): DataFrame = {
+    val bounds = evs.agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .select(expr("mn + (mx - mn) * 8 div 10").as("cutoff"))
+    val cents = "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"
+    val perUser = CachedStages.track(evs
+      .crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_us") <= col("cutoff"), expr(cents))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("cutoff"), expr(cents))), lit(0L)).as("y"))
+      .withColumn("arm", expr(
+        s"CASE WHEN ${Sampling.bucketExpr("user_id")} < 50 THEN 'a' ELSE 'b' END"))
+      .persist())
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38, 0)) * x")).as("sxx_raw"),
+      sum(expr("CAST(x AS DECIMAL(38, 0)) * y")).as("sxy_raw"),
+      sum(expr("CAST(y AS DECIMAL(38, 0)) * y")).as("syy_raw"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("n * sxx_raw - CAST(sx AS DECIMAL(38, 0)) * sx").as("sxx"),
+        expr("n * sxy_raw - CAST(sx AS DECIMAL(38, 0)) * sy").as("sxy"),
+        expr("n * syy_raw - CAST(sy AS DECIMAL(38, 0)) * sy").as("syy"))
+      .withColumn("theta_micro",
+        expr("CAST(sxy * 1000000 div nullif(sxx, 0) AS BIGINT)"))
+      .withColumn("rho2_ppm",
+        expr("CAST(theta_micro * sxy div nullif(syy, 0) AS BIGINT)"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("raw_mean_micro", expr("sum_y_cents * 1000000 div n_users"))
+      // θ·(mean_x_arm − mean_x_pooled) in micro-cents; the numerator
+      // sign-splits so the single integral division always sees a
+      // non-negative operand (Spark div truncates, DuckDB // floors —
+      // they agree only on non-negatives)
+      .withColumn("dx_num", expr(
+        "CAST(sum_x_cents AS DECIMAL(38, 0)) * n - CAST(sx AS DECIMAL(38, 0)) * n_users"))
+      .withColumn("adj_delta_micro", expr(
+        """CAST(CASE WHEN theta_micro * dx_num >= 0
+          |  THEN (theta_micro * dx_num) div (CAST(n_users AS DECIMAL(38, 0)) * n)
+          |  ELSE -((-(theta_micro * dx_num)) div (CAST(n_users AS DECIMAL(38, 0)) * n))
+          |END AS BIGINT)""".stripMargin))
+      .withColumn("adj_mean_micro", expr("raw_mean_micro - adj_delta_micro"))
+      .select("arm", "n_users", "sum_y_cents", "raw_mean_micro",
+        "adj_mean_micro", "theta_micro", "rho2_ppm")
+      .orderBy("arm")
+  }
+
+  def kmRetention(spark: SparkSession, dir: String): DataFrame =
+    kmRetentionOf(events(spark, dir))
+
+  /** Graded q169: KAPLAN–MEIER time-to-first-purchase — survival
+    * analysis with right censoring (Kaplan & Meier, JASA 1958), the
+    * statistically honest version of "how long until users convert":
+    * users who never purchased are NOT dropped (that biases toward
+    * fast converters) — they are CENSORED at the end of the
+    * observation window and count in every risk set they survived
+    * through. Per day-offset t since a user's first-seen day:
+    * `n_at_risk` (users whose event-or-censor time is ≥ t),
+    * `n_events` (first purchases at exactly t), `n_censored`,
+    * `hazard_ppm = d·10⁶ div n`, and the KM survival curve
+    * `km_ppm(t) = fold over steps ≤ t of acc·(n−d) div n` starting at
+    * 10⁶ — the floored-integer product both engines replay exactly
+    * (Spark as an `aggregate` HOF prefix-fold over the step list,
+    * DuckDB as a linear recursive CTE).
+    *
+    * Determinism: offsets are integer day floors; every quantity is a
+    * count; the only divisions are integral with non-negative
+    * operands. The fold is O(|steps|²) pairs but |steps| is bounded
+    * by the observation window in days — model-sized by construction.
+    *
+    * Scale shape: ONE events scan collapses to per-user
+    * (first_day, first_purchase_day); the offset histogram is
+    * value-domain bounded; the at-risk cumulative runs over that
+    * bounded histogram (the documented Window.orderBy-on-histogram
+    * site) and the step list broadcasts as one model-sized row.
+    */
+  def kmRetentionOf(evs: DataFrame): DataFrame = {
+    val perUser = evs.groupBy("user_id").agg(
+      min(expr("ts_sec div 86400")).as("first_day"),
+      min(when(col("event_type") === "purchase",
+        expr("ts_sec div 86400"))).as("purch_day"))
+    val maxDay = evs.agg(max(expr("ts_sec div 86400")).as("max_day"))
+    val subjects = perUser.crossJoin(broadcast(maxDay))
+      .select(
+        when(col("purch_day").isNotNull,
+          col("purch_day") - col("first_day"))
+          .otherwise(col("max_day") - col("first_day")).as("t"),
+        col("purch_day").isNotNull.cast("long").as("e"))
+    val hist = CachedStages.track(subjects.groupBy("t")
+      .agg(sum(col("e")).as("d"),
+        sum(lit(1L) - col("e")).as("c"),
+        count(lit(1)).as("n_t"))
+      .persist())
+    val total = hist.agg(sum(col("n_t")).as("n_total"))
+    // bounded-domain cumulative: strictly-before mass leaves the risk set
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+    val steps = risk.agg(expr(
+      "sort_array(collect_list(struct(t, n_at_risk, d)))").as("steps"))
+    risk.crossJoin(broadcast(steps))
+      .withColumn("km_ppm", expr(
+        """aggregate(filter(steps, s -> s.t <= t), CAST(1000000 AS BIGINT),
+          |(acc, s) -> acc * (s.n_at_risk - s.d) div s.n_at_risk)"""
+          .stripMargin))
+      .withColumn("hazard_ppm", expr("d * 1000000 div n_at_risk"))
+      .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+        col("c").as("n_censored"), col("hazard_ppm"), col("km_ppm"))
+      .orderBy("t")
+  }
+
   def repeatPurchase(spark: SparkSession, dir: String): DataFrame =
     repeatPurchaseOf(events(spark, dir))
 

@@ -2281,6 +2281,110 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q168 CUPED equals a driver-side BigInt replay") {
+    import java.security.MessageDigest
+    def bucket(k: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(3).map(b => f"$b%02x").mkString, 16) % 100
+    }
+    val evs = Events.events(spark, dir)
+      .select("user_id", "event_type", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        (BigDecimal(r.getDouble(3)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = evs.map(_._3).min; val mx = evs.map(_._3).max
+    val cutoff = mn + (mx - mn) * 8 / 10
+    val perUser = evs.groupBy(_._1).map { case (uid, es) =>
+      val x = es.filter(e => e._2 == "purchase" && e._3 <= cutoff)
+        .map(_._4).sum
+      val y = es.filter(e => e._2 == "purchase" && e._3 > cutoff)
+        .map(_._4).sum
+      (uid, if (bucket(uid) < 50) "a" else "b", BigInt(x), BigInt(y))
+    }.toSeq
+    val n = BigInt(perUser.size)
+    val sx = perUser.map(_._3).sum; val sy = perUser.map(_._4).sum
+    val sxx = n * perUser.map(u => u._3 * u._3).sum - sx * sx
+    val sxy = n * perUser.map(u => u._3 * u._4).sum - sx * sy
+    val syy = n * perUser.map(u => u._4 * u._4).sum - sy * sy
+    assert(sxx != 0 && syy != 0, "fixture must have pre/post variance")
+    // BigInt / truncates toward zero — the semantics Spark div and
+    // DuckDB // share (both verified truncating on negatives)
+    val theta = sxy * 1000000 / sxx
+    val rho2 = theta * sxy / syy
+    val expect = Seq("a", "b").map { arm =>
+      val g = perUser.filter(_._2 == arm)
+      val nu = BigInt(g.size)
+      val sxa = g.map(_._3).sum; val sya = g.map(_._4).sum
+      val raw = sya * 1000000 / nu
+      val dx = sxa * n - sx * nu
+      val num = theta * dx
+      val adj = raw - (if (num >= 0) num / (nu * n) else -((-num) / (nu * n)))
+      (arm, nu.toLong, sya.toLong, raw.toLong, adj.toLong,
+        theta.toLong, rho2.toLong)
+    }
+    val got = Events.cupedReadout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the adjustment must actually bite (theta != 0 on this corpus) and
+    // the two arms' adjustments cancel in the pooled mean by design
+    assert(got.exists(r => r._4 != r._5))
+    CachedStages.release(spark)
+  }
+  test("q169 KM: hand-computed censored fixture + graded replay") {
+    import spark.implicits._
+    // u1 purchases at offset 0; u2/u3 at offset 2; u4 never (censored
+    // at 10); u5 never (first seen day 6 → censored at 4); u6 first
+    // seen on the LAST day → censored at offset 0 alongside u1's event
+    val evs = Seq(
+      (1L, 0L, "view"), (1L, 0L, "purchase"),
+      (2L, 0L, "view"), (2L, 2L, "purchase"),
+      (3L, 1L, "view"), (3L, 3L, "purchase"),
+      (4L, 0L, "view"),
+      (5L, 6L, "view"),
+      (6L, 10L, "view"))
+      .toDF("user_id", "day", "event_type")
+      .withColumn("ts_sec", org.apache.spark.sql.functions.expr("day * 86400"))
+    val got = Events.kmRetentionOf(evs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val expect = Seq(
+      (0L, 6L, 1L, 1L, 166666L, 833333L),
+      (2L, 4L, 2L, 0L, 500000L, 416666L),
+      (4L, 2L, 0L, 1L, 0L, 416666L),
+      (10L, 1L, 0L, 1L, 0L, 416666L))
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+    // graded-table replay: same algorithm driver-side at sf0.001
+    val raw = Events.events(spark, dir)
+      .select("user_id", "event_type", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 86400L))
+    val maxDay = raw.map(_._3).max
+    val subj = raw.groupBy(_._1).values.map { es =>
+      val f = es.map(_._3).min
+      val p = es.filter(_._2 == "purchase").map(_._3).minOption
+      (p.map(_ - f).getOrElse(maxDay - f), p.isDefined)
+    }.toSeq
+    val hist = subj.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.count(_._2).toLong, g.count(!_._2).toLong, g.size.toLong)
+    }
+    var atRisk = subj.size.toLong; var km = 1000000L
+    val replay = hist.map { case (t, d, c, nT) =>
+      km = km * (atRisk - d) / atRisk
+      val row = (t, atRisk, d, c, d * 1000000L / atRisk, km)
+      atRisk -= nT
+      row
+    }
+    val graded = Events.kmRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(graded == replay, s"${graded.take(3)} != ${replay.take(3)}")
+    // survival is monotone non-increasing
+    assert(graded.map(_._6).sliding(2).forall(p =>
+      p.length < 2 || p(0) >= p(1)))
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
