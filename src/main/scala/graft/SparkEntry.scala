@@ -273,6 +273,8 @@ object SparkEntry {
     "q167_dedup_report_suite" -> Dedup.dedupReportSuite _,
     "q168_cuped_readout" -> Events.cupedReadout _,
     "q169_km_retention" -> Events.kmRetention _,
+    "q170_lateness_profile" -> Events.latenessProfile _,
+    "q171_benford_audit" -> Relational.benfordAudit _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4543,6 +4545,79 @@ object SparkEntry {
         |  CAST(k.km_ppm AS BIGINT) AS km_ppm
         |FROM risk r JOIN km k ON r.rn = k.rn
         |ORDER BY r.t""".stripMargin,
+
+    // Replays Events.latenessProfileOf with the oracle's privilege of a
+    // single global ordered window (Spark's two-phase chunked prefix
+    // max equals it exactly); md5 jitter and ceil-rank picks identical.
+    "q170_lateness_profile" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |arms AS (
+        |  SELECT 'a_inorder' AS arm, event_id, event_type, ts_us,
+        |    ts_us AS arrival_us FROM base
+        |  UNION ALL
+        |  SELECT 'b_jittered', event_id, event_type, ts_us,
+        |    ts_us + (CAST('0x' || substr(md5('late:' ||
+        |      CAST(event_id AS VARCHAR)), 1, 10) AS BIGINT) % 3600)
+        |      * 1000000
+        |  FROM base),
+        |l AS (
+        |  SELECT arm, event_type,
+        |    (MAX(ts_us) OVER (PARTITION BY arm
+        |       ORDER BY arrival_us, event_id ROWS UNBOUNDED PRECEDING)
+        |     - ts_us) // 1000000 AS late_sec
+        |  FROM arms),
+        |h AS (
+        |  SELECT arm, event_type, late_sec,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM l GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT arm, event_type, late_sec, cnt,
+        |    SUM(cnt) OVER (PARTITION BY arm, event_type ORDER BY late_sec
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h),
+        |t AS (
+        |  SELECT arm, event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |    MAX(late_sec) AS max_late_sec,
+        |    CAST(SUM(CASE WHEN late_sec > 600 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS n_over
+        |  FROM h GROUP BY 1, 2)
+        |SELECT c.arm, c.event_type, MAX(t.n_events) AS n_events,
+        |  MIN(CASE WHEN cum * 2 >= t.n_events THEN late_sec END)
+        |    AS p50_late_sec,
+        |  MIN(CASE WHEN cum * 20 >= t.n_events * 19 THEN late_sec END)
+        |    AS p95_late_sec,
+        |  MAX(t.max_late_sec) AS max_late_sec,
+        |  CAST(MAX(n_over * 1000000 // t.n_events) AS BIGINT)
+        |    AS over_600s_ppm
+        |FROM c JOIN t USING (arm, event_type)
+        |GROUP BY c.arm, c.event_type
+        |ORDER BY arm, event_type""".stripMargin,
+
+    // Replays Relational.benfordAuditOf: cents-string first digit, the
+    // same nine floor(log10(1+1/d)*1e6) constants, integer deviations.
+    "q171_benford_audit" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12, 2))
+        |    * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM d GROUP BY 1),
+        |e(digit, exp_ppm) AS (VALUES
+        |  (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181),
+        |  (6, 66946), (7, 57991), (8, 51152), (9, 45757)),
+        |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM c),
+        |j AS (
+        |  SELECT CAST(e.digit AS BIGINT) AS digit,
+        |    COALESCE(c.n_orders, 0) AS n_orders,
+        |    COALESCE(c.n_orders, 0) * 1000000 // (SELECT n_total FROM t)
+        |      AS obs_ppm,
+        |    CAST(e.exp_ppm AS BIGINT) AS exp_ppm
+        |  FROM e LEFT JOIN c ON e.digit = c.digit)
+        |SELECT digit, n_orders, obs_ppm, exp_ppm,
+        |  abs(obs_ppm - exp_ppm) AS dev_ppm,
+        |  (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm AS chi_ppm
+        |FROM j ORDER BY digit""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

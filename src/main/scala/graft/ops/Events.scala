@@ -921,6 +921,83 @@ object Events {
       .orderBy("arm")
   }
 
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame =
+    latenessProfileOf(events(spark, dir))
+
+  /** Graded q170: event-time LATENESS profile — the out-of-orderness
+    * measurement that SIZES a Structured Streaming watermark: per
+    * event, how far behind the maximum event-time already ARRIVED its
+    * own event-time lags (`withWatermark`'s delay threshold must cover
+    * the p95/p99 of exactly this distribution, or late rows drop).
+    * The synthetic feed arrives in order (measured: zero lateness), so
+    * the q164 two-layout discipline applies: arm `a_inorder` profiles
+    * the true feed (the all-zeros verification arm) and arm
+    * `b_jittered` the same events under a DETERMINISTIC bounded
+    * ingestion delay (md5 jitter ≤ 1 h added to arrival, event-times
+    * untouched) — the bounded-disorder regime a real collector
+    * produces, hash-locked so every quantile is a property of the
+    * rule. Per (arm, type): n, exact p50/p95/max lateness seconds and
+    * the share a 600 s watermark would drop, in ppm.
+    *
+    * Exactness at scale: the running arrival-prefix event-time max is
+    * computed TWO-PHASE — bounded windows inside minute-granular
+    * arrival chunks plus a broadcast chunk-prefix-max table — which
+    * equals the global ordered scan exactly (max is associative; chunk
+    * granularity only tunes frame size, never the answer). Quantiles
+    * are ceil-rank picks over the (arm, type)-keyed lateness-seconds
+    * value-domain histogram (the q53 discipline; lateness is bounded
+    * by the jitter cap, so the domain is ≤3600 values).
+    */
+  def latenessProfileOf(evs: DataFrame): DataFrame = {
+    val base = evs.select(col("event_id"), col("event_type"), col("ts_us"))
+    val jitter = "CAST(conv(substring(md5(concat('late:', " +
+      "CAST(event_id AS STRING))), 1, 10), 16, 10) AS BIGINT) % 3600"
+    val arms = base.withColumn("arm", lit("a_inorder"))
+      .withColumn("arrival_us", col("ts_us"))
+      .unionByName(base.withColumn("arm", lit("b_jittered"))
+        .withColumn("arrival_us", expr(s"ts_us + ($jitter) * 1000000")))
+    val chunked = arms.withColumn("chunk", expr("arrival_us div 60000000"))
+    val wIn = Window.partitionBy("arm", "chunk")
+      .orderBy(col("arrival_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // chunk-granular prefix maxima: a bounded table (|arms|·|minutes|)
+    val chunkMax = chunked.groupBy("arm", "chunk")
+      .agg(max(col("ts_us")).as("cmax"))
+    val wCh = Window.partitionBy("arm").orderBy(col("chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = chunkMax
+      .withColumn("pmax", max(col("cmax")).over(wCh))
+      .select("arm", "chunk", "pmax")
+    val late = chunked
+      .withColumn("rmax_in", max(col("ts_us")).over(wIn))
+      .join(broadcast(prefix), Seq("arm", "chunk"))
+      .withColumn("late_sec", expr(
+        "(greatest(rmax_in, coalesce(pmax, rmax_in)) - ts_us) div 1000000"))
+    val hist = CachedStages.track(late
+      .groupBy("arm", "event_type", "late_sec")
+      .agg(count(lit(1)).as("cnt"))
+      .persist())
+    val wc = Window.partitionBy("arm", "event_type")
+      .orderBy(col("late_sec").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = hist.groupBy("arm", "event_type")
+      .agg(sum(col("cnt")).as("n_events"),
+        max(col("late_sec")).as("max_late_sec"),
+        sum(when(col("late_sec") > 600, col("cnt")).otherwise(0L))
+          .as("n_over"))
+    hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(totals), Seq("arm", "event_type"))
+      .groupBy(col("arm"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        min(when(expr("cum * 2 >= n_events"), col("late_sec")))
+          .as("p50_late_sec"),
+        min(when(expr("cum * 20 >= n_events * 19"), col("late_sec")))
+          .as("p95_late_sec"),
+        max(col("max_late_sec")).as("max_late_sec"),
+        max(expr("n_over * 1000000 div n_events")).as("over_600s_ppm"))
+      .orderBy("arm", "event_type")
+  }
+
   def kmRetention(spark: SparkSession, dir: String): DataFrame =
     kmRetentionOf(events(spark, dir))
 

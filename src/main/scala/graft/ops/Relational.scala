@@ -546,6 +546,59 @@ object Relational {
       y1, y2)
   }
 
+  /** The nine Benford first-digit expectations, floor(log₁₀(1+1/d)·10⁶)
+    * — public constants of the law itself, shared verbatim with the
+    * oracle SQL so both engines test against the same integers.
+    */
+  private[ops] val BenfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOf(spark, Tables(spark, dir, "orders"))
+
+  /** Graded q171: BENFORD first-digit audit of order totals — the
+    * forensic-accounting screen (Benford 1938; Nigrini's fraud
+    * practice): organically grown monetary amounts follow
+    * P(d) = log₁₀(1+1/d), and a feed whose first-digit histogram
+    * deviates hard (fabricated numbers, unit bugs, truncation at
+    * system limits) fails the audit before any downstream model
+    * consumes it. Per digit: observed count and ppm, expected ppm,
+    * absolute deviation, and the χ² contribution
+    * (obs−exp)² div exp — all integer.
+    *
+    * Determinism: the first significant digit of a positive
+    * DECIMAL(12,2) is the first character of its cents integer —
+    * pure string arithmetic, no log, no float; the expectation table
+    * is nine integer constants. Digits absent from the data still
+    * report (expected side is the spine).
+    *
+    * Scale shape: one orders scan collapsing to ≤9 groups with
+    * map-side combine; the expectation table and the total are
+    * broadcast literals.
+    */
+  def benfordAuditOf(spark: SparkSession, orders: DataFrame): DataFrame = {
+    import spark.implicits._
+    val counts = orders.select(expr(
+      """CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(12, 2))
+        | * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""".stripMargin)
+      .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val expected = BenfordPpm
+      .map { case (d, p) => (d.toLong, p) }.toDF("digit", "exp_ppm")
+    val total = counts.agg(sum(col("n_orders")).as("n_total"))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_orders"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("n_orders * 1000000 div n_total"))
+      .withColumn("dev_ppm", expr("abs(obs_ppm - exp_ppm)"))
+      .withColumn("chi_ppm", expr(
+        "(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) div exp_ppm"))
+      .select("digit", "n_orders", "obs_ppm", "exp_ppm", "dev_ppm",
+        "chi_ppm")
+      .orderBy("digit")
+  }
+
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"),

@@ -2385,6 +2385,70 @@ class QueriesSpec extends SparkSpec {
       p.length < 2 || p(0) >= p(1)))
     CachedStages.release(spark)
   }
+  test("q170 lateness: chunked two-phase max == a global ordered replay") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val evs = Events.events(spark, dir)
+      .select("event_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // driver-side single global ordered scan — the straight-line
+    // definition the distributed two-phase plan must equal exactly
+    val jittered = evs.map { case (id, t, us) =>
+      val j = java.lang.Long.parseLong(md5hex(s"late:$id").take(10), 16) % 3600
+      (id, t, us, us + j * 1000000L)
+    }.sortBy(e => (e._4, e._1))
+    var rm = Long.MinValue
+    val lates = jittered.map { case (_, t, us, _) =>
+      rm = math.max(rm, us); (t, (rm - us) / 1000000L)
+    }
+    val expect = lates.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val ls = g.map(_._2).sorted
+      val n = ls.length.toLong
+      def pick(num: Long, den: Long) = ls(((n * num + den - 1) / den - 1).toInt)
+      (t, n, pick(1, 2), pick(19, 20), ls.max,
+        ls.count(_ > 600).toLong * 1000000L / n)
+    }
+    val got = Events.latenessProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val (a, b) = got.partition(_._1 == "a_inorder")
+    // the true feed is in order: the control arm is exactly zero
+    assert(a.nonEmpty && a.forall(r => r._4 == 0 && r._5 == 0 && r._6 == 0
+      && r._7 == 0))
+    assert(b.map(r => (r._2, r._3, r._4, r._5, r._6, r._7)).toSeq == expect,
+      s"${b.take(2).toSeq} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
+  test("q171 Benford: conforming fixture passes, uniform corpus flagged") {
+    import spark.implicits._
+    // log-uniform magnitudes equidistribute the mantissa — the class of
+    // data Benford's law holds for by construction; 1000 grid points
+    // land within a fraction of a percent of the law
+    val conforming = (0 until 1000)
+      .map(k => BigDecimal(math.pow(10, 1.0 + 5.0 * k / 1000))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .toDF("o_totalprice")
+    val ok = Relational.benfordAuditOf(spark, conforming).collect()
+    assert(ok.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    assert(ok.forall(_.getAs[Long]("dev_ppm") < 10000),
+      ok.map(r => (r.getAs[Long]("digit"), r.getAs[Long]("dev_ppm"))).toSeq)
+    // the graded corpus's uniform synthetic prices FAIL the audit —
+    // exactly what the screen exists to catch
+    val graded = Relational.benfordAudit(spark, dir).collect()
+    assert(graded.map(_.getAs[Long]("dev_ppm")).max > 50000)
+    // integer bookkeeping recomputes from the row's own columns
+    val n = graded.map(_.getAs[Long]("n_orders")).sum
+    graded.foreach { r =>
+      assert(r.getAs[Long]("obs_ppm") ==
+        r.getAs[Long]("n_orders") * 1000000L / n)
+      val d = r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")
+      assert(r.getAs[Long]("dev_ppm") == math.abs(d))
+      assert(r.getAs[Long]("chi_ppm") == d * d / r.getAs[Long]("exp_ppm"))
+    }
+    // the nine constants sum to ~10^6 (floor loss only)
+    assert(Relational.BenfordPpm.map(_._2).sum == 999995L)
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
