@@ -275,6 +275,8 @@ object SparkEntry {
     "q169_km_retention" -> Events.kmRetention _,
     "q170_lateness_profile" -> Events.latenessProfile _,
     "q171_benford_audit" -> Relational.benfordAudit _,
+    "q172_theil_sen_trend" -> Events.theilSenTrend _,
+    "q173_forecast_backtest" -> Events.forecastBacktest _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4618,6 +4620,103 @@ object SparkEntry {
         |  abs(obs_ppm - exp_ppm) AS dev_ppm,
         |  (obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) // exp_ppm AS chi_ppm
         |FROM j ORDER BY digit""".stripMargin,
+
+    // Replays Events.theilSenTrendOf: the (type, day) cents matrix,
+    // all-pairs integer slopes, ceil-rank median, HUGEINT OLS.
+    "q172_theil_sen_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |    (b.cents - a.cents) * 1000000 // (b.day - a.day)
+        |      AS slope_micro
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |h AS (
+        |  SELECT event_type, slope_micro, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_pairs
+        |  FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT h.event_type, slope_micro, cnt,
+        |    SUM(cnt) OVER (PARTITION BY h.event_type ORDER BY slope_micro
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    t.n_pairs
+        |  FROM h JOIN t ON h.event_type = t.event_type),
+        |med AS (
+        |  SELECT event_type, MAX(n_pairs) AS n_pairs,
+        |    MIN(CASE WHEN cum * 2 >= n_pairs THEN slope_micro END)
+        |      AS median_slope_micro
+        |  FROM c GROUP BY 1),
+        |ols AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST((COUNT(*) * SUM(day::HUGEINT * cents)
+        |        - SUM(day)::HUGEINT * SUM(cents)) * 1000000
+        |      // nullif(COUNT(*) * SUM(day::HUGEINT * day)
+        |        - SUM(day)::HUGEINT * SUM(day), 0) AS BIGINT)
+        |      AS ols_slope_micro
+        |  FROM daily GROUP BY 1)
+        |SELECT m.event_type, o.n_days, m.n_pairs, m.median_slope_micro,
+        |  o.ols_slope_micro
+        |FROM med m JOIN ols o ON m.event_type = o.event_type
+        |ORDER BY m.event_type""".stripMargin,
+
+    // Replays Events.forecastBacktestOf: densified calendar, window
+    // lags, the once-floored ma7 mean, last-20% test days, sae ratios.
+    "q173_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT MIN(day) AS mn, MAX(day) AS mx,
+        |    MIN(day) + (MAX(day) - MIN(day)) * 8 // 10 AS cutoff
+        |  FROM daily),
+        |cal AS (
+        |  SELECT unnest(generate_series(mn, mx)) AS day, mn, cutoff FROM b),
+        |dense AS (
+        |  SELECT t.event_type, cal.day, cal.mn, cal.cutoff,
+        |    COALESCE(d.cents, 0) AS cents
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |s AS (
+        |  SELECT event_type, day, mn, cutoff, cents,
+        |    lag(cents, 1) OVER w AS naive,
+        |    lag(cents, 7) OVER w AS snaive7,
+        |    SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) // 7 AS ma7
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |test AS (
+        |  SELECT * FROM s WHERE day > cutoff AND day - 7 >= mn),
+        |pm AS (
+        |  SELECT event_type, m.method,
+        |    CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+        |    CAST(SUM(abs(cents - CASE m.method WHEN 'naive' THEN naive
+        |      WHEN 'snaive7' THEN snaive7 ELSE ma7 END)) AS BIGINT) AS sae,
+        |    CAST(SUM(CASE m.method WHEN 'naive' THEN naive
+        |      WHEN 'snaive7' THEN snaive7 ELSE ma7 END - cents)
+        |      AS BIGINT) AS se
+        |  FROM test CROSS JOIN
+        |    (SELECT unnest(['naive', 'snaive7', 'ma7']) AS method) m
+        |  GROUP BY 1, 2),
+        |nv AS (
+        |  SELECT event_type, sae AS naive_sae FROM pm
+        |  WHERE method = 'naive')
+        |SELECT pm.event_type, pm.method, pm.n_forecasts,
+        |  pm.sae // pm.n_forecasts AS mae_cents,
+        |  CASE WHEN pm.se >= 0 THEN pm.se // pm.n_forecasts
+        |    ELSE -((-pm.se) // pm.n_forecasts) END AS bias_cents,
+        |  pm.sae * 1000000 // nullif(nv.naive_sae, 0) AS vs_naive_ppm
+        |FROM pm JOIN nv ON pm.event_type = nv.event_type
+        |ORDER BY pm.event_type, pm.method""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -921,6 +921,146 @@ object Events {
       .orderBy("arm")
   }
 
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    forecastBacktestOf(events(spark, dir))
+
+  /** Graded q173: rolling-origin FORECAST BACKTEST (Tashman, IJF 2000
+    * — the out-of-sample evaluation q10's fitted forecast never gets):
+    * three horizon-1 baselines every serious forecast must beat —
+    * naive (yesterday), seasonal-naive (same weekday last week,
+    * Hyndman's snaive), and the trailing 7-day mean — are scored on
+    * the last-20% test days of the per-type daily revenue series. Per
+    * (type, method): forecast count, MAE and signed bias in cents,
+    * and MASE-style `vs_naive_ppm = sae·10⁶ div sae_naive` (absolute
+    * error sums — same test set, so the ratio is the MAE ratio without
+    * a second floor) — the
+    * scale-free number that says whether seasonality or smoothing
+    * actually helps on this stream (snaive < 10⁶ means weekday
+    * structure is real).
+    *
+    * Determinism: the calendar is DENSIFIED (sequence over
+    * [min_day, max_day], absent days are true zeros) so lags are
+    * calendar lags, not row lags; every error is an integer cents
+    * difference; the only divisions are integral with the ma7 mean
+    * floored once (`sum div 7`) before the error — both engines
+    * replay the identical floor. Test days start strictly after the
+    * q122 80% cutoff and require a full 7-day lookback.
+    *
+    * Scale shape: ONE events scan collapses to the (type, day) cents
+    * matrix; densification, lag windows (bounded rows-frames on the
+    * calendar), and the |types|·|methods| rollup all run on that
+    * model-sized matrix. The naive arm's MAE joins back by broadcast.
+    */
+  def forecastBacktestOf(evs: DataFrame): DataFrame = {
+    val cents = "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"
+    val daily = evs
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(cents)).as("cents"))
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .withColumn("cutoff", expr("mn + (mx - mn) * 8 div 10"))
+    val calendar = bounds
+      .select(col("mn"), col("cutoff"),
+        explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val w7 = w.rowsBetween(-7, -1)
+    val scored = dense
+      .withColumn("naive", lag(col("cents"), 1).over(w))
+      .withColumn("snaive7", lag(col("cents"), 7).over(w))
+      .withColumn("ma7sum", sum(col("cents")).over(w7))
+      .withColumn("ma7", expr("ma7sum div 7"))
+      .filter(col("day") > col("cutoff") && col("day") - 7 >= col("mn"))
+    val perMethod = Seq("naive", "snaive7", "ma7").map { m =>
+      scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_forecasts"),
+          sum(expr(s"abs(cents - $m)")).as("sae"),
+          sum(expr(s"$m - cents")).as("se"))
+        .select(col("event_type"), lit(m).as("method"),
+          col("n_forecasts"),
+          expr("sae div n_forecasts").as("mae_cents"),
+          expr("CASE WHEN se >= 0 THEN se div n_forecasts " +
+            "ELSE -((-se) div n_forecasts) END").as("bias_cents"),
+          col("sae"))
+    }.reduce(_ unionByName _)
+    val naiveSae = perMethod.filter(col("method") === "naive")
+      .select(col("event_type"), col("sae").as("naive_sae"))
+    perMethod.join(broadcast(naiveSae), Seq("event_type"))
+      .withColumn("vs_naive_ppm",
+        expr("sae * 1000000 div nullif(naive_sae, 0)"))
+      .select("event_type", "method", "n_forecasts", "mae_cents",
+        "bias_cents", "vs_naive_ppm")
+      .orderBy("event_type", "method")
+  }
+
+  def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
+    theilSenTrendOf(events(spark, dir))
+
+  /** Graded q172: THEIL–SEN robust daily-revenue trend per event type
+    * (Theil 1950; Sen, JASA 1968 — the median of all pairwise slopes),
+    * with the OLS slope alongside: the least-squares line a single
+    * corrupted day drags arbitrarily far, the Theil–Sen median shrugs
+    * off (29% breakdown point). The pair in one report is the outlier
+    * diagnostic itself — when they disagree, trust the median and go
+    * find the day that broke the mean.
+    *
+    * Determinism: slopes are `(Δcents·10⁶) div Δdays` — integral
+    * division, truncation toward zero on negatives (verified identical
+    * in Spark `div`, DuckDB `//`, and the spec's BigInt replay); the
+    * median is the ceil-rank pick over the slope value-domain
+    * histogram; OLS runs as DECIMAL(38) cross products with ONE final
+    * integral division.
+    *
+    * Scale shape: the event stream collapses ONCE into the
+    * (type, day) revenue matrix — bounded by the calendar, not the
+    * stream — and every pair, histogram, and moment forms over that
+    * model-sized matrix. At 100 TB the |days|² pair fan-out is ≤134k
+    * rows per type per year; the stream is touched exactly once.
+    */
+  def theilSenTrendOf(evs: DataFrame): DataFrame = {
+    val cents = "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"
+    val daily = CachedStages.track(evs
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(cents)).as("cents"))
+      .persist())
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("(b.cents - a.cents) * 1000000 div (b.day - a.day)")
+          .as("slope_micro"))
+    val hist = CachedStages.track(pairs
+      .groupBy("event_type", "slope_micro").agg(count(lit(1)).as("cnt"))
+      .persist())
+    val totals = hist.groupBy("event_type")
+      .agg(sum(col("cnt")).as("n_pairs"))
+    val wc = Window.partitionBy("event_type")
+      .orderBy(col("slope_micro").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val median = hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(totals), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        min(when(expr("cum * 2 >= n_pairs"), col("slope_micro")))
+          .as("median_slope_micro"))
+    val ols = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day")).as("sd"), sum(col("cents")).as("sy"),
+        sum(expr("CAST(day AS DECIMAL(38, 0)) * day")).as("sdd"),
+        sum(expr("CAST(day AS DECIMAL(38, 0)) * cents")).as("sdy"))
+      .select(col("event_type"), col("n_days"), expr(
+        """CAST((n_days * sdy - CAST(sd AS DECIMAL(38, 0)) * sy) * 1000000
+          | div nullif(n_days * sdd - CAST(sd AS DECIMAL(38, 0)) * sd, 0)
+          | AS BIGINT)""".stripMargin).as("ols_slope_micro"))
+    median.join(ols, Seq("event_type"))
+      .select("event_type", "n_days", "n_pairs", "median_slope_micro",
+        "ols_slope_micro")
+      .orderBy("event_type")
+  }
+
   def latenessProfile(spark: SparkSession, dir: String): DataFrame =
     latenessProfileOf(events(spark, dir))
 

@@ -2449,6 +2449,96 @@ class QueriesSpec extends SparkSpec {
     assert(Relational.BenfordPpm.map(_._2).sum == 999995L)
     CachedStages.release(spark)
   }
+  test("q172 Theil-Sen: outlier robustness + graded BigInt replay") {
+    import spark.implicits._
+    // clean slope exactly 100 cents/day over 11 days; the LAST day
+    // corrupted by a 1000.00 spike (max OLS leverage — a mid-window
+    // spike has none) — 45 of 55 pairwise slopes stay exactly 1e8
+    // micro, so the median ignores the outlier; OLS gets dragged
+    val fixture = ((0 to 10).map(d => ("t", d.toLong * 86400, (d + 1) * 1.0))
+      :+ (("t", 10L * 86400, 1000.0)))
+      .toDF("event_type", "ts_sec", "value")
+    val f = Events.theilSenTrendOf(fixture).collect()(0)
+    assert(f.getAs[Long]("n_days") == 11 && f.getAs[Long]("n_pairs") == 55)
+    assert(f.getAs[Long]("median_slope_micro") == 100000000L)
+    assert(math.abs(f.getAs[Long]("ols_slope_micro") - 100000000L)
+      > 10000000L)
+    CachedStages.release(spark)
+    // graded replay at sf0.001, BigInt double-for-double
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val expect = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val daily = g.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val slopes = (for {
+        (i, ci) <- daily; (j, cj) <- daily if i < j
+      } yield BigInt(cj - ci) * 1000000 / BigInt(j - i)).sorted
+      val n = slopes.length
+      val median = slopes((n + 1) / 2 - 1)
+      val nd = BigInt(daily.size)
+      val sd = daily.map(d => BigInt(d._1)).sum
+      val sy = daily.map(d => BigInt(d._2)).sum
+      val sdd = daily.map(d => BigInt(d._1) * d._1).sum
+      val sdy = daily.map(d => BigInt(d._1) * d._2).sum
+      val ols = (nd * sdy - sd * sy) * 1000000 / (nd * sdd - sd * sd)
+      (t, nd.toLong, n.toLong, median.toLong, ols.toLong)
+    }
+    val got = Events.theilSenTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
+  test("q173 backtest: perfect-weekly fixture + graded replay") {
+    import spark.implicits._
+    // y(d) = (d mod 7 + 1) dollars over 28 days: the seasonal-naive
+    // arm forecasts the test window EXACTLY; naive cannot
+    val fixture = (0 to 27).map(d => ("t", d.toLong * 86400,
+      (d % 7 + 1) * 1.0)).toDF("event_type", "ts_sec", "value")
+    val f = Events.forecastBacktestOf(fixture).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getLong(5)))
+      .toMap
+    assert(f("snaive7") == ((6L, 0L, 0L)), f("snaive7"))
+    assert(f("naive")._2 > 0 && f("naive")._3 == 1000000L)
+    CachedStages.release(spark)
+    // graded replay at sf0.001 driver-side
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val cutoff = mn + (mx - mn) * 8 / 10
+    val expect = raw.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, g) =>
+      val byDay = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val series = (mn to mx).map(d => byDay.getOrElse(d, 0L))
+      def at(d: Long) = series((d - mn).toInt)
+      val tests = ((cutoff + 1) to mx).filter(_ - 7 >= mn)
+      val preds = tests.map { d =>
+        (at(d), at(d - 1), at(d - 7),
+          (1 to 7).map(k => at(d - k)).sum / 7)
+      }
+      val n = tests.size.toLong
+      def saeOf(pick: ((Long, Long, Long, Long)) => Long) =
+        preds.map(p => math.abs(p._1 - pick(p))).sum
+      def seOf(pick: ((Long, Long, Long, Long)) => Long) =
+        preds.map(p => pick(p) - p._1).sum
+      val naiveSae = saeOf(_._2)
+      Seq(("ma7", saeOf(_._4), seOf(_._4)), ("naive", naiveSae, seOf(_._2)),
+        ("snaive7", saeOf(_._3), seOf(_._3))).map { case (m, sae, se) =>
+        val bias = if (se >= 0) se / n else -((-se) / n)
+        (t, m, n, sae / n, bias, sae * 1000000L / naiveSae)
+      }
+    }
+    val got = Events.forecastBacktest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
