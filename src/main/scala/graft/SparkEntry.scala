@@ -277,6 +277,8 @@ object SparkEntry {
     "q171_benford_audit" -> Relational.benfordAudit _,
     "q172_theil_sen_trend" -> Events.theilSenTrend _,
     "q173_forecast_backtest" -> Events.forecastBacktest _,
+    "q174_abc_classification" -> Relational.abcClassification _,
+    "q175_distinctive_terms" -> ((s, d) => TextOps.distinctiveTerms(s, d)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4717,6 +4719,69 @@ object SparkEntry {
         |  pm.sae * 1000000 // nullif(nv.naive_sae, 0) AS vs_naive_ppm
         |FROM pm JOIN nv ON pm.event_type = nv.event_type
         |ORDER BY pm.event_type, pm.method""".stripMargin,
+
+    // Replays Relational.abcOf with the oracle's privilege of one
+    // global (r4 desc, partkey) window; Spark's coarse-bucket +
+    // boundary-bucket two-phase classification must equal it exactly.
+    "q174_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12, 2)))) * 10000
+        |      AS BIGINT) AS r4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT r4,
+        |    COALESCE(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM rev),
+        |t AS (SELECT CAST(SUM(r4) AS BIGINT) AS total,
+        |      CAST(COUNT(*) AS BIGINT) AS np FROM rev),
+        |k AS (
+        |  SELECT CASE
+        |      WHEN cum_before * 5 < (SELECT total FROM t) * 4 THEN 'A'
+        |      WHEN cum_before * 20 < (SELECT total FROM t) * 19 THEN 'B'
+        |      ELSE 'C' END AS abc_class, r4
+        |  FROM c)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(r4) AS BIGINT) AS revenue_r4,
+        |  CAST(SUM(r4)::HUGEINT * 1000000 // (SELECT total FROM t)
+        |    AS BIGINT) AS revenue_share_ppm,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000 // (SELECT np FROM t)
+        |    AS parts_share_ppm
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays TextOps.distinctiveTermsOf: the (source, token, n) matrix,
+    // +1-smoothed odds ratio in HUGEINT, count floor 20, top-5 ranks.
+    "q175_distinctive_terms" ->
+      """WITH c AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT source,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |    FROM documents WHERE doc_id IS NOT NULL) t
+        |  GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src
+        |      FROM c GROUP BY 1),
+        |v AS (SELECT token, CAST(SUM(n) AS BIGINT) AS n_tok
+        |      FROM c GROUP BY 1),
+        |a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM c),
+        |sc AS (
+        |  SELECT c.source, c.token, c.n, v.n_tok - c.n AS n_rest,
+        |    CAST(c.n::HUGEINT
+        |      * ((SELECT n_all FROM a) - s.n_src - (v.n_tok - c.n) + 1)
+        |      * 1000000
+        |      // ((s.n_src - c.n + 1)::HUGEINT * (v.n_tok - c.n + 1))
+        |      AS BIGINT) AS or_ppm
+        |  FROM c JOIN v USING (token) JOIN s USING (source)
+        |  WHERE c.n >= 20),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY or_ppm DESC, token ASC) AS rnk
+        |  FROM sc)
+        |SELECT source, CAST(rnk AS BIGINT) AS rank, token,
+        |  n AS n_in_source, n_rest, or_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

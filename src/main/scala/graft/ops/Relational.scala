@@ -599,6 +599,94 @@ object Relational {
       .orderBy("digit")
   }
 
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg((sum(revenueTerm(col("l_extendedprice"), col("l_discount")))
+        * 10000).cast("long").as("r4"))
+    abcOf(rev)
+  }
+
+  /** Graded q174: ABC / PARETO revenue classification of parts — the
+    * inventory-management standard (Pareto 1896 via Dixie/GE practice):
+    * rank items by revenue descending; the prefix carrying the first
+    * 80% of revenue is class A, up to 95% B, the long tail C. An item's
+    * class is decided by the revenue ACCUMULATED STRICTLY BEFORE it
+    * under (r4 desc, l_partkey asc) order — the item crossing a cut
+    * still belongs to the richer class; integer cross-multiplication
+    * (`cum_before·5 < total·4`, `·20 < ·19`) decides both cuts with no
+    * percentage arithmetic.
+    *
+    * Scale shape — the q95 two-phase global-rank discipline, pointed at
+    * a DESCENDING cumulative: parts collapse to (part, r4) once; a
+    * COARSE revenue-bucket histogram (bounded by the value range, not
+    * |parts|) carries the only unpartitioned cumulative; the ≤2 buckets
+    * containing the 80%/95% cuts are resolved per-part with
+    * WITHIN-BUCKET windows; every other bucket classifies wholesale
+    * from its bucket-prefix sum. No global sort of |parts| ever runs.
+    */
+  def abcOf(rev: DataFrame): DataFrame = {
+    val hist = CachedStages.track(rev
+      .withColumn("hb", expr("r4 div 10000000"))
+      .groupBy("hb")
+      .agg(count(lit(1)).as("n_in"), sum(col("r4")).as("s_in"))
+      .persist())
+    val wb = Window.orderBy(col("hb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before", coalesce(sum(col("s_in")).over(wb), lit(0L)))
+    val total = hist.agg(sum(col("s_in")).as("total"),
+      sum(col("n_in")).as("n_parts_total"))
+    val buckets = CachedStages.track(cum.crossJoin(broadcast(total))
+      // a cut at share p/q lies inside the bucket iff the bucket's
+      // prefix interval [cum_before, cum_before + s_in) straddles it
+      .withColumn("has_cut",
+        (expr("cum_before * 5 < total * 4") &&
+          expr("(cum_before + s_in) * 5 >= total * 4")) ||
+        (expr("cum_before * 20 < total * 19") &&
+          expr("(cum_before + s_in) * 20 >= total * 19")))
+      .persist())
+    def classExpr(cumBefore: String): org.apache.spark.sql.Column = expr(
+      s"""CASE WHEN $cumBefore * 5 < total * 4 THEN 'A'
+         |     WHEN $cumBefore * 20 < total * 19 THEN 'B'
+         |     ELSE 'C' END""".stripMargin)
+    val whole = buckets.filter(!col("has_cut"))
+      .select(classExpr("cum_before").as("abc_class"),
+        col("n_in").as("n"), col("s_in").as("s"), col("total"),
+        col("n_parts_total"))
+      .groupBy("abc_class")
+      .agg(sum(col("n")).as("n_parts"), sum(col("s")).as("revenue_r4"),
+        max(col("total")).as("total"),
+        max(col("n_parts_total")).as("n_parts_total"))
+    val wIn = Window.partitionBy("hb")
+      .orderBy(col("r4").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = rev.withColumn("hb", expr("r4 div 10000000"))
+      .join(broadcast(buckets.filter(col("has_cut"))
+        .select("hb", "cum_before", "total", "n_parts_total")), Seq("hb"))
+      .withColumn("part_cum_before",
+        col("cum_before") + coalesce(sum(col("r4")).over(wIn), lit(0L)))
+      .select(classExpr("part_cum_before").as("abc_class"),
+        col("r4"), col("total"), col("n_parts_total"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("r4")).as("revenue_r4"),
+        max(col("total")).as("total"),
+        max(col("n_parts_total")).as("n_parts_total"))
+    whole.unionByName(boundary)
+      .groupBy("abc_class")
+      .agg(sum(col("n_parts")).as("n_parts"),
+        sum(col("revenue_r4")).as("revenue_r4"),
+        max(col("total")).as("total"),
+        max(col("n_parts_total")).as("n_parts_total"))
+      .withColumn("revenue_share_ppm", expr(
+        "CAST(CAST(revenue_r4 AS DECIMAL(38, 0)) * 1000000 div total AS BIGINT)"))
+      .withColumn("parts_share_ppm",
+        expr("n_parts * 1000000 div n_parts_total"))
+      .select("abc_class", "n_parts", "revenue_r4", "revenue_share_ppm",
+        "parts_share_ppm")
+      .orderBy("abc_class")
+  }
+
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"),

@@ -1255,6 +1255,58 @@ object TextOps {
     * dropped — appear without densifying through any corpus-sized
     * join; the final aggregate is |sources| rows.
     */
+  def distinctiveTerms(spark: SparkSession, dir: String,
+      topK: Int = 5, minCount: Int = 20): DataFrame =
+    distinctiveTermsOf(Tables(spark, dir, "documents"), topK, minCount)
+
+  /** Graded q175: DISTINCTIVE TERMS per source — per-feed keyword
+    * attribution by smoothed odds ratio (the log-free integer cousin of
+    * Monroe, Colaresi & Quinn 2008's log-odds with prior): for token t
+    * in source s with in-source count a of A total tokens and rest-of-
+    * corpus count b of B,
+    * `or_ppm = a·(B−b+1)·10⁶ div ((A−a+1)·(b+1))` — +1 smoothing keeps
+    * source-exclusive terms (b=0) finite and the division's operands
+    * positive; a count floor (a ≥ minCount) kills one-off noise. The
+    * top-k per source is what q141's total-variation drift number can't
+    * say: WHICH terms make a feed different — the vocabulary audit run
+    * before mixing a new source into a training corpus.
+    *
+    * Scale shape: ONE corpus collapse into the (source, token, n)
+    * matrix (q141's shared shape); source totals broadcast; the
+    * per-token rest-counts come from re-aggregating the matrix keyed by
+    * token (co-partitioned with the candidate join); the rank window
+    * runs per source over floor-surviving candidates only. Products in
+    * DECIMAL(38) — corpus-scale token counts overflow a long.
+    */
+  def distinctiveTermsOf(docs: DataFrame, topK: Int,
+      minCount: Int): DataFrame = {
+    val counts = CachedStages.track(docs.filter(col("doc_id").isNotNull)
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .persist())
+    val srcTotals = counts.groupBy("source").agg(sum(col("n")).as("n_src"))
+    val tokTotals = counts.groupBy("token").agg(sum(col("n")).as("n_tok"))
+    val total = counts.agg(sum(col("n")).as("n_all"))
+    val scored = counts.filter(col("n") >= minCount)
+      .join(tokTotals, Seq("token"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_rest", col("n_tok") - col("n"))
+      .withColumn("or_ppm", expr(
+        """CAST(CAST(n AS DECIMAL(38, 0))
+          | * (n_all - n_src - n_rest + 1) * 1000000
+          | div (CAST(n_src - n + 1 AS DECIMAL(38, 0)) * (n_rest + 1))
+          | AS BIGINT)""".stripMargin))
+    val w = Window.partitionBy("source")
+      .orderBy(col("or_ppm").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("token"),
+        col("n").as("n_in_source"), col("n_rest"), col("or_ppm"))
+      .orderBy("source", "rank")
+  }
+
   def tokenDriftOf(docs: DataFrame): DataFrame =
     tokenDriftOfCounts(docs.filter(col("doc_id").isNotNull)
       .select(col("source"), explode(expr(tokensExpr)).as("token"))

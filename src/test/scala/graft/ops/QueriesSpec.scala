@@ -2539,6 +2539,100 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q174 ABC: hand fixture + two-phase == global-window replay") {
+    import spark.implicits._
+    // revenues 800/150/10x5: the crossing part stays in the richer
+    // class (800 IS the 80% prefix; 150 is B; the tail is C)
+    val fixture = Seq((1L, 800L), (2L, 150L), (3L, 10L), (4L, 10L),
+      (5L, 10L), (6L, 10L), (7L, 10L)).toDF("l_partkey", "r4")
+    val f = Relational.abcOf(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(f == Seq(("A", 1L, 800L, 800000L, 142857L),
+      ("B", 1L, 150L, 150000L, 142857L),
+      ("C", 5L, 50L, 50000L, 714285L)), f)
+    CachedStages.release(spark)
+    // graded replay: the straight-line global desc window driver-side
+    val rev = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        def d2(x: Double) = BigDecimal(x).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)
+        (r.getLong(0), (d2(r.getDouble(1)) * (1 - d2(r.getDouble(2)))
+          * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .sortBy { case (k, r4) => (-r4, k) }
+    val total = rev.map(x => BigInt(x._2)).sum
+    val np = rev.size.toLong
+    var cum = BigInt(0)
+    val classed = rev.map { case (_, r4) =>
+      val c = if (cum * 5 < total * 4) "A"
+        else if (cum * 20 < total * 19) "B" else "C"
+      cum += r4
+      (c, r4)
+    }
+    val expect = classed.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, g) =>
+      val s = g.map(x => BigInt(x._2)).sum
+      (c, g.size.toLong, s.toLong, (s * 1000000 / total).toLong,
+        g.size.toLong * 1000000L / np)
+    }
+    val got = Relational.abcClassification(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
+  test("q175 distinctive terms: exclusive-term fixture + graded ranking laws") {
+    import spark.implicits._
+    // 'zebra' appears ONLY in sa (the b=0 smoothing path); 'common'
+    // spans both; 'rare' sits under the count floor and must not rank
+    val docs = Seq(
+      (1L, "sa", ("zebra " * 25) + ("common " * 30) + ("rare " * 5)),
+      (2L, "sb", "common " * 40))
+      .toDF("doc_id", "source", "text")
+    val f = TextOps.distinctiveTermsOf(docs, 5, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // n_src sa=60 (incl rare), sb=40, n_all=100; by the formula:
+    // zebra: 25*(100-60-0+1)*1e6 div ((60-25+1)*1) = 25*41e6 div 36
+    // common@sa: 30*(100-60-40+1)*1e6 div ((60-30+1)*41)
+    // common@sb: 40*(100-40-30+1)*1e6 div ((40-40+1)*31)
+    val zebra = BigInt(25) * 41 * 1000000 / 36
+    val commonSa = BigInt(30) * 1 * 1000000 / (31 * 41)
+    val commonSb = BigInt(40) * 31 * 1000000 / 31
+    assert(f == Seq(
+      ("sa", 1L, "zebra", 25L, 0L, zebra.toLong),
+      ("sa", 2L, "common", 30L, 40L, commonSa.toLong),
+      ("sb", 1L, "common", 40L, 30L, commonSb.toLong)), f)
+    CachedStages.release(spark)
+    // graded laws: contiguous ranks, or_ppm descending per source,
+    // floor respected, and each row's or_ppm recomputes from the
+    // corpus totals + its own counts
+    val rows = TextOps.distinctiveTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    CachedStages.release(spark)
+    assert(rows.nonEmpty && rows.forall(_._4 >= 20))
+    val toks = Tables(spark, dir, "documents")
+      .filter("doc_id IS NOT NULL")
+      .selectExpr("source", s"explode(${TextOps.tokensExpr}) AS token")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nAll = toks.values.sum
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.size))
+      val byRank = g.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+      g.foreach { case (_, _, _, a, b, or) =>
+        val aSrc = toks(src)
+        val expect = BigInt(a) * (nAll - aSrc - b + 1) * 1000000 /
+          (BigInt(aSrc - a + 1) * (b + 1))
+        assert(or == expect.toLong, s"$src $a $b")
+      }
+    }
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
