@@ -951,11 +951,17 @@ object Events {
     * calendar), and the |types|·|methods| rollup all run on that
     * model-sized matrix. The naive arm's MAE joins back by broadcast.
     */
-  def forecastBacktestOf(evs: DataFrame): DataFrame = {
-    val cents = "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"
-    val daily = evs
+  def forecastBacktestOf(evs: DataFrame): DataFrame =
+    forecastBacktestOfDaily(evs
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
-      .agg(sum(expr(cents)).as("cents"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** q173 over an already-aggregated `(event_type, day, cents)` matrix
+    * (the q172 split, same streamed state feeds both reports).
+    */
+  def forecastBacktestOfDaily(daily: DataFrame): DataFrame = {
     val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .withColumn("cutoff", expr("mn + (mx - mn) * 8 div 10"))
     val calendar = bounds
@@ -1020,12 +1026,19 @@ object Events {
     * model-sized matrix. At 100 TB the |days|² pair fan-out is ≤134k
     * rows per type per year; the stream is touched exactly once.
     */
-  def theilSenTrendOf(evs: DataFrame): DataFrame = {
-    val cents = "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"
-    val daily = CachedStages.track(evs
+  def theilSenTrendOf(evs: DataFrame): DataFrame =
+    theilSenTrendOfDaily(evs
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
-      .agg(sum(expr(cents)).as("cents"))
-      .persist())
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** q172 over an already-aggregated `(event_type, day, cents)` matrix
+    * — split out so the streaming twin's maintained daily-revenue state
+    * (EventStreams.dailyRevenueStream) feeds the IDENTICAL arithmetic.
+    */
+  def theilSenTrendOfDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = CachedStages.track(dailyIn.persist())
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))

@@ -377,6 +377,23 @@ object EventStreams {
       .groupBy("event_type", "day")
       .agg(count(lit(1)).as("n"))
 
+  /** q172/q173's twin state: the (type, day) REVENUE matrix maintained
+    * at the ingestion edge — Complete-mode integer-cents sums, state
+    * bounded by |types|·|days|, never per event; monotone merges need
+    * no watermark. ONE streamed matrix feeds BOTH the Theil–Sen trend
+    * (`Events.theilSenTrendOfDaily`) and the forecast backtest
+    * (`Events.forecastBacktestOfDaily`) with arithmetic identical to
+    * their batch paths — the EventStreamsSpec twin asserts row-for-row
+    * equality of both derived reports.
+    */
+  def dailyRevenueStream(stream: DataFrame): DataFrame =
+    stream
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("cents"))
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

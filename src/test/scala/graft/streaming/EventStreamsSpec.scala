@@ -424,4 +424,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamedDaily.count() == got.length.toLong)
     graft.ops.CachedStages.release(spark)
   }
+  test("q172/q173 twin: ONE streamed revenue matrix feeds both reports") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(EventStreams.dailyRevenueStream(stream),
+      "daily_revenue", OutputMode.Complete())
+    val streamedDaily = spark.table("daily_revenue").localCheckpoint()
+    val src = "/root/testdata/sf0.001"
+    // cell-for-cell: maintained state == the batch collapse
+    val batchDaily = Events.events(spark, src)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_sec div 86400").as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val streamedMap = streamedDaily.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamedMap == batchDaily && streamedMap.nonEmpty)
+    // both derived reports equal their batch operators row for row
+    def rows6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i => r.get(i)).toSeq).toSeq
+    val trendStreamed = rows6(Events.theilSenTrendOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val trendBatch = rows6(Events.theilSenTrend(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(trendStreamed == trendBatch && trendBatch.nonEmpty)
+    val btStreamed = rows6(Events.forecastBacktestOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val btBatch = rows6(Events.forecastBacktest(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(btStreamed == btBatch && btBatch.nonEmpty)
+  }
 }
