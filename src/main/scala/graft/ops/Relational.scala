@@ -579,11 +579,14 @@ object Relational {
     */
   def benfordAuditOf(spark: SparkSession, orders: DataFrame): DataFrame = {
     import spark.implicits._
-    val counts = orders.select(expr(
+    // ≤9 rows, but the digit counts feed both the join and the total —
+    // persisted so the orders scan runs exactly once
+    val counts = CachedStages.track(orders.select(expr(
       """CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(12, 2))
         | * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""".stripMargin)
       .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      .persist())
     val expected = BenfordPpm
       .map { case (d, p) => (d.toLong, p) }.toDF("digit", "exp_ppm")
     val total = counts.agg(sum(col("n_orders")).as("n_total"))
@@ -625,7 +628,10 @@ object Relational {
     * WITHIN-BUCKET windows; every other bucket classifies wholesale
     * from its bucket-prefix sum. No global sort of |parts| ever runs.
     */
-  def abcOf(rev: DataFrame): DataFrame = {
+  def abcOf(revIn: DataFrame): DataFrame = {
+    // the (part, r4) frame feeds both the histogram and the boundary
+    // resolution — persisted so the corpus collapses exactly once
+    val rev = CachedStages.track(revIn.persist())
     val hist = CachedStages.track(rev
       .withColumn("hb", expr("r4 div 10000000"))
       .groupBy("hb")

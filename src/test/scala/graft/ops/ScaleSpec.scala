@@ -1113,4 +1113,108 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("word_shingles"), plan.take(3000))
     CachedStages.release(spark)
   }
+
+  test("q168 plan: one events scan into the per-user pair; pooled row broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.cupedReadout(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the stream collapses once into the persisted per-user (x, y)
+    // frame; the arm rollup and the pooled moment row both read cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q169 plan: one events scan; fold runs on the model-sized step list") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Events.kmRetention(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // per-user collapse + histogram persist: at most the single events
+    // scan touches parquet; the KM fold is a broadcast array aggregate
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q170 plan: two arm scans, bounded chunk windows, broadcast prefix") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Events.latenessProfile(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the two arms each scan events once; the chunk-prefix table joins
+    // back by broadcast; the only unpartitioned windows run over the
+    // chunk table and the lateness histogram (both bounded)
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q171 plan: one orders scan collapsing to <=9 groups") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Relational.benfordAudit(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the persisted ≤9-row digit-count table serves both the join and
+    // the total: at most the single orders scan materializes it
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q172/q173 plans: the calendar matrix is the only corpus collapse") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    for (mk <- Seq(() => Events.theilSenTrend(spark, dir),
+      () => Events.forecastBacktest(spark, dir))) {
+      val out = mk()
+      val plan = out.queryExecution.executedPlan.toString
+      val tree = out.queryExecution.sparkPlan
+      // pairs/lags/rollups all read the persisted (type, day) matrix —
+      // at most one events scan materializes it
+      assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+        plan.take(3000))
+      assert(tree.collect { case m: InMemoryTableScanExec => m }.nonEmpty,
+        plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      CachedStages.release(spark)
+    }
+  }
+  test("q174 plan: one part-revenue collapse feeds histogram + boundary") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Relational.abcClassification(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // rev persists: the lineitem scan happens once; whole-bucket and
+    // boundary branches read caches, the boundary set joins by broadcast
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q175 plan: one corpus tokenization; ranking reads the count cache") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.distinctiveTerms(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
 }
