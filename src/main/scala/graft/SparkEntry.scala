@@ -279,6 +279,8 @@ object SparkEntry {
     "q173_forecast_backtest" -> Events.forecastBacktest _,
     "q174_abc_classification" -> Relational.abcClassification _,
     "q175_distinctive_terms" -> ((s, d) => TextOps.distinctiveTerms(s, d)),
+    "q176_gini_spend" -> Relational.giniSpend _,
+    "q177_inflight_timeline" -> Relational.inflightTimeline _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4782,6 +4784,74 @@ object SparkEntry {
         |SELECT source, CAST(rnk AS BIGINT) AS rank, token,
         |  n AS n_in_source, n_rest, or_ppm
         |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+
+    // Replays Relational.giniOf: per-customer cents, whole-dollar
+    // quantization, per-bucket rank-weighted sums in HUGEINT, the
+    // closed-form Gini with one truncating ppm division.
+    "q176_gini_spend" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |sn AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation, sp.cents,
+        |    sp.cents // 100 AS v
+        |  FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+        |h AS (
+        |  SELECT nation, v, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(cents) AS BIGINT) AS cents_in
+        |  FROM sn GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT nation, v, c, cents_in,
+        |    COALESCE(SUM(c) OVER (PARTITION BY nation ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM h),
+        |a AS (
+        |  SELECT nation, CAST(SUM(c) AS BIGINT) AS n_customers,
+        |    CAST(SUM(cents_in) AS BIGINT) AS total_cents,
+        |    SUM(v::HUGEINT * c) AS sx,
+        |    SUM(v::HUGEINT * c * 2 * cum_before
+        |      + v::HUGEINT * c * (c + 1)) AS two_rank_x
+        |  FROM cb GROUP BY 1)
+        |SELECT nation, n_customers, total_cents,
+        |  CAST((two_rank_x - (n_customers + 1) * sx) * 1000000
+        |    // nullif(n_customers::HUGEINT * sx, 0) AS BIGINT) AS gini_ppm
+        |FROM a ORDER BY nation""".stripMargin,
+
+    // Replays Relational.inflightTimelineOf: the two-delta difference
+    // array, bounded-day aggregation, densified-calendar prefix sum.
+    "q177_inflight_timeline" ->
+      """WITH d AS (
+        |  SELECT epoch_us(o.o_orderdate) // 86400000000 AS order_day,
+        |    epoch_us(l.l_shipdate) // 86400000000 AS ship_day
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |deltas AS (
+        |  SELECT day, CAST(SUM(delta) AS BIGINT) AS delta,
+        |    CAST(SUM(ordered) AS BIGINT) AS n_ordered,
+        |    CAST(SUM(shipped) AS BIGINT) AS n_shipped,
+        |    CAST(SUM(invalid) AS BIGINT) AS n_invalid
+        |  FROM (
+        |    SELECT order_day AS day, 1 AS delta, 1 AS ordered,
+        |      0 AS shipped, 0 AS invalid FROM d
+        |    WHERE ship_day >= order_day
+        |    UNION ALL
+        |    SELECT ship_day, -1, 0, 1, 0 FROM d WHERE ship_day >= order_day
+        |    UNION ALL
+        |    SELECT order_day, 0, 0, 0, 1 FROM d
+        |    WHERE ship_day < order_day) u
+        |  GROUP BY 1),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM deltas),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b)
+        |SELECT cal.day,
+        |  COALESCE(deltas.n_ordered, 0) AS n_ordered,
+        |  COALESCE(deltas.n_shipped, 0) AS n_shipped,
+        |  COALESCE(deltas.n_invalid, 0) AS n_invalid,
+        |  CAST(SUM(COALESCE(deltas.delta, 0)) OVER (ORDER BY cal.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_backlog
+        |FROM cal LEFT JOIN deltas ON cal.day = deltas.day
+        |ORDER BY cal.day""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -693,6 +693,133 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  def giniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("nation"))
+    giniOf(spend.join(cust, Seq("o_custkey")))
+  }
+
+  /** Graded q176: GINI coefficient of customer spend per nation — the
+    * inequality measurement (Gini 1912) that complements q162's HHI:
+    * HHI asks how concentrated the SELLER side is, Gini how unequal
+    * the BUYER side spends (marketing reads it as whale-dependence).
+    * Per nation: customers, total spend, and `gini_ppm` from the
+    * rank-weighted closed form `G = (2·Σrᵢxᵢ − (n+1)·Σx)/(n·Σx)` with
+    * ranks ascending over spend.
+    *
+    * Exactness + the scale move: spend quantizes to WHOLE DOLLARS
+    * (`cents div 100`) so the distribution's value DOMAIN is bounded by
+    * the price range — the histogram cumulative then runs over a
+    * bounded frame (the q53/q128 discipline) instead of ranking
+    * |customers| rows; the rank-weighted sum collapses per bucket as
+    * `2·c·v·cum_before + v·c·(c+1)` (the within-bucket arithmetic
+    * series, exact), products in DECIMAL(38). G of the quantized
+    * distribution is the reported number — the quantization is the
+    * documented contract, not an approximation of it. All-equal spends
+    * give exactly 0; the ppm division truncates once.
+    *
+    * Scale shape: one orders collapse to per-customer cents, one
+    * broadcast-joined nation tag, one (nation, dollar) histogram with
+    * bounded cumulative frames, |nations| output rows.
+    */
+  def giniOf(spendByNation: DataFrame): DataFrame = {
+    val hist = CachedStages.track(spendByNation
+      .withColumn("v", expr("cents div 100"))
+      .groupBy("nation", "v")
+      .agg(count(lit(1)).as("c"), sum(col("cents")).as("cents_in"))
+      .persist())
+    val wc = Window.partitionBy("nation").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum(col("c")).over(wc), lit(0L)))
+      .groupBy("nation")
+      .agg(sum(col("c")).as("n_customers"),
+        sum(col("cents_in")).as("total_cents"),
+        sum(expr("CAST(v AS DECIMAL(38, 0)) * c")).as("sx"),
+        sum(expr(
+          """CAST(v AS DECIMAL(38, 0)) * c * 2 * cum_before
+            | + CAST(v AS DECIMAL(38, 0)) * c * (c + 1)""".stripMargin))
+          .as("two_rank_x"))
+      .withColumn("gini_ppm", expr(
+        """CAST((two_rank_x - (n_customers + 1) * sx) * 1000000
+          | div nullif(CAST(n_customers AS DECIMAL(38, 0)) * sx, 0)
+          | AS BIGINT)""".stripMargin))
+      .select("nation", "n_customers", "total_cents", "gini_ppm")
+      .orderBy("nation")
+  }
+
+  def inflightTimeline(spark: SparkSession, dir: String): DataFrame =
+    inflightTimelineOf(Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        Seq("l_orderkey")))
+
+  /** Graded q177: FULFILLMENT BACKLOG timeline — how many line items
+    * are ordered-but-not-yet-shipped on each calendar day. The scale
+    * move is the DIFFERENCE-ARRAY reduction every
+    * interval-count-at-scale problem uses: each
+    * [order_day, ship_day) interval contributes +1 at its start and
+    * −1 at its end — two delta rows, never an exploded row-per-day —
+    * and the corpus collapses to a calendar-bounded (day, Δ) matrix
+    * whose prefix sum IS the timeline. Counting intervals that stab
+    * each day via join or explode is O(rows·span); this is O(rows)
+    * into O(|days|).
+    *
+    * Per day (densified over [min, max]): line items entering the
+    * backlog, shipping out, and the end-of-day open backlog (a
+    * same-day order+ship contributes zero at day end — the stated
+    * convention). Rows whose ship day PRECEDES their order day (the
+    * synthetic dates are not causally linked — real feeds have clock
+    * skew and backfills) are excluded from the interval algebra and
+    * surfaced per order-day as `n_invalid`: the data-quality signal
+    * rides along, and the backlog stays structurally ≥ 0.
+    *
+    * Scale shape: one order-key equi-join tags each line item with
+    * its order day (the key both tables already shuffle on), then the
+    * two-delta projection, one bounded-domain aggregation, and the
+    * only unpartitioned window runs over the densified calendar
+    * (value-domain bounded).
+    */
+  def inflightTimelineOf(li: DataFrame): DataFrame = {
+    val d = li.select(
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("order_day"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        .as("ship_day"))
+    val valid = d.filter(col("ship_day") >= col("order_day"))
+    val deltas = CachedStages.track(valid
+      .select(col("order_day").as("day"), lit(1L).as("delta"),
+        lit(1L).as("ordered"), lit(0L).as("shipped"), lit(0L).as("invalid"))
+      .unionByName(valid.select(col("ship_day").as("day"),
+        lit(-1L).as("delta"), lit(0L).as("ordered"),
+        lit(1L).as("shipped"), lit(0L).as("invalid")))
+      .unionByName(d.filter(col("ship_day") < col("order_day"))
+        .select(col("order_day").as("day"), lit(0L).as("delta"),
+          lit(0L).as("ordered"), lit(0L).as("shipped"),
+          lit(1L).as("invalid")))
+      .groupBy("day")
+      .agg(sum(col("delta")).as("delta"),
+        sum(col("ordered")).as("n_ordered"),
+        sum(col("shipped")).as("n_shipped"),
+        sum(col("invalid")).as("n_invalid"))
+      .persist())
+    val cal = deltas.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(expr("sequence(mn, mx)")).as("day"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(deltas, Seq("day"), "left")
+      .na.fill(0L, Seq("delta", "n_ordered", "n_shipped", "n_invalid"))
+      .withColumn("open_backlog", sum(col("delta")).over(w))
+      .select("day", "n_ordered", "n_shipped", "n_invalid", "open_backlog")
+      .orderBy("day")
+  }
+
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"),

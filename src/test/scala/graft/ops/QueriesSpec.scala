@@ -2633,6 +2633,74 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q176 Gini: equality zero, hand inequality, graded replay") {
+    import spark.implicits._
+    // nation 0: perfectly equal spends -> G = 0 exactly;
+    // nation 1: [1, 1, 998] dollars -> (2*2997 - 4*1000)*1e6/(3*1000)
+    val fixture = Seq((0L, 10000L), (0L, 10000L), (0L, 10000L),
+      (1L, 100L), (1L, 100L), (1L, 99800L)).toDF("nation", "cents")
+    val f = Relational.giniOf(fixture).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f(0L) == 0L && f(1L) == 664666L, f)
+    CachedStages.release(spark)
+    // graded replay: quantize, rank ascending, closed form in BigInt
+    val spend = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nat = Tables(spark, dir, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS LONG)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = spend.toSeq.flatMap { case (ck, cents) =>
+      nat.get(ck).map(n => (n, cents))
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (n, g) =>
+      val vs = g.map(_._2 / 100L).sorted
+      val nn = BigInt(vs.size)
+      val sx = vs.map(BigInt(_)).sum
+      val trx = vs.zipWithIndex.map { case (v, i) =>
+        BigInt(2) * (i + 1) * v }.sum
+      (n, nn.toLong, g.map(_._2).sum,
+        ((trx - (nn + 1) * sx) * 1000000 / (nn * sx)).toLong)
+    }
+    val got = Relational.giniSpend(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    assert(got.forall(r => r._4 >= 0 && r._4 < 1000000))
+    CachedStages.release(spark)
+  }
+  test("q177 backlog: hand intervals incl. same-day and invalid rows") {
+    import spark.implicits._
+    def ts(d: Long) = d * 86400000000L
+    val fixture = Seq((ts(0), ts(2)), (ts(0), ts(0)), (ts(1), ts(3)),
+      (ts(2), ts(0)))
+      .toDF("o_us", "s_us")
+      .selectExpr("timestamp_micros(o_us) AS o_orderdate",
+        "timestamp_micros(s_us) AS l_shipdate")
+    val f = Relational.inflightTimelineOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(f == Seq((0L, 2L, 1L, 0L, 1L), (1L, 1L, 0L, 0L, 2L),
+      (2L, 0L, 1L, 1L, 1L), (3L, 0L, 1L, 0L, 0L)), f)
+    CachedStages.release(spark)
+    // graded invariants: backlog never negative, ends at zero (every
+    // valid interval closes inside the window), flow conservation
+    val got = Relational.inflightTimeline(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.forall(_._5 >= 0))
+    assert(got.last._5 == 0L)
+    assert(got.map(_._2).sum == got.map(_._3).sum)
+    // per-row recurrence: backlog(d) = backlog(d-1) + ordered - shipped
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 == a._5 + b._2 - b._3)
+      case _ => ()
+    }
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
