@@ -281,6 +281,9 @@ object SparkEntry {
     "q175_distinctive_terms" -> ((s, d) => TextOps.distinctiveTerms(s, d)),
     "q176_gini_spend" -> Relational.giniSpend _,
     "q177_inflight_timeline" -> Relational.inflightTimeline _,
+    "q178_compaction_plan" -> ((s, d) => Layout.compactionPlan(s, d)),
+    "q179_skyline_parts" -> Relational.skylineParts _,
+    "q180_control_chart" -> Events.controlChart _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4852,6 +4855,101 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_backlog
         |FROM cal LEFT JOIN deltas ON cal.day = deltas.day
         |ORDER BY cal.day""".stripMargin,
+
+    // Replays Layout.compactionPlanOf: day-granular file sizes, the
+    // NFD sweep as a LINEAR recursive CTE (same fold Spark runs as a
+    // prefix aggregate HOF over the broadcast sorted file list).
+    "q178_compaction_plan" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS file_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT file_id, n_rows,
+        |    ROW_NUMBER() OVER (ORDER BY n_rows DESC, file_id ASC) AS rn
+        |  FROM f),
+        |sweep(rn, bin, fill) AS (
+        |  SELECT rn, CAST(1 AS BIGINT), n_rows FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn,
+        |    CASE WHEN s.fill + r.n_rows > 4096 THEN s.bin + 1
+        |         ELSE s.bin END,
+        |    CASE WHEN s.fill + r.n_rows > 4096 THEN r.n_rows
+        |         ELSE s.fill + r.n_rows END
+        |  FROM sweep s JOIN r ON r.rn = s.rn + 1)
+        |SELECT s.bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(r.n_rows) AS BIGINT) AS total_rows,
+        |  CAST(SUM(r.n_rows) AS BIGINT) * 1000000 // 4096 AS fill_ppm
+        |FROM sweep s JOIN r ON s.rn = r.rn
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // INDEPENDENT skyline formulation: the textbook O(n²) NOT-EXISTS
+    // dominance test — hash-matching it proves Spark's value-domain
+    // prefix-max reduction computes the same frontier.
+    "q179_skyline_parts" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    CAST(CAST(p_retailprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    CAST(p_size AS BIGINT) AS size
+        |  FROM part)
+        |SELECT p_partkey, price_cents, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+        |    AND (b.price_cents < a.price_cents OR b.size > a.size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    // Replays Events.controlChartOfDaily: densified calendar, HUGEINT
+    // cross-multiplied 2σ/3σ tests, the 3-row WE-rule-2 frame.
+    "q180_control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+        |dense AS (
+        |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |st AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS s1,
+        |    SUM(cents::HUGEINT * cents) AS s2
+        |  FROM dense GROUP BY 1),
+        |f AS (
+        |  SELECT d.event_type, d.day, d.cents,
+        |    d.cents::HUGEINT * st.n - st.s1 AS dev,
+        |    st.n * st.s2 - st.s1::HUGEINT * st.s1 AS var_n
+        |  FROM dense d JOIN st USING (event_type)),
+        |g AS (
+        |  SELECT event_type, day, cents,
+        |    CASE WHEN dev * dev > 9 * var_n
+        |      THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
+        |      ELSE 0 END AS rule1,
+        |    CASE WHEN dev * dev > 4 * var_n
+        |      THEN CASE WHEN dev > 0 THEN 1 ELSE -1 END
+        |      ELSE 0 END AS beyond2
+        |  FROM f),
+        |h AS (
+        |  SELECT event_type, day, cents, CAST(rule1 AS BIGINT) AS rule1,
+        |    beyond2,
+        |    SUM(CASE WHEN beyond2 = 1 THEN 1 ELSE 0 END)
+        |      OVER w3 AS n2a,
+        |    SUM(CASE WHEN beyond2 = -1 THEN 1 ELSE 0 END)
+        |      OVER w3 AS n2b
+        |  FROM g
+        |  WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cents, rule1,
+        |  CAST(CASE WHEN beyond2 = 1 AND n2a >= 2 THEN 1
+        |       WHEN beyond2 = -1 AND n2b >= 2 THEN -1
+        |       ELSE 0 END AS BIGINT) AS rule2
+        |FROM h ORDER BY event_type, day""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -1002,6 +1002,69 @@ object Events {
       .orderBy("event_type", "method")
   }
 
+  def controlChart(spark: SparkSession, dir: String): DataFrame =
+    controlChartOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q180: SHEWHART CONTROL CHART with Western Electric rule 2
+    * (Shewhart 1931; the WE Statistical Quality Control Handbook 1956)
+    * over per-type daily revenue — the SPC view of the stream that
+    * q124's median-burst rule doesn't give: rule 1 flags a single
+    * point beyond 3σ, rule 2 flags 2-of-3 consecutive points beyond
+    * 2σ on the SAME side (the drift detector a single-point rule
+    * misses). Square-root-free: `(x−μ)² > k²σ²` cross-multiplies to
+    * `(x·n − Σx)² > k²·(n·Σx² − (Σx)²)` — all DECIMAL(38) integer
+    * products, no sqrt, no FP; flags carry the side as ±1.
+    *
+    * The calendar densifies (a silent day IS a zero-revenue point —
+    * exactly what a control chart must see); the rule-2 window is a
+    * bounded 3-row frame per type over the calendar matrix.
+    *
+    * Scale shape: one events collapse into the (type, day) matrix
+    * (the SAME state the q172/q173 twin streams), |types|-row moment
+    * stats broadcast back, bounded windows. Third consumer of
+    * `EventStreams.dailyRevenueStream`'s maintained matrix.
+    */
+  def controlChartOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38, 0)) * cents")).as("s2"))
+    val flagged = dense.join(broadcast(stats), Seq("event_type"))
+      .withColumn("dev", expr(
+        "CAST(cents AS DECIMAL(38, 0)) * n - s1"))
+      .withColumn("var_n", expr(
+        "n * s2 - CAST(s1 AS DECIMAL(38, 0)) * s1"))
+      .withColumn("rule1", expr(
+        """CASE WHEN dev * dev > 9 * var_n
+          |  THEN IF(dev > 0, 1L, -1L) ELSE 0L END""".stripMargin))
+      .withColumn("beyond2", expr(
+        """CASE WHEN dev * dev > 4 * var_n
+          |  THEN IF(dev > 0, 1L, -1L) ELSE 0L END""".stripMargin))
+    val w3 = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(-2, 0)
+    flagged
+      .withColumn("n2a",
+        sum(when(col("beyond2") === 1L, 1L).otherwise(0L)).over(w3))
+      .withColumn("n2b",
+        sum(when(col("beyond2") === -1L, 1L).otherwise(0L)).over(w3))
+      .withColumn("rule2", expr(
+        """CASE WHEN beyond2 = 1 AND n2a >= 2 THEN 1L
+          |     WHEN beyond2 = -1 AND n2b >= 2 THEN -1L
+          |     ELSE 0L END""".stripMargin))
+      .select("event_type", "day", "cents", "rule1", "rule2")
+      .orderBy("event_type", "day")
+  }
+
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
     theilSenTrendOf(events(spark, dir))
 

@@ -166,6 +166,61 @@ object Layout {
         max(col("o_totalprice")).as("max_price"))
       .orderBy("bucket")
   }
+  def compactionPlan(spark: SparkSession, dir: String,
+      capacity: Long = 4096L): DataFrame =
+    compactionPlanOf(Tables(spark, dir, "orders")
+      .groupBy(expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .as("file_id"))
+      .agg(count(lit(1)).as("rows")), capacity)
+
+  /** Graded q178: small-file COMPACTION plan — the OPTIMIZE step every
+    * lakehouse table needs: day-granular write groups ("files", sized
+    * in rows) are packed into target-capacity bins by NEXT-FIT
+    * DECREASING — sort files by (size desc, id asc), sweep once, close
+    * the open bin whenever the next file would overflow it. NFD is the
+    * deterministic linear-sweep member of the bin-packing family (FFD
+    * packs tighter but needs random access to open bins; a plan that
+    * must be replayed byte-identically across engines values the
+    * single-pass sweep). Oversized files (> capacity) get singleton
+    * bins with fill_ppm honestly > 10⁶.
+    *
+    * Per bin: file count, total rows, fill_ppm vs capacity.
+    *
+    * Scale + determinism: the file list is CALENDAR-BOUNDED (one row
+    * per write day), so the inherently sequential sweep runs as an
+    * `aggregate()` HOF prefix fold over ONE broadcast model-sized
+    * sorted array — the q169 discipline — never a driver collect; the
+    * corpus itself collapses once into the file-size table. The
+    * DuckDB oracle replays the sweep as a linear recursive CTE.
+    */
+  def compactionPlanOf(files: DataFrame, capacity: Long): DataFrame = {
+    // (size desc, id asc) sort key packed so ONE sort_array orders the
+    // sweep: struct ordering is lexicographic on (negSize, id)
+    val packed = files.agg(expr(
+      """sort_array(collect_list(struct(-rows AS neg, file_id AS id,
+        |rows AS sz)))""".stripMargin).as("fs"))
+    // the fold carries (bin, fill) and emits each file's bin id; the
+    // per-file prefix re-fold is |files|² on a calendar-bounded list
+    val assigned = files.crossJoin(broadcast(packed))
+      .withColumn("ord", expr(
+        """filter(fs, f -> named_struct('neg', f.neg, 'id', f.id)
+          | <= named_struct('neg', -rows, 'id', file_id))""".stripMargin))
+      .withColumn("bin", expr(
+        s"""aggregate(ord, named_struct('bin', CAST(0 AS BIGINT),
+           |'fill', CAST($capacity AS BIGINT)),
+           |(acc, f) -> IF(acc.fill + f.sz > $capacity,
+           |  named_struct('bin', acc.bin + 1, 'fill', f.sz),
+           |  named_struct('bin', acc.bin, 'fill', acc.fill + f.sz)),
+           |acc -> acc.bin)""".stripMargin))
+    assigned.groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("total_rows"))
+      .withColumn("fill_ppm",
+        expr(s"total_rows * 1000000 div $capacity"))
+      .select("bin", "n_files", "total_rows", "fill_ppm")
+      .orderBy("bin")
+  }
+
   /** The predicate bands the zone-map report audits, as closed cents
     * ranges on o_totalprice.
     */

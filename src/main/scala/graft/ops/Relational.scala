@@ -693,6 +693,43 @@ object Relational {
       .orderBy("abc_class")
   }
 
+  def skylineParts(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables(spark, dir, "part")
+      .select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("price_cents"),
+        col("p_size").cast("long").as("size")))
+
+  /** Graded q179: SKYLINE / Pareto frontier (Börzsönyi, Kossmann &
+    * Stocker ICDE 2001 — the SKYLINE OF operator): parts no other part
+    * dominates under (price MIN, size MAX) — cheaper-and-at-least-as-
+    * big or same-price-and-strictly-bigger kills a candidate; parts
+    * with IDENTICAL (price, size) do not dominate each other (strict
+    * dominance needs one strict edge) and all survive. The
+    * multi-criteria "best trade-offs" query a catalog search runs.
+    *
+    * The 2-D scale shape: naive skyline is the O(n²) NOT-EXISTS
+    * self-join (exactly what the DuckDB oracle runs — an INDEPENDENT
+    * formulation, so the hash-match proves the reduction); this
+    * implementation reduces to the PRICE VALUE DOMAIN — per distinct
+    * price the max size, a prefix max over strictly-cheaper prices
+    * (histogram-frame window), and one co-partitioned join back:
+    * keep iff `size == max_at_price` and `size > prefix_max_before`.
+    * O(n) into the histogram, never n².
+    */
+  def skylineOf(parts: DataFrame): DataFrame = {
+    val hist = CachedStages.track(parts.groupBy("price_cents")
+      .agg(max(col("size")).as("m")).persist())
+    val w = Window.orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = hist.withColumn("r", max(col("m")).over(w))
+    parts.join(pref, Seq("price_cents"))
+      .filter(col("size") === col("m") &&
+        (col("r").isNull || col("r") < col("size")))
+      .select("p_partkey", "price_cents", "size")
+      .orderBy("p_partkey")
+  }
+
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey"))

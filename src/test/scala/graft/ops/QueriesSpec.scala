@@ -2701,6 +2701,133 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q178 compaction: hand NFD sweep incl. oversize + graded replay") {
+    import spark.implicits._
+    val fixture = Seq((1L, 12L), (2L, 7L), (3L, 7L), (4L, 4L), (5L, 3L),
+      (6L, 1L)).toDF("file_id", "rows")
+    val f = Layout.compactionPlanOf(fixture, 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // 12 oversize (singleton, fill > 1e6), the 7s can't pair, the tail
+    // packs 4+3+1
+    assert(f == Seq((1L, 1L, 12L, 1200000L), (2L, 1L, 7L, 700000L),
+      (3L, 1L, 7L, 700000L), (4L, 3L, 8L, 800000L)), f)
+    CachedStages.release(spark)
+    // graded replay: driver-side NFD over the day-granular file list
+    val files = Tables(spark, dir, "orders")
+      .selectExpr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS d")
+      .groupBy("d").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, sz) => (-sz, id) }
+    val cap = 4096L
+    var bin = 0L; var fill = cap
+    val sweep = files.map { case (_, sz) =>
+      if (fill + sz > cap) { bin += 1; fill = sz } else fill += sz
+      (bin, sz)
+    }
+    val expect = sweep.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      (b, g.size.toLong, g.map(_._2).sum, g.map(_._2).sum * 1000000L / cap)
+    }
+    val got = Layout.compactionPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // conservation + capacity law: multi-file bins never overflow
+    assert(got.map(_._3).sum == files.map(_._2).sum)
+    got.filter(_._2 > 1).foreach(b => assert(b._3 <= cap))
+    CachedStages.release(spark)
+  }
+  test("q179 skyline: duplicates survive, dominance kills, brute replay") {
+    import spark.implicits._
+    val fixture = Seq((1L, 100L, 5L), (2L, 100L, 5L), (3L, 100L, 4L),
+      (4L, 90L, 3L), (5L, 110L, 6L), (6L, 120L, 6L), (7L, 80L, 3L))
+      .toDF("p_partkey", "price_cents", "size")
+    val f = Relational.skylineOf(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 7 dominates 4 (cheaper, same size); 1 dominates 3 (same price,
+    // bigger); 5 dominates 6; the identical pair (1,2) both survive
+    assert(f == Seq((1L, 100L, 5L), (2L, 100L, 5L), (5L, 110L, 6L),
+      (7L, 80L, 3L)), f)
+    CachedStages.release(spark)
+    // graded brute-force dominance replay at sf0.001
+    val parts = Tables(spark, dir, "part")
+      .selectExpr("p_partkey",
+        "CAST(CAST(p_retailprice AS DECIMAL(12, 2)) * 100 AS BIGINT)",
+        "CAST(p_size AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = parts.filter { a =>
+      !parts.exists(b => b._2 <= a._2 && b._3 >= a._3 &&
+        (b._2 < a._2 || b._3 > a._3))
+    }.sortBy(_._1).toSeq
+    val got = Relational.skylineParts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"$got != $expect")
+    assert(got.nonEmpty)
+    CachedStages.release(spark)
+  }
+  test("q180 control chart: rule1 spike, rule2 drift, graded replay") {
+    import spark.implicits._
+    // type a: flat 100s + one huge spike -> rule 1 fires at the spike
+    // and nowhere else; type b: alternating 50/150 baseline + two
+    // consecutive 320s — each ~2.7 sigma: INSIDE the 3-sigma limit
+    // (no rule 1) but the 2-of-3 beyond-2-sigma drift rule catches the
+    // pair on its second day
+    val a = (0 until 26).map(d => ("a", d.toLong, 100L)) :+ (("a", 26L, 1000L))
+    val b = (0 until 25).map(d =>
+      ("b", d.toLong, if (d % 2 == 0) 50L else 150L)) ++
+      Seq(("b", 25L, 320L), ("b", 26L, 320L))
+    val fixture = (a ++ b).toDF("event_type", "day", "cents")
+    def replay(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, g) =>
+        val n = BigInt(g.size)
+        val s1 = g.map(x => BigInt(x._3)).sum
+        val s2 = g.map(x => BigInt(x._3) * x._3).sum
+        val varN = n * s2 - s1 * s1
+        g.sortBy(_._2).zipWithIndex.map { case ((_, d, c), i) => (t, d, c, i) }
+          .map { case (tt, d, c, i) =>
+            val dev = BigInt(c) * n - s1
+            def beyond(k: Int) = dev * dev > k * k * varN
+            val r1 = if (beyond(3)) dev.signum.toLong else 0L
+            val b2 = if (beyond(2)) dev.signum.toLong else 0L
+            (tt, d, c, r1, b2)
+          }
+      }.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        sorted.indices.map { i =>
+          val win = sorted.slice(math.max(0, i - 2), i + 1).map(_._5)
+          val (t, d, c, r1, b2) = sorted(i)
+          val r2 = if (b2 == 1 && win.count(_ == 1) >= 2) 1L
+            else if (b2 == -1 && win.count(_ == -1) >= 2) -1L else 0L
+          (t, d, c, r1, r2)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val fGot = Events.controlChartOfDaily(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val fExpect = replay(a ++ b)
+    assert(fGot == fExpect, s"${fGot.filter(r => r._4 != 0 || r._5 != 0)}")
+    // the rules actually fire, each exactly where designed
+    assert(fGot.filter(_._4 != 0).map(r => (r._1, r._2)) == Seq(("a", 26L)))
+    assert(fGot.filter(_._5 != 0).map(r => (r._1, r._2)) == Seq(("b", 26L)))
+    CachedStages.release(spark)
+    // graded replay (densified calendar)
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val denseRows = raw.groupBy(_._1).toSeq.flatMap { case (t, g) =>
+      val byDay = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      (mn to mx).map(d => (t, d, byDay.getOrElse(d, 0L)))
+    }
+    val got = Events.controlChart(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == replay(denseRows), s"${got.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
