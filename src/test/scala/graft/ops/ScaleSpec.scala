@@ -1204,6 +1204,80 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q176 plan: orders collapse once; cumulative runs on the histogram") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Relational.giniSpend(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // orders + customer scans feed the persisted (nation, dollar)
+    // histogram; the rank-weighted sums read it back
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.nonEmpty
+      || tree.collect { case f: FileSourceScanExec => f }.nonEmpty,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q177 plan: difference-array deltas, never an exploded stab join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.inflightTimeline(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // lineitem + orders enter the delta projection; the persisted delta
+    // matrix serves the calendar join — no per-day interval explosion
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the generator produces the CALENDAR (bounded), not row-per-
+    // interval-day: exactly one Generate, fed by the 1-row bounds
+    assert(plan.split("Generate", -1).length - 1 == 1, plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q178 plan: fold over one broadcast sorted file list, no driver loop") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Layout.compactionPlan(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // files aggregate from one orders scan; the sweep is an aggregate
+    // HOF over the collected model-sized array, shipped by broadcast
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(plan.contains("aggregate("), plan.take(3000))
+    assert(plan.contains("BroadcastExchange")
+      || plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q179 plan: value-domain reduction, no O(n^2) dominance join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.skylineParts(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    // the dominance test is the histogram prefix max + ONE equi-join
+    // back on price — never a theta/nested-loop self-join
+    assert(!plan.contains("CartesianProduct")
+      && !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(tree.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.size == 1, plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q180 plan: dense matrix persisted; stats broadcast; bounded frames") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.controlChart(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
