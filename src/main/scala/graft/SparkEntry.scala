@@ -284,6 +284,7 @@ object SparkEntry {
     "q178_compaction_plan" -> ((s, d) => Layout.compactionPlan(s, d)),
     "q179_skyline_parts" -> Relational.skylineParts _,
     "q180_control_chart" -> Events.controlChart _,
+    "q181_davies_bouldin" -> ((s, d) => Clustering.daviesBouldin(s, d)),
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4950,6 +4951,39 @@ object SparkEntry {
         |       WHEN beyond2 = -1 AND n2b >= 2 THEN -1
         |       ELSE 0 END AS BIGINT) AS rule2
         |FROM h ORDER BY event_type, day""".stripMargin,
+
+    // Replays Clustering.daviesBouldin on top of the full Lloyd chain:
+    // sorted-fold scatters, sequential-fold centroid separations, the
+    // max ratio, and the overall index — double-for-double.
+    "q181_davies_bouldin" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+         |sc AS (
+         |  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |    list_reduce(list_sort(list(sqrt(dist))), (x, y) -> x + y)
+         |      AS sum_ed
+         |  FROM a$KmeansIters GROUP BY cluster),
+         |sm AS (SELECT cluster, n_members, sum_ed / n_members AS s_i
+         |       FROM sc),
+         |m AS (
+         |  SELECT a.cluster AS ci, b.cluster AS cj,
+         |    sqrt(list_reduce(list_transform(range(1, 65),
+         |      ii -> (a.c[ii] - b.c[ii]) * (a.c[ii] - b.c[ii])),
+         |      (x2, y2) -> x2 + y2)) AS m_ij
+         |  FROM cent${KmeansIters - 1} a CROSS JOIN cent${KmeansIters - 1} b
+         |  WHERE a.cluster <> b.cluster),
+         |r AS (
+         |  SELECT m.ci, (sa.s_i + sb.s_i) / m.m_ij AS r_ij
+         |  FROM m JOIN sm sa ON m.ci = sa.cluster
+         |  JOIN sm sb ON m.cj = sb.cluster),
+         |d AS (SELECT ci AS cluster, MAX(r_ij) AS d_i FROM r GROUP BY ci),
+         |db AS (
+         |  SELECT list_reduce(list_sort(list(d_i)), (x, y) -> x + y)
+         |    / COUNT(*) AS db_index FROM d)
+         |SELECT sm.cluster, sm.n_members, round(sm.s_i, 6) AS s_i,
+         |  round(d.d_i, 6) AS d_i,
+         |  round((SELECT db_index FROM db), 6) AS db_index
+         |FROM sm JOIN d ON sm.cluster = d.cluster
+         |ORDER BY sm.cluster""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

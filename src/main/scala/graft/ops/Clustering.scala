@@ -80,6 +80,63 @@ object Clustering {
     (cents, assigned)
   }
 
+  /** Graded q181: DAVIES–BOULDIN cluster validity (Davies & Bouldin,
+    * TPAMI 1979) of the q42 k-means model — the model-SELECTION number
+    * the clustering family was missing: per cluster, the mean member
+    * distance to its centroid (scatter Sᵢ), and
+    * `Dᵢ = max_{j≠i} (Sᵢ+Sⱼ)/Mᵢⱼ` over centroid separations Mᵢⱼ —
+    * lower is better-separated; the overall index (mean Dᵢ) rides
+    * along in every row. A rising DB index across k is how "is k
+    * right?" gets answered without labels.
+    *
+    * FP determinism discipline (the q42 contract extended): member
+    * distances come from the model's own sequential-fold `dist`;
+    * scatter sums are SORTED folds (order-independent association);
+    * sqrt is IEEE correctly-rounded in both engines; the k² pair table
+    * and the max are model-sized. The oracle replays the full Lloyd
+    * chain (`kmeansCtes`) and this arithmetic double-for-double.
+    *
+    * Scale shape: everything after the (already-audited) q42 training
+    * reads the persisted assignment once and k-row frames.
+    */
+  def daviesBouldin(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val (cents, assigned) = kmeansModel(spark, dir, k, iters)
+    val s = assigned
+      .select(col("cluster"), expr("sqrt(dist)").as("ed"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), expr(
+        """aggregate(array_sort(collect_list(ed)), CAST(0 AS DOUBLE),
+          |(acc, x) -> acc + x)""".stripMargin).as("sum_ed"))
+      .withColumn("s_i", col("sum_ed") / col("n_members"))
+    val m = cents.as("a").crossJoin(broadcast(cents.as("b")))
+      .filter(col("a.cluster") =!= col("b.cluster"))
+      .select(col("a.cluster").as("ci"), col("b.cluster").as("cj"), expr(
+        """sqrt(aggregate(sequence(1, 64), CAST(0 AS DOUBLE),
+          |(acc, i) -> acc + (element_at(a.c, i) - element_at(b.c, i))
+          |                * (element_at(a.c, i) - element_at(b.c, i))))"""
+          .stripMargin).as("m_ij"))
+    val r = m
+      .join(broadcast(s.select(col("cluster").as("ci"),
+        col("s_i").as("s_a"))), Seq("ci"))
+      .join(broadcast(s.select(col("cluster").as("cj"),
+        col("s_i").as("s_b"))), Seq("cj"))
+      .withColumn("r_ij", (col("s_a") + col("s_b")) / col("m_ij"))
+    val d = r.groupBy(col("ci").as("cluster"))
+      .agg(max(col("r_ij")).as("d_i"))
+    val db = d.agg(expr(
+      """aggregate(array_sort(collect_list(d_i)), CAST(0 AS DOUBLE),
+        |(acc, x) -> acc + x)""".stripMargin).as("sum_d"),
+      count(lit(1)).as("kk"))
+      .select((col("sum_d") / col("kk")).as("db_index"))
+    s.join(d, Seq("cluster"))
+      .crossJoin(broadcast(db))
+      .select(col("cluster"), col("n_members"),
+        round(col("s_i"), 6).as("s_i"), round(col("d_i"), 6).as("d_i"),
+        round(col("db_index"), 6).as("db_index"))
+      .orderBy("cluster")
+  }
+
   /** IVF KNN over the LEARNED index: partition the corpus by its k-means
     * cluster, probe each query's nearest learned centroid, search only
     * that partition. This is the full IVF story end to end — q28 probes

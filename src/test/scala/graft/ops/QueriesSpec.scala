@@ -2828,6 +2828,38 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(denseRows), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q181 Davies-Bouldin recomputes from the model's own outputs") {
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (cents, assigned) = Clustering.kmeansModel(spark, dir, 4, 3)
+    val cs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val as = assigned.select("cluster", "dist").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    CachedStages.release(spark)
+    val sI = as.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong,
+        g.map(x => math.sqrt(x._2)).sorted.foldLeft(0.0)(_ + _) / g.length)
+    }.toMap
+    val dI = cs.keys.map { i =>
+      i -> cs.keys.filter(_ != i).map { j =>
+        val m = math.sqrt((0 until 64)
+          .map(d => (cs(i)(d) - cs(j)(d)) * (cs(i)(d) - cs(j)(d)))
+          .foldLeft(0.0)(_ + _))
+        (sI(i)._2 + sI(j)._2) / m
+      }.max
+    }.toMap
+    val db = dI.values.toSeq.sorted.foldLeft(0.0)(_ + _) / dI.size
+    val got = Clustering.daviesBouldin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    val expect = sI.keys.toSeq.sorted.map(c =>
+      (c, sI(c)._1, r6(sI(c)._2), r6(dI(c)), r6(db)))
+    assert(got == expect, s"$got != $expect")
+    assert(got.map(_._2).sum ==
+      Tables(spark, dir, "embeddings").count())
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
