@@ -285,6 +285,7 @@ object SparkEntry {
     "q179_skyline_parts" -> Relational.skylineParts _,
     "q180_control_chart" -> Events.controlChart _,
     "q181_davies_bouldin" -> ((s, d) => Clustering.daviesBouldin(s, d)),
+    "q182_weekday_profile" -> Events.weekdayProfile _,
   )
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
@@ -4984,6 +4985,45 @@ object SparkEntry {
          |  round((SELECT db_index FROM db), 6) AS db_index
          |FROM sm JOIN d ON sm.cluster = d.cluster
          |ORDER BY sm.cluster""".stripMargin,
+
+    // Replays Events.weekdayProfileOfDaily: densified calendar,
+    // (day+3)%7 weekdays, cross-multiplied index, peak flags.
+    "q182_weekday_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+        |dense AS (
+        |  SELECT t.event_type, cal.day, (cal.day + 3) % 7 AS dow,
+        |    COALESCE(d.cents, 0) AS cents
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |bd AS (
+        |  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM dense GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS n_all,
+        |    CAST(SUM(cents) AS BIGINT) AS s_all
+        |  FROM bd GROUP BY 1),
+        |ix AS (
+        |  SELECT bd.event_type, bd.dow, bd.n_days, bd.cents,
+        |    CAST(bd.cents::HUGEINT * t.n_all * 1000000
+        |      // nullif(bd.n_days::HUGEINT * t.s_all, 0) AS BIGINT)
+        |      AS index_ppm
+        |  FROM bd JOIN t USING (event_type)),
+        |pk AS (SELECT event_type, MAX(index_ppm) AS peak_ppm
+        |       FROM ix GROUP BY 1)
+        |SELECT ix.event_type, ix.dow, ix.n_days, ix.cents, ix.index_ppm,
+        |  CAST(CASE WHEN ix.index_ppm = pk.peak_ppm THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_peak
+        |FROM ix JOIN pk USING (event_type)
+        |ORDER BY ix.event_type, ix.dow""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

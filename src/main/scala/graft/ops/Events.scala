@@ -1065,6 +1065,56 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame =
+    weekdayProfileOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q182: WEEKDAY SEASONALITY profile — the per-(type, weekday)
+    * index behind q173's seasonal-naive arm and every staffing/alerting
+    * calendar: `index_ppm = (dow mean daily revenue) ·10⁶ div (overall
+    * mean daily revenue)` as one cross-multiplied integral division
+    * (`sum_dow·n_days_all·10⁶ div (n_days_dow·sum_all)`), with the
+    * type's peak weekday flagged. Weekdays are `(epoch_day + 3) % 7`
+    * (0 = Monday — epoch day 0 was a Thursday), computed on the
+    * DENSIFIED calendar so silent days drag their weekday's mean like
+    * the real world does.
+    *
+    * Scale shape: the fourth consumer of the (type, day) matrix the
+    * q172/q173 twin streams — one events collapse, a ≤7·|types| rollup,
+    * DECIMAL(38) cross products, peak by broadcast-joined max.
+    */
+  def weekdayProfileOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .withColumn("dow", expr("(day + 3) % 7"))
+    val byDow = CachedStages.track(dense
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
+      .persist())
+    val totals = byDow.groupBy("event_type")
+      .agg(sum(col("n_days")).as("n_all"), sum(col("cents")).as("s_all"))
+    val indexed = byDow.join(broadcast(totals), Seq("event_type"))
+      .withColumn("index_ppm", expr(
+        """CAST(CAST(cents AS DECIMAL(38, 0)) * n_all * 1000000
+          | div nullif(CAST(n_days AS DECIMAL(38, 0)) * s_all, 0)
+          | AS BIGINT)""".stripMargin))
+    val peaks = indexed.groupBy("event_type")
+      .agg(max(col("index_ppm")).as("peak_ppm"))
+    indexed.join(broadcast(peaks), Seq("event_type"))
+      .withColumn("is_peak",
+        (col("index_ppm") === col("peak_ppm")).cast("long"))
+      .select("event_type", "dow", "n_days", "cents", "index_ppm",
+        "is_peak")
+      .orderBy("event_type", "dow")
+  }
+
   def theilSenTrend(spark: SparkSession, dir: String): DataFrame =
     theilSenTrendOf(events(spark, dir))
 

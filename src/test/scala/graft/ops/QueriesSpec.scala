@@ -2860,6 +2860,48 @@ class QueriesSpec extends SparkSpec {
       Tables(spark, dir, "embeddings").count())
     CachedStages.release(spark)
   }
+  test("q182 weekday profile: planted Monday peak + graded replay") {
+    import spark.implicits._
+    // two full weeks, Mondays at 2.00 vs 1.00 elsewhere: Monday index
+    // = 400*14e6/(2*1600) = 1750000, every other day 875000
+    // (day 4 is a Monday: (4+3)%7 == 0)
+    val fixture = (0 until 14).map { d =>
+      ("t", d.toLong, if ((d + 3) % 7 == 0) 200L else 100L)
+    }.toDF("event_type", "day", "cents")
+    val f = Events.weekdayProfileOfDaily(fixture).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toSeq
+    assert(f == (0 to 6).map(dow =>
+      if (dow == 0) (0L, 2L, 400L, 1750000L, 1L)
+      else (dow.toLong, 2L, 200L, 875000L, 0L)), f)
+    CachedStages.release(spark)
+    // graded replay
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val expect = raw.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, g) =>
+      val byDay = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val dense = (mn to mx).map(d => ((d + 3) % 7, byDay.getOrElse(d, 0L)))
+      val nAll = BigInt(dense.size)
+      val sAll = dense.map(x => BigInt(x._2)).sum
+      val byDow = dense.groupBy(_._1).toSeq.sortBy(_._1).map { case (w, h) =>
+        val c = h.map(x => BigInt(x._2)).sum
+        (w, h.size.toLong, c,
+          (c * nAll * 1000000 / (BigInt(h.size) * sAll)).toLong)
+      }
+      val peak = byDow.map(_._4).max
+      byDow.map { case (w, n, c, ix) =>
+        (t, w, n, c.toLong, ix, if (ix == peak) 1L else 0L) }
+    }
+    val got = Events.weekdayProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
