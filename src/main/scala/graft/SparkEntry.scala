@@ -286,7 +286,32 @@ object SparkEntry {
     "q180_control_chart" -> Events.controlChart _,
     "q181_davies_bouldin" -> ((s, d) => Clustering.daviesBouldin(s, d)),
     "q182_weekday_profile" -> Events.weekdayProfile _,
+    "q183_strong_kcore" -> ((s, d) => Graph.strongKCoreLadder(s, d)),
   )
+
+  /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
+    * rounds are no-ops; see Graph.kCoreLadderOf). Reads the shared
+    * strong-edge CTE `se`.
+    */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val base = s"c${k}n0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM se)"
+    val rs = (1 to rounds).map(i =>
+      s"""c${k}n$i AS MATERIALIZED (
+         |  SELECT src AS id FROM se
+         |  WHERE src IN (SELECT id FROM c${k}n${i - 1})
+         |    AND dst IN (SELECT id FROM c${k}n${i - 1})
+         |  GROUP BY src HAVING COUNT(*) >= $k)""".stripMargin)
+    (base +: rs).mkString(",\n")
+  }
+
+  private def kcoreArmSql(k: Int, rounds: Int): String =
+    s"""SELECT CAST($k AS BIGINT) AS k,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c${k}n$rounds)
+       |    AS n_core_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM se
+       |   WHERE src IN (SELECT id FROM c${k}n$rounds)
+       |     AND dst IN (SELECT id FROM c${k}n$rounds)) AS n_core_edges"""
+      .stripMargin
 
   /** DuckDB scalar subquery computing the portable m-register HLL NDV
     * of `$t.$c` — the bit-level replay of `Stats.ndvSketch`, shared by
@@ -5024,6 +5049,26 @@ object SparkEntry {
         |    AS BIGINT) AS is_peak
         |FROM ix JOIN pk USING (event_type)
         |ORDER BY ix.event_type, ix.dow""".stripMargin,
+
+    // Replays Graph.strongKCoreLadder: the >=2-shared-orders edge
+    // build, then 24 chained peeling rounds per k.
+    "q183_strong_kcore" ->
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+         |se AS MATERIALIZED (
+         |  SELECT a.p AS src, b.p AS dst
+         |  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |${kcoreCtes(1, 24)},
+         |${kcoreCtes(2, 24)},
+         |${kcoreCtes(3, 24)}
+         |SELECT * FROM (
+         |${kcoreArmSql(1, 24)}
+         |UNION ALL
+         |${kcoreArmSql(2, 24)}
+         |UNION ALL
+         |${kcoreArmSql(3, 24)}) u
+         |ORDER BY k""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -186,6 +186,78 @@ object Graph {
     * neighborhood list, so hub nodes cost their degree, not their
     * degree squared.
     */
+  def strongKCoreLadder(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 2, 3), minShared: Int = 2): DataFrame = {
+    val li = orderParts(spark, dir)
+    val edges = graft.ops.CachedStages.track(
+      li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
+        .filter(col("p") =!= col("p2"))
+        .groupBy(col("p").as("src"), col("p2").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= minShared)
+        .select("src", "dst")
+        .persist())
+    kCoreLadderOf(edges, ks)
+  }
+
+  /** Graded q183: K-CORE LADDER of the STRONG co-purchase graph
+    * (Seidman, Social Networks 1983 — "network cohesion" via maximal
+    * subgraphs of minimum degree k): edges require ≥2 SHARED ORDERS
+    * (the raw co-purchase graph at this density is near-complete and
+    * every core is trivially full — thresholding is what makes
+    * coreness informative, the same reason production co-occurrence
+    * graphs threshold supports). Per k: the core's node and directed
+    * edge counts — the cohesion fingerprint that separates "everything
+    * weakly touches everything" (k=1 big, k=2 collapses) from a true
+    * dense nucleus.
+    *
+    * Algorithm: iterative PEELING — drop nodes with in-core degree
+    * < k until fixpoint. Rounds needed is the peeling depth (≤11
+    * observed across scales, bounded by the degeneracy ordering);
+    * each round is one semi-join of the stationary edge table against
+    * the surviving node set plus a degree aggregate, with
+    * `localCheckpoint` truncating lineage per round (the q40/q69
+    * iterative discipline — on a real cluster use reliable
+    * checkpoints). The per-round `count()` is the convergence test —
+    * only the count crosses to the driver.
+    *
+    * The DuckDB oracle replays peeling as 24 chained CTE rounds per k
+    * (past-fixpoint rounds are no-ops, so over-provisioning is safe;
+    * a graph needing more rounds would hash-mismatch loudly, never
+    * silently).
+    */
+  def kCoreLadderOf(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val results = ks.map { k =>
+      var nodes = edges.select(col("src").as("id")).distinct()
+        .localCheckpoint()
+      var n = nodes.count()
+      var changed = n > 0
+      while (changed) {
+        val next = edges
+          .join(nodes.select(col("id").as("src")), Seq("src"))
+          .join(nodes.select(col("id").as("dst")), Seq("dst"))
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .select(col("src").as("id"))
+          .localCheckpoint()
+        val m = next.count()
+        changed = m != n && m > 0
+        n = m
+        nodes = next
+      }
+      val nEdges =
+        if (n == 0) 0L
+        else edges
+          .join(nodes.select(col("id").as("src")), Seq("src"))
+          .join(nodes.select(col("id").as("dst")), Seq("dst"))
+          .count()
+      (k.toLong, n, nEdges)
+    }
+    results.toDF("k", "n_core_nodes", "n_core_edges").orderBy("k")
+  }
+
   def copurchaseCommunities(spark: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
     labelPropagation(copurchaseEdges(orderParts(spark, dir)), iters)

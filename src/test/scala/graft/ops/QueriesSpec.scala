@@ -2902,6 +2902,51 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q183 k-core: hand peeling fixture + graded replay") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 4 on 1 + pendant 5 on 4: the 2-core
+    // peels 5 then 4 (cascade) and keeps the triangle; the 3-core
+    // is empty (in-triangle degree is 2)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val f = Graph.kCoreLadderOf(edges, Seq(1, 2, 3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(f == Seq((1L, 5L, 10L), (2L, 3L, 6L), (3L, 0L, 0L)), f)
+    CachedStages.release(spark)
+    // graded replay: driver-side peeling over the strong edge set
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Int]()
+    for {
+      (_, g) <- li.groupBy(_._1)
+      ps = g.map(_._2)
+      a <- ps; b <- ps if a != b
+    } pairCounts((a, b)) = pairCounts.getOrElse((a, b), 0) + 1
+    val strong = pairCounts.filter(_._2 >= 2).keySet.toSet
+    def peel(k: Int): (Long, Long) = {
+      var nodes = strong.map(_._1)
+      var changed = nodes.nonEmpty
+      while (changed) {
+        val next = strong.filter(e =>
+          nodes(e._1) && nodes(e._2))
+          .groupBy(_._1).collect { case (s, es) if es.size >= k => s }.toSet
+        changed = next != nodes && next.nonEmpty
+        nodes = next
+      }
+      (nodes.size.toLong,
+        strong.count(e => nodes(e._1) && nodes(e._2)).toLong)
+    }
+    val expect = Seq(1, 2, 3).map { k =>
+      val (n, e) = peel(k); (k.toLong, n, e) }
+    val got = Graph.strongKCoreLadder(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect,
+      s"$got != $expect (|li|=${li.length} |strong|=${strong.size})")
+    // core containment: higher k cores nest
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
