@@ -287,6 +287,8 @@ object SparkEntry {
     "q181_davies_bouldin" -> ((s, d) => Clustering.daviesBouldin(s, d)),
     "q182_weekday_profile" -> Events.weekdayProfile _,
     "q183_strong_kcore" -> ((s, d) => Graph.strongKCoreLadder(s, d)),
+    "q184_new_vs_returning" -> Events.newVsReturning _,
+    "q185_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5069,6 +5071,66 @@ object SparkEntry {
          |UNION ALL
          |${kcoreArmSql(3, 24)}) u
          |ORDER BY k""".stripMargin,
+
+    // Replays Events.newVsReturningOf: the distinct (user, day) matrix,
+    // per-user first-seen min, comparison-classified daily split.
+    "q184_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+        |  FROM events),
+        |fs AS (SELECT user_id, MIN(day) AS f FROM ud GROUP BY 1)
+        |SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS dau,
+        |  CAST(SUM(CASE WHEN ud.day = fs.f THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN ud.day > fs.f THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(SUM(CASE WHEN ud.day > fs.f THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS returning_ppm
+        |FROM ud JOIN fs ON ud.user_id = fs.user_id
+        |GROUP BY ud.day ORDER BY ud.day""".stripMargin,
+
+    // Replays Privacy.lDiversity: the broadcast-joined slim base, per
+    // level distinct-sensitive counts and homogeneous-group risk.
+    "q185_l_diversity" ->
+      """WITH base AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+        |    CAST(n.n_regionkey AS BIGINT) AS reg,
+        |    CAST(CASE WHEN c.c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS bal_sign,
+        |    c.c_mktsegment AS sens
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |l0 AS (SELECT nat AS g, CAST(COUNT(*) AS BIGINT) AS sz,
+        |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS div
+        |       FROM base GROUP BY 1),
+        |l1 AS (SELECT reg AS g, CAST(COUNT(*) AS BIGINT) AS sz,
+        |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS div
+        |       FROM base GROUP BY 1),
+        |l2 AS (SELECT bal_sign AS g, CAST(COUNT(*) AS BIGINT) AS sz,
+        |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS div
+        |       FROM base GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'L0_nation' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_homogeneous,
+        |    MIN(div) AS min_diversity,
+        |    CAST(SUM(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |      * 1000000 // CAST(SUM(sz) AS BIGINT) AS risk_ppm
+        |  FROM l0
+        |  UNION ALL
+        |  SELECT 'L1_region', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MIN(div),
+        |    CAST(SUM(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |      * 1000000 // CAST(SUM(sz) AS BIGINT)
+        |  FROM l1
+        |  UNION ALL
+        |  SELECT 'L2_balance_sign', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MIN(div),
+        |    CAST(SUM(CASE WHEN div < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |      * 1000000 // CAST(SUM(sz) AS BIGINT)
+        |  FROM l2) u
+        |ORDER BY level""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

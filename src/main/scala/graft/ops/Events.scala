@@ -1065,6 +1065,39 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame =
+    newVsReturningOf(events(spark, dir))
+
+  /** Graded q184: NEW vs RETURNING daily actives — the growth
+    * dashboard's second row after q165's DAU: of each day's distinct
+    * active users, how many are first-seen that day (acquisition) vs
+    * seen before (retention), with the returning share in ppm. The
+    * split is exact: a user's first-seen day comes from one min
+    * aggregate (q163's exact branch), and each (user, day) activity
+    * fact classifies by comparison — no window over the event stream.
+    *
+    * Scale shape: one events scan collapses to the distinct
+    * (user, day) matrix; the |users|-row first-seen table joins back
+    * user-keyed (co-partitioned with the matrix); the rollup is
+    * |days| rows.
+    */
+  def newVsReturningOf(evs: DataFrame): DataFrame = {
+    val ud = CachedStages.track(evs
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"))
+      .distinct()
+      .persist())
+    val firstSeen = ud.groupBy("user_id").agg(min(col("day")).as("f"))
+    ud.join(firstSeen, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("f"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") > col("f"), 1L).otherwise(0L))
+          .as("n_returning"))
+      .withColumn("returning_ppm",
+        expr("n_returning * 1000000 div dau"))
+      .orderBy("day")
+  }
+
   def weekdayProfile(spark: SparkSession, dir: String): DataFrame =
     weekdayProfileOfDaily(events(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))

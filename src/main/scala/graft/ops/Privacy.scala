@@ -174,4 +174,59 @@ object Privacy {
       .unionByName(level("L2_region", Seq("reg")))
       .orderBy("level")
   }
+
+  /** Graded q185: L-DIVERSITY audit (Machanavajjhala et al., ICDE 2006
+    * — the attack k-anonymity misses: a group can be large yet
+    * HOMOGENEOUS in its sensitive attribute, so group size alone
+    * doesn't stop attribute disclosure). Over q149's generalization
+    * ladder with `c_mktsegment` as the sensitive attribute and the
+    * quasi-identifiers nation → region → acctbal-sign: per level, QI
+    * groups, groups with fewer than l distinct sensitive values, and
+    * the share of rows sitting in those homogeneous groups, in ppm.
+    * Distinct l-diversity (the countable variant; entropy l-diversity
+    * needs logs the integer contract excludes). The verdict is
+    * scale-dependent in exactly the way the attack is: sf0.001's
+    * ~6-customer nations genuinely violate distinct-3-diversity while
+    * sf0.01's carry all five segments and pass — small populations ARE
+    * the disclosure risk. The spec replays the graded ladder and
+    * falsifies every check on a planted homogeneous fixture.
+    *
+    * Scale shape: q149's — one broadcast-dimension join into a
+    * persisted slim base, per-level group tables bounded by the QI
+    * domain, `count_distinct` per group map-side combinable.
+    */
+  def lDiversity(spark: SparkSession, dir: String, l: Long = 3L): DataFrame = {
+    val nations = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"))
+    lDiversityOf(Tables(spark, dir, "customer")
+      .join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("n_regionkey").cast("long").as("reg"),
+        expr("CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("bal_sign"),
+        col("c_mktsegment").as("sens")), l)
+  }
+
+  /** q185 over any `(nat, reg, bal_sign, sens)` frame (spec fixtures). */
+  def lDiversityOf(baseIn: DataFrame, l: Long): DataFrame = {
+    val base = CachedStages.track(baseIn.persist())
+    def level(name: String, keys: Seq[String]): DataFrame =
+      base.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"),
+          countDistinct(col("sens")).as("div"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("div") < l, 1L).otherwise(0L)).as("n_homogeneous"),
+          sum(when(col("div") < l, col("sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("sz")).as("n_rows"),
+          min(col("div")).as("min_diversity"))
+        .select(lit(name).as("level"), col("n_groups"),
+          col("n_homogeneous"), col("min_diversity"),
+          expr("rows_at_risk * 1000000 div n_rows").as("risk_ppm"))
+    level("L0_nation", Seq("nat"))
+      .unionByName(level("L1_region", Seq("reg")))
+      .unionByName(level("L2_balance_sign", Seq("bal_sign")))
+      .orderBy("level")
+  }
 }

@@ -2947,6 +2947,70 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
     CachedStages.release(spark)
   }
+  test("q184 new-vs-returning equals a driver-side first-seen replay") {
+    val ud = Events.events(spark, dir)
+      .select("user_id", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L)).distinct
+    val fs = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = ud.groupBy(_._2).toSeq.sortBy(_._1).map { case (d, g) =>
+      val nNew = g.count(u => fs(u._1) == d).toLong
+      val ret = g.count(u => fs(u._1) < d).toLong
+      (d, g.size.toLong, nNew, ret, ret * 1000000L / g.size)
+    }
+    val got = Events.newVsReturning(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    // day one is all-new; every day partitions exactly
+    assert(got.head._3 == got.head._2 && got.head._4 == 0)
+    got.foreach(r => assert(r._3 + r._4 == r._2))
+    CachedStages.release(spark)
+  }
+  test("q185 l-diversity: clean corpus passes, planted homogeneity flagged") {
+    import spark.implicits._
+    // graded replay driver-side (sf0.001's small nations genuinely
+    // violate distinct-3-diversity — the audit catches real rows here)
+    val cust = Tables(spark, dir, "customer")
+      .selectExpr("CAST(c_nationkey AS LONG)", "c_mktsegment",
+        "CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS LONG)")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val natReg = Tables(spark, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS LONG)", "CAST(n_regionkey AS LONG)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def lvl(name: String, key: ((Long, String, Long)) => Long) = {
+      val gs = cust.groupBy(key).values.toSeq
+      val homo = gs.filter(_.map(_._2).distinct.size < 3)
+      (name, gs.size.toLong, homo.size.toLong,
+        gs.map(_.map(_._2).distinct.size.toLong).min,
+        homo.map(_.size).sum.toLong * 1000000L / cust.length)
+    }
+    val expect = Seq(lvl("L0_nation", _._1),
+      lvl("L1_region", c => natReg(c._1)), lvl("L2_balance_sign", _._3))
+    val graded = Privacy.lDiversity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(graded == expect, s"$graded != $expect")
+    // generalization monotonicity: coarser QIs can only gain diversity
+    assert(graded(1)._4 >= graded(0)._4 && graded(2)._4 >= graded(0)._4)
+    CachedStages.release(spark)
+    // planted: nation 0 is HOMOGENEOUS (one segment, 4 rows) while
+    // nation 1 is diverse; region 9 holds both (diverse, passes);
+    // bal_sign splits them into one homogeneous and one diverse group
+    val fixture = (Seq.fill(4)((0L, 9L, 0L, "AUTO")) ++
+      Seq((1L, 9L, 1L, "AUTO"), (1L, 9L, 1L, "HOME"), (1L, 9L, 1L, "TOY")))
+      .toDF("nat", "reg", "bal_sign", "sens")
+    val f = Privacy.lDiversityOf(fixture, 3L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(f == Seq(
+      // L0: nation 0 homogeneous (div 1, 4 of 7 rows at risk);
+      ("L0_nation", 2L, 1L, 1L, 4L * 1000000L / 7L),
+      // L1: one region with all rows, div 3 -> passes
+      ("L1_region", 1L, 0L, 3L, 0L),
+      // L2: bal_sign 0 homogeneous (4 rows), bal_sign 1 diverse
+      ("L2_balance_sign", 2L, 1L, 1L, 4L * 1000000L / 7L)), f)
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
