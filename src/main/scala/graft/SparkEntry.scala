@@ -289,6 +289,7 @@ object SparkEntry {
     "q183_strong_kcore" -> ((s, d) => Graph.strongKCoreLadder(s, d)),
     "q184_new_vs_returning" -> Events.newVsReturning _,
     "q185_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
+    "q186_sla_compliance" -> ((s, d) => Relational.slaCompliance(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5131,6 +5132,46 @@ object SparkEntry {
         |      * 1000000 // CAST(SUM(sz) AS BIGINT)
         |  FROM l2) u
         |ORDER BY level""".stripMargin,
+
+    // Replays Relational.slaComplianceOf: order-to-ship day gaps, the
+    // q177 causality screen, on-time ppm, ceil-rank median/p95.
+    "q186_sla_compliance" ->
+      """WITH g AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    epoch_us(l.l_shipdate) // 86400000000
+        |      - epoch_us(o.o_orderdate) // 86400000000 AS gap_days
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |h AS (
+        |  SELECT priority, gap_days, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g WHERE gap_days >= 0 GROUP BY 1, 2),
+        |inv AS (
+        |  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_invalid
+        |  FROM g WHERE gap_days < 0 GROUP BY 1),
+        |t AS (
+        |  SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN gap_days <= 7 THEN cnt ELSE 0 END)
+        |      AS BIGINT) AS n_on_time
+        |  FROM h GROUP BY 1),
+        |c AS (
+        |  SELECT h.priority, gap_days, cnt,
+        |    SUM(cnt) OVER (PARTITION BY h.priority ORDER BY gap_days
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    t.n_lines, t.n_on_time
+        |  FROM h JOIN t ON h.priority = t.priority),
+        |agg AS (
+        |  SELECT priority, MAX(n_lines) AS n_lines,
+        |    MAX(n_on_time * 1000000 // n_lines) AS on_time_ppm,
+        |    MIN(CASE WHEN cum * 2 >= n_lines THEN gap_days END)
+        |      AS median_days,
+        |    MIN(CASE WHEN cum * 20 >= n_lines * 19 THEN gap_days END)
+        |      AS p95_days
+        |  FROM c GROUP BY 1)
+        |SELECT agg.priority, agg.n_lines,
+        |  COALESCE(inv.n_invalid, 0) AS n_invalid,
+        |  CAST(agg.on_time_ppm AS BIGINT) AS on_time_ppm,
+        |  agg.median_days, agg.p95_days
+        |FROM agg LEFT JOIN inv ON agg.priority = inv.priority
+        |ORDER BY agg.priority""".stripMargin,
   )
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`

@@ -730,6 +730,62 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  def slaCompliance(spark: SparkSession, dir: String,
+      slaDays: Long = 7L): DataFrame =
+    slaComplianceOf(Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        Seq("l_orderkey")), slaDays)
+
+  /** Graded q186: order-priority SLA COMPLIANCE — the OTIF (on-time)
+    * report operations is judged by: per priority class, line items
+    * shipped within the SLA window of their order date (ppm), plus the
+    * exact median and p95 order-to-ship days via ceil-rank picks over
+    * the day-gap value-domain histogram. Causally-invalid rows (ship
+    * before order — q177's screen) are excluded from the latency
+    * algebra and surfaced per class as `n_invalid`; a priority whose
+    * p95 exceeds the SLA is the escalation signal itself.
+    *
+    * Scale shape: the order-key equi-join both tables already shuffle
+    * on, one collapse into the (priority, gap_days) histogram
+    * (bounded by the fulfillment window), bounded cumulative frames,
+    * |priorities| output rows.
+    */
+  def slaComplianceOf(li: DataFrame, slaDays: Long): DataFrame = {
+    val gaps = li.select(col("o_orderpriority").as("priority"), expr(
+      """unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000
+        | - unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"""
+        .stripMargin).as("gap_days"))
+    val hist = CachedStages.track(gaps
+      .filter(col("gap_days") >= 0)
+      .groupBy("priority", "gap_days")
+      .agg(count(lit(1)).as("cnt"))
+      .persist())
+    val invalid = gaps.filter(col("gap_days") < 0)
+      .groupBy("priority").agg(count(lit(1)).as("n_invalid"))
+    val totals = hist.groupBy("priority")
+      .agg(sum(col("cnt")).as("n_lines"),
+        sum(when(col("gap_days") <= slaDays, col("cnt")).otherwise(0L))
+          .as("n_on_time"))
+    val wc = Window.partitionBy("priority").orderBy(col("gap_days").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("cnt")).over(wc))
+      .join(broadcast(totals), Seq("priority"))
+      .groupBy("priority")
+      .agg(max(col("n_lines")).as("n_lines"),
+        max(expr("n_on_time * 1000000 div n_lines")).as("on_time_ppm"),
+        min(when(expr("cum * 2 >= n_lines"), col("gap_days")))
+          .as("median_days"),
+        min(when(expr("cum * 20 >= n_lines * 19"), col("gap_days")))
+          .as("p95_days"))
+      .join(broadcast(invalid), Seq("priority"), "left")
+      .na.fill(0L, Seq("n_invalid"))
+      .select("priority", "n_lines", "n_invalid", "on_time_ppm",
+        "median_days", "p95_days")
+      .orderBy("priority")
+  }
+
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey"))

@@ -3011,6 +3011,50 @@ class QueriesSpec extends SparkSpec {
       ("L2_balance_sign", 2L, 1L, 1L, 4L * 1000000L / 7L)), f)
     CachedStages.release(spark)
   }
+  test("q186 SLA: hand gap ladder incl. invalid row + graded replay") {
+    import spark.implicits._
+    def ts(d: Long) = d * 86400000000L
+    // gaps 0..19 days: 8 of 20 within the 7-day SLA (400000 ppm),
+    // ceil-rank median = 9, p95 = 18; one ship-before-order row is
+    // screened into n_invalid
+    val fixture = ((0L to 19L).map(g => ("P", ts(0), ts(g))) :+
+      (("P", ts(5), ts(2))))
+      .toDF("o_orderpriority", "o_us", "s_us")
+      .selectExpr("o_orderpriority",
+        "timestamp_micros(o_us) AS o_orderdate",
+        "timestamp_micros(s_us) AS l_shipdate")
+    val f = Relational.slaComplianceOf(fixture, 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(f == Seq(("P", 20L, 1L, 400000L, 9L, 18L)), f)
+    CachedStages.release(spark)
+    // graded replay driver-side
+    val ords = Tables(spark, dir, "orders")
+      .selectExpr("o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000",
+        "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val gaps = Tables(spark, dir, "lineitem")
+      .selectExpr("l_orderkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+      .collect()
+      .map { r =>
+        val (od, p) = ords(r.getLong(0)); (p, r.getLong(1) - od)
+      }
+    val expect = gaps.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, g) =>
+      val inv = g.count(_._2 < 0).toLong
+      val v = g.map(_._2).filter(_ >= 0).sorted
+      val n = v.length.toLong
+      def pick(num: Long, den: Long) = v(((n * num + den - 1) / den - 1).toInt)
+      (p, n, inv, v.count(_ <= 7).toLong * 1000000L / n,
+        pick(1, 2), pick(19, 20))
+    }
+    val got = Relational.slaCompliance(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
