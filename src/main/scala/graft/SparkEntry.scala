@@ -290,6 +290,7 @@ object SparkEntry {
     "q184_new_vs_returning" -> Events.newVsReturning _,
     "q185_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
     "q186_sla_compliance" -> ((s, d) => Relational.slaCompliance(s, d)),
+    "q187_cusum_chart" -> Events.cusumChart _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5172,7 +5173,70 @@ object SparkEntry {
         |  agg.median_days, agg.p95_days
         |FROM agg LEFT JOIN inv ON agg.priority = inv.priority
         |ORDER BY agg.priority""".stripMargin,
+
+    // Replays Events.cusumChartOfDaily: densified calendar, integer
+    // mu/k/h params, and the reset-on-alarm Page recurrence as a
+    // per-type LINEAR recursive CTE (the q178 sweep, partitioned).
+    "q187_cusum_chart" -> cusumSql,
   )
+
+  /** Builds the q187 oracle: the tabular-CUSUM step expressions are
+    * interpolated twice (seed row and recursive row) because a
+    * recursive CTE cannot bind intermediates.
+    */
+  private def cusumSql: String = {
+    def np(cp: String, q: String) =
+      s"greatest(0, $cp + $q.cents - $q.mu - $q.kk)"
+    def nn(cn: String, q: String) =
+      s"greatest(0, $cn + $q.mu - $q.kk - $q.cents)"
+    def al(cp: String, cn: String, q: String) =
+      s"""CASE WHEN ${np(cp, q)} > $q.mu THEN 1
+         |       WHEN ${nn(cn, q)} > $q.mu THEN -1 ELSE 0 END""".stripMargin
+    def stepRow(cp: String, cn: String, q: String) =
+      s"""CASE WHEN (${al(cp, cn, q)}) <> 0 THEN 0
+         |      ELSE ${np(cp, q)} END,
+         |    CASE WHEN (${al(cp, cn, q)}) <> 0 THEN 0
+         |      ELSE ${nn(cn, q)} END,
+         |    ${np(cp, q)}, ${nn(cn, q)}, ${al(cp, cn, q)}""".stripMargin
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+       |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+       |dense AS (
+       |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN cal
+       |  LEFT JOIN daily d ON d.event_type = t.event_type
+       |    AND d.day = cal.day),
+       |p AS (
+       |  SELECT event_type,
+       |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mu,
+       |    (CAST(SUM(cents) AS BIGINT) // COUNT(*)) // 20 AS kk
+       |  FROM dense GROUP BY 1),
+       |d2 AS (
+       |  SELECT dense.event_type, day, cents, mu, kk,
+       |    ROW_NUMBER() OVER (PARTITION BY dense.event_type
+       |      ORDER BY day) AS rn
+       |  FROM dense JOIN p USING (event_type)),
+       |sweep(event_type, rn, cp, cn, ep, en, al) AS (
+       |  SELECT event_type, rn,
+       |    ${stepRow("0", "0", "d2")}
+       |  FROM d2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.event_type, d2.rn,
+       |    ${stepRow("s.cp", "s.cn", "d2")}
+       |  FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |    AND d2.rn = s.rn + 1)
+       |SELECT d2.event_type, d2.day, d2.cents,
+       |  CAST(s.ep AS BIGINT) AS cpos, CAST(s.en AS BIGINT) AS cneg,
+       |  CAST(s.al AS BIGINT) AS alarm
+       |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |  AND d2.rn = s.rn
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** One nested-WITH arm replaying `Stats.equidepthOf(t, c, buckets)`
     * up to the `rg` ranges-with-counts CTE, then running `body` over

@@ -1065,6 +1065,76 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def cusumChart(spark: SparkSession, dir: String): DataFrame =
+    cusumChartOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q187: TABULAR CUSUM change detection (Page, Biometrika
+    * 1954) over per-type daily revenue — the SPC member q180's
+    * Shewhart chart cannot replace: CUSUM accumulates small persistent
+    * shifts (C⁺ₜ = max(0, C⁺ₜ₋₁ + xₜ − μ − k), C⁻ₜ mirrored) that
+    * never individually cross a Shewhart limit, signals when either
+    * sum exceeds the decision interval h, and RESTARTS after a signal
+    * (Page's monitoring scheme — each alarm opens a fresh test).
+    * Sqrt-free calibration: the allowance k = μ div 20 (5% of the
+    * in-control mean) and h = μ, all floored integer cents — the
+    * σ-unit textbook tuning needs a square root, and a chart both
+    * engines must replay bit-for-bit values the mean-relative form.
+    *
+    * Emitted per (type, day): pre-reset C⁺/C⁻ (the values compared to
+    * h) and the alarm side ±1. The calendar densifies — a silent day
+    * IS a zero-revenue observation that drives C⁻ up, exactly the
+    * drift a revenue monitor must see.
+    *
+    * Scale shape: one events collapse into the (type, day) matrix
+    * (the SAME state the q172/q173 twin streams — fifth consumer);
+    * the inherently sequential recurrence runs as the q169/q178
+    * `aggregate()` HOF prefix fold over per-type CALENDAR-BOUNDED
+    * sorted arrays joined back broadcast — |days|² lambda steps per
+    * type on a model-sized list, never a driver collect. The DuckDB
+    * oracle replays it as a per-type linear recursive CTE.
+    */
+  def cusumChartOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val params = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"))
+      .select(col("event_type"), expr("s1 div n").as("mu"),
+        expr("(s1 div n) div 20").as("kk"))
+    val series = dense.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("ss"))
+    // pre-reset candidates and the alarm, as reusable SQL fragments
+    val np = "greatest(CAST(0 AS BIGINT), acc.cp + f.cents - mu - kk)"
+    val nn = "greatest(CAST(0 AS BIGINT), acc.cn + mu - kk - f.cents)"
+    val al = s"""CASE WHEN $np > mu THEN CAST(1 AS BIGINT)
+                |     WHEN $nn > mu THEN CAST(-1 AS BIGINT)
+                |     ELSE CAST(0 AS BIGINT) END""".stripMargin
+    dense.join(broadcast(params), Seq("event_type"))
+      .join(broadcast(series), Seq("event_type"))
+      .withColumn("st", expr(
+        s"""aggregate(filter(ss, f -> f.day <= day),
+           |named_struct('cp', CAST(0 AS BIGINT), 'cn', CAST(0 AS BIGINT),
+           |  'ep', CAST(0 AS BIGINT), 'en', CAST(0 AS BIGINT),
+           |  'al', CAST(0 AS BIGINT)),
+           |(acc, f) -> named_struct(
+           |  'cp', IF(($al) <> 0, CAST(0 AS BIGINT), $np),
+           |  'cn', IF(($al) <> 0, CAST(0 AS BIGINT), $nn),
+           |  'ep', $np, 'en', $nn, 'al', $al),
+           |acc -> acc)""".stripMargin))
+      .select(col("event_type"), col("day"), col("cents"),
+        expr("st.ep").as("cpos"), expr("st.en").as("cneg"),
+        expr("st.al").as("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   def newVsReturning(spark: SparkSession, dir: String): DataFrame =
     newVsReturningOf(events(spark, dir))
 

@@ -3055,6 +3055,62 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
     CachedStages.release(spark)
   }
+  test("q187 CUSUM: shift fixture fires both sides + resets; graded replay") {
+    import spark.implicits._
+    // Pure-Scala replay of the Page recurrence over a dense matrix
+    def replay(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, g) =>
+        val n = BigInt(g.size)
+        val mu = g.map(x => BigInt(x._3)).sum / n
+        val kk = mu / 20
+        val sorted = g.sortBy(_._2)
+        sorted.scanLeft(("", 0L, 0L, BigInt(0), BigInt(0), BigInt(0),
+          BigInt(0), 0L)) { case ((_, _, _, cp, cn, _, _, _), (tt, d, c)) =>
+          val np = (cp + c - mu - kk).max(0)
+          val nn = (cn + mu - kk - c).max(0)
+          val al = if (np > mu) 1L else if (nn > mu) -1L else 0L
+          val (cp2, cn2) = if (al != 0) (BigInt(0), BigInt(0)) else (np, nn)
+          (tt, d, c, cp2, cn2, np, nn, al)
+        }.drop(1).map { case (tt, d, c, _, _, np, nn, al) =>
+          (tt, d, c, np.toLong, nn.toLong, al)
+        }
+      }
+    def densify(rows: Seq[(String, Long, Long)]) = {
+      val mn = rows.map(_._2).min; val mx = rows.map(_._2).max
+      val byDay = rows.groupBy(_._1).view.mapValues(g =>
+        g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+      byDay.keys.toSeq.sorted.flatMap(t =>
+        (mn to mx).map(d => (t, d, byDay(t).getOrElse(d, 0L))))
+    }
+    // type m: mu=150, k=7, h=150 — the low half drives C- to an alarm
+    // at day 3 (172 > 150), the high half drives C+ to one at day 8;
+    // type z: a sparse 300-spike series where silent FILLED days walk
+    // C- over h repeatedly — alarms at 0,+ 2,+ then 4,6,8 on the
+    // minus side, each followed by the Page restart
+    val m = (0L to 4L).map(d => ("m", d, 100L)) ++
+      (5L to 9L).map(d => ("m", d, 200L))
+    val z = Seq(("z", 0L, 300L), ("z", 2L, 300L))
+    val fixture = (m ++ z).toDF("event_type", "day", "cents")
+    val fGot = Events.cusumChartOfDaily(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fGot == replay(densify(m ++ z)), fGot.mkString(";"))
+    assert(fGot.filter(_._6 != 0).map(r => (r._1, r._2, r._6)) ==
+      Seq(("m", 3L, -1L), ("m", 8L, 1L), ("z", 0L, 1L), ("z", 2L, 1L),
+        ("z", 4L, -1L), ("z", 6L, -1L), ("z", 8L, -1L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay (densified calendar, BigInt fold)
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val got = Events.cusumChart(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == replay(densify(raw)), s"${got.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
