@@ -291,6 +291,7 @@ object SparkEntry {
     "q185_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
     "q186_sla_compliance" -> ((s, d) => Relational.slaCompliance(s, d)),
     "q187_cusum_chart" -> Events.cusumChart _,
+    "q188_mann_kendall" -> Events.mannKendallTrend _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5178,6 +5179,51 @@ object SparkEntry {
     // mu/k/h params, and the reset-on-alarm Page recurrence as a
     // per-type LINEAR recursive CTE (the q178 sweep, partitioned).
     "q187_cusum_chart" -> cusumSql,
+
+    // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
+    // Kendall tie correction, and the continuity-corrected
+    // cross-multiplied 5% test in HUGEINT.
+    "q188_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+        |                  WHEN b.cents < a.cents THEN -1
+        |                  ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b ON b.event_type = a.event_type
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT event_type,
+        |    CAST(SUM(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_sum
+        |  FROM (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS tt
+        |        FROM daily GROUP BY 1, 2) g
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT n.event_type, n_days,
+        |    COALESCE(s.s_stat, 0) AS s_stat,
+        |    n_days * (n_days - 1) // 2 AS n_pairs,
+        |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS var18
+        |  FROM n LEFT JOIN s ON n.event_type = s.event_type
+        |  JOIN t ON n.event_type = t.event_type)
+        |SELECT event_type, n_days, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(CASE WHEN n_pairs = 0 THEN 0
+        |       ELSE s_stat * 1000000 // n_pairs END AS BIGINT) AS tau_ppm,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CAST(CASE WHEN s_stat = 0 THEN 0
+        |       WHEN (abs(s_stat) - 1)::HUGEINT * (abs(s_stat) - 1) * 180000
+        |          > 38416::HUGEINT * var18
+        |       THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
+        |       ELSE 0 END AS BIGINT) AS trend
+        |FROM j ORDER BY 1""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

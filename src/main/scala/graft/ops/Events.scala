@@ -1290,6 +1290,71 @@ object Events {
       .orderBy("event_type")
   }
 
+  def mannKendallTrend(spark: SparkSession, dir: String): DataFrame =
+    mannKendallOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q188: MANN–KENDALL trend test (Mann, Econometrica 1945;
+    * Kendall's tau) per event type — the SIGNIFICANCE companion to
+    * q172's Theil–Sen slope: S = Σ_{i<j} sign(xⱼ − xᵢ) counts
+    * concordant-minus-discordant day pairs, the tie-corrected null
+    * variance is Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18
+    * (Kendall's correction over tie groups t), and the 5% two-sided
+    * verdict applies the continuity-corrected z = (|S|−1)/√Var —
+    * sqrt- and division-free by cross-multiplying:
+    * (|S|−1)²·18·10⁴ > 38416·var18 (z² = 1.96² = 3.8416), in
+    * DECIMAL(38)/HUGEINT so a century-long calendar cannot overflow.
+    * Kendall's tau itself ships in ppm: S·10⁶ div (n(n−1)/2),
+    * truncation-toward-zero verified identical across engines (the
+    * q172 discipline).
+    *
+    * Reads the SAME undensified (type, day, cents) matrix as q172 so
+    * the robust slope and its significance test describe one series.
+    *
+    * Scale shape: pairs form over the CALENDAR-bounded matrix
+    * (≤ |days|²/2 per type, never the event stream); ties and counts
+    * are |types|-row aggregates of the persisted matrix joined back
+    * broadcast-sized.
+    */
+  def mannKendallOfDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = CachedStages.track(dailyIn.persist())
+    val sStat = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(expr(
+        """CASE WHEN b.cents > a.cents THEN CAST(1 AS BIGINT)
+          |     WHEN b.cents < a.cents THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin)).as("s_stat"))
+    val ties = daily.groupBy("event_type", "cents")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_sum"))
+    daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(broadcast(sStat), Seq("event_type"), "left")
+      .join(broadcast(ties), Seq("event_type"))
+      .withColumn("s_stat", expr("coalesce(s_stat, CAST(0 AS BIGINT))"))
+      .withColumn("n_pairs", expr("n_days * (n_days - 1) div 2"))
+      .withColumn("var18", expr(
+        "n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum"))
+      .withColumn("tau_ppm", expr(
+        """CASE WHEN n_pairs = 0 THEN CAST(0 AS BIGINT)
+          |     ELSE s_stat * 1000000 div n_pairs END""".stripMargin))
+      .withColumn("trend", expr(
+        """CASE WHEN s_stat = 0 THEN CAST(0 AS BIGINT)
+          |     WHEN CAST(abs(s_stat) - 1 AS DECIMAL(38, 0))
+          |          * (abs(s_stat) - 1) * 180000
+          |        > CAST(38416 AS DECIMAL(38, 0)) * var18
+          |     THEN IF(s_stat > 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select("event_type", "n_days", "n_pairs", "s_stat", "tau_ppm",
+        "var18", "trend")
+      .orderBy("event_type")
+  }
+
   def latenessProfile(spark: SparkSession, dir: String): DataFrame =
     latenessProfileOf(events(spark, dir))
 

@@ -3111,6 +3111,64 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q188 Mann-Kendall: monotone/flat/alternating fixtures + replay") {
+    import spark.implicits._
+    // Pure-Scala replay: pairwise signs, Kendall tie correction, the
+    // continuity-corrected cross-multiplied 5% verdict
+    def replay(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        val v = g.sortBy(_._2).map(_._3)
+        val n = BigInt(v.size)
+        val s = BigInt((for (i <- v.indices; j <- i + 1 until v.size)
+          yield (v(j) compare v(i)).sign).sum)
+        val tieSum = v.groupBy(identity).values
+          .map(gg => { val tt = BigInt(gg.size); tt * (tt - 1) * (2 * tt + 5) })
+          .sum
+        val pairs = n * (n - 1) / 2
+        val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+        val tau = if (pairs == 0) BigInt(0) else s * 1000000 / pairs
+        val m = s.abs - 1
+        val trend =
+          if (s == 0) 0L
+          else if (m * m * 180000 > BigInt(38416) * var18) s.signum.toLong
+          else 0L
+        (t, n.toLong, pairs.toLong, s.toLong, tau.toLong, var18.toLong,
+          trend)
+      }
+    // inc: S=10, z=(10-1)/sqrt(300/18)=2.2 -> +1; dec mirrors to -1;
+    // flat: all tied, S=0, var18=0 -> 0; alt: S=0 with two tie groups
+    val inc = (0L to 4L).map(d => ("inc", d, 100L * (d + 1)))
+    val dec = (0L to 4L).map(d => ("dec", d, 100L * (5 - d)))
+    val flat = (0L to 4L).map(d => ("flat", d, 700L))
+    val alt = (0L to 4L).map(d => ("alt", d, if (d % 2 == 0) 100L else 200L))
+    val fixture = (inc ++ dec ++ flat ++ alt)
+      .toDF("event_type", "day", "cents")
+    val fGot = Events.mannKendallOfDaily(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val fExpect = replay(inc ++ dec ++ flat ++ alt)
+    assert(fGot == fExpect, s"$fGot != $fExpect")
+    // the designed verdicts, explicitly
+    assert(fGot.map(r => (r._1, r._4, r._7)).toSet ==
+      Set(("inc", 10L, 1L), ("dec", -10L, -1L), ("flat", 0L, 0L),
+        ("alt", 0L, 0L)), fGot.mkString(";"))
+    assert(fGot.find(_._1 == "inc").get._5 == 1000000L)
+    assert(fGot.find(_._1 == "dec").get._5 == -1000000L)
+    CachedStages.release(spark)
+    // graded replay over the real daily matrix
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._3).sum) }
+    val got = Events.mannKendallTrend(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == replay(raw), s"${got.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
