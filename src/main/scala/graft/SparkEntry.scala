@@ -292,6 +292,7 @@ object SparkEntry {
     "q186_sla_compliance" -> ((s, d) => Relational.slaCompliance(s, d)),
     "q187_cusum_chart" -> Events.cusumChart _,
     "q188_mann_kendall" -> Events.mannKendallTrend _,
+    "q189_gini_features" -> Features.giniFeatureRank _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5224,6 +5225,54 @@ object SparkEntry {
         |       THEN CASE WHEN s_stat > 0 THEN 1 ELSE -1 END
         |       ELSE 0 END AS BIGINT) AS trend
         |FROM j ORDER BY 1""".stripMargin,
+
+    // Replays Features.giniFeatureRankOf: the 4-arm melt as UNION ALL,
+    // per-group and weighted Gini with the same floor points, HUGEINT
+    // squares.
+    "q189_gini_features" ->
+      """WITH c AS (
+        |  SELECT c_name, c_nationkey, c_mktsegment AS label,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM customer),
+        |m AS (
+        |  SELECT 'bal_band' AS feature,
+        |    CAST((cents + 100000) // 100000 AS VARCHAR) AS fval, label
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'bal_sign',
+        |    CASE WHEN cents < 0 THEN 'neg' ELSE 'nonneg' END, label
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'name_digit', right(c_name, 1), label FROM c
+        |  UNION ALL
+        |  SELECT 'nation', CAST(c_nationkey AS VARCHAR), label FROM c),
+        |cube3 AS (
+        |  SELECT feature, fval, label, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |pv AS (
+        |  SELECT feature, fval, CAST(SUM(cnt) AS BIGINT) AS n_v,
+        |    SUM(cnt::HUGEINT * cnt) AS ssq_v
+        |  FROM cube3 GROUP BY 1, 2),
+        |pvg AS (
+        |  SELECT feature, fval, n_v,
+        |    1000000 - ssq_v * 1000000 // (n_v::HUGEINT * n_v)
+        |      AS gini_v_ppm
+        |  FROM pv),
+        |pf AS (
+        |  SELECT feature, CAST(SUM(n_v) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_values,
+        |    CAST(SUM(n_v::HUGEINT * gini_v_ppm) // SUM(n_v) AS BIGINT)
+        |      AS split_gini_ppm
+        |  FROM pvg GROUP BY 1),
+        |rt AS (
+        |  SELECT CAST(1000000 - SUM(nc::HUGEINT * nc) * 1000000
+        |    // (SUM(nc)::HUGEINT * SUM(nc)) AS BIGINT) AS root_gini_ppm
+        |  FROM (SELECT label, CAST(SUM(cnt) AS BIGINT) AS nc
+        |        FROM cube3 WHERE feature = 'nation' GROUP BY 1) r)
+        |SELECT feature, n, n_values, root_gini_ppm, split_gini_ppm,
+        |  root_gini_ppm - split_gini_ppm AS gain_ppm
+        |FROM pf CROSS JOIN rt ORDER BY feature""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -240,4 +240,67 @@ object Features {
       .select("dim", "n_vecs", "zero_cnt", "min_cu", "max_cu",
         "mean_cu_micro", "var_ccu_micro")
       .orderBy("dim")
+
+  def giniFeatureRank(spark: SparkSession, dir: String): DataFrame =
+    giniFeatureRankOf(Tables(spark, dir, "customer"))
+
+  /** Graded q189: GINI-IMPURITY FEATURE RANKING — the CART
+    * single-split screen (Breiman, Friedman, Olshen & Stone 1984)
+    * run before any tree trains: for each candidate feature, the
+    * impurity decrease its one-level split buys on the class label
+    * (c_mktsegment). Gini impurity of a group is 1 − Σ_c p_c²,
+    * integer-exact in ppm with ONE floored division per group:
+    * 10⁶ − (Σ_c n_c²)·10⁶ div n² (squares in DECIMAL(38) so a
+    * 10¹⁰-row customer table cannot overflow); the multiway-split
+    * weighted impurity floors per value-group then once more at the
+    * weighted sum — every floor deterministic and replayed by the
+    * oracle. Candidate features over customer: nation, account-balance
+    * sign, $1000 balance band (cents shifted +10⁵ before `div` so
+    * truncation IS floor on the one negative band), and the last
+    * name digit (the deliberately-uninformative control; near-zero
+    * gain is the evidence the ranking works).
+    *
+    * Scale shape: ONE customer scan melts 4× through a `stack`
+    * Generate into the (feature, value, label) count cube — bounded
+    * by |features|·|values|·|classes|, never the row count; the root
+    * impurity reads the same persisted cube; everything downstream is
+    * model-sized with the root broadcast.
+    */
+  def giniFeatureRankOf(cust: DataFrame): DataFrame = {
+    val cents = "CAST(CAST(c_acctbal AS DECIMAL(12, 2)) * 100 AS BIGINT)"
+    val melted = cust.select(col("c_mktsegment").as("label"), expr(
+      s"""stack(4,
+         |  'bal_band', CAST(($cents + 100000) div 100000 AS STRING),
+         |  'bal_sign', IF($cents < 0, 'neg', 'nonneg'),
+         |  'name_digit', right(c_name, 1),
+         |  'nation', CAST(c_nationkey AS STRING))
+         |AS (feature, fval)""".stripMargin))
+    val cube = CachedStages.track(melted
+      .groupBy("feature", "fval", "label")
+      .agg(count(lit(1)).as("cnt")).persist())
+    val perVal = cube.groupBy("feature", "fval")
+      .agg(sum(col("cnt")).as("n_v"),
+        sum(expr("CAST(cnt AS DECIMAL(38, 0)) * cnt")).as("ssq_v"))
+      .withColumn("gini_v_ppm", expr(
+        """CAST(1000000 - ssq_v * 1000000
+          | div (CAST(n_v AS DECIMAL(38, 0)) * n_v) AS BIGINT)"""
+          .stripMargin))
+    val perFeat = perVal.groupBy("feature")
+      .agg(sum(col("n_v")).as("n"), count(lit(1)).as("n_values"),
+        sum(expr("CAST(n_v AS DECIMAL(38, 0)) * gini_v_ppm")).as("wsum"))
+      .withColumn("split_gini_ppm", expr("CAST(wsum div n AS BIGINT)"))
+    val root = cube.filter(col("feature") === "nation")
+      .groupBy("label").agg(sum(col("cnt")).as("nc"))
+      .agg(sum(col("nc")).as("n_root"),
+        sum(expr("CAST(nc AS DECIMAL(38, 0)) * nc")).as("ssq"))
+      .select(expr(
+        """CAST(1000000 - ssq * 1000000
+          | div (CAST(n_root AS DECIMAL(38, 0)) * n_root) AS BIGINT)"""
+          .stripMargin).as("root_gini_ppm"))
+    perFeat.crossJoin(broadcast(root))
+      .withColumn("gain_ppm", expr("root_gini_ppm - split_gini_ppm"))
+      .select("feature", "n", "n_values", "root_gini_ppm",
+        "split_gini_ppm", "gain_ppm")
+      .orderBy("feature")
+  }
 }

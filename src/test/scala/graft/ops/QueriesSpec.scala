@@ -3169,6 +3169,62 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(raw), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q189 Gini ranking: perfect/useless splits by hand + replay") {
+    import spark.implicits._
+    // nation separates the classes perfectly (gain = root), bal_sign
+    // and bal_band split orthogonally to the label (gain 0), and the
+    // all-distinct name digit "wins" via singleton leaves — the
+    // overfit mode a single-split screen must surface, by design
+    val fixture = Seq(
+      ("Customer#1", 0, -500.00, "A"), ("Customer#2", 1, -200.00, "B"),
+      ("Customer#3", 0, 300.00, "A"), ("Customer#4", 1, 700.00, "B"))
+      .toDF("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val fGot = Features.giniFeatureRankOf(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fGot == Seq(
+      ("bal_band", 4L, 2L, 500000L, 500000L, 0L),
+      ("bal_sign", 4L, 2L, 500000L, 500000L, 0L),
+      ("name_digit", 4L, 4L, 500000L, 0L, 500000L),
+      ("nation", 4L, 2L, 500000L, 0L, 500000L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val rows = Tables(spark, dir, "customer")
+      .select("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact,
+        r.getString(3)))
+    def gini(groups: Iterable[Long]): (BigInt, BigInt) = {
+      val n = groups.map(BigInt(_)).sum
+      val ssq = groups.map(c => BigInt(c) * c).sum
+      (n, BigInt(1000000) - ssq * 1000000 / (n * n))
+    }
+    val (_, rootG) = gini(rows.groupBy(_._4).values.map(_.size.toLong))
+    val expect = Seq(
+      "bal_band" -> ((r: (String, Int, Long, String)) =>
+        ((r._3 + 100000L) / 100000L).toString),
+      "bal_sign" -> ((r: (String, Int, Long, String)) =>
+        if (r._3 < 0) "neg" else "nonneg"),
+      "name_digit" -> ((r: (String, Int, Long, String)) =>
+        r._1.last.toString),
+      "nation" -> ((r: (String, Int, Long, String)) => r._2.toString))
+      .map { case (f, fn) =>
+        val byVal = rows.groupBy(fn).values.toSeq
+        val parts = byVal.map(g =>
+          gini(g.groupBy(_._4).values.map(_.size.toLong)))
+        val n = parts.map(_._1).sum
+        val split = parts.map { case (nv, g) => nv * g }.sum / n
+        (f, n.toLong, byVal.size.toLong, rootG.toLong, split.toLong,
+          (rootG - split).toLong)
+      }
+    val got = Features.giniFeatureRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

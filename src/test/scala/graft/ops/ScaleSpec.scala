@@ -1308,6 +1308,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q189 plan: one customer scan melts through stack; count cube " +
+    "cached; root broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Features.giniFeatureRank(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
