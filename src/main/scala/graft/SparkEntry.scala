@@ -293,6 +293,7 @@ object SparkEntry {
     "q187_cusum_chart" -> Events.cusumChart _,
     "q188_mann_kendall" -> Events.mannKendallTrend _,
     "q189_gini_features" -> Features.giniFeatureRank _,
+    "q190_duplicate_payments" -> ((s, d) => Relational.duplicatePayments(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5273,6 +5274,38 @@ object SparkEntry {
         |SELECT feature, n, n_values, root_gini_ppm, split_gini_ppm,
         |  root_gini_ppm - split_gini_ppm AS gain_ppm
         |FROM pf CROSS JOIN rt ORDER BY feature""".stripMargin,
+
+    // Replays Relational.duplicatePaymentsOf: customer-blocked pair
+    // join, $100-band suspect rule, least-amount risk, dense gap spine.
+    "q190_duplicate_payments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |p AS (
+        |  SELECT a.o_custkey AS cust, abs(b.day - a.day) AS gap_days,
+        |    (a.cents // 10000) = (b.cents // 10000) AS suspect,
+        |    least(a.cents, b.cents) AS risk_cents
+        |  FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+        |    AND a.o_orderkey < b.o_orderkey
+        |  WHERE abs(b.day - a.day) <= 7),
+        |agg AS (
+        |  SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN suspect THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_suspect,
+        |    CAST(COUNT(DISTINCT cust) AS BIGINT) AS n_customers,
+        |    CAST(SUM(CASE WHEN suspect THEN risk_cents ELSE 0 END)
+        |      AS BIGINT) AS cents_at_risk
+        |  FROM p GROUP BY 1)
+        |SELECT s.gap_days, COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_suspect, 0) AS n_suspect,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(cents_at_risk, 0) AS cents_at_risk
+        |FROM (SELECT unnest(generate_series(0, 7)) AS gap_days) s
+        |LEFT JOIN agg ON s.gap_days = agg.gap_days
+        |ORDER BY s.gap_days""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

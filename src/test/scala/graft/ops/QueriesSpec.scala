@@ -3225,6 +3225,53 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
     CachedStages.release(spark)
   }
+  test("q190 duplicate payments: hand pairs + window/band rules + replay") {
+    import spark.implicits._
+    def ts(d: Long) = d * 86400000000L
+    // cust 1: a same-day non-suspect pair, a gap-1 SUSPECT pair (same
+    // $100 band, risk = the smaller amount), a gap-1 non-suspect pair,
+    // and an order 19+ days out (excluded); cust 2: a loner
+    val fixture = Seq(
+      (1L, 1L, ts(0), 100.00), (1L, 2L, ts(0), 350.00),
+      (1L, 3L, ts(1), 101.50), (1L, 4L, ts(20), 100.10),
+      (2L, 5L, ts(3), 500.00))
+      .toDF("o_custkey", "o_orderkey", "o_us", "o_totalprice")
+      .selectExpr("o_custkey", "o_orderkey",
+        "timestamp_micros(o_us) AS o_orderdate", "o_totalprice")
+    val fGot = Relational.duplicatePaymentsOf(fixture, 7L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fGot == Seq((0L, 1L, 0L, 1L, 0L), (1L, 2L, 1L, 1L, 10000L)) ++
+      (2L to 7L).map(g => (g, 0L, 0L, 0L, 0L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: per-customer pair enumeration in plain Scala
+    val rows = Tables(spark, dir, "orders")
+      .selectExpr("o_custkey", "o_orderkey",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000",
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = rows.groupBy(_._1).values.toSeq.flatMap { g =>
+      val gs = g.toSeq
+      for {
+        a <- gs; b <- gs
+        if a._2 < b._2 && (b._3 - a._3).abs <= 7
+      } yield (a._1, (b._3 - a._3).abs,
+        a._4 / 10000 == b._4 / 10000, a._4 min b._4)
+    }
+    val byGap = pairs.groupBy(_._2)
+    val expect = (0L to 7L).map { g =>
+      val p = byGap.getOrElse(g, Seq.empty)
+      (g, p.size.toLong, p.count(_._3).toLong,
+        p.map(_._1).distinct.size.toLong,
+        p.filter(_._3).map(_._4).sum)
+    }
+    val got = Relational.duplicatePayments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
