@@ -294,6 +294,7 @@ object SparkEntry {
     "q188_mann_kendall" -> Events.mannKendallTrend _,
     "q189_gini_features" -> Features.giniFeatureRank _,
     "q190_duplicate_payments" -> ((s, d) => Relational.duplicatePayments(s, d)),
+    "q191_reconciliation" -> Relational.reconciliationAudit _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5306,6 +5307,56 @@ object SparkEntry {
         |FROM (SELECT unnest(generate_series(0, 7)) AS gap_days) s
         |LEFT JOIN agg ON s.gap_days = agg.gap_days
         |ORDER BY s.gap_days""".stripMargin,
+
+    // Replays Relational.reconciliationAuditOf: HUGEINT charge
+    // formula, full-outer completeness bands, fixed band spine.
+    "q191_reconciliation" ->
+      """WITH rc AS (
+        |  SELECT l_orderkey AS okey,
+        |    CAST(SUM(
+        |      CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100
+        |        AS BIGINT)::HUGEINT
+        |      * (1000000 - CAST(CAST(l_discount AS DECIMAL(8, 6))
+        |          * 1000000 AS BIGINT))
+        |      * (1000000 + CAST(CAST(l_tax AS DECIMAL(8, 6))
+        |          * 1000000 AS BIGINT))
+        |      // 1000000000000) AS BIGINT) AS recomputed_cents
+        |  FROM lineitem GROUP BY 1),
+        |bk AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS booked_cents
+        |  FROM orders),
+        |j AS (
+        |  SELECT
+        |    CASE WHEN booked_cents IS NULL THEN 'orphan_lines'
+        |         WHEN recomputed_cents IS NULL THEN 'no_lines'
+        |         WHEN recomputed_cents = booked_cents THEN 'exact'
+        |         ELSE concat(
+        |           CASE WHEN recomputed_cents > booked_cents
+        |             THEN 'pos_' ELSE 'neg_' END,
+        |           CASE WHEN abs(recomputed_cents - booked_cents) <= 100
+        |                  THEN 'le_1'
+        |                WHEN abs(recomputed_cents - booked_cents) <= 10000
+        |                  THEN 'le_100'
+        |                WHEN abs(recomputed_cents - booked_cents)
+        |                    <= 1000000 THEN 'le_10k'
+        |                ELSE 'gt_10k' END) END AS band,
+        |    abs(COALESCE(recomputed_cents, 0) - COALESCE(booked_cents, 0))
+        |      AS abs_delta
+        |  FROM bk FULL OUTER JOIN rc USING (okey)),
+        |agg AS (
+        |  SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(SUM(abs_delta) AS BIGINT) AS abs_delta_cents
+        |  FROM j GROUP BY 1)
+        |SELECT s.band, COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(abs_delta_cents, 0) AS abs_delta_cents
+        |FROM (SELECT unnest(['exact',
+        |  'pos_le_1', 'pos_le_100', 'pos_le_10k', 'pos_gt_10k',
+        |  'neg_le_1', 'neg_le_100', 'neg_le_10k', 'neg_gt_10k',
+        |  'no_lines', 'orphan_lines']) AS band) s
+        |LEFT JOIN agg ON s.band = agg.band
+        |ORDER BY s.band""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

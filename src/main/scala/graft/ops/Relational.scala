@@ -1072,4 +1072,79 @@ object Relational {
         Seq("n_pairs", "n_suspect", "n_customers", "cents_at_risk"))
       .orderBy("gap_days")
   }
+
+  /** The fixed band spine of the q191 reconciliation report. */
+  val ReconBands: Seq[String] = Seq("exact",
+    "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",
+    "neg_le_1", "neg_le_100", "neg_le_10k", "neg_gt_10k",
+    "no_lines", "orphan_lines")
+
+  def reconciliationAudit(spark: SparkSession, dir: String): DataFrame =
+    reconciliationAuditOf(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "lineitem"))
+
+  /** Graded q191: ORDER↔LINEITEM RECONCILIATION audit — double-entry
+    * bookkeeping for the order pipeline: each order's booked
+    * `o_totalprice` against the total RECOMPUTED from its own lines,
+    * Σ extendedprice·(1−discount)·(1+tax) (the TPC-H charge formula),
+    * plus the two referential-completeness failure modes a FULL OUTER
+    * join surfaces: orders with no lines (`no_lines` — booked revenue
+    * with nothing behind it) and lines with no order (`orphan_lines`).
+    * Per fixed mismatch band (exact, ±≤$1/$100/$10k/>$10k by sign):
+    * order count and total absolute delta cents. On this synthetic
+    * data the columns are NOT linked, so the distribution spreads
+    * across the outer bands — the audit's loud-failure mode, which is
+    * what it is for; `exact` going non-trivial is what a real book
+    * shows.
+    *
+    * Determinism: line charge in integer micro-arithmetic —
+    * cents × (10⁶−disc_ppm) × (10⁶+tax_ppm) div 10¹² in DECIMAL(38)
+    * (≈10¹⁹ intermediate, HUGEINT on the oracle side), floored per
+    * line then summed.
+    *
+    * Scale shape: lineitem collapses per order on the SAME orderkey
+    * shuffle the join needs (co-partitioned agg + join); the band
+    * rollup is 11 rows against a broadcast spine.
+    */
+  def reconciliationAuditOf(orders: DataFrame, li: DataFrame): DataFrame = {
+    val recomputed = li.select(col("l_orderkey").as("okey"), expr(
+      """CAST(CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100
+        |  AS BIGINT) AS DECIMAL(38, 0))
+        | * (1000000 - CAST(CAST(l_discount AS DECIMAL(8, 6)) * 1000000
+        |     AS BIGINT))
+        | * (1000000 + CAST(CAST(l_tax AS DECIMAL(8, 6)) * 1000000
+        |     AS BIGINT))
+        | div 1000000000000""".stripMargin).as("charge_cents"))
+      .groupBy("okey").agg(sum(col("charge_cents")).as("recomputed_cents"))
+    val booked = orders.select(col("o_orderkey").as("okey"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+        .as("booked_cents"))
+    val banded = booked.join(recomputed, Seq("okey"), "full_outer")
+      .select(expr(
+        """CASE WHEN booked_cents IS NULL THEN 'orphan_lines'
+          |     WHEN recomputed_cents IS NULL THEN 'no_lines'
+          |     WHEN recomputed_cents = booked_cents THEN 'exact'
+          |     ELSE concat(
+          |       IF(recomputed_cents > booked_cents, 'pos_', 'neg_'),
+          |       CASE WHEN abs(recomputed_cents - booked_cents) <= 100
+          |              THEN 'le_1'
+          |            WHEN abs(recomputed_cents - booked_cents) <= 10000
+          |              THEN 'le_100'
+          |            WHEN abs(recomputed_cents - booked_cents) <= 1000000
+          |              THEN 'le_10k'
+          |            ELSE 'gt_10k' END) END""".stripMargin).as("band"),
+        expr("""abs(coalesce(recomputed_cents, CAST(0 AS BIGINT))
+          | - coalesce(booked_cents, CAST(0 AS BIGINT)))""".stripMargin)
+          .as("abs_delta"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("abs_delta")).as("abs_delta_cents"))
+    val spine = orders.sparkSession.range(1)
+      .select(explode(
+        expr(s"array(${ReconBands.map("'" + _ + "'").mkString(",")})"))
+        .as("band"))
+    spine.join(banded, Seq("band"), "left")
+      .na.fill(0L, Seq("n_orders", "abs_delta_cents"))
+      .orderBy("band")
+  }
 }

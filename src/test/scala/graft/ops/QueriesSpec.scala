@@ -3272,6 +3272,69 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
     CachedStages.release(spark)
   }
+  test("q191 reconciliation: every band by hand incl. per-line floor " +
+    "+ graded replay") {
+    import spark.implicits._
+    // o1 exact; o2 +50c; o3 charge 10000*0.9*1.05=9450 vs 9700 -> -250;
+    // o4 no lines; o5 two 1c lines each FLOORED to 0 by the 0.333333
+    // discount (post-sum rounding would say exact; per-line floor says
+    // -1c); o6 +$14.9k -> pos_gt_10k; l_orderkey 99 is an orphan
+    val orders = Seq((1L, 100.00), (2L, 100.00), (3L, 97.00),
+      (4L, 50.00), (5L, 0.01), (6L, 1.00))
+      .toDF("o_orderkey", "o_totalprice")
+    val lines = Seq(
+      (1L, 100.00, 0.0, 0.0), (2L, 100.50, 0.0, 0.0),
+      (3L, 100.00, 0.10, 0.05), (5L, 0.01, 0.333333, 0.0),
+      (5L, 0.01, 0.333333, 0.0), (6L, 15000.00, 0.0, 0.0),
+      (99L, 20.00, 0.0, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val fGot = Relational.reconciliationAuditOf(orders, lines).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(fGot == Seq(
+      ("exact", 1L, 0L), ("neg_gt_10k", 0L, 0L), ("neg_le_1", 1L, 1L),
+      ("neg_le_100", 1L, 250L), ("neg_le_10k", 0L, 0L),
+      ("no_lines", 1L, 5000L), ("orphan_lines", 1L, 2000L),
+      ("pos_gt_10k", 1L, 1499900L), ("pos_le_1", 1L, 50L),
+      ("pos_le_100", 0L, 0L), ("pos_le_10k", 0L, 0L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    def cents(x: Double) = (BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    def ppm(x: Double) = (BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    val bk = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> cents(r.getDouble(1))).toMap
+    val rc = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+      .map(r => (r.getLong(0),
+        BigInt(cents(r.getDouble(1))) * (1000000L - ppm(r.getDouble(2))) *
+          (1000000L + ppm(r.getDouble(3))) / BigInt("1000000000000")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum.toLong).toMap
+    val all = bk.keySet ++ rc.keySet
+    val banded = all.toSeq.map { k =>
+      (bk.get(k), rc.get(k)) match {
+        case (None, Some(r)) => ("orphan_lines", r.abs)
+        case (Some(b), None) => ("no_lines", b.abs)
+        case (Some(b), Some(r)) if r == b => ("exact", 0L)
+        case (Some(b), Some(r)) =>
+          val d = (r - b).abs
+          val mag = if (d <= 100) "le_1" else if (d <= 10000) "le_100"
+            else if (d <= 1000000) "le_10k" else "gt_10k"
+          ((if (r > b) "pos_" else "neg_") + mag, d)
+        case (None, None) => sys.error("unreachable")
+      }
+    }
+    val expect = Relational.ReconBands.sorted.map { band =>
+      val g = banded.filter(_._1 == band)
+      (band, g.size.toLong, g.map(_._2).sum)
+    }
+    val got = Relational.reconciliationAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
