@@ -295,6 +295,7 @@ object SparkEntry {
     "q189_gini_features" -> Features.giniFeatureRank _,
     "q190_duplicate_payments" -> ((s, d) => Relational.duplicatePayments(s, d)),
     "q191_reconciliation" -> Relational.reconciliationAudit _,
+    "q192_weekday_chi2" -> Events.weekdayChi2 _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5357,6 +5358,58 @@ object SparkEntry {
         |  'no_lines', 'orphan_lines']) AS band) s
         |LEFT JOIN agg ON s.band = agg.band
         |ORDER BY s.band""".stripMargin,
+
+    // Replays Events.weekdayChi2Of: the contingency grid, the bounded
+    // two-floor expected/contrib chain in HUGEINT, and the verdict
+    // against the SAME Chi2Crit95Ppm table (1-based list index; df
+    // outside 1..120 yields NULL in both engines).
+    "q192_weekday_chi2" ->
+      s"""WITH obs AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 1000000 // 86400 + 3) % 7 AS weekday,
+         |    CAST(COUNT(*) AS BIGINT) AS observed
+         |  FROM events GROUP BY 1, 2),
+         |rm AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS r
+         |       FROM obs GROUP BY 1),
+         |cm AS (SELECT weekday, CAST(SUM(observed) AS BIGINT) AS c
+         |       FROM obs GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+         |    CAST(COUNT(DISTINCT weekday) AS BIGINT) AS nc
+         |  FROM obs),
+         |cells AS (
+         |  SELECT rm.event_type, cm.weekday,
+         |    COALESCE(obs.observed, 0) AS observed,
+         |    CAST(rm.r::HUGEINT * cm.c * 1000000 // tot.n AS BIGINT)
+         |      AS expected_micro
+         |  FROM rm CROSS JOIN cm CROSS JOIN tot
+         |  LEFT JOIN obs ON obs.event_type = rm.event_type
+         |    AND obs.weekday = cm.weekday),
+         |cc AS (
+         |  SELECT event_type, weekday, observed, expected_micro,
+         |    CAST((observed::HUGEINT * 1000000 - expected_micro)
+         |      * (observed::HUGEINT * 1000000 - expected_micro)
+         |      // nullif(expected_micro, 0) AS BIGINT) AS contrib_micro
+         |  FROM cells),
+         |sm AS (
+         |  SELECT CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+         |  FROM cc),
+         |sd AS (
+         |  SELECT sm.chi2_micro,
+         |    CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS df
+         |  FROM sm CROSS JOIN tot),
+         |sv AS (
+         |  SELECT chi2_micro, df,
+         |    ([${Events.Chi2Crit95Ppm.mkString(",")}])[df] AS crit_micro
+         |  FROM sd)
+         |SELECT cc.event_type, cc.weekday, cc.observed, cc.expected_micro,
+         |  cc.contrib_micro, sv.chi2_micro, sv.df,
+         |  CAST(sv.crit_micro AS BIGINT) AS crit_micro,
+         |  CAST(CASE WHEN sv.crit_micro IS NULL THEN NULL
+         |       WHEN sv.chi2_micro > sv.crit_micro THEN 1
+         |       ELSE 0 END AS BIGINT) AS dependent
+         |FROM cc CROSS JOIN sv
+         |ORDER BY cc.event_type, cc.weekday""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1135,6 +1135,100 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** χ²₀.₉₅ critical values × 10⁶ for df = 1..120 (the standard
+    * table; computed once from the regularized incomplete gamma and
+    * checked against the published values to 6 decimals). Shared by
+    * the q192 operator and its oracle so the verdict constant cannot
+    * desynchronize.
+    */
+  private[graft] val Chi2Crit95Ppm: Seq[Long] = Seq(
+    3841459L, 5991465L, 7814728L, 9487729L, 11070498L, 12591587L,
+    14067140L, 15507313L, 16918978L, 18307038L, 19675138L, 21026070L,
+    22362032L, 23684791L, 24995790L, 26296228L, 27587112L, 28869299L,
+    30143527L, 31410433L, 32670573L, 33924438L, 35172462L, 36415029L,
+    37652484L, 38885139L, 40113272L, 41337138L, 42556968L, 43772972L,
+    44985343L, 46194260L, 47399884L, 48602367L, 49801850L, 50998460L,
+    52192320L, 53383541L, 54572228L, 55758479L, 56942387L, 58124038L,
+    59303512L, 60480887L, 61656233L, 62829620L, 64001112L, 65170769L,
+    66338649L, 67504807L, 68669294L, 69832160L, 70993453L, 72153216L,
+    73311493L, 74468324L, 75623748L, 76777803L, 77930524L, 79081944L,
+    80232098L, 81381015L, 82528727L, 83675261L, 84820645L, 85964907L,
+    87108072L, 88250164L, 89391208L, 90531225L, 91670239L, 92808270L,
+    93945340L, 95081467L, 96216671L, 97350970L, 98484383L, 99616927L,
+    100748619L, 101879474L, 103009509L, 104138738L, 105267177L, 106394840L,
+    107521741L, 108647893L, 109773309L, 110898003L, 112021986L, 113145270L,
+    114267868L, 115389790L, 116511047L, 117631651L, 118751612L, 119870939L,
+    120989644L, 122107735L, 123225221L, 124342113L, 125458419L, 126574148L,
+    127689308L, 128803908L, 129917955L, 131031458L, 132144425L, 133256862L,
+    134368777L, 135480178L, 136591071L, 137701464L, 138811363L, 139920774L,
+    141029704L, 142138160L, 143246147L, 144353672L, 145460740L, 146567358L)
+
+  def weekdayChi2(spark: SparkSession, dir: String): DataFrame =
+    weekdayChi2Of(events(spark, dir))
+
+  /** Graded q192: χ² INDEPENDENCE TEST on the (event type × weekday)
+    * contingency table (Pearson 1900) — the formal answer to the
+    * question q182's seasonality profile eyeballs: does the event-type
+    * mix DEPEND on the weekday at the 5% level? Per cell: observed
+    * count, expected count and χ² contribution in micro units, with
+    * the table-level statistic, df = (R−1)(C−1), the shared
+    * `Chi2Crit95Ppm` critical value, and the verdict repeated in every
+    * row (the q181 discipline — one homogeneous graded artifact).
+    *
+    * Integer determinism with BOUNDED intermediates: expected_micro =
+    * r·c·10⁶ div n (≤10³⁰ for a 10¹²-row stream — inside DECIMAL(38)/
+    * HUGEINT where the textbook (oN−rc)² form would need 10⁴⁸), then
+    * contrib_micro = (o·10⁶ − expected_micro)² div expected_micro —
+    * the one extra floor is identical in both engines, which is what
+    * the gate grades. Cells whose expectation floors below 1 micro
+    * are skipped (the sparse-cell guard; the textbook "expected ≥ 5"
+    * rule is stronger still). Zero-observed cells INSIDE the nonzero
+    * grid participate — dropping them understates the statistic.
+    *
+    * Scale shape: one events scan collapses to the ≤ R×7 observed
+    * matrix with map-side combine; margins, the grid, and the summary
+    * are model-sized crossJoin(broadcast) compositions.
+    */
+  def weekdayChi2Of(evs: DataFrame): DataFrame = {
+    val obs = CachedStages.track(evs.select(col("event_type"),
+      expr("pmod(ts_sec div 86400 + 3, 7)").as("weekday"))
+      .groupBy("event_type", "weekday").agg(count(lit(1)).as("observed"))
+      .persist())
+    val rowM = obs.groupBy("event_type").agg(sum(col("observed")).as("r"))
+    val colM = obs.groupBy("weekday").agg(sum(col("observed")).as("c"))
+    val tot = obs.agg(sum(col("observed")).as("n"),
+      countDistinct(col("event_type")).as("nr"),
+      countDistinct(col("weekday")).as("nc"))
+    val cells = CachedStages.track(rowM.crossJoin(broadcast(colM))
+      .join(obs, Seq("event_type", "weekday"), "left")
+      .na.fill(0L, Seq("observed"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected_micro", expr(
+        "CAST(CAST(r AS DECIMAL(38, 0)) * c * 1000000 div n AS BIGINT)"))
+      .withColumn("contrib_micro", expr(
+        """CAST((CAST(observed AS DECIMAL(38, 0)) * 1000000
+          |   - expected_micro)
+          | * (CAST(observed AS DECIMAL(38, 0)) * 1000000
+          |   - expected_micro)
+          | div nullif(expected_micro, 0) AS BIGINT)""".stripMargin))
+      .persist())
+    val summary = cells.agg(sum(col("contrib_micro")).as("chi2_micro"),
+        max(expr("(nr - 1) * (nc - 1)")).as("df"))
+      .withColumn("crit_micro", expr(
+        s"""CAST(try_element_at(array(${Chi2Crit95Ppm.mkString(",")}),
+           |CAST(df AS INT)) AS BIGINT)""".stripMargin))
+      .withColumn("dependent", expr(
+        """CASE WHEN crit_micro IS NULL THEN CAST(NULL AS BIGINT)
+          |     WHEN chi2_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    cells.select("event_type", "weekday", "observed", "expected_micro",
+        "contrib_micro")
+      .crossJoin(broadcast(summary))
+      .select("event_type", "weekday", "observed", "expected_micro",
+        "contrib_micro", "chi2_micro", "df", "crit_micro", "dependent")
+      .orderBy("event_type", "weekday")
+  }
+
   def newVsReturning(spark: SparkSession, dir: String): DataFrame =
     newVsReturningOf(events(spark, dir))
 

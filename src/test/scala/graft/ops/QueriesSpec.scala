@@ -3335,6 +3335,65 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
     CachedStages.release(spark)
   }
+  test("q192 chi2: dependent and uniform fixtures + graded replay") {
+    import spark.implicits._
+    def ev(t: String, day: Long, n: Int) =
+      Seq.fill(n)((t, day * 86400L))
+    // 2x2 with a 30/10 swap: every cell expects 20, contrib 5 each,
+    // chi2 = 20.0 >> crit(df=1) = 3.841459 -> dependent
+    val dep = ev("a", 0, 30) ++ ev("a", 1, 10) ++
+      ev("b", 0, 10) ++ ev("b", 1, 30)
+    val dGot = Events.weekdayChi2Of(dep.toDF("event_type", "ts_sec"))
+      .collect()
+    assert(dGot.length == 4)
+    dGot.foreach { r =>
+      assert(r.getLong(3) == 20000000L && r.getLong(4) == 5000000L, r)
+      assert(r.getLong(5) == 20000000L && r.getLong(6) == 1L, r)
+      assert(r.getLong(7) == 3841459L && r.getLong(8) == 1L, r)
+    }
+    CachedStages.release(spark)
+    // perfectly uniform -> chi2 = 0, independent
+    val uni = Seq("a", "b").flatMap(t => (0L to 1L).flatMap(d =>
+      ev(t, d, 10)))
+    val uGot = Events.weekdayChi2Of(uni.toDF("event_type", "ts_sec"))
+      .collect()
+    uGot.foreach { r =>
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L &&
+        r.getLong(8) == 0L, r)
+    }
+    CachedStages.release(spark)
+    // graded replay in BigInt (incl. zero-observed grid cells)
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec").collect()
+      .map(r => (r.getString(0), (r.getLong(1) / 86400L + 3) % 7))
+    val obs = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val types = raw.map(_._1).distinct.sorted
+    val wds = raw.map(_._2).distinct.sorted
+    val n = BigInt(raw.length)
+    val rM = types.map(t => t -> BigInt(raw.count(_._1 == t))).toMap
+    val cM = wds.map(w => w -> BigInt(raw.count(_._2 == w))).toMap
+    val cells = for (t <- types; w <- wds) yield {
+      val o = BigInt(obs.getOrElse((t, w), 0L))
+      val e = rM(t) * cM(w) * 1000000 / n
+      val contrib = if (e == 0) None
+        else Some((o * 1000000 - e) * (o * 1000000 - e) / e)
+      (t, w, o, e, contrib)
+    }
+    val chi2 = cells.flatMap(_._5).sum
+    val df = (types.size - 1) * (wds.size - 1)
+    val crit = Events.Chi2Crit95Ppm(df - 1)
+    val dep2 = if (chi2 > crit) 1L else 0L
+    val expect = cells.map { case (t, w, o, e, c) =>
+      (t, w, o.toLong, e.toLong, c.map(_.toLong).getOrElse(0L),
+        chi2.toLong, df.toLong, crit, dep2)
+    }.toSeq
+    val got = Events.weekdayChi2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1349,6 +1349,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q192 plan: one events scan into the cached contingency; " +
+    "margins and summary read caches; model-sized broadcasts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.weekdayChi2(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    // both top-level inputs (cell rows + summary) read the cells
+    // cache; the contingency cache reads live inside its build plan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
