@@ -456,5 +456,22 @@ class EventStreamsSpec extends SparkSpec {
     val btBatch = rows6(Events.forecastBacktest(spark, src))
     graft.ops.CachedStages.release(spark)
     assert(btStreamed == btBatch && btBatch.nonEmpty)
+    // the SPC/seasonality consumers of the SAME maintained matrix:
+    // Shewhart chart (q180), weekday profile (q182), CUSUM (q187)
+    val ccStreamed = rows6(Events.controlChartOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val ccBatch = rows6(Events.controlChart(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(ccStreamed == ccBatch && ccBatch.nonEmpty)
+    val wpStreamed = rows6(Events.weekdayProfileOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val wpBatch = rows6(Events.weekdayProfile(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(wpStreamed == wpBatch && wpBatch.nonEmpty)
+    val cuStreamed = rows6(Events.cusumChartOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val cuBatch = rows6(Events.cusumChart(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(cuStreamed == cuBatch && cuBatch.nonEmpty)
   }
 }
