@@ -296,6 +296,7 @@ object SparkEntry {
     "q190_duplicate_payments" -> ((s, d) => Relational.duplicatePayments(s, d)),
     "q191_reconciliation" -> Relational.reconciliationAudit _,
     "q192_weekday_chi2" -> Events.weekdayChi2 _,
+    "q193_lorenz_deciles" -> Relational.lorenzDeciles _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5410,6 +5411,48 @@ object SparkEntry {
          |       ELSE 0 END AS BIGINT) AS dependent
          |FROM cc CROSS JOIN sv
          |ORDER BY cc.event_type, cc.weekday""".stripMargin,
+
+    // Replays Relational.lorenzOf: whole-dollar quantization, the
+    // exact straddle split of each value group across rank deciles,
+    // HUGEINT dollar sums, 10-row cumulative.
+    "q193_lorenz_deciles" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT cents // 100 AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM sp GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        SUM(v::HUGEINT * c) AS total_d
+        |      FROM h),
+        |hc AS (
+        |  SELECT v, c, COALESCE(SUM(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM h),
+        |e AS (
+        |  SELECT hc.v, hc.c, hc.cum, t.n, t.total_d, d.decile
+        |  FROM hc CROSS JOIN t
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS decile) d),
+        |dc AS (
+        |  SELECT decile,
+        |    greatest(0, least(cum + c, (decile * n) // 10)
+        |      - greatest(cum, ((decile - 1) * n) // 10)) AS dcount,
+        |    v, total_d
+        |  FROM e),
+        |g AS (
+        |  SELECT decile, CAST(SUM(dcount) AS BIGINT) AS n_customers,
+        |    SUM(dcount::HUGEINT * v) AS spend_dollars,
+        |    MAX(total_d) AS total_d
+        |  FROM dc WHERE dcount > 0 GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        |  CAST(spend_dollars AS BIGINT) AS spend_dollars,
+        |  CAST(spend_dollars * 1000000 // nullif(total_d, 0) AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(SUM(spend_dollars) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING)
+        |    * 1000000 // nullif(total_d, 0) AS BIGINT) AS cum_share_ppm
+        |FROM g ORDER BY decile""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

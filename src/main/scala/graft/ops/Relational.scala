@@ -1073,6 +1073,71 @@ object Relational {
       .orderBy("gap_days")
   }
 
+  def lorenzDeciles(spark: SparkSession, dir: String): DataFrame =
+    lorenzOf(Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q193: LORENZ CURVE by customer-spend decile — the curve
+    * BEHIND q176's Gini number (Lorenz 1905): buyers ranked ascending
+    * by spend, split into ten rank deciles, each decile's share of
+    * total spend plus the cumulative share — the "bottom 50% hold X%"
+    * readout marketing actually quotes. Spend quantizes to WHOLE
+    * DOLLARS exactly as q176 (the quantized distribution IS the
+    * documented contract), which is what makes a boundary-straddling
+    * value group splittable EXACTLY: all members of a group share one
+    * spend value, so decile d takes
+    * `min(cum+c, dn div 10) − max(cum, (d−1)n div 10)` of its count
+    * and that times the value dollars of its spend — no per-row
+    * global sort anywhere.
+    *
+    * Scale shape: one orders scan collapses to per-buyer spend, then
+    * to the value-domain histogram (bounded by the price range, the
+    * q176/q53 discipline); the ONLY unpartitioned window runs over
+    * that bounded histogram and the 10-row decile table; totals ride
+    * one broadcast.
+    */
+  def lorenzOf(spend: DataFrame): DataFrame = {
+    val hist = CachedStages.track(spend
+      .withColumn("v", expr("cents div 100"))
+      .groupBy("v").agg(count(lit(1)).as("c")).persist())
+    val tot = hist.agg(sum(col("c")).as("n"),
+      sum(expr("CAST(v AS DECIMAL(38, 0)) * c")).as("total_d"))
+    // bounded-by-construction: the frame runs over the value-domain
+    // histogram (≤ |price range| rows), never the customer count
+    val wc = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val deciles = hist
+      .withColumn("cum", coalesce(sum(col("c")).over(wc), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("c"), col("cum"), col("n"), col("total_d"),
+        explode(expr("sequence(1, 10)")).as("decile"))
+      .withColumn("decile", col("decile").cast("long"))
+      .withColumn("dcount", expr(
+        """greatest(CAST(0 AS BIGINT),
+          |  least(cum + c, (decile * n) div 10)
+          |  - greatest(cum, ((decile - 1) * n) div 10))""".stripMargin))
+      .filter(col("dcount") > 0)
+      .groupBy("decile")
+      .agg(sum(col("dcount")).as("n_customers"),
+        sum(expr("CAST(dcount AS DECIMAL(38, 0)) * v"))
+          .as("spend_dollars"))
+    val wd = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_spend", sum(col("spend_dollars")).over(wd))
+      .crossJoin(broadcast(tot.select(col("total_d"))))
+      .select(col("decile"), col("n_customers"),
+        expr("CAST(spend_dollars AS BIGINT)").as("spend_dollars"),
+        expr("CAST(spend_dollars * 1000000 div nullif(total_d, 0) " +
+          "AS BIGINT)").as("share_ppm"),
+        expr("CAST(cum_spend * 1000000 div nullif(total_d, 0) " +
+          "AS BIGINT)").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

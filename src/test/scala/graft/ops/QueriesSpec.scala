@@ -3394,6 +3394,63 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q193 Lorenz: even ladder, all-tied straddle split + replay") {
+    import spark.implicits._
+    // $1..$20: two buyers per decile, decile spend 4d-1 dollars
+    val ladder = (1L to 20L).map(_ * 100L).toDF("cents")
+    val lGot = Relational.lorenzOf(ladder).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val lExp = (1L to 10L).map { d =>
+      val s = 4 * d - 1
+      val cum = (1L to d).map(4 * _ - 1).sum
+      (d, 2L, s, s * 1000000L / 210L, cum * 1000000L / 210L)
+    }
+    assert(lGot == lExp, s"$lGot != $lExp")
+    CachedStages.release(spark)
+    // 15 identical $5 spends: ONE value group splits across all ten
+    // deciles with the 1,2,1,2,... floor-boundary sizes
+    val tied = Seq.fill(15)(500L).toDF("cents")
+    val tGot = Relational.lorenzOf(tied).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val sizes = (1L to 10L).map(d => 15 * d / 10 - 15 * (d - 1) / 10)
+    assert(tGot.map(_._2) == sizes, tGot.mkString(";"))
+    assert(tGot.map(_._3) == sizes.map(_ * 5), tGot.mkString(";"))
+    assert(tGot.last._5 == 1000000L)
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val cents = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), (BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).values.map(_.map(_._2).sum).toSeq
+    val vs = cents.map(_ / 100)
+    val hist = vs.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = vs.size.toLong
+    val totalD = hist.map { case (v, c) => BigInt(v) * c }.sum
+    val cums = hist.scanLeft(0L)(_ + _._2)
+    val perDec = (1L to 10L).map { d =>
+      val lo = (d - 1) * n / 10; val hi = d * n / 10
+      var nc = 0L; var sp = BigInt(0)
+      hist.zip(cums).foreach { case ((v, c), cum) =>
+        val take = math.max(0L, math.min(cum + c, hi) - math.max(cum, lo))
+        nc += take; sp += BigInt(take) * v
+      }
+      (d, nc, sp)
+    }
+    val cumsSp = perDec.scanLeft(BigInt(0))(_ + _._3).drop(1)
+    val expect = perDec.zip(cumsSp).map { case ((d, nc, sp), cs) =>
+      (d, nc, sp.toLong, (sp * 1000000 / totalD).toLong,
+        (cs * 1000000 / totalD).toLong)
+    }
+    val got = Relational.lorenzDeciles(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
