@@ -297,6 +297,7 @@ object SparkEntry {
     "q191_reconciliation" -> Relational.reconciliationAudit _,
     "q192_weekday_chi2" -> Events.weekdayChi2 _,
     "q193_lorenz_deciles" -> Relational.lorenzDeciles _,
+    "q194_two_proportion_z" -> ((s, d) => Events.twoProportionZ(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5453,6 +5454,61 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING)
         |    * 1000000 // nullif(total_d, 0) AS BIGINT) AS cum_share_ppm
         |FROM g ORDER BY decile""".stripMargin,
+
+    // Replays Events.twoProportionZOf on top of the q136 counts CTE:
+    // ppm rates, the one-division pooled se2 in 1e-18 units, the
+    // chi2(1) critical constant.
+    "q194_two_proportion_z" ->
+      s"""WITH u AS (
+         |  SELECT DISTINCT user_id FROM events),
+         |asg AS (
+         |  SELECT user_id,
+         |    CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+         |      1, 6) AS BIGINT) % 100 < 50 THEN 'a' ELSE 'b' END AS arm
+         |  FROM u),
+         |c AS (SELECT user_id FROM events
+         |      WHERE event_type = 'purchase'
+         |      GROUP BY 1 HAVING COUNT(*) >= 15),
+         |k AS (
+         |  SELECT asg.arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_converted,
+         |    CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) * 1000000 // COUNT(*) AS conv_ppm
+         |  FROM asg LEFT JOIN c ON asg.user_id = c.user_id
+         |  GROUP BY asg.arm),
+         |p AS (
+         |  SELECT
+         |    ka.n_users AS n_a, ka.n_converted AS conv_a,
+         |    CAST(ka.conv_ppm AS BIGINT) AS p_a_ppm,
+         |    kb.n_users AS n_b, kb.n_converted AS conv_b,
+         |    CAST(kb.conv_ppm AS BIGINT) AS p_b_ppm
+         |  FROM (SELECT * FROM k WHERE arm = 'a') ka
+         |  CROSS JOIN (SELECT * FROM k WHERE arm = 'b') kb),
+         |x AS (
+         |  SELECT *, p_a_ppm - p_b_ppm AS diff_ppm,
+         |    (conv_a + conv_b) * 1000000 // (n_a + n_b) AS pooled_ppm
+         |  FROM p),
+         |y AS (
+         |  SELECT *,
+         |    CAST(pooled_ppm::HUGEINT * (1000000 - pooled_ppm)
+         |      * (n_a + n_b) * 1000000
+         |      // (n_a::HUGEINT * n_b) AS BIGINT) AS se2_e18
+         |  FROM x),
+         |z AS (
+         |  SELECT *,
+         |    CAST(diff_ppm::HUGEINT * diff_ppm * 1000000000000
+         |      // nullif(se2_e18, 0) AS BIGINT) AS z2_micro,
+         |    CAST(${Events.Chi2Crit95Ppm.head} AS BIGINT) AS crit_micro
+         |  FROM y)
+         |SELECT n_a, conv_a, p_a_ppm, n_b, conv_b, p_b_ppm, diff_ppm,
+         |  pooled_ppm, se2_e18, z2_micro, crit_micro,
+         |  CAST(CASE WHEN z2_micro IS NULL THEN NULL
+         |       WHEN z2_micro > crit_micro THEN 1 ELSE 0 END AS BIGINT)
+         |    AS significant,
+         |  CASE WHEN diff_ppm > 0 THEN 'a'
+         |       WHEN diff_ppm < 0 THEN 'b' ELSE 'tie' END AS winner
+         |FROM z""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -842,6 +842,86 @@ object Events {
       .orderBy("arm")
   }
 
+  def twoProportionZ(spark: SparkSession, dir: String,
+      heavyMin: Long = 15L): DataFrame =
+    twoProportionZOf(events(spark, dir), heavyMin)
+
+  /** Graded q194: TWO-PROPORTION Z-TEST — the analytic significance
+    * call q136's scaladoc promises "happens downstream": H₀:
+    * p_a = p_b, z² = (p̂_a−p̂_b)² / (p̂(1−p̂)(1/n_a+1/n_b)) with the
+    * pooled p̂, judged two-sided at 5% — and since z² under H₀ is
+    * χ²(1), the critical value IS `Chi2Crit95Ppm(0)` = 1.96²·10⁶: one
+    * shared constant table serves both tests. Complements the family:
+    * q136 reports the counts, q154 bootstraps the CI, q168 reduces
+    * variance — this is the textbook closed-form verdict.
+    *
+    * The tested metric is the HEAVY-converter rate (≥ `heavyMin`
+    * purchase events): on this stream plain ≥1-purchase conversion
+    * SATURATES at 100% in both arms, which degenerates the test to
+    * se² = 0 / z² undefined (the operator surfaces that honestly as
+    * NULL) — a guardrail metric with headroom is what an experimenter
+    * actually tests. Same md5-bucket arm assignment as q136.
+    *
+    * Fixed-point discipline (all floors deterministic, both engines):
+    * rates in ppm; se² in 10⁻¹⁸ units via ONE division —
+    * pooled·(10⁶−pooled)·N·10⁶ div (n_a·n_b), numerator ≤ 2.5·10²⁹
+    * inside DECIMAL(38)/HUGEINT, value ≤ 5·10¹⁷ inside BIGINT for ANY
+    * n — then z²_micro = diff_ppm²·10¹² div se². The direction ships
+    * as `winner` (a/b/tie); significance without direction is half an
+    * answer.
+    *
+    * Scale shape: one distinct-user aggregate, one per-user purchase
+    * count (both map-side combinable) and a user-keyed join; the
+    * pivot and test arithmetic run on a persisted 2-row table.
+    */
+  def twoProportionZOf(evs: DataFrame, heavyMin: Long = 15L): DataFrame = {
+    val users = evs.select("user_id").distinct()
+      .withColumn("arm", expr(
+        s"CASE WHEN ${Sampling.bucketExpr("user_id")} < 50 " +
+          "THEN 'a' ELSE 'b' END"))
+    val conv = evs.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("np"))
+      .filter(col("np") >= heavyMin)
+      .select("user_id").withColumn("converted", lit(1L))
+    val counts = CachedStages.track(users
+      .join(conv, Seq("user_id"), "left")
+      .na.fill(0L, Seq("converted"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      .persist())
+    val a = counts.filter(col("arm") === "a")
+      .select(col("n_users").as("n_a"), col("n_converted").as("conv_a"),
+        col("conv_ppm").as("p_a_ppm"))
+    val b = counts.filter(col("arm") === "b")
+      .select(col("n_users").as("n_b"), col("n_converted").as("conv_b"),
+        col("conv_ppm").as("p_b_ppm"))
+    a.crossJoin(broadcast(b))
+      .withColumn("diff_ppm", expr("p_a_ppm - p_b_ppm"))
+      .withColumn("pooled_ppm", expr(
+        "(conv_a + conv_b) * 1000000 div (n_a + n_b)"))
+      .withColumn("se2_e18", expr(
+        """CAST(pooled_ppm AS DECIMAL(38, 0)) * (1000000 - pooled_ppm)
+          | * (n_a + n_b) * 1000000
+          | div (CAST(n_a AS DECIMAL(38, 0)) * n_b)""".stripMargin))
+      .withColumn("z2_micro", expr(
+        """CAST(CAST(diff_ppm AS DECIMAL(38, 0)) * diff_ppm
+          | * 1000000000000 div nullif(se2_e18, 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("crit_micro", lit(Chi2Crit95Ppm.head))
+      .withColumn("significant", expr(
+        """CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BIGINT)
+          |     WHEN z2_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("winner", expr(
+        """CASE WHEN diff_ppm > 0 THEN 'a'
+          |     WHEN diff_ppm < 0 THEN 'b' ELSE 'tie' END""".stripMargin))
+      .select("n_a", "conv_a", "p_a_ppm", "n_b", "conv_b", "p_b_ppm",
+        "diff_ppm", "pooled_ppm", "se2_e18", "z2_micro", "crit_micro",
+        "significant", "winner")
+  }
+
   def cupedReadout(spark: SparkSession, dir: String): DataFrame =
     cupedReadoutOf(events(spark, dir))
 

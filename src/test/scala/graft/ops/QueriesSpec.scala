@@ -3451,6 +3451,73 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q194 two-proportion z: planted win, degenerate tie, replay") {
+    import spark.implicits._
+    // independent replay of the shared md5 arm rule + the full test
+    def armOf(u: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 6), 16) % 100 < 50) "a"
+      else "b"
+    }
+    def replay(rows: Seq[(Long, String)], heavyMin: Long) = {
+      val users = rows.map(_._1).distinct
+      val heavy = rows.filter(_._2 == "purchase").groupBy(_._1)
+        .filter(_._2.size >= heavyMin).keySet
+      def side(arm: String) = {
+        val us = users.filter(armOf(_) == arm)
+        (BigInt(us.size), BigInt(us.count(heavy)))
+      }
+      val ((na, ca), (nb, cb)) = (side("a"), side("b"))
+      val pa = ca * 1000000 / na; val pb = cb * 1000000 / nb
+      val diff = pa - pb
+      val pooled = (ca + cb) * 1000000 / (na + nb)
+      val se2 = pooled * (1000000 - pooled) * (na + nb) * 1000000 /
+        (na * nb)
+      val z2 = if (se2 == 0) None
+        else Some(diff * diff * BigInt("1000000000000") / se2)
+      val sig = z2.map(z => if (z > 3841459) 1L else 0L)
+      val winner = if (diff > 0) "a" else if (diff < 0) "b" else "tie"
+      (na.toLong, ca.toLong, pa.toLong, nb.toLong, cb.toLong, pb.toLong,
+        diff.toLong, pooled.toLong, se2.toLong, z2.map(_.toLong), sig,
+        winner)
+    }
+    def collect1(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), if (r.isNullAt(9)) None else Some(r.getLong(9)),
+        if (r.isNullAt(11)) None else Some(r.getLong(11)),
+        r.getString(12))
+    }
+    // planted win: arm-a users get 3 purchases (heavy at min=3),
+    // arm-b users one view each -> p_a=1, p_b=0, hugely significant
+    val users = (0L until 40L)
+    val win = users.flatMap { u =>
+      if (armOf(u) == "a") Seq.fill(3)((u, "purchase"))
+      else Seq((u, "view"))
+    }
+    val wGot = collect1(Events.twoProportionZOf(
+      win.toDF("user_id", "event_type"), 3L))
+    val wExp = replay(win, 3L)
+    assert(wGot == wExp, s"$wGot != $wExp")
+    assert(wGot._11 == Some(1L) && wGot._12 == "a", wGot)
+    CachedStages.release(spark)
+    // degenerate saturation: everyone heavy -> se2=0, z2/sig NULL, tie
+    val sat = users.flatMap(u => Seq.fill(3)((u, "purchase")))
+    val sGot = collect1(Events.twoProportionZOf(
+      sat.toDF("user_id", "event_type"), 3L))
+    assert(sGot._10 == None && sGot._11 == None && sGot._12 == "tie", sGot)
+    CachedStages.release(spark)
+    // graded replay
+    val raw = Events.events(spark, dir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = collect1(Events.twoProportionZ(spark, dir))
+    assert(got == replay(raw, 15L), s"$got != ${replay(raw, 15L)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1381,6 +1381,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q194 plan: both pivot sides read the 2-row persisted counts; " +
+    "1-row broadcast join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.twoProportionZ(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
