@@ -298,6 +298,7 @@ object SparkEntry {
     "q192_weekday_chi2" -> Events.weekdayChi2 _,
     "q193_lorenz_deciles" -> Relational.lorenzDeciles _,
     "q194_two_proportion_z" -> ((s, d) => Events.twoProportionZ(s, d)),
+    "q195_supplier_returns" -> Relational.supplierReturnScreen _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5509,6 +5510,47 @@ object SparkEntry {
          |  CASE WHEN diff_ppm > 0 THEN 'a'
          |       WHEN diff_ppm < 0 THEN 'b' ELSE 'tie' END AS winner
          |FROM z""".stripMargin,
+
+    // Replays Relational.supplierReturnScreenOf: per-supplier counts,
+    // the supplier-vs-rest pooled z² in HUGEINT, the shared chi2(1)
+    // constant.
+    "q195_supplier_returns" ->
+      s"""WITH per AS (
+         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_returned
+         |  FROM lineitem GROUP BY 1),
+         |g AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS nn,
+         |        CAST(SUM(n_returned) AS BIGINT) AS rr
+         |      FROM per),
+         |x AS (
+         |  SELECT per.*, g.nn, g.rr,
+         |    n_returned * 1000000 // n_lines AS rate_ppm,
+         |    (rr - n_returned) * 1000000 // nullif(nn - n_lines, 0)
+         |      AS rest_ppm,
+         |    rr * 1000000 // nn AS pooled_ppm
+         |  FROM per CROSS JOIN g),
+         |y AS (
+         |  SELECT *, rate_ppm - rest_ppm AS diff_ppm,
+         |    CAST(pooled_ppm::HUGEINT * (1000000 - pooled_ppm)
+         |      * nn * 1000000
+         |      // (n_lines::HUGEINT * nullif(nn - n_lines, 0))
+         |      AS BIGINT) AS se2_e18
+         |  FROM x),
+         |z AS (
+         |  SELECT *,
+         |    CAST(diff_ppm::HUGEINT * diff_ppm * 1000000000000
+         |      // nullif(se2_e18, 0) AS BIGINT) AS z2_micro
+         |  FROM y)
+         |SELECT l_suppkey, n_lines, n_returned,
+         |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(rest_ppm AS BIGINT) AS rest_ppm,
+         |  CAST(diff_ppm AS BIGINT) AS diff_ppm, z2_micro,
+         |  CAST(CASE WHEN z2_micro IS NULL THEN NULL
+         |       WHEN z2_micro > ${Events.Chi2Crit95Ppm.head}
+         |            AND diff_ppm > 0 THEN 1
+         |       ELSE 0 END AS BIGINT) AS elevated
+         |FROM z ORDER BY l_suppkey""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1138,6 +1138,61 @@ object Relational {
       .orderBy("decile")
   }
 
+  def supplierReturnScreen(spark: SparkSession, dir: String): DataFrame =
+    supplierReturnScreenOf(Tables(spark, dir, "lineitem"))
+
+  /** Graded q195: SUPPLIER RETURN-RATE screen — q194's two-proportion
+    * z machinery run as a QUALITY SWEEP: each supplier's returned-line
+    * rate (`l_returnflag = 'R'`) against ALL OTHER suppliers pooled,
+    * z² vs χ²₀.₉₅(1) from the shared `Chi2Crit95Ppm` table, and
+    * `elevated` = significantly ABOVE the rest — the list procurement
+    * escalates. One screen per supplier means a multiplicity caveat
+    * (≈5% of clean suppliers flag by chance at this alpha); the
+    * per-row verdict is the screen's contract, the Bonferroni
+    * tightening is the analyst's knob downstream.
+    *
+    * Same fixed-point discipline as q194 (ppm rates, one-division
+    * pooled se² in 10⁻¹⁸ units, bounded intermediates); the pooled
+    * rate here is the GLOBAL rate — the null the screen tests.
+    *
+    * Scale shape: one lineitem scan collapses to per-supplier
+    * (lines, returns) with map-side combine; the global row is one
+    * broadcast; |suppliers| output rows.
+    */
+  def supplierReturnScreenOf(li: DataFrame): DataFrame = {
+    val per = CachedStages.track(li
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(expr("IF(l_returnflag = 'R', CAST(1 AS BIGINT), " +
+          "CAST(0 AS BIGINT))")).as("n_returned"))
+      .persist())
+    val glob = per.agg(sum(col("n_lines")).as("nn"),
+      sum(col("n_returned")).as("rr"))
+    per.crossJoin(broadcast(glob))
+      .withColumn("rate_ppm", expr("n_returned * 1000000 div n_lines"))
+      .withColumn("rest_ppm", expr(
+        "(rr - n_returned) * 1000000 div nullif(nn - n_lines, 0)"))
+      .withColumn("diff_ppm", expr("rate_ppm - rest_ppm"))
+      .withColumn("pooled_ppm", expr("rr * 1000000 div nn"))
+      .withColumn("se2_e18", expr(
+        """CAST(pooled_ppm AS DECIMAL(38, 0)) * (1000000 - pooled_ppm)
+          | * nn * 1000000
+          | div (CAST(n_lines AS DECIMAL(38, 0))
+          |      * nullif(nn - n_lines, 0))""".stripMargin))
+      .withColumn("z2_micro", expr(
+        """CAST(CAST(diff_ppm AS DECIMAL(38, 0)) * diff_ppm
+          | * 1000000000000 div nullif(se2_e18, 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("elevated", expr(
+        s"""CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BIGINT)
+           |     WHEN z2_micro > ${Events.Chi2Crit95Ppm.head}
+           |          AND diff_ppm > 0 THEN CAST(1 AS BIGINT)
+           |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select("l_suppkey", "n_lines", "n_returned", "rate_ppm",
+        "rest_ppm", "diff_ppm", "z2_micro", "elevated")
+      .orderBy("l_suppkey")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

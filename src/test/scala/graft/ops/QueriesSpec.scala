@@ -3518,6 +3518,68 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(raw, 15L), s"$got != ${replay(raw, 15L)}")
     CachedStages.release(spark)
   }
+  test("q195 supplier returns: planted bad supplier, lone-supplier " +
+    "degenerate, graded replay") {
+    import spark.implicits._
+    def replay(rows: Seq[(Long, String)]) = {
+      val per = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+        (s, BigInt(g.size), BigInt(g.count(_._2 == "R")))
+      }
+      val nn = per.map(_._2).sum; val rr = per.map(_._3).sum
+      per.map { case (s, n, r) =>
+        val rate = r * 1000000 / n
+        val restDen = nn - n
+        if (restDen == 0)
+          (s, n.toLong, r.toLong, rate.toLong, None: Option[Long], None,
+            None, None)
+        else {
+          val rest = (rr - r) * 1000000 / restDen
+          val diff = rate - rest
+          val pooled = rr * 1000000 / nn
+          val se2 = pooled * (1000000 - pooled) * nn * 1000000 /
+            (n * restDen)
+          val z2 = if (se2 == 0) None
+            else Some((diff * diff * BigInt("1000000000000") / se2).toLong)
+          val el = z2.map(z =>
+            if (z > 3841459L && diff > 0) 1L else 0L)
+          (s, n.toLong, r.toLong, rate.toLong, Some(rest.toLong),
+            Some(diff.toLong), z2, el)
+        }
+      }
+    }
+    def collectAll(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    // supplier 1 returns 90%, three peers 10% -> only 1 flags
+    val planted = (1L to 4L).flatMap { s =>
+      val ret = if (s == 1) 90 else 10
+      Seq.fill(ret)((s, "R")) ++ Seq.fill(100 - ret)((s, "N"))
+    }
+    val pGot = collectAll(Relational.supplierReturnScreenOf(
+      planted.toDF("l_suppkey", "l_returnflag")))
+    assert(pGot == replay(planted), s"$pGot")
+    assert(pGot.map(r => (r._1, r._8)) ==
+      Seq(1L -> Some(1L), 2L -> Some(0L), 3L -> Some(0L),
+        4L -> Some(0L)), pGot)
+    CachedStages.release(spark)
+    // a lone supplier has no "rest": every derived stat NULL, honestly
+    val lone = Seq.fill(10)((7L, "R")) ++ Seq.fill(10)((7L, "N"))
+    val lGot = collectAll(Relational.supplierReturnScreenOf(
+      lone.toDF("l_suppkey", "l_returnflag")))
+    assert(lGot == replay(lone) &&
+      lGot.head._5 == None && lGot.head._8 == None, lGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay
+    val raw = Tables(spark, dir, "lineitem")
+      .select("l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val got = collectAll(Relational.supplierReturnScreen(spark, dir))
+    assert(got == replay(raw), s"${got.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
