@@ -299,6 +299,7 @@ object SparkEntry {
     "q193_lorenz_deciles" -> Relational.lorenzDeciles _,
     "q194_two_proportion_z" -> ((s, d) => Events.twoProportionZ(s, d)),
     "q195_supplier_returns" -> Relational.supplierReturnScreen _,
+    "q196_abc_xyz_matrix" -> Relational.abcXyzMatrix _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5551,6 +5552,70 @@ object SparkEntry {
          |            AND diff_ppm > 0 THEN 1
          |       ELSE 0 END AS BIGINT) AS elevated
          |FROM z ORDER BY l_suppkey""".stripMargin,
+
+    // INDEPENDENT per-part ABC formulation (the q174 global window)
+    // crossed with the HUGEINT CV2 XYZ classes — hash-matching proves
+    // Spark's two-phase per-part reduction, the q179 pattern.
+    "q196_abc_xyz_matrix" ->
+      """WITH ml AS (
+        |  SELECT l_partkey,
+        |    year(l_shipdate) AS m,
+        |    CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS qc,
+        |    CAST(l_extendedprice AS DECIMAL(12, 2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12, 2))) AS rt
+        |  FROM lineitem),
+        |mo AS (
+        |  SELECT l_partkey, m, CAST(SUM(qc) AS BIGINT) AS qm,
+        |    SUM(rt) AS rm
+        |  FROM ml GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey, CAST(SUM(qm) AS BIGINT) AS sq,
+        |    SUM(qm::HUGEINT * qm) AS q2,
+        |    CAST(SUM(rm) * 10000 AS BIGINT) AS r4
+        |  FROM mo GROUP BY 1),
+        |sp AS (SELECT MAX(m) - MIN(m) + 1 AS mm FROM mo),
+        |x AS (
+        |  SELECT pp.*, CASE
+        |      WHEN (mm::HUGEINT * q2 - sq::HUGEINT * sq) * 4
+        |           <= sq::HUGEINT * sq THEN 'X'
+        |      WHEN mm::HUGEINT * q2 - sq::HUGEINT * sq
+        |           <= sq::HUGEINT * sq THEN 'Y'
+        |      ELSE 'Z' END AS xyz_class
+        |  FROM pp CROSS JOIN sp),
+        |c AS (
+        |  SELECT l_partkey, r4,
+        |    COALESCE(SUM(r4) OVER (ORDER BY r4 DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM pp),
+        |t AS (SELECT CAST(SUM(r4) AS BIGINT) AS total,
+        |      CAST(SUM(sq) AS BIGINT) AS tq FROM pp),
+        |k AS (
+        |  SELECT l_partkey, CASE
+        |      WHEN cum_before * 5 < (SELECT total FROM t) * 4 THEN 'A'
+        |      WHEN cum_before * 20 < (SELECT total FROM t) * 19 THEN 'B'
+        |      ELSE 'C' END AS abc_class
+        |  FROM c),
+        |cell AS (
+        |  SELECT k.abc_class, x.xyz_class, CAST(COUNT(*) AS BIGINT)
+        |      AS n_parts,
+        |    CAST(SUM(x.r4) AS BIGINT) AS cr,
+        |    CAST(SUM(x.sq) AS BIGINT) AS cq
+        |  FROM k JOIN x USING (l_partkey) GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT a.abc_class, z.xyz_class
+        |  FROM (SELECT unnest(['A', 'B', 'C']) AS abc_class) a
+        |  CROSS JOIN (SELECT unnest(['X', 'Y', 'Z']) AS xyz_class) z)
+        |SELECT s.abc_class, s.xyz_class,
+        |  COALESCE(n_parts, 0) AS n_parts,
+        |  COALESCE(CAST(cr::HUGEINT * 1000000 // (SELECT total FROM t)
+        |    AS BIGINT), 0) AS revenue_share_ppm,
+        |  COALESCE(CAST(cq::HUGEINT * 1000000 // (SELECT tq FROM t)
+        |    AS BIGINT), 0) AS qty_share_ppm
+        |FROM spine s LEFT JOIN cell
+        |  ON s.abc_class = cell.abc_class AND s.xyz_class = cell.xyz_class
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

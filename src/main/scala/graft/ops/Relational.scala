@@ -1193,6 +1193,121 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame =
+    abcXyzOf(Tables(spark, dir, "lineitem"))
+
+  /** Graded q196: ABC-XYZ PLANNING MATRIX — the inventory-policy grid
+    * that crosses q174's revenue Pareto with DEMAND VARIABILITY
+    * (Errasti/Dickie practice): XYZ classes from the coefficient of
+    * variation of a part's YEARLY demand over the global calendar
+    * span (X predictable CV ≤ 0.5, Y ≤ 1.0, Z erratic) — AX is
+    * "automate the reorder", CZ is "stock nothing, order on demand".
+    * The period is YEARS because these are slow movers (~30 lines per
+    * part over 7 years: monthly buckets make every part trivially Z —
+    * measured, and exactly why practitioners size the XYZ period to
+    * the item's movement rate); yearly splits the catalog ~52/48/0.4
+    * across X/Y/Z at every scale. Sqrt-free: CV² = (M·Σq²−S²)/S²
+    * compares cross-multiplied — X iff 4·(M·Σq²−S²) ≤ S², Y iff
+    * (M·Σq²−S²) ≤ S² — in DECIMAL(38)/HUGEINT, quantities in
+    * centi-units. Years ABSENT from a part's history are true
+    * zero-demand years: the global span M enters the moments directly
+    * (zeros add nothing to Σq, Σq²), so no per-part calendar
+    * densification is ever needed.
+    *
+    * Per-part ABC runs the SAME two-phase discipline as q174 (coarse
+    * revenue-bucket histogram carries the only unpartitioned window;
+    * the ≤2 cut-straddling buckets resolve per-part; every other
+    * bucket classifies wholesale) but EMITS the per-part class; the
+    * oracle replays the independent global-window formulation — the
+    * hash match proves the reduction, the q179 pattern. Matrix cells:
+    * part count, revenue share, quantity share (ppm), on the fixed
+    * 9-cell spine.
+    *
+    * Scale shape: one lineitem scan → per-(part, month) collapse →
+    * per-part moments (all map-side combinable); the ABC branch reads
+    * the same persisted per-part table; cut-bucket windows are
+    * bucket-bounded; the rollup is 9 rows.
+    */
+  def abcXyzOf(li: DataFrame): DataFrame = {
+    val monthly = CachedStages.track(li.select(col("l_partkey"),
+        expr("year(l_shipdate)").as("m"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("qc"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("rt"))
+      .groupBy("l_partkey", "m")
+      .agg(sum(col("qc")).as("qm"), sum(col("rt")).as("rm"))
+      .persist())
+    val perPart = CachedStages.track(monthly.groupBy("l_partkey")
+      .agg(sum(col("qm")).as("sq"),
+        sum(expr("CAST(qm AS DECIMAL(38, 0)) * qm")).as("q2"),
+        (sum(col("rm")) * 10000).cast("long").as("r4"))
+      .persist())
+    val span = monthly.agg((max(col("m")) - min(col("m")) + 1).as("mm"))
+    val xyzed = perPart.crossJoin(broadcast(span))
+      .withColumn("var_num", expr(
+        "CAST(mm AS DECIMAL(38, 0)) * q2 - CAST(sq AS DECIMAL(38, 0)) * sq"))
+      .withColumn("xyz_class", expr(
+        """CASE WHEN var_num * 4 <= CAST(sq AS DECIMAL(38, 0)) * sq
+          |       THEN 'X'
+          |     WHEN var_num <= CAST(sq AS DECIMAL(38, 0)) * sq THEN 'Y'
+          |     ELSE 'Z' END""".stripMargin))
+      .select("l_partkey", "xyz_class", "r4", "sq")
+    // per-part ABC: q174's two-phase, emitting the class per part
+    val hist = CachedStages.track(perPart
+      .withColumn("hb", expr("r4 div 10000000"))
+      .groupBy("hb")
+      .agg(count(lit(1)).as("n_in"), sum(col("r4")).as("s_in"))
+      .persist())
+    val wb = Window.orderBy(col("hb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = hist.agg(sum(col("s_in")).as("total"),
+      sum(col("n_in")).as("np"))
+    val buckets = CachedStages.track(hist
+      .withColumn("cum_before", coalesce(sum(col("s_in")).over(wb), lit(0L)))
+      .crossJoin(broadcast(total))
+      .withColumn("has_cut",
+        (expr("cum_before * 5 < total * 4") &&
+          expr("(cum_before + s_in) * 5 >= total * 4")) ||
+        (expr("cum_before * 20 < total * 19") &&
+          expr("(cum_before + s_in) * 20 >= total * 19")))
+      .persist())
+    def classExpr(cumBefore: String) = expr(
+      s"""CASE WHEN $cumBefore * 5 < total * 4 THEN 'A'
+         |     WHEN $cumBefore * 20 < total * 19 THEN 'B'
+         |     ELSE 'C' END""".stripMargin)
+    val withHb = perPart.withColumn("hb", expr("r4 div 10000000"))
+    val nonCut = withHb.join(broadcast(buckets.filter(!col("has_cut"))
+        .select("hb", "cum_before", "total")), Seq("hb"))
+      .select(col("l_partkey"), classExpr("cum_before").as("abc_class"))
+    val wIn = Window.partitionBy("hb")
+      .orderBy(col("r4").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cut = withHb.join(broadcast(buckets.filter(col("has_cut"))
+        .select("hb", "cum_before", "total")), Seq("hb"))
+      .withColumn("pcb",
+        col("cum_before") + coalesce(sum(col("r4")).over(wIn), lit(0L)))
+      .select(col("l_partkey"), classExpr("pcb").as("abc_class"))
+    val abc = nonCut.unionByName(cut)
+    val tot2 = perPart.agg(sum(col("r4")).as("tr"), sum(col("sq")).as("tq"))
+    val cells = xyzed.join(abc, Seq("l_partkey"))
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum(col("r4")).as("cr"),
+        sum(col("sq")).as("cq"))
+    val spine = li.sparkSession.range(1)
+      .select(explode(expr("array('A', 'B', 'C')")).as("abc_class"))
+      .select(col("abc_class"),
+        explode(expr("array('X', 'Y', 'Z')")).as("xyz_class"))
+    spine.join(cells, Seq("abc_class", "xyz_class"), "left")
+      .na.fill(0L, Seq("n_parts", "cr", "cq"))
+      .crossJoin(broadcast(tot2))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        expr("CAST(CAST(cr AS DECIMAL(38, 0)) * 1000000 div tr AS BIGINT)")
+          .as("revenue_share_ppm"),
+        expr("CAST(CAST(cq AS DECIMAL(38, 0)) * 1000000 div tq AS BIGINT)")
+          .as("qty_share_ppm"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

@@ -3580,6 +3580,87 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(raw), s"${got.take(2)}")
     CachedStages.release(spark)
   }
+  test("q196 ABC-XYZ: pinned AX/BY/CZ fixture, q174 marginal law, " +
+    "graded replay") {
+    import spark.implicits._
+    def line(p: Long, y: Int, qty: Double, price: Double) =
+      (p, java.sql.Timestamp.valueOf(s"$y-06-01 00:00:00"), qty, price, 0.0)
+    // p1: steady 10/yr for 7 years, 84% of revenue -> AX (CV=0);
+    // p3: 10 in 4 of 7 years -> Y, mid revenue -> B;
+    // p2: one 30-spike year, 1.2% of revenue -> CZ
+    val fixture = ((1992 to 1998).map(y => line(1L, y, 10.0, 1000.0)) ++
+      (1992 to 1995).map(y => line(3L, y, 10.0, 300.0)) :+
+      line(2L, 1994, 30.0, 100.0))
+      .toDF("l_partkey", "l_shipdate", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val fGot = Relational.abcXyzOf(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val zero = for (a <- Seq("A", "B", "C"); x <- Seq("X", "Y", "Z"))
+      yield (a, x, 0L, 0L, 0L)
+    val fExp = zero.map {
+      case ("A", "X", _, _, _) =>
+        ("A", "X", 1L, 7000L * 1000000 / 8300, 7000L * 1000000 / 14000)
+      case ("B", "Y", _, _, _) =>
+        ("B", "Y", 1L, 1200L * 1000000 / 8300, 4000L * 1000000 / 14000)
+      case ("C", "Z", _, _, _) =>
+        ("C", "Z", 1L, 100L * 1000000 / 8300, 3000L * 1000000 / 14000)
+      case other => other
+    }
+    assert(fGot == fExp, s"$fGot != $fExp")
+    CachedStages.release(spark)
+    // cross-operator law: ABC marginals of the matrix == q174's counts
+    val matrix = Relational.abcXyzMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    CachedStages.release(spark)
+    val q174 = Relational.abcClassification(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    CachedStages.release(spark)
+    val marginals = matrix.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    Seq("A", "B", "C").foreach(a =>
+      assert(marginals.getOrElse(a, 0L) == q174.getOrElse(a, 0L),
+        s"$a: $marginals vs $q174"))
+    // graded replay in BigInt (global-window ABC + CV2 XYZ)
+    val raw = Tables(spark, dir, "lineitem")
+      .selectExpr("l_partkey", "year(l_shipdate)", "l_quantity",
+        "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        (r.getLong(0), r.getInt(1),
+          (BigDecimal(r.getDouble(2)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt,
+          BigDecimal(r.getDouble(3)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP) *
+            (1 - BigDecimal(r.getDouble(4)).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP)))
+      }
+    val years = raw.map(_._2)
+    val mm = BigInt(years.max - years.min + 1)
+    val perPart = raw.groupBy(_._1).toSeq.map { case (p, g) =>
+      val byY = g.groupBy(_._2).values.map(_.map(_._3).sum)
+      val sq = byY.sum; val q2 = byY.map(q => q * q).sum
+      val r4 = (g.map(_._4).sum * 10000).toBigInt
+      val varNum = mm * q2 - sq * sq
+      val xyz = if (varNum * 4 <= sq * sq) "X"
+        else if (varNum <= sq * sq) "Y" else "Z"
+      (p, r4, sq, xyz)
+    }
+    val totalR = perPart.map(_._2).sum; val totalQ = perPart.map(_._3).sum
+    val ordered = perPart.sortBy(pp => (-pp._2, pp._1))
+    val cums = ordered.scanLeft(BigInt(0))(_ + _._2)
+    val classed = ordered.zip(cums).map { case ((p, r4, sq, xyz), cb) =>
+      val abc = if (cb * 5 < totalR * 4) "A"
+        else if (cb * 20 < totalR * 19) "B" else "C"
+      (abc, xyz, r4, sq)
+    }
+    val expect = zero.map { case (a, x, _, _, _) =>
+      val g = classed.filter(c => c._1 == a && c._2 == x)
+      (a, x, g.size.toLong,
+        (g.map(_._3).sum * 1000000 / totalR).toLong,
+        (g.map(_._4).sum * 1000000 / totalQ).toLong)
+    }
+    assert(matrix == expect, s"$matrix != $expect")
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1411,6 +1411,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q196 plan: one lineitem scan; per-part cache feeds XYZ, both " +
+    "ABC branches and totals; cut buckets resolve via broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Relational.abcXyzMatrix(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
