@@ -300,6 +300,7 @@ object SparkEntry {
     "q194_two_proportion_z" -> ((s, d) => Events.twoProportionZ(s, d)),
     "q195_supplier_returns" -> Relational.supplierReturnScreen _,
     "q196_abc_xyz_matrix" -> Relational.abcXyzMatrix _,
+    "q197_price_dispersion" -> Relational.priceDispersion _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5616,6 +5617,39 @@ object SparkEntry {
         |FROM spine s LEFT JOIN cell
         |  ON s.abc_class = cell.abc_class AND s.xyz_class = cell.xyz_class
         |ORDER BY 1, 2""".stripMargin,
+
+    // Replays Relational.priceDispersionOf: floored unit-price micro,
+    // per-part min/max, the fixed dispersion bands per brand.
+    "q197_price_dispersion" ->
+      """WITH u AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      * 1000000
+        |      // CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |      AS um
+        |  FROM lineitem),
+        |per AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(MIN(um) AS BIGINT) AS mn, CAST(MAX(um) AS BIGINT) AS mx
+        |  FROM u GROUP BY 1),
+        |sp AS (
+        |  SELECT l_partkey,
+        |    (mx - mn) * 1000000 // nullif(mn, 0) AS spread_ppm
+        |  FROM per)
+        |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CASE WHEN spread_ppm = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_uniform,
+        |  CAST(SUM(CASE WHEN spread_ppm > 0 AND spread_ppm <= 10000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_le_1pct,
+        |  CAST(SUM(CASE WHEN spread_ppm > 10000 AND spread_ppm <= 50000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_le_5pct,
+        |  CAST(SUM(CASE WHEN spread_ppm > 50000 AND spread_ppm <= 200000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_le_20pct,
+        |  CAST(SUM(CASE WHEN spread_ppm > 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_gt_20pct,
+        |  CAST(MAX(spread_ppm) AS BIGINT) AS max_spread_ppm
+        |FROM sp JOIN part p ON sp.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

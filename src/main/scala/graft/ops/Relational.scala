@@ -1308,6 +1308,56 @@ object Relational {
       .orderBy("abc_class", "xyz_class")
   }
 
+  def priceDispersion(spark: SparkSession, dir: String): DataFrame =
+    priceDispersionOf(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "part"))
+
+  /** Graded q197: UNIT-PRICE DISPERSION audit — the pricing-integrity
+    * screen: the same part transacting at different effective unit
+    * prices (extendedprice/quantity) signals discount leakage, stale
+    * price lists, or channel conflict. Per part: min/max unit price in
+    * micro-dollars (ext_cents·10⁶ div qty_centi — one floored integral
+    * division) and the relative spread (max−min)·10⁶ div min; rolled
+    * up per brand into fixed dispersion bands (uniform, ≤1%, ≤5%,
+    * ≤20%, >20%) plus the brand's worst spread. On this synthetic
+    * stream every part disperses (prices are drawn per line — the
+    * loud-failure mode, measured); a disciplined book concentrates in
+    * `n_uniform`/`n_le_1pct`.
+    *
+    * Scale shape: one lineitem scan collapses to per-part min/max on
+    * the part key (map-side combinable); ONE part-keyed join carries
+    * the brand in (dimension-sized side, AQE broadcasts it); the
+    * rollup is |brands| rows.
+    */
+  def priceDispersionOf(li: DataFrame, part: DataFrame): DataFrame = {
+    val per = li.select(col("l_partkey"), expr(
+      """CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        | * 1000000
+        | div CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100 AS BIGINT)"""
+        .stripMargin).as("um"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"), min(col("um")).as("mn"),
+        max(col("um")).as("mx"))
+      .withColumn("spread_ppm",
+        expr("(mx - mn) * 1000000 div nullif(mn, 0)"))
+    per.join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(expr("IF(spread_ppm = 0, CAST(1 AS BIGINT), " +
+          "CAST(0 AS BIGINT))")).as("n_uniform"),
+        sum(expr("IF(spread_ppm > 0 AND spread_ppm <= 10000, " +
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT))")).as("n_le_1pct"),
+        sum(expr("IF(spread_ppm > 10000 AND spread_ppm <= 50000, " +
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT))")).as("n_le_5pct"),
+        sum(expr("IF(spread_ppm > 50000 AND spread_ppm <= 200000, " +
+          "CAST(1 AS BIGINT), CAST(0 AS BIGINT))")).as("n_le_20pct"),
+        sum(expr("IF(spread_ppm > 200000, CAST(1 AS BIGINT), " +
+          "CAST(0 AS BIGINT))")).as("n_gt_20pct"),
+        max(col("spread_ppm")).as("max_spread_ppm"))
+      .orderBy("p_brand")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

@@ -3661,6 +3661,56 @@ class QueriesSpec extends SparkSpec {
     }
     assert(matrix == expect, s"$matrix != $expect")
   }
+  test("q197 price dispersion: one part per band by hand + replay") {
+    import spark.implicits._
+    // unit price $10 vs: $10 (uniform), $10.05 (0.5%), $10.40 (4%),
+    // $11.50 (15%), $25 (150%); part 5 carries its own brand
+    val li = Seq(
+      (1L, 10.0, 100.00), (1L, 10.0, 100.00),
+      (2L, 10.0, 100.00), (2L, 10.0, 100.50),
+      (3L, 10.0, 100.00), (3L, 10.0, 104.00),
+      (4L, 10.0, 100.00), (4L, 10.0, 115.00),
+      (5L, 10.0, 100.00), (5L, 10.0, 250.00))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val parts = Seq((1L, "BX"), (2L, "BX"), (3L, "BX"), (4L, "BX"),
+      (5L, "BY")).toDF("p_partkey", "p_brand")
+    val fGot = Relational.priceDispersionOf(li, parts).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(fGot == Seq(
+      ("BX", 4L, 1L, 1L, 1L, 1L, 0L, 150000L),
+      ("BY", 1L, 0L, 0L, 0L, 0L, 1L, 1500000L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    def c2(x: Double) = (BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    val brand = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val per = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0),
+        BigInt(c2(r.getDouble(2))) * 1000000 / c2(r.getDouble(1))))
+      .groupBy(_._1).toSeq
+      .map { case (p, g) =>
+        val us = g.map(_._2)
+        val spread = (us.max - us.min) * 1000000 / us.min
+        (brand(p), spread)
+      }
+    val expect = per.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+      val s = g.map(_._2)
+      (b, s.size.toLong, s.count(_ == 0).toLong,
+        s.count(x => x > 0 && x <= 10000).toLong,
+        s.count(x => x > 10000 && x <= 50000).toLong,
+        s.count(x => x > 50000 && x <= 200000).toLong,
+        s.count(_ > 200000).toLong, s.max.toLong)
+    }
+    val got = Relational.priceDispersion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1426,6 +1426,18 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q197 plan: lineitem collapses per part before the one " +
+    "dimension join; no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.priceDispersion(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
