@@ -301,6 +301,7 @@ object SparkEntry {
     "q195_supplier_returns" -> Relational.supplierReturnScreen _,
     "q196_abc_xyz_matrix" -> Relational.abcXyzMatrix _,
     "q197_price_dispersion" -> Relational.priceDispersion _,
+    "q198_interarrival_dispersion" -> Events.interarrivalDispersion _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5650,6 +5651,34 @@ object SparkEntry {
         |  CAST(MAX(spread_ppm) AS BIGINT) AS max_spread_ppm
         |FROM sp JOIN part p ON sp.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays Events.interarrivalDispersionOf: per-(user, type) lag
+    // gaps, HUGEINT moments, the ±10% dispersion bands.
+    "q198_interarrival_dispersion" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 1000000
+        |      - lag(epoch_us(ts) // 1000000) OVER (
+        |        PARTITION BY user_id, event_type
+        |        ORDER BY epoch_us(ts) // 1000000) AS gp
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(gp) AS BIGINT) AS s1,
+        |    SUM(gp::HUGEINT * gp) AS s2
+        |  FROM g WHERE gp IS NOT NULL GROUP BY 1),
+        |x AS (
+        |  SELECT event_type, n_gaps, s1, s1 // n_gaps AS mean_gap_sec,
+        |    CAST((n_gaps::HUGEINT * s2 - s1::HUGEINT * s1) * 1000000
+        |      // nullif(s1::HUGEINT * s1, 0) AS BIGINT) AS cv2_micro
+        |  FROM m)
+        |SELECT event_type, n_gaps, s1 AS sum_gap_sec,
+        |  CAST(mean_gap_sec AS BIGINT) AS mean_gap_sec, cv2_micro,
+        |  CASE WHEN cv2_micro IS NULL THEN 'degenerate'
+        |       WHEN cv2_micro < 900000 THEN 'regular'
+        |       WHEN cv2_micro <= 1100000 THEN 'poisson_like'
+        |       ELSE 'bursty' END AS dispersion
+        |FROM x ORDER BY event_type""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1309,6 +1309,58 @@ object Events {
       .orderBy("event_type", "weekday")
   }
 
+  def interarrivalDispersion(spark: SparkSession, dir: String): DataFrame =
+    interarrivalDispersionOf(events(spark, dir))
+
+  /** Graded q198: INTER-ARRIVAL DISPERSION test (Cox & Lewis 1966,
+    * the statistical analysis of series of events) — is each event
+    * type's per-user arrival process Poisson-like? For an exponential
+    * inter-arrival distribution CV = 1 exactly, so the squared
+    * coefficient of variation of the gaps is the index: CV² < 1 means
+    * REGULAR (scheduled/batched emission — a bot or a cron), CV² > 1
+    * BURSTY (sessions, feast-and-famine), ≈ 1 memoryless. Gaps form
+    * per (user, type) ordered stream — the q12 sessionization shape,
+    * every window bounded by one user's history, never a global sort.
+    *
+    * Integer exactness: gaps in whole seconds;
+    * cv2_micro = (n·Σg² − S²)·10⁶ div S² in DECIMAL(38)/HUGEINT (a
+    * 10¹²-gap stream stays inside); mean floored once. The class
+    * bands (±10% around 1) are the documented contract.
+    *
+    * Scale shape: one events scan, one (user, type)-keyed window for
+    * the lag, then a per-type map-side-combinable moment aggregate;
+    * |types| output rows.
+    */
+  def interarrivalDispersionOf(evs: DataFrame): DataFrame = {
+    // ts-only ordering is enough: the gap MULTISET is the consecutive
+    // differences of the sorted ts list, invariant under tie order
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_sec").asc)
+    val gaps = evs.select(col("user_id"), col("event_type"),
+        col("ts_sec"))
+      .withColumn("prev", lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("event_type"), (col("ts_sec") - col("prev")).as("g"))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("s1"),
+        sum(expr("CAST(g AS DECIMAL(38, 0)) * g")).as("s2"))
+      .withColumn("mean_gap_sec", expr("s1 div n_gaps"))
+      .withColumn("cv2_micro", expr(
+        """CAST((CAST(n_gaps AS DECIMAL(38, 0)) * s2
+          | - CAST(s1 AS DECIMAL(38, 0)) * s1) * 1000000
+          | div nullif(CAST(s1 AS DECIMAL(38, 0)) * s1, 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("dispersion", expr(
+        """CASE WHEN cv2_micro IS NULL THEN 'degenerate'
+          |     WHEN cv2_micro < 900000 THEN 'regular'
+          |     WHEN cv2_micro <= 1100000 THEN 'poisson_like'
+          |     ELSE 'bursty' END""".stripMargin))
+      .select(col("event_type"), col("n_gaps"),
+        expr("CAST(s1 AS BIGINT)").as("sum_gap_sec"),
+        col("mean_gap_sec"), col("cv2_micro"), col("dispersion"))
+      .orderBy("event_type")
+  }
+
   def newVsReturning(spark: SparkSession, dir: String): DataFrame =
     newVsReturningOf(events(spark, dir))
 

@@ -3711,6 +3711,55 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
     CachedStages.release(spark)
   }
+  test("q198 interarrival: regular/bursty/degenerate fixtures + replay") {
+    import spark.implicits._
+    // r: clockwork gaps -> CV2=0 regular; b: 1,1,998 -> CV2=1.988
+    // bursty; d: all simultaneous -> S=0 surfaces 'degenerate';
+    // user 9 contributes its own partition to r (gaps never cross
+    // users)
+    val fixture = Seq(
+      (1L, "r", 0L), (1L, "r", 100L), (1L, "r", 200L), (1L, "r", 300L),
+      (9L, "r", 50L), (9L, "r", 150L),
+      (1L, "b", 0L), (1L, "b", 1L), (1L, "b", 2L), (1L, "b", 1000L),
+      (1L, "d", 5L), (1L, "d", 5L), (1L, "d", 5L))
+      .toDF("user_id", "event_type", "ts_sec")
+    val fGot = Events.interarrivalDispersionOf(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getString(5))).toSeq
+    assert(fGot == Seq(
+      ("b", 3L, 1000L, 333L, Some(1988018L), "bursty"),
+      ("d", 2L, 0L, 0L, None, "degenerate"),
+      ("r", 4L, 400L, 100L, Some(0L), "regular")), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: sorted-ts diffs per (user, type) in BigInt
+    val raw = Events.events(spark, dir)
+      .select("user_id", "event_type", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = raw.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, g) =>
+      val gaps = g.groupBy(_._1).values.toSeq.flatMap { ug =>
+        val ts = ug.map(_._3).sorted
+        ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      }
+      val n = BigInt(gaps.size); val s1 = gaps.map(BigInt(_)).sum
+      val s2 = gaps.map(x => BigInt(x) * x).sum
+      val cv2 = if (s1 == 0) None
+        else Some(((n * s2 - s1 * s1) * 1000000 / (s1 * s1)).toLong)
+      val cls = cv2 match {
+        case None => "degenerate"
+        case Some(c) if c < 900000 => "regular"
+        case Some(c) if c <= 1100000 => "poisson_like"
+        case _ => "bursty"
+      }
+      (t, n.toLong, s1.toLong, (s1 / n).toLong, cv2, cls)
+    }
+    val got = Events.interarrivalDispersion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getString(5))).toSeq
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1438,6 +1438,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q198 plan: one events scan; the lag window is (user, type)-" +
+    "keyed, never a global sort") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Events.interarrivalDispersion(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    val wins = tree.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
