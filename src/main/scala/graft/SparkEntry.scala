@@ -302,6 +302,7 @@ object SparkEntry {
     "q196_abc_xyz_matrix" -> Relational.abcXyzMatrix _,
     "q197_price_dispersion" -> Relational.priceDispersion _,
     "q198_interarrival_dispersion" -> Events.interarrivalDispersion _,
+    "q199_value_drift_chi2" -> Events.valueDriftChi2 _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5679,6 +5680,60 @@ object SparkEntry {
         |       WHEN cv2_micro <= 1100000 THEN 'poisson_like'
         |       ELSE 'bursty' END AS dispersion
         |FROM x ORDER BY event_type""".stripMargin,
+
+    // Replays Events.valueDriftChi2Of: calendar-half split, $10 bands,
+    // the shared q192 cell chain with df = B-1 and the same constant
+    // table.
+    "q199_value_drift_chi2" ->
+      s"""WITH p AS (
+         |  SELECT epoch_us(ts) // 1000000 // 86400 AS day,
+         |    CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT) // 1000
+         |      AS band
+         |  FROM events WHERE event_type = 'purchase'),
+         |md AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM p),
+         |obs AS (
+         |  SELECT CASE WHEN day < mid THEN 'h1' ELSE 'h2' END AS half,
+         |    band, CAST(COUNT(*) AS BIGINT) AS observed
+         |  FROM p CROSS JOIN md GROUP BY 1, 2),
+         |rm AS (SELECT half, CAST(SUM(observed) AS BIGINT) AS r
+         |       FROM obs GROUP BY 1),
+         |cm AS (SELECT band, CAST(SUM(observed) AS BIGINT) AS c
+         |       FROM obs GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT half) AS BIGINT) AS nr,
+         |    CAST(COUNT(DISTINCT band) AS BIGINT) AS nc
+         |  FROM obs),
+         |cells AS (
+         |  SELECT rm.half, cm.band, COALESCE(obs.observed, 0) AS observed,
+         |    CAST(rm.r::HUGEINT * cm.c * 1000000 // tot.n AS BIGINT)
+         |      AS expected_micro
+         |  FROM rm CROSS JOIN cm CROSS JOIN tot
+         |  LEFT JOIN obs ON obs.half = rm.half AND obs.band = cm.band),
+         |cc AS (
+         |  SELECT half, band, observed, expected_micro,
+         |    CAST((observed::HUGEINT * 1000000 - expected_micro)
+         |      * (observed::HUGEINT * 1000000 - expected_micro)
+         |      // nullif(expected_micro, 0) AS BIGINT) AS contrib_micro
+         |  FROM cells),
+         |sm AS (
+         |  SELECT CAST(SUM(contrib_micro) AS BIGINT) AS chi2_micro
+         |  FROM cc),
+         |sd AS (
+         |  SELECT sm.chi2_micro,
+         |    CAST((tot.nr - 1) * (tot.nc - 1) AS BIGINT) AS df
+         |  FROM sm CROSS JOIN tot),
+         |sv AS (
+         |  SELECT chi2_micro, df,
+         |    ([${Events.Chi2Crit95Ppm.mkString(",")}])[df] AS crit_micro
+         |  FROM sd)
+         |SELECT cc.half, cc.band, cc.observed, cc.expected_micro,
+         |  cc.contrib_micro, sv.chi2_micro, sv.df,
+         |  CAST(sv.crit_micro AS BIGINT) AS crit_micro,
+         |  CAST(CASE WHEN sv.crit_micro IS NULL THEN NULL
+         |       WHEN sv.chi2_micro > sv.crit_micro THEN 1
+         |       ELSE 0 END AS BIGINT) AS drifted
+         |FROM cc CROSS JOIN sv
+         |ORDER BY cc.half, cc.band""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

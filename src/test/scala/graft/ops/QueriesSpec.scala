@@ -3760,6 +3760,67 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
     CachedStages.release(spark)
   }
+  test("q199 value drift: planted shift flags, stationary doesn't, " +
+    "graded replay") {
+    import spark.implicits._
+    def ev(day: Long, v: Double, n: Int) =
+      Seq.fill(n)(("purchase", day * 86400L, v))
+    // h1 buys at $15 (band 1), h2 at $55 (band 5): a 2x2 diagonal,
+    // every cell expects 10, contrib 10 each, chi2 = 40 >> crit(1)
+    val shifted = (0L to 4L).flatMap(d => ev(d, 15.0, 4)) ++
+      (5L to 9L).flatMap(d => ev(d, 55.0, 4))
+    val sGot = Events.valueDriftChi2Of(
+      shifted.toDF("event_type", "ts_sec", "value")).collect()
+    assert(sGot.length == 4)
+    sGot.foreach { r =>
+      assert(r.getLong(3) == 10000000L && r.getLong(5) == 40000000L, r)
+      assert(r.getLong(6) == 1L && r.getLong(7) == 3841459L &&
+        r.getLong(8) == 1L, r)
+    }
+    CachedStages.release(spark)
+    // identical halves -> chi2 = 0, no flag
+    val flat = (0L to 9L).flatMap(d => ev(d, 15.0, 2) ++ ev(d, 55.0, 2))
+    val fGot = Events.valueDriftChi2Of(
+      flat.toDF("event_type", "ts_sec", "value")).collect()
+    fGot.foreach(r => assert(r.getLong(4) == 0L && r.getLong(5) == 0L &&
+      r.getLong(8) == 0L, r))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val raw = Events.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select("ts_sec", "value").collect()
+      .map(r => (r.getLong(0) / 86400L,
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact / 1000L))
+    val mid = (raw.map(_._1).min + raw.map(_._1).max + 1) / 2
+    val keyed = raw.map { case (d, b) => (if (d < mid) "h1" else "h2", b) }
+    val obs = keyed.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val halves = keyed.map(_._1).distinct.sorted
+    val bands = keyed.map(_._2).distinct.sorted
+    val n = BigInt(keyed.length)
+    val rM = halves.map(h => h -> BigInt(keyed.count(_._1 == h))).toMap
+    val cM = bands.map(b => b -> BigInt(keyed.count(_._2 == b))).toMap
+    val cells = for (h <- halves; b <- bands) yield {
+      val o = BigInt(obs.getOrElse((h, b), 0L))
+      val e = rM(h) * cM(b) * 1000000 / n
+      (h, b, o, e,
+        if (e == 0) None else Some((o * 1000000 - e) * (o * 1000000 - e) / e))
+    }
+    val chi2 = cells.flatMap(_._5).sum
+    val df = (halves.size - 1) * (bands.size - 1)
+    val crit = Events.Chi2Crit95Ppm(df - 1)
+    val dr = if (chi2 > crit) 1L else 0L
+    val expect = cells.map { case (h, b, o, e, c) =>
+      (h, b, o.toLong, e.toLong, c.map(_.toLong).getOrElse(0L),
+        chi2.toLong, df.toLong, crit, dr)
+    }.toSeq
+    val got = Events.valueDriftChi2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) 0L else r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
