@@ -303,6 +303,8 @@ object SparkEntry {
     "q197_price_dispersion" -> Relational.priceDispersion _,
     "q198_interarrival_dispersion" -> Events.interarrivalDispersion _,
     "q199_value_drift_chi2" -> Events.valueDriftChi2 _,
+    "q200_evergreen_bestsellers" -> ((s, d) =>
+      Relational.evergreenBestsellers(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5734,6 +5736,33 @@ object SparkEntry {
          |       ELSE 0 END AS BIGINT) AS drifted
          |FROM cc CROSS JOIN sv
          |ORDER BY cc.half, cc.band""".stripMargin,
+
+    // Replays Relational.evergreenOf: weekly revenue, pinned
+    // row_number ranks, top-20 membership stability.
+    "q200_evergreen_bestsellers" ->
+      """WITH w AS (
+        |  SELECT epoch_us(l_shipdate) // 86400000000 // 7 AS week,
+        |    l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12, 2))
+        |      * (1 - CAST(l_discount AS DECIMAL(12, 2)))) * 10000
+        |      AS BIGINT) AS r4
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT week, l_partkey,
+        |    ROW_NUMBER() OVER (PARTITION BY week
+        |      ORDER BY r4 DESC, l_partkey ASC) AS rnk
+        |  FROM w),
+        |top AS (SELECT * FROM r WHERE rnk <= 20),
+        |nw AS (SELECT CAST(COUNT(DISTINCT week) AS BIGINT) AS n_weeks
+        |       FROM top)
+        |SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS weeks_in_top,
+        |  nw.n_weeks,
+        |  CAST(COUNT(*) AS BIGINT) * 1000000 // nw.n_weeks
+        |    AS presence_ppm,
+        |  CAST(MIN(rnk) AS BIGINT) AS best_rank
+        |FROM top CROSS JOIN nw
+        |GROUP BY l_partkey, nw.n_weeks
+        |ORDER BY weeks_in_top DESC, l_partkey ASC""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

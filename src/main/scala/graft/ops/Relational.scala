@@ -1358,6 +1358,52 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  def evergreenBestsellers(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame =
+    evergreenOf(Tables(spark, dir, "lineitem"), topK)
+
+  /** Graded q200: EVERGREEN BESTSELLERS — ranking STABILITY of the
+    * weekly revenue top-k: merchandising's "is this a hit or a spike?"
+    * question. Per ship-week, parts rank by weekly revenue (row_number
+    * over (revenue desc, partkey asc) — fully pinned ties); per part
+    * ever appearing in a weekly top-k: weeks in top, total weeks,
+    * presence share in ppm, and the best rank reached. A part at
+    * presence 10⁶ is assortment-core; a single-week entrant at a good
+    * rank is a promotion spike.
+    *
+    * Scale shape: one lineitem scan collapses to the (week, part)
+    * revenue table (map-side combinable — the only corpus-sized
+    * shuffle); the rank window partitions BY WEEK over that collapsed
+    * table (each partition is at most the catalog, never the line
+    * count) and the top-k filter immediately bounds everything
+    * downstream to ≤ k·|weeks| rows; the week-count scalar broadcasts.
+    */
+  def evergreenOf(li: DataFrame, topK: Int): DataFrame = {
+    val weekly = li.select(
+        expr("""unix_micros(CAST(l_shipdate AS TIMESTAMP))
+          | div 86400000000 div 7""".stripMargin).as("week"),
+        col("l_partkey"),
+        revenueTerm(col("l_extendedprice"), col("l_discount")).as("rt"))
+      .groupBy("week", "l_partkey")
+      .agg((sum(col("rt")) * 10000).cast("long").as("r4"))
+    val wk = Window.partitionBy("week")
+      .orderBy(col("r4").desc, col("l_partkey").asc)
+    val top = CachedStages.track(weekly
+      .withColumn("rnk", row_number().over(wk))
+      .filter(col("rnk") <= topK)
+      .persist())
+    val nWeeks = top.agg(countDistinct(col("week")).as("n_weeks"))
+    top.groupBy("l_partkey")
+      .agg(count(lit(1)).as("weeks_in_top"),
+        min(col("rnk")).cast("long").as("best_rank"))
+      .crossJoin(broadcast(nWeeks))
+      .withColumn("presence_ppm",
+        expr("weeks_in_top * 1000000 div n_weeks"))
+      .select("l_partkey", "weeks_in_top", "n_weeks", "presence_ppm",
+        "best_rank")
+      .orderBy(col("weeks_in_top").desc, col("l_partkey").asc)
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

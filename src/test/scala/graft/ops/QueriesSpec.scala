@@ -3821,6 +3821,58 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q200 evergreen: hand weeks with a pinned tie + graded replay") {
+    import spark.implicits._
+    def line(p: Long, day: Long, rev: Double) =
+      (p, day * 86400000000L, rev, 0.0)
+    // weeks 0..2 (k=2): p1 always #1; p2 top in wk0/wk1 (wk0 via the
+    // partkey tie-break against p5's equal revenue); p3 enters wk2 at
+    // #2; p4 never ranks
+    val li = Seq(
+      line(1L, 0, 100.0), line(1L, 7, 100.0), line(1L, 14, 100.0),
+      line(2L, 1, 50.0), line(2L, 8, 50.0), line(2L, 15, 5.0),
+      line(5L, 2, 50.0),
+      line(3L, 16, 60.0),
+      line(4L, 3, 1.0), line(4L, 9, 1.0), line(4L, 17, 1.0))
+      .toDF("l_partkey", "s_us", "l_extendedprice", "l_discount")
+      .selectExpr("l_partkey", "timestamp_micros(s_us) AS l_shipdate",
+        "l_extendedprice", "l_discount")
+    val fGot = Relational.evergreenOf(li, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fGot == Seq(
+      (1L, 3L, 3L, 1000000L, 1L),
+      (2L, 2L, 3L, 666666L, 2L),
+      (3L, 1L, 3L, 333333L, 2L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt (k=20)
+    val raw = Tables(spark, dir, "lineitem")
+      .selectExpr("l_partkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 div 7",
+        "l_extendedprice", "l_discount").collect()
+      .map(r => ((r.getLong(1), r.getLong(0)),
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) *
+          (1 - BigDecimal(r.getDouble(3)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP))))
+    val weekly = raw.groupBy(_._1).view
+      .mapValues(g => (g.map(_._2).sum * 10000).toBigInt).toSeq
+      .map { case ((w, p), r4) => (w, p, r4) }
+    val top = weekly.groupBy(_._1).values.toSeq.flatMap { g =>
+      g.sortBy(x => (-x._3, x._2)).zipWithIndex.take(20)
+        .map { case ((w, p, _), i) => (w, p, i + 1L) }
+    }
+    val nWeeks = top.map(_._1).distinct.size.toLong
+    val expect = top.groupBy(_._2).toSeq.map { case (p, g) =>
+      (p, g.size.toLong, nWeeks, g.size * 1000000L / nWeeks,
+        g.map(_._3).min)
+    }.sortBy(x => (-x._2, x._1))
+    val got = Relational.evergreenBestsellers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
