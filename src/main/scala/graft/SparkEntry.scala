@@ -305,6 +305,10 @@ object SparkEntry {
     "q199_value_drift_chi2" -> Events.valueDriftChi2 _,
     "q200_evergreen_bestsellers" -> ((s, d) =>
       Relational.evergreenBestsellers(s, d)),
+    "q201_fk_coverage" -> Relational.fkCoverageAudit _,
+    "q202_fd_profile" -> Relational.fdProfile _,
+    "q203_token_burstiness" -> ((s, d) => TextOps.tokenBurstiness(s, d)),
+    "q204_market_share_shift" -> Relational.marketShareShift _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5763,6 +5767,108 @@ object SparkEntry {
         |FROM top CROSS JOIN nw
         |GROUP BY l_partkey, nw.n_weeks
         |ORDER BY weeks_in_top DESC, l_partkey ASC""".stripMargin,
+
+    // Replays Relational.fkCoverageOf edge by edge as UNION ALL arms.
+    "q201_fk_coverage" -> {
+      def arm(label: String, child: String, fk: String, parent: String,
+          pk: String) =
+        s"""SELECT '$label' AS edge,
+           |  CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_null_fk,
+           |  CAST(SUM(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           |  CAST((COUNT(*)
+           |   - SUM(CASE WHEN c.$fk IS NULL THEN 1 ELSE 0 END)
+           |   - SUM(CASE WHEN c.$fk IS NOT NULL AND p.$pk IS NULL
+           |       THEN 1 ELSE 0 END)) * 1000000 // COUNT(*)
+           |    AS BIGINT) AS coverage_ppm
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$fk = p.$pk""".stripMargin
+      Seq(
+        arm("customer.c_nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        arm("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        arm("lineitem.l_partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        arm("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        arm("nation.n_regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        arm("orders.o_custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        arm("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    },
+
+    // Replays Relational.fdProfileOf: per candidate the g3 plurality
+    // arithmetic as one UNION ALL arm.
+    "q202_fd_profile" -> {
+      def arm(table: String, det: String, dep: String) =
+        s"""SELECT '$table' AS table_name, '$det' AS determinant,
+           |  '$dep' AS dependent,
+           |  CAST(SUM(tot) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+           |  CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(SUM(tot - mx) AS BIGINT) AS g3_rows,
+           |  CAST(SUM(tot - mx) * 1000000 // SUM(tot) AS BIGINT)
+           |    AS g3_ppm,
+           |  CAST(CASE WHEN SUM(tot - mx) = 0 THEN 1 ELSE 0 END
+           |    AS BIGINT) AS holds
+           |FROM (
+           |  SELECT d, CAST(SUM(c) AS BIGINT) AS tot,
+           |    CAST(MAX(c) AS BIGINT) AS mx,
+           |    CAST(COUNT(*) AS BIGINT) AS ndep
+           |  FROM (SELECT $det AS d, $dep AS v,
+           |          CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM $table GROUP BY 1, 2) g
+           |  GROUP BY 1) p""".stripMargin
+      Relational.FdCandidates.map { case (t, det, dep) => arm(t, det, dep) }
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY table_name, determinant, dependent")
+    },
+
+    // Replays TextOps.tokenBurstinessOf on the shared tokenizer.
+    "q203_token_burstiness" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |v AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cf,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM t GROUP BY 1)
+        |SELECT token, cf, df, cf * 1000000 // df AS burst_micro
+        |FROM v WHERE cf >= 20
+        |ORDER BY burst_micro DESC, token ASC
+        |LIMIT 20""".stripMargin,
+
+    // Replays Relational.marketShareShiftOf: (nation, year) collapse,
+    // per-year totals, integral shares, YoY lag.
+    "q204_market_share_shift" ->
+      """WITH ny AS (
+        |  SELECT n.n_name, year(o.o_orderdate) AS yr,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |yt AS (SELECT yr, CAST(SUM(revenue_cents) AS BIGINT) AS yt
+        |       FROM ny GROUP BY 1),
+        |s AS (
+        |  SELECT ny.n_name, ny.yr, ny.revenue_cents,
+        |    CAST(ny.revenue_cents::HUGEINT * 1000000 // yt.yt AS BIGINT)
+        |      AS share_ppm
+        |  FROM ny JOIN yt ON ny.yr = yt.yr)
+        |SELECT n_name, CAST(yr AS BIGINT) AS yr, revenue_cents,
+        |  share_ppm,
+        |  share_ppm - lag(share_ppm, 1) OVER (PARTITION BY n_name
+        |    ORDER BY yr) AS delta_share_ppm
+        |FROM s ORDER BY n_name, yr""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1404,6 +1404,157 @@ object Relational {
       .orderBy(col("weeks_in_top").desc, col("l_partkey").asc)
   }
 
+  def fkCoverageAudit(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tables(spark, dir, n)
+    fkCoverageOf(Seq(
+      ("customer.c_nationkey->nation", t("customer"), "c_nationkey",
+        t("nation"), "n_nationkey"),
+      ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey",
+        t("orders"), "o_orderkey"),
+      ("lineitem.l_partkey->part", t("lineitem"), "l_partkey",
+        t("part"), "p_partkey"),
+      ("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey",
+        t("supplier"), "s_suppkey"),
+      ("nation.n_regionkey->region", t("nation"), "n_regionkey",
+        t("region"), "r_regionkey"),
+      ("orders.o_custkey->customer", t("orders"), "o_custkey",
+        t("customer"), "c_custkey"),
+      ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey",
+        t("nation"), "n_nationkey")))
+  }
+
+  /** Graded q201: REFERENTIAL-INTEGRITY audit of every foreign-key
+    * edge in the schema — the first page of any data-quality report:
+    * per edge, child rows, NULL keys, ORPHANS (child keys with no
+    * parent — the silent inner-join row-loss q191 met on the
+    * order↔line edge), and coverage in ppm. The seven TPC-H-shaped
+    * edges are audited in one artifact; a lakehouse runs exactly this
+    * before promising join completeness to consumers.
+    *
+    * Scale shape: per edge, the child collapses to per-key counts
+    * (map-side combinable) and LEFT-joins the parent's distinct-key
+    * projection on the key both sides already shuffle by — the orphan
+    * mass reads off the unmatched side without ever moving child
+    * rows twice. Results union to |edges| rows.
+    */
+  def fkCoverageOf(edges: Seq[(String, DataFrame, String, DataFrame,
+      String)]): DataFrame =
+    edges.map { case (label, child, fk, parent, pk) =>
+      val keys = child.select(col(fk).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+      val pkeys = parent.select(col(pk).as("k")).distinct()
+        .withColumn("hit", lit(1L))
+      keys.join(pkeys, Seq("k"), "left")
+        .agg(sum(col("cnt")).as("n_child"),
+          sum(when(col("k").isNull, col("cnt")).otherwise(0L))
+            .as("n_null_fk"),
+          sum(when(col("k").isNotNull && col("hit").isNull, col("cnt"))
+            .otherwise(0L)).as("n_orphans"))
+        .select(lit(label).as("edge"), col("n_child"),
+          coalesce(col("n_null_fk"), lit(0L)).as("n_null_fk"),
+          coalesce(col("n_orphans"), lit(0L)).as("n_orphans"),
+          expr("""(n_child - coalesce(n_null_fk, 0)
+            | - coalesce(n_orphans, 0)) * 1000000
+            | div n_child""".stripMargin).as("coverage_ppm"))
+    }.reduce(_ unionByName _).orderBy("edge")
+
+  /** The q202 candidate FDs: a deliberate mix of key-implied holds
+    * and plausible-but-false dependencies.
+    */
+  val FdCandidates: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("nation", "n_name", "n_regionkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("part", "p_brand", "p_type"),
+    ("part", "p_name", "p_brand"))
+
+  def fdProfile(spark: SparkSession, dir: String): DataFrame =
+    fdProfileOf(FdCandidates.map { case (t, det, dep) =>
+      (t, det, dep, Tables(spark, dir, t))
+    })
+
+  /** Graded q202: FUNCTIONAL-DEPENDENCY profiling — approximate-FD
+    * discovery's verification step (TANE, Huhtala et al. 1999) over
+    * candidate `det → dep` rules: per candidate, the g₃ error
+    * (Kivinen & Mannila) = the MINIMUM rows to delete for the FD to
+    * hold exactly — Σ over det-groups of (group size − plurality dep
+    * count) — plus group counts and the verdict. Key-determined
+    * candidates must come back g₃ = 0 (the built-in control);
+    * plausible-but-false ones (nation → segment) quantify HOW false
+    * in ppm, which is what schema inference actually needs.
+    *
+    * All integer: the plurality count is a max of counts, g₃ a sum of
+    * differences — every aggregate map-side combinable; per candidate
+    * one (det, dep) collapse then a det collapse, |candidates| output
+    * rows.
+    */
+  def fdProfileOf(cands: Seq[(String, String, String, DataFrame)])
+      : DataFrame =
+    cands.map { case (table, det, dep, df) =>
+      val cnt = df.groupBy(col(det).as("d"), col(dep).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val per = cnt.groupBy("d")
+        .agg(sum(col("c")).as("tot"), max(col("c")).as("mx"),
+          count(lit(1)).as("ndep"))
+      per.agg(sum(col("tot")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L))
+            .as("n_violating"),
+          sum(expr("tot - mx")).as("g3_rows"))
+        .select(lit(table).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_rows"), col("n_groups"),
+          col("n_violating"), col("g3_rows"),
+          expr("g3_rows * 1000000 div n_rows").as("g3_ppm"),
+          expr("IF(g3_rows = 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT))")
+            .as("holds"))
+    }.reduce(_ unionByName _)
+      .orderBy("table_name", "determinant", "dependent")
+
+  def marketShareShift(spark: SparkSession, dir: String): DataFrame =
+    marketShareShiftOf(Tables(spark, dir, "orders"),
+      Tables(spark, dir, "customer"), Tables(spark, dir, "nation"))
+
+  /** Graded q204: MARKET-SHARE SHIFT — per (nation, order year):
+    * revenue cents, share of that year's total in ppm, and the
+    * year-over-year share delta (the competitive-dynamics readout:
+    * who is taking whose share). Shares are exact integral divisions
+    * against broadcast per-year totals; the YoY delta is a lag over
+    * each nation's ≤|years|-row series — a bounded window. First
+    * years carry a NULL delta honestly (no prior to compare).
+    *
+    * Scale shape: orders joins customer on the custkey both already
+    * shuffle by, the nation dim broadcasts, one collapse to the
+    * (nation, year) matrix (≤ 25·|years| rows) — every window and
+    * join after the collapse is model-sized.
+    */
+  def marketShareShiftOf(orders: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val ny = CachedStages.track(orders.select(
+        col("o_custkey").as("c_custkey"),
+        expr("year(CAST(o_orderdate AS TIMESTAMP))").as("yr"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .join(customer.select("c_custkey", "c_nationkey"), Seq("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), Seq("c_nationkey"))
+      .groupBy(col("n_name"), col("yr"))
+      .agg(sum(col("cents")).as("revenue_cents"))
+      .persist())
+    val yearTot = ny.groupBy("yr").agg(sum(col("revenue_cents")).as("yt"))
+    val wn = Window.partitionBy("n_name").orderBy(col("yr").asc)
+    ny.join(broadcast(yearTot), Seq("yr"))
+      .withColumn("share_ppm", expr(
+        "CAST(CAST(revenue_cents AS DECIMAL(38, 0)) * 1000000 div yt " +
+          "AS BIGINT)"))
+      .withColumn("delta_share_ppm",
+        col("share_ppm") - lag(col("share_ppm"), 1).over(wn))
+      .select(col("n_name"), expr("CAST(yr AS BIGINT)").as("yr"),
+        col("revenue_cents"), col("share_ppm"), col("delta_share_ppm"))
+      .orderBy("n_name", "yr")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

@@ -1344,4 +1344,33 @@ object TextOps {
       .select("source", "n_tokens", "n_distinct", "tv_ppm")
       .orderBy("source")
   }
+
+  def tokenBurstiness(spark: SparkSession, dir: String,
+      minCf: Long = 20L, k: Int = 20): DataFrame =
+    tokenBurstinessOf(Tables(spark, dir, "documents"), minCf, k)
+
+  /** Graded q203: TOKEN BURSTINESS (Church & Gale 1995, "Poisson
+    * mixtures": a word's collection frequency vs its document
+    * frequency) — content words BURST (a document mentioning them
+    * once mentions them repeatedly: high cf/df), function words
+    * spread thin (cf/df → 1). The adaptation ratio cf·10⁶ div df per
+    * token over the SHARED tokenizer, count floor `minCf` (the q175
+    * discipline — rare-token ratios are noise), top-k by (burstiness
+    * desc, token asc). TF-IDF (q50) weighs rarity; this weighs
+    * REPEAT-WITHIN-DOC affinity — the orthogonal axis.
+    *
+    * Scale shape: one corpus tokenization (the shared chain) into a
+    * (token, cf, df) vocabulary table — both aggregates map-side
+    * combinable on the token key; the top-k sort runs on the
+    * vocabulary, never the corpus.
+    */
+  def tokenBurstinessOf(docs: DataFrame, minCf: Long, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("cf") >= minCf)
+      .withColumn("burst_micro", expr("cf * 1000000 div df"))
+      .select("token", "cf", "df", "burst_micro")
+      .orderBy(col("burst_micro").desc, col("token").asc)
+      .limit(k)
 }

@@ -3873,6 +3873,150 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q201 FK coverage: orphan + null fixture, graded all-clean") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(1L), Some(2L), None, Some(9L))
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val fGot = Relational.fkCoverageOf(Seq(
+      ("t.fk->p", child, "fk", parent, "pk"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fGot == Seq(("t.fk->p", 5L, 1L, 1L, 600000L)), fGot)
+    CachedStages.release(spark)
+    // graded: every edge of the synthetic schema must be fully covered
+    val got = Relational.fkCoverageAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got.size == 7 && got.forall(r =>
+      r._3 == 0L && r._4 == 0L && r._5 == 1000000L), got.mkString(";"))
+    // child counts replay
+    val sizes = Map("customer" -> Tables(spark, dir, "customer").count(),
+      "lineitem" -> Tables(spark, dir, "lineitem").count(),
+      "nation" -> Tables(spark, dir, "nation").count(),
+      "orders" -> Tables(spark, dir, "orders").count(),
+      "supplier" -> Tables(spark, dir, "supplier").count())
+    got.foreach(r => assert(r._2 == sizes(r._1.split('.').head), r))
+    CachedStages.release(spark)
+  }
+  test("q202 FD profile: g3 plurality by hand; keys hold on graded") {
+    import spark.implicits._
+    // d1 -> {a,a,b}: plurality 2, one removal; d2 -> {c}: clean
+    val t = Seq(("d1", "a"), ("d1", "a"), ("d1", "b"), ("d2", "c"))
+      .toDF("det", "dep")
+    val fGot = Relational.fdProfileOf(Seq(("t", "det", "dep", t)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(fGot == Seq(("t", 4L, 2L, 1L, 1L, 250000L, 0L)), fGot)
+    CachedStages.release(spark)
+    // graded replay in plain Scala over every candidate
+    val expect = Relational.FdCandidates.map { case (tn, det, dep) =>
+      val rows = Tables(spark, dir, tn).selectExpr(
+        s"CAST($det AS STRING)", s"CAST($dep AS STRING)").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val per = rows.groupBy(_._1).values.toSeq.map { g =>
+        (g.size.toLong, g.groupBy(_._2).values.map(_.size).max.toLong,
+          g.map(_._2).distinct.size.toLong)
+      }
+      val g3 = per.map(p => p._1 - p._2).sum
+      (tn, det, dep, per.map(_._1).sum, per.size.toLong,
+        per.count(_._3 > 1).toLong, g3,
+        g3 * 1000000L / per.map(_._1).sum, if (g3 == 0) 1L else 0L)
+    }.sortBy(x => (x._1, x._2, x._3))
+    val got = Relational.fdProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    // the key-determined candidates hold; the nation->segment one can't
+    val byDet = got.map(r => (r._1, r._2) -> r._9).toMap
+    assert(byDet(("customer", "c_custkey")) == 1L)
+    assert(byDet(("nation", "n_name")) == 1L)
+    assert(byDet(("customer", "c_nationkey")) == 0L)
+    CachedStages.release(spark)
+  }
+  test("q203 burstiness: hand cf/df + graded replay") {
+    import spark.implicits._
+    // aa repeats within doc 1 (bursts), bb spreads thin
+    val docs = Seq((1L, "aa aa aa bb"), (2L, "aa bb"))
+      .toDF("doc_id", "text")
+    val fGot = TextOps.tokenBurstinessOf(docs, 2L, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(fGot == Seq(("aa", 4L, 2L, 2000000L), ("bb", 2L, 2L, 1000000L)),
+      fGot)
+    CachedStages.release(spark)
+    // graded replay
+    val toks = Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+      .collect()
+      .flatMap(r => r.getSeq[String](1).map(t => (r.getLong(0), t)))
+    val expect = toks.groupBy(_._2).toSeq.map { case (t, g) =>
+      (t, g.size.toLong, g.map(_._1).distinct.size.toLong)
+    }.filter(_._2 >= 20L)
+      .map { case (t, cf, df) => (t, cf, df, cf * 1000000L / df) }
+      .sortBy(x => (-x._4, x._1)).take(20)
+    val got = TextOps.tokenBurstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
+  test("q204 market share: swap fixture + graded replay") {
+    import spark.implicits._
+    def ord(cust: Long, y: Int, total: Double) =
+      (1000L + cust * 10 + y, cust,
+        java.sql.Timestamp.valueOf(s"$y-03-01 00:00:00"), total)
+    // nation A holds 75% in 1995, collapses to 25% in 1996; B mirrors
+    val orders = Seq(ord(1, 1995, 300.0), ord(1, 1996, 100.0),
+      ord(2, 1995, 100.0), ord(2, 1996, 300.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Seq((1L, 0), (2L, 1)).toDF("c_custkey", "c_nationkey")
+    val nat = Seq((0, "ALPHA"), (1, "BRAVO"))
+      .toDF("n_nationkey", "n_name")
+    val fGot = Relational.marketShareShiftOf(orders, cust, nat).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(fGot == Seq(
+      ("ALPHA", 1995L, 30000L, 750000L, None),
+      ("ALPHA", 1996L, 10000L, 250000L, Some(-500000L)),
+      ("BRAVO", 1995L, 10000L, 250000L, None),
+      ("BRAVO", 1996L, 30000L, 750000L, Some(500000L))), fGot)
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val natName = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val custNat = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Tables(spark, dir, "orders")
+      .selectExpr("o_custkey", "year(CAST(o_orderdate AS TIMESTAMP))",
+        "o_totalprice").collect()
+      .map(r => ((natName(custNat(r.getLong(0))), r.getInt(1).toLong),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val ny = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val yt = ny.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(x => BigInt(x._2)).sum).toMap
+    val shares = ny.toSeq.map { case ((n, y), rc) =>
+      (n, y, rc, (BigInt(rc) * 1000000 / yt(y)).toLong)
+    }.sortBy(x => (x._1, x._2))
+    val expect = shares.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (_, g) =>
+        val srt = g.sortBy(_._2)
+        srt.zip(None +: srt.map(x => Some(x._4))).map {
+          case ((n, y, rc, sp), prev) => (n, y, rc, sp, prev.map(sp - _))
+        }
+    }
+    val got = Relational.marketShareShift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

@@ -1483,6 +1483,38 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q201/q202 plans: key-collapsed audits, no cartesian anywhere") {
+    Seq(Relational.fkCoverageAudit(spark, dir),
+      Relational.fdProfile(spark, dir)).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    }
+    CachedStages.release(spark)
+  }
+  test("q203 plan: one corpus scan; top-k sorts the vocabulary only") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.tokenBurstiness(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q204 plan: custkey equi joins + broadcast dims; nation-keyed " +
+    "lag windows only") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Relational.marketShareShift(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val wins = tree.collect { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
