@@ -309,6 +309,7 @@ object SparkEntry {
     "q202_fd_profile" -> Relational.fdProfile _,
     "q203_token_burstiness" -> ((s, d) => TextOps.tokenBurstiness(s, d)),
     "q204_market_share_shift" -> Relational.marketShareShift _,
+    "q205_dom_profile" -> Events.domProfile _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5869,6 +5870,47 @@ object SparkEntry {
         |  share_ppm - lag(share_ppm, 1) OVER (PARTITION BY n_name
         |    ORDER BY yr) AS delta_share_ppm
         |FROM s ORDER BY n_name, yr""".stripMargin,
+
+    // Replays Events.domProfileOf: occurrence-normalized dom index in
+    // HUGEINT, the pinned idx*100-dom peak rule.
+    "q205_dom_profile" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (
+        |  SELECT day,
+        |    CAST(day(DATE '1970-01-01' + day * INTERVAL 1 DAY)
+        |      AS BIGINT) AS dom
+        |  FROM (SELECT unnest(generate_series(mn, mx)) AS day FROM b) g),
+        |occ AS (SELECT dom, CAST(COUNT(*) AS BIGINT) AS occ
+        |        FROM cal GROUP BY 1),
+        |tt AS (
+        |  SELECT event_type, CAST(SUM(cents) AS BIGINT) AS tot_cents,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cal) AS total_days
+        |  FROM daily GROUP BY 1),
+        |bd AS (
+        |  SELECT d.event_type, c.dom, CAST(SUM(d.cents) AS BIGINT)
+        |      AS cents
+        |  FROM daily d JOIN cal c ON d.day = c.day
+        |  GROUP BY 1, 2),
+        |ix AS (
+        |  SELECT bd.event_type, bd.dom, bd.cents, occ.occ,
+        |    CAST(bd.cents::HUGEINT * tt.total_days * 1000000
+        |      // (occ.occ::HUGEINT * nullif(tt.tot_cents, 0)) AS BIGINT)
+        |      AS idx_ppm
+        |  FROM bd JOIN occ ON bd.dom = occ.dom
+        |  JOIN tt ON bd.event_type = tt.event_type),
+        |pk AS (
+        |  SELECT event_type, MAX(idx_ppm * 100 - dom) AS pk
+        |  FROM ix GROUP BY 1)
+        |SELECT ix.event_type, ix.dom, ix.cents, ix.occ, ix.idx_ppm,
+        |  CAST(CASE WHEN ix.idx_ppm * 100 - ix.dom = pk.pk THEN 1
+        |       ELSE 0 END AS BIGINT) AS is_peak
+        |FROM ix JOIN pk ON ix.event_type = pk.event_type
+        |ORDER BY ix.event_type, ix.dom""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1402,6 +1402,63 @@ object Events {
       .orderBy("event_type")
   }
 
+  def domProfile(spark: SparkSession, dir: String): DataFrame =
+    domProfileOf(events(spark, dir))
+
+  /** Graded q205: DAY-OF-MONTH revenue profile — the paycheck-effect
+    * companion to q182's weekday profile, with the normalization q182
+    * doesn't need: day-of-month OCCURRENCE counts are unequal (the
+    * 31st exists in only seven months a year, the 29th skips most
+    * Februaries), so a raw per-dom total confounds calendar frequency
+    * with behavior. Per (type, dom): revenue cents, the dom's
+    * occurrence count in the GLOBAL calendar span, and the index vs
+    * the type's overall per-day mean as one cross-multiplied integral
+    * division — cents·total_days·10⁶ div (occ·total_cents) in
+    * DECIMAL(38)/HUGEINT. The peak dom flags per type with a fully
+    * pinned (index desc, dom asc) tie-break.
+    *
+    * Scale shape: one events collapse to the ≤|types|·31 matrix;
+    * the dom-occurrence spine derives from the broadcast calendar
+    * bounds; the peak resolution is a |types|-row broadcast join.
+    */
+  def domProfileOf(evs: DataFrame): DataFrame = {
+    val daily = CachedStages.track(evs
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+      .persist())
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = CachedStages.track(bounds
+      .select(explode(expr("sequence(mn, mx)")).as("day"))
+      .withColumn("dom", expr(
+        "CAST(dayofmonth(date_add(DATE '1970-01-01', " +
+          "CAST(day AS INT))) AS BIGINT)"))
+      .persist())
+    val occ = calendar.groupBy("dom").agg(count(lit(1)).as("occ"))
+    val typeTot = daily.groupBy("event_type")
+      .agg(sum(col("cents")).as("tot_cents"))
+      .crossJoin(broadcast(
+        calendar.agg(count(lit(1)).as("total_days"))))
+    val byDom = daily.join(broadcast(calendar), Seq("day"))
+      .groupBy("event_type", "dom")
+      .agg(sum(col("cents")).as("cents"))
+    val idx = byDom.join(broadcast(occ), Seq("dom"))
+      .join(broadcast(typeTot), Seq("event_type"))
+      .withColumn("idx_ppm", expr(
+        """CAST(CAST(cents AS DECIMAL(38, 0)) * total_days * 1000000
+          | div (CAST(occ AS DECIMAL(38, 0))
+          |      * nullif(tot_cents, 0)) AS BIGINT)""".stripMargin))
+    val peak = idx.groupBy("event_type")
+      .agg(max(expr("idx_ppm * 100 - dom")).as("pk"))
+    idx.join(broadcast(peak), Seq("event_type"))
+      .withColumn("is_peak", expr(
+        "IF(idx_ppm * 100 - dom = pk, CAST(1 AS BIGINT), " +
+          "CAST(0 AS BIGINT))"))
+      .select("event_type", "dom", "cents", "occ", "idx_ppm", "is_peak")
+      .orderBy("event_type", "dom")
+  }
+
   def newVsReturning(spark: SparkSession, dir: String): DataFrame =
     newVsReturningOf(events(spark, dir))
 

@@ -4017,6 +4017,64 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q205 dom profile: occurrence normalization + pinned peak tie " +
+    "+ graded replay") {
+    import spark.implicits._
+    def replay(rows: Seq[(String, Long, Long)]) = {
+      val daily = rows.groupBy(r => (r._1, r._2)).view
+        .mapValues(_.map(_._3).sum).toSeq
+        .map { case ((t, d), c) => (t, d, c) }
+      val mn = daily.map(_._2).min; val mx = daily.map(_._2).max
+      def dom(d: Long) = java.time.LocalDate.ofEpochDay(d)
+        .getDayOfMonth.toLong
+      val cal = (mn to mx).map(d => (d, dom(d)))
+      val occ = cal.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val totalDays = BigInt(cal.size)
+      val byType = daily.groupBy(_._1)
+      byType.toSeq.sortBy(_._1).flatMap { case (t, g) =>
+        val tot = g.map(x => BigInt(x._3)).sum
+        val byDom = g.groupBy(x => dom(x._2)).view
+          .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+        val withIdx = byDom.map { case (dm, c) =>
+          (dm, c, occ(dm),
+            (BigInt(c) * totalDays * 1000000 /
+              (BigInt(occ(dm)) * tot)).toLong)
+        }
+        val pk = withIdx.map(x => x._4 * 100 - x._1).max
+        withIdx.map { case (dm, c, o, i) =>
+          (t, dm, c, o, i, if (i * 100 - dm == pk) 1L else 0L)
+        }
+      }
+    }
+    // Jan 1 + Feb 1 (dom 1, occ 2) vs Jan 31 (dom 31, occ 1), equal
+    // cents per occurrence: the index must come out IDENTICAL
+    // (19666666) and the peak tie resolves to the smaller dom
+    val fixture = Seq(("p", 0L, 100L), ("p", 31L, 100L), ("p", 30L, 100L))
+      .map { case (t, d, c) => (t, d * 86400L, c.toDouble / 100.0) }
+    val fGot = Events.domProfileOf(
+      fixture.toDF("event_type", "ts_sec", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // span day 0..31 = 32 days: idx = 200*32e6/600 = 100*32e6/300
+    val dom1 = fGot.find(_._2 == 1L).get
+    val dom31 = fGot.find(_._2 == 31L).get
+    assert(dom1._5 == 10666666L && dom31._5 == 10666666L, fGot)
+    assert(dom1._6 == 1L && dom31._6 == 0L, fGot)
+    assert(fGot == replay(fixture.map(r =>
+      (r._1, r._2 / 86400L, (r._3 * 100).round))), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val got = Events.domProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == replay(raw), s"${got.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
