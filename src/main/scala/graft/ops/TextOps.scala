@@ -1365,9 +1365,20 @@ object TextOps {
     * vocabulary, never the corpus.
     */
   def tokenBurstinessOf(docs: DataFrame, minCf: Long, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+    burstinessOfCounts(
+      docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("n")),
+      minCf, k)
+
+  /** q203 over an already-maintained `(token, doc_id, n)` count
+    * matrix — split out so the streaming twin's Complete-mode state
+    * (DocStreams.tokenDocCountStream) feeds the IDENTICAL arithmetic:
+    * cf = Σn, df = the matrix's row count per token.
+    */
+  def burstinessOfCounts(counts: DataFrame, minCf: Long,
+      k: Int): DataFrame =
+    counts.groupBy("token")
+      .agg(sum(col("n")).as("cf"), count(lit(1)).as("df"))
       .filter(col("cf") >= minCf)
       .withColumn("burst_micro", expr("cf * 1000000 div df"))
       .select("token", "cf", "df", "burst_micro")

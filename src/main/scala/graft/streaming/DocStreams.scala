@@ -149,6 +149,20 @@ object DocStreams {
           lit(1L).as("n")),
       w, d)
 
+  /** q203's twin state: the (token, doc_id, n) count matrix maintained
+    * Complete-mode at the ingestion edge — state bounded by
+    * |vocabulary|·|docs-per-token|, monotone counts, no watermark.
+    * `TextOps.burstinessOfCounts` derives the graded burstiness table
+    * from this state through the IDENTICAL arithmetic the batch
+    * operator uses (cf = Σn, df = row count per token).
+    */
+  def tokenDocCountStream(stream: DataFrame): DataFrame =
+    stream.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        explode(expr(graft.ops.TextOps.tokensExpr)).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("n"))
+
   /** q123's twin: chunk arriving documents for retrieval ingestion in
     * flight — `TextOps.ragChunkRows` shared VERBATIM (the chunker is a
     * pure per-row generator: no sort, no window, no state), so a

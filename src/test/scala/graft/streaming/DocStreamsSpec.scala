@@ -253,6 +253,26 @@ class DocStreamsSpec extends SparkSpec {
     assert(kept.contains(6L) || kept.contains(5L))
   }
 
+  test("q203 twin: streamed (token, doc) counts derive the identical " +
+    "burstiness table") {
+    val stream = DocStreams.readDocStream(spark, streamDir)
+    EventStreams.runToMemory(DocStreams.tokenDocCountStream(stream),
+      "token_doc_counts", OutputMode.Complete())
+    val state = spark.table("token_doc_counts").localCheckpoint()
+    val streamed = TextOps.burstinessOfCounts(state, 20L, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    graft.ops.CachedStages.release(spark)
+    val batch = TextOps.tokenBurstiness(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(streamed == batch && batch.nonEmpty)
+    // the state the twin exists for: one row per (token, doc) pair
+    assert(state.groupBy("token", "doc_id").count()
+      .filter(col("count") > 1).count() == 0L)
+    graft.ops.CachedStages.release(spark)
+  }
   test("q109 twin: streamed CMS counters equal the batch sketch cell for cell") {
     val w = 64 // small width forces real collisions through the twin
     val d = 3
