@@ -310,6 +310,9 @@ object SparkEntry {
     "q203_token_burstiness" -> ((s, d) => TextOps.tokenBurstiness(s, d)),
     "q204_market_share_shift" -> Relational.marketShareShift _,
     "q205_dom_profile" -> Events.domProfile _,
+    "q206_concentration_ratios" -> Relational.concentrationRatios _,
+    "q207_promo_lift" -> Relational.promoLift _,
+    "q208_dead_stock" -> ((s, d) => Relational.deadStock(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5911,6 +5914,85 @@ object SparkEntry {
         |       ELSE 0 END AS BIGINT) AS is_peak
         |FROM ix JOIN pk ON ix.event_type = pk.event_type
         |ORDER BY ix.event_type, ix.dom""".stripMargin,
+
+    // Replays Relational.concentrationOf: pinned per-nation ranks,
+    // top-k prefix sums, integral shares.
+    "q206_concentration_ratios" ->
+      """WITH sp AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |sn AS (
+        |  SELECT sp.o_custkey, CAST(c.c_nationkey AS BIGINT) AS nation,
+        |    sp.cents
+        |  FROM sp JOIN customer c ON sp.o_custkey = c.c_custkey),
+        |t AS (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM sn GROUP BY 1),
+        |r AS (
+        |  SELECT nation, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY nation
+        |      ORDER BY cents DESC, o_custkey ASC) AS rnk
+        |  FROM sn),
+        |k AS (
+        |  SELECT nation,
+        |    CAST(SUM(CASE WHEN rnk <= 1 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS t1,
+        |    CAST(SUM(CASE WHEN rnk <= 4 THEN cents ELSE 0 END)
+        |      AS BIGINT) AS t4,
+        |    CAST(SUM(cents) AS BIGINT) AS t10
+        |  FROM r WHERE rnk <= 10 GROUP BY 1)
+        |SELECT k.nation, t.n_customers, t.total_cents,
+        |  CAST(k.t1::HUGEINT * 1000000 // t.total_cents AS BIGINT)
+        |    AS cr1_ppm,
+        |  CAST(k.t4::HUGEINT * 1000000 // t.total_cents AS BIGINT)
+        |    AS cr4_ppm,
+        |  CAST(k.t10::HUGEINT * 1000000 // t.total_cents AS BIGINT)
+        |    AS cr10_ppm
+        |FROM k JOIN t ON k.nation = t.nation
+        |ORDER BY k.nation""".stripMargin,
+
+    // Replays Relational.promoLiftOf: per-discount collapse, the
+    // cross-multiplied baseline lift in HUGEINT.
+    "q207_promo_lift" ->
+      """WITH per AS (
+        |  SELECT CAST(CAST(l_discount AS DECIMAL(8, 6)) * 1000000
+        |      AS BIGINT) AS disc_ppm,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS sum_qty_centi
+        |  FROM lineitem GROUP BY 1),
+        |b AS (SELECT n_lines AS n0, sum_qty_centi AS q0 FROM per
+        |      WHERE disc_ppm = 0)
+        |SELECT disc_ppm, n_lines, sum_qty_centi,
+        |  sum_qty_centi // n_lines AS avg_qty_centi,
+        |  CAST(sum_qty_centi::HUGEINT * n0 * 1000000
+        |    // (n_lines::HUGEINT * nullif(q0, 0)) AS BIGINT) AS lift_ppm
+        |FROM per CROSS JOIN b
+        |ORDER BY disc_ppm""".stripMargin,
+
+    // Replays Relational.deadStockOf: trailing-window distinct sellers,
+    // catalog left join, per-brand rollup.
+    "q208_dead_stock" ->
+      """WITH mx AS (
+        |  SELECT MAX(epoch_us(l_shipdate) // 86400000000) AS m
+        |  FROM lineitem),
+        |recent AS (
+        |  SELECT DISTINCT l_partkey AS p_partkey
+        |  FROM lineitem CROSS JOIN mx
+        |  WHERE epoch_us(l_shipdate) // 86400000000 > m - 365)
+        |SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(CASE WHEN r.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dead,
+        |  CAST(SUM(CASE WHEN r.p_partkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000 // COUNT(*) AS dead_ppm,
+        |  CAST(SUM(CASE WHEN r.p_partkey IS NULL THEN
+        |    CAST(CAST(p.p_retailprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS dead_value_cents
+        |FROM part p LEFT JOIN recent r ON p.p_partkey = r.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -1555,6 +1555,146 @@ object Relational {
       .orderBy("n_name", "yr")
   }
 
+  def concentrationRatios(spark: SparkSession, dir: String): DataFrame =
+    concentrationOf(Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("nation")),
+        Seq("o_custkey")))
+
+  /** Graded q206: CONCENTRATION RATIOS CR1/CR4/CR10 per nation — the
+    * industrial-organization standard (Bain's structure metrics; the
+    * census bureau publishes exactly these): the revenue share of the
+    * top 1 / 4 / 10 buyers. The THIRD lens on buyer concentration
+    * beside q162's HHI (whole-distribution sum of squares) and
+    * q176/q193's Gini/Lorenz (inequality of everyone): CR-k answers
+    * "how exposed are we to losing our k biggest accounts" — the
+    * key-account dependence number sales leadership actually tracks.
+    *
+    * Determinism: per-nation spend ranks by (cents desc, custkey asc)
+    * — fully pinned; shares are single integral divisions of exact
+    * top-k prefix sums.
+    *
+    * Scale shape: orders collapse per customer on the custkey the
+    * customer join shuffles by anyway; the rank window partitions BY
+    * NATION over per-customer rows (bounded by the nation's customer
+    * count — the q03 top-N-per-group discipline) and the k ≤ 10
+    * prefix immediately bounds the rollup.
+    */
+  def concentrationOf(spendByNation: DataFrame): DataFrame = {
+    val sp = CachedStages.track(spendByNation.persist())
+    val tot = sp.groupBy("nation")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("total_cents"))
+    val wr = Window.partitionBy("nation")
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+    val ranked = sp.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 10)
+    ranked.groupBy("nation")
+      .agg(sum(when(col("rnk") <= 1, col("cents")).otherwise(0L))
+          .as("t1"),
+        sum(when(col("rnk") <= 4, col("cents")).otherwise(0L)).as("t4"),
+        sum(col("cents")).as("t10"))
+      .join(broadcast(tot), Seq("nation"))
+      .select(col("nation"), col("n_customers"),
+        col("total_cents"),
+        expr("""CAST(CAST(t1 AS DECIMAL(38, 0)) * 1000000
+          | div total_cents AS BIGINT)""".stripMargin).as("cr1_ppm"),
+        expr("""CAST(CAST(t4 AS DECIMAL(38, 0)) * 1000000
+          | div total_cents AS BIGINT)""".stripMargin).as("cr4_ppm"),
+        expr("""CAST(CAST(t10 AS DECIMAL(38, 0)) * 1000000
+          | div total_cents AS BIGINT)""".stripMargin).as("cr10_ppm"))
+      .orderBy("nation")
+  }
+
+  def promoLift(spark: SparkSession, dir: String): DataFrame =
+    promoLiftOf(Tables(spark, dir, "lineitem"))
+
+  /** Graded q207: PROMOTION-LIFT readout — per discount level, does a
+    * deeper discount actually move more units? Per discount (in ppm):
+    * line count, total and average quantity (centi-units, floored
+    * once), and the volume LIFT vs the zero-discount baseline as ONE
+    * cross-multiplied integral division — (Σq·n₀)·10⁶ div (n·Σq₀) —
+    * which lands at exactly 10⁶ on the baseline row itself (no
+    * special case). On this synthetic stream quantity is drawn
+    * independently of discount, so every lift reads ≈10⁶: the NULL
+    * RESULT a clean A/B of a useless promotion should show — the
+    * selection-bias warning (promotions target slow movers in real
+    * books) lives in the scaladoc, not the arithmetic.
+    *
+    * Scale shape: one lineitem scan collapses to ≤|discount levels|
+    * rows map-side; the baseline is a 1-row broadcast.
+    */
+  def promoLiftOf(li: DataFrame): DataFrame = {
+    val per = CachedStages.track(li.select(
+        expr("CAST(CAST(l_discount AS DECIMAL(8, 6)) * 1000000 " +
+          "AS BIGINT)").as("disc_ppm"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("qc"))
+      .groupBy("disc_ppm")
+      .agg(count(lit(1)).as("n_lines"), sum(col("qc")).as("sum_qty_centi"))
+      .persist())
+    val base = per.filter(col("disc_ppm") === 0L)
+      .select(col("n_lines").as("n0"), col("sum_qty_centi").as("q0"))
+    per.crossJoin(broadcast(base))
+      .withColumn("avg_qty_centi", expr("sum_qty_centi div n_lines"))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(sum_qty_centi AS DECIMAL(38, 0)) * n0 * 1000000
+          | div (CAST(n_lines AS DECIMAL(38, 0)) * nullif(q0, 0))
+          | AS BIGINT)""".stripMargin))
+      .select("disc_ppm", "n_lines", "sum_qty_centi", "avg_qty_centi",
+        "lift_ppm")
+      .orderBy("disc_ppm")
+  }
+
+  def deadStock(spark: SparkSession, dir: String,
+      staleDays: Long = 365L): DataFrame =
+    deadStockOf(Tables(spark, dir, "part"),
+      Tables(spark, dir, "lineitem"), staleDays)
+
+  /** Graded q208: DEAD-STOCK report — the assortment complement to
+    * q200's evergreens: per brand, catalog parts with NO sale in the
+    * trailing `staleDays` of the calendar (cutoff = max ship day −
+    * staleDays; never-sold parts are dead by definition), the dead
+    * share in ppm, and the retail value parked in them — the
+    * working-capital number a markdown decision starts from.
+    *
+    * Scale shape: lineitem filters to the trailing window THEN
+    * collapses to distinct recently-sold partkeys (the only
+    * corpus-sized work, map-side combinable); the catalog LEFT-joins
+    * that key set part-keyed; the rollup is |brands| rows. The max
+    * ship day is one broadcast scalar.
+    */
+  def deadStockOf(part: DataFrame, li: DataFrame,
+      staleDays: Long): DataFrame = {
+    val days = li.select(expr(
+      "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+      .as("day"), col("l_partkey"))
+    val cutoff = days.agg(max(col("day")).as("mx"))
+      .select(expr(s"mx - $staleDays").as("cutoff"))
+    val recent = days.crossJoin(broadcast(cutoff))
+      .filter(col("day") > col("cutoff"))
+      .select(col("l_partkey").as("p_partkey")).distinct()
+      .withColumn("alive", lit(1L))
+    part.select(col("p_partkey"), col("p_brand"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12, 2)) * 100 " +
+          "AS BIGINT)").as("retail_cents"))
+      .join(recent, Seq("p_partkey"), "left")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("alive").isNull, 1L).otherwise(0L)).as("n_dead"),
+        sum(when(col("alive").isNull, col("retail_cents")).otherwise(0L))
+          .as("dead_value_cents"))
+      .withColumn("dead_ppm", expr("n_dead * 1000000 div n_parts"))
+      .select("p_brand", "n_parts", "n_dead", "dead_ppm",
+        "dead_value_cents")
+      .orderBy("p_brand")
+  }
+
   /** The fixed band spine of the q191 reconciliation report. */
   val ReconBands: Seq[String] = Seq("exact",
     "pos_le_1", "pos_le_100", "pos_le_10k", "pos_gt_10k",

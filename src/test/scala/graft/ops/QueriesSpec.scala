@@ -4075,6 +4075,121 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(raw), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q206 CR-k: hand ladder, small-nation saturation, tie rule, " +
+    "graded replay") {
+    import spark.implicits._
+    def replay(rows: Seq[(Long, Long, Long)]) =
+      rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (nat, g) =>
+        val tot = g.map(x => BigInt(x._2)).sum
+        val srt = g.sortBy(x => (-x._2, x._1)).map(x => BigInt(x._2))
+        def cr(k: Int) = (srt.take(k).sum * 1000000 / tot).toLong
+        (nat, g.size.toLong, tot.toLong, cr(1), cr(4), cr(10))
+      }
+    // nation 0: 12 buyers incl. an equal-spend pair at the CR1
+    // boundary (custkey picks the winner, CR1 unchanged either way);
+    // nation 1: 3 buyers -> CR10 saturates at exactly 1e6
+    val n0 = Seq((1L, 500L), (2L, 100L), (3L, 100L), (4L, 100L)) ++
+      (5L to 10L).map(c => (c, 50L)) ++ Seq((11L, 25L), (12L, 25L))
+    val n1 = Seq((21L, 70L), (22L, 20L), (23L, 10L))
+    val rows = n0.map(x => (x._1, x._2, 0L)) ++
+      n1.map(x => (x._1, x._2, 1L))
+    val fGot = Relational.concentrationOf(
+      rows.toDF("o_custkey", "cents", "nation")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fGot == replay(rows), s"$fGot")
+    assert(fGot(0)._4 == 500L * 1000000 / 1150 &&
+      fGot(0)._5 == 800L * 1000000 / 1150 &&
+      fGot(0)._6 == 1100L * 1000000 / 1150, fGot(0))
+    assert(fGot(1)._6 == 1000000L, fGot(1))
+    CachedStages.release(spark)
+    // graded replay
+    val spend = Tables(spark, dir, "orders")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val nat = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val graded = spend.map { case (c, s) => (c, s, nat(c)) }
+    val got = Relational.concentrationRatios(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == replay(graded), s"${got.take(2)}")
+    CachedStages.release(spark)
+  }
+  test("q207 promo lift: hand baseline arithmetic + graded replay") {
+    import spark.implicits._
+    // 5% discount moves 2x the average units; baseline row = 1e6
+    val li = Seq((0.00, 10.0), (0.00, 20.0), (0.05, 30.0))
+      .toDF("l_discount", "l_quantity")
+    val fGot = Relational.promoLiftOf(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fGot == Seq((0L, 2L, 3000L, 1500L, 1000000L),
+      (50000L, 1L, 3000L, 3000L, 2000000L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay
+    def ppm6(x: Double) = (BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    def c2(x: Double) = (BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    val raw = Tables(spark, dir, "lineitem")
+      .select("l_discount", "l_quantity").collect()
+      .map(r => (ppm6(r.getDouble(0)), c2(r.getDouble(1))))
+    val per = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, g) =>
+      (d, BigInt(g.size), g.map(x => BigInt(x._2)).sum)
+    }
+    val (_, n0, q0) = per.find(_._1 == 0L).get
+    val expect = per.map { case (d, n, q) =>
+      (d, n.toLong, q.toLong, (q / n).toLong,
+        (q * n0 * 1000000 / (n * q0)).toLong)
+    }
+    val got = Relational.promoLift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
+  test("q208 dead stock: alive/stale/never-sold fixture + graded replay") {
+    import spark.implicits._
+    def ts(d: Long) = d * 86400000000L
+    val parts = Seq((1L, "B1", 100.00), (2L, "B1", 250.00),
+      (3L, "B2", 400.00))
+      .toDF("p_partkey", "p_brand", "p_retailprice")
+    val li = Seq((1L, ts(1000)), (2L, ts(100)))
+      .toDF("l_partkey", "s_us")
+      .selectExpr("l_partkey", "timestamp_micros(s_us) AS l_shipdate")
+    val fGot = Relational.deadStockOf(parts, li, 365L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(fGot == Seq(("B1", 2L, 1L, 500000L, 25000L),
+      ("B2", 1L, 1L, 1000000L, 40000L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay
+    def c2(x: Double) = (BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    val sold = Tables(spark, dir, "lineitem")
+      .selectExpr("l_partkey",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cutoff = sold.map(_._2).max - 365L
+    val alive = sold.filter(_._2 > cutoff).map(_._1).toSet
+    val expect = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand", "p_retailprice").collect()
+      .map(r => (r.getString(1), r.getLong(0), c2(r.getDouble(2))))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (b, g) =>
+        val dead = g.filterNot(x => alive(x._2))
+        (b, g.size.toLong, dead.size.toLong,
+          dead.size * 1000000L / g.size, dead.map(_._3).sum)
+      }
+    val got = Relational.deadStock(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

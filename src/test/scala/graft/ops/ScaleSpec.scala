@@ -1530,6 +1530,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q206/q207/q208 plans: key-collapsed, nation-partitioned ranks, " +
+    "broadcast scalars, no cartesian") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val cr = Relational.concentrationRatios(spark, dir)
+    val crPlan = cr.queryExecution.executedPlan.toString
+    assert(cr.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty),
+      crPlan.take(2000))
+    assert(!crPlan.contains("CartesianProduct"), crPlan.take(2000))
+    CachedStages.release(spark)
+    Seq(Relational.promoLift(spark, dir),
+      Relational.deadStock(spark, dir)).foreach { out =>
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    }
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
