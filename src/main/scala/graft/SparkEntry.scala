@@ -313,6 +313,7 @@ object SparkEntry {
     "q206_concentration_ratios" -> Relational.concentrationRatios _,
     "q207_promo_lift" -> Relational.promoLift _,
     "q208_dead_stock" -> ((s, d) => Relational.deadStock(s, d)),
+    "q209_degree_census" -> ((s, d) => Graph.degreeCensus(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5993,6 +5994,53 @@ object SparkEntry {
         |    ELSE 0 END) AS BIGINT) AS dead_value_cents
         |FROM part p LEFT JOIN recent r ON p.p_partkey = r.p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays Graph.degreeCensusOf on q183's strong-edge CTE: binary
+    // floor-log2 bands, the two-pass milli-centered moments in
+    // HUGEINT, the sqrt-free (sign, r2) verdict.
+    "q209_degree_census" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |se AS MATERIALIZED (
+        |  SELECT a.p AS src, b.p AS dst
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM se GROUP BY 1),
+        |pr AS (
+        |  SELECT dx.d AS x, dy.d AS y
+        |  FROM se JOIN deg dx ON se.src = dx.src
+        |  JOIN deg dy ON se.dst = dy.src),
+        |p1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x) AS BIGINT) * 1000 // COUNT(*) AS mx,
+        |    CAST(SUM(y) AS BIGINT) * 1000 // COUNT(*) AS my
+        |  FROM pr),
+        |p2 AS (
+        |  SELECT MAX(m) AS m,
+        |    SUM((x * 1000 - mx)::HUGEINT * (y * 1000 - my)) AS covS,
+        |    SUM((x * 1000 - mx)::HUGEINT * (x * 1000 - mx)) AS vxS,
+        |    SUM((y * 1000 - my)::HUGEINT * (y * 1000 - my)) AS vyS
+        |  FROM pr CROSS JOIN p1),
+        |p3 AS (
+        |  SELECT m, covS // m AS covM, vxS // m AS vxM, vyS // m AS vyM
+        |  FROM p2),
+        |summ AS (
+        |  SELECT CAST(m AS BIGINT) AS m_edges,
+        |    CAST(CASE WHEN covM > 0 THEN 1 WHEN covM < 0 THEN -1
+        |      ELSE 0 END AS BIGINT) AS r_sign,
+        |    CAST(covM * covM * 1000000 // nullif(vxM * vyM, 0)
+        |      AS BIGINT) AS r2_ppm
+        |  FROM p3),
+        |census AS (
+        |  SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(MIN(d) AS BIGINT) AS min_deg,
+        |    CAST(MAX(d) AS BIGINT) AS max_deg
+        |  FROM deg GROUP BY 1)
+        |SELECT band, n_nodes, min_deg, max_deg, m_edges, r_sign, r2_ppm
+        |FROM census CROSS JOIN summ
+        |ORDER BY band""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

@@ -186,10 +186,15 @@ object Graph {
     * neighborhood list, so hub nodes cost their degree, not their
     * degree squared.
     */
-  def strongKCoreLadder(spark: SparkSession, dir: String,
-      ks: Seq[Int] = Seq(1, 2, 3), minShared: Int = 2): DataFrame = {
+  /** Directed STRONG co-purchase edges (≥ `minShared` shared orders,
+    * both directions, no self-loops), persisted — shared by q183's
+    * k-core ladder and q209's degree census so the strong-graph
+    * semantics cannot drift.
+    */
+  private[graft] def strongEdges(spark: SparkSession, dir: String,
+      minShared: Int): DataFrame = {
     val li = orderParts(spark, dir)
-    val edges = graft.ops.CachedStages.track(
+    graft.ops.CachedStages.track(
       li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
         .filter(col("p") =!= col("p2"))
         .groupBy(col("p").as("src"), col("p2").as("dst"))
@@ -197,8 +202,11 @@ object Graph {
         .filter(col("w") >= minShared)
         .select("src", "dst")
         .persist())
-    kCoreLadderOf(edges, ks)
   }
+
+  def strongKCoreLadder(spark: SparkSession, dir: String,
+      ks: Seq[Int] = Seq(1, 2, 3), minShared: Int = 2): DataFrame =
+    kCoreLadderOf(strongEdges(spark, dir, minShared), ks)
 
   /** Graded q183: K-CORE LADDER of the STRONG co-purchase graph
     * (Seidman, Social Networks 1983 — "network cohesion" via maximal
@@ -605,5 +613,73 @@ object Graph {
         "support_ppm", "confidence_ppm", "lift_ppm")
       .orderBy(col("lift_ppm").desc, col("antecedent").asc,
         col("consequent").asc)
+  }
+
+  def degreeCensus(spark: SparkSession, dir: String,
+      minShared: Int = 2): DataFrame =
+    degreeCensusOf(strongEdges(spark, dir, minShared))
+
+  /** Graded q209: DEGREE CENSUS + ASSORTATIVITY of the strong
+    * co-purchase graph — the structural summary the graph family
+    * (PageRank q69/q90, triangles q70, communities q86, k-core q183,
+    * HITS q120) reads before any of them runs: the degree histogram
+    * in exact log₂ bands (floor-log₂ via `length(bin(d)) − 1` —
+    * string arithmetic, no FP log), and Newman's degree assortativity
+    * (Phys. Rev. Lett. 2002) — do hubs link hubs (r > 0) or leaves
+    * (r < 0)? Computed as the Pearson correlation of end degrees over
+    * DIRECTED edges by the engine's TWO-PASS INTEGER recipe: pass one
+    * takes exact count/sum, means floor ONCE to milli-degrees, pass
+    * two sums centered products in DECIMAL(38), the three moment sums
+    * floor by m, and the verdict ships as (sign, r²·10⁶) —
+    * sqrt-free, every floor deterministic and replayed by the oracle.
+    * Degree-regular graphs have zero variance: r² surfaces NULL and
+    * the sign 0, honestly. Summary columns repeat per band row (the
+    * q181 discipline).
+    *
+    * Scale shape: degrees are one map-side-combinable collapse of the
+    * persisted edge table; the edge table joins the degree map on
+    * src/dst keys it already shuffles by; bands and moments are
+    * model-sized.
+    */
+  def degreeCensusOf(edges: DataFrame): DataFrame = {
+    val e = graft.ops.CachedStages.track(edges.persist())
+    val deg = graft.ops.CachedStages.track(e.groupBy("src")
+      .agg(count(lit(1)).as("d")).persist())
+    val pairs = graft.ops.CachedStages.track(e
+      .join(deg.select(col("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")),
+        Seq("dst"))
+      .select("x", "y")
+      .persist())
+    val p1 = pairs.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"))
+      .withColumn("mx", expr("sx * 1000 div m"))
+      .withColumn("my", expr("sy * 1000 div m"))
+    val p2 = pairs.crossJoin(broadcast(p1))
+      .select(expr("x * 1000 - mx").as("dx"),
+        expr("y * 1000 - my").as("dy"), col("m"))
+      .agg(max(col("m")).as("m"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dy")).as("covS"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dx")).as("vxS"),
+        sum(expr("CAST(dy AS DECIMAL(38, 0)) * dy")).as("vyS"))
+      .withColumn("covM", expr("covS div m"))
+      .withColumn("vxM", expr("vxS div m"))
+      .withColumn("vyM", expr("vyS div m"))
+      .select(col("m").as("m_edges"),
+        expr("""CASE WHEN covM > 0 THEN CAST(1 AS BIGINT)
+          |     WHEN covM < 0 THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin).as("r_sign"),
+        expr("""CAST(CAST(covM AS DECIMAL(38, 0)) * covM * 1000000
+          | div nullif(CAST(vxM AS DECIMAL(38, 0)) * vyM, 0)
+          | AS BIGINT)""".stripMargin).as("r2_ppm"))
+    val census = deg
+      .withColumn("band", expr("CAST(length(bin(d)) - 1 AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_deg"),
+        max(col("d")).as("max_deg"))
+    census.crossJoin(broadcast(p2))
+      .select("band", "n_nodes", "min_deg", "max_deg", "m_edges",
+        "r_sign", "r2_ppm")
+      .orderBy("band")
   }
 }

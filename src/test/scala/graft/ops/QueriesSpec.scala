@@ -4190,6 +4190,64 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
     CachedStages.release(spark)
   }
+  test("q209 degree census: star r=-1, uniform-degree NULL, " +
+    "assortative +1, graded replay") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    // star K_{1,3}: hubs link only leaves -> exactly r = -1
+    val star = collect7(Graph.degreeCensusOf(
+      undirected(Seq((0L, 1L), (0L, 2L), (0L, 3L)))))
+    assert(star == Seq((0L, 3L, 1L, 1L, 6L, -1L, Some(1000000L)),
+      (1L, 1L, 3L, 3L, 6L, -1L, Some(1000000L))), star.mkString(";"))
+    CachedStages.release(spark)
+    // 4-cycle: degree-regular, zero variance -> NULL r2, sign 0
+    val cyc = collect7(Graph.degreeCensusOf(
+      undirected(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))))
+    assert(cyc == Seq((1L, 4L, 2L, 2L, 8L, 0L, None)), cyc.mkString(";"))
+    CachedStages.release(spark)
+    // triangle + lone edge: like links like -> exactly r = +1
+    val assoc = collect7(Graph.degreeCensusOf(
+      undirected(Seq((1L, 2L), (2L, 3L), (3L, 1L), (8L, 9L)))))
+    assert(assoc.forall(r => r._6 == 1L && r._7 == Some(1000000L)),
+      assoc.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: rebuild the strong graph + both passes in BigInt
+    val op = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val strong = op.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keySet.toSeq
+    val deg = strong.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ends = strong.map { case (s, d) => (deg(s), deg(d)) }
+    val m = BigInt(ends.size)
+    val mx = ends.map(x => BigInt(x._1)).sum * 1000 / m
+    val my = ends.map(x => BigInt(x._2)).sum * 1000 / m
+    val covM = ends.map { case (x, y) =>
+      (BigInt(x) * 1000 - mx) * (BigInt(y) * 1000 - my) }.sum / m
+    val vxM = ends.map { case (x, _) =>
+      val d = BigInt(x) * 1000 - mx; d * d }.sum / m
+    val vyM = ends.map { case (_, y) =>
+      val d = BigInt(y) * 1000 - my; d * d }.sum / m
+    val r2 = if (vxM * vyM == 0) None
+      else Some((covM * covM * 1000000 / (vxM * vyM)).toLong)
+    val sign = covM.signum.toLong
+    val expect = deg.values.groupBy(d =>
+        63 - java.lang.Long.numberOfLeadingZeros(d)).toSeq
+      .sortBy(_._1)
+      .map { case (b, ds) =>
+        (b.toLong, ds.size.toLong, ds.min, ds.max, m.toLong, sign, r2)
+      }
+    val got = collect7(Graph.degreeCensus(spark, dir))
+    assert(got == expect, s"$got != $expect")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue

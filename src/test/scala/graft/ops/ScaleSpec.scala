@@ -1547,6 +1547,18 @@ class ScaleSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q209 plan: persisted edges feed degrees and both passes via " +
+    "key joins; moments model-sized") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Graph.degreeCensus(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
