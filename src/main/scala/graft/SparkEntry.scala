@@ -314,6 +314,7 @@ object SparkEntry {
     "q207_promo_lift" -> Relational.promoLift _,
     "q208_dead_stock" -> ((s, d) => Relational.deadStock(s, d)),
     "q209_degree_census" -> ((s, d) => Graph.degreeCensus(s, d)),
+    "q210_knn_hubness" -> ((s, d) => Similarity.knnHubness(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6041,6 +6042,53 @@ object SparkEntry {
         |SELECT band, n_nodes, min_deg, max_deg, m_edges, r_sign, r2_ppm
         |FROM census CROSS JOIN summ
         |ORDER BY band""".stripMargin,
+
+    // Replays Similarity.knnHubnessOf: q21's rounded-cosine all-pairs
+    // kNN, k-occurrence counts, orphans, the pinned hub.
+    "q210_knn_hubness" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v CROSS JOIN v q
+        |  WHERE v.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p),
+        |occ AS (
+        |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_k
+        |  FROM r WHERE rn <= 5 GROUP BY 1),
+        |pv AS (
+        |  SELECT v.vec_id, COALESCE(occ.n_k, 0) AS n_k
+        |  FROM v LEFT JOIN occ ON v.vec_id = occ.vec_id),
+        |s1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CASE WHEN n_k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans,
+        |    CAST(MAX(n_k) AS BIGINT) AS max_nk
+        |  FROM pv),
+        |hub AS (
+        |  SELECT CAST(MIN(pv.vec_id) AS BIGINT) AS hub_id
+        |  FROM pv CROSS JOIN s1 WHERE pv.n_k = s1.max_nk),
+        |summ AS (
+        |  SELECT n_vecs, n_orphans * 1000000 // n_vecs AS orphan_ppm,
+        |    max_nk, hub_id
+        |  FROM s1 CROSS JOIN hub)
+        |SELECT pv.n_k, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  summ.n_vecs, CAST(summ.orphan_ppm AS BIGINT) AS orphan_ppm,
+        |  summ.max_nk, summ.hub_id
+        |FROM pv CROSS JOIN summ
+        |GROUP BY pv.n_k, summ.n_vecs, summ.orphan_ppm, summ.max_nk,
+        |  summ.hub_id
+        |ORDER BY pv.n_k""".stripMargin,
   )
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are

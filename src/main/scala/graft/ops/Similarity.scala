@@ -755,4 +755,53 @@ object Similarity {
       .withColumn("lift_x1000", expr(
         "p_at_k_ppm * 1000 div base_rate_ppm"))
   }
+
+  def knnHubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnHubnessOf(spark, rawVectors(spark, dir), k)
+
+  /** Graded q210: k-NN HUBNESS audit (Radovanović, Nanopoulos &
+    * Ivanović, JMLR 2010) — the high-dimensional pathology every
+    * vector store should screen for: the k-occurrence N_k(x) (how
+    * many OTHER points count x among their k nearest) skews in high
+    * dimension, concentrating retrieval on a few hub points while
+    * orphans (N_k = 0) become unreachable. Reported: the exact N_k
+    * histogram plus, repeated per row (the q181 discipline), the
+    * orphan share in ppm, the maximum k-occurrence, and the hub id
+    * (smallest id at the max — fully pinned).
+    *
+    * Contract at scale: hubness is a DIAGNOSTIC, estimated on a
+    * bounded vector sample (the embeddings table here) — the
+    * all-pairs kNN is sample², never the serving corpus; q21's
+    * rounded-cosine + (cos desc, id asc) tie discipline makes every
+    * neighbor list, and therefore every count, engine-exact.
+    */
+  def knnHubnessOf(spark: SparkSession, vecs: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = cosined(spark, vecs,
+      vecs.select(col("vec_id").as("q_id"), col("v").as("q_vec")), None)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val perVec = graft.ops.CachedStages.track(vecs.select("vec_id")
+      .join(topk.groupBy("vec_id").agg(count(lit(1)).as("n_k")),
+        Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_k"))
+      .persist())
+    val s1 = perVec.agg(count(lit(1)).as("n_vecs"),
+      sum(when(col("n_k") === 0L, 1L).otherwise(0L)).as("n_orphans"),
+      max(col("n_k")).as("max_nk"))
+    val hub = perVec.crossJoin(broadcast(s1))
+      .filter(col("n_k") === col("max_nk"))
+      .agg(min(col("vec_id")).as("hub_id"))
+    val summary = s1.crossJoin(broadcast(hub))
+      .select(col("n_vecs"),
+        expr("n_orphans * 1000000 div n_vecs").as("orphan_ppm"),
+        col("max_nk"), col("hub_id"))
+    perVec.groupBy("n_k").agg(count(lit(1)).as("n_points"))
+      .crossJoin(broadcast(summary))
+      .select("n_k", "n_points", "n_vecs", "orphan_ppm", "max_nk",
+        "hub_id")
+      .orderBy("n_k")
+  }
 }

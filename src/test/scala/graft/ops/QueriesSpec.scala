@@ -4248,6 +4248,57 @@ class QueriesSpec extends SparkSpec {
     assert(got == expect, s"$got != $expect")
     CachedStages.release(spark)
   }
+  test("q210 hubness: forced hub geometry + rounding-tie pin + replay") {
+    import spark.implicits._
+    // c pulls a and b (their 1-NN), a pulls c (tie vs b broken by id)
+    // and d: histogram {0: 2, 2: 2}, hub = c (min id at max)
+    val fixture = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(4.0f, 1.0f)),
+      (3L, Array(4.0f, -1.0f)), (4L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "v")
+    val fGot = Similarity.knnHubnessOf(spark, fixture, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fGot == Seq((0L, 2L, 4L, 500000L, 2L, 1L),
+      (2L, 2L, 4L, 500000L, 2L, 1L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: kernel-order double cosine, HALF_UP round 6
+    val vs = Similarity.rawVectors(spark, dir)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val nk = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vs.foreach { case (q, qv) =>
+      vs.filter(_._1 != q)
+        .map { case (i, v) => (r6(cos(qv, v)), i) }
+        .sortBy { case (c, i) => (-c, i) }.take(5)
+        .foreach { case (_, i) => nk(i) += 1L }
+    }
+    val perVec = vs.map(v => nk(v._1))
+    val nVecs = vs.length.toLong
+    val orphanPpm = perVec.count(_ == 0L) * 1000000L / nVecs
+    val maxNk = perVec.max
+    val hubId = vs.map(_._1).filter(i => nk(i) == maxNk).min
+    val expect = perVec.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (k, g) =>
+        (k, g.size.toLong, nVecs, orphanPpm, maxNk, hubId)
+      }
+    val got = Similarity.knnHubness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q167 suite == the three standalone reports, melted") {
     def cell(r: org.apache.spark.sql.Row, m: String): Long =
       r.getAs[Number](m).longValue
