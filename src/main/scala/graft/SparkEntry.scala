@@ -315,6 +315,10 @@ object SparkEntry {
     "q208_dead_stock" -> ((s, d) => Relational.deadStock(s, d)),
     "q209_degree_census" -> ((s, d) => Graph.degreeCensus(s, d)),
     "q210_knn_hubness" -> ((s, d) => Similarity.knnHubness(s, d)),
+    "q211_clustering_profile" -> ((s, d) => Graph.clusteringProfile(s, d)),
+    "q212_mann_whitney" -> ((s, d) => RankTests.mannWhitney(s, d)),
+    "q213_kruskal_wallis" -> RankTests.kruskalWallis _,
+    "q214_ewma_chart" -> Events.ewmaChart _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5202,6 +5206,7 @@ object SparkEntry {
     // mu/k/h params, and the reset-on-alarm Page recurrence as a
     // per-type LINEAR recursive CTE (the q178 sweep, partitioned).
     "q187_cusum_chart" -> cusumSql,
+    "q214_ewma_chart" -> ewmaSql,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected
@@ -6089,7 +6094,235 @@ object SparkEntry {
         |GROUP BY pv.n_k, summ.n_vecs, summ.orphan_ppm, summ.max_nk,
         |  summ.hub_id
         |ORDER BY pv.n_k""".stripMargin,
+
+    // Replays Graph.clusteringProfileOf on the q183/q209 strong-edge
+    // CTE: exact triangle corners via the canonical a<b<c join, the
+    // cross-multiplied cc floor, band means, and both global ratios.
+    "q211_clustering_profile" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |se AS MATERIALIZED (
+        |  SELECT a.p AS src, b.p AS dst
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p <> b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |und AS MATERIALIZED (
+        |  SELECT src AS u, dst AS v FROM se WHERE src < dst),
+        |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+        |        FROM se GROUP BY 1),
+        |tri AS (
+        |  SELECT ab.u AS a, ab.v AS b, bc.v AS c
+        |  FROM und ab JOIN und bc ON ab.v = bc.u
+        |  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v),
+        |corner AS (
+        |  SELECT a AS id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS t
+        |         FROM corner GROUP BY 1),
+        |nodes AS (
+        |  SELECT deg.id, deg.d, COALESCE(tcnt.t, 0) AS t,
+        |    CASE WHEN deg.d >= 2 THEN
+        |      CAST(COALESCE(tcnt.t, 0)::HUGEINT * 2 * 1000000
+        |        // (deg.d::HUGEINT * (deg.d - 1)) AS BIGINT)
+        |    END AS cc_ppm
+        |  FROM deg LEFT JOIN tcnt USING (id)),
+        |gl AS (
+        |  SELECT
+        |    CAST(SUM(cc_ppm) // nullif(SUM(CASE WHEN cc_ppm IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS avg_cc_ppm,
+        |    CAST(SUM(t)::HUGEINT * 2 * 1000000
+        |      // nullif(SUM(d::HUGEINT * (d - 1)), 0) AS BIGINT)
+        |      AS transitivity_ppm,
+        |    CAST(SUM(t) // 3 AS BIGINT) AS n_triangles
+        |  FROM nodes),
+        |bands AS (
+        |  SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS band,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(CASE WHEN cc_ppm IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_eligible,
+        |    CAST(SUM(cc_ppm) // nullif(SUM(CASE WHEN cc_ppm IS NOT NULL
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS mean_cc_ppm,
+        |    CAST(MAX(t) AS BIGINT) AS max_triangles
+        |  FROM nodes GROUP BY 1)
+        |SELECT band, n_nodes, n_eligible, mean_cc_ppm, max_triangles,
+        |  avg_cc_ppm, transitivity_ppm, n_triangles
+        |FROM bands CROSS JOIN gl ORDER BY band""".stripMargin,
+
+    // Replays RankTests.mannWhitneyOf: whole-dollar value histogram,
+    // doubled midranks, the three-floor z2 chain, χ²(1) verdict. All
+    // `//` operands are HUGEINT (DuckDB // is only integral on
+    // integer types; on DECIMAL it is true division).
+    "q212_mann_whitney" ->
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+         |      // 100 AS v
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |h AS MATERIALIZED (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+         |mr AS (
+         |  SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |    + cnt + 1 AS mr2
+         |  FROM h),
+         |grp AS (
+         |  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+         |    SUM(n_gv::HUGEINT * mr2) AS r2_g
+         |  FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+         |        FROM src GROUP BY 1, 2) gh
+         |  JOIN mr USING (v) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |    SUM(cnt::HUGEINT * cnt * cnt - cnt) AS tie_term FROM h),
+         |calc AS (
+         |  SELECT a.n_g AS n_a, b.n_g AS n_b,
+         |    a.r2_g - a.n_g::HUGEINT * (a.n_g + 1) AS u2_a,
+         |    n_total, tie_term,
+         |    n_total::HUGEINT * n_total * n_total - n_total - tie_term
+         |      AS w_big
+         |  FROM grp a CROSS JOIN grp b CROSS JOIN tot
+         |  WHERE a.g = '1-URGENT' AND b.g = '5-LOW'),
+         |c2 AS (
+         |  SELECT *,
+         |    (u2_a - n_a::HUGEINT * n_b) * 1000000
+         |      // (n_a::HUGEINT * n_b) AS r_rb_ppm,
+         |    w_big // nullif(n_total::HUGEINT * (n_total - 1), 0) AS v_fl
+         |  FROM calc),
+         |c3 AS (
+         |  SELECT *, 3 * r_rb_ppm * r_rb_ppm * n_a * n_b
+         |    // nullif(v_fl * 1000000, 0) AS z2_micro
+         |  FROM c2)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(u2_a AS BIGINT) AS u2_a,
+         |  CAST(r_rb_ppm AS BIGINT) AS r_rb_ppm,
+         |  CAST(tie_term AS BIGINT) AS tie_term,
+         |  CAST(z2_micro AS BIGINT) AS z2_micro,
+         |  CAST(${graft.ops.Events.Chi2Crit95Ppm.head} AS BIGINT)
+         |    AS crit_micro,
+         |  CAST(CASE WHEN z2_micro IS NULL THEN NULL
+         |    WHEN z2_micro > ${graft.ops.Events.Chi2Crit95Ppm.head}
+         |      THEN 1 ELSE 0 END AS BIGINT) AS significant,
+         |  CASE WHEN r_rb_ppm > 0 THEN '1-URGENT'
+         |       WHEN r_rb_ppm < 0 THEN '5-LOW'
+         |       ELSE 'tie' END AS winner
+         |FROM c3""".stripMargin,
+
+    // Replays RankTests.kruskalWallisOf: same midrank engine over all
+    // five priorities, exact doubled deviations, the ppm/per-mille
+    // floors, χ²(k−1) verdict off the shared table (1-based index).
+    "q213_kruskal_wallis" ->
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+         |      // 100 AS v
+         |  FROM orders),
+         |h AS MATERIALIZED (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM src GROUP BY 1),
+         |mr AS (
+         |  SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |    + cnt + 1 AS mr2
+         |  FROM h),
+         |grp AS (
+         |  SELECT g, CAST(SUM(n_gv) AS BIGINT) AS n_g,
+         |    SUM(n_gv::HUGEINT * mr2) AS r2_g
+         |  FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+         |        FROM src GROUP BY 1, 2) gh
+         |  JOIN mr USING (v) GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         |    SUM(cnt::HUGEINT * cnt * cnt - cnt) AS tie_term FROM h),
+         |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_groups FROM grp),
+         |devs AS (
+         |  SELECT g, n_g,
+         |    (r2_g - n_g::HUGEINT * (n_total + 1)) * 1000000
+         |      // (n_g::HUGEINT * n_total) AS d_ppm
+         |  FROM grp CROSS JOIN tot),
+         |summ AS (
+         |  SELECT SUM(n_g::HUGEINT * d_ppm * d_ppm) AS s_dev FROM devs),
+         |s2 AS (
+         |  SELECT n_total, tie_term, k_groups,
+         |    3 * n_total::HUGEINT * s_dev
+         |      // (1000000 * (n_total::HUGEINT + 1)) AS h_micro,
+         |    1000 - tie_term::HUGEINT * 1000
+         |      // (n_total::HUGEINT * n_total * n_total - n_total) AS c_pm
+         |  FROM summ CROSS JOIN tot CROSS JOIN kk),
+         |s3 AS (
+         |  SELECT n_total, CAST(tie_term AS BIGINT) AS tie_term,
+         |    CAST(h_micro AS BIGINT) AS h_micro,
+         |    CAST(h_micro * 1000 // nullif(c_pm, 0) AS BIGINT)
+         |      AS h_tie_micro,
+         |    CAST(k_groups - 1 AS BIGINT) AS df_chi2,
+         |    CAST(([${graft.ops.Events.Chi2Crit95Ppm.mkString(",")}])
+         |      [k_groups - 1] AS BIGINT) AS crit_micro
+         |  FROM s2),
+         |s4 AS (
+         |  SELECT s3.*,
+         |    CAST(CASE WHEN h_tie_micro IS NULL OR crit_micro IS NULL
+         |      THEN NULL
+         |      WHEN h_tie_micro > crit_micro THEN 1 ELSE 0 END
+         |      AS BIGINT) AS significant
+         |  FROM s3)
+         |SELECT g, n_g,
+         |  CAST(r2_g // n_g::HUGEINT AS BIGINT) AS mean_rank2,
+         |  n_total, tie_term, h_micro, h_tie_micro, df_chi2,
+         |  crit_micro, significant
+         |FROM grp CROSS JOIN s4
+         |ORDER BY g""".stripMargin,
   )
+
+  /** Builds the q214 oracle: the EWMA level/variance recursions as a
+    * per-type linear recursive CTE over the densified calendar,
+    * replaying the operator's per-day floors exactly (all operands
+    * non-negative, so `//` and `div` agree trivially).
+    */
+  private def ewmaSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+       |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+       |dense AS (
+       |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN cal
+       |  LEFT JOIN daily d ON d.event_type = t.event_type
+       |    AND d.day = cal.day),
+       |p AS (
+       |  SELECT event_type,
+       |    CAST(SUM(cents) AS BIGINT) // COUNT(*) AS mu,
+       |    CAST((COUNT(*)::HUGEINT * SUM(cents::HUGEINT * cents)
+       |        - SUM(cents)::HUGEINT * SUM(cents))
+       |      // (COUNT(*)::HUGEINT * COUNT(*)) AS BIGINT) AS sig2
+       |  FROM dense GROUP BY 1),
+       |d2 AS (
+       |  SELECT dense.event_type, day, cents, mu, sig2,
+       |    ROW_NUMBER() OVER (PARTITION BY dense.event_type
+       |      ORDER BY day) AS rn
+       |  FROM dense JOIN p USING (event_type)),
+       |sweep(event_type, rn, z, v) AS (
+       |  SELECT event_type, rn,
+       |    (200 * cents + 800 * mu) // 1000,
+       |    (40000 * sig2) // 1000000
+       |  FROM d2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.event_type, d2.rn,
+       |    (200 * d2.cents + 800 * s.z) // 1000,
+       |    (640000 * s.v + 40000 * d2.sig2) // 1000000
+       |  FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |    AND d2.rn = s.rn + 1)
+       |SELECT d2.event_type, d2.day, d2.cents,
+       |  CAST(s.z AS BIGINT) AS ewma_cents,
+       |  CAST(s.v AS BIGINT) AS v_cents2,
+       |  CAST(CASE WHEN (s.z - d2.mu)::HUGEINT * (s.z - d2.mu)
+       |         > 9 * s.v::HUGEINT
+       |    THEN CASE WHEN s.z > d2.mu THEN 1 ELSE -1 END
+       |    ELSE 0 END AS BIGINT) AS alarm
+       |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |  AND d2.rn = s.rn
+       |ORDER BY 1, 2""".stripMargin
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are
     * interpolated twice (seed row and recursive row) because a

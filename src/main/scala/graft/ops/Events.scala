@@ -1215,6 +1215,79 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def ewmaChart(spark: SparkSession, dir: String): DataFrame =
+    ewmaChartOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q214: EWMA CONTROL CHART (Roberts, Technometrics 1959) —
+    * the third member of the SPC family and the one the other two
+    * can't replace: Shewhart (q180) catches single large shocks,
+    * CUSUM (q187) accumulates small persistent steps, EWMA tracks
+    * SMOOTH DRIFT — z_t = λ·x_t + (1−λ)·z_{t−1} with λ = 0.2, judged
+    * against its own variance recursion V_t = (1−λ)²·V_{t−1} + λ²·σ²
+    * (the exact finite-t limits — the asymptotic λ/(2−λ) band flags
+    * early points too eagerly; the recursion IS the textbook
+    * 1−(1−λ)^{2t} factor without a power or a sqrt). Alarm via the
+    * sqrt-free square compare (z_t−μ)² > L²·V_t at L = 3, side as ±1.
+    *
+    * Integer determinism: z in cents with per-mille λ — z_t =
+    * (200·x_t + 800·z_{t−1}) div 1000, one floor per day, z_0 = μ
+    * (the floored grand mean); V in cents² — V_t = (640000·V_{t−1} +
+    * 40000·σ²) div 10⁶ with σ² the population variance floored once
+    * by n². The fold is the q169/q178/q187 `aggregate()` HOF prefix
+    * fold over per-type calendar-bounded sorted arrays; the oracle
+    * replays it as a per-type linear recursive CTE, floor for floor.
+    * All operands are non-negative (revenue cents), so no sign-split
+    * is needed. BIGINT bounds hold to daily σ ≲ 10⁶·$10⁴ cents; at
+    * 100 TB rescale the unit to whole dollars (the q176 quantization)
+    * — the chart is unit-free.
+    *
+    * Silent calendar days densify to zero-revenue observations that
+    * drag the EWMA down — exactly what a revenue monitor must see.
+    * SIXTH consumer of the q172/q173 (type, day) daily matrix: the
+    * maintained streaming state feeds this chart unchanged.
+    */
+  def ewmaChartOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val params = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(expr("CAST(cents AS DECIMAL(38, 0)) * cents")).as("s2"))
+      .select(col("event_type"), expr("s1 div n").as("mu"),
+        expr("""CAST((n * s2 - CAST(s1 AS DECIMAL(38, 0)) * s1)
+          | div (CAST(n AS DECIMAL(38, 0)) * n) AS BIGINT)"""
+          .stripMargin).as("sig2"))
+    val series = dense.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("ss"))
+    dense.join(broadcast(params), Seq("event_type"))
+      .join(broadcast(series), Seq("event_type"))
+      .withColumn("st", expr(
+        """aggregate(filter(ss, f -> f.day <= day),
+          |named_struct('z', mu, 'v', CAST(0 AS BIGINT)),
+          |(acc, f) -> named_struct(
+          |  'z', (200 * f.cents + 800 * acc.z) div 1000,
+          |  'v', (640000 * acc.v + 40000 * sig2) div 1000000),
+          |acc -> acc)""".stripMargin))
+      .withColumn("ewma_cents", expr("st.z"))
+      .withColumn("v_cents2", expr("st.v"))
+      .withColumn("alarm", expr(
+        """CASE WHEN CAST(st.z - mu AS DECIMAL(38, 0)) * (st.z - mu)
+          |       > 9 * CAST(st.v AS DECIMAL(38, 0))
+          |  THEN IF(st.z > mu, CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("ewma_cents"), col("v_cents2"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   /** χ²₀.₉₅ critical values × 10⁶ for df = 1..120 (the standard
     * table; computed once from the regularized incomplete gamma and
     * checked against the published values to 6 decimals). Shared by

@@ -3111,6 +3111,64 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q214 EWMA: smooth drift alarms both sides, constant silent; " +
+    "graded replay") {
+    import spark.implicits._
+    // Pure-Scala replay of the level + variance recursions
+    def replay(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, g) =>
+        val n = BigInt(g.size)
+        val s1 = g.map(x => BigInt(x._3)).sum
+        val mu = s1 / n
+        val s2 = g.map(x => BigInt(x._3) * x._3).sum
+        val sig2 = (n * s2 - s1 * s1) / (n * n)
+        var z = mu; var v = BigInt(0)
+        g.sortBy(_._2).map { case (tt, d, c) =>
+          z = (200 * BigInt(c) + 800 * z) / 1000
+          v = (640000 * v + 40000 * sig2) / 1000000
+          val dev = z - mu
+          val al =
+            if (dev * dev > 9 * v) (if (z > mu) 1L else -1L) else 0L
+          (tt, d, c, z.toLong, v.toLong, al)
+        }
+      }
+    def densify(rows: Seq[(String, Long, Long)]) = {
+      val mn = rows.map(_._2).min; val mx = rows.map(_._2).max
+      val byDay = rows.groupBy(_._1).view.mapValues(g =>
+        g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+      byDay.keys.toSeq.sorted.flatMap(t =>
+        (mn to mx).map(d => (t, d, byDay(t).getOrElse(d, 0L))))
+    }
+    // c: constant -> sig2 = 0, z pinned at mu, never alarms;
+    // d: 10 flat days then +50/day smooth drift -> the EWMA walks up
+    // and crosses 3sigma_z exactly at day 19 (hand-folded; Shewhart
+    // rule 1 stays silent on every single point of this ramp);
+    // e: the mirrored down-drift -> -1 at day 19.
+    val fx = (0L to 19L).map(d => ("c", d, 700L)) ++
+      (0L to 9L).map(d => ("d", d, 1000L)) ++
+      (10L to 19L).map(d => ("d", d, 1000L + 50L * (d - 9))) ++
+      (0L to 9L).map(d => ("e", d, 1000L)) ++
+      (10L to 19L).map(d => ("e", d, 1000L - 50L * (d - 9)))
+    val fGot = Events.ewmaChartOfDaily(fx.toDF("event_type", "day",
+      "cents")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(fGot == replay(densify(fx)), fGot.take(5).mkString(";"))
+    assert(fGot.filter(_._6 != 0).map(r => (r._1, r._2, r._6)) ==
+      Seq(("d", 19L, 1L), ("e", 19L, -1L)), fGot.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay (densified calendar, BigInt fold)
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val got = Events.ewmaChart(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == replay(densify(raw)), s"${got.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q188 Mann-Kendall: monotone/flat/alternating fixtures + replay") {
     import spark.implicits._
     // Pure-Scala replay: pairwise signs, Kendall tie correction, the
@@ -4297,6 +4355,209 @@ class QueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
+  test("q211 clustering profile: triangle+pendant hand bands, " +
+    "wedgeless NULLs, graded replay") {
+    import spark.implicits._
+    def undirected(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getLong(7))).toSeq
+    // triangle 1-2-3 + pendant 3-4: cc(1)=cc(2)=10^6, cc(3)=333333
+    // (2*1*10^6 div 6), cc(4)=NULL (no wedge); bands: d=1 -> 0,
+    // d∈{2,3} -> 1; mean band1 = 2333333 div 3; transitivity =
+    // 2*3*10^6 div 10 = 600000; one triangle total.
+    val got = collect8(Graph.clusteringProfileOf(
+      undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))))
+    assert(got == Seq(
+      (0L, 1L, 0L, None, 0L, Some(777777L), Some(600000L), 1L),
+      (1L, 3L, 3L, Some(777777L), 1L, Some(777777L), Some(600000L), 1L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // lone edge: no eligible node, every ratio NULL, honestly
+    val lone = collect8(Graph.clusteringProfileOf(
+      undirected(Seq((1L, 2L)))))
+    assert(lone == Seq((0L, 2L, 0L, None, 0L, None, None, 0L)),
+      lone.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: strong graph + exact triangles + both floors
+    val op = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val strong = op.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).filter(_._2.size >= 2).keySet.toSeq
+    val deg = strong.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val adj = strong.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap.withDefaultValue(Set.empty[Long])
+    val und = strong.filter { case (s, d) => s < d }
+    val t = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    und.foreach { case (u, v) =>
+      (adj(u) & adj(v)).filter(_ > v).foreach { w =>
+        t(u) += 1; t(v) += 1; t(w) += 1
+      }
+    }
+    val nodes = deg.toSeq.map { case (id, d) =>
+      val cc = if (d >= 2)
+        Some((BigInt(t(id)) * 2 * 1000000 / (BigInt(d) * (d - 1))).toLong)
+      else None
+      (id, d, t(id), cc)
+    }
+    val elig = nodes.filter(_._4.isDefined)
+    val avgCc = if (elig.isEmpty) None
+      else Some((elig.map(n => BigInt(n._4.get)).sum /
+        elig.size).toLong)
+    val wedges2 = nodes.map(n => BigInt(n._2) * (n._2 - 1)).sum
+    val trans = if (wedges2 == 0) None
+      else Some((nodes.map(n => BigInt(n._3)).sum * 2 * 1000000 /
+        wedges2).toLong)
+    val nTri = nodes.map(_._3).sum / 3
+    val expect = nodes.groupBy(n =>
+        63L - java.lang.Long.numberOfLeadingZeros(n._2)).toSeq
+      .sortBy(_._1)
+      .map { case (b, g) =>
+        val ge = g.filter(_._4.isDefined)
+        val mean = if (ge.isEmpty) None
+          else Some((ge.map(n => BigInt(n._4.get)).sum / ge.size).toLong)
+        (b, g.size.toLong, ge.size.toLong, mean, g.map(_._3).max,
+          avgCc, trans, nTri)
+      }
+    val graded = collect8(Graph.clusteringProfile(spark, dir))
+    assert(graded == expect, s"$graded != $expect")
+    CachedStages.release(spark)
+  }
+  test("q212 Mann-Whitney: planted dominance significant, all-tied " +
+    "NULL, graded replay") {
+    import spark.implicits._
+    // a = 11..20, b = 1..10: complete separation. 2U_A = 200,
+    // r = +1, v_fl = 7980 div 380 = 21 exactly,
+    // z2 = 3*10^12*100 div (21*10^6) = 14285714 > 3841459.
+    val sep = (1L to 10L).map(v => ("b", v)) ++
+      (11L to 20L).map(v => ("a", v))
+    val got = RankTests.mannWhitneyOf(sep.toDF("g", "v"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getString(8))).toSeq
+    assert(got == Seq((10L, 10L, 200L, 1000000L, 0L, 14285714L,
+      3841459L, 1L, "a")), got.mkString(";"))
+    CachedStages.release(spark)
+    // all observations tied: W = 0, z2/significant NULL, winner tie
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L))
+    val t = RankTests.mannWhitneyOf(tied.toDF("g", "v"), "a", "b")
+      .collect().head
+    assert(t.getLong(2) == 4L && t.getLong(3) == 0L &&
+      t.isNullAt(5) && t.isNullAt(7) && t.getString(8) == "tie",
+      t.toString)
+    CachedStages.release(spark)
+    // graded replay in BigInt: whole-dollar histogram, doubled
+    // midranks, the three-floor z2 chain
+    val obs = Tables(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt / 100))
+    def replay(data: Seq[(String, BigInt)], ga: String, gb: String) = {
+      val hist = data.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy(_._1)
+      val mr2 = {
+        var cum = BigInt(0)
+        hist.map { case (v, c) =>
+          val m = 2 * cum + c + 1; cum += c; (v, m)
+        }.toMap
+      }
+      def stats(gr: String) = {
+        val g = data.filter(_._1 == gr)
+        (BigInt(g.size), g.map(x => mr2(x._2) * 1).sum)
+      }
+      val (na, r2a) = stats(ga); val (nb, _) = stats(gb)
+      val n = BigInt(data.size)
+      val tie = hist.map { case (_, c) =>
+        BigInt(c) * c * c - c }.sum
+      val u2 = r2a - na * (na + 1)
+      val rppm = (u2 - na * nb) * 1000000 / (na * nb)
+      val w = n * n * n - n - tie
+      val vfl = w / (n * (n - 1))
+      val z2 = if (vfl == 0) None
+        else Some((3 * rppm * rppm * na * nb / (vfl * 1000000)).toLong)
+      (na.toLong, nb.toLong, u2.toLong, rppm.toLong, tie.toLong, z2)
+    }
+    val e = replay(obs.toSeq, "1-URGENT", "5-LOW")
+    val gr = RankTests.mannWhitney(spark, dir).collect().head
+    assert((gr.getLong(0), gr.getLong(1), gr.getLong(2), gr.getLong(3),
+      gr.getLong(4), if (gr.isNullAt(5)) None else Some(gr.getLong(5)))
+      == e, s"$gr != $e")
+    CachedStages.release(spark)
+  }
+  test("q213 Kruskal-Wallis: perfect 3-way separation exact H, " +
+    "all-tied NULL, graded replay") {
+    import spark.implicits._
+    // a=1..5, b=6..10, c=11..15: mean ranks 3/8/13, true H = 12.5;
+    // the ppm floor gives d_ppm = ±666666, H_micro = 12499975.
+    val sep = (1L to 5L).map(v => ("a", v)) ++
+      (6L to 10L).map(v => ("b", v)) ++ (11L to 15L).map(v => ("c", v))
+    val got = RankTests.kruskalWallisOf(sep.toDF("g", "v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    val crit2 = graft.ops.Events.Chi2Crit95Ppm(1)
+    assert(got == Seq(
+      ("a", 5L, 6L, 15L, 0L, 12499975L, 12499975L, 2L, crit2, 1L),
+      ("b", 5L, 16L, 15L, 0L, 12499975L, 12499975L, 2L, crit2, 1L),
+      ("c", 5L, 26L, 15L, 0L, 12499975L, 12499975L, 2L, crit2, 1L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // every observation tied: tie correction c = 0 -> NULL verdict
+    val tied = Seq(("a", 3L), ("a", 3L), ("b", 3L), ("b", 3L))
+    val t = RankTests.kruskalWallisOf(tied.toDF("g", "v")).collect()
+    assert(t.forall(r => r.isNullAt(6) && r.isNullAt(9)),
+      t.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt over all five priorities
+    val obs = Tables(spark, dir, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt / 100))
+      .toSeq
+    val hist = obs.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy(_._1)
+    val mr2 = {
+      var cum = BigInt(0)
+      hist.map { case (v, c) =>
+        val m = 2 * cum + c + 1; cum += c; (v, m) }.toMap
+    }
+    val n = BigInt(obs.size)
+    val tie = hist.map { case (_, c) => BigInt(c) * c * c - c }.sum
+    val grps = obs.groupBy(_._1).view.mapValues { g =>
+      (BigInt(g.size), g.map(x => mr2(x._2)).sum) }.toMap
+    val sDev = grps.values.map { case (ng, r2g) =>
+      val d2 = r2g - ng * (n + 1)
+      val dppm = d2 * 1000000 / (ng * n)
+      ng * dppm * dppm
+    }.sum
+    val hMicro = 3 * n * sDev / (1000000 * (n + 1))
+    val cPm = 1000 - tie * 1000 / (n * n * n - n)
+    val hTie = hMicro * 1000 / cPm
+    val expect = grps.toSeq.sortBy(_._1).map { case (g, (ng, r2g)) =>
+      (g, ng.toLong, (r2g / ng).toLong, n.toLong, tie.toLong,
+        hMicro.toLong, hTie.toLong, 4L,
+        graft.ops.Events.Chi2Crit95Ppm(3),
+        if (hTie > graft.ops.Events.Chi2Crit95Ppm(3)) 1L else 0L)
+    }
+    val graded = RankTests.kruskalWallis(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(graded == expect, s"$graded != $expect")
     CachedStages.release(spark)
   }
   test("q167 suite == the three standalone reports, melted") {

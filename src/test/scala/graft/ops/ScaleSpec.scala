@@ -1293,6 +1293,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q214 plan: one events scan; dense matrix cache feeds params, " +
+    "series and the fold; broadcast joins back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Events.ewmaChart(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 3,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q188 plan: one events scan; pair join and moments all read the " +
     "persisted daily matrix; type-keyed joins broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1569,6 +1584,38 @@ class ScaleSpec extends SparkSpec {
       plan.take(3000))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
+  }
+  test("q211 plan: persisted strong edges + node cache; oriented " +
+    "triangle joins broadcast; no cartesian") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Graph.clusteringProfile(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q212/q213 plan: one orders scan into the value histogram " +
+    "cache; test arithmetic broadcast; no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // thunks: building both frames before the release loop would
+    // unpersist the second one's caches (the CachedStages discipline)
+    Seq(() => RankTests.mannWhitney(spark, dir),
+      () => RankTests.kruskalWallis(spark, dir)).foreach { mk =>
+      val out = mk()
+      val plan = out.queryExecution.executedPlan.toString
+      val tree = out.queryExecution.sparkPlan
+      assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+        plan.take(3000))
+      assert(tree.collect { case m: InMemoryTableScanExec => m }
+        .size >= 2, plan.take(3000))
+      assert(plan.contains("BroadcastExchange"), plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      CachedStages.release(spark)
+    }
   }
   test("q175 plan: one corpus tokenization; ranking reads the count cache") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -473,5 +473,10 @@ class EventStreamsSpec extends SparkSpec {
     val cuBatch = rows6(Events.cusumChart(spark, src))
     graft.ops.CachedStages.release(spark)
     assert(cuStreamed == cuBatch && cuBatch.nonEmpty)
+    val ewStreamed = rows6(Events.ewmaChartOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val ewBatch = rows6(Events.ewmaChart(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(ewStreamed == ewBatch && ewBatch.nonEmpty)
   }
 }
