@@ -319,6 +319,7 @@ object SparkEntry {
     "q212_mann_whitney" -> ((s, d) => RankTests.mannWhitney(s, d)),
     "q213_kruskal_wallis" -> RankTests.kruskalWallis _,
     "q214_ewma_chart" -> Events.ewmaChart _,
+    "q215_acf_daily" -> Events.acfDaily _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5207,6 +5208,81 @@ object SparkEntry {
     // per-type LINEAR recursive CTE (the q178 sweep, partitioned).
     "q187_cusum_chart" -> cusumSql,
     "q214_ewma_chart" -> ewmaSql,
+
+    // Replays Events.acfOfDaily: densified calendar, milli-centered
+    // deviations, 7 window lags, num/den HUGEINT ratios, the
+    // Ljung-Box floors and the chi2(7) verdict (1-based list index).
+    "q215_acf_daily" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+         |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+         |dense AS (
+         |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+         |  FROM (SELECT DISTINCT event_type FROM daily) t
+         |  CROSS JOIN cal
+         |  LEFT JOIN daily d ON d.event_type = t.event_type
+         |    AND d.day = cal.day),
+         |st AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(cents) AS BIGINT) * 1000 // COUNT(*) AS m_milli
+         |  FROM dense GROUP BY 1),
+         |dx AS (
+         |  SELECT dense.event_type, day, cents * 1000 - m_milli AS dx, n
+         |  FROM dense JOIN st USING (event_type)),
+         |den AS (
+         |  SELECT event_type, SUM(dx::HUGEINT * dx) AS den,
+         |    MAX(n) AS n
+         |  FROM dx GROUP BY 1),
+         |lagged AS (
+         |  SELECT event_type, day, dx,
+         |    ${(1 to 7).map(k =>
+             s"LAG(dx, $k) OVER w AS dx$k").mkString(",\n         |    ")}
+         |  FROM dx WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |melted AS (
+         |  ${(1 to 7).map(k =>
+             s"SELECT event_type, CAST($k AS BIGINT) AS lag, dx, " +
+             s"dx$k AS dxl FROM lagged WHERE dx$k IS NOT NULL")
+            .mkString("\n         |  UNION ALL ")}),
+         |nums AS (
+         |  SELECT event_type, lag, SUM(dx::HUGEINT * dxl) AS num
+         |  FROM melted GROUP BY 1, 2),
+         |rs AS (
+         |  SELECT nums.event_type, lag, den.n,
+         |    CAST(num * 1000000 // nullif(den, 0) AS BIGINT) AS r_ppm
+         |  FROM nums JOIN den USING (event_type)),
+         |rb AS (
+         |  SELECT *,
+         |    CAST(CASE WHEN r_ppm IS NULL THEN NULL
+         |      WHEN r_ppm::HUGEINT * r_ppm * n > 4000000000000::HUGEINT
+         |        THEN 1 ELSE 0 END AS BIGINT) AS beyond_band
+         |  FROM rs),
+         |lb AS (
+         |  SELECT event_type,
+         |    SUM(r_ppm::HUGEINT * r_ppm // nullif(n - lag, 0)) AS s_sum,
+         |    MAX(n) AS n2, CAST(COUNT(*) AS BIGINT) AS n_lags
+         |  FROM rb GROUP BY 1),
+         |lb2 AS (
+         |  SELECT event_type, n_lags AS df_chi2,
+         |    CAST(n2::HUGEINT * (n2 + 2) * s_sum // 1000000 AS BIGINT)
+         |      AS q_lb_micro,
+         |    CAST(([${graft.ops.Events.Chi2Crit95Ppm.mkString(",")}])
+         |      [n_lags] AS BIGINT) AS crit_micro
+         |  FROM lb),
+         |lb3 AS (
+         |  SELECT *,
+         |    CAST(CASE WHEN q_lb_micro IS NULL OR crit_micro IS NULL
+         |      THEN NULL
+         |      WHEN q_lb_micro > crit_micro THEN 1 ELSE 0 END
+         |      AS BIGINT) AS autocorrelated
+         |  FROM lb2)
+         |SELECT rb.event_type, lag, n AS n_days, r_ppm, beyond_band,
+         |  q_lb_micro, df_chi2, crit_micro, autocorrelated
+         |FROM rb JOIN lb3 ON rb.event_type = lb3.event_type
+         |ORDER BY 1, 2""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

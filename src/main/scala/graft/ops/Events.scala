@@ -1288,6 +1288,107 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def acfDaily(spark: SparkSession, dir: String): DataFrame =
+    acfOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q215: AUTOCORRELATION FUNCTION of per-type daily revenue
+    * at lags 1..7, with the LJUNG–BOX portmanteau verdict (Box &
+    * Jenkins 1970; Ljung & Box, Biometrika 1978) — the diagnostic the
+    * whole forecasting family presumes: q172's slope and q173's
+    * backtest are only meaningful if the residual structure is known,
+    * and the weekly lag-7 spike this chart surfaces on seasonal data
+    * is exactly what q182 eyeballs. Per (type, lag): r_k in ppm and
+    * the ±2/√n band flag; per type, Q = n(n+2)·Σ r_k²/(n−k) judged
+    * against χ²(7) — the FIFTH consumer of the shared
+    * `Chi2Crit95Ppm` table — repeated per row (the q181 discipline).
+    *
+    * Integer determinism (the q209 two-pass recipe): the mean floors
+    * ONCE to milli-cents, deviations are exact, num_k = Σ dx_t·dx_{t−k}
+    * and den = Σ dx² run in DECIMAL(38), r_ppm = num·10⁶ div den
+    * (truncation toward zero, the verified shared convention); the
+    * band test cross-multiplies r_ppm²·n > 4·10¹² sqrt-free; Ljung–Box
+    * floors r_ppm² by (n−k) per lag and the total once more. Constant
+    * series (den = 0) surface NULL r and a NULL verdict, honestly.
+    *
+    * Scale shape: SEVENTH consumer of the q172/q173 (type, day) daily
+    * matrix — the stream collapses once, the lag columns come from a
+    * type-partitioned window over the calendar-bounded matrix (never
+    * a global sort), the melt is a 7-arm stack Generate, and all test
+    * arithmetic is |types|·7-sized with broadcast joins back.
+    */
+  def acfOfDaily(daily: DataFrame, maxLag: Int = 7): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val stats = dense.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"))
+      .select(col("event_type"), col("n"),
+        expr("s1 * 1000 div n").as("m_milli"))
+    val dx = CachedStages.track(dense
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("dx", expr("cents * 1000 - m_milli"))
+      .persist())
+    val den = dx.groupBy("event_type")
+      .agg(sum(expr("CAST(dx AS DECIMAL(38, 0)) * dx")).as("den"),
+        max(col("n")).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = (1 to maxLag).foldLeft(dx.select("event_type", "day",
+      "dx")) { (d, k) =>
+      d.withColumn(s"dx$k", lag(col("dx"), k).over(w))
+    }
+    val melted = lagged.select(col("event_type"), col("dx"),
+      expr(s"stack($maxLag, ${(1 to maxLag)
+        .map(k => s"CAST($k AS BIGINT), dx$k").mkString(", ")})"
+        + " AS (lag, dxl)"))
+      .filter(col("dxl").isNotNull)
+    val rs = CachedStages.track(melted.groupBy("event_type", "lag")
+      .agg(sum(expr("CAST(dx AS DECIMAL(38, 0)) * dxl")).as("num"))
+      .join(broadcast(den), Seq("event_type"))
+      .withColumn("r_ppm", expr(
+        "CAST(num * 1000000 div nullif(den, 0) AS BIGINT)"))
+      .withColumn("beyond_band", expr(
+        """CASE WHEN r_ppm IS NULL THEN CAST(NULL AS BIGINT)
+          |     WHEN CAST(r_ppm AS DECIMAL(38, 0)) * r_ppm * n
+          |       > CAST(4000000000000 AS DECIMAL(38, 0))
+          |       THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .persist())
+    val lb = rs
+      .withColumn("s_k", expr(
+        """CAST(r_ppm AS DECIMAL(38, 0)) * r_ppm
+          | div nullif(n - lag, 0)""".stripMargin))
+      .groupBy("event_type")
+      .agg(sum(col("s_k")).as("s_sum"), max(col("n")).as("n2"),
+        count(lit(1)).as("n_lags"))
+      .withColumn("q_lb_micro", expr(
+        """CAST(CAST(n2 AS DECIMAL(38, 0)) * (n2 + 2) * s_sum
+          | div 1000000 AS BIGINT)""".stripMargin))
+      .withColumn("crit_micro", expr(
+        s"""CAST(try_element_at(
+          |  array(${Chi2Crit95Ppm.mkString(",")}),
+          |  CAST(n_lags AS INT)) AS BIGINT)""".stripMargin))
+      .withColumn("autocorrelated", expr(
+        """CASE WHEN q_lb_micro IS NULL OR crit_micro IS NULL
+          |       THEN CAST(NULL AS BIGINT)
+          |     WHEN q_lb_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("event_type"), col("n_lags").as("df_chi2"),
+        col("q_lb_micro"), col("crit_micro"), col("autocorrelated"))
+    rs.join(broadcast(lb), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n").as("n_days"),
+        col("r_ppm"), col("beyond_band"), col("q_lb_micro"),
+        col("df_chi2"), col("crit_micro"), col("autocorrelated"))
+      .orderBy("event_type", "lag")
+  }
+
   /** χ²₀.₉₅ critical values × 10⁶ for df = 1..120 (the standard
     * table; computed once from the regularized incomplete gamma and
     * checked against the published values to 6 decimals). Shared by

@@ -3169,6 +3169,72 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q215 ACF: alternating series exact ladder, constant NULLs, " +
+    "graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6),
+        r.getLong(7),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)))).toSeq
+    // a: 1000/0 alternating over 20 days -> dx = ±500000 milli,
+    // r_k = (-1)^k (20-k)*50000 ppm EXACTLY (every division lands),
+    // all beyond the 2/sqrt(20) band; Ljung-Box sums to exactly
+    // 2.8e11 -> Q = 123200000 >> crit(7). c: constant -> den = 0,
+    // NULL r and verdict.
+    val fx = (0L to 19L).map(d => ("a", d, if (d % 2 == 0) 1000L else 0L)) ++
+      (0L to 19L).map(d => ("c", d, 700L))
+    val got = collect9(Events.acfOfDaily(fx.toDF("event_type", "day",
+      "cents")))
+    val expA = (1 to 7).map { k =>
+      val r = (if (k % 2 == 1) -1L else 1L) * (20L - k) * 50000L
+      ("a", k.toLong, 20L, Some(r), Some(1L), Some(123200000L), 7L,
+        graft.ops.Events.Chi2Crit95Ppm(6), Some(1L))
+    }
+    val expC = (1 to 7).map { k =>
+      ("c", k.toLong, 20L, None, None, None, 7L,
+        graft.ops.Events.Chi2Crit95Ppm(6), None)
+    }
+    assert(got == expA ++ expC, got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: densified calendar, BigInt two-pass + floors
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val byType = raw.groupBy(_._1).view.mapValues(g =>
+      g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+    val expect = byType.keys.toSeq.sorted.flatMap { t =>
+      val xs = (mn to mx).map(d => BigInt(byType(t).getOrElse(d, 0L)))
+      val n = BigInt(xs.size)
+      val mMilli = xs.sum * 1000 / n
+      val dxs = xs.map(_ * 1000 - mMilli)
+      val den = dxs.map(d => d * d).sum
+      val rks = (1 to 7).map { k =>
+        val num = dxs.drop(k).zip(dxs.dropRight(k)).map { case (x, y)
+          => x * y }.sum
+        if (den == 0) None else Some(num * 1000000 / den)
+      }
+      val sSum = rks.zipWithIndex.map { case (r, i) =>
+        r.map(rr => rr * rr / (n - (i + 1))) }
+      val q = if (sSum.exists(_.isEmpty)) None
+        else Some((n * (n + 2) * sSum.map(_.get).sum / 1000000).toLong)
+      val crit = graft.ops.Events.Chi2Crit95Ppm(6)
+      rks.zipWithIndex.map { case (r, i) =>
+        (t, (i + 1).toLong, n.toLong, r.map(_.toLong),
+          r.map(rr => if (rr * rr * n > BigInt(4000000000000L)) 1L
+            else 0L),
+          q, 7L, crit, q.map(qq => if (qq > crit) 1L else 0L))
+      }
+    }
+    val graded = collect9(Events.acfDaily(spark, dir))
+    assert(graded == expect, s"${graded.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q188 Mann-Kendall: monotone/flat/alternating fixtures + replay") {
     import spark.implicits._
     // Pure-Scala replay: pairwise signs, Kendall tie correction, the

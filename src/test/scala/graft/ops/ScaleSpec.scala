@@ -1308,6 +1308,29 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q215 plan: one events scan; lag windows type-partitioned over " +
+    "the cached matrix; test arithmetic broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Events.acfDaily(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    // both final branches (per-lag rows + Ljung-Box rollup) read the
+    // persisted rs table; the dense/dx caches sit nested inside it
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    // every lag window partitions by event_type — no global sort
+    tree.foreach {
+      case w: WindowExec => assert(w.partitionSpec.nonEmpty, w.toString)
+      case _ =>
+    }
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q188 plan: one events scan; pair join and moments all read the " +
     "persisted daily matrix; type-keyed joins broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -478,5 +478,10 @@ class EventStreamsSpec extends SparkSpec {
     val ewBatch = rows6(Events.ewmaChart(spark, src))
     graft.ops.CachedStages.release(spark)
     assert(ewStreamed == ewBatch && ewBatch.nonEmpty)
+    val acStreamed = rows6(Events.acfOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val acBatch = rows6(Events.acfDaily(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(acStreamed == acBatch && acBatch.nonEmpty)
   }
 }
