@@ -320,6 +320,7 @@ object SparkEntry {
     "q213_kruskal_wallis" -> RankTests.kruskalWallis _,
     "q214_ewma_chart" -> Events.ewmaChart _,
     "q215_acf_daily" -> Events.acfDaily _,
+    "q216_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5284,6 +5285,27 @@ object SparkEntry {
          |FROM rb JOIN lb3 ON rb.event_type = lb3.event_type
          |ORDER BY 1, 2""".stripMargin,
 
+    // Replays Privacy.tClosenessOf: the q185 base, per-level
+    // cross-multiplied TV distances, the 0.2 verdict rollup.
+    "q216_t_closeness" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS nat,
+         |    CAST(n.n_regionkey AS BIGINT) AS reg,
+         |    CAST(CASE WHEN c.c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
+         |      AS bal_sign,
+         |    c.c_mktsegment AS sens
+         |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |gsens AS (SELECT sens, CAST(COUNT(*) AS BIGINT) AS n_c
+         |          FROM base GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM base)
+         |SELECT * FROM (
+         |  ${tClosenessArm("L0_nation", "nat")}
+         |  UNION ALL
+         |  ${tClosenessArm("L1_region", "reg")}
+         |  UNION ALL
+         |  ${tClosenessArm("L2_balance_sign", "bal_sign")}) u
+         |ORDER BY level""".stripMargin,
+
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected
     // cross-multiplied 5% test in HUGEINT.
@@ -6346,6 +6368,34 @@ object SparkEntry {
          |FROM grp CROSS JOIN s4
          |ORDER BY g""".stripMargin,
   )
+
+  /** One level of the q216 oracle: per-group EMD/TV distance against
+    * the global sensitive distribution with the closed-form
+    * absent-class mass, then the level rollup — all `//` operands
+    * HUGEINT/BIGINT.
+    */
+  private def tClosenessArm(name: String, key: String): String =
+    s"""SELECT '$name' AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |    CAST(SUM(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_violating,
+       |    CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+       |    CAST(SUM(CASE WHEN t_ppm > 200000 THEN n_g ELSE 0 END)
+       |      * 1000000 // MAX(n_total) AS BIGINT) AS risk_ppm
+       |  FROM (
+       |    SELECT n_g, n_total,
+       |      (s_present + (n_total - c_present)::HUGEINT * n_g)
+       |        * 1000000 // (2 * n_g::HUGEINT * n_total) AS t_ppm
+       |    FROM (
+       |      SELECT gc.$key, MAX(n_g) AS n_g, MAX(n_total) AS n_total,
+       |        SUM(abs(n_gc::HUGEINT * n_total - n_c::HUGEINT * n_g))
+       |          AS s_present,
+       |        SUM(n_c) AS c_present
+       |      FROM (SELECT $key, sens, CAST(COUNT(*) AS BIGINT) AS n_gc
+       |            FROM base GROUP BY 1, 2) gc
+       |      JOIN (SELECT $key, CAST(COUNT(*) AS BIGINT) AS n_g
+       |            FROM base GROUP BY 1) gt USING ($key)
+       |      JOIN gsens USING (sens) CROSS JOIN tt
+       |      GROUP BY 1) p) q""".stripMargin
 
   /** Builds the q214 oracle: the EWMA level/variance recursions as a
     * per-type linear recursive CTE over the densified calendar,

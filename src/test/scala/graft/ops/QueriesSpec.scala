@@ -3111,6 +3111,62 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q216 t-closeness: hand TV ladder incl. absent-class mass; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // N=10, global 6A/4B. nat1 = 2A2B: t=0.1; nat2 = 4A (homogeneous,
+    // absent-B mass enters): t=0.4; nat3 = 2B: t=0.6. Regions {1,2}:
+    // reg1 = 6A2B -> 0.15, reg2 -> 0.6. One balance sign -> t=0.
+    val fx = Seq.fill(2)((1L, 1L, 1L, "A")) ++
+      Seq.fill(2)((1L, 1L, 1L, "B")) ++
+      Seq.fill(4)((2L, 1L, 1L, "A")) ++
+      Seq.fill(2)((3L, 2L, 1L, "B"))
+    val got = collect5(Privacy.tClosenessOf(
+      fx.toDF("nat", "reg", "bal_sign", "sens"), 200000L))
+    assert(got == Seq(
+      ("L0_nation", 3L, 2L, 600000L, 600000L),
+      ("L1_region", 2L, 1L, 600000L, 200000L),
+      ("L2_balance_sign", 1L, 0L, 0L, 0L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt (per-level group distributions vs the
+    // global, the single cross-multiplied floor per group)
+    val nations = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_regionkey").collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        r.getAs[Number](1).longValue).toMap
+    val cust = Tables(spark, dir, "customer")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map { r =>
+        val nat = r.getAs[Number](0).longValue
+        (nat, nations(nat), if (r.getDouble(1) >= 0) 1L else 0L,
+          r.getString(2))
+      }
+    val n = BigInt(cust.length)
+    val nc = cust.groupBy(_._4).view.mapValues(g => BigInt(g.size)).toMap
+    def lvl(name: String, key: ((Long, Long, Long, String)) => Long) = {
+      val ts = cust.groupBy(key).toSeq.map { case (_, g) =>
+        val ng = BigInt(g.size)
+        val present = g.groupBy(_._4).view.mapValues(x => BigInt(x.size))
+        val sPresent = present.map { case (c, ngc) =>
+          (ngc * n - nc(c) * ng).abs }.sum
+        val cPresent = present.keys.map(nc).sum
+        val t = (sPresent + (n - cPresent) * ng) * 1000000 /
+          (2 * ng * n)
+        (t, ng)
+      }.toSeq
+      (name, ts.size.toLong, ts.count(_._1 > 200000).toLong,
+        ts.map(_._1).max.toLong,
+        (ts.filter(_._1 > 200000).map(_._2).sum * 1000000 / n).toLong)
+    }
+    val expect = Seq(lvl("L0_nation", _._1), lvl("L1_region", _._2),
+      lvl("L2_balance_sign", _._3))
+    val graded = collect5(Privacy.tCloseness(spark, dir))
+    assert(graded == expect, s"$graded != $expect")
+    CachedStages.release(spark)
+  }
   test("q214 EWMA: smooth drift alarms both sides, constant silent; " +
     "graded replay") {
     import spark.implicits._
