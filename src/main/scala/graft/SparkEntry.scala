@@ -321,6 +321,7 @@ object SparkEntry {
     "q214_ewma_chart" -> Events.ewmaChart _,
     "q215_acf_daily" -> Events.acfDaily _,
     "q216_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
+    "q217_heaps_growth" -> TextOps.heapsGrowth _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5305,6 +5306,51 @@ object SparkEntry {
          |  UNION ALL
          |  ${tClosenessArm("L2_balance_sign", "bal_sign")}) u
          |ORDER BY level""".stripMargin,
+
+    // Replays TextOps.heapsGrowthOf: shared tokenizer, first-seen
+    // min-aggregate, proportional doc-id deciles, 10-row cumulative.
+    "q217_heaps_growth" ->
+      """WITH b AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx
+        |           FROM documents),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        |       FROM toks GROUP BY 1),
+        |dd AS (
+        |  SELECT (d.doc_id - mn) * 10 // (mx - mn + 1) + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(COALESCE(dt.n_toks, 0)) AS BIGINT) AS n_tokens
+        |  FROM documents d CROSS JOIN b LEFT JOIN dt USING (doc_id)
+        |  GROUP BY 1),
+        |td AS (
+        |  SELECT (first_doc - mn) * 10 // (mx - mn + 1) + 1 AS decile,
+        |    CAST(COUNT(*) AS BIGINT) AS new_types
+        |  FROM (SELECT tok, MIN(doc_id) AS first_doc FROM toks
+        |        GROUP BY 1) f
+        |  CROSS JOIN b GROUP BY 1),
+        |sp AS (SELECT unnest(generate_series(1, 10)) AS decile),
+        |j AS (
+        |  SELECT sp.decile, COALESCE(n_docs, 0) AS n_docs,
+        |    COALESCE(n_tokens, 0) AS n_tokens,
+        |    COALESCE(new_types, 0) AS new_types
+        |  FROM sp LEFT JOIN dd ON sp.decile = dd.decile
+        |  LEFT JOIN td ON sp.decile = td.decile),
+        |c AS (
+        |  SELECT decile, n_docs, n_tokens, new_types,
+        |    SUM(n_docs) OVER w AS n_docs_cum,
+        |    SUM(n_tokens) OVER w AS n_tokens_cum,
+        |    SUM(new_types) OVER w AS vocab_cum
+        |  FROM j WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_tokens,
+        |  new_types,
+        |  CAST(n_docs_cum AS BIGINT) AS n_docs_cum,
+        |  CAST(n_tokens_cum AS BIGINT) AS n_tokens_cum,
+        |  CAST(vocab_cum AS BIGINT) AS vocab_cum,
+        |  CAST(vocab_cum * 1000000 // nullif(n_tokens_cum, 0) AS BIGINT)
+        |    AS ttr_ppm
+        |FROM c ORDER BY decile""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

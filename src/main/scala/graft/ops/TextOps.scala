@@ -1384,4 +1384,71 @@ object TextOps {
       .select("token", "cf", "df", "burst_micro")
       .orderBy(col("burst_micro").desc, col("token").asc)
       .limit(k)
+
+  def heapsGrowth(spark: SparkSession, dir: String): DataFrame =
+    heapsGrowthOf(Tables(spark, dir, "documents"))
+
+  /** Graded q217: HEAPS'-LAW VOCABULARY GROWTH curve (Heaps 1978;
+    * Herdan 1960) — the collector curve every tokenizer/vocab budget
+    * decision reads first: as the corpus grows, how fast does the
+    * set of distinct tokens grow, and how fast does the type-token
+    * ratio fall? Complements the family: q107 scores coverage of a
+    * FIXED vocab, q134 maintains one incrementally, q113 tracks
+    * n-gram novelty doc-over-doc, q163 grows a SKETCHED distinct
+    * count over time — this is the exact type-accumulation curve
+    * over the ingestion order itself.
+    *
+    * The corpus is cut into ten PROPORTIONAL doc-id bands
+    * (dec = (doc_id − mn)·10 div (mx − mn + 1) + 1 — value-range
+    * binning, exact rank deciles when ids are the pipeline's dense
+    * sequence, and a valid fixed grid regardless); per decile: docs
+    * and token occurrences landing there, NEW types (tokens whose
+    * FIRST document lands there — one min-aggregate, the q184
+    * first-seen discipline), the running totals, and the
+    * type-token ratio vocab·10⁶ div tokens. Empty text lands in the
+    * doc count with zero tokens, honestly.
+    *
+    * Scale shape: ONE corpus tokenization (the shared chain); the
+    * vocabulary collapses by token key with a min-aggregate
+    * (map-side combinable — never a per-doc set union), per-doc
+    * token counts collapse the same scan, both band into a 10-row
+    * spine whose cumulative window is bounded by construction. The
+    * curve costs two shuffles on a 100 TB corpus, both combinable.
+    */
+  def heapsGrowthOf(docs: DataFrame): DataFrame = {
+    val toks = CachedStages.track(docs
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
+      .persist())
+    val ids = CachedStages.track(docs.select("doc_id").persist())
+    val bounds = ids.agg(min(col("doc_id")).as("mn"),
+      max(col("doc_id")).as("mx"))
+    def dec(c: String) =
+      expr(s"CAST(($c - mn) * 10 div (mx - mn + 1) + 1 AS BIGINT)")
+    val docDec = ids.crossJoin(broadcast(bounds))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_toks"))
+      .groupBy(dec("doc_id").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val typeDec = toks.groupBy("tok")
+      .agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(dec("first_doc").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    val spine = docs.sparkSession.range(1, 11)
+      .select(col("id").as("decile"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(broadcast(docDec), Seq("decile"), "left")
+      .join(broadcast(typeDec), Seq("decile"), "left")
+      .na.fill(0L, Seq("n_docs", "n_tokens", "new_types"))
+      .withColumn("n_docs_cum", sum(col("n_docs")).over(w))
+      .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_cum", sum(col("new_types")).over(w))
+      .withColumn("ttr_ppm", expr(
+        "vocab_cum * 1000000 div nullif(n_tokens_cum, 0)"))
+      .select("decile", "n_docs", "n_tokens", "new_types",
+        "n_docs_cum", "n_tokens_cum", "vocab_cum", "ttr_ppm")
+      .orderBy("decile")
+  }
 }

@@ -3111,6 +3111,60 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q217 Heaps growth: one-doc-per-decile hand curve incl. empty " +
+    "doc; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    // ids 0..9 -> one doc per decile; vocab {aa,bb,cc,dd} enters at
+    // deciles 1,1,2,4; doc 2 is EMPTY (a doc with zero tokens still
+    // counts); every later doc repeats "aa".
+    val texts = Seq("aa bb", "aa cc", "", "bb dd") ++
+      Seq.fill(6)("aa")
+    val fx = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = collect8(TextOps.heapsGrowthOf(fx))
+    val toksPerDec = Seq(2L, 2L, 0L, 2L, 1L, 1L, 1L, 1L, 1L, 1L)
+    val newPerDec = Seq(2L, 1L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)
+    var (dc, tc, vc) = (0L, 0L, 0L)
+    val expect = (1 to 10).map { d =>
+      dc += 1; tc += toksPerDec(d - 1); vc += newPerDec(d - 1)
+      (d.toLong, 1L, toksPerDec(d - 1), newPerDec(d - 1), dc, tc, vc,
+        Some(vc * 1000000L / tc))
+    }
+    assert(got == expect, got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: driver tokenizer, first-seen mins, value-range
+    // deciles, BigInt cumulative
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mn = docs.map(_._1).min; val mx = docs.map(_._1).max
+    def dec(id: Long) = (id - mn) * 10 / (mx - mn + 1) + 1
+    val tokRe = "[a-z0-9]+".r
+    val perDoc = docs.map { case (id, t) =>
+      (id, tokRe.findAllIn(t.toLowerCase).toSeq) }
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    perDoc.sortBy(_._1).foreach { case (id, ts) =>
+      ts.foreach(t => if (!first.contains(t)) first(t) = id) }
+    val nd = perDoc.groupBy(p => dec(p._1)).view
+      .mapValues(g => (g.size.toLong, g.map(_._2.size.toLong).sum))
+      .toMap.withDefaultValue((0L, 0L))
+    val nt = first.values.groupBy(dec).view
+      .mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    var (dc2, tc2, vc2) = (0L, 0L, 0L)
+    val expect2 = (1 to 10).map { d =>
+      val (a, b) = nd(d.toLong)
+      dc2 += a; tc2 += b; vc2 += nt(d.toLong)
+      (d.toLong, a, b, nt(d.toLong), dc2, tc2, vc2,
+        if (tc2 == 0) None else Some(vc2 * 1000000L / tc2))
+    }
+    val graded = collect8(TextOps.heapsGrowth(spark, dir))
+    assert(graded == expect2, s"${graded.take(3)} != ${expect2.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q216 t-closeness: hand TV ladder incl. absent-class mass; " +
     "graded replay") {
     import spark.implicits._

@@ -1308,6 +1308,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q217 plan: one corpus tokenization cache feeds per-doc counts " +
+    "and first-seen; 10-row spine broadcast-joined") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.heapsGrowth(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the only file scan is the doc-id spine read; tokenization runs
+    // once inside the persisted toks cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q216 plan: one customer scan into the persisted base; levels " +
     "re-read the cache; distributions broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
