@@ -322,6 +322,7 @@ object SparkEntry {
     "q215_acf_daily" -> Events.acfDaily _,
     "q216_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
     "q217_heaps_growth" -> TextOps.heapsGrowth _,
+    "q218_spearman" -> RankTests.spearman _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5351,6 +5352,68 @@ object SparkEntry {
         |  CAST(vocab_cum * 1000000 // nullif(n_tokens_cum, 0) AS BIGINT)
         |    AS ttr_ppm
         |FROM c ORDER BY decile""".stripMargin,
+
+    // Replays RankTests.spearmanOf: whole-dollar quantization, the
+    // shared doubled-midrank engine per variable, the q209 two-pass
+    // integer Pearson on rank pairs, z2 = rho2*(n-1) vs chi2(1).
+    "q218_spearman" ->
+      s"""WITH spend AS (
+         |  SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice
+         |    AS DECIMAL(12, 2)) * 100 AS BIGINT)) AS BIGINT) AS ycents
+         |  FROM orders GROUP BY 1),
+         |d AS MATERIALIZED (
+         |  SELECT CAST(CAST(c_acctbal AS DECIMAL(12, 2)) * 100
+         |      AS BIGINT) // 100 AS x,
+         |    COALESCE(ycents // 100, 0) AS y
+         |  FROM customer LEFT JOIN spend ON c_custkey = o_custkey),
+         |hx AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM d GROUP BY 1),
+         |rx AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |    + cnt + 1 AS mr2 FROM hx),
+         |tx AS (SELECT SUM(cnt::HUGEINT * cnt * cnt - cnt) AS tie_x
+         |       FROM hx),
+         |hy AS (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM d GROUP BY 1),
+         |ry AS (SELECT v, 2 * (SUM(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+         |    + cnt + 1 AS mr2 FROM hy),
+         |ty AS (SELECT SUM(cnt::HUGEINT * cnt * cnt - cnt) AS tie_y
+         |       FROM hy),
+         |pairs AS MATERIALIZED (
+         |  SELECT rx.mr2 AS rx2, ry.mr2 AS ry2
+         |  FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v),
+         |p1 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(rx2)::HUGEINT * 1000 // COUNT(*) AS mx,
+         |    SUM(ry2)::HUGEINT * 1000 // COUNT(*) AS my
+         |  FROM pairs),
+         |p2 AS (
+         |  SELECT MAX(n) AS n,
+         |    SUM((rx2 * 1000 - mx)::HUGEINT * (ry2 * 1000 - my)) AS covS,
+         |    SUM((rx2 * 1000 - mx)::HUGEINT * (rx2 * 1000 - mx)) AS vxS,
+         |    SUM((ry2 * 1000 - my)::HUGEINT * (ry2 * 1000 - my)) AS vyS
+         |  FROM pairs CROSS JOIN p1),
+         |p3 AS (
+         |  SELECT n, covS // n AS covM, vxS // n AS vxM, vyS // n AS vyM
+         |  FROM p2),
+         |p4 AS (
+         |  SELECT n,
+         |    CAST(CASE WHEN covM > 0 THEN 1 WHEN covM < 0 THEN -1
+         |      ELSE 0 END AS BIGINT) AS rho_sign,
+         |    CAST(covM * covM * 1000000 // nullif(vxM * vyM, 0)
+         |      AS BIGINT) AS rho2_ppm
+         |  FROM p3)
+         |SELECT n, CAST(tie_x AS BIGINT) AS tie_x,
+         |  CAST(tie_y AS BIGINT) AS tie_y, rho_sign, rho2_ppm,
+         |  rho2_ppm * (n - 1) AS z2_micro,
+         |  CAST(${graft.ops.Events.Chi2Crit95Ppm.head} AS BIGINT)
+         |    AS crit_micro,
+         |  CAST(CASE WHEN rho2_ppm IS NULL THEN NULL
+         |    WHEN rho2_ppm * (n - 1) >
+         |      ${graft.ops.Events.Chi2Crit95Ppm.head} THEN 1
+         |    ELSE 0 END AS BIGINT) AS significant
+         |FROM p4 CROSS JOIN tx CROSS JOIN ty""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

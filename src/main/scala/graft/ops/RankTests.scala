@@ -223,4 +223,105 @@ object RankTests {
         col("significant"))
       .orderBy("g")
   }
+
+  /** Whole-dollar account balance vs whole-dollar realized spend per
+    * customer (customers without orders spend 0 — the zero-inflation
+    * is part of the question). Balance can be negative: `div 100`
+    * truncates toward zero in both engines (the verified shared
+    * convention), so the −$0.99..$0.99 band merges at 0 — documented
+    * quantization, same contract as q176/q193.
+    */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("ycents"))
+    spearmanOf(Tables(spark, dir, "customer")
+      .select(col("c_custkey"),
+        expr("""CAST(CAST(c_acctbal AS DECIMAL(12, 2)) * 100
+          | AS BIGINT) div 100""".stripMargin).as("x"))
+      .join(spend.select(col("o_custkey").as("c_custkey"),
+        expr("ycents div 100").as("y")), Seq("c_custkey"), "left")
+      .na.fill(0L, Seq("y"))
+      .select("x", "y"))
+  }
+
+  /** Graded q218: SPEARMAN RANK CORRELATION (Spearman 1904) between
+    * account balance and realized spend — the monotone-association
+    * audit: does the static balance attribute PREDICT purchasing, in
+    * the rank sense that survives heavy tails and outliers where raw
+    * Pearson (the q168 moment machinery) does not? Method: both
+    * variables rank through the SHARED midrank engine's doubled
+    * midranks (Pearson-on-midranks IS tie-corrected Spearman), then
+    * the engine's q209 two-pass integer Pearson: exact rank sums,
+    * means floored once to milli, DECIMAL(38) centered products,
+    * moment sums floored by n, verdict as (sign, ρ²·10⁶) sqrt-free.
+    * Large-sample significance is FREE of further floors: z =
+    * ρ·√(n−1) squares to z²_micro = ρ²_ppm·(n−1), judged against
+    * χ²(1) from the shared table. Degenerate variables (zero rank
+    * variance) surface NULL ρ²/sign 0, honestly.
+    *
+    * Scale shape: per-customer spend is one map-side-combinable
+    * collapse plus a customer-keyed join; each variable collapses to
+    * its whole-dollar value-domain histogram (bounded by the PRICE
+    * RANGE — the only unpartitioned windows run there); midranks
+    * join back on the value keys; moments are two scans of the
+    * persisted |customers|-row rank-pair table.
+    */
+  def spearmanOf(df: DataFrame): DataFrame = {
+    val d = CachedStages.track(df.persist())
+    def ranks(cName: String) = {
+      val h = d.groupBy(col(cName).as("v")).agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("cnt")).over(wv))
+        .select(col("v"), expr("2 * (cum - cnt) + cnt + 1").as("mr2"),
+          expr("CAST(cnt AS DECIMAL(38, 0)) * cnt * cnt - cnt")
+            .as("t3"))
+    }
+    val rx = CachedStages.track(ranks("x").persist())
+    val ry = CachedStages.track(ranks("y").persist())
+    val pairs = CachedStages.track(d
+      .join(rx.select(col("v").as("x"), col("mr2").as("rx2")), Seq("x"))
+      .join(ry.select(col("v").as("y"), col("mr2").as("ry2")), Seq("y"))
+      .select("rx2", "ry2").persist())
+    val ties = rx.agg(sum(col("t3")).as("tie_x"))
+      .crossJoin(broadcast(ry.agg(sum(col("t3")).as("tie_y"))))
+    val p1 = pairs.agg(count(lit(1)).as("n"),
+        sum(expr("CAST(rx2 AS DECIMAL(38, 0))")).as("sx"),
+        sum(expr("CAST(ry2 AS DECIMAL(38, 0))")).as("sy"))
+      .withColumn("mx", expr("sx * 1000 div n"))
+      .withColumn("my", expr("sy * 1000 div n"))
+    pairs.crossJoin(broadcast(p1))
+      .select(expr("rx2 * 1000 - mx").as("dx"),
+        expr("ry2 * 1000 - my").as("dy"), col("n"))
+      .agg(max(col("n")).as("n"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dy")).as("covS"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dx")).as("vxS"),
+        sum(expr("CAST(dy AS DECIMAL(38, 0)) * dy")).as("vyS"))
+      .withColumn("covM", expr("covS div n"))
+      .withColumn("vxM", expr("vxS div n"))
+      .withColumn("vyM", expr("vyS div n"))
+      .crossJoin(broadcast(ties))
+      .withColumn("rho_sign", expr(
+        """CASE WHEN covM > 0 THEN CAST(1 AS BIGINT)
+          |     WHEN covM < 0 THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("rho2_ppm", expr(
+        """CAST(CAST(covM AS DECIMAL(38, 0)) * covM * 1000000
+          | div nullif(CAST(vxM AS DECIMAL(38, 0)) * vyM, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("z2_micro", expr("rho2_ppm * (n - 1)"))
+      .withColumn("crit_micro", lit(Events.Chi2Crit95Ppm.head))
+      .withColumn("significant", expr(
+        """CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BIGINT)
+          |     WHEN z2_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("n"),
+        expr("CAST(tie_x AS BIGINT)").as("tie_x"),
+        expr("CAST(tie_y AS BIGINT)").as("tie_y"),
+        col("rho_sign"), col("rho2_ppm"), col("z2_micro"),
+        col("crit_micro"), col("significant"))
+  }
 }

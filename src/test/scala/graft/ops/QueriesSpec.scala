@@ -3111,6 +3111,78 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q218 Spearman: monotone +-1e6 exact, constant NULL, graded " +
+    "replay") {
+    import spark.implicits._
+    def row8(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))
+    }
+    // strictly increasing pairs: identical rank vectors -> rho2
+    // exactly 10^6, z2 = 7e6 -> significant
+    val up = (1L to 8L).map(i => (i, 10 * i))
+    assert(row8(RankTests.spearmanOf(up.toDF("x", "y"))) ==
+      (8L, 0L, 0L, 1L, Some(1000000L), Some(7000000L), 3841459L,
+        Some(1L)))
+    CachedStages.release(spark)
+    // strictly decreasing: dx = -dy exactly -> sign -1, rho2 full
+    val down = (1L to 8L).map(i => (i, -10 * i))
+    assert(row8(RankTests.spearmanOf(down.toDF("x", "y"))) ==
+      (8L, 0L, 0L, -1L, Some(1000000L), Some(7000000L), 3841459L,
+        Some(1L)))
+    CachedStages.release(spark)
+    // constant y: zero rank variance -> NULL rho2/verdict, sign 0
+    val const = (1L to 6L).map(i => (i, 5L))
+    val c = row8(RankTests.spearmanOf(const.toDF("x", "y")))
+    assert(c._4 == 0L && c._5.isEmpty && c._8.isEmpty &&
+      c._3 == 6L * 6 * 6 - 6, c.toString)
+    CachedStages.release(spark)
+    // graded replay in BigInt: quantization, midranks, two-pass floors
+    val spend = Tables(spark, dir, "orders")
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val base = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map { r =>
+        val xc = (BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt
+        (xc / 100, spend.getOrElse(r.getLong(0), BigInt(0)) / 100)
+      }
+    def mr2(vs: Seq[BigInt]): (Map[BigInt, BigInt], BigInt) = {
+      val h = vs.groupBy(identity).view.mapValues(g => BigInt(g.size))
+        .toSeq.sortBy(_._1)
+      var cum = BigInt(0)
+      val m = h.map { case (v, c) =>
+        val r = 2 * cum + c + 1; cum += c; (v, r) }.toMap
+      (m, h.map { case (_, c) => c * c * c - c }.sum)
+    }
+    val (mx2, tieX) = mr2(base.map(_._1).toSeq)
+    val (my2, tieY) = mr2(base.map(_._2).toSeq)
+    val prs = base.map { case (x, y) => (mx2(x), my2(y)) }
+    val n = BigInt(prs.size)
+    val mmx = prs.map(_._1).sum * 1000 / n
+    val mmy = prs.map(_._2).sum * 1000 / n
+    val covM = prs.map { case (a, b) =>
+      (a * 1000 - mmx) * (b * 1000 - mmy) }.sum / n
+    val vxM = prs.map { case (a, _) =>
+      val d = a * 1000 - mmx; d * d }.sum / n
+    val vyM = prs.map { case (_, b) =>
+      val d = b * 1000 - mmy; d * d }.sum / n
+    val rho2 = if (vxM * vyM == 0) None
+      else Some((covM * covM * 1000000 / (vxM * vyM)).toLong)
+    val expect = (n.toLong, tieX.toLong, tieY.toLong,
+      covM.signum.toLong, rho2, rho2.map(_ * (n.toLong - 1)),
+      3841459L,
+      rho2.map(r => if (r * (n.toLong - 1) > 3841459L) 1L else 0L))
+    assert(row8(RankTests.spearman(spark, dir)) == expect)
+    CachedStages.release(spark)
+  }
   test("q217 Heaps growth: one-doc-per-decile hand curve incl. empty " +
     "doc; graded replay") {
     import spark.implicits._
