@@ -323,6 +323,7 @@ object SparkEntry {
     "q216_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
     "q217_heaps_growth" -> TextOps.heapsGrowth _,
     "q218_spearman" -> RankTests.spearman _,
+    "q219_naive_bayes" -> Features.naiveBayes _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5414,6 +5415,55 @@ object SparkEntry {
          |      ${graft.ops.Events.Chi2Crit95Ppm.head} THEN 1
          |    ELSE 0 END AS BIGINT) AS significant
          |FROM p4 CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // Replays Features.naiveBayesOf: the count cube, Laplace-smoothed
+    // fixed-point scores, the pinned argmax, the weighted confusion
+    // rollup.
+    "q219_naive_bayes" ->
+      """WITH cube AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS bsign,
+        |    c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cls AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS n_c
+        |        FROM cube GROUP BY 1),
+        |nats AS (SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS n_natc
+        |         FROM cube GROUP BY 1, 2),
+        |sgn AS (SELECT bsign, seg, CAST(SUM(n) AS BIGINT) AS n_signc
+        |        FROM cube GROUP BY 1, 2),
+        |dn AS (SELECT CAST(COUNT(DISTINCT nat) AS BIGINT) AS d_nat
+        |       FROM cube),
+        |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_total,
+        |        CAST(MAX(n_c) AS BIGINT) AS n_major FROM cls),
+        |combos AS (SELECT DISTINCT nat, bsign FROM cube),
+        |sc AS (
+        |  SELECT c.nat, c.bsign, cls.seg,
+        |    CAST(cls.n_c::HUGEINT * (COALESCE(nats.n_natc, 0) + 1)
+        |      * (COALESCE(sgn.n_signc, 0) + 1) * 1000000000000
+        |      // ((cls.n_c + d_nat)::HUGEINT * (cls.n_c + 2))
+        |      AS BIGINT) AS s_fp
+        |  FROM combos c CROSS JOIN cls
+        |  LEFT JOIN nats ON nats.nat = c.nat AND nats.seg = cls.seg
+        |  LEFT JOIN sgn ON sgn.bsign = c.bsign AND sgn.seg = cls.seg
+        |  CROSS JOIN dn),
+        |pred AS (
+        |  SELECT nat, bsign, seg AS predicted
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nat, bsign
+        |          ORDER BY s_fp DESC, seg ASC) AS rn FROM sc) z
+        |  WHERE rn = 1),
+        |conf AS (
+        |  SELECT cube.seg AS actual, predicted,
+        |    CAST(SUM(cube.n) AS BIGINT) AS n
+        |  FROM cube JOIN pred USING (nat, bsign) GROUP BY 1, 2),
+        |acc AS (
+        |  SELECT n_total,
+        |    CAST(SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+        |      * 1000000 // n_total AS BIGINT) AS accuracy_ppm,
+        |    CAST(n_major * 1000000 // n_total AS BIGINT) AS baseline_ppm
+        |  FROM conf CROSS JOIN tot GROUP BY n_total, n_major)
+        |SELECT actual, predicted, n, n_total, accuracy_ppm, baseline_ppm
+        |FROM conf CROSS JOIN acc ORDER BY 1, 2""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -303,4 +303,82 @@ object Features {
         "split_gini_ppm", "gain_ppm")
       .orderBy("feature")
   }
+
+  def naiveBayes(spark: SparkSession, dir: String): DataFrame =
+    naiveBayesOf(Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("sign"),
+        col("c_mktsegment").as("seg")))
+
+  /** Graded q219: NAIVE BAYES segment classifier with in-sample
+    * confusion matrix (Maron 1961; Duda & Hart 1973) — the
+    * generative sibling of q189's discriminative Gini screen: q189
+    * asks "which single feature splits best", this asks "what do the
+    * features jointly PREDICT", and its confusion matrix + accuracy
+    * against the majority-class baseline is the readout. Multinomial
+    * NB with Laplace smoothing over (nation, balance sign):
+    * score(c | nat, sign) ∝ n_c·(n_{nat,c}+1)·(n_{sign,c}+1) /
+    * ((n_c+D_nat)·(n_c+2)) — the shared denominator N drops under
+    * argmax.
+    *
+    * The engine-shaped trick: with categorical features the model
+    * classifies FEATURE COMBOS, not rows — the score table is
+    * |nat|·|sign|·|classes| rows built from one count cube, argmax
+    * is a bounded window over it (s_fp desc, seg asc — fully
+    * pinned), and the confusion matrix is a weighted rollup of the
+    * same cube. The corpus is scanned ONCE; no per-row scoring
+    * exists at any scale. Scores materialize as ONE fixed-point
+    * floor s_fp = num·10¹² div den (replayed by the oracle); the
+    * numerator stays inside DECIMAL(38) to ~10⁸ rows per class —
+    * beyond that, factor the prior into ppm rates (documented, not
+    * needed at any graded scale).
+    *
+    * Graded expectation: the synthetic segment is independent of
+    * both features, so accuracy ≈ the majority-class baseline —
+    * the honest null readout, with the baseline column printed
+    * beside it so the "model learned nothing" verdict is explicit.
+    */
+  def naiveBayesOf(base: DataFrame): DataFrame = {
+    val cube = CachedStages.track(base.groupBy("nat", "sign", "seg")
+      .agg(count(lit(1)).as("n")).persist())
+    val classes = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+    val nats = cube.groupBy("nat", "seg").agg(sum(col("n")).as("n_natc"))
+    val signs = cube.groupBy("sign", "seg")
+      .agg(sum(col("n")).as("n_signc"))
+    val dNat = cube.select("nat").distinct()
+      .agg(count(lit(1)).as("d_nat"))
+    val total = classes.agg(sum(col("n_c")).as("n_total"),
+      max(col("n_c")).as("n_major"))
+    val combos = cube.select("nat", "sign").distinct()
+      .crossJoin(broadcast(classes))
+      .join(broadcast(nats), Seq("nat", "seg"), "left")
+      .join(broadcast(signs), Seq("sign", "seg"), "left")
+      .na.fill(0L, Seq("n_natc", "n_signc"))
+      .crossJoin(broadcast(dNat))
+      .withColumn("s_fp", expr(
+        """CAST(CAST(n_c AS DECIMAL(38, 0)) * (n_natc + 1)
+          | * (n_signc + 1) * 1000000000000
+          | div (CAST(n_c + d_nat AS DECIMAL(38, 0)) * (n_c + 2))
+          | AS BIGINT)""".stripMargin))
+    val wp = Window.partitionBy("nat", "sign")
+      .orderBy(col("s_fp").desc, col("seg").asc)
+    val pred = combos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("nat"), col("sign"), col("seg").as("predicted"))
+    val conf = cube.join(pred, Seq("nat", "sign"))
+      .groupBy(col("seg").as("actual"), col("predicted"))
+      .agg(sum(col("n")).as("n"))
+    val acc = conf.agg(
+        sum(when(col("actual") === col("predicted"), col("n"))
+          .otherwise(0L)).as("n_correct"))
+      .crossJoin(broadcast(total))
+      .select(col("n_total"),
+        expr("n_correct * 1000000 div n_total").as("accuracy_ppm"),
+        expr("n_major * 1000000 div n_total").as("baseline_ppm"))
+    conf.crossJoin(broadcast(acc))
+      .select("actual", "predicted", "n", "n_total", "accuracy_ppm",
+        "baseline_ppm")
+      .orderBy("actual", "predicted")
+  }
 }

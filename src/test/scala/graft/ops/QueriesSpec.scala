@@ -3111,6 +3111,57 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q219 naive Bayes: separable fixture perfect, score tie pinned, " +
+    "graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // nations 1/2 perfectly separate A/B; nation 3 splits 1-1 so both
+    // scores tie EXACTLY (symmetric counts) and the seg-asc pin
+    // predicts A -> accuracy 5/6, baseline 1/2
+    val fx = Seq((1L, 1L, "A"), (1L, 1L, "A"), (2L, 1L, "B"),
+      (2L, 1L, "B"), (3L, 1L, "A"), (3L, 1L, "B"))
+    val got = collect6(Features.naiveBayesOf(
+      fx.toDF("nat", "sign", "seg")))
+    assert(got == Seq(("A", "A", 3L, 6L, 833333L, 500000L),
+      ("B", "A", 1L, 6L, 833333L, 500000L),
+      ("B", "B", 2L, 6L, 833333L, 500000L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt: cube, smoothed fixed-point scores,
+    // pinned argmax, weighted confusion
+    val rows = Tables(spark, dir, "customer")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        if (r.getDouble(1) >= 0) 1L else 0L, r.getString(2)))
+    val n = BigInt(rows.length)
+    val nC = rows.groupBy(_._3).view.mapValues(g => BigInt(g.size)).toMap
+    val nNatC = rows.groupBy(r => (r._1, r._3)).view
+      .mapValues(g => BigInt(g.size)).toMap.withDefaultValue(BigInt(0))
+    val nSignC = rows.groupBy(r => (r._2, r._3)).view
+      .mapValues(g => BigInt(g.size)).toMap.withDefaultValue(BigInt(0))
+    val dNat = BigInt(rows.map(_._1).distinct.length)
+    val segs = nC.keys.toSeq.sorted
+    val pred = rows.map(r => (r._1, r._2)).distinct.map { case (na, sg) =>
+      val best = segs.map { c =>
+        val s = nC(c) * (nNatC((na, c)) + 1) * (nSignC((sg, c)) + 1) *
+          BigInt("1000000000000") / ((nC(c) + dNat) * (nC(c) + 2))
+        (-s, c)
+      }.min._2
+      (na, sg) -> best
+    }.toMap
+    val conf = rows.groupBy(r => (r._3, pred((r._1, r._2)))).view
+      .mapValues(g => g.size.toLong).toMap
+    val correct = BigInt(conf.collect {
+      case ((a, p), c) if a == p => c }.sum)
+    val acc = (correct * 1000000 / n).toLong
+    val basel = (nC.values.max * 1000000 / n).toLong
+    val expect = conf.toSeq.sortBy(_._1).map { case ((a, p), c) =>
+      (a, p, c, n.toLong, acc, basel) }
+    val graded = collect6(Features.naiveBayes(spark, dir))
+    assert(graded == expect, s"${graded.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q218 Spearman: monotone +-1e6 exact, constant NULL, graded " +
     "replay") {
     import spark.implicits._
