@@ -324,6 +324,7 @@ object SparkEntry {
     "q217_heaps_growth" -> TextOps.heapsGrowth _,
     "q218_spearman" -> RankTests.spearman _,
     "q219_naive_bayes" -> Features.naiveBayes _,
+    "q220_hampel_outliers" -> Events.hampelOutliers _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5464,6 +5465,53 @@ object SparkEntry {
         |  FROM conf CROSS JOIN tot GROUP BY n_total, n_major)
         |SELECT actual, predicted, n, n_total, accuracy_ppm, baseline_ppm
         |FROM conf CROSS JOIN acc ORDER BY 1, 2""".stripMargin,
+
+    // Replays Events.hampelOfDaily: densified calendar, two ceil-rank
+    // picks (median, MAD), the integer 3*1.4826 cross-compare.
+    "q220_hampel_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+        |dense AS (
+        |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |h1 AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM dense GROUP BY 1, 2),
+        |t1 AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_days
+        |       FROM h1 GROUP BY 1),
+        |m1 AS (
+        |  SELECT c1.event_type,
+        |    MIN(CASE WHEN cum * 2 >= n_days THEN cents END) AS med_cents
+        |  FROM (SELECT event_type, cents, cnt,
+        |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h1) c1
+        |  JOIN t1 USING (event_type) GROUP BY 1),
+        |dev AS (
+        |  SELECT dense.event_type, day, cents, med_cents,
+        |    abs(cents - med_cents) AS adev
+        |  FROM dense JOIN m1 USING (event_type)),
+        |h2 AS (SELECT event_type, adev, CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM dev GROUP BY 1, 2),
+        |m2 AS (
+        |  SELECT c2.event_type,
+        |    MIN(CASE WHEN cum * 2 >= n_days THEN adev END) AS mad_cents
+        |  FROM (SELECT event_type, adev, cnt,
+        |      SUM(cnt) OVER (PARTITION BY event_type ORDER BY adev
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM h2) c2
+        |  JOIN t1 USING (event_type) GROUP BY 1)
+        |SELECT dev.event_type, day, cents, med_cents, mad_cents,
+        |  CAST(CASE WHEN adev::HUGEINT * 10000 > 44478::HUGEINT * mad_cents
+        |    THEN CASE WHEN cents > med_cents THEN 1 ELSE -1 END
+        |    ELSE 0 END AS BIGINT) AS outlier
+        |FROM dev JOIN m2 USING (event_type)
+        |ORDER BY 1, 2""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

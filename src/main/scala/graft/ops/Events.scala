@@ -1389,6 +1389,73 @@ object Events {
       .orderBy("event_type", "lag")
   }
 
+  def hampelOutliers(spark: SparkSession, dir: String): DataFrame =
+    hampelOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q220: HAMPEL IDENTIFIER over daily revenue (Hampel, JASA
+    * 1974; Davies & Gather, JASA 1993) — the ROBUST outlier screen
+    * the moment-based charts can't be: q180's Shewhart uses mean±3σ,
+    * but one wild day inflates σ and MASKS its neighbors (and a
+    * second wild day can hide the first entirely — the masking
+    * breakdown). Median ± 3·1.4826·MAD has a 50% breakdown point:
+    * flag day d when |x_d − med| · 10⁴ > 44478 · MAD, side as ±1 —
+    * sqrt-free, FP-free (1.4826 ships as the integer cross-factor).
+    * MAD = 0 (a majority-constant series) is the rule's honest
+    * limit: every deviation from the median flags — exactly what a
+    * 50%-breakdown identifier must do there.
+    *
+    * Determinism: median and MAD are exact ceil-rank picks over
+    * per-type value-domain histograms (the q172 median discipline);
+    * no floor anywhere else — the flag is a pure integer compare.
+    *
+    * Scale shape: EIGHTH consumer of the q172/q173 daily matrix —
+    * the stream collapses once; both pick histograms and the flag
+    * join are bounded by the calendar; the only windows partition by
+    * event_type.
+    */
+  def hampelOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    def pick(src: DataFrame, valCol: String, outName: String) = {
+      val h = src.groupBy(col("event_type"), col(valCol))
+        .agg(count(lit(1)).as("cnt"))
+      val t = h.groupBy("event_type").agg(sum(col("cnt")).as("n_days"))
+      val wc = Window.partitionBy("event_type")
+        .orderBy(col(valCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum(col("cnt")).over(wc))
+        .join(broadcast(t), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(min(when(expr("cum * 2 >= n_days"), col(valCol)))
+          .as(outName))
+    }
+    val med = pick(dense, "cents", "med_cents")
+    val dev = CachedStages.track(dense
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+      .persist())
+    val mad = pick(dev, "adev", "mad_cents")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("outlier", expr(
+        """CASE WHEN CAST(adev AS DECIMAL(38, 0)) * 10000
+          |       > CAST(44478 AS DECIMAL(38, 0)) * mad_cents
+          |  THEN IF(cents > med_cents, CAST(1 AS BIGINT),
+          |    CAST(-1 AS BIGINT))
+          |  ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("med_cents"), col("mad_cents"), col("outlier"))
+      .orderBy("event_type", "day")
+  }
+
   /** χ²₀.₉₅ critical values × 10⁶ for df = 1..120 (the standard
     * table; computed once from the regularized incomplete gamma and
     * checked against the published values to 6 decimals). Shared by

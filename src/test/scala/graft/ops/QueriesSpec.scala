@@ -3111,6 +3111,57 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q220 Hampel: spike flags both sides, MAD=0 limit, smooth " +
+    "series silent; graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // a: majority-constant at 100 with a high day-5 and a low day-8:
+    // median 100, MAD = 0 (the 50%-breakdown limit) -> both flag,
+    // sides +1/-1, constant days silent.
+    // b: 1..11 -> median 6, adevs 0..5, MAD 3, threshold 13.3 -> no
+    // flag anywhere (the smooth-series control).
+    val a = (0L to 10L).map(d => ("a", d,
+      if (d == 5) 1000L else if (d == 8) 3L else 100L))
+    val bSeries = (0L to 10L).map(d => ("b", d, d + 1))
+    val got = collect6(Events.hampelOfDaily(
+      (a ++ bSeries).toDF("event_type", "day", "cents")))
+    val aRows = got.filter(_._1 == "a")
+    assert(aRows.forall(r => r._4 == 100L && r._5 == 0L))
+    assert(aRows.map(_._6) ==
+      Seq(0L, 0, 0, 0, 0, 1, 0, 0, -1, 0, 0), aRows.mkString(";"))
+    val bRows = got.filter(_._1 == "b")
+    assert(bRows.forall(r => r._4 == 6L && r._5 == 3L && r._6 == 0L),
+      bRows.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: densify, ceil-rank median/MAD, integer compare
+    val raw = Events.events(spark, dir)
+      .select("event_type", "ts_sec", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L,
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val byT = raw.groupBy(_._1).view.mapValues(g =>
+      g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap).toMap
+    def ceilMed(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((vs.size + 1) / 2 - 1)
+    }
+    val expect = byT.keys.toSeq.sorted.flatMap { t =>
+      val xs = (mn to mx).map(d => (d, byT(t).getOrElse(d, 0L)))
+      val med = ceilMed(xs.map(_._2))
+      val mad = ceilMed(xs.map(x => math.abs(x._2 - med)))
+      xs.map { case (d, c) =>
+        val adev = math.abs(c - med)
+        val o = if (BigInt(adev) * 10000 > BigInt(44478) * mad)
+          (if (c > med) 1L else -1L) else 0L
+        (t, d, c, med, mad, o)
+      }
+    }
+    val graded = collect6(Events.hampelOutliers(spark, dir))
+    assert(graded == expect, s"${graded.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q219 naive Bayes: separable fixture perfect, score tie pinned, " +
     "graded replay") {
     import spark.implicits._

@@ -1308,6 +1308,26 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q220 plan: one events scan; pick windows type-partitioned; " +
+    "median/MAD broadcast back") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Events.hampelOutliers(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    tree.foreach {
+      case w: WindowExec => assert(w.partitionSpec.nonEmpty, w.toString)
+      case _ =>
+    }
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q219 plan: one customer scan into the count cube; model " +
     "tables broadcast; argmax window model-sized") {
     import org.apache.spark.sql.execution.FileSourceScanExec

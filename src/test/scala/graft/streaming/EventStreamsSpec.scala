@@ -483,5 +483,10 @@ class EventStreamsSpec extends SparkSpec {
     val acBatch = rows6(Events.acfDaily(spark, src))
     graft.ops.CachedStages.release(spark)
     assert(acStreamed == acBatch && acBatch.nonEmpty)
+    val haStreamed = rows6(Events.hampelOfDaily(streamedDaily))
+    graft.ops.CachedStages.release(spark)
+    val haBatch = rows6(Events.hampelOutliers(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(haStreamed == haBatch && haBatch.nonEmpty)
   }
 }
