@@ -325,6 +325,8 @@ object SparkEntry {
     "q218_spearman" -> RankTests.spearman _,
     "q219_naive_bayes" -> Features.naiveBayes _,
     "q220_hampel_outliers" -> Events.hampelOutliers _,
+    "q221_ks_test" -> ((s, d) => RankTests.ksTest(s, d)),
+    "q222_capture_recapture" -> Events.captureRecapture _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5512,6 +5514,81 @@ object SparkEntry {
         |    ELSE 0 END AS BIGINT) AS outlier
         |FROM dev JOIN m2 USING (event_type)
         |ORDER BY 1, 2""".stripMargin,
+
+    // Replays RankTests.ksTestOf: shared whole-dollar histogram, the
+    // common-denominator CDF gap, one floor, the squared KS band.
+    "q221_ks_test" ->
+      s"""WITH src AS (
+         |  SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+         |      // 100 AS v
+         |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+         |h AS MATERIALIZED (
+         |  SELECT v,
+         |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ca0,
+         |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cb0
+         |  FROM src GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ca0) AS BIGINT) AS n_a,
+         |        CAST(SUM(cb0) AS BIGINT) AS n_b FROM h),
+         |diffs AS (
+         |  SELECT v,
+         |    abs((SUM(ca0) OVER w)::HUGEINT * n_b
+         |      - (SUM(cb0) OVER w)::HUGEINT * n_a) AS adiff,
+         |    n_a, n_b
+         |  FROM h CROSS JOIN tot
+         |  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND CURRENT ROW)),
+         |dm AS (SELECT MAX(adiff) AS dmax FROM diffs),
+         |pick AS (
+         |  SELECT MIN(v) AS v_at_max, MAX(adiff) AS dm,
+         |    MAX(n_a) AS n_a, MAX(n_b) AS n_b
+         |  FROM diffs CROSS JOIN dm WHERE adiff = dmax),
+         |calc AS (
+         |  SELECT n_a, n_b,
+         |    CAST(dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0)
+         |      AS BIGINT) AS d_ppm,
+         |    v_at_max
+         |  FROM pick)
+         |SELECT n_a, n_b, d_ppm, v_at_max,
+         |  CAST(${graft.ops.RankTests.KsCrit2Micro} AS BIGINT)
+         |    AS crit2_micro,
+         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+         |    WHEN d_ppm::HUGEINT * d_ppm * n_a * n_b
+         |      > ${graft.ops.RankTests.KsCrit2Micro}::HUGEINT
+         |        * (n_a + n_b) * 1000000 THEN 1
+         |    ELSE 0 END AS BIGINT) AS significant
+         |FROM calc""".stripMargin,
+
+    // Replays Events.captureRecaptureOf: per-user first/last vs the
+    // integer midpoint, both estimators' single floors, signed error.
+    "q222_capture_recapture" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS ts_sec FROM events),
+        |b AS (SELECT MIN(ts_sec) AS mn, MAX(ts_sec) AS mx FROM ev),
+        |pu AS (
+        |  SELECT user_id,
+        |    CASE WHEN MIN(ts_sec) <= (mn + mx) // 2 THEN 1 ELSE 0 END
+        |      AS in1,
+        |    CASE WHEN MAX(ts_sec) > (mn + mx) // 2 THEN 1 ELSE 0 END
+        |      AS in2
+        |  FROM ev CROSS JOIN b GROUP BY user_id, mn, mx),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+        |    CAST(SUM(in1) AS BIGINT) AS n1,
+        |    CAST(SUM(in2) AS BIGINT) AS n2,
+        |    CAST(SUM(in1 * in2) AS BIGINT) AS m
+        |  FROM pu),
+        |est AS (
+        |  SELECT n1, n2, m, n_true,
+        |    CAST(n1::HUGEINT * n2 // nullif(m, 0) AS BIGINT) AS lp_est,
+        |    CAST((n1 + 1)::HUGEINT * (n2 + 1) // (m + 1) - 1 AS BIGINT)
+        |      AS chapman_est
+        |  FROM agg)
+        |SELECT n1, n2, m, n_true, lp_est, chapman_est,
+        |  (chapman_est - n_true) * 1000000 // n_true AS chapman_err_ppm
+        |FROM est""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

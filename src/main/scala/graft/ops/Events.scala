@@ -1456,6 +1456,60 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame =
+    captureRecaptureOf(events(spark, dir))
+
+  /** Graded q222: CAPTURE–RECAPTURE population estimate (Petersen
+    * 1896; Lincoln 1930; Chapman's bias-corrected form, 1951) — the
+    * third lens on "how many distinct users are there", beside the
+    * exact count and the q26/q110 sketches: treat the stream's first
+    * calendar half as the capture sample, the second as the
+    * recapture, and estimate the population from the OVERLAP —
+    * N̂_LP = n₁·n₂/m, N̂_Chapman = (n₁+1)(n₂+1)/(m+1) − 1. Because
+    * the truth is computable here, the estimate ships NEXT TO it
+    * with its signed error in ppm — the q153/q160
+    * estimator-vs-truth discipline. The closure/independence
+    * assumptions (no arrivals/departures between samples, equal
+    * catchability) are exactly what a real stream violates; the
+    * measured error IS the artifact — it quantifies how wrong the
+    * textbook estimator runs on sticky user populations.
+    *
+    * Determinism: membership is one per-user (min, max) timestamp
+    * aggregate against the integer midpoint (mn+mx) div 2; both
+    * estimators are single floored divisions; the signed error
+    * truncates toward zero (the verified shared convention). m = 0
+    * surfaces a NULL Lincoln–Petersen honestly (Chapman was invented
+    * for exactly that degeneracy).
+    *
+    * Scale shape: ONE map-side-combinable per-user aggregate; the
+    * report is one row. At 100 TB this is the cheapest query in the
+    * engine.
+    */
+  def captureRecaptureOf(evs: DataFrame): DataFrame = {
+    val bounds = evs.agg(min(col("ts_sec")).as("mn"),
+      max(col("ts_sec")).as("mx"))
+    evs.groupBy("user_id")
+      .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        expr("CASE WHEN t0 <= (mn + mx) div 2 THEN 1L ELSE 0L END")
+          .as("in1"),
+        expr("CASE WHEN t1 > (mn + mx) div 2 THEN 1L ELSE 0L END")
+          .as("in2"))
+      .agg(count(lit(1)).as("n_true"), sum(col("in1")).as("n1"),
+        sum(col("in2")).as("n2"), sum(expr("in1 * in2")).as("m"))
+      .withColumn("lp_est", expr(
+        """CAST(CAST(n1 AS DECIMAL(38, 0)) * n2 div nullif(m, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("chapman_est", expr(
+        """CAST(CAST(n1 + 1 AS DECIMAL(38, 0)) * (n2 + 1) div (m + 1)
+          | - 1 AS BIGINT)""".stripMargin))
+      .withColumn("chapman_err_ppm", expr(
+        "(chapman_est - n_true) * 1000000 div n_true"))
+      .select("n1", "n2", "m", "n_true", "lp_est", "chapman_est",
+        "chapman_err_ppm")
+  }
+
   /** χ²₀.₉₅ critical values × 10⁶ for df = 1..120 (the standard
     * table; computed once from the regularized incomplete gamma and
     * checked against the published values to 6 decimals). Shared by

@@ -324,4 +324,75 @@ object RankTests {
         col("rho_sign"), col("rho2_ppm"), col("z2_micro"),
         col("crit_micro"), col("significant"))
   }
+
+  /** c(0.05)² = −ln(0.025)/2 = 1.8444397… in micro units (HALF_UP) —
+    * the squared two-sample Kolmogorov–Smirnov critical coefficient,
+    * shared by the q221 operator and its oracle so the verdict
+    * constant cannot desynchronize (the Chi2Crit95Ppm discipline).
+    */
+  val KsCrit2Micro = 1844440L
+
+  def ksTest(spark: SparkSession, dir: String,
+      grpA: String = "1-URGENT", grpB: String = "5-LOW"): DataFrame =
+    ksTestOf(Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority").isin(grpA, grpB))
+      .select(col("o_orderpriority").as("g"),
+        expr("""CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+          | AS BIGINT) div 100""".stripMargin).as("v")), grpA, grpB)
+
+  /** Graded q221: two-sample KOLMOGOROV–SMIRNOV test (Kolmogorov
+    * 1933; Smirnov 1939) — the SHAPE companion to q212's location
+    * test: Mann–Whitney asks "does one group sit higher", KS asks
+    * "do the distributions differ AT ALL" (spread, tails, modality —
+    * differences a rank-sum test is blind to when locations match).
+    * D = sup|F_a − F_b| computed EXACTLY over the shared whole-dollar
+    * value histogram: per value, |ca·n_b − cb·n_a| in the common
+    * n_a·n_b denominator (no per-group division, no FP CDF), max,
+    * then ONE floor to d_ppm. The dollar value where the gap peaks
+    * ships alongside (min such value — pinned) — the "where do they
+    * diverge" readout. Verdict via the squared asymptotic band:
+    * d_ppm²·n_a·n_b > c²·(n_a+n_b)·10⁶ with c² = [[KsCrit2Micro]] —
+    * sqrt-free, inside DECIMAL(38) for ANY n. (Ties make the
+    * asymptotic KS conservative — standard, documented.)
+    *
+    * Scale shape: one orders scan collapses to the value-domain
+    * histogram (bounded by the price range); the cumulative window
+    * runs there; totals, the max and the argmax row ride broadcasts.
+    */
+  def ksTestOf(df: DataFrame, ga: String, gb: String): DataFrame = {
+    val h = CachedStages.track(df.groupBy("v")
+      .agg(sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca0"),
+        sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb0"))
+      .persist())
+    val wv = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = h.agg(sum(col("ca0")).as("n_a"), sum(col("cb0")).as("n_b"))
+    val diffs = CachedStages.track(h
+      .select(col("v"), sum(col("ca0")).over(wv).as("ca"),
+        sum(col("cb0")).over(wv).as("cb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("adiff", expr(
+        """abs(CAST(ca AS DECIMAL(38, 0)) * n_b
+          | - CAST(cb AS DECIMAL(38, 0)) * n_a)""".stripMargin))
+      .persist())
+    val dmax = diffs.agg(max(col("adiff")).as("dmax"))
+    diffs.crossJoin(broadcast(dmax))
+      .filter(col("adiff") === col("dmax"))
+      .agg(min(col("v")).as("v_at_max"), max(col("dmax")).as("dm"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .withColumn("d_ppm", expr(
+        """CAST(dm * 1000000
+          | div nullif(CAST(n_a AS DECIMAL(38, 0)) * n_b, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("crit2_micro", lit(KsCrit2Micro))
+      .withColumn("significant", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+          |     WHEN CAST(d_ppm AS DECIMAL(38, 0)) * d_ppm * n_a * n_b
+          |       > CAST(crit2_micro AS DECIMAL(38, 0))
+          |         * (n_a + n_b) * 1000000
+          |       THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("n_a"), col("n_b"), col("d_ppm"), col("v_at_max"),
+        col("crit2_micro"), col("significant"))
+  }
 }

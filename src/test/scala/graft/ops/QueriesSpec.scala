@@ -3111,6 +3111,94 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q221 KS: shape-vs-location fixture, separation significant, " +
+    "graded replay") {
+    import spark.implicits._
+    def row6(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))
+    }
+    // same center, different spread: a = {1,1,4,4}, b = {2,2,3,3} —
+    // a location test sees nothing, the CDF gap peaks at v=1 with
+    // D = 1/2 (min argmax pinned); n too small to clear the band.
+    val shape = Seq(("a", 1L), ("a", 1L), ("a", 4L), ("a", 4L),
+      ("b", 2L), ("b", 2L), ("b", 3L), ("b", 3L))
+    assert(row6(RankTests.ksTestOf(shape.toDF("g", "v"), "a", "b")) ==
+      (4L, 4L, 500000L, 1L, 1844440L, Some(0L)))
+    CachedStages.release(spark)
+    // disjoint supports at n=10 per side: D = 1, exactly past the band
+    val sep = (1L to 10L).map(v => ("a", v)) ++
+      (100L to 109L).map(v => ("b", v))
+    assert(row6(RankTests.ksTestOf(sep.toDF("g", "v"), "a", "b")) ==
+      (10L, 10L, 1000000L, 10L, 1844440L, Some(1L)))
+    CachedStages.release(spark)
+    // graded replay in BigInt over the shared dollar histogram
+    val obs = Tables(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        ((BigDecimal(r.getDouble(1)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt / 100)
+          .toLong))
+    val vs = obs.map(_._2).distinct.sorted
+    val na = BigInt(obs.count(_._1 == "1-URGENT"))
+    val nb = BigInt(obs.count(_._1 == "5-LOW"))
+    var ca = BigInt(0); var cb = BigInt(0)
+    var best = BigInt(-1); var vAt = 0L
+    vs.foreach { v =>
+      ca += obs.count(o => o._1 == "1-URGENT" && o._2 == v)
+      cb += obs.count(o => o._1 == "5-LOW" && o._2 == v)
+      val d = (ca * nb - cb * na).abs
+      if (d > best) { best = d; vAt = v }
+    }
+    val dPpm = best * 1000000 / (na * nb)
+    val sig = if (dPpm * dPpm * na * nb >
+      BigInt(1844440L) * (na + nb) * 1000000) 1L else 0L
+    assert(row6(RankTests.ksTest(spark, dir)) ==
+      (na.toLong, nb.toLong, dPpm.toLong, vAt, 1844440L, Some(sig)))
+    CachedStages.release(spark)
+  }
+  test("q222 capture-recapture: hand overlap fixture exact, graded " +
+    "replay") {
+    import spark.implicits._
+    def row7(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        r.getLong(6))
+    }
+    // span [0,100] -> mid 50. u1/u4 first-half only, u2/u5 second
+    // only, u3 both: n1=3, n2=3, m=1, LP=9, Chapman=4*4/2-1=7,
+    // err=+400000 ppm
+    val fx = Seq((1L, 10L), (2L, 60L), (3L, 10L), (3L, 60L),
+      (4L, 40L), (4L, 45L), (5L, 51L), (1L, 0L), (2L, 100L))
+      .toDF("user_id", "ts_sec")
+    assert(row7(Events.captureRecaptureOf(fx)) ==
+      (3L, 3L, 1L, 5L, Some(9L), 7L, 400000L))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val raw = Events.events(spark, dir)
+      .select("user_id", "ts_sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val mid = (mn + mx) / 2
+    val pu = raw.groupBy(_._1).view.mapValues(g =>
+      (g.map(_._2).min <= mid, g.map(_._2).max > mid)).toMap
+    val n1 = BigInt(pu.values.count(_._1))
+    val n2 = BigInt(pu.values.count(_._2))
+    val m = BigInt(pu.values.count(p => p._1 && p._2))
+    val nTrue = BigInt(pu.size)
+    val lp = if (m == 0) None else Some((n1 * n2 / m).toLong)
+    val ch = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val err = (ch - nTrue) * 1000000 / nTrue
+    assert(row7(Events.captureRecapture(spark, dir)) ==
+      (n1.toLong, n2.toLong, m.toLong, nTrue.toLong, lp, ch.toLong,
+        err.toLong))
+    CachedStages.release(spark)
+  }
   test("q220 Hampel: spike flags both sides, MAD=0 limit, smooth " +
     "series silent; graded replay") {
     import spark.implicits._

@@ -1308,6 +1308,29 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q221/q222 plan: single-scan collapses; histogram cached (KS); " +
+    "broadcasts; no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val ks = RankTests.ksTest(spark, dir)
+    val ksPlan = ks.queryExecution.executedPlan.toString
+    val ksTree = ks.queryExecution.sparkPlan
+    assert(ksTree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      ksPlan.take(3000))
+    assert(ksTree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 1, ksPlan.take(3000))
+    assert(ksPlan.contains("BroadcastExchange"), ksPlan.take(3000))
+    assert(!ksPlan.contains("CartesianProduct"), ksPlan.take(3000))
+    CachedStages.release(spark)
+    val cr = Events.captureRecapture(spark, dir)
+    val crPlan = cr.queryExecution.executedPlan.toString
+    val crTree = cr.queryExecution.sparkPlan
+    assert(crTree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      crPlan.take(3000))
+    assert(crPlan.contains("BroadcastExchange"), crPlan.take(3000))
+    assert(!crPlan.contains("CartesianProduct"), crPlan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q220 plan: one events scan; pick windows type-partitioned; " +
     "median/MAD broadcast back") {
     import org.apache.spark.sql.execution.FileSourceScanExec
