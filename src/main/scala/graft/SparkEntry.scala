@@ -327,6 +327,7 @@ object SparkEntry {
     "q220_hampel_outliers" -> Events.hampelOutliers _,
     "q221_ks_test" -> ((s, d) => RankTests.ksTest(s, d)),
     "q222_capture_recapture" -> Events.captureRecapture _,
+    "q223_apriori_ladder" -> ((s, d) => Graph.aprioriLadder(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5589,6 +5590,43 @@ object SparkEntry {
         |SELECT n1, n2, m, n_true, lp_est, chapman_est,
         |  (chapman_est - n_true) * 1000000 // n_true AS chapman_err_ppm
         |FROM est""".stripMargin,
+
+    // Replays Graph.aprioriLadderOf: in-basket k-way joins, per-level
+    // count rollups, the survival ratio floor.
+    "q223_apriori_ladder" ->
+      """WITH li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        |s1 AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM li GROUP BY 1),
+        |s2 AS (SELECT a.p, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT a.p, b.p AS p2, c.p AS p3,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM li a JOIN li b ON a.k = b.k AND a.p < b.p
+        |       JOIN li c ON b.k = c.k AND b.p < c.p
+        |       GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT CAST(1 AS BIGINT) AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_itemsets,
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_frequent,
+        |    CAST(MAX(n) AS BIGINT) AS max_support
+        |  FROM s1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(n) AS BIGINT)
+        |  FROM s2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(n) AS BIGINT)
+        |  FROM s3)
+        |SELECT k, n_itemsets, n_frequent, max_support,
+        |  CAST(n_frequent * 1000000 // nullif(n_itemsets, 0) AS BIGINT)
+        |    AS frequent_ppm
+        |FROM u ORDER BY k""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -683,6 +683,56 @@ object Graph {
       .orderBy("band")
   }
 
+  def aprioriLadder(spark: SparkSession, dir: String,
+      minSupport: Long = 2L): DataFrame =
+    aprioriLadderOf(orderParts(spark, dir), minSupport)
+
+  /** Graded q223: A-PRIORI SUPPORT-PRUNING LADDER (Agrawal & Srikant,
+    * VLDB 1994) for itemset sizes k = 1, 2, 3 — the frequent-itemset
+    * statistics BEHIND q142's pair rules: per k, how many distinct
+    * itemsets occur at all, how many meet the support floor, the
+    * maximum support, and the survival ratio in ppm. The ladder IS
+    * A-Priori's core observation made visible: support collapses
+    * combinatorially with k (downward closure), and the report is
+    * scale-REVEALING in the q183 way — sf0.001's dense 200-part
+    * catalog keeps 94 frequent triples, sf0.1's 20k-part catalog
+    * keeps ZERO (no triple ever repeats at that basket density;
+    * measured) — exactly the pruning behavior a basket-mining run
+    * must know before paying for candidate generation.
+    *
+    * Scale shape: itemsets enumerate INSIDE baskets only — the k-way
+    * self-join on the ORDER key fans out C(basket, k), bounded by
+    * basket size (tens), never |parts|^k; each per-itemset count
+    * map-side combines; each ladder row is a one-row rollup of its
+    * count table. All three levels read the one persisted basket
+    * projection.
+    */
+  def aprioriLadderOf(orderParts: DataFrame, minSupport: Long): DataFrame = {
+    val b = CachedStages.track(orderParts.persist())
+    def rollup(k: Long, counts: DataFrame): DataFrame =
+      counts.agg(count(lit(1)).as("n_itemsets"),
+          sum(when(col("n") >= minSupport, 1L).otherwise(0L))
+            .as("n_frequent"),
+          max(col("n")).as("max_support"))
+        .select(lit(k).as("k"), col("n_itemsets"), col("n_frequent"),
+          col("max_support"),
+          expr("n_frequent * 1000000 div nullif(n_itemsets, 0)")
+            .as("frequent_ppm"))
+    val singles = b.groupBy("p").agg(count(lit(1)).as("n"))
+    val pairs = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") < col("p2"))
+      .groupBy("p", "p2").agg(count(lit(1)).as("n"))
+    val triples = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
+      .filter(col("p") < col("p2"))
+      .join(b.withColumnRenamed("p", "p3"), Seq("k"))
+      .filter(col("p2") < col("p3"))
+      .groupBy("p", "p2", "p3").agg(count(lit(1)).as("n"))
+    rollup(1L, singles)
+      .unionByName(rollup(2L, pairs))
+      .unionByName(rollup(3L, triples))
+      .orderBy("k")
+  }
+
   def clusteringProfile(spark: SparkSession, dir: String,
       minShared: Int = 2): DataFrame =
     clusteringProfileOf(strongEdges(spark, dir, minShared))

@@ -3111,6 +3111,43 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q223 A-Priori ladder: hand baskets exact, downward closure, " +
+    "graded replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // baskets {1,2,3} x2 + {1,2,4}: singles 4/3 frequent (max 3),
+    // pairs 5/3 (12:3, 13:2, 23:2), triples 2/1 (123:2)
+    val fx = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 1L),
+      (11L, 2L), (11L, 3L), (12L, 1L), (12L, 2L), (12L, 4L))
+      .toDF("k", "p")
+    val got = collect5(Graph.aprioriLadderOf(fx, 2L))
+    assert(got == Seq((1L, 4L, 3L, 3L, 750000L),
+      (2L, 5L, 3L, 3L, 600000L), (3L, 2L, 1L, 2L, 500000L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay + the downward-closure law max_k+1 <= max_k
+    val op = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baskets = op.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    def level(k: Int) = {
+      val cnt = scala.collection.mutable.Map.empty[Seq[Long], Long]
+        .withDefaultValue(0L)
+      baskets.values.foreach(ps =>
+        ps.combinations(k).foreach(c => cnt(c) += 1L))
+      val n = cnt.size.toLong
+      val f = cnt.values.count(_ >= 2L).toLong
+      (k.toLong, n, f, cnt.values.max, f * 1000000L / n)
+    }
+    val expect = Seq(level(1), level(2), level(3))
+    val graded = collect5(Graph.aprioriLadder(spark, dir))
+    assert(graded == expect, s"$graded != $expect")
+    assert(graded(0)._4 >= graded(1)._4 && graded(1)._4 >= graded(2)._4)
+    CachedStages.release(spark)
+  }
   test("q221 KS: shape-vs-location fixture, separation significant, " +
     "graded replay") {
     import spark.implicits._
