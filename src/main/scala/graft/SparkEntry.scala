@@ -328,6 +328,8 @@ object SparkEntry {
     "q221_ks_test" -> ((s, d) => RankTests.ksTest(s, d)),
     "q222_capture_recapture" -> Events.captureRecapture _,
     "q223_apriori_ladder" -> ((s, d) => Graph.aprioriLadder(s, d)),
+    "q224_nb_calibration" -> Features.nbCalibration _,
+    "q225_classifier_report" -> Features.classifierReport _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5422,35 +5424,12 @@ object SparkEntry {
 
     // Replays Features.naiveBayesOf: the count cube, Laplace-smoothed
     // fixed-point scores, the pinned argmax, the weighted confusion
-    // rollup.
+    // rollup. The cube/score CTEs are shared with q224/q225 via
+    // `nbScoreCtes` so the model arithmetic cannot drift.
     "q219_naive_bayes" ->
-      """WITH cube AS MATERIALIZED (
-        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
-        |    CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
-        |      AS bsign,
-        |    c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM customer GROUP BY 1, 2, 3),
-        |cls AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS n_c
-        |        FROM cube GROUP BY 1),
-        |nats AS (SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS n_natc
-        |         FROM cube GROUP BY 1, 2),
-        |sgn AS (SELECT bsign, seg, CAST(SUM(n) AS BIGINT) AS n_signc
-        |        FROM cube GROUP BY 1, 2),
-        |dn AS (SELECT CAST(COUNT(DISTINCT nat) AS BIGINT) AS d_nat
-        |       FROM cube),
+      s"""WITH $nbScoreCtes,
         |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_total,
         |        CAST(MAX(n_c) AS BIGINT) AS n_major FROM cls),
-        |combos AS (SELECT DISTINCT nat, bsign FROM cube),
-        |sc AS (
-        |  SELECT c.nat, c.bsign, cls.seg,
-        |    CAST(cls.n_c::HUGEINT * (COALESCE(nats.n_natc, 0) + 1)
-        |      * (COALESCE(sgn.n_signc, 0) + 1) * 1000000000000
-        |      // ((cls.n_c + d_nat)::HUGEINT * (cls.n_c + 2))
-        |      AS BIGINT) AS s_fp
-        |  FROM combos c CROSS JOIN cls
-        |  LEFT JOIN nats ON nats.nat = c.nat AND nats.seg = cls.seg
-        |  LEFT JOIN sgn ON sgn.bsign = c.bsign AND sgn.seg = cls.seg
-        |  CROSS JOIN dn),
         |pred AS (
         |  SELECT nat, bsign, seg AS predicted
         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nat, bsign
@@ -5627,6 +5606,104 @@ object SparkEntry {
         |  CAST(n_frequent * 1000000 // nullif(n_itemsets, 0) AS BIGINT)
         |    AS frequent_ppm
         |FROM u ORDER BY k""".stripMargin,
+
+    // Replays Features.nbCalibrationOf: the q219 score CTEs, the
+    // normalized-posterior confidence floor, 10%-band rollup, ECE.
+    "q224_nb_calibration" ->
+      s"""WITH $nbScoreCtes,
+         |pred AS (
+         |  SELECT nat, bsign, seg AS predicted, s_fp AS s_pred
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nat, bsign
+         |          ORDER BY s_fp DESC, seg ASC) AS rn FROM sc) z
+         |  WHERE rn = 1),
+         |tt AS (SELECT nat, bsign, CAST(SUM(s_fp) AS BIGINT) AS s_tot
+         |       FROM sc GROUP BY 1, 2),
+         |cc AS (
+         |  SELECT pred.nat, pred.bsign, predicted,
+         |    CAST(s_pred::HUGEINT * 1000000 // s_tot AS BIGINT)
+         |      AS conf_ppm
+         |  FROM pred JOIN tt USING (nat, bsign)),
+         |bb AS (
+         |  SELECT conf_ppm // 100000 AS band,
+         |    CAST(SUM(n) AS BIGINT) AS n_rows,
+         |    CAST(SUM(CASE WHEN cube.seg = predicted THEN n ELSE 0 END)
+         |      AS BIGINT) AS n_correct,
+         |    SUM(conf_ppm::HUGEINT * n) AS conf_mass
+         |  FROM cube JOIN cc USING (nat, bsign)
+         |  GROUP BY 1),
+         |b2 AS (
+         |  SELECT band, n_rows, n_correct,
+         |    CAST(conf_mass // n_rows AS BIGINT) AS avg_conf_ppm,
+         |    CAST(n_correct * 1000000 // n_rows AS BIGINT) AS acc_ppm
+         |  FROM bb),
+         |b3 AS (SELECT *, abs(acc_ppm - avg_conf_ppm) AS gap_ppm
+         |       FROM b2),
+         |ece AS (
+         |  SELECT CAST(SUM(gap_ppm::HUGEINT * n_rows) // SUM(n_rows)
+         |    AS BIGINT) AS ece_ppm FROM b3)
+         |SELECT band, n_rows, n_correct, avg_conf_ppm, acc_ppm,
+         |  gap_ppm, ece_ppm
+         |FROM b3 CROSS JOIN ece ORDER BY band""".stripMargin,
+
+    // Replays Features.classifierReportOf over the q219 confusion:
+    // margins, per-class P/R/F1 floors, Cohen's kappa.
+    "q225_classifier_report" ->
+      s"""WITH $nbScoreCtes,
+         |pred AS (
+         |  SELECT nat, bsign, seg AS predicted
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nat, bsign
+         |          ORDER BY s_fp DESC, seg ASC) AS rn FROM sc) z
+         |  WHERE rn = 1),
+         |conf AS (
+         |  SELECT cube.seg AS actual, predicted,
+         |    CAST(SUM(cube.n) AS BIGINT) AS n
+         |  FROM cube JOIN pred USING (nat, bsign) GROUP BY 1, 2),
+         |ba AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_actual
+         |       FROM conf GROUP BY 1),
+         |bp AS (SELECT predicted AS cls,
+         |         CAST(SUM(n) AS BIGINT) AS n_predicted
+         |       FROM conf GROUP BY 1),
+         |dg AS (SELECT actual AS cls, CAST(SUM(n) AS BIGINT) AS n_correct
+         |       FROM conf WHERE actual = predicted GROUP BY 1),
+         |mg AS (
+         |  SELECT COALESCE(ba.cls, bp.cls) AS cls,
+         |    COALESCE(n_actual, 0) AS n_actual,
+         |    COALESCE(n_predicted, 0) AS n_predicted
+         |  FROM ba FULL OUTER JOIN bp ON ba.cls = bp.cls),
+         |mg2 AS (
+         |  SELECT mg.cls, n_actual, n_predicted,
+         |    COALESCE(n_correct, 0) AS n_correct
+         |  FROM mg LEFT JOIN dg ON mg.cls = dg.cls),
+         |kp AS (
+         |  SELECT CAST(SUM(n_actual) AS BIGINT) AS n_total,
+         |    CAST(SUM(n_correct) AS BIGINT) AS n_diag,
+         |    SUM(n_actual::HUGEINT * n_predicted) AS pe_mass
+         |  FROM mg2),
+         |kp2 AS (
+         |  SELECT n_total,
+         |    CAST(n_diag * 1000000 // n_total AS BIGINT) AS po_ppm,
+         |    CAST(pe_mass * 1000000 // (n_total::HUGEINT * n_total)
+         |      AS BIGINT) AS pe_ppm
+         |  FROM kp),
+         |kp3 AS (
+         |  SELECT n_total, po_ppm, pe_ppm,
+         |    CAST((po_ppm - pe_ppm)::HUGEINT * 1000000
+         |      // nullif(1000000 - pe_ppm, 0) AS BIGINT) AS kappa_ppm
+         |  FROM kp2),
+         |pr AS (
+         |  SELECT cls, n_actual, n_predicted, n_correct,
+         |    CAST(n_correct * 1000000 // nullif(n_predicted, 0)
+         |      AS BIGINT) AS precision_ppm,
+         |    CAST(n_correct * 1000000 // nullif(n_actual, 0)
+         |      AS BIGINT) AS recall_ppm
+         |  FROM mg2)
+         |SELECT cls, n_actual, n_predicted, n_correct, precision_ppm,
+         |  recall_ppm,
+         |  CAST(2 * precision_ppm::HUGEINT * recall_ppm
+         |    // nullif(precision_ppm + recall_ppm, 0) AS BIGINT)
+         |    AS f1_ppm,
+         |  n_total, po_ppm, pe_ppm, kappa_ppm
+         |FROM pr CROSS JOIN kp3 ORDER BY cls""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected
@@ -6690,6 +6767,37 @@ object SparkEntry {
          |FROM grp CROSS JOIN s4
          |ORDER BY g""".stripMargin,
   )
+
+  /** The q219/q224/q225 shared oracle CTE block: the (nat, sign, seg)
+    * count cube and the Laplace-smoothed fixed-point NB scores —
+    * mirrors `Features.nbCube`/`nbScores`.
+    */
+  private def nbScoreCtes: String =
+    """cube AS MATERIALIZED (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+      |    CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)
+      |      AS bsign,
+      |    c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS n_c
+      |        FROM cube GROUP BY 1),
+      |nats AS (SELECT nat, seg, CAST(SUM(n) AS BIGINT) AS n_natc
+      |         FROM cube GROUP BY 1, 2),
+      |sgn AS (SELECT bsign, seg, CAST(SUM(n) AS BIGINT) AS n_signc
+      |        FROM cube GROUP BY 1, 2),
+      |dn AS (SELECT CAST(COUNT(DISTINCT nat) AS BIGINT) AS d_nat
+      |       FROM cube),
+      |combos AS (SELECT DISTINCT nat, bsign FROM cube),
+      |sc AS (
+      |  SELECT c.nat, c.bsign, cls.seg,
+      |    CAST(cls.n_c::HUGEINT * (COALESCE(nats.n_natc, 0) + 1)
+      |      * (COALESCE(sgn.n_signc, 0) + 1) * 1000000000000
+      |      // ((cls.n_c + d_nat)::HUGEINT * (cls.n_c + 2))
+      |      AS BIGINT) AS s_fp
+      |  FROM combos c CROSS JOIN cls
+      |  LEFT JOIN nats ON nats.nat = c.nat AND nats.seg = cls.seg
+      |  LEFT JOIN sgn ON sgn.bsign = c.bsign AND sgn.seg = cls.seg
+      |  CROSS JOIN dn)""".stripMargin
 
   /** One level of the q216 oracle: per-group EMD/TV distance against
     * the global sensitive distribution with the closed-form

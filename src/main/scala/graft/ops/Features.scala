@@ -339,18 +339,26 @@ object Features {
     * the honest null readout, with the baseline column printed
     * beside it so the "model learned nothing" verdict is explicit.
     */
-  def naiveBayesOf(base: DataFrame): DataFrame = {
-    val cube = CachedStages.track(base.groupBy("nat", "sign", "seg")
+  /** The (nat, sign, seg, n) count cube — the one corpus collapse
+    * every NB stage (q219 classify, q224 calibration, q225 report)
+    * reads.
+    */
+  private[graft] def nbCube(base: DataFrame): DataFrame =
+    CachedStages.track(base.groupBy("nat", "sign", "seg")
       .agg(count(lit(1)).as("n")).persist())
+
+  /** Laplace-smoothed fixed-point scores per (feature combo, class) —
+    * shared by q219's argmax and q224's confidence normalization so
+    * the model arithmetic cannot drift between them.
+    */
+  private[graft] def nbScores(cube: DataFrame): DataFrame = {
     val classes = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
     val nats = cube.groupBy("nat", "seg").agg(sum(col("n")).as("n_natc"))
     val signs = cube.groupBy("sign", "seg")
       .agg(sum(col("n")).as("n_signc"))
     val dNat = cube.select("nat").distinct()
       .agg(count(lit(1)).as("d_nat"))
-    val total = classes.agg(sum(col("n_c")).as("n_total"),
-      max(col("n_c")).as("n_major"))
-    val combos = cube.select("nat", "sign").distinct()
+    cube.select("nat", "sign").distinct()
       .crossJoin(broadcast(classes))
       .join(broadcast(nats), Seq("nat", "seg"), "left")
       .join(broadcast(signs), Seq("sign", "seg"), "left")
@@ -361,6 +369,14 @@ object Features {
           | * (n_signc + 1) * 1000000000000
           | div (CAST(n_c + d_nat AS DECIMAL(38, 0)) * (n_c + 2))
           | AS BIGINT)""".stripMargin))
+  }
+
+  def naiveBayesOf(base: DataFrame): DataFrame = {
+    val cube = nbCube(base)
+    val classes = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+    val total = classes.agg(sum(col("n_c")).as("n_total"),
+      max(col("n_c")).as("n_major"))
+    val combos = nbScores(cube)
     val wp = Window.partitionBy("nat", "sign")
       .orderBy(col("s_fp").desc, col("seg").asc)
     val pred = combos.withColumn("rn", row_number().over(wp))
@@ -380,5 +396,137 @@ object Features {
       .select("actual", "predicted", "n", "n_total", "accuracy_ppm",
         "baseline_ppm")
       .orderBy("actual", "predicted")
+  }
+
+  def nbCalibration(spark: SparkSession, dir: String): DataFrame =
+    nbCalibrationOf(Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("sign"),
+        col("c_mktsegment").as("seg")))
+
+  /** Graded q224: CALIBRATION of the q219 classifier — the
+    * reliability diagram + Expected Calibration Error (DeGroot &
+    * Fienberg 1983; Naeini et al., AAAI 2015): accuracy tells you
+    * the model is right 22% of the time, calibration tells you
+    * whether its CONFIDENCE means anything — a 40%-confident
+    * prediction should be right 40% of the time, and the gap,
+    * mass-weighted across confidence bands, is ECE. The confidence
+    * is the normalized posterior of the predicted class,
+    * conf_ppm = s_pred·10⁶ div Σ_c s_c over the SAME fixed-point
+    * scores q219 ranks (shared `nbScores` stage — the model
+    * arithmetic cannot drift between the verdict and its audit).
+    *
+    * Per 10%-confidence band: row mass, correct mass, mass-weighted
+    * mean confidence, accuracy, |gap|; ECE_ppm = Σ n_b·gap_b div N
+    * repeated per row (the q181 discipline). Every number is a
+    * count ratio with one floor, replayed by the oracle.
+    *
+    * Scale shape: everything derives from the q219 count cube —
+    * combo-sized tables, one corpus scan, pinned argmax window,
+    * broadcast rollups.
+    */
+  def nbCalibrationOf(base: DataFrame): DataFrame = {
+    val cube = nbCube(base)
+    val scores = CachedStages.track(nbScores(cube).persist())
+    val wp = Window.partitionBy("nat", "sign")
+      .orderBy(col("s_fp").desc, col("seg").asc)
+    val pred = scores.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("nat"), col("sign"), col("seg").as("predicted"),
+        col("s_fp").as("s_pred"))
+    val tot = scores.groupBy("nat", "sign")
+      .agg(sum(col("s_fp")).as("s_tot"))
+    val comboConf = pred.join(tot, Seq("nat", "sign"))
+      .withColumn("conf_ppm", expr(
+        """CAST(CAST(s_pred AS DECIMAL(38, 0)) * 1000000 div s_tot
+          | AS BIGINT)""".stripMargin))
+    val bands = CachedStages.track(cube
+      .join(comboConf.select(col("nat"), col("sign"), col("predicted"),
+        col("conf_ppm")), Seq("nat", "sign"))
+      .withColumn("correct",
+        when(col("seg") === col("predicted"), col("n")).otherwise(0L))
+      .withColumn("band", expr("conf_ppm div 100000"))
+      .groupBy("band")
+      .agg(sum(col("n")).as("n_rows"), sum(col("correct")).as("n_correct"),
+        sum(expr("CAST(conf_ppm AS DECIMAL(38, 0)) * n")).as("conf_mass"))
+      .withColumn("avg_conf_ppm", expr(
+        "CAST(conf_mass div n_rows AS BIGINT)"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_rows"))
+      .withColumn("gap_ppm", expr("abs(acc_ppm - avg_conf_ppm)"))
+      .persist())
+    val ece = bands.agg(
+        sum(expr("CAST(gap_ppm AS DECIMAL(38, 0)) * n_rows")).as("gmass"),
+        sum(col("n_rows")).as("nt"))
+      .select(expr("CAST(gmass div nt AS BIGINT)").as("ece_ppm"))
+    bands.crossJoin(broadcast(ece))
+      .select("band", "n_rows", "n_correct", "avg_conf_ppm", "acc_ppm",
+        "gap_ppm", "ece_ppm")
+      .orderBy("band")
+  }
+
+  def classifierReport(spark: SparkSession, dir: String): DataFrame =
+    classifierReportOf(naiveBayes(spark, dir)
+      .select("actual", "predicted", "n"))
+
+  /** Graded q225: CLASSIFIER AGREEMENT REPORT over any confusion
+    * matrix `(actual, predicted, n)` — here q219's: per class,
+    * precision / recall / F1 in ppm (van Rijsbergen 1979; F1 is the
+    * floored harmonic of the floored P and R — two floors, both
+    * replayed), plus COHEN'S KAPPA (Cohen, 1960) repeated per row —
+    * the chance-corrected agreement that q219's raw accuracy
+    * overstates: p_o = diag/N, p_e = Σ row_c·col_c / N², κ =
+    * (p_o−p_e)/(1−p_e) — on the independent-features stream κ lands
+    * near 0 while accuracy reads 22%, which is exactly the
+    * correction's point. Degenerate all-one-class prediction
+    * (p_e = 1) surfaces NULL κ via nullif; never-predicted classes
+    * carry NULL precision honestly.
+    *
+    * Scale shape: the confusion matrix is |classes|²-sized — every
+    * stage here is model-sized arithmetic with broadcast rollups;
+    * the corpus cost lives in the upstream confusion build.
+    */
+  def classifierReportOf(conf: DataFrame): DataFrame = {
+    val c = CachedStages.track(conf.persist())
+    val byActual = c.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("n_actual"))
+    val byPred = c.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("n_predicted"))
+    val diag = c.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("cls"), col("n").as("n_correct"))
+    val margins = CachedStages.track(byActual
+      .join(byPred, Seq("cls"), "outer")
+      .na.fill(0L, Seq("n_actual", "n_predicted"))
+      .join(diag, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_correct"))
+      .persist())
+    val kappa = margins.agg(
+        sum(col("n_actual")).as("n_total"),
+        sum(col("n_correct")).as("n_diag"),
+        sum(expr("CAST(n_actual AS DECIMAL(38, 0)) * n_predicted"))
+          .as("pe_mass"))
+      .withColumn("po_ppm", expr("n_diag * 1000000 div n_total"))
+      .withColumn("pe_ppm", expr(
+        """CAST(pe_mass * 1000000
+          | div (CAST(n_total AS DECIMAL(38, 0)) * n_total)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("kappa_ppm", expr(
+        """CAST((po_ppm - pe_ppm) * 1000000
+          | div nullif(1000000 - pe_ppm, 0) AS BIGINT)""".stripMargin))
+      .select("n_total", "po_ppm", "pe_ppm", "kappa_ppm")
+    margins
+      .withColumn("precision_ppm",
+        expr("n_correct * 1000000 div nullif(n_predicted, 0)"))
+      .withColumn("recall_ppm",
+        expr("n_correct * 1000000 div nullif(n_actual, 0)"))
+      .withColumn("f1_ppm", expr(
+        """CAST(2 * CAST(precision_ppm AS DECIMAL(38, 0)) * recall_ppm
+          | div nullif(precision_ppm + recall_ppm, 0) AS BIGINT)"""
+          .stripMargin))
+      .crossJoin(broadcast(kappa))
+      .select("cls", "n_actual", "n_predicted", "n_correct",
+        "precision_ppm", "recall_ppm", "f1_ppm", "n_total", "po_ppm",
+        "pe_ppm", "kappa_ppm")
+      .orderBy("cls")
   }
 }

@@ -3111,6 +3111,137 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // q219's fixture: separable nations score conf=750000 and are
+    // always right (gap 250000 — UNDERconfident); the tied nation
+    // scores 500000 and is right half the time (gap 0 — perfectly
+    // calibrated); ECE = 4*250000 div 6 = 166666.
+    val fx = Seq((1L, 1L, "A"), (1L, 1L, "A"), (2L, 1L, "B"),
+      (2L, 1L, "B"), (3L, 1L, "A"), (3L, 1L, "B"))
+    val got = collect7(Features.nbCalibrationOf(
+      fx.toDF("nat", "sign", "seg")))
+    assert(got == Seq((5L, 2L, 1L, 500000L, 500000L, 0L, 166666L),
+      (7L, 4L, 4L, 750000L, 1000000L, 250000L, 166666L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt off the same model arithmetic as q219
+    val rows = Tables(spark, dir, "customer")
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getAs[Number](0).longValue,
+        if (r.getDouble(1) >= 0) 1L else 0L, r.getString(2)))
+    val nC = rows.groupBy(_._3).view.mapValues(g => BigInt(g.size)).toMap
+    val nNatC = rows.groupBy(r => (r._1, r._3)).view
+      .mapValues(g => BigInt(g.size)).toMap.withDefaultValue(BigInt(0))
+    val nSignC = rows.groupBy(r => (r._2, r._3)).view
+      .mapValues(g => BigInt(g.size)).toMap.withDefaultValue(BigInt(0))
+    val dNat = BigInt(rows.map(_._1).distinct.length)
+    val segs = nC.keys.toSeq.sorted
+    val combos = rows.map(r => (r._1, r._2)).distinct.map {
+      case (na, sg) =>
+        val ss = segs.map { c =>
+          (c, nC(c) * (nNatC((na, c)) + 1) * (nSignC((sg, c)) + 1) *
+            BigInt("1000000000000") / ((nC(c) + dNat) * (nC(c) + 2)))
+        }
+        val best = ss.map { case (c, s) => (-s, c) }.min._2
+        val conf = (ss.find(_._1 == best).get._2 * 1000000 /
+          ss.map(_._2).sum).toLong
+        (na, sg) -> ((best, conf))
+    }.toMap
+    val byBand = rows.groupBy(r => combos((r._1, r._2))._2 / 100000)
+      .toSeq.map { case (band, g) =>
+        val correct = g.count(r => combos((r._1, r._2))._1 == r._3)
+        val confMass = g.map(r =>
+          BigInt(combos((r._1, r._2))._2)).sum
+        (band, g.size.toLong, correct.toLong,
+          (confMass / g.size).toLong,
+          BigInt(correct) * 1000000 / g.size)
+      }.sortBy(_._1)
+    val nTot = rows.length
+    val ece = (byBand.map { case (_, n, _, avg, acc) =>
+      (acc - avg).abs * n }.sum / nTot).toLong
+    val expect = byBand.map { case (b, n, c, avg, acc) =>
+      (b, n, c, avg, acc.toLong, (acc - avg).abs.toLong, ece) }
+    val graded = collect7(Features.nbCalibration(spark, dir))
+    assert(graded == expect, s"$graded != $expect")
+    CachedStages.release(spark)
+  }
+  test("q225 classifier report: textbook kappa=0.4 fixture, degenerate " +
+    "NULLs, graded replay") {
+    import spark.implicits._
+    def collect11(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getLong(7),
+        r.getLong(8), r.getLong(9),
+        if (r.isNullAt(10)) None else Some(r.getLong(10)))).toSeq
+    // 8/2 | 4/6 confusion: po=0.7, pe=0.5, kappa exactly 0.4
+    val fx = Seq(("A", "A", 8L), ("A", "B", 2L), ("B", "A", 4L),
+      ("B", "B", 6L))
+    val got = collect11(Features.classifierReportOf(
+      fx.toDF("actual", "predicted", "n")))
+    assert(got == Seq(
+      ("A", 10L, 12L, 8L, Some(666666L), Some(800000L), Some(727272L),
+        20L, 700000L, 500000L, Some(400000L)),
+      ("B", 10L, 8L, 6L, Some(750000L), Some(600000L), Some(666666L),
+        20L, 700000L, 500000L, Some(400000L))), got.mkString(";"))
+    CachedStages.release(spark)
+    // everything predicted A over two actual classes: chance agrees
+    // exactly as often -> kappa = 0; B never predicted -> NULL
+    // precision, zero recall
+    val degen = Seq(("A", "A", 5L), ("B", "A", 5L))
+    val d = collect11(Features.classifierReportOf(
+      degen.toDF("actual", "predicted", "n")))
+    assert(d.forall(_._11 == Some(0L)), d.mkString(";"))
+    val bRow = d.find(_._1 == "B").get
+    assert(bRow._5.isEmpty && bRow._6 == Some(0L), bRow.toString)
+    CachedStages.release(spark)
+    // single class: pe = 1 -> the kappa division is undefined, NULL
+    val one = collect11(Features.classifierReportOf(
+      Seq(("A", "A", 10L)).toDF("actual", "predicted", "n")))
+    assert(one.head._11.isEmpty && one.head._9 == 1000000L,
+      one.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay off the q219 confusion collected driver-side
+    val conf = Features.naiveBayes(spark, dir)
+      .select("actual", "predicted", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    CachedStages.release(spark)
+    val cls = (conf.map(_._1) ++ conf.map(_._2)).distinct.sorted
+    val rowM = conf.groupBy(_._1).view.mapValues(g =>
+      BigInt(g.map(_._3).sum)).toMap.withDefaultValue(BigInt(0))
+    val colM = conf.groupBy(_._2).view.mapValues(g =>
+      BigInt(g.map(_._3).sum)).toMap.withDefaultValue(BigInt(0))
+    val diag = conf.filter(p => p._1 == p._2).map(p => p._1 -> p._3)
+      .toMap.withDefaultValue(0L)
+    val n = cls.map(rowM).sum
+    val po = cls.map(c => BigInt(diag(c))).sum * 1000000 / n
+    val pe = cls.map(c => rowM(c) * colM(c)).sum * 1000000 / (n * n)
+    val kap = if (pe == 1000000) None
+      else Some(((po - pe) * 1000000 / (1000000 - pe)).toLong)
+    val expect = cls.toSeq.map { c =>
+      val p = if (colM(c) == 0) None
+        else Some((BigInt(diag(c)) * 1000000 / colM(c)).toLong)
+      val rcl = if (rowM(c) == 0) None
+        else Some((BigInt(diag(c)) * 1000000 / rowM(c)).toLong)
+      val f1 = (p, rcl) match {
+        case (Some(pp), Some(rr)) if pp + rr != 0 =>
+          Some((BigInt(2) * pp * rr / (pp + rr)).toLong)
+        case _ => None
+      }
+      (c, rowM(c).toLong, colM(c).toLong, diag(c), p, rcl, f1,
+        n.toLong, po.toLong, pe.toLong, kap)
+    }
+    val graded = collect11(Features.classifierReport(spark, dir))
+    assert(graded == expect, s"${graded.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q223 A-Priori ladder: hand baskets exact, downward closure, " +
     "graded replay") {
     import spark.implicits._

@@ -1308,6 +1308,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q224/q225 plan: one customer scan through the shared NB cube; " +
+    "model tables broadcast; no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    Seq(() => Features.nbCalibration(spark, dir),
+      () => Features.classifierReport(spark, dir)).foreach { mk =>
+      val out = mk()
+      val plan = out.queryExecution.executedPlan.toString
+      val tree = out.queryExecution.sparkPlan
+      assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+        plan.take(3000))
+      assert(plan.contains("BroadcastExchange"), plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), plan.take(3000))
+      CachedStages.release(spark)
+    }
+  }
   test("q223 plan: one persisted basket projection feeds all three " +
     "levels; in-basket joins only; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
