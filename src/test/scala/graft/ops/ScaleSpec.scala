@@ -1308,6 +1308,28 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q226/q227 plan: collapsed-first joins, caches, broadcasts; " +
+    "no cartesian") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sr = Relational.sourcingRisk(spark, dir)
+    val srPlan = sr.queryExecution.executedPlan.toString
+    val srTree = sr.queryExecution.sparkPlan
+    assert(srTree.collect { case f: FileSourceScanExec => f }.size <= 3,
+      srPlan.take(3000))
+    assert(srTree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 2, srPlan.take(3000))
+    assert(srPlan.contains("BroadcastExchange"), srPlan.take(3000))
+    assert(!srPlan.contains("CartesianProduct"), srPlan.take(3000))
+    CachedStages.release(spark)
+    val si = Similarity.cosineSilhouette(spark, dir)
+    val siPlan = si.queryExecution.executedPlan.toString
+    val siTree = si.queryExecution.sparkPlan
+    assert(siTree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 2, siPlan.take(3000))
+    assert(!siPlan.contains("CartesianProduct"), siPlan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
