@@ -332,6 +332,7 @@ object SparkEntry {
     "q225_classifier_report" -> Features.classifierReport _,
     "q226_sourcing_risk" -> Relational.sourcingRisk _,
     "q227_cosine_silhouette" -> Similarity.cosineSilhouette _,
+    "q228_discount_response" -> Relational.discountResponse _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5795,6 +5796,35 @@ object SparkEntry {
         |FROM sil CROSS JOIN ov
         |GROUP BY q_label, overall_mean_micro
         |ORDER BY label""".stripMargin,
+
+    // Replays Relational.discountResponseOf: the five power sums,
+    // HUGEINT cross-multiplied slope/intercept/R², nullif guards.
+    "q228_discount_response" ->
+      """WITH b AS (
+        |  SELECT p_brand,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |a AS (
+        |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM b GROUP BY 1),
+        |d AS (
+        |  SELECT *,
+        |    n_lines::HUGEINT * sxx - sx::HUGEINT * sx AS dxx,
+        |    n_lines::HUGEINT * syy - sy::HUGEINT * sy AS dyy,
+        |    n_lines::HUGEINT * sxy - sx::HUGEINT * sy AS dxy
+        |  FROM a)
+        |SELECT p_brand, n_lines,
+        |  CAST(dxy * 1000000 // nullif(dxx, 0) AS BIGINT) AS slope_ppm,
+        |  CAST((sy::HUGEINT * sxx - sx::HUGEINT * sxy) * 1000
+        |    // nullif(dxx, 0) AS BIGINT) AS intercept_milli,
+        |  CAST(dxy * dxy * 1000000 // nullif(dxx * dyy, 0) AS BIGINT)
+        |    AS r2_ppm
+        |FROM d ORDER BY p_brand""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

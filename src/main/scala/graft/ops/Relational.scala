@@ -1841,4 +1841,66 @@ object Relational {
         "mean_top_share_ppm")
       .orderBy("p_brand")
   }
+
+  def discountResponse(spark: SparkSession, dir: String): DataFrame =
+    discountResponseOf(Tables(spark, dir, "part"),
+      Tables(spark, dir, "lineitem"))
+
+  /** Graded q228: OLS DISCOUNT→QUANTITY response per brand — the
+    * parametric line the engine lacked: q172's Theil–Sen is the
+    * robust trend, this is the classical least-squares fit with its
+    * R², the price-response ("elasticity"-style) readout a pricing
+    * team sizes promotions by. x = discount in integer percent
+    * points (round(l_discount·100)), y = round(l_quantity); per
+    * brand: slope in ppm (quantity units per discount point),
+    * intercept in milli-units, R² in ppm — ALL exact integer
+    * rationals of the five power sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * cross-multiplied in DECIMAL(38,0): slope = (nΣxy−ΣxΣy)·10⁶ div
+    * (nΣx²−(Σx)²), R² = (nΣxy−ΣxΣy)²·10⁶ div (Sxx·Syy), truncation
+    * toward zero (verified Spark div == DuckDB // convention). A
+    * zero-variance x (single discount level) NULLs all three via
+    * nullif — honestly, not a fake 0. The graded stream draws
+    * discount and quantity independently, so R² ≈ 0 is the expected
+    * null — the control that the estimator doesn't hallucinate
+    * structure.
+    *
+    * Scale shape: one lineitem scan folds map-side into 5 power sums
+    * per brand behind a broadcast part join — the cheapest possible
+    * regression at 100 TB (one combinable aggregate, |brands| rows
+    * out). Precision bound: the cross products stay exact in 128
+    * bits while per-brand n ≤ ~10⁹ at these domains (x ≤ 100,
+    * y ≤ 50²); past that, pre-center per brand before the power
+    * sums.
+    */
+  def discountResponseOf(part: DataFrame, li: DataFrame): DataFrame =
+    li.select(col("l_partkey"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("y"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+        sum(expr("y * y")).as("syy"))
+      .withColumn("dxx", expr(
+        """CAST(n_lines AS DECIMAL(38, 0)) * sxx
+          | - CAST(sx AS DECIMAL(38, 0)) * sx""".stripMargin))
+      .withColumn("dyy", expr(
+        """CAST(n_lines AS DECIMAL(38, 0)) * syy
+          | - CAST(sy AS DECIMAL(38, 0)) * sy""".stripMargin))
+      .withColumn("dxy", expr(
+        """CAST(n_lines AS DECIMAL(38, 0)) * sxy
+          | - CAST(sx AS DECIMAL(38, 0)) * sy""".stripMargin))
+      .withColumn("slope_ppm", expr(
+        "CAST(dxy * 1000000 div nullif(dxx, 0) AS BIGINT)"))
+      .withColumn("intercept_milli", expr(
+        """CAST((CAST(sy AS DECIMAL(38, 0)) * sxx
+          | - CAST(sx AS DECIMAL(38, 0)) * sxy) * 1000
+          | div nullif(dxx, 0) AS BIGINT)""".stripMargin))
+      .withColumn("r2_ppm", expr(
+        "CAST(dxy * dxy * 1000000 div nullif(dxx * dyy, 0) AS BIGINT)"))
+      .select("p_brand", "n_lines", "slope_ppm", "intercept_milli",
+        "r2_ppm")
+      .orderBy("p_brand")
 }

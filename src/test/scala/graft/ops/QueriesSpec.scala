@@ -3231,6 +3231,54 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(vs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q228 discount response: perfect line exact, zero-variance " +
+    "NULLs; graded replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    // brand A: (x,y) = (0,10),(1,8),(2,6) — exact line y = 10 - 2x:
+    // slope -2e6 ppm, intercept 10000 milli, R2 = 1e6;
+    // brand B: both lines at x=5 — zero variance, all three NULL
+    val part = Seq((1L, "A"), (2L, "B")).toDF("p_partkey", "p_brand")
+    val li = Seq((1L, 0.00, 10.0), (1L, 0.01, 8.0), (1L, 0.02, 6.0),
+      (2L, 0.05, 3.0), (2L, 0.05, 9.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val got = collect5(Relational.discountResponseOf(part, li))
+    assert(got == Seq(
+      ("A", 3L, Some(-2000000L), Some(10000L), Some(1000000L)),
+      ("B", 2L, None, None, None)), got.mkString(";"))
+    // graded replay in BigInt off the raw tables
+    val brandOf = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_discount", "l_quantity").collect()
+      .map(r => (brandOf(r.getLong(0)),
+        BigInt(math.round(r.getDouble(1) * 100)),
+        BigInt(math.round(r.getDouble(2)))))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (brand, g) =>
+        val n = BigInt(g.length)
+        val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+        val sxy = g.map(t => t._2 * t._3).sum
+        val sxx = g.map(t => t._2 * t._2).sum
+        val syy = g.map(t => t._3 * t._3).sum
+        val dxx = n * sxx - sx * sx; val dyy = n * syy - sy * sy
+        val dxy = n * sxy - sx * sy
+        if (dxx == 0) (brand, g.length.toLong, None, None, None)
+        else (brand, g.length.toLong,
+          Some((dxy * 1000000 / dxx).toLong),
+          Some(((sy * sxx - sx * sxy) * 1000 / dxx).toLong),
+          if (dxx * dyy == 0) None
+          else Some((dxy * dxy * 1000000 / (dxx * dyy)).toLong))
+    }
+    val graded = collect5(Relational.discountResponse(spark, dir))
+    assert(graded == expect, s"${graded.take(3)} != ${expect.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1330,6 +1330,25 @@ class ScaleSpec extends SparkSpec {
     assert(!siPlan.contains("CartesianProduct"), siPlan.take(3000))
     CachedStages.release(spark)
   }
+  test("q228 plan: one lineitem scan folds into power sums behind a " +
+    "broadcast part join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.discountResponse(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // exactly two scans (lineitem + the broadcast part dim), one
+    // broadcast join, and a partial/final HashAggregate pair — the
+    // whole regression is one map-side-combinable pass
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(tree.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        => a
+    }.size == 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
