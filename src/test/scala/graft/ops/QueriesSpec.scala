@@ -3279,6 +3279,43 @@ class QueriesSpec extends SparkSpec {
     assert(graded == expect, s"${graded.take(3)} != ${expect.take(3)}")
     CachedStages.release(spark)
   }
+  test("q229 vocab richness: hand Chao1/Good-Turing exact incl. " +
+    "f2=0; graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // s1: "a a b c" -> N=4 V=3 f1=2 f2=1, chao1 = 3000 + 2*1*1000/4
+    //   = 3500 milli, unseen = 2e6/4 = 500000 ppm;
+    // s2: "x y" -> f2=0 exercises the bias-corrected denominator:
+    //   chao1 = 2000 + 2*1*1000/2 = 3000, unseen = 1e6
+    val docs = Seq(("s1", "a a b c"), ("s2", "x y"))
+      .toDF("source", "text")
+    val got = collect7(TextOps.vocabRichnessOf(docs))
+    assert(got == Seq(("s1", 4L, 3L, 2L, 1L, 3500L, 500000L),
+      ("s2", 2L, 2L, 2L, 0L, 3000L, 1000000L)), got.mkString(";"))
+    // graded replay: same [a-z0-9]+ kernel in Scala, BigInt fold
+    val rows = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val tokRe = "[a-z0-9]+".r
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (src, g) =>
+        val counts = g.flatMap(d =>
+            tokRe.findAllIn(d._2.toLowerCase).toSeq)
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val n = BigInt(counts.values.sum)
+        val v = BigInt(counts.size)
+        val f1 = BigInt(counts.values.count(_ == 1))
+        val f2 = BigInt(counts.values.count(_ == 2))
+        (src, n.toLong, v.toLong, f1.toLong, f2.toLong,
+          (v * 1000 + f1 * (f1 - 1) * 1000 / (2 * (f2 + 1))).toLong,
+          (f1 * 1000000 / n).toLong)
+    }
+    val graded = collect7(TextOps.vocabRichness(spark, dir))
+    assert(graded == expect, s"${graded.take(2)} != ${expect.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

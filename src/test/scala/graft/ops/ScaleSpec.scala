@@ -1349,6 +1349,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q229 plan: one documents scan, two combinable collapses, no " +
+    "joins at all") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.vocabRichness(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
+      plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // only text reaches the scan's projection besides source
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("n_chars"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
