@@ -334,6 +334,7 @@ object SparkEntry {
     "q227_cosine_silhouette" -> Similarity.cosineSilhouette _,
     "q228_discount_response" -> Relational.discountResponse _,
     "q229_vocab_richness" -> TextOps.vocabRichness _,
+    "q230_kendall_tau" -> RankTests.kendallTau _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5851,6 +5852,49 @@ object SparkEntry {
         |    AS chao1_milli,
         |  f1 * 1000000 // n_tokens AS gt_unseen_ppm
         |FROM a ORDER BY source""".stripMargin,
+
+    // Replays RankTests.kendallTauOfDaily: the calendar-bounded day
+    // pair join, concordant/discordant CASE, equal-value tie pairs,
+    // tau-a and the signed HUGEINT tau-b-squared.
+    "q230_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE
+        |      WHEN (b.x > a.x AND b.y > a.y)
+        |        OR (b.x < a.x AND b.y < a.y) THEN 1
+        |      WHEN (b.x > a.x AND b.y < a.y)
+        |        OR (b.x < a.x AND b.y > a.y) THEN -1
+        |      ELSE 0 END) AS BIGINT) AS nc_nd,
+        |    CAST(SUM(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS tx_pairs,
+        |    CAST(SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ty_pairs
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT n.event_type, n_days,
+        |  coalesce(n0, 0) AS n0, coalesce(nc_nd, 0) AS nc_nd,
+        |  coalesce(tx_pairs, 0) AS tx_pairs,
+        |  coalesce(ty_pairs, 0) AS ty_pairs,
+        |  CAST(coalesce(nc_nd, 0) * 1000000
+        |    // nullif(coalesce(n0, 0), 0) AS BIGINT) AS tau_a_ppm,
+        |  CAST((CASE WHEN coalesce(nc_nd, 0) < 0 THEN -1 ELSE 1 END)
+        |    * coalesce(nc_nd, 0)::HUGEINT * coalesce(nc_nd, 0)
+        |    * 1000000
+        |    // nullif((coalesce(n0, 0) - coalesce(tx_pairs, 0))::HUGEINT
+        |      * (coalesce(n0, 0) - coalesce(ty_pairs, 0)), 0)
+        |    AS BIGINT) AS taub2_signed_ppm
+        |FROM n LEFT JOIN p ON n.event_type = p.event_type
+        |ORDER BY n.event_type""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -395,4 +395,66 @@ object RankTests {
       .select(col("n_a"), col("n_b"), col("d_ppm"), col("v_at_max"),
         col("crit2_micro"), col("significant"))
   }
+
+  def kendallTau(spark: SparkSession, dir: String): DataFrame =
+    kendallTauOfDaily(Events.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(expr(
+          "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+          .as("y")))
+
+  /** Graded q230: KENDALL's TAU between two daily metrics per event
+    * type — volume (events/day) vs money (cents/day). q218's Spearman
+    * ranks the raw per-customer pairs; Kendall counts concordant vs
+    * discordant DAY pairs, the estimator with the cleaner
+    * interpretation (P(concordant) − P(discordant)) and better
+    * small-n behavior, and q188's Mann–Kendall is exactly this tau
+    * against TIME — so the three trend/association tests now share
+    * one family. Ships exact integers: n₀ = C(n,2) pairs, nc−nd, tie
+    * pair counts in x/y (Σt(t−1)/2 arises as the equal-value pair
+    * count — no per-group tie pass needed), tau-a = (nc−nd)·10⁶ div
+    * n₀, and the sqrt-free signed tau-b²:
+    * sign(nc−nd)·(nc−nd)²·10⁶ div ((n₀−tx)(n₀−ty)) in DECIMAL(38)
+    * (the q188/q221 cross-multiply discipline). Single-day types
+    * surface NULL taus via nullif, counts 0 — honestly.
+    *
+    * Scale shape: the pair join runs over the CALENDAR-bounded
+    * (type, day) matrix — ≤|days|²/2 rows per type regardless of
+    * event volume; the matrix itself is one map-side-combinable
+    * collapse of the stream. The matrix persists so the pair pass
+    * and the n_days count read one materialization.
+    */
+  def kendallTauOfDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = CachedStages.track(dailyIn.persist())
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n0"),
+        sum(expr(
+          """CASE WHEN (b.x > a.x AND b.y > a.y)
+            |       OR (b.x < a.x AND b.y < a.y) THEN CAST(1 AS BIGINT)
+            |     WHEN (b.x > a.x AND b.y < a.y)
+            |       OR (b.x < a.x AND b.y > a.y) THEN CAST(-1 AS BIGINT)
+            |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+          .as("nc_nd"),
+        sum(expr("CASE WHEN b.x = a.x THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("tx_pairs"),
+        sum(expr("CASE WHEN b.y = a.y THEN CAST(1 AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END")).as("ty_pairs"))
+    daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(broadcast(pairs), Seq("event_type"), "left")
+      .na.fill(0L, Seq("n0", "nc_nd", "tx_pairs", "ty_pairs"))
+      .withColumn("tau_a_ppm", expr(
+        "nc_nd * 1000000 div nullif(n0, 0)"))
+      .withColumn("taub2_signed_ppm", expr(
+        """CAST(CASE WHEN nc_nd < 0 THEN -1 ELSE 1 END
+          | * CAST(nc_nd AS DECIMAL(38, 0)) * nc_nd * 1000000
+          | div nullif(CAST(n0 - tx_pairs AS DECIMAL(38, 0))
+          |            * (n0 - ty_pairs), 0) AS BIGINT)""".stripMargin))
+      .select("event_type", "n_days", "n0", "nc_nd", "tx_pairs",
+        "ty_pairs", "tau_a_ppm", "taub2_signed_ppm")
+      .orderBy("event_type")
+  }
 }

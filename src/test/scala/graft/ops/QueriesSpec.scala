@@ -3316,6 +3316,62 @@ class QueriesSpec extends SparkSpec {
     assert(graded == expect, s"${graded.take(2)} != ${expect.take(2)}")
     CachedStages.release(spark)
   }
+  test("q230 kendall tau: hand concordance/ties/singleton exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    def replay(daily: Seq[(String, Long, Long, Long)]) =
+      daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        val pairs = for {
+          a <- g; b <- g if a._2 < b._2
+        } yield (b._3 - a._3, b._4 - a._4)
+        val n0 = BigInt(pairs.size)
+        val ncnd = BigInt(pairs.map { case (dx, dy) =>
+          if (dx > 0 && dy > 0 || dx < 0 && dy < 0) 1
+          else if (dx > 0 && dy < 0 || dx < 0 && dy > 0) -1 else 0
+        }.sum)
+        val tx = BigInt(pairs.count(_._1 == 0))
+        val ty = BigInt(pairs.count(_._2 == 0))
+        val tau = if (n0 == 0) None
+          else Some((ncnd * 1000000 / n0).toLong)
+        val den = (n0 - tx) * (n0 - ty)
+        val taub2 = if (den == 0) None
+          else Some((BigInt(ncnd.signum) * ncnd * ncnd * 1000000
+            / den).toLong)
+        (t, g.size.toLong, n0.toLong, ncnd.toLong, tx.toLong,
+          ty.toLong, tau, taub2)
+      }
+    // t: monotone-then-dip (nc-nd=4/6); u: one x-tie; v: singleton
+    val fx = Seq(
+      ("t", 1L, 1L, 10L), ("t", 2L, 2L, 20L), ("t", 3L, 3L, 30L),
+      ("t", 4L, 4L, 25L),
+      ("u", 1L, 5L, 1L), ("u", 2L, 5L, 2L), ("u", 3L, 7L, 3L),
+      ("v", 1L, 9L, 9L))
+    val got = collect8(RankTests.kendallTauOfDaily(
+      fx.toDF("event_type", "day", "x", "y")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == "t").get._7 == Some(666666L), got)
+    assert(got.find(_._1 == "u").get._8 == Some(666666L), got)
+    assert(got.find(_._1 == "v").get._7 == None, got)
+    CachedStages.release(spark)
+    // graded replay: same daily collapse in BigInt off raw events
+    val daily = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), g) =>
+        (t, d, g.size.toLong, g.map(_._2).sum) }
+    val graded = collect8(RankTests.kendallTau(spark, dir))
+    assert(graded == replay(daily), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

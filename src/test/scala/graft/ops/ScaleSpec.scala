@@ -1363,6 +1363,22 @@ class ScaleSpec extends SparkSpec {
       !plan.contains("n_chars"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q230 plan: pair join reads the persisted day matrix, never " +
+    "the event stream") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = RankTests.kendallTau(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // zero file scans in-plan: both pair sides and the day count read
+    // the cached calendar-bounded (type, day) matrix
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size == 3, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
