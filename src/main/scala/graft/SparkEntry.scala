@@ -335,6 +335,7 @@ object SparkEntry {
     "q228_discount_response" -> Relational.discountResponse _,
     "q229_vocab_richness" -> TextOps.vocabRichness _,
     "q230_kendall_tau" -> RankTests.kendallTau _,
+    "q231_pettitt_changepoint" -> RankTests.pettitt _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5895,6 +5896,65 @@ object SparkEntry {
         |    AS BIGINT) AS taub2_signed_ppm
         |FROM n LEFT JOIN p ON n.event_type = p.event_type
         |ORDER BY n.event_type""".stripMargin,
+
+    // Replays RankTests.pettittOfDaily: per-day full sign sums, the
+    // cumulative U_t, smallest-day argmax tie rule, level means, and
+    // the cross-multiplied ln(40) significance bound.
+    "q231_pettitt_changepoint" -> {
+      val c = graft.ops.RankTests.PettittLn40Micro
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+         |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100
+         |      AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |v AS (
+         |  SELECT a.event_type AS event_type, a.day AS day,
+         |    CAST(SUM(CASE WHEN a.x > b.x THEN 1
+         |                  WHEN a.x < b.x THEN -1
+         |                  ELSE 0 END) AS BIGINT) AS vt
+         |  FROM daily a JOIN daily b ON a.event_type = b.event_type
+         |  GROUP BY 1, 2),
+         |u AS (
+         |  SELECT event_type, day,
+         |    CAST(SUM(vt) OVER (PARTITION BY event_type ORDER BY day)
+         |      AS BIGINT) AS ut,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+         |      AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS nd
+         |  FROM v),
+         |best AS (
+         |  SELECT event_type, day AS cp_day, ut AS u_at_cp,
+         |    abs(ut) AS k_stat
+         |  FROM u WHERE rn < nd
+         |  QUALIFY row_number() OVER (PARTITION BY event_type
+         |    ORDER BY abs(ut) DESC, day ASC) = 1),
+         |lv AS (
+         |  SELECT daily.event_type,
+         |    CAST(SUM(CASE WHEN day <= cp_day THEN x END) AS BIGINT)
+         |      // CAST(SUM(CASE WHEN day <= cp_day THEN 1 END)
+         |         AS BIGINT) AS mean_before_cents,
+         |    CAST(SUM(CASE WHEN day > cp_day THEN x END) AS BIGINT)
+         |      // CAST(SUM(CASE WHEN day > cp_day THEN 1 END)
+         |         AS BIGINT) AS mean_after_cents
+         |  FROM daily JOIN best ON daily.event_type = best.event_type
+         |  GROUP BY 1),
+         |n AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+         |  FROM daily GROUP BY 1)
+         |SELECT n.event_type, n_days, cp_day, u_at_cp, k_stat,
+         |  mean_before_cents, mean_after_cents,
+         |  CASE WHEN k_stat IS NULL THEN CAST(NULL AS BIGINT)
+         |       WHEN 6::HUGEINT * k_stat * k_stat * 1000000
+         |          > $c::HUGEINT
+         |            * (n_days::HUGEINT * n_days * n_days
+         |               + n_days::HUGEINT * n_days)
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+         |  END AS significant
+         |FROM n LEFT JOIN best ON n.event_type = best.event_type
+         |LEFT JOIN lv ON n.event_type = lv.event_type
+         |ORDER BY n.event_type""".stripMargin
+    },
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

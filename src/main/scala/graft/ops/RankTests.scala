@@ -457,4 +457,89 @@ object RankTests {
         "ty_pairs", "tau_a_ppm", "taub2_signed_ppm")
       .orderBy("event_type")
   }
+
+  /** ln(40)·10⁶ = −ln(0.025)·10⁶: Pettitt's 5% two-sided approximate
+    * significance p ≈ 2exp(−6K²/(n³+n²)) < 0.05 cross-multiplies to
+    * 6K²·10⁶ > 3688879·(n³+n²) — sqrt/exp-free, shared with the
+    * oracle SQL. */
+  val PettittLn40Micro = 3688879L
+
+  def pettitt(spark: SparkSession, dir: String): DataFrame =
+    pettittOfDaily(Events.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("x")))
+
+  /** Graded q231: PETTITT CHANGEPOINT TEST (Pettitt, Appl. Statist.
+    * 1979) on daily revenue per event type — WHEN did the level
+    * shift? q187's CUSUM needs a target mean and flags excursions;
+    * Pettitt is the rank-based test that needs NO parameters and
+    * returns the single most likely break day: U_t = Σ_{i≤t,j>t}
+    * sign(x_j−x_i) via the O(n) recursion U_t = U_{t−1} + V_t over
+    * the per-day full sign sums V_t = Σ_j sign(x_t−x_j) (one
+    * calendar-bounded pair join), K = max|U_t| over t < n with the
+    * smallest-day tie rule, and the sqrt/exp-free 5% verdict
+    * 6K²·10⁶ > ln(40)·10⁶·(n³+n²) in DECIMAL(38) (exact past a
+    * century of days). The floored mean level before/after the break
+    * ships beside the verdict — the actionable readout. Singleton
+    * types surface NULL break/levels, honestly.
+    *
+    * Scale shape: the sign sums pair strictly over the persisted
+    * CALENDAR-bounded (type, day) matrix (≤|days|² per type, never
+    * the stream); the cumulative U_t window is partitioned per type
+    * over that same bounded matrix; the argmax and the level means
+    * are |types|-row broadcasts.
+    */
+  def pettittOfDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = CachedStages.track(dailyIn.persist())
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val ut = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type"))
+      .groupBy(col("a.event_type").as("event_type"),
+        col("a.day").as("day"))
+      .agg(sum(expr(
+        """CASE WHEN a.x > b.x THEN CAST(1 AS BIGINT)
+          |     WHEN a.x < b.x THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin)).as("vt"))
+      .withColumn("ut", sum(col("vt")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_days",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    val best = ut.filter(col("rn") < col("n_days"))
+      .withColumn("pick", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(abs(col("ut")).desc, col("day").asc)))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("ut").as("u_at_cp"), abs(col("ut")).as("k_stat"))
+    val levels = daily
+      .join(broadcast(best.select("event_type", "cp_day")),
+        Seq("event_type"))
+      .groupBy("event_type")
+      .agg(sum(when(col("day") <= col("cp_day"), col("x"))).as("sb"),
+        sum(when(col("day") <= col("cp_day"), 1L)).as("nb"),
+        sum(when(col("day") > col("cp_day"), col("x"))).as("sa"),
+        sum(when(col("day") > col("cp_day"), 1L)).as("na"))
+      .select(col("event_type"),
+        expr("sb div nb").as("mean_before_cents"),
+        expr("sa div na").as("mean_after_cents"))
+    daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(broadcast(best), Seq("event_type"), "left")
+      .join(broadcast(levels), Seq("event_type"), "left")
+      .withColumn("significant", expr(
+        s"""CASE WHEN k_stat IS NULL THEN CAST(NULL AS BIGINT)
+           |     WHEN CAST(6 AS DECIMAL(38, 0)) * k_stat * k_stat
+           |          * 1000000
+           |        > CAST($PettittLn40Micro AS DECIMAL(38, 0))
+           |          * (CAST(n_days AS DECIMAL(38, 0)) * n_days
+           |             * n_days
+           |             + CAST(n_days AS DECIMAL(38, 0)) * n_days)
+           |     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           |END""".stripMargin))
+      .select("event_type", "n_days", "cp_day", "u_at_cp", "k_stat",
+        "mean_before_cents", "mean_after_cents", "significant")
+      .orderBy("event_type")
+  }
 }

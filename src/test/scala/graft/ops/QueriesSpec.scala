@@ -3372,6 +3372,63 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q231 pettitt: hand step/significant-step/singleton exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        (2 to 7).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))))).toSeq
+    def replay(daily: Seq[(String, Long, Long)]) =
+      daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g0) =>
+        val g = g0.sortBy(_._2)
+        val n = g.size
+        val vt = g.map(a => g.map(b => (a._3 - b._3).signum).sum)
+        val ut = vt.scanLeft(0L)(_ + _).tail
+        if (n < 2) (t, n.toLong, Seq.fill(6)(None))
+        else {
+          val cands = (0 until n - 1)
+            .map(i => (math.abs(ut(i)), g(i)._2, ut(i)))
+          val (k, cp, u) = cands.maxBy(c => (c._1, -c._2))
+          val before = g.filter(_._2 <= cp).map(x => BigInt(x._3))
+          val after = g.filter(_._2 > cp).map(x => BigInt(x._3))
+          val sig = if (BigInt(6) * k * k * 1000000 >
+              BigInt(RankTests.PettittLn40Micro) *
+                (BigInt(n) * n * n + BigInt(n) * n)) 1L else 0L
+          (t, n.toLong, Seq(Some(cp), Some(u), Some(k.toLong),
+            Some((before.sum / before.size).toLong),
+            Some((after.sum / after.size).toLong), Some(sig)))
+        }
+      }
+    // t: short clean step (K=4, not significant at n=4);
+    // s: 12-day clean step (K=36, significant); v: singleton
+    val fx = Seq.tabulate(4)(i =>
+        ("t", (i + 1).toLong, if (i < 2) 1L else 10L)) ++
+      Seq.tabulate(12)(i =>
+        ("s", (i + 1).toLong, if (i < 6) 1L else 10L)) ++
+      Seq(("v", 1L, 9L))
+    val got = collect8(RankTests.pettittOfDaily(
+      fx.toDF("event_type", "day", "x")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    val s = got.find(_._1 == "s").get
+    assert(s._3 == Seq(Some(6L), Some(-36L), Some(36L), Some(1L),
+      Some(10L), Some(1L)), s.toString)
+    assert(got.find(_._1 == "t").get._3.last == Some(0L), got)
+    assert(got.find(_._1 == "v").get._3 == Seq.fill(6)(None), got)
+    CachedStages.release(spark)
+    // graded replay off raw events, BigInt end to end
+    val daily = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._2).sum) }
+    val graded = collect8(RankTests.pettitt(spark, dir))
+    assert(graded == replay(daily), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
