@@ -336,6 +336,7 @@ object SparkEntry {
     "q229_vocab_richness" -> TextOps.vocabRichness _,
     "q230_kendall_tau" -> RankTests.kendallTau _,
     "q231_pettitt_changepoint" -> RankTests.pettitt _,
+    "q232_runs_test" -> RankTests.runsTest _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5955,6 +5956,61 @@ object SparkEntry {
          |LEFT JOIN lv ON n.event_type = lv.event_type
          |ORDER BY n.event_type""".stripMargin
     },
+
+    // Replays RankTests.runsTestOfDaily: tie-dropped direction signs,
+    // lag-windowed run starts, and the cross-multiplied z-test.
+    "q232_runs_test" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, x,
+        |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM daily),
+        |sg AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN x > prev THEN 1 ELSE -1 END AS s
+        |  FROM st WHERE prev IS NOT NULL AND x <> prev),
+        |rn AS (
+        |  SELECT event_type, s,
+        |    lag(s) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS prevs
+        |  FROM sg),
+        |ag AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_steps,
+        |    CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_up,
+        |    CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_down,
+        |    CAST(SUM(CASE WHEN prevs IS NULL OR s <> prevs
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        |  FROM rn GROUP BY 1),
+        |n AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT n.event_type, n_days,
+        |    coalesce(n_steps, 0) AS n_steps,
+        |    coalesce(n_up, 0) AS n_up, coalesce(n_down, 0) AS n_down,
+        |    coalesce(runs, 0) AS runs
+        |  FROM n LEFT JOIN ag ON n.event_type = ag.event_type)
+        |SELECT event_type, n_days, n_steps, n_up, n_down, runs,
+        |  n_steps * (runs - 1) - 2 * n_up * n_down AS a_stat,
+        |  CASE
+        |    WHEN n_steps < 2
+        |      OR 2::HUGEINT * n_up * n_down
+        |         * (2 * n_up * n_down - n_steps) <= 0
+        |    THEN CAST(NULL AS BIGINT)
+        |    WHEN (n_steps * (runs - 1) - 2 * n_up * n_down)::HUGEINT
+        |         * (n_steps * (runs - 1) - 2 * n_up * n_down)
+        |         * (n_steps - 1) * 10000
+        |       > 38416::HUGEINT * 2 * n_up * n_down
+        |         * (2 * n_up * n_down - n_steps)
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+        |  END AS significant
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -542,4 +542,71 @@ object RankTests {
         "mean_before_cents", "mean_after_cents", "significant")
       .orderBy("event_type")
   }
+
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOfDaily(Events.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("x")))
+
+  /** Graded q232: WALD–WOLFOWITZ RUNS TEST (Wald & Wolfowitz, Ann.
+    * Math. Statist. 1940) on the up/down direction sequence of daily
+    * revenue — the RANDOMNESS audit the trend family assumes away:
+    * q188 asks "is there a trend", this asks "is the sequence of
+    * day-over-day moves random at all", catching BOTH failure modes —
+    * too few runs (momentum/level-shifts cluster signs; also exactly
+    * how q231's breaks look) and too many (oscillation, the signature
+    * of over-corrected pipelines and alternating batch effects).
+    * Zero-change days drop (the standard tie treatment); n₁ ups, n₂
+    * downs, R runs; under H₀ μ = 2n₁n₂/n + 1 and σ² =
+    * 2n₁n₂(2n₁n₂−n)/(n²(n−1)), so the 5% two-sided z-test
+    * cross-multiplies exactly: with A = n(R−1) − 2n₁n₂ (signed —
+    * A < 0 is clustering, A > 0 oscillation),
+    * A²·(n−1)·10⁴ > 38416·2n₁n₂(2n₁n₂−n) in DECIMAL(38) (the q188
+    * z² = 1.96² discipline). One-signed sequences (σ = 0) and
+    * sub-2-step types surface NULL — honestly.
+    *
+    * Scale shape: both lag windows run per type over the
+    * CALENDAR-bounded persisted day matrix; the verdict is a
+    * |types|-row aggregate. The stream collapses exactly once.
+    */
+  def runsTestOfDaily(dailyIn: DataFrame): DataFrame = {
+    val daily = CachedStages.track(dailyIn.persist())
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    val steps = daily
+      .withColumn("prev", lag(col("x"), 1).over(wOrd))
+      .filter(col("prev").isNotNull && col("x") =!= col("prev"))
+      .withColumn("s",
+        when(col("x") > col("prev"), 1L).otherwise(-1L))
+      .withColumn("prevs", lag(col("s"), 1).over(wOrd))
+      .withColumn("newrun",
+        when(col("prevs").isNull || col("s") =!= col("prevs"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_steps"),
+        sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("s") === -1L, 1L).otherwise(0L)).as("n_down"),
+        sum(col("newrun")).as("runs"))
+    daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(broadcast(steps), Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_steps", "n_up", "n_down", "runs"))
+      .withColumn("a_stat", expr(
+        "n_steps * (runs - 1) - 2 * n_up * n_down"))
+      .withColumn("significant", expr(
+        """CASE
+          |  WHEN n_steps < 2
+          |    OR CAST(2 AS DECIMAL(38, 0)) * n_up * n_down
+          |       * (2 * n_up * n_down - n_steps) <= 0
+          |  THEN CAST(NULL AS BIGINT)
+          |  WHEN CAST(a_stat AS DECIMAL(38, 0)) * a_stat
+          |       * (n_steps - 1) * 10000
+          |     > CAST(38416 AS DECIMAL(38, 0)) * 2 * n_up * n_down
+          |       * (2 * n_up * n_down - n_steps)
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+          |END""".stripMargin))
+      .select("event_type", "n_days", "n_steps", "n_up", "n_down",
+        "runs", "a_stat", "significant")
+      .orderBy("event_type")
+  }
 }

@@ -3429,6 +3429,61 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q232 runs test: oscillator/monotone/tie-drop/singleton " +
+    "exact; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    def replay(daily: Seq[(String, Long, Long)]) =
+      daily.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g0) =>
+        val xs = g0.sortBy(_._2).map(_._3)
+        val s = xs.sliding(2).collect {
+          case Seq(a, b) if a != b => if (b > a) 1L else -1L
+        }.toSeq
+        val n = BigInt(s.size)
+        val n1 = BigInt(s.count(_ == 1L))
+        val n2 = BigInt(s.count(_ == -1L))
+        val runs = BigInt(if (s.isEmpty) 0
+          else 1 + s.sliding(2).count {
+            case Seq(a, b) => a != b; case _ => false })
+        val a = n * (runs - 1) - 2 * n1 * n2
+        val d = 2 * n1 * n2 * (2 * n1 * n2 - n)
+        val sig = if (n < 2 || d <= 0) None
+          else Some(if (a * a * (n - 1) * 10000 > BigInt(38416) * d)
+            1L else 0L)
+        (t, g0.size.toLong, n.toLong, n1.toLong, n2.toLong,
+          runs.toLong, a.toLong, sig)
+      }
+    // t: 11-day perfect oscillator -> R=10 of n=10, significant;
+    // m: monotone -> one-signed, sigma=0, NULL; u: tie step drops;
+    // v: singleton
+    val fx = Seq.tabulate(11)(i =>
+        ("t", (i + 1).toLong, if (i % 2 == 0) 1L else 2L)) ++
+      Seq.tabulate(7)(i => ("m", (i + 1).toLong, (i + 1).toLong)) ++
+      Seq(("u", 1L, 5L), ("u", 2L, 5L), ("u", 3L, 6L), ("u", 4L, 4L),
+        ("v", 1L, 9L))
+    val got = collect8(RankTests.runsTestOfDaily(
+      fx.toDF("event_type", "day", "x")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == "t").get._8 == Some(1L), got)
+    assert(got.find(_._1 == "m").get._8 == None, got)
+    assert(got.find(_._1 == "u").get._3 == 2L, got)
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val daily = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._2).sum) }
+    val graded = collect8(RankTests.runsTest(spark, dir))
+    assert(graded == replay(daily), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
