@@ -337,6 +337,7 @@ object SparkEntry {
     "q230_kendall_tau" -> RankTests.kendallTau _,
     "q231_pettitt_changepoint" -> RankTests.pettitt _,
     "q232_runs_test" -> RankTests.runsTest _,
+    "q233_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6011,6 +6012,39 @@ object SparkEntry {
         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
         |  END AS significant
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // Replays Graph.linkPredictionOf: canonical co-purchase edges,
+    // wedge counting through the shared neighbor, anti-join of
+    // existing edges, Jaccard normalization, deterministic top-k.
+    "q233_link_prediction" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |deg AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+        |  GROUP BY 1),
+        |adj AS (
+        |  SELECT u AS w, v AS nbr FROM e
+        |  UNION ALL SELECT v AS w, u AS nbr FROM e),
+        |wg AS (
+        |  SELECT a.nbr AS u, b.nbr AS v, CAST(COUNT(*) AS BIGINT)
+        |    AS cn
+        |  FROM adj a JOIN adj b ON a.w = b.w AND a.nbr < b.nbr
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT wg.* FROM wg ANTI JOIN e
+        |    ON wg.u = e.u AND wg.v = e.v)
+        |SELECT cand.u, cand.v, cn,
+        |  du.deg AS deg_u, dv.deg AS deg_v,
+        |  cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm
+        |FROM cand JOIN deg du ON cand.u = du.id
+        |JOIN deg dv ON cand.v = dv.id
+        |ORDER BY jaccard_ppm DESC, cn DESC, cand.u ASC, cand.v ASC
+        |LIMIT 20""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -3484,6 +3484,46 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q233 link prediction: hand wedge graph exact; graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def replay(edges: Seq[(Long, Long)], k: Int) = {
+      val es = edges.toSet
+      val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = nbrs.view.mapValues(_.size.toLong).toMap
+      val cands = nbrs.values.toSeq.flatMap { ns =>
+        val s = ns.toSeq.sorted
+        for (i <- s.indices; j <- i + 1 until s.size)
+          yield (s(i), s(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .collect { case ((u, v), cn) if !es.contains((u, v)) =>
+          val j = BigInt(cn) * 1000000 / (deg(u) + deg(v) - cn)
+          (u, v, cn, deg(u), deg(v), j.toLong)
+        }
+      cands.sortBy(c => (-c._6, -c._3, c._1, c._2)).take(k)
+    }
+    val fx = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L))
+    val got = collect6(Graph.linkPredictionOf(fx.toDF("u", "v"), 20))
+    assert(got == replay(fx, 20), s"$got != ${replay(fx, 20)}")
+    assert(got.head == (1L, 4L, 2L, 3L, 2L, 666666L), got.head)
+    CachedStages.release(spark)
+    // graded replay: same canonical edges off raw lineitem
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val graded = collect6(Graph.linkPrediction(spark, dir))
+    assert(graded == replay(edges, 20), s"${graded.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
