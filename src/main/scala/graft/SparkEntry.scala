@@ -338,6 +338,7 @@ object SparkEntry {
     "q231_pettitt_changepoint" -> RankTests.pettitt _,
     "q232_runs_test" -> RankTests.runsTest _,
     "q233_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
+    "q234_holt_chart" -> Events.holtChart _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5226,6 +5227,7 @@ object SparkEntry {
     // per-type LINEAR recursive CTE (the q178 sweep, partitioned).
     "q187_cusum_chart" -> cusumSql,
     "q214_ewma_chart" -> ewmaSql,
+    "q234_holt_chart" -> holtSql,
 
     // Replays Events.acfOfDaily: densified calendar, milli-centered
     // deviations, 7 window lags, num/den HUGEINT ratios, the
@@ -7220,6 +7222,51 @@ object SparkEntry {
        |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
        |  AND d2.rn = s.rn
        |ORDER BY 1, 2""".stripMargin
+
+  /** Builds the q234 oracle: the per-type linear recursive CTE replay
+    * of Events.holtChartOfDaily, the l_t step interpolated twice
+    * (into both l and b) because neither a recursive CTE nor the fold
+    * lambda can bind intermediates.
+    */
+  private def holtSql: String = {
+    val lNew = "(300 * d2.cents + 700 * (s.l + s.bb)) // 1000"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+       |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+       |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+       |dense AS (
+       |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+       |  FROM (SELECT DISTINCT event_type FROM daily) t
+       |  CROSS JOIN cal
+       |  LEFT JOIN daily d ON d.event_type = t.event_type
+       |    AND d.day = cal.day),
+       |d2 AS (
+       |  SELECT event_type, day, cents,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY day) AS rn
+       |  FROM dense),
+       |sweep(event_type, rn, l, bb, f) AS (
+       |  SELECT event_type, rn, cents, CAST(0 AS BIGINT), cents
+       |  FROM d2 WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d2.event_type, d2.rn,
+       |    $lNew,
+       |    (100 * ($lNew - s.l) + 900 * s.bb) // 1000,
+       |    s.l + s.bb
+       |  FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |    AND d2.rn = s.rn + 1)
+       |SELECT d2.event_type, d2.day, d2.cents,
+       |  CAST(s.l AS BIGINT) AS level_cents,
+       |  CAST(s.bb AS BIGINT) AS trend_cents,
+       |  CAST(s.f AS BIGINT) AS forecast_cents,
+       |  CAST(d2.cents - s.f AS BIGINT) AS err_cents
+       |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
+       |  AND d2.rn = s.rn
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** Builds the q187 oracle: the tabular-CUSUM step expressions are
     * interpolated twice (seed row and recursive row) because a

@@ -1288,6 +1288,75 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  def holtChart(spark: SparkSession, dir: String): DataFrame =
+    holtChartOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q234: HOLT LINEAR-TREND smoothing (Holt 1957, reprinted
+    * IJF 2004) of per-type daily revenue — the FORECASTING member
+    * beside q214's EWMA monitor: EWMA tracks the level only and lags
+    * every ramp; Holt carries an explicit trend state, so its
+    * one-step-ahead forecast l+b is the thing q173 backtests and a
+    * capacity planner extrapolates. States in integer cents with
+    * per-mille smoothing (α = 300‰, β = 100‰), one floor per state
+    * per day: l_t = (300x_t + 700(l+b)) div 1000, b_t =
+    * (100(l_t − l_{t−1}) + 900b) div 1000, seeded l₁ = x₁, b₁ = 0;
+    * the per-day forecast is the PRIOR l+b (day 1 forecasts itself)
+    * and the residual x − forecast ships beside it. Trends go
+    * negative, so the verified truncation-toward-zero div convention
+    * is load-bearing here.
+    *
+    * Integer determinism: the fold is the q214 `aggregate()` HOF
+    * prefix fold over per-type calendar-bounded sorted arrays (the
+    * l_t expression interpolated twice because a fold lambda cannot
+    * bind intermediates — the cusumSql discipline); the oracle
+    * replays it as a per-type linear recursive CTE, floor for floor.
+    * Silent calendar days densify to zero — a forecaster must see
+    * the gaps.
+    *
+    * Scale shape: EIGHTH consumer of the (type, day) daily matrix;
+    * the prefix fold is O(|days|²) per type over the CALENDAR-bounded
+    * array, never the stream. At a century of days switch the fold
+    * to the maintained-state streaming twin discipline.
+    */
+  def holtChartOfDaily(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val series = dense.groupBy("event_type")
+      .agg(expr("sort_array(collect_list(struct(day, cents)))").as("ss"))
+    // l_t interpolated twice: the lambda cannot bind an intermediate
+    val lNew = "(300 * f.cents + 700 * (acc.l + acc.b)) div 1000"
+    dense.join(broadcast(series), Seq("event_type"))
+      .withColumn("st", expr(
+        s"""aggregate(filter(ss, f -> f.day <= day),
+           |named_struct('st', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+           |  'b', CAST(0 AS BIGINT), 'f', CAST(0 AS BIGINT)),
+           |(acc, f) -> IF(acc.st = 0,
+           |  named_struct('st', CAST(1 AS BIGINT), 'l', f.cents,
+           |    'b', CAST(0 AS BIGINT), 'f', f.cents),
+           |  named_struct('st', CAST(1 AS BIGINT),
+           |    'l', $lNew,
+           |    'b', (100 * ($lNew - acc.l) + 900 * acc.b) div 1000,
+           |    'f', acc.l + acc.b)),
+           |acc -> acc)""".stripMargin))
+      .withColumn("level_cents", expr("st.l"))
+      .withColumn("trend_cents", expr("st.b"))
+      .withColumn("forecast_cents", expr("st.f"))
+      .withColumn("err_cents", expr("cents - st.f"))
+      .select(col("event_type"), col("day"), col("cents"),
+        col("level_cents"), col("trend_cents"), col("forecast_cents"),
+        col("err_cents"))
+      .orderBy("event_type", "day")
+  }
+
   def acfDaily(spark: SparkSession, dir: String): DataFrame =
     acfOfDaily(events(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))

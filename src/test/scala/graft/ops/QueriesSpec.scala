@@ -3524,6 +3524,57 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(edges, 20), s"${graded.take(3)}")
     CachedStages.release(spark)
   }
+  test("q234 holt: hand ramp + negative-trend truncation exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def replay(daily: Seq[(String, Long, Long)]) = {
+      val mn = daily.map(_._2).min; val mx = daily.map(_._2).max
+      val have = daily.map(d => (d._1, d._2) -> d._3).toMap
+      daily.map(_._1).distinct.sorted.flatMap { t =>
+        var l = BigInt(0); var b = BigInt(0); var started = false
+        (mn to mx).map { d =>
+          val x = BigInt(have.getOrElse((t, d), 0L))
+          val f = if (!started) x else l + b
+          if (!started) { l = x; b = BigInt(0); started = true }
+          else {
+            val lNew = (300 * x + 700 * (l + b)) / 1000
+            b = (100 * (lNew - l) + 900 * b) / 1000
+            l = lNew
+          }
+          (t, d, x.toLong, l.toLong, b.toLong, f.toLong,
+            (x - f).toLong)
+        }
+      }
+    }
+    // t: clean ramp; u: gap days densify to zero and drive the trend
+    // negative (exercises truncation-toward-zero on both states)
+    val fx = Seq.tabulate(5)(i =>
+        ("t", (i + 1).toLong, (i + 1) * 1000L)) ++
+      Seq(("u", 1L, 500L), ("u", 3L, 500L))
+    val got = collect7(Events.holtChartOfDaily(
+      fx.toDF("event_type", "day", "cents")))
+    assert(got == replay(fx), s"${got.take(4)} != ${replay(fx).take(4)}")
+    assert(got.find(r => r._1 == "t" && r._2 == 3L).get ==
+      ("t", 3L, 3000L, 1831L, 80L, 1330L, 1670L), got.mkString(";"))
+    assert(got.find(r => r._1 == "u" && r._2 == 3L).get ==
+      ("u", 3L, 500L, 384L, -10L, 335L, 165L), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val daily = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._2).sum) }
+    val graded = collect7(Events.holtChart(spark, dir))
+    assert(graded == replay(daily), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
