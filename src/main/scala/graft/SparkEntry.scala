@@ -339,6 +339,7 @@ object SparkEntry {
     "q232_runs_test" -> RankTests.runsTest _,
     "q233_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
     "q234_holt_chart" -> Events.holtChart _,
+    "q235_bh_fdr" -> Relational.supplierFdr _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6412,6 +6413,68 @@ object SparkEntry {
          |            AND diff_ppm > 0 THEN 1
          |       ELSE 0 END AS BIGINT) AS elevated
          |FROM z ORDER BY l_suppkey""".stripMargin,
+
+    // Replays Relational.supplierFdrOf: the q195 z-chain, the shared
+    // PLadderMicro p assignment, band cumulative ranks, BH step-up
+    // at q=10% and the Bonferroni contrast.
+    "q235_bh_fdr" ->
+      s"""WITH per AS (
+         |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_returned
+         |  FROM lineitem GROUP BY 1),
+         |g AS (SELECT CAST(SUM(n_lines) AS BIGINT) AS nn,
+         |        CAST(SUM(n_returned) AS BIGINT) AS rr
+         |      FROM per),
+         |x AS (
+         |  SELECT per.*, g.nn, g.rr,
+         |    n_returned * 1000000 // n_lines AS rate_ppm,
+         |    (rr - n_returned) * 1000000 // nullif(nn - n_lines, 0)
+         |      AS rest_ppm,
+         |    rr * 1000000 // nn AS pooled_ppm
+         |  FROM per CROSS JOIN g),
+         |y AS (
+         |  SELECT *, rate_ppm - rest_ppm AS diff_ppm,
+         |    CAST(pooled_ppm::HUGEINT * (1000000 - pooled_ppm)
+         |      * nn * 1000000
+         |      // (n_lines::HUGEINT * nullif(nn - n_lines, 0))
+         |      AS BIGINT) AS se2_e18
+         |  FROM x),
+         |z AS (
+         |  SELECT *,
+         |    CAST(diff_ppm::HUGEINT * diff_ppm * 1000000000000
+         |      // nullif(se2_e18, 0) AS BIGINT) AS z2_micro
+         |  FROM y),
+         |t AS (
+         |  SELECT ${graft.ops.Relational.pLadderCase("z2_micro")}
+         |    AS p_ppm
+         |  FROM z WHERE z2_micro IS NOT NULL),
+         |bands AS (
+         |  SELECT p_ppm, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+         |  FROM t GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_tested FROM t),
+         |c AS (
+         |  SELECT p_ppm, n_suppliers,
+         |    CAST(SUM(n_suppliers) OVER (ORDER BY p_ppm) AS BIGINT)
+         |      AS cum_tested, m_tested
+         |  FROM bands CROSS JOIN m),
+         |f AS (
+         |  SELECT *,
+         |    CAST(CASE WHEN p_ppm * m_tested <= cum_tested * 100000
+         |      THEN 1 ELSE 0 END AS BIGINT) AS bh_pass,
+         |    CASE WHEN p_ppm * m_tested <= 50000
+         |      THEN 1 ELSE 0 END AS bonf_pass
+         |  FROM c),
+         |tot AS (
+         |  SELECT
+         |    CAST(coalesce(MAX(CASE WHEN bh_pass = 1
+         |      THEN cum_tested END), 0) AS BIGINT) AS n_discoveries,
+         |    CAST(coalesce(MAX(CASE WHEN bonf_pass = 1
+         |      THEN cum_tested END), 0) AS BIGINT) AS n_bonferroni
+         |  FROM f)
+         |SELECT p_ppm, n_suppliers, cum_tested, bh_pass,
+         |  n_discoveries, n_bonferroni, m_tested
+         |FROM f CROSS JOIN tot ORDER BY p_ppm""".stripMargin,
 
     // INDEPENDENT per-part ABC formulation (the q174 global window)
     // crossed with the HUGEINT CV2 XYZ classes — hash-matching proves

@@ -1193,6 +1193,75 @@ object Relational {
       .orderBy("l_suppkey")
   }
 
+  /** Upper-tail χ²(1) p ladder: (z²_micro threshold, p_ppm upper
+    * bound), descending. The 0.05 rung IS `Events.Chi2Crit95Ppm.head`
+    * so the q195 screen and the q235 correction can never disagree at
+    * their shared alpha. Quantiles: 10.827566 (0.001), 6.634897
+    * (0.01), 5.023886 (0.025), 3.841459 (0.05), 2.705543 (0.1),
+    * 1.642374 (0.2), 0.454936 (0.5). */
+  private[graft] val PLadderMicro: Seq[(Long, Long)] = Seq(
+    (10827566L, 1000L), (6634897L, 10000L), (5023886L, 25000L),
+    (Events.Chi2Crit95Ppm.head, 50000L), (2705543L, 100000L),
+    (1642374L, 200000L), (454936L, 500000L))
+
+  private[graft] def pLadderCase(z2: String): String =
+    PLadderMicro.map { case (t, p) =>
+      s"WHEN $z2 >= $t THEN CAST($p AS BIGINT)" }
+      .mkString("CASE ", " ", " ELSE CAST(1000000 AS BIGINT) END")
+
+  def supplierFdr(spark: SparkSession, dir: String): DataFrame =
+    supplierFdrOf(Tables(spark, dir, "lineitem"))
+
+  /** Graded q235: BENJAMINI–HOCHBERG FDR over the supplier
+    * return-rate screen (Benjamini & Hochberg, JRSS-B 1995) — the
+    * multiplicity correction q195's scaladoc explicitly left "the
+    * analyst's knob downstream": at |suppliers| simultaneous screens,
+    * ~5% of CLEAN suppliers flag by chance at per-row alpha, and
+    * procurement escalates noise. Each tested supplier's z²_micro
+    * maps to a CONSERVATIVE p upper bound through the shared
+    * `PLadderMicro` table (quantized p-values keep BH exact-integer:
+    * p̂_ppm·m ≤ rank·q_ppm with q = 10%, the step-up evaluated on
+    * band cumulative ranks — valid because equal p̂ means one band
+    * passes or fails as a unit); Bonferroni (p̂_ppm·m ≤ 50000) ships
+    * beside it as the stricter classical contrast. Per-band report:
+    * band p, suppliers, cumulative rank, BH pass, plus the global
+    * discovery counts repeated per row (q181 discipline). Degenerate
+    * (NULL-z²) suppliers are excluded from m — they were never
+    * tested.
+    *
+    * Scale shape: rides the q195 screen unchanged (one lineitem
+    * collapse, broadcast global); the correction itself runs on the
+    * ≤8-row band table — a LADDER-bounded window, free at any scale.
+    */
+  def supplierFdrOf(li: DataFrame): DataFrame = {
+    val tested = supplierReturnScreenOf(li)
+      .filter(col("z2_micro").isNotNull)
+      .withColumn("p_ppm", expr(pLadderCase("z2_micro")))
+    val bands = tested.groupBy("p_ppm")
+      .agg(count(lit(1)).as("n_suppliers"))
+    val m = tested.agg(count(lit(1)).as("m_tested"))
+    val w = Window.orderBy("p_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bands
+      .withColumn("cum_tested", sum(col("n_suppliers")).over(w))
+      .crossJoin(broadcast(m))
+      .withColumn("bh_pass", expr(
+        """IF(p_ppm * m_tested <= cum_tested * 100000,
+          | CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin))
+      .withColumn("bonf_pass", expr(
+        """IF(p_ppm * m_tested <= 50000,
+          | CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin))
+    val totals = cum.agg(
+      coalesce(max(when(col("bh_pass") === 1L, col("cum_tested"))),
+        lit(0L)).as("n_discoveries"),
+      coalesce(max(when(col("bonf_pass") === 1L, col("cum_tested"))),
+        lit(0L)).as("n_bonferroni"))
+    cum.crossJoin(broadcast(totals))
+      .select("p_ppm", "n_suppliers", "cum_tested", "bh_pass",
+        "n_discoveries", "n_bonferroni", "m_tested")
+      .orderBy("p_ppm")
+  }
+
   def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame =
     abcXyzOf(Tables(spark, dir, "lineitem"))
 

@@ -3575,6 +3575,68 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q235 bh fdr: planted outlier discovered, BigInt chain exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def replay(lines: Seq[(Long, String)]) = {
+      val per = lines.groupBy(_._1).view.mapValues(g =>
+        (BigInt(g.size), BigInt(g.count(_._2 == "R")))).toMap
+      val nn = per.values.map(_._1).sum
+      val rr = per.values.map(_._2).sum
+      val pooled = rr * 1000000 / nn
+      val ladder = Seq((10827566L, 1000L), (6634897L, 10000L),
+        (5023886L, 25000L), (3841459L, 50000L), (2705543L, 100000L),
+        (1642374L, 200000L), (454936L, 500000L))
+      val ps = per.toSeq.flatMap { case (_, (n, r)) =>
+        if (nn == n) None
+        else {
+          val diff = r * 1000000 / n - (rr - r) * 1000000 / (nn - n)
+          val se2 = pooled * (1000000 - pooled) * nn * 1000000 /
+            (n * (nn - n))
+          if (se2 == 0) None
+          else {
+            val z2 = diff * diff * BigInt("1000000000000") / se2
+            Some(ladder.find(l => z2 >= l._1).map(_._2)
+              .getOrElse(1000000L))
+          }
+        }
+      }
+      val m = BigInt(ps.size)
+      val bands = ps.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (p, g) => (p, g.size.toLong) }
+      val cums = bands.scanLeft(0L)(_ + _._2).tail
+      val rows = bands.zip(cums).map { case ((p, n), c) =>
+        (p, n, c, if (BigInt(p) * m <= BigInt(c) * 100000) 1L else 0L,
+          if (BigInt(p) * m <= 50000) 1L else 0L)
+      }
+      val disc = rows.filter(_._4 == 1L).map(_._3).maxOption
+        .getOrElse(0L)
+      val bonf = rows.filter(_._5 == 1L).map(_._3).maxOption
+        .getOrElse(0L)
+      rows.map(r => (r._1, r._2, r._3, r._4, disc, bonf, m.toLong))
+    }
+    // 20 clean suppliers at ~10% return rate, one planted at 100%:
+    // the outlier clears the lowest-p rung and BH must discover it
+    val fx = (1L to 20L).flatMap(s => Seq.tabulate(50)(i =>
+        (s, if (i < 5) "R" else "N"))) ++
+      Seq.tabulate(50)(_ => (99L, "R"))
+    val got = collect7(Relational.supplierFdrOf(
+      fx.toDF("l_suppkey", "l_returnflag")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.head._1 == 1000L && got.head._4 == 1L, got.head)
+    assert(got.head._5 >= 1L, got.head)
+    CachedStages.release(spark)
+    // graded replay off raw lineitem
+    val lines = Tables(spark, dir, "lineitem")
+      .select("l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val graded = collect7(Relational.supplierFdr(spark, dir))
+    assert(graded == replay(lines), s"${graded.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
