@@ -340,6 +340,7 @@ object SparkEntry {
     "q233_link_prediction" -> ((s, d) => Graph.linkPrediction(s, d)),
     "q234_holt_chart" -> Events.holtChart _,
     "q235_bh_fdr" -> Relational.supplierFdr _,
+    "q236_source_divergence" -> TextOps.sourceDivergence _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6048,6 +6049,45 @@ object SparkEntry {
         |JOIN deg dv ON cand.v = dv.id
         |ORDER BY jaccard_ppm DESC, cn DESC, cand.u ASC, cand.v ASC
         |LIMIT 20""".stripMargin,
+
+    // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
+    // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.
+    "q236_source_divergence" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text),
+        |    '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM c GROUP BY 1),
+        |toks AS (SELECT DISTINCT token FROM c),
+        |pairs AS (
+        |  SELECT a.source AS source_a, a.n AS n_a,
+        |    b.source AS source_b, b.n AS n_b
+        |  FROM tot a JOIN tot b ON a.source < b.source),
+        |grid AS (
+        |  SELECT p.*, toks.token,
+        |    coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+        |  FROM pairs p CROSS JOIN toks
+        |  LEFT JOIN c ca ON ca.token = toks.token
+        |    AND ca.source = p.source_a
+        |  LEFT JOIN c cb ON cb.token = toks.token
+        |    AND cb.source = p.source_b),
+        |terms AS (
+        |  SELECT source_a, source_b, n_a, n_b,
+        |    (ca::HUGEINT * n_b - cb::HUGEINT * n_a)
+        |      * (ca::HUGEINT * n_b - cb::HUGEINT * n_a)
+        |      * 1000000 // (ca + cb) AS term2
+        |  FROM grid WHERE ca + cb > 0)
+        |SELECT source_a, source_b, n_a, n_b,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_union,
+        |  CAST(SUM(term2) // (n_a::HUGEINT * n_b) AS BIGINT)
+        |    AS chi2_micro
+        |FROM terms GROUP BY 1, 2, 3, 4
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

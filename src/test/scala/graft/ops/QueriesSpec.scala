@@ -3637,6 +3637,59 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(lines), s"${graded.take(3)}")
     CachedStages.release(spark)
   }
+  test("q236 source divergence: identical-pair zero, disjoint-pair " +
+    "max; graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val tokRe = "[a-z0-9]+".r
+    def replay(docs: Seq[(String, String)]) = {
+      val counts = docs.flatMap(d =>
+          tokRe.findAllIn(d._2.toLowerCase).map(t => (d._1, t)))
+        .groupBy(identity).view.mapValues(g => BigInt(g.size)).toMap
+      val ns = counts.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2).sum).toMap
+      val srcs = ns.keys.toSeq.sorted
+      val toks = counts.keys.map(_._2).toSeq.distinct
+      for {
+        i <- srcs.indices; j <- i + 1 until srcs.size
+        a = srcs(i); b = srcs(j)
+      } yield {
+        val terms = toks.flatMap { t =>
+          val ca = counts.getOrElse((a, t), BigInt(0))
+          val cb = counts.getOrElse((b, t), BigInt(0))
+          if (ca + cb == 0) None
+          else {
+            val d = ca * ns(b) - cb * ns(a)
+            Some(d * d * 1000000 / (ca + cb))
+          }
+        }
+        (a, b, ns(a).toLong, ns(b).toLong, terms.size.toLong,
+          (terms.sum / (ns(a) * ns(b))).toLong)
+      }
+    }
+    // a/b identical distributions (chi2 = 0), c disjoint vocabulary
+    // (every token one-sided -> maximal divergence)
+    val fx = Seq(("a", "x x y"), ("b", "x x y x x y"),
+      ("c", "z w z"))
+    val got = collect6(TextOps.sourceDivergenceOf(
+      fx.toDF("source", "text")))
+    val exp = replay(fx)
+    assert(got == exp, s"$got != $exp")
+    assert(got.find(r => r._1 == "a" && r._2 == "b").get._6 == 0L, got)
+    // disjoint pair: chi2 = N_a + N_b exactly -> micro = (3+3)*1e6
+    assert(got.find(r => r._1 == "a" && r._2 == "c").get._6
+      == 6000000L, got)
+    CachedStages.release(spark)
+    // graded replay over the documents table
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val graded = collect6(TextOps.sourceDivergence(spark, dir))
+    assert(graded == replay(docs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
