@@ -341,6 +341,7 @@ object SparkEntry {
     "q234_holt_chart" -> Events.holtChart _,
     "q235_bh_fdr" -> Relational.supplierFdr _,
     "q236_source_divergence" -> TextOps.sourceDivergence _,
+    "q237_load_profile" -> Events.loadProfile _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6088,6 +6089,34 @@ object SparkEntry {
         |    AS chi2_micro
         |FROM terms GROUP BY 1, 2, 3, 4
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Replays Events.loadProfileOf: the 24-bucket hour histogram,
+    // smallest-hour peak tie rule, fixed-denominator peak-to-mean,
+    // hour HHI and night share.
+    "q237_load_profile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT event_type, hour AS peak_hour, n AS peak_n
+        |  FROM h
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n DESC, hour ASC) = 1),
+        |ag AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_events,
+        |    SUM(n::HUGEINT * n) AS sq,
+        |    CAST(SUM(CASE WHEN hour < 6 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n_night
+        |  FROM h GROUP BY 1)
+        |SELECT ag.event_type, n_events, peak_hour, peak_n,
+        |  peak_n * 24 * 1000 // n_events AS peak_to_mean_milli,
+        |  CAST(sq * 1000000 // (n_events::HUGEINT * n_events)
+        |    AS BIGINT) AS hhi_ppm,
+        |  n_night * 1000000 // n_events AS night_ppm
+        |FROM ag JOIN pk ON ag.event_type = pk.event_type
+        |ORDER BY ag.event_type""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

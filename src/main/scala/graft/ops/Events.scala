@@ -1856,6 +1856,57 @@ object Events {
       .orderBy("day")
   }
 
+  def loadProfile(spark: SparkSession, dir: String): DataFrame =
+    loadProfileOf(events(spark, dir)
+      .select(col("event_type"),
+        expr("(ts_sec div 3600) % 24").as("hour")))
+
+  /** Graded q237: HOUR-OF-DAY LOAD PROFILE per event type — the
+    * capacity-planning grain that completes the calendar trio (q182
+    * weekday, q205 day-of-month): a stream that serves 4× its mean at
+    * peak hour is sized by the PEAK, and a pipeline whose "user"
+    * traffic concentrates at 03:00 is a bot signature. Per type, off
+    * the 24-bucket hour histogram: the peak hour (smallest-hour tie
+    * rule), peak-to-mean in milli (peak·24·1000 div n — mean is over
+    * the FIXED 24 buckets, silent hours count), the hour-concentration
+    * HHI Σn_h²·10⁶ div n² (q162's index on the hour dimension —
+    * 41667 ppm = flat, 10⁶ = single-hour), and the 00–05 night share
+    * in ppm. All exact one-floor integers.
+    *
+    * Scale shape: one events scan collapses map-side into ≤24·|types|
+    * histogram rows; everything downstream is |types|-sized. The
+    * cheapest profile in the engine beside q222.
+    */
+  def loadProfileOf(evs: DataFrame): DataFrame = {
+    val byHour = CachedStages.track(evs
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+      .persist())
+    val peaks = byHour
+      .withColumn("pick", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(col("n").desc, col("hour").asc)))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("hour").as("peak_hour"),
+        col("n").as("peak_n"))
+    byHour.groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        sum(expr("CAST(n AS DECIMAL(38, 0)) * n")).as("sq"),
+        sum(when(col("hour") < 6, col("n")).otherwise(0L))
+          .as("n_night"))
+      .join(broadcast(peaks), Seq("event_type"))
+      .withColumn("peak_to_mean_milli", expr(
+        "peak_n * 24 * 1000 div n_events"))
+      .withColumn("hhi_ppm", expr(
+        """CAST(sq * 1000000 div (CAST(n_events AS DECIMAL(38, 0))
+          | * n_events) AS BIGINT)""".stripMargin))
+      .withColumn("night_ppm", expr(
+        "n_night * 1000000 div n_events"))
+      .select("event_type", "n_events", "peak_hour", "peak_n",
+        "peak_to_mean_milli", "hhi_ppm", "night_ppm")
+      .orderBy("event_type")
+  }
+
   def weekdayProfile(spark: SparkSession, dir: String): DataFrame =
     weekdayProfileOfDaily(events(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))

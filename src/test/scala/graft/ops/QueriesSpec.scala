@@ -3690,6 +3690,48 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(docs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q237 load profile: hand histogram incl. peak tie; graded " +
+    "replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def replay(evs: Seq[(String, Long)]) =
+      evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        val byH = g.groupBy(_._2).view.mapValues(x => BigInt(x.size))
+          .toMap
+        val n = BigInt(g.size)
+        val (peakH, peakN) = byH.toSeq
+          .maxBy(h => (h._2, -h._1))
+        val sq = byH.values.map(c => c * c).sum
+        val night = byH.filter(_._1 < 6).values.sum
+        (t, n.toLong, peakH, peakN.toLong,
+          (peakN * 24 * 1000 / n).toLong,
+          (sq * 1000000 / (n * n)).toLong,
+          (night * 1000000 / n).toLong)
+      }
+    // t: hours 2 and 3 tie at 2 events each -> smallest-hour rule;
+    // u: single-hour spike -> HHI 1e6, peak-to-mean 24000
+    val fx = Seq(("t", 2L), ("t", 2L), ("t", 3L), ("t", 3L),
+      ("t", 10L), ("u", 7L), ("u", 7L), ("u", 7L))
+    val got = collect7(Events.loadProfileOf(
+      fx.toDF("event_type", "hour")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == "t").get._3 == 2L, got)
+    assert(got.find(_._1 == "u").get ==
+      ("u", 3L, 7L, 3L, 24000L, 1000000L, 0L), got)
+    // night share of t: hours 2,3 -> 4 of 5
+    assert(got.find(_._1 == "t").get._7 == 800000L, got)
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val evs = Events.events(spark, dir)
+      .selectExpr("event_type", "(ts_sec div 3600) % 24 AS hour")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val graded = collect7(Events.loadProfile(spark, dir))
+    assert(graded == replay(evs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
