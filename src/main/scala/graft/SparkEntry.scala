@@ -342,6 +342,9 @@ object SparkEntry {
     "q235_bh_fdr" -> Relational.supplierFdr _,
     "q236_source_divergence" -> TextOps.sourceDivergence _,
     "q237_load_profile" -> Events.loadProfile _,
+    "q238_price_anova" -> Relational.priceAnova _,
+    "q239_rand_index" -> ((s, d) =>
+      Clustering.randIndex(s, d, KmeansK, KmeansIters)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6117,6 +6120,73 @@ object SparkEntry {
         |  n_night * 1000000 // n_events AS night_ppm
         |FROM ag JOIN pk ON ag.event_type = pk.event_type
         |ORDER BY ag.event_type""".stripMargin,
+
+    // Replays Relational.priceAnovaOf: floored unit price, nested
+    // moment collapses, floored sums-of-squares, clamped eta^2.
+    "q238_price_anova" ->
+      """WITH y AS (
+        |  SELECT p_brand, l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT) // CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |g AS (
+        |  SELECT p_brand, l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(y) AS BIGINT) AS s_g,
+        |    SUM(y::HUGEINT * y) AS q_g
+        |  FROM y GROUP BY 1, 2),
+        |b AS (
+        |  SELECT p_brand, CAST(SUM(n_g) AS BIGINT) AS n_lines,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(s_g) AS BIGINT) AS s, SUM(q_g) AS q,
+        |    SUM((s_g // n_g)::HUGEINT * s_g) AS gterms
+        |  FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT *, (s // n_lines)::HUGEINT * s AS corr
+        |  FROM b)
+        |SELECT p_brand, n_lines, n_suppliers,
+        |  s // n_lines AS mean_price_cents,
+        |  CAST(greatest(gterms - corr, 0) * 1000000
+        |    // nullif(q - corr, 0) AS BIGINT) AS eta2_ppm
+        |FROM c ORDER BY p_brand""".stripMargin,
+
+    // Replays Clustering.randIndexOf over the q42 k-means CTEs: the
+    // contingency pair counts and the chance-corrected HUGEINT ARI.
+    "q239_rand_index" ->
+      s"""WITH ${kmeansCtes(KmeansK, KmeansIters)},
+         |ass AS (
+         |  SELECT a.vec_id, a.cluster, e.label
+         |  FROM a$KmeansIters a
+         |  JOIN embeddings e ON a.vec_id = e.vec_id),
+         |cont AS (
+         |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS n_ij
+         |  FROM ass GROUP BY 1, 2),
+         |aa AS (
+         |  SELECT CAST(SUM(ai * (ai - 1) // 2) AS BIGINT) AS a_pairs,
+         |    CAST(COUNT(*) AS BIGINT) AS k_clusters
+         |  FROM (SELECT cluster, CAST(SUM(n_ij) AS BIGINT) AS ai
+         |        FROM cont GROUP BY 1) x),
+         |bb AS (
+         |  SELECT CAST(SUM(bj * (bj - 1) // 2) AS BIGINT) AS b_pairs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_labels
+         |  FROM (SELECT label, CAST(SUM(n_ij) AS BIGINT) AS bj
+         |        FROM cont GROUP BY 1) x),
+         |pp AS (
+         |  SELECT CAST(SUM(n_ij) AS BIGINT) AS n_points,
+         |    CAST(SUM(n_ij * (n_ij - 1) // 2) AS BIGINT) AS p_pairs
+         |  FROM cont),
+         |f AS (
+         |  SELECT *, n_points * (n_points - 1) // 2 AS n_tot
+         |  FROM pp CROSS JOIN aa CROSS JOIN bb)
+         |SELECT n_points, k_clusters, n_labels, p_pairs, a_pairs,
+         |  b_pairs,
+         |  CAST((n_tot::HUGEINT + 2 * p_pairs - a_pairs - b_pairs)
+         |    * 1000000 // nullif(n_tot, 0) AS BIGINT) AS ri_ppm,
+         |  CAST(2 * (p_pairs::HUGEINT * n_tot
+         |            - a_pairs::HUGEINT * b_pairs) * 1000000
+         |    // nullif(n_tot::HUGEINT * (a_pairs + b_pairs)
+         |       - 2 * a_pairs::HUGEINT * b_pairs, 0) AS BIGINT)
+         |    AS ari_ppm
+         |FROM f""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

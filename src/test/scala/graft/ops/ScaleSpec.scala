@@ -1489,6 +1489,33 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q238 plan: two nested combinable collapses behind one " +
+    "broadcast part join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = Relational.priceAnova(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(tree.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        => a
+    }.size == 4, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
+  test("q239 plan: contingency collapse cached; index is a one-row " +
+    "fold with broadcast margins") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Clustering.randIndex(spark, dir, 4, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 3, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -1535,8 +1562,13 @@ class ScaleSpec extends SparkSpec {
     val cr = Events.captureRecapture(spark, dir)
     val crPlan = cr.queryExecution.executedPlan.toString
     val crTree = cr.queryExecution.sparkPlan
-    assert(crTree.collect { case f: FileSourceScanExec => f }.size <= 1,
+    // both the census and its bounds read the one persisted per-user
+    // collapse — no second events scan (round-13 fix: the old bounds
+    // path re-scanned the stream behind a masking cache)
+    assert(crTree.collect { case f: FileSourceScanExec => f }.isEmpty,
       crPlan.take(3000))
+    assert(crTree.collect { case m: InMemoryTableScanExec => m }
+      .size == 2, crPlan.take(3000))
     assert(crPlan.contains("BroadcastExchange"), crPlan.take(3000))
     assert(!crPlan.contains("CartesianProduct"), crPlan.take(3000))
     CachedStages.release(spark)
