@@ -345,6 +345,7 @@ object SparkEntry {
     "q238_price_anova" -> Relational.priceAnova _,
     "q239_rand_index" -> ((s, d) =>
       Clustering.randIndex(s, d, KmeansK, KmeansIters)),
+    "q240_readability" -> TextOps.readability _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6187,6 +6188,31 @@ object SparkEntry {
          |       - 2 * a_pairs::HUGEINT * b_pairs, 0) AS BIGINT)
          |    AS ari_ppm
          |FROM f""".stripMargin,
+
+    // Replays TextOps.readabilityOf: the three literal-class regex
+    // counts, pooled per source, two-floor Flesch milli.
+    "q240_readability" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS s,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(s) AS BIGINT) AS n_sentences,
+        |    CAST(SUM(y) AS BIGINT) AS n_syll
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_sentences, n_syll,
+        |  n_words * 1000 // nullif(n_sentences, 0) AS wps_milli,
+        |  n_syll * 1000 // nullif(n_words, 0) AS spw_milli,
+        |  206835 - 1015 * n_words // nullif(n_sentences, 0)
+        |    - 84600 * n_syll // nullif(n_words, 0) AS flesch_milli
+        |FROM a ORDER BY source""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

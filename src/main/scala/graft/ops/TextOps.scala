@@ -1492,6 +1492,51 @@ object TextOps {
         "chao1_milli", "gt_unseen_ppm")
       .orderBy("source")
 
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables(spark, dir, "documents"))
+
+  /** Graded q240: READABILITY profile per source (Flesch 1948, the
+    * reading-ease formulation) — the quality dimension q16's bands
+    * and q58's LM score don't see: sentence and word LENGTH
+    * structure. Flesch reading ease = 206.835 − 1.015(words/sentence)
+    * − 84.6(syllables/word), computed per source over pooled counts
+    * in exact milli units: 206835 − 1015·W div S − 84600·Y div W,
+    * two floors. Syllables use the standard vowel-group proxy
+    * (runs of [aeiouy] in the lowercased text — the same heuristic
+    * every readability library ships when no dictionary is allowed),
+    * sentences the [.!?]+ run count, words the q14 token kernel; all
+    * three regexes are literal character classes so the Java/RE2
+    * engines cannot disagree. Sources with no sentence punctuation
+    * surface NULL — honestly (they're not prose, and the formula
+    * doesn't apply).
+    *
+    * Scale shape: three fused regex counts in ONE projection over
+    * one documents scan, map-side-combined to |sources| rows — no
+    * explode, no shuffle of token rows (the counts, not the tokens,
+    * move).
+    */
+  def readabilityOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        expr(s"size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
+          .cast("long").as("w"),
+        expr("size(regexp_extract_all(text, '[.!?]+', 0))")
+          .cast("long").as("s"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syll"))
+      .withColumn("wps_milli", expr(
+        "n_words * 1000 div nullif(n_sentences, 0)"))
+      .withColumn("spw_milli", expr(
+        "n_syll * 1000 div nullif(n_words, 0)"))
+      .withColumn("flesch_milli", expr(
+        """206835 - 1015 * n_words div nullif(n_sentences, 0)
+          | - 84600 * n_syll div nullif(n_words, 0)""".stripMargin))
+      .select("source", "n_docs", "n_words", "n_sentences", "n_syll",
+        "wps_milli", "spw_milli", "flesch_milli")
+      .orderBy("source")
+
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame =
     sourceDivergenceOf(Tables(spark, dir, "documents"))
 

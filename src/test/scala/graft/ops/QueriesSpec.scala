@@ -3853,6 +3853,48 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(assign), s"$graded != ${replay(assign)}")
     CachedStages.release(spark)
   }
+  test("q240 readability: hand Flesch exact incl. no-punctuation " +
+    "NULL; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        (5 to 7).map(i =>
+          if (r.isNullAt(i)) None else Some(r.getLong(i))))).toSeq
+    val wRe = "[a-z0-9]+".r; val sRe = "[.!?]+".r
+    val yRe = "[aeiouy]+".r
+    def replay(docs: Seq[(String, String)]) =
+      docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, g) =>
+        val w = BigInt(g.map(d =>
+          wRe.findAllIn(d._2.toLowerCase).size).sum)
+        val s = BigInt(g.map(d => sRe.findAllIn(d._2).size).sum)
+        val y = BigInt(g.map(d =>
+          yRe.findAllIn(d._2.toLowerCase).size).sum)
+        def d(a: BigInt, b: BigInt) =
+          if (b == 0) None else Some((a / b).toLong)
+        val fl = if (s == 0 || w == 0) None
+          else Some((206835 - 1015 * w / s - 84600 * y / w).toLong)
+        (src, g.size.toLong, w.toLong, s.toLong, y.toLong,
+          Seq(d(w * 1000, s), d(y * 1000, w), fl))
+      }
+    // a: "The cat sat. It ran!" -> 5 words, 2 sentences, 5 vowel
+    // groups (e, a, a, i, a): flesch = 206835 - 1015*5/2 - 84600*5/5
+    // = 206835 - 2537 - 84600 = 119698; b: no punctuation -> NULL
+    val fx = Seq(("a", "The cat sat. It ran!"), ("b", "no stops here"))
+    val got = collect8(TextOps.readabilityOf(
+      fx.toDF("source", "text")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.head._6.last == Some(119698L), got.head)
+    assert(got.last._6.last == None, got.last)
+    CachedStages.release(spark)
+    // graded replay over the documents table
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val graded = collect8(TextOps.readability(spark, dir))
+    assert(graded == replay(docs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1516,6 +1516,21 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q240 plan: three fused regex counts in one projection; no " +
+    "explode, token rows never move") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val out = TextOps.readability(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
+      plan.take(3000))
+    assert(!plan.contains("Generate"), plan.take(3000))
+    assert(tree.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        => a
+    }.size == 2, plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
