@@ -346,6 +346,7 @@ object SparkEntry {
     "q239_rand_index" -> ((s, d) =>
       Clustering.randIndex(s, d, KmeansK, KmeansIters)),
     "q240_readability" -> TextOps.readability _,
+    "q241_log_rank" -> Events.logRank _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6213,6 +6214,98 @@ object SparkEntry {
         |  206835 - 1015 * n_words // nullif(n_sentences, 0)
         |    - 84600 * n_syll // nullif(n_words, 0) AS flesch_milli
         |FROM a ORDER BY source""".stripMargin,
+
+    // Replays Events.logRankOf: the censored per-user collapse, the
+    // midpoint cohort split, per-cohort bounded at-risk windows over
+    // the shared offset spine, floored E/V terms, HUGEINT chi2.
+    "q241_log_rank" -> {
+      val crit = graft.ops.Events.Chi2Crit95Ppm.head
+      s"""WITH d0 AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 1000000 // 86400 AS day
+         |  FROM events),
+         |pu AS (
+         |  SELECT user_id, MIN(day) AS first_day,
+         |    MIN(CASE WHEN event_type = 'purchase' THEN day END)
+         |      AS purch_day,
+         |    first(event_type ORDER BY ts_us, event_type)
+         |      AS first_type
+         |  FROM d0 GROUP BY 1),
+         |mx AS (SELECT MAX(day) AS max_day FROM d0),
+         |subj AS (
+         |  SELECT CASE WHEN first_type = 'signup'
+         |    THEN 1 ELSE 2 END AS grp,
+         |    CASE WHEN purch_day IS NOT NULL
+         |      THEN purch_day - first_day
+         |      ELSE max_day - first_day END AS t,
+         |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
+         |  FROM pu CROSS JOIN mx),
+         |hist AS (
+         |  SELECT grp, t, CAST(SUM(e) AS BIGINT) AS d,
+         |    CAST(COUNT(*) AS BIGINT) AS n_t
+         |  FROM subj GROUP BY 1, 2),
+         |spine AS (SELECT DISTINCT t FROM hist),
+         |tot AS (
+         |  SELECT grp, CAST(SUM(n_t) AS BIGINT) AS tot
+         |  FROM hist GROUP BY 1),
+         |grid AS (
+         |  SELECT s.t, tt.grp, tt.tot, coalesce(h.d, 0) AS d,
+         |    coalesce(h.n_t, 0) AS n_t
+         |  FROM spine s CROSS JOIN tot tt
+         |  LEFT JOIN hist h ON h.grp = tt.grp AND h.t = s.t),
+         |g2 AS (
+         |  SELECT *, tot - coalesce(SUM(n_t) OVER (
+         |    PARTITION BY grp ORDER BY t
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS at_risk
+         |  FROM grid),
+         |byt AS (
+         |  SELECT t,
+         |    CAST(coalesce(SUM(CASE WHEN grp = 1 THEN at_risk END), 0)
+         |      AS BIGINT) AS n1,
+         |    CAST(coalesce(SUM(CASE WHEN grp = 1 THEN d END), 0)
+         |      AS BIGINT) AS d1,
+         |    CAST(coalesce(SUM(CASE WHEN grp = 2 THEN at_risk END), 0)
+         |      AS BIGINT) AS n2,
+         |    CAST(coalesce(SUM(CASE WHEN grp = 2 THEN d END), 0)
+         |      AS BIGINT) AS d2
+         |  FROM g2 GROUP BY 1),
+         |terms AS (
+         |  SELECT *,
+         |    CAST((d1 + d2)::HUGEINT * n1 * 1000000 // (n1 + n2)
+         |      AS BIGINT) AS e1_micro,
+         |    CASE WHEN n1 + n2 <= 1 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST((d1 + d2)::HUGEINT * n1 * n2
+         |        * (n1 + n2 - d1 - d2) * 1000000
+         |        // ((n1 + n2)::HUGEINT * (n1 + n2) * (n1 + n2 - 1))
+         |        AS BIGINT) END AS v_micro
+         |  FROM byt WHERE d1 + d2 > 0),
+         |agg AS (
+         |  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         |    CAST(SUM(d2) AS BIGINT) AS o2,
+         |    CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+         |    CAST(SUM(v_micro) AS BIGINT) AS v_micro,
+         |    CAST(COUNT(*) AS BIGINT) AS n_event_times
+         |  FROM terms),
+         |sub AS (
+         |  SELECT
+         |    CAST(coalesce(SUM(CASE WHEN grp = 1 THEN tot END), 0)
+         |      AS BIGINT) AS n1_subj,
+         |    CAST(coalesce(SUM(CASE WHEN grp = 2 THEN tot END), 0)
+         |      AS BIGINT) AS n2_subj
+         |  FROM tot),
+         |f AS (
+         |  SELECT *, CAST((o1::HUGEINT * 1000000 - e1_micro)
+         |    * (o1::HUGEINT * 1000000 - e1_micro)
+         |    // nullif(v_micro, 0) AS BIGINT) AS chi2_micro
+         |  FROM agg CROSS JOIN sub)
+         |SELECT n1_subj, n2_subj, n_event_times, o1, o2, e1_micro,
+         |  v_micro, chi2_micro,
+         |  CAST(CASE WHEN chi2_micro IS NULL THEN NULL
+         |    WHEN chi2_micro > $crit THEN 1 ELSE 0 END AS BIGINT)
+         |    AS significant
+         |FROM f""".stripMargin
+    },
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -2242,6 +2242,98 @@ object Events {
       .orderBy("t")
   }
 
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    val evs = events(spark, dir)
+    val perUser = evs.groupBy("user_id").agg(
+      min(expr("ts_sec div 86400")).as("first_day"),
+      min(when(col("event_type") === "purchase",
+        expr("ts_sec div 86400"))).as("purch_day"),
+      // deterministic first action: earliest ts, alphabetical tie
+      min(expr("struct(ts_us, event_type)")).getField("event_type")
+        .as("first_type"))
+    val maxDay = evs.agg(max(expr("ts_sec div 86400")).as("max_day"))
+    logRankOf(perUser.crossJoin(broadcast(maxDay))
+      .select(
+        expr("IF(first_type = 'signup', " +
+          "CAST(1 AS BIGINT), CAST(2 AS BIGINT))").as("grp"),
+        when(col("purch_day").isNotNull,
+          col("purch_day") - col("first_day"))
+          .otherwise(col("max_day") - col("first_day")).as("t"),
+        col("purch_day").isNotNull.cast("long").as("e")))
+  }
+
+  /** Graded q241: LOG-RANK TEST (Mantel 1966; Peto & Peto 1972)
+    * between the early-adopter and late-adopter conversion cohorts —
+    * the SIGNIFICANCE companion q169's Kaplan–Meier curve lacks: "the
+    * curves look different" becomes a χ²(1) verdict. Cohorts split on
+    * the user's FIRST ACTION — signup-first (the intended onboarding
+    * path) vs everything else — the product question "does how they
+    * arrive predict whether they convert"; the first action is the
+    * deterministic (ts, type)-min, alphabetical on exact-tie.
+    * Subjects carry the SAME right-censored (t, e) the KM curve
+    * uses. At each event time: E₁ = d·n₁ div n in micro
+    * (one floor per step), hypergeometric variance
+    * V = d·n₁·n₂·(n−d)·10⁶ div (n²(n−1)) in DECIMAL(38) (zero when
+    * the risk set is a single subject, per the textbook convention),
+    * and the statistic χ²_micro = (O₁·10⁶ − ΣE₁)² div ΣV judged
+    * against the shared `Chi2Crit95Ppm` head. Exact to ~10⁷ subjects
+    * in 128 bits (bound documented).
+    *
+    * Scale shape: one events scan → per-user collapse → per-(cohort,
+    * offset) histogram; the at-risk cumulatives are the q169
+    * bounded-histogram windows run per cohort over the shared offset
+    * spine; the verdict is a one-row fold. Everything after the
+    * per-user collapse is calendar-bounded.
+    */
+  def logRankOf(subjects: DataFrame): DataFrame = {
+    val hist = CachedStages.track(subjects.groupBy("grp", "t")
+      .agg(sum(col("e")).as("d"), count(lit(1)).as("n_t"))
+      .persist())
+    val spine = hist.select("t").distinct()
+    val totals = hist.groupBy("grp").agg(sum(col("n_t")).as("tot"))
+    val w = Window.partitionBy("grp").orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = spine.crossJoin(broadcast(totals))
+      .join(hist, Seq("grp", "t"), "left")
+      .na.fill(0L, Seq("d", "n_t"))
+      .withColumn("at_risk",
+        col("tot") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+    val byT = grid.groupBy("t")
+      .agg(sum(when(col("grp") === 1L, col("at_risk"))).as("n1"),
+        sum(when(col("grp") === 1L, col("d"))).as("d1"),
+        sum(when(col("grp") === 2L, col("at_risk"))).as("n2"),
+        sum(when(col("grp") === 2L, col("d"))).as("d2"))
+      .na.fill(0L, Seq("n1", "d1", "n2", "d2"))
+      .filter(expr("d1 + d2 > 0"))
+      .withColumn("e1_micro", expr(
+        """CAST((d1 + d2) AS DECIMAL(38, 0)) * n1 * 1000000
+          | div (n1 + n2)""".stripMargin))
+      .withColumn("v_micro", expr(
+        """CASE WHEN n1 + n2 <= 1 THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(CAST((d1 + d2) AS DECIMAL(38, 0)) * n1 * n2
+          |    * (n1 + n2 - d1 - d2) * 1000000
+          |    div (CAST((n1 + n2) AS DECIMAL(38, 0)) * (n1 + n2)
+          |         * (n1 + n2 - 1)) AS BIGINT) END""".stripMargin))
+    byT.agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(col("e1_micro")).as("e1_micro"),
+        sum(col("v_micro")).as("v_micro"),
+        count(lit(1)).as("n_event_times"))
+      .crossJoin(broadcast(totals.groupBy()
+        .agg(sum(when(col("grp") === 1L, col("tot"))).as("n1_subj"),
+          sum(when(col("grp") === 2L, col("tot"))).as("n2_subj"))))
+      .withColumn("chi2_micro", expr(
+        """CAST((CAST(o1 AS DECIMAL(38, 0)) * 1000000 - e1_micro)
+          | * (CAST(o1 AS DECIMAL(38, 0)) * 1000000 - e1_micro)
+          | div nullif(v_micro, 0) AS BIGINT)""".stripMargin))
+      .withColumn("significant", expr(
+        s"""CASE WHEN chi2_micro IS NULL THEN CAST(NULL AS BIGINT)
+           |  WHEN chi2_micro > ${Chi2Crit95Ppm.head}
+           |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           |END""".stripMargin))
+      .select("n1_subj", "n2_subj", "n_event_times", "o1", "o2",
+        "e1_micro", "v_micro", "chi2_micro", "significant")
+  }
+
   def repeatPurchase(spark: SparkSession, dir: String): DataFrame =
     repeatPurchaseOf(events(spark, dir))
 

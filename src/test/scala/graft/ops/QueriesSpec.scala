@@ -3895,6 +3895,82 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(docs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q241 log rank: identical cohorts chi2=0, separated cohorts " +
+    "significant; graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)))).toSeq
+    def replay(subj: Seq[(Long, Long, Long)]) = {
+      val hist = subj.groupBy(s => (s._1, s._2)).view.mapValues(g =>
+        (BigInt(g.map(_._3).sum), BigInt(g.size))).toMap
+      val tot = hist.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2._2).sum).toMap
+      val spine = hist.keys.map(_._2).toSeq.distinct.sorted
+      def atRisk(g: Long, t: Long) =
+        tot.getOrElse(g, BigInt(0)) -
+          hist.filter(h => h._1._1 == g && h._1._2 < t)
+            .values.map(_._2).sum
+      val terms = spine.flatMap { t =>
+        val d1 = hist.getOrElse((1L, t), (BigInt(0), BigInt(0)))._1
+        val d2 = hist.getOrElse((2L, t), (BigInt(0), BigInt(0)))._1
+        if (d1 + d2 == 0) None
+        else {
+          val n1 = atRisk(1L, t); val n2 = atRisk(2L, t)
+          val n = n1 + n2; val d = d1 + d2
+          val e1 = d * n1 * 1000000 / n
+          val v = if (n <= 1) BigInt(0)
+            else d * n1 * n2 * (n - d) * 1000000 / (n * n * (n - 1))
+          Some((d1, d2, e1, v))
+        }
+      }
+      val o1 = terms.map(_._1).sum; val o2 = terms.map(_._2).sum
+      val e1 = terms.map(_._3).sum; val v = terms.map(_._4).sum
+      val chi2 = if (v == 0) None
+        else Some(((o1 * 1000000 - e1) * (o1 * 1000000 - e1) / v)
+          .toLong)
+      Seq((tot.getOrElse(1L, BigInt(0)).toLong,
+        tot.getOrElse(2L, BigInt(0)).toLong, terms.size.toLong,
+        o1.toLong, o2.toLong, e1.toLong, v.toLong, chi2,
+        chi2.map(c => if (c > Events.Chi2Crit95Ppm.head) 1L else 0L)))
+    }
+    // identical cohorts: chi2 exactly 0
+    val same = Seq((1L, 1L, 1L), (1L, 3L, 0L),
+      (2L, 1L, 1L), (2L, 3L, 0L))
+    val gotS = collect9(Events.logRankOf(same.toDF("grp", "t", "e")))
+    assert(gotS == replay(same), s"$gotS != ${replay(same)}")
+    assert(gotS.head._8 == Some(0L), gotS)
+    // separated cohorts: all grp-1 events at t=1 vs censored grp-2 ->
+    // hand chi2 = (1.5e6)^2 / 450000 = 5e6, significant
+    val sep = Seq((1L, 1L, 1L), (1L, 1L, 1L), (1L, 1L, 1L),
+      (2L, 5L, 0L), (2L, 5L, 0L), (2L, 5L, 0L))
+    val gotD = collect9(Events.logRankOf(sep.toDF("grp", "t", "e")))
+    assert(gotD == replay(sep), s"$gotD != ${replay(sep)}")
+    assert(gotD.head._8 == Some(5000000L) &&
+      gotD.head._9 == Some(1L), gotD)
+    CachedStages.release(spark)
+    // graded replay: rebuild the censored cohort subjects off events
+    val days = Events.events(spark, dir)
+      .selectExpr("user_id", "event_type", "ts_us",
+        "ts_sec div 86400 AS day")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val maxDay = days.map(_._4).max
+    val subj = days.groupBy(_._1).values.map { g =>
+      val fd = g.map(_._4).min
+      val pd = g.filter(_._2 == "purchase").map(_._4).minOption
+      val firstType = g.map(e => (e._3, e._2)).min._2
+      (if (firstType == "signup") 1L else 2L,
+        pd.map(_ - fd).getOrElse(maxDay - fd),
+        if (pd.isDefined) 1L else 0L)
+    }.toSeq
+    val graded = collect9(Events.logRank(spark, dir))
+    assert(graded == replay(subj), s"$graded != ${replay(subj)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1531,6 +1531,28 @@ class ScaleSpec extends SparkSpec {
     }.size == 2, plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q241 plan: per-cohort bounded at-risk windows over the " +
+    "cached offset histogram; one-row verdict") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Events.logRank(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // one events scan feeds the per-user collapse; every read of the
+    // (cohort, offset) histogram hits the cache
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 3, plan.take(3000))
+    tree.foreach {
+      case w: WindowExec => assert(w.partitionSpec.nonEmpty, w.toString)
+      case _ =>
+    }
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
