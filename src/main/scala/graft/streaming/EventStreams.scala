@@ -394,6 +394,21 @@ object EventStreams {
       .groupBy("event_type", "day")
       .agg(sum(col("cents")).as("cents"))
 
+  /** q230's twin state: the (type, day) VOLUME + REVENUE matrix —
+    * the same Complete-mode bounded merge as `dailyRevenueStream`
+    * carrying the event count beside the cents sum, so Kendall's tau
+    * between the two daily metrics (`RankTests.kendallTauOfDaily`)
+    * derives from maintained state with arithmetic identical to its
+    * batch path. State stays |types|·|days|, never per event.
+    */
+  def dailyVolumeRevenueStream(stream: DataFrame): DataFrame =
+    stream
+      .select(col("event_type"), expr("ts_sec div 86400").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"), sum(col("cents")).as("y"))
+
   /** Stream-stream interval join: every purchase joined to the same
     * user's views in the preceding 30 minutes. THE hard state story in
     * Structured Streaming — each side must buffer rows until the other

@@ -489,4 +489,40 @@ class EventStreamsSpec extends SparkSpec {
     graft.ops.CachedStages.release(spark)
     assert(haStreamed == haBatch && haBatch.nonEmpty)
   }
+  test("q230/q231/q232/q234 twins: maintained day matrices feed the " +
+    "tau/changepoint/runs/Holt reports identically") {
+    val stream = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(EventStreams.dailyRevenueStream(stream),
+      "daily_rev_r13", OutputMode.Complete())
+    val streamedRev = spark.table("daily_rev_r13").localCheckpoint()
+    val stream2 = EventStreams.readEventStream(spark, streamDir)
+    EventStreams.runToMemory(
+      EventStreams.dailyVolumeRevenueStream(stream2),
+      "daily_volrev_r13", OutputMode.Complete())
+    val streamedVR = spark.table("daily_volrev_r13").localCheckpoint()
+    val src = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until r.length).map(i => r.get(i)).toSeq).toSeq
+    val asX = streamedRev.withColumnRenamed("cents", "x")
+    val peS = rows(graft.ops.RankTests.pettittOfDaily(asX))
+    graft.ops.CachedStages.release(spark)
+    val peB = rows(graft.ops.RankTests.pettitt(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(peS == peB && peB.nonEmpty)
+    val ruS = rows(graft.ops.RankTests.runsTestOfDaily(asX))
+    graft.ops.CachedStages.release(spark)
+    val ruB = rows(graft.ops.RankTests.runsTest(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(ruS == ruB && ruB.nonEmpty)
+    val hoS = rows(Events.holtChartOfDaily(streamedRev))
+    graft.ops.CachedStages.release(spark)
+    val hoB = rows(Events.holtChart(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(hoS == hoB && hoB.nonEmpty)
+    val ktS = rows(graft.ops.RankTests.kendallTauOfDaily(streamedVR))
+    graft.ops.CachedStages.release(spark)
+    val ktB = rows(graft.ops.RankTests.kendallTau(spark, src))
+    graft.ops.CachedStages.release(spark)
+    assert(ktS == ktB && ktB.nonEmpty)
+  }
 }
