@@ -347,6 +347,7 @@ object SparkEntry {
       Clustering.randIndex(s, d, KmeansK, KmeansIters)),
     "q240_readability" -> TextOps.readability _,
     "q241_log_rank" -> Events.logRank _,
+    "q242_seasonal_strength" -> Events.seasonalStrength _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6306,6 +6307,40 @@ object SparkEntry {
          |    AS significant
          |FROM f""".stripMargin
     },
+
+    // Replays Events.seasonalStrengthOfDaily: the densified calendar,
+    // weekday moment collapse, floored-mean eta^2.
+    "q242_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+        |dense AS (
+        |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+        |  FROM (SELECT DISTINCT event_type FROM daily) t
+        |  CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |g AS (
+        |  SELECT event_type, (day + 3) % 7 AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(cents) AS BIGINT) AS s_g,
+        |    SUM(cents::HUGEINT * cents) AS q_g
+        |  FROM dense GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(n_g) AS BIGINT) AS n_days,
+        |    CAST(SUM(s_g) AS BIGINT) AS s, SUM(q_g) AS q,
+        |    SUM((s_g // n_g)::HUGEINT * s_g) AS gterms
+        |  FROM g GROUP BY 1),
+        |c AS (
+        |  SELECT *, (s // n_days)::HUGEINT * s AS corr FROM t)
+        |SELECT event_type, n_days, s // n_days AS mean_cents,
+        |  CAST(greatest(gterms - corr, 0) * 1000000
+        |    // nullif(q - corr, 0) AS BIGINT) AS eta2_ppm
+        |FROM c ORDER BY event_type""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

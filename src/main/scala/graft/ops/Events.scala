@@ -1912,6 +1912,59 @@ object Events {
       .orderBy("event_type")
   }
 
+  def seasonalStrength(spark: SparkSession, dir: String): DataFrame =
+    seasonalStrengthOfDaily(events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")))
+
+  /** Graded q242: WEEKDAY SEASONAL STRENGTH per event type — the
+    * single number q182's seven-row profile doesn't give: how much of
+    * the daily-revenue variance does the weekday EXPLAIN (Hyndman's
+    * seasonal-strength idea as a one-way η², the q238 variance
+    * decomposition run with weekday as the factor)? η² ≈ 0 says
+    * deseasonalizing is pointless; η² near 1 says a weekday-naive
+    * forecast (q173's seasonal arm) is already most of the signal.
+    * Same floored-mean computational form as q238 — B =
+    * Σ_dow (S_g div n_g)·S_g − (S div n)·S, T = Q − corr,
+    * η²_ppm = max(0,B)·10⁶ div T, products in DECIMAL(38) — and the
+    * same DENSIFIED calendar as q182 (silent days are real zeros and
+    * drag their weekday). Constant series surface NULL via nullif.
+    *
+    * Scale shape: NINTH consumer of the (type, day) matrix; the
+    * decomposition collapses it to ≤7·|types| moment rows, then
+    * |types| report rows.
+    */
+  def seasonalStrengthOfDaily(dailyIn: DataFrame): DataFrame = {
+    // the matrix feeds the bounds, the type list and the join —
+    // persisted so the stream collapses exactly once
+    val daily = CachedStages.track(dailyIn.persist())
+    val bounds = daily.agg(min(col("day")).as("mn"),
+      max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
+    daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .groupBy(col("event_type"), expr("(day + 3) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"),
+        sum(expr("CAST(cents AS DECIMAL(38, 0)) * cents")).as("q_g"))
+      .groupBy("event_type")
+      .agg(sum(col("n_g")).as("n_days"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(expr(
+          "CAST(s_g div n_g AS DECIMAL(38, 0)) * s_g")).as("gterms"))
+      .withColumn("corr", expr(
+        "CAST(s div n_days AS DECIMAL(38, 0)) * s"))
+      .withColumn("eta2_ppm", expr(
+        """CAST(greatest(gterms - corr, 0) * 1000000
+          | div nullif(q - corr, 0) AS BIGINT)""".stripMargin))
+      .withColumn("mean_cents", expr("s div n_days"))
+      .select("event_type", "n_days", "mean_cents", "eta2_ppm")
+      .orderBy("event_type")
+  }
+
   def weekdayProfile(spark: SparkSession, dir: String): DataFrame =
     weekdayProfileOfDaily(events(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))

@@ -3971,6 +3971,57 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(subj), s"$graded != ${replay(subj)}")
     CachedStages.release(spark)
   }
+  test("q242 seasonal strength: pure-weekly eta2=1e6, constant NULL; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect4(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    def replay(daily: Seq[(String, Long, Long)]) = {
+      val mn = daily.map(_._2).min; val mx = daily.map(_._2).max
+      val have = daily.map(d => (d._1, d._2) -> d._3).toMap
+      daily.map(_._1).distinct.sorted.map { t =>
+        val xs = (mn to mx).map(d =>
+          ((d + 3) % 7, BigInt(have.getOrElse((t, d), 0L))))
+        val n = BigInt(xs.size)
+        val s = xs.map(_._2).sum
+        val q = xs.map(x => x._2 * x._2).sum
+        val gterms = xs.groupBy(_._1).values.map { g =>
+          val sg = g.map(_._2).sum
+          (sg / g.size) * sg
+        }.sum
+        val corr = (s / n) * s
+        val sst = q - corr
+        (t, n.toLong, (s / n).toLong,
+          if (sst == 0) None
+          else Some(((gterms - corr).max(BigInt(0)) * 1000000 / sst)
+            .toLong))
+      }
+    }
+    // t: 14 days, revenue depends ONLY on weekday -> eta2 = 1e6;
+    // u: constant -> SST = 0 -> NULL
+    val fxT = Seq.tabulate(14)(i =>
+        ("t", i.toLong, (i % 7) * 100L + 100L)) ++
+      Seq.tabulate(14)(i => ("u", i.toLong, 500L))
+    val got = collect4(Events.seasonalStrengthOfDaily(
+      fxT.toDF("event_type", "day", "cents")))
+    assert(got == replay(fxT), s"$got != ${replay(fxT)}")
+    assert(got.find(_._1 == "t").get._4 == Some(1000000L), got)
+    assert(got.find(_._1 == "u").get._4 == None, got)
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val daily = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day", "value")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact))
+      .groupBy(_._1).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._2).sum) }
+    val graded = collect4(Events.seasonalStrength(spark, dir))
+    assert(graded == replay(daily), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
