@@ -348,6 +348,8 @@ object SparkEntry {
     "q240_readability" -> TextOps.readability _,
     "q241_log_rank" -> Events.logRank _,
     "q242_seasonal_strength" -> Events.seasonalStrength _,
+    "q243_mondrian" -> ((s, d) =>
+      Privacy.mondrian(s, d, MondrianK, MondrianRounds)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6342,6 +6344,23 @@ object SparkEntry {
         |    // nullif(q - corr, 0) AS BIGINT) AS eta2_ppm
         |FROM c ORDER BY event_type""".stripMargin,
 
+    // Replays Privacy.mondrianOf level for level via mondrianCtes.
+    "q243_mondrian" ->
+      s"""WITH ${mondrianCtes(MondrianK, MondrianRounds)},
+         |grp AS (
+         |  SELECT pid, MIN(bal) AS bal_min, MAX(bal) AS bal_max,
+         |    MIN(nat) AS nat_min, MAX(nat) AS nat_max,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM r$MondrianRounds GROUP BY 1),
+         |sm AS (
+         |  SELECT CAST(MIN(n) AS BIGINT) AS k_achieved,
+         |    CAST(COUNT(*) AS BIGINT) AS n_groups
+         |  FROM grp)
+         |SELECT bal_min, bal_max, nat_min, nat_max, n, k_achieved,
+         |  n_groups
+         |FROM grp CROSS JOIN sm
+         |ORDER BY bal_min, bal_max, nat_min, nat_max, n""".stripMargin,
+
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected
     // cross-multiplied 5% test in HUGEINT.
@@ -7578,6 +7597,66 @@ object SparkEntry {
        |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
        |  AND d2.rn = s.rn
        |ORDER BY 1, 2""".stripMargin
+
+  private val MondrianK = 25L
+  private val MondrianRounds = 6
+
+  /** Builds the q243 oracle: `rounds` unrolled Mondrian levels — per
+    * round, per-dimension value-domain histograms with cumulative
+    * ranks, the lower-median QUALIFY pick, the wider-range strict cut
+    * rule, and the 2p/2p+1/2p+2 triple-map reassignment — the
+    * kcoreCtes unrolling discipline.
+    */
+  private def mondrianCtes(k: Long, rounds: Int): String = {
+    val base =
+      """r0 AS MATERIALIZED (
+        |  SELECT CAST(round(c_acctbal) AS BIGINT) AS bal,
+        |    CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(0 AS BIGINT) AS pid
+        |  FROM customer)""".stripMargin
+    def hist(i: Int, d: String, c: String) =
+      s"""h$i$d AS MATERIALIZED (
+         |  SELECT pid, $c AS v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM r${i - 1} GROUP BY 1, 2),
+         |c$i$d AS (
+         |  SELECT pid, v,
+         |    SUM(c) OVER (PARTITION BY pid ORDER BY v) AS cum,
+         |    SUM(c) OVER (PARTITION BY pid) AS n
+         |  FROM h$i$d),
+         |m$i$d AS (
+         |  SELECT pid, v AS med, cum AS lft FROM c$i$d
+         |  WHERE cum >= (n + 1) // 2
+         |  QUALIFY row_number() OVER (PARTITION BY pid ORDER BY v)
+         |    = 1)""".stripMargin
+    val rs = (1 to rounds).map { i =>
+      val wide = "g.mxb - g.mnb >= g.mxn - g.mnn"
+      val lft = s"(CASE WHEN $wide THEN b.lft ELSE nn.lft END)"
+      s"""${hist(i, "b", "bal")},
+         |${hist(i, "n", "nat")},
+         |g$i AS (
+         |  SELECT pid, MIN(bal) AS mnb, MAX(bal) AS mxb,
+         |    MIN(nat) AS mnn, MAX(nat) AS mxn,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM r${i - 1} GROUP BY 1),
+         |e$i AS (
+         |  SELECT g.pid,
+         |    CASE WHEN $wide THEN 0 ELSE 1 END AS dim,
+         |    CASE WHEN $wide THEN b.med ELSE nn.med END AS med,
+         |    CASE WHEN g.n >= 2 * $k AND $lft >= $k
+         |         AND g.n - $lft >= $k THEN 1 ELSE 0 END AS do_cut
+         |  FROM g$i g JOIN m${i}b b ON g.pid = b.pid
+         |  JOIN m${i}n nn ON g.pid = nn.pid),
+         |r$i AS MATERIALIZED (
+         |  SELECT r.bal, r.nat,
+         |    CASE WHEN e.do_cut = 1 AND ((e.dim = 0 AND r.bal <= e.med)
+         |           OR (e.dim = 1 AND r.nat <= e.med))
+         |      THEN r.pid * 2 + 1
+         |      WHEN e.do_cut = 1 THEN r.pid * 2 + 2
+         |      ELSE r.pid * 2 END AS pid
+         |  FROM r${i - 1} r JOIN e$i e ON r.pid = e.pid)""".stripMargin
+    }
+    (base +: rs).mkString(",\n")
+  }
 
   /** Builds the q234 oracle: the per-type linear recursive CTE replay
     * of Events.holtChartOfDaily, the l_t step interpolated twice

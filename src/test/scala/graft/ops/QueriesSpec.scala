@@ -4022,6 +4022,57 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q243 mondrian: hand cuts exact, every box k-anonymous; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def replay(pts: Seq[(Long, Long)], k: Long, rounds: Int) = {
+      var parts: Map[Long, Seq[(Long, Long)]] = Map(0L -> pts)
+      for (_ <- 1 to rounds) {
+        parts = parts.flatMap { case (pid, g) =>
+          val rb = g.map(_._1).max - g.map(_._1).min
+          val rn = g.map(_._2).max - g.map(_._2).min
+          val dim = if (rb >= rn) 0 else 1
+          def v(p: (Long, Long)) = if (dim == 0) p._1 else p._2
+          val vs = g.map(v).sorted
+          val med = vs((((g.size + 1) / 2) - 1).max(0))
+          val (l, r) = g.partition(p => v(p) <= med)
+          if (g.size >= 2 * k && l.size >= k && r.size >= k)
+            Map(pid * 2 + 1 -> l, pid * 2 + 2 -> r)
+          else Map(pid * 2 -> g)
+        }
+      }
+      val groups = parts.values.toSeq.map { g =>
+        (g.map(_._1).min, g.map(_._1).max, g.map(_._2).min,
+          g.map(_._2).max, g.size.toLong)
+      }
+      val kAch = groups.map(_._5).min
+      val nG = groups.size.toLong
+      groups.map(g => (g._1, g._2, g._3, g._4, g._5, kAch, nG))
+        .sortBy(g => (g._1, g._2, g._3, g._4, g._5))
+    }
+    // hand case: bal splits first (range 10 > 1), both halves hold
+    // k=2, nation never splits (each half n=2 < 2k)
+    val fx = Seq((0L, 0L), (0L, 1L), (10L, 0L), (10L, 1L))
+    val got = collect7(Privacy.mondrianOf(
+      fx.toDF("bal", "nat"), 2L, 2))
+    assert(got == replay(fx, 2L, 2), s"$got != ${replay(fx, 2L, 2)}")
+    assert(got == Seq((0L, 0L, 0L, 1L, 2L, 2L, 2L),
+      (10L, 10L, 0L, 1L, 2L, 2L, 2L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay off raw customers at the graded (k, rounds)
+    val pts = Tables(spark, dir, "customer")
+      .selectExpr("CAST(round(c_acctbal) AS BIGINT)",
+        "CAST(c_nationkey AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val graded = collect7(Privacy.mondrian(spark, dir, 25L, 6))
+    assert(graded == replay(pts, 25L, 6), s"${graded.take(3)}")
+    // the anonymity guarantee: every emitted box holds >= k subjects
+    assert(graded.head._6 >= 25L && graded.nonEmpty, graded.head)
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
