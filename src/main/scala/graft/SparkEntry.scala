@@ -350,6 +350,7 @@ object SparkEntry {
     "q242_seasonal_strength" -> Events.seasonalStrength _,
     "q243_mondrian" -> ((s, d) =>
       Privacy.mondrian(s, d, MondrianK, MondrianRounds)),
+    "q244_vocab_containment" -> TextOps.vocabContainment _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6360,6 +6361,30 @@ object SparkEntry {
          |  n_groups
          |FROM grp CROSS JOIN sm
          |ORDER BY bal_min, bal_max, nat_min, nat_max, n""".stripMargin,
+
+    // Replays TextOps.vocabContainmentOf: distinct (source, token)
+    // sets, within-token pair enumeration, directional containment.
+    "q244_vocab_containment" ->
+      """WITH st AS MATERIALIZED (
+        |  SELECT DISTINCT source, unnest(regexp_extract_all(
+        |    lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |sz AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM st GROUP BY 1),
+        |i AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM st a JOIN st b
+        |    ON a.token = b.token AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, sa.v AS v_a, sb.v AS v_b, n_inter,
+        |  n_inter * 1000000 // sa.v AS contain_ab_ppm,
+        |  n_inter * 1000000 // sb.v AS contain_ba_ppm,
+        |  n_inter * 1000000 // (sa.v + sb.v - n_inter) AS jaccard_ppm
+        |FROM i JOIN sz sa ON i.source_a = sa.source
+        |JOIN sz sb ON i.source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

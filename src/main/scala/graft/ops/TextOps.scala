@@ -1492,6 +1492,56 @@ object TextOps {
         "chao1_milli", "gt_unseen_ppm")
       .orderBy("source")
 
+  def vocabContainment(spark: SparkSession, dir: String): DataFrame =
+    vocabContainmentOf(Tables(spark, dir, "documents"))
+
+  /** Graded q244: EXACT vocabulary CONTAINMENT / Jaccard matrix
+    * between sources (Broder 1997's resemblance & containment, the
+    * exact counterpart of q118's KMV estimates) — q236 compares
+    * token FREQUENCIES, this compares token SETS, and it is the
+    * directional quantity dedup planning needs: containment
+    * C(A→B) = |A∩B|·10⁶ div |A| ≈ 10⁶ says A's vocabulary lives
+    * inside B (drop A?), while Jaccard is the symmetric resemblance.
+    * Both directions and the intersection ship per ordered pair.
+    *
+    * Scale shape: the (source, token) DISTINCT collapse feeds a
+    * per-token source-set; pairs enumerate INSIDE each token's
+    * source list (≤|sources|² per token, never |vocab|² anything),
+    * map-side combinable into the |pairs|-row matrix; per-source
+    * vocabulary sizes ride a broadcast. The q38 AllPairs discipline
+    * on the source axis.
+    */
+  def vocabContainmentOf(docs: DataFrame): DataFrame = {
+    val st = CachedStages.track(docs
+      .select(col("source"), explode(expr(tokensExpr)).as("token"))
+      .distinct()
+      .persist())
+    // |sources|-sized, but derived from the big distinct set — cached
+    // so the two directional joins don't re-collapse it
+    val sizes = CachedStages.track(
+      st.groupBy("source").agg(count(lit(1)).as("v")).persist())
+    val inter = st.as("a").join(st.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("v_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("v_b"))), Seq("source_b"))
+      .withColumn("contain_ab_ppm", expr(
+        "n_inter * 1000000 div v_a"))
+      .withColumn("contain_ba_ppm", expr(
+        "n_inter * 1000000 div v_b"))
+      .withColumn("jaccard_ppm", expr(
+        "n_inter * 1000000 div (v_a + v_b - n_inter)"))
+      .select("source_a", "source_b", "v_a", "v_b", "n_inter",
+        "contain_ab_ppm", "contain_ba_ppm", "jaccard_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
   def readability(spark: SparkSession, dir: String): DataFrame =
     readabilityOf(Tables(spark, dir, "documents"))
 

@@ -4073,6 +4073,47 @@ class QueriesSpec extends SparkSpec {
     assert(graded.head._6 >= 25L && graded.nonEmpty, graded.head)
     CachedStages.release(spark)
   }
+  test("q244 vocab containment: hand subset/disjoint exact; graded " +
+    "replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    val tokRe = "[a-z0-9]+".r
+    def replay(docs: Seq[(String, String)]) = {
+      val sets = docs.groupBy(_._1).view.mapValues(g =>
+        g.flatMap(d => tokRe.findAllIn(d._2.toLowerCase)).toSet)
+        .toMap
+      val srcs = sets.keys.toSeq.sorted
+      (for {
+        i <- srcs.indices; j <- i + 1 until srcs.size
+        a = srcs(i); b = srcs(j)
+        inter = BigInt((sets(a) & sets(b)).size)
+        if inter > 0
+      } yield (a, b, sets(a).size.toLong, sets(b).size.toLong,
+        inter.toLong,
+        (inter * 1000000 / sets(a).size).toLong,
+        (inter * 1000000 / sets(b).size).toLong,
+        (inter * 1000000 /
+          (sets(a).size + sets(b).size - inter)).toLong)).toSeq
+    }
+    // a subset-of b (containment a->b = 1e6); c disjoint (no row)
+    val fx = Seq(("a", "x y"), ("b", "x y z w"), ("c", "q r"))
+    val got = collect8(TextOps.vocabContainmentOf(
+      fx.toDF("source", "text")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got == Seq(("a", "b", 2L, 4L, 2L, 1000000L, 500000L,
+      500000L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay over the documents table
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val graded = collect8(TextOps.vocabContainment(spark, dir))
+    assert(graded == replay(docs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
