@@ -351,6 +351,7 @@ object SparkEntry {
     "q243_mondrian" -> ((s, d) =>
       Privacy.mondrian(s, d, MondrianK, MondrianRounds)),
     "q244_vocab_containment" -> TextOps.vocabContainment _,
+    "q245_user_dispersion" -> Events.userDispersion _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6385,6 +6386,31 @@ object SparkEntry {
         |FROM i JOIN sz sa ON i.source_a = sa.source
         |JOIN sz sb ON i.source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // Replays Events.userDispersionOf: per-user counts, HUGEINT
+    // variance-to-mean, smallest-id top-user tie rule.
+    "q245_user_dispersion" ->
+      """WITH per AS MATERIALIZED (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |top AS (
+        |  SELECT event_type, user_id AS top_user, c AS top_n
+        |  FROM per
+        |  QUALIFY row_number() OVER (PARTITION BY event_type
+        |    ORDER BY c DESC, user_id ASC) = 1),
+        |ag AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |    CAST(SUM(c) AS BIGINT) AS n_events,
+        |    SUM(c::HUGEINT * c) AS sq
+        |  FROM per GROUP BY 1)
+        |SELECT ag.event_type, n_users, n_events,
+        |  n_events * 1000 // n_users AS mean_milli,
+        |  CAST((n_users::HUGEINT * sq - n_events::HUGEINT * n_events)
+        |    * 1000 // (n_users::HUGEINT * n_events) AS BIGINT)
+        |    AS dispersion_milli,
+        |  top_user, top_n * 1000000 // n_events AS top_share_ppm
+        |FROM ag JOIN top ON ag.event_type = top.event_type
+        |ORDER BY ag.event_type""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

@@ -1861,6 +1861,56 @@ object Events {
       .orderBy("day")
   }
 
+  def userDispersion(spark: SparkSession, dir: String): DataFrame =
+    userDispersionOf(events(spark, dir)
+      .select(col("event_type"), col("user_id")))
+
+  /** Graded q245: PER-USER COUNT OVERDISPERSION per event type — the
+    * index of dispersion (variance-to-mean, "Fisher's index") of how
+    * many events each ACTIVE user generates: 1000 milli = Poisson
+    * (homogeneous users), ≫1000 = a heavy-user/bot tail (the q237
+    * night-share signature seen from the user axis), <1000 =
+    * suspiciously uniform (scripted round-robin). Exact integers off
+    * the per-user count histogram: ID_milli = (nΣc²−S²)·1000 div
+    * (nS) (population variance over mean, cross-multiplied in
+    * DECIMAL(38)); the max-user share in ppm ships beside it — the
+    * one user a dispersion spike usually IS. Denominator S ≥ n ≥ 1
+    * over active users, so no null guard is needed; single-user
+    * types give ID 0 honestly.
+    *
+    * Scale shape: two nested map-side-combinable collapses (events →
+    * per-user counts → per-type moments); the max-user pick is a
+    * |types|-row broadcast of the same persisted count table.
+    */
+  def userDispersionOf(evs: DataFrame): DataFrame = {
+    val per = CachedStages.track(evs
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+      .persist())
+    val top = per
+      .withColumn("pick", row_number().over(Window
+        .partitionBy("event_type")
+        .orderBy(col("c").desc, col("user_id").asc)))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("user_id").as("top_user"),
+        col("c").as("top_n"))
+    per.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("n_events"),
+        sum(expr("CAST(c AS DECIMAL(38, 0)) * c")).as("sq"))
+      .join(broadcast(top), Seq("event_type"))
+      .withColumn("mean_milli", expr("n_events * 1000 div n_users"))
+      .withColumn("dispersion_milli", expr(
+        """CAST((CAST(n_users AS DECIMAL(38, 0)) * sq
+          | - CAST(n_events AS DECIMAL(38, 0)) * n_events) * 1000
+          | div (CAST(n_users AS DECIMAL(38, 0)) * n_events)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("top_share_ppm", expr(
+        "top_n * 1000000 div n_events"))
+      .select("event_type", "n_users", "n_events", "mean_milli",
+        "dispersion_milli", "top_user", "top_share_ppm")
+      .orderBy("event_type")
+  }
+
   def loadProfile(spark: SparkSession, dir: String): DataFrame =
     loadProfileOf(events(spark, dir)
       .select(col("event_type"),

@@ -4114,6 +4114,44 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(docs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q245 user dispersion: uniform/spiked/single-user exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    def replay(evs: Seq[(String, Long)]) =
+      evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+        val cs = g.groupBy(_._2).view.mapValues(x => BigInt(x.size))
+          .toMap
+        val n = BigInt(cs.size); val s = cs.values.sum
+        val sq = cs.values.map(c => c * c).sum
+        val (topU, topN) = cs.toSeq.maxBy(c => (c._2, -c._1))
+        (t, n.toLong, s.toLong, (s * 1000 / n).toLong,
+          ((n * sq - s * s) * 1000 / (n * s)).toLong,
+          topU, (topN * 1000000 / s).toLong)
+      }
+    // t: perfectly uniform 2-per-user -> variance 0; u: one user
+    // carries 7 of 8 (var 9, mean 4 -> ID 2250) -> overdispersed;
+    // v: single user -> ID 0
+    val fx = Seq(("t", 1L), ("t", 1L), ("t", 2L), ("t", 2L)) ++
+      Seq.fill(7)(("u", 1L)) ++ Seq(("u", 2L), ("v", 9L))
+    val got = collect7(Events.userDispersionOf(
+      fx.toDF("event_type", "user_id")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.find(_._1 == "t").get._5 == 0L, got)
+    assert(got.find(_._1 == "u").get._5 == 2250L, got)
+    assert(got.find(_._1 == "u").get._7 == 875000L, got)
+    assert(got.find(_._1 == "v").get._5 == 0L, got)
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val evs = Events.events(spark, dir)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val graded = collect7(Events.userDispersion(spark, dir))
+    assert(graded == replay(evs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
