@@ -352,6 +352,7 @@ object SparkEntry {
       Privacy.mondrian(s, d, MondrianK, MondrianRounds)),
     "q244_vocab_containment" -> TextOps.vocabContainment _,
     "q245_user_dispersion" -> Events.userDispersion _,
+    "q246_zipf_profile" -> TextOps.zipfProfile _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6411,6 +6412,28 @@ object SparkEntry {
         |  top_user, top_n * 1000000 // n_events AS top_share_ppm
         |FROM ag JOIN top ON ag.event_type = top.event_type
         |ORDER BY ag.event_type""".stripMargin,
+
+    // Replays TextOps.zipfProfileOf: (count DESC, token ASC) ranks,
+    // doubling-rank picks, fused total token count.
+    "q246_zipf_profile" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text),
+        |      '[a-z0-9]+')) AS token
+        |    FROM documents) t
+        |  GROUP BY 1),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM c),
+        |r AS (
+        |  SELECT token, c, CAST(row_number() OVER (
+        |    ORDER BY c DESC, token ASC) AS BIGINT) AS rank
+        |  FROM c QUALIFY rank <= 512)
+        |SELECT a.rank, a.token, a.c,
+        |  a.c * 1000000000 // n_tokens AS freq_ppb,
+        |  a.c * 1000 // b.c AS doubling_milli
+        |FROM r a LEFT JOIN r b ON b.rank = a.rank * 2
+        |CROSS JOIN n
+        |WHERE a.rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256)
+        |ORDER BY a.rank""".stripMargin,
 
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected

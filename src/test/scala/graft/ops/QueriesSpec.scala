@@ -4152,6 +4152,53 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(evs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q246 zipf profile: hand geometric corpus exact; graded " +
+    "replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    val tokRe = "[a-z0-9]+".r
+    def replay(docs: Seq[String]) = {
+      val counts = docs.flatMap(d =>
+          tokRe.findAllIn(d.toLowerCase).toSeq)
+        .groupBy(identity).view.mapValues(g => BigInt(g.size)).toSeq
+        .sortBy(c => (-c._2, c._1)).take(512)
+      val n = docs.map(d =>
+        BigInt(tokRe.findAllIn(d.toLowerCase).size)).sum
+      val byRank = counts.zipWithIndex
+        .map { case ((t, c), i) => (i + 1L, t, c) }
+      val idx = byRank.map(r => r._1 -> r._3).toMap
+      byRank.filter(r => Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L,
+          256L).contains(r._1))
+        .map { case (r, t, c) =>
+          (r, t, c.toLong, (c * 1000000000 / n).toLong,
+            idx.get(r * 2).map(c2 => (c * 1000 / c2).toLong))
+        }
+    }
+    // a 1/r law on the picked ranks: f(1)=32, f(2)=16, f(4)=8,
+    // f(8)=4 -> every present doubling ratio exactly 2000 milli;
+    // rank 16 absent -> the last pick's ratio is NULL
+    val fx = Seq(("a", 32), ("b", 16), ("c", 9), ("d", 8), ("e", 7),
+      ("f", 6), ("g", 5), ("h", 4), ("i", 1))
+      .flatMap { case (t, k) => Seq.fill(k)(t) }
+      .mkString(" ")
+    val got = collect5(TextOps.zipfProfileOf(
+      Seq(fx).toDF("text")))
+    assert(got == replay(Seq(fx)), s"$got != ${replay(Seq(fx))}")
+    assert(got.map(_._1) == Seq(1L, 2L, 4L, 8L), got.mkString(";"))
+    assert(got.take(3).forall(_._5 == Some(2000L)), got.mkString(";"))
+    assert(got.last._5 == None, got.mkString(";"))
+    assert(got.head == (1L, "a", 32L, 363636363L, Some(2000L)), got)
+    CachedStages.release(spark)
+    // graded replay over the documents table
+    val docs = Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val graded = collect5(TextOps.zipfProfile(spark, dir))
+    assert(graded == replay(docs), s"${graded.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

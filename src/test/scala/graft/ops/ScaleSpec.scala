@@ -1617,6 +1617,22 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q246 plan: bounded top-512 take; profile joins read the " +
+    "cached top table") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = TextOps.zipfProfile(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the frequency table is cut to 512 rows ONCE (TakeOrdered), and
+    // both rank sides read that cache; the total-token count is a
+    // fused regex size, not a second explode
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size == 2, plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q224/q225 plan: one customer scan through the shared NB cube; " +
     "model tables broadcast; no cartesian") {
     import org.apache.spark.sql.execution.FileSourceScanExec
