@@ -353,6 +353,7 @@ object SparkEntry {
     "q244_vocab_containment" -> TextOps.vocabContainment _,
     "q245_user_dispersion" -> Events.userDispersion _,
     "q246_zipf_profile" -> TextOps.zipfProfile _,
+    "q247_cramers_v" -> Relational.cramersV _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6435,6 +6436,26 @@ object SparkEntry {
         |WHERE a.rank IN (1, 2, 4, 8, 16, 32, 64, 128, 256)
         |ORDER BY a.rank""".stripMargin,
 
+    // Replays Relational.cramersVOf: one pair block per column pair
+    // via cramersPairCtes, sqrt-free V^2, nullif on constant columns.
+    "q247_cramers_v" ->
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT o_orderpriority AS priority,
+         |    o_orderstatus AS status,
+         |    CAST((epoch_us(o_orderdate) // 86400000000 + 3) % 7
+         |      AS VARCHAR) AS weekday
+         |  FROM orders),
+         |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+         |${cramersPairCtes(1, "priority", "status")},
+         |${cramersPairCtes(2, "priority", "weekday")},
+         |${cramersPairCtes(3, "status", "weekday")}
+         |SELECT col_a, col_b, n, k_a, k_b, chi2_micro,
+         |  chi2_micro // nullif(n * least(k_a - 1, k_b - 1), 0)
+         |    AS v2_ppm
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |      UNION ALL SELECT * FROM p3) u
+         |ORDER BY col_a, col_b""".stripMargin,
+
     // Replays Events.mannKendallOfDaily: the pairwise sign sum, the
     // Kendall tie correction, and the continuity-corrected
     // cross-multiplied 5% test in HUGEINT.
@@ -7674,6 +7695,28 @@ object SparkEntry {
 
   private val MondrianK = 25L
   private val MondrianRounds = 6
+
+  /** One q247 pair block: contingency cells, margins, the
+    * present-cells chi-square identity with per-cell floors.
+    */
+  private def cramersPairCtes(i: Int, a: String, b: String): String =
+    s"""p${i}c AS MATERIALIZED (
+       |  SELECT $a AS va, $b AS vb, CAST(COUNT(*) AS BIGINT) AS o
+       |  FROM base GROUP BY 1, 2),
+       |p$i AS (
+       |  SELECT '$a' AS col_a, '$b' AS col_b, n,
+       |    CAST(COUNT(DISTINCT va) AS BIGINT) AS k_a,
+       |    CAST(COUNT(DISTINCT vb) AS BIGINT) AS k_b,
+       |    CAST(SUM(o::HUGEINT * o * n * 1000000
+       |      // (ra.r::HUGEINT * rb.c)) - n::HUGEINT * 1000000
+       |      AS BIGINT) AS chi2_micro
+       |  FROM p${i}c
+       |  JOIN (SELECT va, CAST(SUM(o) AS BIGINT) AS r FROM p${i}c
+       |        GROUP BY 1) ra USING (va)
+       |  JOIN (SELECT vb, CAST(SUM(o) AS BIGINT) AS c FROM p${i}c
+       |        GROUP BY 1) rb USING (vb)
+       |  CROSS JOIN n0
+       |  GROUP BY n)""".stripMargin
 
   /** Builds the q243 oracle: `rounds` unrolled Mondrian levels — per
     * round, per-dimension value-domain histograms with cumulative

@@ -1319,6 +1319,67 @@ object Relational {
         "mean_price_cents", "eta2_ppm")
       .orderBy("p_brand")
 
+  def cramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(Tables(spark, dir, "orders").select(
+      col("o_orderpriority").as("priority"),
+      col("o_orderstatus").as("status"),
+      expr("""CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP))
+        | div 86400000000 + 3) % 7 AS STRING)""".stripMargin)
+        .as("weekday")),
+      Seq("priority", "status", "weekday"))
+
+  /** Graded q247: CRAMÉR's V² dependency matrix between categorical
+    * order attributes (Cramér 1946) — the CORRELATED-COLUMNS detector
+    * the q153/q160 estimation family presumes away: a cost model that
+    * multiplies per-column selectivities is wrong exactly where this
+    * matrix lights up, so "which columns move together" is the first
+    * question optimizer statistics should answer. Per column pair,
+    * the homogeneity χ² via the present-cells identity χ² =
+    * n·Σ o²/(r·c) − n (absent cells need no enumeration — their mass
+    * is IN the identity), per-cell floors in DECIMAL(38):
+    * chi2_micro = Σ floor(o²·n·10⁶/(r·c)) − n·10⁶, then the
+    * sqrt-free V² = chi2_micro div (n·min(k_a−1, k_b−1)) in ppm —
+    * 0 = independent, 10⁶ = functionally determined. Constant
+    * columns (min k−1 = 0) surface NULL via nullif.
+    *
+    * Scale shape: the base projection persists once; each pair is
+    * one map-side-combinable contingency collapse (≤k_a·k_b cells)
+    * with margins broadcast back onto the cells; the matrix is
+    * |pairs| rows.
+    */
+  def cramersVOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val base = CachedStages.track(df.persist())
+    val n = base.agg(count(lit(1)).as("n"))
+    val parts = cols.combinations(2).map { case Seq(a, b) =>
+      val cells = CachedStages.track(base
+        .groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("o"))
+        .persist())
+      val ra = cells.groupBy("va").agg(sum(col("o")).as("r"))
+      val rb = cells.groupBy("vb").agg(sum(col("o")).as("c"))
+      val ka = ra.agg(count(lit(1)).as("k_a"))
+      val kb = rb.agg(count(lit(1)).as("k_b"))
+      cells.join(broadcast(ra), Seq("va"))
+        .join(broadcast(rb), Seq("vb"))
+        .crossJoin(broadcast(n))
+        .withColumn("term", expr(
+          """CAST(o AS DECIMAL(38, 0)) * o * n * 1000000
+            | div (CAST(r AS DECIMAL(38, 0)) * c)""".stripMargin))
+        .agg(sum(col("term")).as("t"), max(col("n")).as("n"))
+        .crossJoin(broadcast(ka)).crossJoin(broadcast(kb))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("k_a"), col("k_b"),
+          expr("CAST(t - CAST(n AS DECIMAL(38, 0)) * 1000000 " +
+            "AS BIGINT)").as("chi2_micro"))
+    }.toSeq
+    parts.reduce(_.unionByName(_))
+      .withColumn("v2_ppm", expr(
+        """chi2_micro div nullif(n * least(k_a - 1, k_b - 1), 0)"""))
+      .select("col_a", "col_b", "n", "k_a", "k_b", "chi2_micro",
+        "v2_ppm")
+      .orderBy("col_a", "col_b")
+  }
+
   def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame =
     abcXyzOf(Tables(spark, dir, "lineitem"))
 

@@ -4199,6 +4199,68 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(docs), s"${graded.take(3)}")
     CachedStages.release(spark)
   }
+  test("q247 cramers v: determined/independent pairs exact; graded " +
+    "replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)))).toSeq
+    def replay(rows: Seq[Map[String, String]], cols: Seq[String]) = {
+      val n = BigInt(rows.size)
+      cols.combinations(2).map { case Seq(a, b) =>
+        val cells = rows.groupBy(r => (r(a), r(b))).view
+          .mapValues(g => BigInt(g.size)).toMap
+        val ra = cells.toSeq.groupBy(_._1._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        val rb = cells.toSeq.groupBy(_._1._2).view
+          .mapValues(_.map(_._2).sum).toMap
+        val chi2 = cells.map { case ((va, vb), o) =>
+          o * o * n * 1000000 / (ra(va) * rb(vb))
+        }.sum - n * 1000000
+        val m = BigInt((ra.size - 1).min(rb.size - 1))
+        (a, b, n.toLong, ra.size.toLong, rb.size.toLong,
+          chi2.toLong,
+          if (n * m == 0) None else Some((chi2 / (n * m)).toLong))
+      }.toSeq.sortBy(r => (r._1, r._2))
+    }
+    // x determines y (V2 = 1e6); z independent of both (V2 = 0);
+    // w constant (NULL)
+    val fx = Seq(
+      ("a", "p", "0", "k"), ("a", "p", "1", "k"),
+      ("b", "q", "0", "k"), ("b", "q", "1", "k"))
+      .toDF("x", "y", "z", "w")
+    val got = collect7(Relational.cramersVOf(fx,
+      Seq("x", "y", "z", "w")))
+    val fxm = Seq(
+      Map("x" -> "a", "y" -> "p", "z" -> "0", "w" -> "k"),
+      Map("x" -> "a", "y" -> "p", "z" -> "1", "w" -> "k"),
+      Map("x" -> "b", "y" -> "q", "z" -> "0", "w" -> "k"),
+      Map("x" -> "b", "y" -> "q", "z" -> "1", "w" -> "k"))
+    assert(got == replay(fxm, Seq("x", "y", "z", "w")),
+      s"$got != ${replay(fxm, Seq("x", "y", "z", "w"))}")
+    assert(got.find(r => r._1 == "x" && r._2 == "y").get._7
+      == Some(1000000L), got)
+    assert(got.find(r => r._1 == "x" && r._2 == "z").get._7
+      == Some(0L), got)
+    assert(got.find(r => r._1 == "x" && r._2 == "w").get._7
+      == None, got)
+    CachedStages.release(spark)
+    // graded replay off raw orders
+    val ords = Tables(spark, dir, "orders")
+      .selectExpr("o_orderpriority", "o_orderstatus",
+        """CAST((unix_micros(CAST(o_orderdate AS TIMESTAMP))
+          | div 86400000000 + 3) % 7 AS STRING)""".stripMargin)
+      .collect()
+      .map(r => Map("priority" -> r.getString(0),
+        "status" -> r.getString(1), "weekday" -> r.getString(2)))
+      .toSeq
+    val graded = collect7(Relational.cramersV(spark, dir))
+    assert(graded ==
+      replay(ords, Seq("priority", "status", "weekday")),
+      s"$graded")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
