@@ -354,6 +354,7 @@ object SparkEntry {
     "q245_user_dispersion" -> Events.userDispersion _,
     "q246_zipf_profile" -> TextOps.zipfProfile _,
     "q247_cramers_v" -> Relational.cramersV _,
+    "q248_mcnemar" -> Features.mcnemar _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5472,6 +5473,37 @@ object SparkEntry {
         |  FROM conf CROSS JOIN tot GROUP BY n_total, n_major)
         |SELECT actual, predicted, n, n_total, accuracy_ppm, baseline_ppm
         |FROM conf CROSS JOIN acc ORDER BY 1, 2""".stripMargin,
+
+    // Replays Features.mcnemarOf over the shared NB score CTEs: the
+    // combo argmax, the pinned majority class, discordant-pair
+    // rollups and the continuity-corrected chi-square.
+    "q248_mcnemar" ->
+      s"""WITH $nbScoreCtes,
+         |pred AS (
+         |  SELECT nat, bsign, seg AS predicted
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY nat, bsign
+         |          ORDER BY s_fp DESC, seg ASC) AS rn FROM sc) z
+         |  WHERE rn = 1),
+         |mj AS (
+         |  SELECT seg AS major FROM cls
+         |  QUALIFY ROW_NUMBER() OVER (ORDER BY n_c DESC, seg ASC) = 1),
+         |f AS (
+         |  SELECT CAST(SUM(cube.n) AS BIGINT) AS n_total,
+         |    CAST(SUM(CASE WHEN cube.seg = predicted
+         |      AND cube.seg <> major THEN cube.n ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN cube.seg <> predicted
+         |      AND cube.seg = major THEN cube.n ELSE 0 END)
+         |      AS BIGINT) AS c
+         |  FROM cube JOIN pred USING (nat, bsign) CROSS JOIN mj)
+         |SELECT n_total, b, c,
+         |  CAST((abs(b - c) - 1)::HUGEINT * (abs(b - c) - 1) * 1000000
+         |    // nullif(b + c, 0) AS BIGINT) AS chi2_micro,
+         |  CAST(CASE WHEN b + c = 0 THEN NULL
+         |    WHEN (abs(b - c) - 1)::HUGEINT * (abs(b - c) - 1)
+         |      * 1000000 // (b + c) > ${Events.Chi2Crit95Ppm.head}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS significant
+         |FROM f""".stripMargin,
 
     // Replays Events.hampelOfDaily: densified calendar, two ceil-rank
     // picks (median, MAD), the integer 3*1.4826 cross-compare.

@@ -529,4 +529,61 @@ object Features {
         "pe_ppm", "kappa_ppm")
       .orderBy("cls")
   }
+
+  def mcnemar(spark: SparkSession, dir: String): DataFrame =
+    mcnemarOf(Tables(spark, dir, "customer")
+      .select(col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)")
+          .as("sign"),
+        col("c_mktsegment").as("seg")))
+
+  /** Graded q248: McNEMAR's TEST (McNemar, Psychometrika 1947) — is
+    * the q219 naive-Bayes classifier SIGNIFICANTLY better than the
+    * majority-class baseline, on the SAME rows? Accuracy deltas
+    * (q219's accuracy vs baseline readout) ignore pairing: McNemar
+    * looks only at the b rows NB gets right where the baseline is
+    * wrong vs the c rows where it's the reverse — the discordant
+    * pairs are the entire evidence, the (huge) both-right mass
+    * cancels. Continuity-corrected χ² = (|b−c|−1)²·10⁶ div (b+c)
+    * against the shared `Events.Chi2Crit95Ppm` head; b+c = 0 (the
+    * classifiers are the same function) surfaces NULL.
+    *
+    * Engine shape: rows never materialize — b and c are weighted
+    * rollups of the SAME q219 count cube joined to the combo argmax
+    * and the broadcast majority class (n_c DESC, seg ASC pinned), so
+    * the whole paired test is cube-sized at any scale.
+    */
+  def mcnemarOf(base: DataFrame): DataFrame = {
+    val cube = nbCube(base)
+    val combos = nbScores(cube)
+    val wp = Window.partitionBy("nat", "sign")
+      .orderBy(col("s_fp").desc, col("seg").asc)
+    val pred = combos.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") === 1)
+      .select(col("nat"), col("sign"), col("seg").as("predicted"))
+    val major = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_c").desc, col("seg").asc)))
+      .filter(col("rn") === 1)
+      .select(col("seg").as("major"))
+    cube.join(pred, Seq("nat", "sign"))
+      .crossJoin(broadcast(major))
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("seg") === col("predicted") &&
+          col("seg") =!= col("major"), col("n")).otherwise(0L))
+          .as("b"),
+        sum(when(col("seg") =!= col("predicted") &&
+          col("seg") === col("major"), col("n")).otherwise(0L))
+          .as("c"))
+      .withColumn("chi2_micro", expr(
+        """CAST(CAST(abs(b - c) - 1 AS DECIMAL(38, 0))
+          | * (abs(b - c) - 1) * 1000000 div nullif(b + c, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("significant", expr(
+        s"""CASE WHEN chi2_micro IS NULL THEN CAST(NULL AS BIGINT)
+           |  WHEN chi2_micro > ${Events.Chi2Crit95Ppm.head}
+           |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT)
+           |END""".stripMargin))
+      .select("n_total", "b", "c", "chi2_micro", "significant")
+  }
 }

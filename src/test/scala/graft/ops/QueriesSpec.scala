@@ -4261,6 +4261,70 @@ class QueriesSpec extends SparkSpec {
       s"$graded")
     CachedStages.release(spark)
   }
+  test("q248 mcnemar: hand discordant pairs exact incl. b=c; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    def replay(rows: Seq[(Long, Long, String)]) = {
+      val cube = rows.groupBy(identity).view
+        .mapValues(g => BigInt(g.size)).toMap
+      // NB argmax per combo — the q219 fixed-point replay
+      val classes = cube.toSeq.groupBy(_._1._3).view
+        .mapValues(_.map(_._2).sum).toMap
+      val dNat = cube.keys.map(_._1).toSeq.distinct.size
+      val natC = cube.toSeq.groupBy(k => (k._1._1, k._1._3)).view
+        .mapValues(_.map(_._2).sum).toMap
+      val signC = cube.toSeq.groupBy(k => (k._1._2, k._1._3)).view
+        .mapValues(_.map(_._2).sum).toMap
+      val combos = cube.keys.map(k => (k._1, k._2)).toSeq.distinct
+      val segs = classes.keys.toSeq.sorted
+      // tie rule: max s_fp then seg ASC
+      val pred2 = combos.map { case (nat, sign) =>
+        val scored = segs.map { s =>
+          val nc = classes(s)
+          (s, nc * (natC.getOrElse((nat, s), BigInt(0)) + 1) *
+            (signC.getOrElse((sign, s), BigInt(0)) + 1) *
+            BigInt("1000000000000") / ((nc + dNat) * (nc + 2)))
+        }
+        val best = scored.sortBy(x => x._1).maxBy(_._2)
+        // stable: among equal s_fp the ASC-first wins
+        val top = scored.filter(_._2 == best._2).map(_._1).min
+        (nat, sign) -> top
+      }.toMap
+      val major = classes.toSeq.sortBy(c => (-c._2, c._1)).head._1
+      val n = cube.values.sum
+      val b = cube.collect { case ((nat, sign, seg), cnt)
+        if pred2((nat, sign)) == seg && seg != major => cnt }.sum
+      val c = cube.collect { case ((nat, sign, seg), cnt)
+        if pred2((nat, sign)) != seg && seg == major => cnt }.sum
+      val chi2 = if (b + c == 0) None
+        else Some((((b - c).abs - 1) * ((b - c).abs - 1) * 1000000
+          / (b + c)).toLong)
+      Seq((n.toLong, b.toLong, c.toLong, chi2,
+        chi2.map(x =>
+          if (x > Events.Chi2Crit95Ppm.head) 1L else 0L)))
+    }
+    // planted: nation 1 is pure class-B (NB right, baseline wrong);
+    // nation 0 majority-A (both right on A rows, NB beats baseline)
+    val fx = Seq.fill(6)((0L, 1L, "A")) ++ Seq.fill(4)((1L, 1L, "B"))
+    val got = collect5(Features.mcnemarOf(
+      fx.toDF("nat", "sign", "seg")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got.head._2 == 4L && got.head._3 == 0L, got)
+    CachedStages.release(spark)
+    // graded replay off raw customers
+    val rows = Tables(spark, dir, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)",
+        "CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT)",
+        "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val graded = collect5(Features.mcnemar(spark, dir))
+    assert(graded == replay(rows), s"$graded != ${replay(rows)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
