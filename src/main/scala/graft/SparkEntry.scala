@@ -355,6 +355,7 @@ object SparkEntry {
     "q246_zipf_profile" -> TextOps.zipfProfile _,
     "q247_cramers_v" -> Relational.cramersV _,
     "q248_mcnemar" -> Features.mcnemar _,
+    "q249_rmst" -> ((s, d) => Events.rmst(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -4608,47 +4609,36 @@ object SparkEntry {
     // (one row per step — the same fold Spark runs as a prefix
     // aggregate HOF).
     "q169_km_retention" ->
-      """WITH RECURSIVE pu AS (
-        |  SELECT user_id,
-        |    MIN(epoch_us(ts) // 1000000 // 86400) AS first_day,
-        |    MIN(CASE WHEN event_type = 'purchase'
-        |      THEN epoch_us(ts) // 1000000 // 86400 END) AS purch_day
-        |  FROM events GROUP BY user_id),
-        |mx AS (
-        |  SELECT MAX(epoch_us(ts) // 1000000 // 86400) AS max_day
-        |  FROM events),
-        |subj AS (
-        |  SELECT CASE WHEN purch_day IS NOT NULL
-        |      THEN purch_day - first_day
-        |      ELSE (SELECT max_day FROM mx) - first_day END AS t,
-        |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
-        |  FROM pu),
-        |h AS (
-        |  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
-        |    CAST(SUM(1 - e) AS BIGINT) AS c,
-        |    CAST(COUNT(*) AS BIGINT) AS n_t
-        |  FROM subj GROUP BY t),
-        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM h),
-        |risk AS (
-        |  SELECT t, d, c,
-        |    (SELECT n_total FROM tot)
-        |      - COALESCE(SUM(n_t) OVER (ORDER BY t
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS n_at_risk,
-        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
-        |  FROM h),
-        |km(rn, km_ppm) AS (
-        |  SELECT rn, 1000000 * (n_at_risk - d) // n_at_risk
-        |  FROM risk WHERE rn = 1
-        |  UNION ALL
-        |  SELECT r.rn, k.km_ppm * (r.n_at_risk - r.d) // r.n_at_risk
-        |  FROM km k JOIN risk r ON r.rn = k.rn + 1)
-        |SELECT r.t, CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
-        |  r.d AS n_events, r.c AS n_censored,
-        |  CAST(r.d * 1000000 // r.n_at_risk AS BIGINT) AS hazard_ppm,
-        |  CAST(k.km_ppm AS BIGINT) AS km_ppm
-        |FROM risk r JOIN km k ON r.rn = k.rn
-        |ORDER BY r.t""".stripMargin,
+      s"""WITH RECURSIVE $kmCtes
+         |SELECT r.t, CAST(r.n_at_risk AS BIGINT) AS n_at_risk,
+         |  r.d AS n_events, r.c AS n_censored,
+         |  CAST(r.d * 1000000 // r.n_at_risk AS BIGINT) AS hazard_ppm,
+         |  CAST(k.km_ppm AS BIGINT) AS km_ppm
+         |FROM risk r JOIN km k ON r.rn = k.rn
+         |ORDER BY r.t""".stripMargin,
+
+    // Replays Events.rmstOfKm over the SHARED kmCtes chain: the
+    // 30-day spine, carried-forward right-continuous S(d), one floor.
+    "q249_rmst" ->
+      s"""WITH RECURSIVE $kmCtes,
+         |steps AS (
+         |  SELECT r.t, CAST(k.km_ppm AS BIGINT) AS km_ppm
+         |  FROM risk r JOIN km k ON r.rn = k.rn),
+         |spine AS (SELECT unnest(generate_series(0, 29)) AS d),
+         |curve AS (
+         |  SELECT d, coalesce((
+         |    SELECT km_ppm FROM steps WHERE t <= d
+         |    ORDER BY t DESC LIMIT 1), 1000000) AS s_ppm
+         |  FROM spine),
+         |med AS (
+         |  SELECT MIN(t) AS median_t FROM steps WHERE km_ppm <= 500000),
+         |ns AS (
+         |  SELECT CAST(MAX(n_at_risk) AS BIGINT) AS n_subjects
+         |  FROM risk)
+         |SELECT n_subjects, CAST(30 AS BIGINT) AS tau_days, median_t,
+         |  (SELECT CAST(SUM(s_ppm) AS BIGINT) // 1000 FROM curve)
+         |    AS rmst_milli_days
+         |FROM ns CROSS JOIN med""".stripMargin,
 
     // Replays Events.latenessProfileOf with the oracle's privilege of a
     // single global ordered window (Spark's two-phase chunked prefix
@@ -7724,6 +7714,47 @@ object SparkEntry {
        |FROM sweep s JOIN d2 ON d2.event_type = s.event_type
        |  AND d2.rn = s.rn
        |ORDER BY 1, 2""".stripMargin
+
+  /** The q169 Kaplan-Meier oracle chain (per-user censored collapse,
+    * risk sets, the recursive floored product), shared by the q169
+    * and q249 oracles so the curve arithmetic cannot drift.
+    */
+  private def kmCtes: String =
+    """pu AS (
+      |  SELECT user_id,
+      |    MIN(epoch_us(ts) // 1000000 // 86400) AS first_day,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |      THEN epoch_us(ts) // 1000000 // 86400 END) AS purch_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (
+      |  SELECT MAX(epoch_us(ts) // 1000000 // 86400) AS max_day
+      |  FROM events),
+      |subj AS (
+      |  SELECT CASE WHEN purch_day IS NOT NULL
+      |      THEN purch_day - first_day
+      |      ELSE (SELECT max_day FROM mx) - first_day END AS t,
+      |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
+      |  FROM pu),
+      |h AS (
+      |  SELECT t, CAST(SUM(e) AS BIGINT) AS d,
+      |    CAST(SUM(1 - e) AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS n_t
+      |  FROM subj GROUP BY t),
+      |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM h),
+      |risk AS (
+      |  SELECT t, d, c,
+      |    (SELECT n_total FROM tot)
+      |      - COALESCE(SUM(n_t) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_at_risk,
+      |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+      |  FROM h),
+      |km(rn, km_ppm) AS (
+      |  SELECT rn, 1000000 * (n_at_risk - d) // n_at_risk
+      |  FROM risk WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.rn, k.km_ppm * (r.n_at_risk - r.d) // r.n_at_risk
+      |  FROM km k JOIN risk r ON r.rn = k.rn + 1)""".stripMargin
 
   private val MondrianK = 25L
   private val MondrianRounds = 6

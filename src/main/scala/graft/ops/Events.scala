@@ -2345,6 +2345,53 @@ object Events {
       .orderBy("t")
   }
 
+  def rmst(spark: SparkSession, dir: String, tau: Int = 30): DataFrame =
+    rmstOfKm(kmRetentionOf(events(spark, dir)), tau)
+
+  /** Graded q249: RESTRICTED MEAN SURVIVAL TIME + median survival off
+    * the q169 Kaplan–Meier curve (Royston & Parmar, BMC Med Res
+    * Methodol 2013 made RMST the recommended KM summary; the
+    * estimand is Irwin 1949's "standardised rate of dying") — the
+    * ONE-NUMBER answers the q169 curve doesn't state: the median
+    * time-to-first-purchase (smallest t with S(t) ≤ ½ — NULL while
+    * more than half survive, honestly) and RMST(τ) = ∫₀^τ S(t)dt,
+    * the expected purchase-free days in the first τ = 30 — the
+    * number an activation team sizes nudge campaigns by. The KM
+    * curve is a step function constant between event offsets, so the
+    * integral is EXACT off the step list: Σ over day d ∈ [0, τ) of
+    * S(d) with S carried forward from the last step ≤ d, S(pre-first
+    * step) = 10⁶; rmst_milli_days = Σ S_ppm(d) div 1000 — one floor,
+    * off the SAME floored km_ppm the q169 oracle replays.
+    *
+    * Scale shape: consumes the q169 per-step table (observation-
+    * window bounded); the τ-day spine is a 30-row broadcast; the
+    * carry-forward pick is max-over-steps-≤-d on that bounded grid.
+    */
+  def rmstOfKm(km: DataFrame, tau: Int): DataFrame = {
+    val steps = CachedStages.track(km
+      .select(col("t"), col("km_ppm"), col("n_at_risk"),
+        col("n_events"))
+      .persist())
+    val nSubj = steps.agg(max(expr("n_at_risk")).as("n_subjects"))
+    val median = steps.filter(col("km_ppm") <= 500000L)
+      .agg(min(col("t")).as("median_t"))
+    val spine = steps.sparkSession.range(0, tau)
+      .select(col("id").as("d"))
+    val curve = spine.join(broadcast(steps.select(
+        col("t"), col("km_ppm"))), col("t") <= col("d"), "left")
+      .groupBy("d")
+      .agg(max(struct(col("t"), col("km_ppm"))).as("last"))
+      .select(col("d"),
+        expr("coalesce(last.km_ppm, CAST(1000000 AS BIGINT))")
+          .as("s_ppm"))
+    curve.agg(sum(col("s_ppm")).as("s_sum"))
+      .crossJoin(broadcast(nSubj))
+      .crossJoin(broadcast(median))
+      .select(col("n_subjects"), lit(tau.toLong).as("tau_days"),
+        col("median_t"),
+        expr("s_sum div 1000").as("rmst_milli_days"))
+  }
+
   def logRank(spark: SparkSession, dir: String): DataFrame = {
     val evs = events(spark, dir)
     val perUser = evs.groupBy("user_id").agg(

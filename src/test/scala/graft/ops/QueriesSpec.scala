@@ -4325,6 +4325,50 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(rows), s"$graded != ${replay(rows)}")
     CachedStages.release(spark)
   }
+  test("q249 rmst: hand KM steps exact incl. no-median NULL; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect4(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3))).toSeq
+    def replay(km: Seq[(Long, Long, Long)], tau: Int) = {
+      // km rows: (t, n_at_risk, km_ppm)
+      val n = km.map(_._2).max
+      val med = km.filter(_._3 <= 500000L).map(_._1).minOption
+      val sSum = (0L until tau.toLong).map { d =>
+        km.filter(_._1 <= d).sortBy(_._1).lastOption
+          .map(_._3).getOrElse(1000000L)
+      }.map(BigInt(_)).sum
+      Seq((n, tau.toLong, med, (sSum / 1000).toLong))
+    }
+    // steps: S drops to 600000 at t=2, 400000 at t=5 (crosses 1/2 ->
+    // median 5); tau=10: S = 1e6,1e6 then 6e5 x3 then 4e5 x5
+    // -> sum 5.8e6 -> 5800 milli-days
+    val fxKm = Seq((2L, 10L, 600000L), (5L, 6L, 400000L))
+      .toDF("t", "n_at_risk", "km_ppm")
+      .withColumn("n_events", org.apache.spark.sql.functions.lit(0L))
+    val got = collect4(Events.rmstOfKm(fxKm, 10))
+    assert(got == replay(Seq((2L, 10L, 600000L), (5L, 6L, 400000L)),
+      10), s"$got")
+    assert(got.head == (10L, 10L, Some(5L), 5800L), got.head)
+    CachedStages.release(spark)
+    // above-half curve: median NULL
+    val fxKm2 = Seq((1L, 4L, 800000L))
+      .toDF("t", "n_at_risk", "km_ppm")
+      .withColumn("n_events", org.apache.spark.sql.functions.lit(0L))
+    val got2 = collect4(Events.rmstOfKm(fxKm2, 5))
+    assert(got2.head == (4L, 5L, None, 4200L), got2.head)
+    CachedStages.release(spark)
+    // graded replay off the graded q169 curve itself
+    val kmRows = Events.kmRetention(spark, dir)
+      .select("t", "n_at_risk", "km_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    CachedStages.release(spark)
+    val graded = collect4(Events.rmst(spark, dir))
+    assert(graded == replay(kmRows, 30), s"$graded")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
