@@ -356,6 +356,7 @@ object SparkEntry {
     "q247_cramers_v" -> Relational.cramersV _,
     "q248_mcnemar" -> Features.mcnemar _,
     "q249_rmst" -> ((s, d) => Events.rmst(s, d)),
+    "q250_type_cooccurrence" -> Events.typeCooccurrence _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -5494,6 +5495,35 @@ object SparkEntry {
          |      * 1000000 // (b + c) > ${Events.Chi2Crit95Ppm.head}
          |    THEN 1 ELSE 0 END AS BIGINT) AS significant
          |FROM f""".stripMargin,
+
+    // Replays Events.typeCooccurrenceOf: distinct (user, day, type)
+    // baskets, within-basket pairs, cross-multiplied lift.
+    "q250_type_cooccurrence" ->
+      """WITH bt AS MATERIALIZED (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 1000000 // 86400 AS day, event_type
+        |  FROM events),
+        |nt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+        |  FROM (SELECT DISTINCT user_id, day FROM bt) x),
+        |mg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM bt GROUP BY 1),
+        |pc AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM bt a JOIN bt b ON a.user_id = b.user_id
+        |    AND a.day = b.day AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_ab, ma.m AS n_a, mb.m AS n_b,
+        |  n_baskets,
+        |  CAST(n_ab::HUGEINT * n_baskets * 1000000
+        |    // (ma.m::HUGEINT * mb.m) AS BIGINT) AS lift_ppm,
+        |  n_ab * 1000000 // (ma.m + mb.m - n_ab) AS jaccard_ppm
+        |FROM pc JOIN mg ma ON pc.type_a = ma.event_type
+        |JOIN mg mb ON pc.type_b = mb.event_type
+        |CROSS JOIN nt
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // Replays Events.hampelOfDaily: densified calendar, two ceil-rank
     // picks (median, MAD), the integer 3*1.4826 cross-compare.

@@ -1861,6 +1861,59 @@ object Events {
       .orderBy("day")
   }
 
+  def typeCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    typeCooccurrenceOf(events(spark, dir)
+      .select(col("user_id"), expr("ts_sec div 86400").as("day"),
+        col("event_type")))
+
+  /** Graded q250: EVENT-TYPE CO-OCCURRENCE LIFT over (user, day)
+    * baskets — the behavioral-affinity matrix beside q142's
+    * order-basket rules and q116's SEQUENTIAL transitions: do two
+    * activities happen in the same user-day more often than
+    * independence predicts? lift = P(a∧b)/(P(a)P(b)) cross-multiplies
+    * exactly to n_ab·N·10⁶ div (n_a·n_b) (10⁶ = independent, above =
+    * affinity, below = substitutes/segmentation — the q239 ARI
+    * lesson in basket form), with the Jaccard n_ab·10⁶ div
+    * (n_a+n_b−n_ab) beside it. Pairs enumerate INSIDE each basket's
+    * distinct-type set (≤C(|types|,2) per basket — |types| is a
+    * 5-value enum, never data-sized).
+    *
+    * Scale shape: one events scan → distinct (user, day, type) →
+    * within-basket pair self-join (enum-bounded fan-out) → one
+    * combinable pair count; marginals and the basket total ride
+    * broadcasts of the same persisted distinct set.
+    */
+  def typeCooccurrenceOf(evs: DataFrame): DataFrame = {
+    val bt = CachedStages.track(
+      evs.select("user_id", "day", "event_type").distinct()
+        .persist())
+    val nTot = bt.select("user_id", "day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = CachedStages.track(bt.groupBy("event_type")
+      .agg(count(lit(1)).as("m")).persist())
+    bt.as("a").join(bt.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("m").as("n_a"))), Seq("type_a"))
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("m").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(n_ab AS DECIMAL(38, 0)) * n_baskets * 1000000
+          | div (CAST(n_a AS DECIMAL(38, 0)) * n_b) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("jaccard_ppm", expr(
+        "n_ab * 1000000 div (n_a + n_b - n_ab)"))
+      .select("type_a", "type_b", "n_ab", "n_a", "n_b", "n_baskets",
+        "lift_ppm", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
   def userDispersion(spark: SparkSession, dir: String): DataFrame =
     userDispersionOf(events(spark, dir)
       .select(col("event_type"), col("user_id")))

@@ -4369,6 +4369,56 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(kmRows, 30), s"$graded")
     CachedStages.release(spark)
   }
+  test("q250 co-occurrence: always-together/independent/disjoint " +
+    "exact; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    def replay(evs: Seq[(Long, Long, String)]) = {
+      val bt = evs.distinct
+      val baskets = bt.map(e => (e._1, e._2)).distinct
+      val n = BigInt(baskets.size)
+      val sets = bt.groupBy(e => (e._1, e._2)).view
+        .mapValues(_.map(_._3).toSet).toMap
+      val marg = bt.groupBy(_._3).view
+        .mapValues(g => BigInt(g.map(e => (e._1, e._2)).distinct.size))
+        .toMap
+      val types = marg.keys.toSeq.sorted
+      (for {
+        i <- types.indices; j <- i + 1 until types.size
+        a = types(i); b = types(j)
+        nab = BigInt(sets.values.count(s =>
+          s.contains(a) && s.contains(b)))
+        if nab > 0
+      } yield (a, b, nab.toLong, marg(a).toLong, marg(b).toLong,
+        n.toLong,
+        (nab * n * 1000000 / (marg(a) * marg(b))).toLong,
+        (nab * 1000000 / (marg(a) + marg(b) - nab)).toLong)).toSeq
+    }
+    // x & y always together in 2 of 4 baskets (lift 2e6), z in the
+    // other two (disjoint from x: no row); y also alone once? keep:
+    // baskets: (1,1):{x,y} (1,2):{x,y} (2,1):{z} (2,2):{z,y}
+    val fx = Seq((1L, 1L, "x"), (1L, 1L, "y"), (1L, 2L, "x"),
+      (1L, 2L, "y"), (2L, 1L, "z"), (2L, 2L, "z"), (2L, 2L, "y"))
+    val got = collect8(Events.typeCooccurrenceOf(
+      fx.toDF("user_id", "day", "event_type")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    // x,y: nab=2, na=2, nb=3, N=4 -> lift = 2*4e6/6 = 1333333
+    assert(got.find(r => r._1 == "x" && r._2 == "y").get._7
+      == 1333333L, got)
+    assert(!got.exists(r => r._1 == "x" && r._2 == "z"), got)
+    CachedStages.release(spark)
+    // graded replay off raw events
+    val evs = Events.events(spark, dir)
+      .selectExpr("user_id", "ts_sec div 86400 AS day", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val graded = collect8(Events.typeCooccurrence(spark, dir))
+    assert(graded == replay(evs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
