@@ -7814,8 +7814,8 @@ object SparkEntry {
   /** Builds the q243 oracle: `rounds` unrolled Mondrian levels — per
     * round, per-dimension value-domain histograms with cumulative
     * ranks, the lower-median QUALIFY pick, the wider-range strict cut
-    * rule, and the 2p/2p+1/2p+2 triple-map reassignment — the
-    * kcoreCtes unrolling discipline.
+    * rule, and the injective base-3 3p/3p+1/3p+2 triple-map
+    * reassignment — the kcoreCtes unrolling discipline.
     */
   private def mondrianCtes(k: Long, rounds: Int): String = {
     val base =
@@ -7860,9 +7860,9 @@ object SparkEntry {
          |  SELECT r.bal, r.nat,
          |    CASE WHEN e.do_cut = 1 AND ((e.dim = 0 AND r.bal <= e.med)
          |           OR (e.dim = 1 AND r.nat <= e.med))
-         |      THEN r.pid * 2 + 1
-         |      WHEN e.do_cut = 1 THEN r.pid * 2 + 2
-         |      ELSE r.pid * 2 END AS pid
+         |      THEN r.pid * 3 + 1
+         |      WHEN e.do_cut = 1 THEN r.pid * 3 + 2
+         |      ELSE r.pid * 3 END AS pid
          |  FROM r${i - 1} r JOIN e$i e ON r.pid = e.pid)""".stripMargin
     }
     (base +: rs).mkString(",\n")

@@ -333,8 +333,11 @@ object Privacy {
     * and keeps the cut only if BOTH sides hold ≥ k rows (the strict
     * allowable-cut rule — so every emitted box is k-anonymous by
     * construction). Fixed `rounds` depth, past-fixpoint rounds
-    * no-ops; partition ids triple-map (2p, 2p+1, 2p+2 for
-    * stay/left/right) so lineages can never collide. Output: the
+    * no-ops; partition ids triple-map in base 3 (3p, 3p+1, 3p+2 for
+    * stay/left/right) — an INJECTIVE map, unlike the base-2 triple
+    * (2p, 2p+1, 2p+2) where a stay at p collides with the right
+    * child of p-1 (2(p-1)+2 = 2p) and silently merges two disjoint
+    * boxes. Output: the
     * generalized boxes with occupancy, plus the achieved k and box
     * count repeated per row (q181 discipline).
     *
@@ -382,9 +385,9 @@ object Privacy {
       cur = cur.join(broadcast(cuts), Seq("pid"))
         .withColumn("pid", expr(
           """CASE WHEN do_cut = 1 AND ((dim = 0 AND bal <= med)
-            |       OR (dim = 1 AND nat <= med)) THEN pid * 2 + 1
-            |     WHEN do_cut = 1 THEN pid * 2 + 2
-            |     ELSE pid * 2 END""".stripMargin))
+            |       OR (dim = 1 AND nat <= med)) THEN pid * 3 + 1
+            |     WHEN do_cut = 1 THEN pid * 3 + 2
+            |     ELSE pid * 3 END""".stripMargin))
         .select("bal", "nat", "pid")
         .localCheckpoint()
     }

@@ -165,8 +165,20 @@ class NewReleasesScanBuilder(opts: Map[String, String]) extends ScanBuilder
   with SupportsPushDownRequiredColumns {
 
   private var pushedCountry: Option[String] = None
-  private var limit: Int =
-    math.min(opts.get("limit").map(_.toInt).getOrElse(50), 50)
+  private var limit: Int = {
+    val raw = opts.get("limit").map { v =>
+      require(v.matches("-?\\d+"),
+        s"spotify option 'limit' must be an integer, got '$v'")
+      v.toInt
+    }.getOrElse(50)
+    // clamp to the API's documented [1, 50] (extract.py:109): the
+    // reference passes min(limit, 50) as a query param and the API
+    // rejects non-positive values, so a negative/zero option is a
+    // caller bug, not a scan shape
+    require(raw >= 1,
+      s"spotify option 'limit' must be >= 1, got $raw")
+    math.min(raw, 50)
+  }
   private var required: StructType = SpotifyTables.newReleases
   private var accepted: Array[Filter] = Array.empty
 
@@ -177,17 +189,22 @@ class NewReleasesScanBuilder(opts: Map[String, String]) extends ScanBuilder
     // NO post-scan Filter remains — the spec asserts this. A bare
     // IsNotNull with no equality stays residual: an unpushed scan
     // returns NULL country rows, so the source can't discharge it.
-    val hasEq = filters.exists {
-      case EqualTo("country", _: String) => true
-      case _ => false
-    }
+    // Only ONE distinct country equality can be discharged by a scan
+    // that requests one country: a conjunction over two different
+    // values (correct result: empty) must leave the extras residual so
+    // Spark re-applies them post-scan rather than silently returning
+    // one country's rows.
+    val eqValues = filters.collect {
+      case EqualTo("country", v: String) => v
+    }.distinct
+    val pushable = eqValues.headOption
+    val hasEq = pushable.isDefined
     val (ours, residual) = filters.partition {
-      case EqualTo("country", _: String) => true
+      case EqualTo("country", v: String) => pushable.contains(v)
       case org.apache.spark.sql.sources.IsNotNull("country") => hasEq
       case _ => false
     }
-    ours.foreach { case EqualTo(_, v: String) => pushedCountry = Some(v)
-      case _ => () }
+    pushedCountry = pushable
     accepted = ours
     residual
   }

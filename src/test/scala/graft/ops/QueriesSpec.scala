@@ -4040,8 +4040,8 @@ class QueriesSpec extends SparkSpec {
           val med = vs((((g.size + 1) / 2) - 1).max(0))
           val (l, r) = g.partition(p => v(p) <= med)
           if (g.size >= 2 * k && l.size >= k && r.size >= k)
-            Map(pid * 2 + 1 -> l, pid * 2 + 2 -> r)
-          else Map(pid * 2 -> g)
+            Map(pid * 3 + 1 -> l, pid * 3 + 2 -> r)
+          else Map(pid * 3 -> g)
         }
       }
       val groups = parts.values.toSeq.map { g =>
@@ -4061,6 +4061,20 @@ class QueriesSpec extends SparkSpec {
     assert(got == replay(fx, 2L, 2), s"$got != ${replay(fx, 2L, 2)}")
     assert(got == Seq((0L, 0L, 0L, 1L, 2L, 2L, 2L),
       (10L, 10L, 0L, 1L, 2L, 2L, 2L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // injectivity fixture: round 1 cuts the root into pids 1 and 2;
+    // round 2 cuts pid 1 (children 3p+1=4, 3p+2=5) while pid 2 STAYS
+    // (3p=6). Under the old base-2 map, pid 1's right child (2p+2=4)
+    // collided with pid 2's stay (2p=4), silently merging the
+    // disjoint boxes bal∈[5,5] and bal∈[100,100] into one [5,100].
+    val cx = Seq((0L, 0L), (0L, 0L), (5L, 0L), (5L, 0L),
+      (100L, 0L), (100L, 0L))
+    val gotCx = collect7(Privacy.mondrianOf(
+      cx.toDF("bal", "nat"), 2L, 2))
+    assert(gotCx == replay(cx, 2L, 2), gotCx.mkString(";"))
+    assert(gotCx == Seq((0L, 0L, 0L, 0L, 2L, 2L, 3L),
+      (5L, 5L, 0L, 0L, 2L, 2L, 3L),
+      (100L, 100L, 0L, 0L, 2L, 2L, 3L)), gotCx.mkString(";"))
     CachedStages.release(spark)
     // graded replay off raw customers at the graded (k, rounds)
     val pts = Tables(spark, dir, "customer")

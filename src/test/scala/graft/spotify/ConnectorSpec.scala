@@ -105,6 +105,54 @@ class ConnectorSpec extends SparkSpec {
     assert(filters.isEmpty, df.queryExecution.optimizedPlan.toString)
   }
 
+  test("conflicting country equalities: one pushed, the rest residual, " +
+    "result empty") {
+    calls.clear()
+    TransportSpec.registry.put("conflict", RecordingSpec(Map(
+      "/browse/new-releases?country=SE" ->
+        releasesBody(Seq("se1" -> 1, "se2" -> 2)),
+      "/browse/new-releases?country=US" ->
+        releasesBody(Seq("us1" -> 3)))))
+    val df = spark.read.format(providerName)
+      .option("transport.handle", "conflict").load()
+      .filter(col("country") === "SE" && col("country") === "US")
+    // country='SE' AND country='US' is unsatisfiable: Catalyst may
+    // prove that itself (empty LocalRelation), but however the plan
+    // lands the result must be EMPTY — never one country's rows with
+    // both equalities claimed satisfied
+    assert(df.count() == 0, df.collect().mkString(";"))
+    // and the ScanBuilder contract directly: of two DIFFERENT country
+    // equalities, exactly one is accepted, the other stays residual
+    import org.apache.spark.sql.sources.EqualTo
+    val b = new NewReleasesScanBuilder(Map("transport.handle" -> "conflict"))
+    val residual = b.pushFilters(Array(
+      EqualTo("country", "SE"), EqualTo("country", "US")))
+    assert(b.pushedFilters().toSeq == Seq(EqualTo("country", "SE")),
+      b.pushedFilters().mkString(";"))
+    assert(residual.toSeq == Seq(EqualTo("country", "US")),
+      residual.mkString(";"))
+    // identical duplicated equality IS fully dischargeable: no residual
+    val dup = spark.read.format(providerName)
+      .option("transport.handle", "conflict").load()
+      .filter(col("country") === "SE" && col("country") === "SE")
+    assert(dup.collect().map(_.getAs[String]("album_id")).sorted.toSeq ==
+      Seq("se1", "se2"))
+  }
+
+  test("malformed/invalid limit option fails fast with the option name") {
+    TransportSpec.registry.put("lim", RecordingSpec(Map(
+      "/browse/new-releases" -> releasesBody(Seq("g1" -> 7)))))
+    def scanWith(l: String) = spark.read.format(providerName)
+      .option("transport.handle", "lim").option("limit", l).load().collect()
+    val bad = intercept[IllegalArgumentException](scanWith("abc"))
+    assert(bad.getMessage.contains("limit"), bad.getMessage)
+    val neg = intercept[IllegalArgumentException](scanWith("-3"))
+    assert(neg.getMessage.contains("limit"), neg.getMessage)
+    // in-range and over-clamp values still work (over-clamp → 50)
+    assert(scanWith("1").nonEmpty)
+    assert(scanWith("999").nonEmpty)
+  }
+
   test("a bare isNotNull(country) without equality is NOT claimed") {
     TransportSpec.registry.put("bare", RecordingSpec(Map(
       "/browse/new-releases" -> releasesBody(Seq("g1" -> 7)))))
