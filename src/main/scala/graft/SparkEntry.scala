@@ -357,6 +357,8 @@ object SparkEntry {
     "q248_mcnemar" -> Features.mcnemar _,
     "q249_rmst" -> ((s, d) => Events.rmst(s, d)),
     "q250_type_cooccurrence" -> Events.typeCooccurrence _,
+    "q251_link_prediction_capped" -> ((s, d) =>
+      Graph.linkPredictionCapped(s, d, 20, LinkPredCap)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6115,6 +6117,47 @@ object SparkEntry {
         |ORDER BY jaccard_ppm DESC, cn DESC, cand.u ASC, cand.v ASC
         |LIMIT 20""".stripMargin,
 
+    // Replays Graph.linkPredictionCappedOf: q233's chain with each
+    // node's adjacency truncated to its top-`LinkPredCap` neighbors
+    // by (deg DESC, id ASC) before the wedge join; TRUE degrees in
+    // the Jaccard denominator.
+    "q251_link_prediction_capped" ->
+      s"""WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+        |  FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        |deg AS MATERIALIZED (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v AS id FROM e) x
+        |  GROUP BY 1),
+        |adj AS (
+        |  SELECT u AS w, v AS nbr FROM e
+        |  UNION ALL SELECT v AS w, u AS nbr FROM e),
+        |capped AS MATERIALIZED (
+        |  SELECT w, nbr FROM (
+        |    SELECT a.w, a.nbr,
+        |      row_number() OVER (PARTITION BY a.w
+        |        ORDER BY d.deg DESC, a.nbr ASC) AS rk
+        |    FROM adj a JOIN deg d ON a.nbr = d.id) r
+        |  WHERE rk <= $LinkPredCap),
+        |wg AS (
+        |  SELECT a.nbr AS u, b.nbr AS v, CAST(COUNT(*) AS BIGINT)
+        |    AS cn
+        |  FROM capped a JOIN capped b ON a.w = b.w AND a.nbr < b.nbr
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT wg.* FROM wg ANTI JOIN e
+        |    ON wg.u = e.u AND wg.v = e.v)
+        |SELECT cand.u, cand.v, cn,
+        |  du.deg AS deg_u, dv.deg AS deg_v,
+        |  cn * 1000000 // (du.deg + dv.deg - cn) AS jaccard_ppm
+        |FROM cand JOIN deg du ON cand.u = du.id
+        |JOIN deg dv ON cand.v = dv.id
+        |ORDER BY jaccard_ppm DESC, cn DESC, cand.u ASC, cand.v ASC
+        |LIMIT 20""".stripMargin,
+
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.
     "q236_source_divergence" ->
@@ -7788,6 +7831,7 @@ object SparkEntry {
 
   private val MondrianK = 25L
   private val MondrianRounds = 6
+  private val LinkPredCap = 32
 
   /** One q247 pair block: contingency cells, margins, the
     * present-cells chi-square identity with per-cell floors.

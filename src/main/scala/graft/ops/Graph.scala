@@ -874,4 +874,75 @@ object Graph {
         col("u").asc, col("v").asc)
       .limit(k)
   }
+
+  def linkPredictionCapped(spark: SparkSession, dir: String,
+      k: Int = 20, cap: Int = 32): DataFrame = {
+    val li = orderParts(spark, dir)
+    linkPredictionCappedOf(
+      li.join(li.withColumnRenamed("p", "p2"), Seq("k"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v"))
+        .distinct(), k, cap)
+  }
+
+  /** Graded q251: HUB-CAPPED link prediction — q233's common-neighbor
+    * ranking made 100 TB-safe. Exact wedge enumeration is Θ(Σ_w
+    * deg(w)²): one hub node in every basket makes q233 quadratic in
+    * corpus size. The standard mitigation (e.g. Twitter's WTF /
+    * GraphJet-style neighborhood truncation) bounds each shared
+    * neighbor w's adjacency to its top-`cap` neighbors before the
+    * wedge join, so the candidate fan-out is Σ_w min(deg(w), cap)² ≤
+    * |V|·cap² — LINEAR in nodes at fixed cap. The kept neighbors are
+    * the fully deterministic top-`cap` by (deg DESC, id ASC): ties
+    * impossible (ids unique within an adjacency list), so the capped
+    * counts replay bit-identically in any engine. Scores keep q233's
+    * exact semantics otherwise — capped cn (a lower bound on the true
+    * count), TRUE degrees in the Jaccard denominator, the same
+    * deterministic (jaccard DESC, cn DESC, u, v) top-k. q233 stays
+    * the exact eval reference; this is the plan you'd ship at scale.
+    *
+    * Scale shape: the cap is ONE extra shuffle (row_number windowed by
+    * w — per-partition work bounded by max-degree, the thing being
+    * capped away from the wedge join); the wedge equi-join then runs
+    * on the ≤cap-bounded lists; the anti-join reuses the wedge
+    * aggregation's (u, v) hash partitioning (q233's measured
+    * discipline — forced broadcast was 2× slower); degrees ride
+    * broadcasts. Never an all-pairs product.
+    */
+  def linkPredictionCappedOf(und: DataFrame, k: Int,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = CachedStages.track(und.persist())
+    val deg = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val adj = edges.select(col("u").as("w"), col("v").as("nbr"))
+      .union(edges.select(col("v").as("w"), col("u").as("nbr")))
+    // persisted: BOTH wedge sides read the capped lists, and the
+    // window (the one extra shuffle the cap costs) must run once
+    val capped = CachedStages.track(adj
+      .join(broadcast(deg.select(col("id").as("nbr"),
+        col("deg").as("deg_nbr"))), Seq("nbr"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w")
+          .orderBy(col("deg_nbr").desc, col("nbr").asc)))
+      .filter(col("rk") <= cap)
+      .select("w", "nbr")
+      .persist())
+    val wedges = capped.as("a").join(capped.as("b"), Seq("w"))
+      .filter(col("a.nbr") < col("b.nbr"))
+      .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    wedges.join(edges, Seq("u", "v"), "left_anti")
+      .join(broadcast(deg.select(col("id").as("u"),
+        col("deg").as("deg_u"))), Seq("u"))
+      .join(broadcast(deg.select(col("id").as("v"),
+        col("deg").as("deg_v"))), Seq("v"))
+      .withColumn("jaccard_ppm", expr(
+        "cn * 1000000 div (deg_u + deg_v - cn)"))
+      .select("u", "v", "cn", "deg_u", "deg_v", "jaccard_ppm")
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc,
+        col("u").asc, col("v").asc)
+      .limit(k)
+  }
 }

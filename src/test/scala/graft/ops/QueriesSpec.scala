@@ -4433,6 +4433,60 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(evs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q251 capped link prediction: hand graph where the cap BINDS " +
+    "exact; graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    def replay(edges: Seq[(Long, Long)], k: Int, cap: Int) = {
+      val es = edges.toSet
+      val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val deg = nbrs.view.mapValues(_.size.toLong).toMap
+      val cands = nbrs.values.toSeq.flatMap { ns =>
+        // the cap: top-`cap` neighbors by (deg DESC, id ASC)
+        val s = ns.toSeq.sortBy(n => (-deg(n), n)).take(cap).sorted
+        for (i <- s.indices; j <- i + 1 until s.size)
+          yield (s(i), s(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .collect { case ((u, v), cn) if !es.contains((u, v)) =>
+          val j = BigInt(cn) * 1000000 / (deg(u) + deg(v) - cn)
+          (u, v, cn, deg(u), deg(v), j.toLong)
+        }
+      cands.sortBy(c => (-c._6, -c._3, c._1, c._2)).take(k)
+    }
+    // hub 1 has nbrs {2,3,4}; at cap=2 only {2,3} survive (deg order
+    // 2:2, 3:1, 4:1 — id breaks the 3-vs-4 tie), so wedge (2,3) is
+    // kept but (2,4)/(3,4) — present UNCAPPED — disappear
+    val fx = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+    val got = collect6(Graph.linkPredictionCappedOf(
+      fx.toDF("u", "v"), 20, 2))
+    assert(got == replay(fx, 20, 2), s"$got != ${replay(fx, 20, 2)}")
+    assert(got == Seq((2L, 3L, 1L, 2L, 1L, 500000L),
+      (1L, 5L, 1L, 3L, 1L, 333333L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // the cap binds: the uncapped q233 result on the same graph has
+    // strictly more candidates
+    val uncapped = collect6(Graph.linkPredictionOf(
+      fx.toDF("u", "v"), 20))
+    assert(uncapped.size > got.size, uncapped.mkString(";"))
+    assert(uncapped.exists(r => r._1 == 2L && r._2 == 4L), uncapped)
+    CachedStages.release(spark)
+    // graded replay: canonical co-purchase edges off raw lineitem at
+    // the graded cap
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.size)
+        yield (ps(i), ps(j))
+    }.toSeq.distinct
+    val graded = collect6(Graph.linkPredictionCapped(spark, dir, 20, 32))
+    assert(graded == replay(edges, 20, 32), s"${graded.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1427,6 +1427,34 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q251 plan: wedge join reads the CAPPED cached lists (bounded " +
+    "fan-out); degrees broadcast; top-k sorted once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Graph.linkPredictionCapped(spark, dir, 20, 32)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // every read rides a cache: the two wedge sides hit the capped
+    // lists, the anti-join probe + degree unions hit the edge list
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    val caches = tree.collect { case m: InMemoryTableScanExec => m }
+    assert(caches.size >= 7, plan.take(3000))
+    // the bounded fan-out is structural: the capped cache's plan
+    // carries the row_number window + rk filter, and BOTH wedge
+    // sides scan a cache whose output is the capped (w, nbr) list
+    val cachedPlans = caches.map(_.relation.cachedPlan.toString)
+    assert(cachedPlans.exists(p =>
+      p.contains("row_number") && p.contains("Window")),
+      cachedPlans.map(_.take(400)).mkString("\n---\n"))
+    val cappedScans = caches.filter(
+      _.output.map(_.name) == Seq("w", "nbr"))
+    assert(cappedScans.size == 2, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
