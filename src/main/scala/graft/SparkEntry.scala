@@ -359,6 +359,24 @@ object SparkEntry {
     "q250_type_cooccurrence" -> Events.typeCooccurrence _,
     "q251_link_prediction_capped" -> ((s, d) =>
       Graph.linkPredictionCapped(s, d, 20, LinkPredCap)),
+    // q252/q253 put the reference's OWN transform semantics
+    // (transform.py:38-168) under the hash-match regime: they run the
+    // production Transforms chain over the checked-in raw-fixture
+    // parquet (frozen from the extract.py:271-276 document shape by
+    // graft.tools.FreezeSpotifyFixture) — the sf dir is unused.
+    "q252_spotify_flatten" -> ((s, _) => {
+      val raw = s.read.schema(graft.spotify.Schemas.raw)
+        .parquet(SpotifyFixture)
+      graft.spotify.Transforms.mergeTracksFeatures(
+        graft.spotify.Transforms.tracks(raw, Some(FixtureDate)),
+        graft.spotify.Transforms.audioFeatures(raw, Some(FixtureDate)))
+        .orderBy("track_id")
+    }),
+    "q253_spotify_albums" -> ((s, _) =>
+      graft.spotify.Transforms.albums(
+        s.read.schema(graft.spotify.Schemas.raw).parquet(SpotifyFixture),
+        Some(FixtureDate))
+        .orderBy("album_id")),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6158,6 +6176,67 @@ object SparkEntry {
         |ORDER BY jaccard_ppm DESC, cn DESC, cand.u ASC, cand.v ASC
         |LIMIT 20""".stripMargin,
 
+    // Replays Transforms.tracks + audioFeatures + mergeTracksFeatures
+    // (transform.py:75-115,156-165) over the committed fixture: the
+    // nested explodes, per-element "Unknown Artist" default, explicit
+    // default, null-feature-entry filter, left join, suffix-drop.
+    "q252_spotify_flatten" ->
+      s"""WITH raw AS (SELECT * FROM '$SpotifyFixture'),
+        |rel AS (SELECT unnest(releases) AS a FROM raw),
+        |tr AS (
+        |  SELECT struct_extract(a, 'album_id') AS album_id,
+        |    unnest(struct_extract(a, 'tracks')) AS t
+        |  FROM rel),
+        |tracks AS (
+        |  SELECT struct_extract(t, 'id') AS track_id,
+        |    struct_extract(t, 'name') AS track_name, album_id,
+        |    coalesce(array_to_string(list_transform(
+        |      struct_extract(t, 'artists'),
+        |      x -> coalesce(struct_extract(x, 'name'),
+        |        'Unknown Artist')), ', '), '') AS artists,
+        |    struct_extract(t, 'track_number') AS track_number,
+        |    struct_extract(t, 'duration_ms') AS duration_ms,
+        |    coalesce(struct_extract(t, 'explicit'), false) AS explicit,
+        |    struct_extract(struct_extract(t, 'external_urls'),
+        |      'spotify') AS spotify_url,
+        |    '$FixtureDate' AS extraction_date
+        |  FROM tr),
+        |feats AS (
+        |  SELECT struct_extract(f, 'id') AS track_id,
+        |    struct_extract(f, 'danceability') AS danceability,
+        |    struct_extract(f, 'energy') AS energy,
+        |    struct_extract(f, 'loudness') AS loudness,
+        |    struct_extract(f, 'tempo') AS tempo
+        |  FROM (SELECT unnest(audio_features) AS f FROM raw)
+        |  WHERE f IS NOT NULL)
+        |SELECT t.*, f.danceability, f.energy, f.loudness, f.tempo
+        |FROM tracks t LEFT JOIN feats f USING (track_id)
+        |ORDER BY track_id""".stripMargin,
+
+    // Replays Transforms.albums (transform.py:38-68): the 12-column
+    // flatten with the artists[0]-null, popularity-0, and genres-""
+    // defaults.
+    "q253_spotify_albums" ->
+      s"""WITH raw AS (SELECT * FROM '$SpotifyFixture'),
+        |rel AS (SELECT unnest(releases) AS a FROM raw)
+        |SELECT struct_extract(a, 'album_id') AS album_id,
+        |  struct_extract(a, 'album_name') AS album_name,
+        |  struct_extract(a, 'album_type') AS album_type,
+        |  struct_extract(a, 'release_date') AS release_date,
+        |  struct_extract(a, 'total_tracks') AS total_tracks,
+        |  coalesce(struct_extract(a, 'popularity'), 0) AS popularity,
+        |  struct_extract(struct_extract(a, 'artists')[1], 'id')
+        |    AS main_artist_id,
+        |  struct_extract(struct_extract(a, 'artists')[1], 'name')
+        |    AS main_artist_name,
+        |  coalesce(array_to_string(struct_extract(
+        |    struct_extract(a, 'main_artist_details'), 'genres'),
+        |    ', '), '') AS artist_genres,
+        |  struct_extract(a, 'image_url') AS image_url,
+        |  struct_extract(a, 'spotify_url') AS spotify_url,
+        |  '$FixtureDate' AS extraction_date
+        |FROM rel ORDER BY album_id""".stripMargin,
+
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.
     "q236_source_divergence" ->
@@ -7832,6 +7911,11 @@ object SparkEntry {
   private val MondrianK = 25L
   private val MondrianRounds = 6
   private val LinkPredCap = 32
+  /** Committed raw-document fixture (see FIXTURES.md §1) — absolute
+    * because the driver's Verify/DuckDB passes share no working dir.
+    */
+  private val SpotifyFixture = "/root/repo/fixtures/spotify_raw.parquet"
+  private val FixtureDate = "2026-01-01"
 
   /** One q247 pair block: contingency cells, margins, the
     * present-cells chi-square identity with per-cell floors.

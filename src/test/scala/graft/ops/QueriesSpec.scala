@@ -4487,6 +4487,40 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(edges, 20, 32), s"${graded.take(3)}")
     CachedStages.release(spark)
   }
+  test("q252/q253 spotify flatten: golden rows off the committed " +
+    "fixture — every transform.py default rule visible") {
+    val q = graft.SparkEntry.queries
+    val merged = q("q252_spotify_flatten")(spark, dir).collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList)
+    // trk2: null artist name → "Unknown Artist"; missing explicit →
+    // false; trk3: empty artists → ""; no feature row → nulls
+    assert(merged.toList == List(
+      List("trk1", "Opener", "alb1", "Main Artist", 1, 201000L, true,
+        "https://open.spotify.com/track/trk1", "2026-01-01",
+        0.61, 0.8, -5.2, 120.5),
+      List("trk2", "No Explicit Flag", "alb1",
+        "Unknown Artist, Second Artist", 2, 185000L, false,
+        "https://open.spotify.com/track/trk2", "2026-01-01",
+        0.3, 0.42, -9.8, 86.0),
+      List("trk3", "Orphan Track", "alb2", "", 1, 95000L, false,
+        "https://open.spotify.com/track/trk3", "2026-01-01",
+        null, null, null, null)), merged.mkString(";"))
+    // alb2: empty artists → null main_artist_id/name; null details →
+    // "" genres; missing popularity → 0
+    val albums = q("q253_spotify_albums")(spark, dir).collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.get(i)).toList)
+    assert(albums.toList == List(
+      List("alb1", "First Album", "album", "2024-03-15", 2, 77,
+        "art1", "Main Artist", "rock, indie pop",
+        "https://img/alb1.jpg", "https://open.spotify.com/album/alb1",
+        "2026-01-01"),
+      List("alb2", "Edge Album", "single", "1999", 1, 0, null, null,
+        "", null, "https://open.spotify.com/album/alb2",
+        "2026-01-01")), albums.mkString(";"))
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
