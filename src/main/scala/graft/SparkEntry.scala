@@ -377,6 +377,8 @@ object SparkEntry {
         s.read.schema(graft.spotify.Schemas.raw).parquet(SpotifyFixture),
         Some(FixtureDate))
         .orderBy("album_id")),
+    "q254_lagged_spearman" -> ((s, d) =>
+      RankTests.laggedSpearman(s, d, LaggedSpearmanMaxLag)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6237,6 +6239,96 @@ object SparkEntry {
         |  '$FixtureDate' AS extraction_date
         |FROM rel ORDER BY album_id""".stripMargin,
 
+    // Replays RankTests.laggedSpearmanOf: the q234/q215 daily-cents
+    // matrix densified over the calendar, the lag via the day-key
+    // equi-join, q218's doubled-midrank/milli-mean/HUGEINT-moment
+    // chain PER (pair, lag) group, and the pinned peak pick.
+    "q254_lagged_spearman" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        |cal AS (SELECT unnest(generate_series(mn, mx)) AS day FROM b),
+        |types AS (SELECT DISTINCT event_type FROM daily),
+        |dense AS MATERIALIZED (
+        |  SELECT t.event_type, cal.day, COALESCE(d.cents, 0) AS cents
+        |  FROM types t CROSS JOIN cal
+        |  LEFT JOIN daily d ON d.event_type = t.event_type
+        |    AND d.day = cal.day),
+        |lags AS (SELECT CAST(unnest(generate_series(
+        |  -$LaggedSpearmanMaxLag, $LaggedSpearmanMaxLag)) AS BIGINT)
+        |  AS lag),
+        |grid AS MATERIALIZED (
+        |  SELECT p.ta, p.tb, l.lag, a.day, a.cents AS x, bb.cents AS y
+        |  FROM (SELECT a.event_type AS ta, b.event_type AS tb
+        |        FROM types a JOIN types b
+        |        ON a.event_type < b.event_type) p
+        |  CROSS JOIN lags l
+        |  JOIN dense a ON a.event_type = p.ta
+        |  JOIN dense bb ON bb.event_type = p.tb
+        |    AND bb.day = a.day + l.lag),
+        |hx AS (SELECT ta, tb, lag, x AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM grid GROUP BY 1, 2, 3, 4),
+        |rx AS (SELECT ta, tb, lag, v,
+        |    2 * (SUM(cnt) OVER (PARTITION BY ta, tb, lag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |    + cnt + 1 AS mr2 FROM hx),
+        |hy AS (SELECT ta, tb, lag, y AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM grid GROUP BY 1, 2, 3, 4),
+        |ry AS (SELECT ta, tb, lag, v,
+        |    2 * (SUM(cnt) OVER (PARTITION BY ta, tb, lag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |    + cnt + 1 AS mr2 FROM hy),
+        |ranked AS MATERIALIZED (
+        |  SELECT g.ta, g.tb, g.lag, rx.mr2 AS rx2, ry.mr2 AS ry2
+        |  FROM grid g
+        |  JOIN rx ON rx.ta = g.ta AND rx.tb = g.tb
+        |    AND rx.lag = g.lag AND rx.v = g.x
+        |  JOIN ry ON ry.ta = g.ta AND ry.tb = g.tb
+        |    AND ry.lag = g.lag AND ry.v = g.y),
+        |p1 AS (
+        |  SELECT ta, tb, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(rx2)::HUGEINT * 1000 // COUNT(*) AS mx,
+        |    SUM(ry2)::HUGEINT * 1000 // COUNT(*) AS my
+        |  FROM ranked GROUP BY 1, 2, 3),
+        |p2 AS (
+        |  SELECT r.ta, r.tb, r.lag, MAX(n) AS n,
+        |    SUM((rx2 * 1000 - mx)::HUGEINT * (ry2 * 1000 - my))
+        |      AS covS,
+        |    SUM((rx2 * 1000 - mx)::HUGEINT * (rx2 * 1000 - mx))
+        |      AS vxS,
+        |    SUM((ry2 * 1000 - my)::HUGEINT * (ry2 * 1000 - my))
+        |      AS vyS
+        |  FROM ranked r JOIN p1 ON p1.ta = r.ta AND p1.tb = r.tb
+        |    AND p1.lag = r.lag
+        |  GROUP BY 1, 2, 3),
+        |p3 AS (
+        |  SELECT ta, tb, lag, n, covS // n AS covM, vxS // n AS vxM,
+        |    vyS // n AS vyM
+        |  FROM p2),
+        |p4 AS (
+        |  SELECT ta, tb, lag, n,
+        |    CAST(CASE WHEN covM > 0 THEN 1 WHEN covM < 0 THEN -1
+        |      ELSE 0 END AS BIGINT) AS rho_sign,
+        |    CAST(covM * covM * 1000000 // nullif(vxM * vyM, 0)
+        |      AS BIGINT) AS rho2_ppm
+        |  FROM p3)
+        |SELECT ta, tb, lag, n, rho_sign, rho2_ppm,
+        |  rho2_ppm * (n - 1) AS z2_micro,
+        |  CAST(CASE WHEN rho2_ppm IS NULL THEN NULL
+        |    WHEN rho2_ppm * (n - 1) >
+        |      ${graft.ops.Events.Chi2Crit95Ppm.head} THEN 1
+        |    ELSE 0 END AS BIGINT) AS significant,
+        |  CAST(CASE WHEN row_number() OVER (PARTITION BY ta, tb
+        |      ORDER BY coalesce(rho2_ppm, -1) DESC, lag ASC) = 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM p4
+        |ORDER BY ta, tb, lag""".stripMargin,
+
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.
     "q236_source_divergence" ->
@@ -7916,6 +8008,7 @@ object SparkEntry {
     */
   private val SpotifyFixture = "/root/repo/fixtures/spotify_raw.parquet"
   private val FixtureDate = "2026-01-01"
+  private val LaggedSpearmanMaxLag = 3
 
   /** One q247 pair block: contingency cells, margins, the
     * present-cells chi-square identity with per-cell floors.

@@ -609,4 +609,133 @@ object RankTests {
         "runs", "a_stat", "significant")
       .orderBy("event_type")
   }
+
+  def laggedSpearman(spark: SparkSession, dir: String,
+      maxLag: Int = 3): DataFrame =
+    laggedSpearmanOf(Events.events(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(expr(
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents")), maxLag)
+
+  /** Graded q254: LAGGED RANK CROSS-CORRELATION between event-type
+    * daily revenue series (the cross-series companion to q215's ACF:
+    * autocorrelation asks "does a series predict ITSELF k days out",
+    * this asks "does type A LEAD type B" — the lead–lag discovery
+    * behind every does-browsing-predict-buying question). Per
+    * unordered type pair (a < b) and lag ∈ [−maxLag, maxLag]: the
+    * zero-filled daily series align as (x_d, y_{d+lag}) over the
+    * overlap window, and tie-corrected Spearman ρ (Pearson on the
+    * q212 engine's doubled midranks — zero-revenue days tie heavily,
+    * so the midrank correction is load-bearing) reports as the q218
+    * verdict tuple: sign, ρ²·10⁶, z² = ρ²·(n−1) against χ²(1) from
+    * the shared `Chi2Crit95Ppm` table. Negative lags are B-leads-A,
+    * so one (a, b) row family covers both directions. `is_peak`
+    * flags each pair's strongest lag under the fully pinned
+    * (ρ²_ppm DESC NULLS LAST, lag ASC) order.
+    *
+    * Integer determinism (q218's recipe, per group): value-domain
+    * histograms per (pair, lag) give doubled midranks; rank means
+    * floor ONCE to milli; centered products run in DECIMAL(38);
+    * moment sums floor by n; ρ² by HUGEINT-style cross-
+    * multiplication. Constant series (zero rank variance) surface
+    * NULL ρ² and sign 0, honestly.
+    *
+    * Scale shape: the stream collapses ONCE to the (type, day) daily
+    * matrix (map-side combinable), densifies against the broadcast
+    * calendar, and everything after is CALENDAR-BOUNDED — the grid
+    * is |pairs|·|lags|·|days| rows regardless of corpus size, built
+    * by two day-keyed equi-joins of the persisted dense matrix (the
+    * lag enters through the join key, never a per-row filter scan);
+    * midrank windows partition by (pair, lag) over per-group value
+    * domains; the peak flag is a |pairs|-bounded window.
+    */
+  def laggedSpearmanOf(daily: DataFrame, maxLag: Int = 3): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("mn"),
+      max(col("day")).as("mx"))
+    val calendar = bounds.select(explode(expr("sequence(mn, mx)"))
+      .as("day"))
+    val dense = CachedStages.track(daily.select("event_type").distinct()
+      .crossJoin(broadcast(calendar))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("cents"))
+      .persist())
+    val types = dense.select(col("event_type")).distinct()
+    val lags = daily.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairsLags = broadcast(types.select(col("event_type").as("ta"))
+      .join(types.select(col("event_type").as("tb")),
+        col("ta") < col("tb"))
+      .crossJoin(lags))
+    // the lag enters through the day-key equi-join: y reads b's
+    // series at day + lag; the inner join against the shared dense
+    // calendar IS the overlap window
+    val grid = CachedStages.track(pairsLags
+      .join(dense.select(col("event_type").as("ta"), col("day"),
+        col("cents").as("x")), Seq("ta"))
+      .withColumn("yday", col("day") + col("lag"))
+      .join(dense.select(col("event_type").as("tb"),
+        col("day").as("yday"), col("cents").as("y")),
+        Seq("tb", "yday"))
+      .select("ta", "tb", "lag", "day", "x", "y")
+      .persist())
+    def midranks(cName: String, out: String) = {
+      val w = Window.partitionBy("ta", "tb", "lag").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.groupBy(col("ta"), col("tb"), col("lag"),
+        col(cName).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("ta"), col("tb"), col("lag"), col("v"),
+          expr("2 * (cum - cnt) + cnt + 1").as(out))
+    }
+    val ranked = grid
+      .join(midranks("x", "rx2").withColumnRenamed("v", "x"),
+        Seq("ta", "tb", "lag", "x"))
+      .join(midranks("y", "ry2").withColumnRenamed("v", "y"),
+        Seq("ta", "tb", "lag", "y"))
+      .select("ta", "tb", "lag", "rx2", "ry2")
+    val means = ranked.groupBy("ta", "tb", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(rx2 AS DECIMAL(38, 0))")).as("sx"),
+        sum(expr("CAST(ry2 AS DECIMAL(38, 0))")).as("sy"))
+      .withColumn("mx", expr("sx * 1000 div n"))
+      .withColumn("my", expr("sy * 1000 div n"))
+      .select("ta", "tb", "lag", "n", "mx", "my")
+    val moments = ranked.join(broadcast(means), Seq("ta", "tb", "lag"))
+      .select(col("ta"), col("tb"), col("lag"), col("n"),
+        expr("rx2 * 1000 - mx").as("dx"),
+        expr("ry2 * 1000 - my").as("dy"))
+      .groupBy("ta", "tb", "lag")
+      .agg(max(col("n")).as("n"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dy")).as("covS"),
+        sum(expr("CAST(dx AS DECIMAL(38, 0)) * dx")).as("vxS"),
+        sum(expr("CAST(dy AS DECIMAL(38, 0)) * dy")).as("vyS"))
+      .withColumn("covM", expr("covS div n"))
+      .withColumn("vxM", expr("vxS div n"))
+      .withColumn("vyM", expr("vyS div n"))
+      .withColumn("rho_sign", expr(
+        """CASE WHEN covM > 0 THEN CAST(1 AS BIGINT)
+          |     WHEN covM < 0 THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("rho2_ppm", expr(
+        """CAST(CAST(covM AS DECIMAL(38, 0)) * covM * 1000000
+          | div nullif(CAST(vxM AS DECIMAL(38, 0)) * vyM, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("z2_micro", expr("rho2_ppm * (n - 1)"))
+      .withColumn("significant", expr(
+        s"""CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BIGINT)
+           |     WHEN z2_micro > ${Events.Chi2Crit95Ppm.head}
+           |       THEN CAST(1 AS BIGINT)
+           |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+    val wPeak = Window.partitionBy("ta", "tb")
+      .orderBy(expr("coalesce(rho2_ppm, -1)").desc, col("lag").asc)
+    moments
+      .withColumn("is_peak",
+        when(row_number().over(wPeak) === 1, lit(1L))
+          .otherwise(lit(0L)))
+      .select("ta", "tb", "lag", "n", "rho_sign", "rho2_ppm",
+        "z2_micro", "significant", "is_peak")
+      .orderBy("ta", "tb", "lag")
+  }
 }

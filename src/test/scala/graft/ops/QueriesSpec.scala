@@ -4521,6 +4521,96 @@ class QueriesSpec extends SparkSpec {
         "2026-01-01")), albums.mkString(";"))
     CachedStages.release(spark)
   }
+  test("q254 lagged spearman: hand anti-monotone tie fixture exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getLong(8))).toSeq
+    val crit = Events.Chi2Crit95Ppm.head
+    def replay(daily: Seq[(String, Long, Long)], maxLag: Int) = {
+      val types = daily.map(_._1).distinct.sorted
+      val mn = daily.map(_._2).min; val mx = daily.map(_._2).max
+      val cents = daily.map(d => (d._1, d._2) -> d._3).toMap
+      def mr2(vs: Seq[Long]): Seq[Long] = {
+        val grp = vs.groupBy(identity).view.mapValues(_.size).toMap
+        var cum = 0L
+        val m = grp.keys.toSeq.sorted.map { v =>
+          val c = grp(v); cum += c; v -> (2 * (cum - c) + c + 1)
+        }.toMap
+        vs.map(m)
+      }
+      val rows = for {
+        i <- types.indices; j <- i + 1 until types.size
+        lag <- (-maxLag to maxLag)
+      } yield {
+        val (ta, tb) = (types(i), types(j))
+        val days = (mn.max(mn - lag)) to (mx.min(mx - lag))
+        val xs = days.map(d => cents.getOrElse((ta, d), 0L))
+        val ys = days.map(d => cents.getOrElse((tb, d + lag), 0L))
+        val n = days.size
+        val (rx, ry) = (mr2(xs), mr2(ys))
+        val mxm = rx.map(BigInt(_)).sum * 1000 / n
+        val mym = ry.map(BigInt(_)).sum * 1000 / n
+        val dx = rx.map(r => BigInt(r) * 1000 - mxm)
+        val dy = ry.map(r => BigInt(r) * 1000 - mym)
+        val covM = dx.zip(dy).map { case (a, b) => a * b }.sum / n
+        val vxM = dx.map(a => a * a).sum / n
+        val vyM = dy.map(a => a * a).sum / n
+        val rho2 = if (vxM * vyM == 0) None
+          else Some((covM * covM * 1000000 / (vxM * vyM)).toLong)
+        (ta, tb, lag.toLong, n.toLong, covM.signum.toLong, rho2,
+          rho2.map(_ * (n - 1)),
+          rho2.map(r => if (r * (n - 1) > crit) 1L else 0L))
+      }
+      rows.groupBy(r => (r._1, r._2)).values.toSeq.flatMap { g =>
+        val peak = g.sortBy(r => (-r._6.getOrElse(-1L), r._3)).head._3
+        g.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8,
+          if (r._3 == peak) 1L else 0L))
+      }.sortBy(r => (r._1, r._2, r._3))
+    }
+    // x ramps up, y ramps down with a TIE (two 30s): lag 0 is the
+    // hand-derived rho2 = 900000 (ranks (2,4,6,8) vs (8,5,5,2)),
+    // lags ±1 both 750000 — the peak pick lands on lag 0
+    val fx = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("a", 4L, 40L), ("b", 1L, 40L), ("b", 2L, 30L), ("b", 3L, 30L),
+      ("b", 4L, 10L))
+    val got = collect9(RankTests.laggedSpearmanOf(
+      fx.toDF("event_type", "day", "cents"), 1))
+    assert(got == replay(fx, 1), s"$got != ${replay(fx, 1)}")
+    assert(got == Seq(
+      ("a", "b", -1L, 3L, -1L, Some(750000L), Some(1500000L),
+        Some(0L), 0L),
+      ("a", "b", 0L, 4L, -1L, Some(900000L), Some(2700000L),
+        Some(0L), 1L),
+      ("a", "b", 1L, 3L, -1L, Some(750000L), Some(1500000L),
+        Some(0L), 0L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // constant series → NULL rho2, sign 0, peak falls to smallest lag
+    val cfx = Seq(("a", 1L, 5L), ("a", 2L, 7L), ("c", 1L, 3L),
+      ("c", 2L, 3L))
+    val gotC = collect9(RankTests.laggedSpearmanOf(
+      cfx.toDF("event_type", "day", "cents"), 1))
+    assert(gotC == replay(cfx, 1), s"$gotC != ${replay(cfx, 1)}")
+    assert(gotC.forall(r => r._5 == 0L && r._6.isEmpty), gotC)
+    assert(gotC.filter(_._9 == 1L).map(_._3) == Seq(-1L), gotC)
+    CachedStages.release(spark)
+    // graded replay off raw events at the graded maxLag
+    val evs = Events.events(spark, dir)
+      .selectExpr("event_type", "ts_sec div 86400 AS day",
+        "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT) AS c")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val daily = evs.groupBy(e => (e._1, e._2)).toSeq
+      .map { case ((t, d), g) => (t, d, g.map(_._3).sum) }
+    val graded = collect9(RankTests.laggedSpearman(spark, dir, 3))
+    assert(graded == replay(daily, 3), s"${graded.take(3)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

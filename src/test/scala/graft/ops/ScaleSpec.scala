@@ -1455,6 +1455,29 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q254 plan: calendar-bounded grid cached; midrank windows " +
+    "partitioned by (pair, lag); means broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = RankTests.laggedSpearman(spark, dir, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the events stream collapses inside the cached dense matrix; the
+    // main plan reads only the persisted grid (histograms x2 + the
+    // rank joins) — zero direct file scans
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 4, plan.take(3000))
+    // every rank window is (pair, lag)-partitioned — no global sort
+    // over the grid
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
