@@ -379,6 +379,8 @@ object SparkEntry {
         .orderBy("album_id")),
     "q254_lagged_spearman" -> ((s, d) =>
       RankTests.laggedSpearman(s, d, LaggedSpearmanMaxLag)),
+    "q255_truncated_recall" -> ((s, d) =>
+      Similarity.truncatedRecall(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6328,6 +6330,47 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM p4
         |ORDER BY ta, tb, lag""".stripMargin,
+
+    // Replays Similarity.truncatedRecall: the q21 cosine kernel on
+    // the first-m prefix (slice BEFORE the norms), round-6, vec_id
+    // tie-break, recall@k of each arm against the m=64 exact arm.
+    "q255_truncated_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+        |ms AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m),
+        |p AS MATERIALIZED (
+        |  SELECT ms.m, q.q_id, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, CAST(ms.m AS INT) + 1),
+        |        i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe[1:CAST(ms.m AS INT)],
+        |         x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e[1:CAST(ms.m AS INT)],
+        |         x -> x * x)))), 6) AS cos
+        |  FROM v CROSS JOIN q CROSS JOIN ms
+        |  WHERE v.vec_id <> q.q_id),
+        |r AS MATERIALIZED (
+        |  SELECT m, q_id, vec_id FROM (
+        |    SELECT m, q_id, vec_id,
+        |      row_number() OVER (PARTITION BY m, q_id
+        |        ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM p) x WHERE rn <= 5),
+        |ex AS (SELECT q_id, vec_id FROM r WHERE m = 64),
+        |rec AS (
+        |  SELECT r.m,
+        |    CAST(COUNT(DISTINCT r.q_id) AS BIGINT) AS n_probes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_hits
+        |  FROM r LEFT JOIN ex ON r.q_id = ex.q_id
+        |    AND r.vec_id = ex.vec_id
+        |  GROUP BY 1)
+        |SELECT 'm' || lpad(CAST(m AS VARCHAR), 2, '0') AS dims, m,
+        |  n_probes, n_pairs, n_hits,
+        |  n_hits * 1000000 // n_pairs AS recall_ppm
+        |FROM rec ORDER BY m""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -700,6 +700,67 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** Graded q255: MATRYOSHKA TRUNCATION LADDER — measured recall@k of
+    * cosine search over PREFIX-truncated embeddings (first m of the 64
+    * dims, renormalized — exactly how MRL-style truncation is served:
+    * Kusupati et al., NeurIPS 2022) against the full-dim exact
+    * ranking. q151 grades INDEX fidelity at full dimension; this
+    * grades DIMENSION fidelity with an exact index — the table that
+    * answers "can we store 8/16/32 dims instead of 64", the 2–8×
+    * memory/bandwidth lever every vector store reaches for first. The
+    * full-width arm is the recall-10⁶ control row.
+    *
+    * Determinism: each arm is the q21 plan over `slice(v, 1, m)` —
+    * the fused cosine expression folds the SAME index order on the
+    * prefix, round-6, ties by vec_id — so top-k sets are engine-
+    * identical and recall is one integral division in ppm.
+    *
+    * Scale shape: ONE persisted corpus scan feeds every arm (the
+    * probe side broadcasts); each arm is the audited broadcast-probe
+    * scan at a shorter fold; recall rows are probes·k-sized joins.
+    * At true scale the ladder SHARES the one corpus pass — arms
+    * differ only in the expression, not the data movement.
+    */
+  def truncatedRecall(spark: SparkSession, dir: String, k: Int = 5,
+      dims: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame =
+    truncatedRecallOf(rawVectors(spark, dir).select("vec_id", "v"),
+      k, dims)
+
+  /** Core of `truncatedRecall` over any `(vec_id, v)` corpus (probe
+    * set: the shared vec_id < 8 convention).
+    */
+  def truncatedRecallOf(vectors: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    graft.functions.CosineSimilarity.register(vectors.sparkSession)
+    val corpus = CachedStages.track(vectors.persist())
+    val qs = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val full = dims.max
+    def topkAt(m: Int): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      corpus.crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", round(
+          expr(s"cosine_sim(slice(q_vec, 1, $m), slice(v, 1, $m))"), 6))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val exact = CachedStages.track(topkAt(full).persist())
+    dims.sorted.map { m =>
+      val tk = if (m == full) exact else topkAt(m)
+      tk.join(exact.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .agg(countDistinct(col("q_id")).as("n_probes"),
+          count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(lit(f"m$m%02d").as("dims"), lit(m.toLong).as("m"),
+          col("n_probes"), col("n_pairs"), col("n_hits"),
+          expr("n_hits * 1000000 div n_pairs").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("m")
+  }
+
   /** Graded q155: RETRIEVAL QUALITY against LABEL relevance —
     * precision@k and MRR@k of the dense cosine ranking, where a
     * neighbor is relevant when it carries the probe's label. q151

@@ -4611,6 +4611,58 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(daily, 3), s"${graded.take(3)}")
     CachedStages.release(spark)
   }
+  test("q255 truncated recall: hand prefix-flip fixture exact; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect6(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // probe [1,1,0,1]: full-dim winner is [1,0,0,1] (cos .816 vs
+    // .333) but the 2-dim PREFIX winner flips to [1,1,0,-1] (prefix
+    // cos 1 vs .707) — recall@1 is 0 at m=2, 1 at m=4
+    val fx = Seq(
+      (0L, Seq(1f, 1f, 0f, 1f)),
+      (10L, Seq(1f, 0f, 0f, 1f)),
+      (11L, Seq(1f, 1f, 0f, -1f)))
+    val got = collect6(Similarity.truncatedRecallOf(
+      fx.toDF("vec_id", "v"), 1, Seq(2, 4)))
+    assert(got == Seq(("m02", 2L, 1L, 1L, 0L, 0L),
+      ("m04", 4L, 1L, 1L, 1L, 1000000L)), got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: driver-side exact recompute — same fold order,
+    // java BigDecimal.valueOf round (Spark Round's own double path)
+    val vecs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def topk(m: Int, k: Int): Set[(Long, Long)] =
+      vecs.filter(_._1 < 8).flatMap { case (q, qv) =>
+        vecs.filter(_._1 != q).map { case (vid, v) =>
+          var xy = 0.0; var xx = 0.0; var yy = 0.0
+          var i = 0
+          while (i < m) {
+            val x = qv(i).toDouble; val y = v(i).toDouble
+            xy += x * y; xx += x * x; yy += y * y; i += 1
+          }
+          val c = java.math.BigDecimal
+            .valueOf(xy / (math.sqrt(xx) * math.sqrt(yy)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (vid, c)
+        }.sortBy(p => (-p._2, p._1)).take(k).map(p => (q, p._1))
+      }.toSet
+    val exact = topk(64, 5)
+    val graded = collect6(Similarity.truncatedRecall(spark, dir))
+    assert(graded.map(_._2) == Seq(8L, 16L, 32L, 64L), graded)
+    for (m <- Seq(8, 16, 32, 64)) {
+      val hits = (topk(m, 5) & exact).size.toLong
+      val row = graded.find(_._2 == m).get
+      assert(row._3 == 8L && row._4 == 40L && row._5 == hits &&
+        row._6 == hits * 1000000L / 40L, s"m=$m $row hits=$hits")
+    }
+    // the control row is total recall; no arm beats it
+    assert(graded.find(_._2 == 64L).get._6 == 1000000L)
+    assert(graded.forall(_._6 <= 1000000L))
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

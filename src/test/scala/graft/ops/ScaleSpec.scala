@@ -1478,6 +1478,24 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q255 plan: one persisted corpus feeds every truncation arm; " +
+    "probes broadcast; exact arm cached once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Similarity.truncatedRecall(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    // 3 truncated arms x (corpus + broadcast-probe cache reads) plus
+    // the exact arm's persisted top-k joined into all 4 recall rows
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 8, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("cosine_sim"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
