@@ -381,6 +381,7 @@ object SparkEntry {
       RankTests.laggedSpearman(s, d, LaggedSpearmanMaxLag)),
     "q255_truncated_recall" -> ((s, d) =>
       Similarity.truncatedRecall(s, d)),
+    "q256_friedman" -> RankTests.friedman _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6371,6 +6372,74 @@ object SparkEntry {
         |  n_probes, n_pairs, n_hits,
         |  n_hits * 1000000 // n_pairs AS recall_ppm
         |FROM rec ORDER BY m""".stripMargin,
+
+    // Replays RankTests.friedmanOf: per-(month, priority) cells,
+    // complete blocks only, within-block doubled midranks, the
+    // quarter-cancelled tie-general statistic in HUGEINT.
+    "q256_friedman" ->
+      s"""WITH obs AS (
+        |  SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7)
+        |      AS block,
+        |    o_orderpriority AS treatment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders),
+        |cells AS MATERIALIZED (
+        |  SELECT block, treatment, CAST(SUM(v) AS BIGINT) AS v
+        |  FROM obs GROUP BY 1, 2),
+        |kk AS (
+        |  SELECT CAST(COUNT(DISTINCT treatment) AS BIGINT) AS k,
+        |    CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks_total
+        |  FROM cells),
+        |complete AS MATERIALIZED (
+        |  SELECT c.block, c.treatment, c.v, kk.k, kk.n_blocks_total
+        |  FROM cells c CROSS JOIN kk
+        |  QUALIFY COUNT(*) OVER (PARTITION BY c.block) = kk.k),
+        |h AS (
+        |  SELECT block, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM complete GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT block, v,
+        |    2 * (SUM(cnt) OVER (PARTITION BY block ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |    + cnt + 1 AS mr2
+        |  FROM h),
+        |ranked AS MATERIALIZED (
+        |  SELECT c.treatment, c.k, c.n_blocks_total, mr.mr2
+        |  FROM complete c JOIN mr ON mr.block = c.block
+        |    AND mr.v = c.v),
+        |pert AS MATERIALIZED (
+        |  SELECT treatment, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    SUM(mr2)::HUGEINT AS s2, MAX(k) AS k,
+        |    MAX(n_blocks_total) AS n_blocks_total
+        |  FROM ranked GROUP BY 1),
+        |gsq AS (SELECT SUM(mr2::HUGEINT * mr2) AS sum_sq
+        |  FROM ranked),
+        |mom AS (
+        |  SELECT MAX(k) AS k, MAX(n_blocks) AS n,
+        |    SUM((s2 - n_blocks * (k + 1))::HUGEINT
+        |      * (s2 - n_blocks * (k + 1))) AS dev_sq,
+        |    MAX(sum_sq) AS sum_sq
+        |  FROM pert CROSS JOIN gsq),
+        |stat AS (
+        |  SELECT
+        |    CAST((k - 1) * dev_sq * 1000000
+        |      // nullif(sum_sq - n::HUGEINT * k * (k + 1) * (k + 1),
+        |        0) AS BIGINT) AS stat_micro,
+        |    CAST(([${graft.ops.Events.Chi2Crit95Ppm.mkString(",")}])
+        |      [CAST(k - 1 AS INT)] AS BIGINT) AS crit_micro
+        |  FROM mom)
+        |SELECT treatment, n_blocks, n_blocks_total,
+        |  CAST(s2 AS BIGINT) AS rank_sum2,
+        |  CAST(s2 * 1000 // (2 * n_blocks) AS BIGINT)
+        |    AS mean_rank_milli,
+        |  k - 1 AS df_chi2, stat_micro, crit_micro,
+        |  CAST(CASE WHEN stat_micro IS NULL OR crit_micro IS NULL
+        |      THEN NULL
+        |    WHEN stat_micro > crit_micro THEN 1 ELSE 0 END
+        |    AS BIGINT) AS significant
+        |FROM pert CROSS JOIN stat
+        |ORDER BY treatment""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -610,6 +610,95 @@ object RankTests {
       .orderBy("event_type")
   }
 
+  def friedman(spark: SparkSession, dir: String): DataFrame =
+    friedmanOf(Tables(spark, dir, "orders").select(
+      expr("substring(CAST(o_orderdate AS STRING), 1, 7)").as("block"),
+      col("o_orderpriority").as("treatment"),
+      expr("""CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        | AS BIGINT)""".stripMargin).as("v")))
+
+  /** Graded q256: FRIEDMAN TEST (Friedman, JASA 1937) — the BLOCKED
+    * rank test the suite was missing: q213's Kruskal–Wallis pools all
+    * observations into one ranking, so a strong month effect drowns a
+    * real priority effect; Friedman ranks the k priorities WITHIN each
+    * month block and asks whether any priority consistently out-ranks
+    * the others across blocks — the repeated-measures ANOVA of the
+    * rank world. Cells are per-(month, priority) revenue totals;
+    * only COMPLETE blocks (all k treatments present) enter, with the
+    * dropped count reported honestly beside the kept one.
+    *
+    * Integer determinism: within-block doubled midranks (the shared
+    * q212 engine, so within-block revenue ties get the standard
+    * average rank), and with doubled rank sums S₂ⱼ the tie-general
+    * statistic is EXACTLY rational:
+    * χ²_F = (k−1)·Σⱼ(S₂ⱼ − n(k+1))² div (Σᵢⱼ mr2² − n·k·(k+1)²)
+    * (both quarter factors cancel), emitted in micro units against
+    * χ²(k−1) from the shared `Chi2Crit95Ppm` table. All-tied blocks
+    * alone (zero denominator) surface a NULL verdict.
+    *
+    * Scale shape: one map-side-combinable collapse to |months|·k
+    * cells; everything after is cell-bounded — block windows of width
+    * k, a k-row treatment table, single-row moments broadcast back.
+    */
+  def friedmanOf(obs: DataFrame): DataFrame = {
+    val cells = CachedStages.track(obs
+      .groupBy(col("block"), col("treatment"))
+      .agg(sum(col("v")).as("v")).persist())
+    val kRow = broadcast(cells
+      .agg(countDistinct(col("treatment")).as("k"),
+        countDistinct(col("block")).as("n_blocks_total")))
+    val complete = CachedStages.track(cells.crossJoin(kRow)
+      .withColumn("nt",
+        count(lit(1)).over(Window.partitionBy("block")))
+      .filter(col("nt") === col("k"))
+      .select("block", "treatment", "v", "k", "n_blocks_total")
+      .persist())
+    val h = complete.groupBy(col("block"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy("block").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mr = h.withColumn("cum", sum(col("cnt")).over(wv))
+      .select(col("block"), col("v"),
+        expr("2 * (cum - cnt) + cnt + 1").as("mr2"))
+    val ranked = CachedStages.track(complete
+      .join(mr, Seq("block", "v")).persist())
+    val perT = ranked.groupBy("treatment")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("mr2")).as("s2"),
+        max(col("k")).as("k"), max(col("n_blocks_total"))
+          .as("n_blocks_total"))
+    val glob = broadcast(ranked.agg(
+      sum(expr("CAST(mr2 AS DECIMAL(38, 0)) * mr2")).as("sum_sq")))
+    val moments = broadcast(perT.crossJoin(glob)
+      .withColumn("dev", expr(
+        "CAST(s2 - n_blocks * (k + 1) AS DECIMAL(38, 0))"))
+      .agg(max(col("k")).as("k"), max(col("n_blocks")).as("n"),
+        sum(expr("dev * dev")).as("dev_sq"),
+        max(col("sum_sq")).as("sum_sq"))
+      .withColumn("den", expr(
+        "sum_sq - CAST(n AS DECIMAL(38, 0)) * k * (k + 1) * (k + 1)"))
+      .withColumn("stat_micro", expr(
+        """CAST((k - 1) * dev_sq * 1000000 div nullif(den, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("crit_micro", expr(
+        s"""CAST(try_element_at(
+           |  array(${Events.Chi2Crit95Ppm.mkString(",")}),
+           |  CAST(k - 1 AS INT)) AS BIGINT)""".stripMargin))
+      .select("stat_micro", "crit_micro"))
+    perT.crossJoin(moments)
+      .withColumn("mean_rank_milli", expr("s2 * 1000 div (2 * n_blocks)"))
+      .withColumn("df_chi2", expr("k - 1"))
+      .withColumn("significant", expr(
+        """CASE WHEN stat_micro IS NULL OR crit_micro IS NULL
+          |       THEN CAST(NULL AS BIGINT)
+          |     WHEN stat_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(col("treatment"), col("n_blocks"), col("n_blocks_total"),
+        expr("CAST(s2 AS BIGINT)").as("rank_sum2"),
+        col("mean_rank_milli"), col("df_chi2"), col("stat_micro"),
+        col("crit_micro"), col("significant"))
+      .orderBy("treatment")
+  }
+
   def laggedSpearman(spark: SparkSession, dir: String,
       maxLag: Int = 3): DataFrame =
     laggedSpearmanOf(Events.events(spark, dir)

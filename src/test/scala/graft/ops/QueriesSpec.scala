@@ -4663,6 +4663,86 @@ class QueriesSpec extends SparkSpec {
     assert(graded.forall(_._6 <= 1000000L))
     CachedStages.release(spark)
   }
+  test("q256 friedman: hand blocked ranks incl. tie + dropped " +
+    "incomplete block exact; graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8)))).toSeq
+    def replay(obs: Seq[(String, String, Long)]) = {
+      val cells = obs.groupBy(o => (o._1, o._2)).view
+        .mapValues(_.map(_._3).sum).toMap
+      val k = cells.keys.map(_._2).toSet.size
+      val totalBlocks = cells.keys.map(_._1).toSet.size.toLong
+      val complete = cells.keys.map(_._1).toSeq.distinct
+        .filter(b => cells.keys.count(_._1 == b) == k).sorted
+      val treats = cells.keys.map(_._2).toSeq.distinct.sorted
+      def mr2(b: String): Map[String, Long] = {
+        val vs = treats.map(t => t -> cells((b, t)))
+        val grp = vs.groupBy(_._2).view.mapValues(_.size).toMap
+        var cum = 0L
+        val m = grp.keys.toSeq.sorted.map { v =>
+          val c = grp(v); cum += c; v -> (2 * (cum - c) + c + 1)
+        }.toMap
+        vs.map { case (t, v) => t -> m(v) }.toMap
+      }
+      val ranks = complete.map(mr2)
+      val n = complete.size.toLong
+      val s2 = treats.map(t => t -> ranks.map(_(t)).sum).toMap
+      val sumSq = ranks.flatMap(_.values)
+        .map(r => BigInt(r) * r).sum
+      val devSq = treats.map(t =>
+        BigInt(s2(t) - n * (k + 1)) * (s2(t) - n * (k + 1))).sum
+      val den = sumSq - BigInt(n) * k * (k + 1) * (k + 1)
+      val stat = if (den == 0) None
+        else Some((BigInt(k - 1) * devSq * 1000000 / den).toLong)
+      val crit = Events.Chi2Crit95Ppm.lift(k - 2)
+      treats.map { t =>
+        (t, n, totalBlocks, s2(t), s2(t) * 1000 / (2 * n),
+          (k - 1).toLong, stat, crit,
+          (stat, crit) match {
+            case (Some(s), Some(c)) => Some(if (s > c) 1L else 0L)
+            case _ => None
+          })
+      }
+    }
+    // b1/b2: A beats B; b3: exact tie (midranks 3,3); b4 incomplete
+    // (dropped) — hand chain gives chi2 = 8/4 = 2.0 exactly
+    val fx = Seq(("b1", "A", 10L), ("b1", "B", 5L),
+      ("b2", "A", 10L), ("b2", "B", 5L),
+      ("b3", "A", 7L), ("b3", "B", 7L),
+      ("b4", "A", 1L))
+    val got = collect9(RankTests.friedmanOf(
+      fx.toDF("block", "treatment", "v")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got == Seq(
+      ("A", 3L, 4L, 11L, 1833L, 1L, Some(2000000L), Some(3841459L),
+        Some(0L)),
+      ("B", 3L, 4L, 7L, 1166L, 1L, Some(2000000L), Some(3841459L),
+        Some(0L))), got.mkString(";"))
+    CachedStages.release(spark)
+    // all-tied blocks: zero denominator surfaces a NULL verdict
+    val tfx = Seq(("b1", "A", 5L), ("b1", "B", 5L),
+      ("b2", "A", 3L), ("b2", "B", 3L))
+    val gotT = collect9(RankTests.friedmanOf(
+      tfx.toDF("block", "treatment", "v")))
+    assert(gotT == replay(tfx), s"$gotT != ${replay(tfx)}")
+    assert(gotT.forall(r => r._7.isEmpty && r._9.isEmpty), gotT)
+    CachedStages.release(spark)
+    // graded replay off raw orders
+    val obs = Tables(spark, dir, "orders").selectExpr(
+      "substring(CAST(o_orderdate AS STRING), 1, 7)",
+      "o_orderpriority",
+      "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val graded = collect9(RankTests.friedman(spark, dir))
+    assert(graded == replay(obs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1496,6 +1496,24 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q256 plan: one collapse to month-priority cells; block-" +
+    "bounded windows; moments broadcast") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = RankTests.friedman(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // the orders scan lives inside the persisted cells; the main plan
+    // reads caches only (cells for k/complete, ranked for both aggs)
+    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+      plan.take(3000))
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 3, plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
