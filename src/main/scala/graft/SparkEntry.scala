@@ -382,6 +382,8 @@ object SparkEntry {
     "q255_truncated_recall" -> ((s, d) =>
       Similarity.truncatedRecall(s, d)),
     "q256_friedman" -> RankTests.friedman _,
+    "q257_hubness_sampled" -> ((s, d) =>
+      Similarity.knnHubnessSampled(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6440,6 +6442,54 @@ object SparkEntry {
         |    AS BIGINT) AS significant
         |FROM pert CROSS JOIN stat
         |ORDER BY treatment""".stripMargin,
+
+    // Replays Similarity.knnHubnessSampled: the q210 chain over the
+    // deterministic Knuth-hash ~25% sample (ids are non-negative, so
+    // plain % equals pmod).
+    "q257_hubness_sampled" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE (vec_id * 2654435761) % 4294967296 < 1073741824),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v CROSS JOIN v q
+        |  WHERE v.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p),
+        |occ AS (
+        |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_k
+        |  FROM r WHERE rn <= 5 GROUP BY 1),
+        |pv AS (
+        |  SELECT v.vec_id, COALESCE(occ.n_k, 0) AS n_k
+        |  FROM v LEFT JOIN occ ON v.vec_id = occ.vec_id),
+        |s1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    CAST(SUM(CASE WHEN n_k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans,
+        |    CAST(MAX(n_k) AS BIGINT) AS max_nk
+        |  FROM pv),
+        |hub AS (
+        |  SELECT CAST(MIN(pv.vec_id) AS BIGINT) AS hub_id
+        |  FROM pv CROSS JOIN s1 WHERE pv.n_k = s1.max_nk),
+        |summ AS (
+        |  SELECT n_vecs, n_orphans * 1000000 // n_vecs AS orphan_ppm,
+        |    max_nk, hub_id
+        |  FROM s1 CROSS JOIN hub)
+        |SELECT pv.n_k, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  summ.n_vecs, CAST(summ.orphan_ppm AS BIGINT) AS orphan_ppm,
+        |  summ.max_nk, summ.hub_id
+        |FROM pv CROSS JOIN summ
+        |GROUP BY 1, 3, 4, 5, 6
+        |ORDER BY 1""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -820,6 +820,26 @@ object Similarity {
   def knnHubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     knnHubnessOf(spark, rawVectors(spark, dir), k)
 
+  /** Graded q257: the q210 hubness audit on its DOCUMENTED 100 TB
+    * path — exact kNN over a deterministic ~25% hash sample of the
+    * corpus instead of all of it. q210's all-pairs is sample²; at a
+    * serving-corpus scale the audit runs on a drawn slice, and the
+    * draw must be id-stable (re-runs audit the SAME slice) and
+    * pattern-free (a modulus draw on sequential ids strides the
+    * insertion order): Knuth's multiplicative hash
+    * `(id · 2654435761) mod 2³²` kept below 2³⁰ — exactly
+    * replayable in any engine, no RNG. The audit itself is the
+    * byte-identical q210 chain (rounded-cosine kernel, (cos, id)
+    * ties, orphan/hub summary repeated per histogram row); at 2000
+    * corpus vectors the sampled arm does ~16× less pair work, the
+    * same factor² the cap buys at any scale.
+    */
+  def knnHubnessSampled(spark: SparkSession, dir: String, k: Int = 5,
+      keepBelow: Long = 1073741824L): DataFrame =
+    knnHubnessOf(spark, rawVectors(spark, dir)
+      .filter(expr(
+        s"pmod(vec_id * 2654435761, 4294967296) < $keepBelow")), k)
+
   /** Graded q210: k-NN HUBNESS audit (Radovanović, Nanopoulos &
     * Ivanović, JMLR 2010) — the high-dimensional pathology every
     * vector store should screen for: the k-occurrence N_k(x) (how

@@ -4743,6 +4743,53 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(obs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q257 sampled hubness: hash-rule sample + graded replay over " +
+    "exactly the sampled ids") {
+    import spark.implicits._
+    // the draw is the pinned Knuth hash — replay the rule
+    def kept(id: Long): Boolean =
+      (id * 2654435761L) % 4294967296L < 1073741824L
+    val vs = Similarity.rawVectors(spark, dir)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .filter(p => kept(p._1))
+    // a real, non-degenerate sample: neither empty nor the corpus
+    val all = Similarity.rawVectors(spark, dir).count()
+    assert(vs.nonEmpty && vs.length < all, s"${vs.length} of $all")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val nk = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    vs.foreach { case (q, qv) =>
+      vs.filter(_._1 != q)
+        .map { case (i, v) => (r6(cos(qv, v)), i) }
+        .sortBy { case (c, i) => (-c, i) }.take(5)
+        .foreach { case (_, i) => nk(i) += 1L }
+    }
+    val perVec = vs.map(v => nk(v._1))
+    val nVecs = vs.length.toLong
+    val orphanPpm = perVec.count(_ == 0L) * 1000000L / nVecs
+    val maxNk = perVec.max
+    val hubId = vs.map(_._1).filter(i => nk(i) == maxNk).min
+    val expect = perVec.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (k, g) =>
+        (k, g.size.toLong, nVecs, orphanPpm, maxNk, hubId)
+      }
+    val got = Similarity.knnHubnessSampled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"${got.take(3)} != ${expect.take(3)}")
+    assert(got.head._3 == nVecs)
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

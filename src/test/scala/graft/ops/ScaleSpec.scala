@@ -2220,6 +2220,34 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q257 plan: the hash-sample filter reaches the scan side " +
+    "BEFORE the all-pairs join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Similarity.knnHubnessSampled(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }.size >= 2,
+      plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    // the sample predicate must sit under the join (filter each scan,
+    // never the pair table): every embeddings scan carries the pmod
+    // filter, so pair work is (n/4)^2, not n^2/4
+    val optimized = out.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("pmod"),
+      optimized.toString.take(3000))
+    // no Filter carrying the pmod predicate sits ABOVE a join — both
+    // all-pairs inputs are already sample-filtered
+    val aboveJoin = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("pmod") &&
+          f.find(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Join]).isDefined
+        => f
+    }
+    assert(aboveJoin.isEmpty, optimized.toString.take(3000))
+    CachedStages.release(spark)
+  }
   test("q211 plan: persisted strong edges + node cache; oriented " +
     "triangle joins broadcast; no cartesian") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
