@@ -488,6 +488,13 @@ class EventStreamsSpec extends SparkSpec {
     val haBatch = rows6(Events.hampelOutliers(spark, src))
     graft.ops.CachedStages.release(spark)
     assert(haStreamed == haBatch && haBatch.nonEmpty)
+    // q254's lead-lag matrix is one more consumer of the SAME state
+    val lsStreamed = rows6(
+      graft.ops.RankTests.laggedSpearmanOf(streamedDaily, 3))
+    graft.ops.CachedStages.release(spark)
+    val lsBatch = rows6(graft.ops.RankTests.laggedSpearman(spark, src, 3))
+    graft.ops.CachedStages.release(spark)
+    assert(lsStreamed == lsBatch && lsBatch.nonEmpty)
   }
   test("q230/q231/q232/q234 twins: maintained day matrices feed the " +
     "tau/changepoint/runs/Holt reports identically") {
