@@ -384,6 +384,7 @@ object SparkEntry {
     "q256_friedman" -> RankTests.friedman _,
     "q257_hubness_sampled" -> ((s, d) =>
       Similarity.knnHubnessSampled(s, d)),
+    "q258_ndcg" -> ((s, d) => Similarity.ndcgAtK(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6490,6 +6491,63 @@ object SparkEntry {
         |FROM pv CROSS JOIN summ
         |GROUP BY 1, 3, 4, 5, 6
         |ORDER BY 1""".stripMargin,
+
+    // Replays Similarity.ndcgAtK: the q21 cosine ranking with labels,
+    // gains from the PINNED DcgWeightMicro table, ideal = first
+    // min(R, k) weights, per-probe nDCG + the floored corpus mean.
+    "q258_ndcg" ->
+      s"""WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS q_id, label AS q_label, e AS qe
+        |  FROM v WHERE vec_id < 8),
+        |p AS (
+        |  SELECT q.q_id, q.q_label, v.vec_id, v.label AS d_label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1),
+        |        i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v CROSS JOIN q
+        |  WHERE v.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, q_label, d_label,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p),
+        |g AS (
+        |  SELECT q_id, q_label,
+        |    CAST(SUM(CASE WHEN d_label = q_label
+        |      THEN ([${graft.ops.Similarity.DcgWeightMicro
+                       .mkString(",")}])[CAST(rn AS INT)]
+        |      ELSE 0 END) AS BIGINT) AS dcg_micro
+        |  FROM r WHERE rn <= 10 GROUP BY 1, 2),
+        |lc AS (
+        |  SELECT label AS q_label, CAST(COUNT(*) AS BIGINT) AS n_label
+        |  FROM v GROUP BY 1),
+        |pp AS MATERIALIZED (
+        |  SELECT g.q_id, g.q_label, g.dcg_micro,
+        |    lc.n_label - 1 AS n_rel,
+        |    CAST(COALESCE(list_sum(
+        |      ([${graft.ops.Similarity.DcgWeightMicro.mkString(",")}])
+        |        [1:CAST(least(lc.n_label - 1, 10) AS INT)]), 0)
+        |      AS BIGINT) AS idcg_micro
+        |  FROM g JOIN lc ON g.q_label = lc.q_label),
+        |mn AS (
+        |  SELECT CAST(SUM(CASE WHEN n_rel > 0
+        |        THEN dcg_micro * 1000000 // idcg_micro END) //
+        |      nullif(SUM(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS mean_ndcg_ppm
+        |  FROM pp)
+        |SELECT q_id, q_label, CAST(10 AS BIGINT) AS k, n_rel,
+        |  dcg_micro, idcg_micro,
+        |  CAST(dcg_micro * 1000000 // nullif(idcg_micro, 0)
+        |    AS BIGINT) AS ndcg_ppm,
+        |  mn.mean_ndcg_ppm
+        |FROM pp CROSS JOIN mn
+        |ORDER BY q_id""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -157,10 +157,17 @@ object Similarity {
     * (q_id, doc_id, rank) — the dense arm of [[rrfFusion]].
     */
   private[graft] def cosineRanking(spark: SparkSession, dir: String,
+      k: Int): DataFrame =
+    cosineRankingOf(rawVectors(spark, dir), k)
+
+  private[graft] def cosineRankingOf(vectors: DataFrame,
       k: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    cosined(spark, rawVectors(spark, dir), queries(spark, dir), None)
+    cosined(vectors.sparkSession, vectors,
+      vectors.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("q_vec")), None)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rank"))
@@ -815,6 +822,81 @@ object Similarity {
         expr("sum_base div n_probes").as("base_rate_ppm"))
       .withColumn("lift_x1000", expr(
         "p_at_k_ppm * 1000 div base_rate_ppm"))
+  }
+
+  /** Pinned DCG position discounts, micro units: round(10⁶/log₂(i+1))
+    * HALF_UP for ranks 1..10 — the Chi2Crit95Ppm discipline applied
+    * to the one irrational nDCG needs, shared by the q258 operator
+    * and its oracle so the discount table cannot desynchronize.
+    */
+  private[graft] val DcgWeightMicro: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+    315465L, 301030L, 289065L)
+
+  /** Graded q258: nDCG@k of the dense ranking against label relevance
+    * (Järvelin & Kekäläinen, TOIS 2002) — the POSITION-AWARE
+    * companion to q155: P@k treats rank 1 and rank k alike and MRR
+    * sees only the first hit; nDCG credits every hit, discounted by
+    * where it landed, against the best ordering achievable for that
+    * probe (all its relevant docs first) — the default leaderboard
+    * metric for ranking quality (MTEB, BEIR). Binary relevance =
+    * label match, the shared q155 convention.
+    *
+    * Determinism: the ranking is q21's audited deterministic plan;
+    * discounts come from the PINNED integer table (micro units), so
+    * DCG is a sum of at most k bigints; IDCG sums the first
+    * min(R, k) weights where R = same-label corpus count (excluding
+    * the probe itself); nDCG = DCG·10⁶ div IDCG. A probe with no
+    * relevant docs in the corpus (R = 0) surfaces NULL, honestly.
+    * The corpus mean repeats per row (q181 discipline), floored over
+    * the R>0 probes.
+    *
+    * Scale shape: probes·k rows after the audited broadcast-probe
+    * scan; labels attach by one broadcast and one id join; the
+    * discount lookup is try_element_at on a literal array — no join;
+    * everything collapses to |probes| rows plus one broadcast mean.
+    */
+  def ndcgAtK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ndcgAtKOf(rawVectors(spark, dir), k)
+
+  /** Core of `ndcgAtK` over any `(vec_id, label, v)` corpus (probe
+    * set: the shared vec_id < 8 convention).
+    */
+  def ndcgAtKOf(vectors: DataFrame, k: Int): DataFrame = {
+    require(k <= DcgWeightMicro.size, s"pinned table covers 10, got $k")
+    val wArr = s"array(${DcgWeightMicro.take(k).mkString(",")})"
+    val labels = vectors.select(col("vec_id"), col("label"))
+    val probes = labels.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val labelCounts = labels.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_label"))
+    val perProbe = cosineRankingOf(vectors, k)
+      .join(broadcast(probes), Seq("q_id"))
+      .join(labels.withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("label", "d_label"), Seq("doc_id"))
+      .withColumn("gain", when(col("d_label") === col("q_label"),
+        expr(s"try_element_at($wArr, CAST(rank AS INT))"))
+        .otherwise(lit(0L)))
+      .groupBy("q_id", "q_label")
+      .agg(sum(col("gain")).as("dcg_micro"))
+      // R = same-label corpus docs minus the probe itself; the ideal
+      // ranking puts them at ranks 1..min(R, k)
+      .join(broadcast(labelCounts), Seq("q_label"))
+      .withColumn("n_rel", expr("n_label - 1"))
+      .withColumn("idcg_micro", expr(
+        s"""aggregate(slice($wArr, 1, CAST(least(n_rel, $k) AS INT)),
+           | CAST(0 AS BIGINT), (acc, w) -> acc + w)""".stripMargin))
+      .withColumn("ndcg_ppm", expr(
+        "dcg_micro * 1000000 div nullif(idcg_micro, 0)"))
+    val meanRow = broadcast(perProbe
+      .agg(sum(when(col("n_rel") > 0, col("ndcg_ppm"))).as("s"),
+        sum(when(col("n_rel") > 0, 1L).otherwise(0L)).as("c"))
+      .select(expr("s div nullif(c, 0)").as("mean_ndcg_ppm")))
+    perProbe.crossJoin(meanRow)
+      .select(col("q_id"), col("q_label"), lit(k.toLong).as("k"),
+        col("n_rel"), col("dcg_micro"), col("idcg_micro"),
+        col("ndcg_ppm"), col("mean_ndcg_ppm"))
+      .orderBy("q_id")
   }
 
   def knnHubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame =

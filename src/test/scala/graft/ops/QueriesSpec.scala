@@ -4790,6 +4790,68 @@ class QueriesSpec extends SparkSpec {
     assert(got.head._3 == nVecs)
     CachedStages.release(spark)
   }
+  test("q258 ndcg: hand ranking with pinned discounts exact; no-" +
+    "relevant probe NULL; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)))).toSeq
+    // probe 0 (label 1): hits at ranks 1 and 3 of k=3 →
+    // DCG = 1000000 + 500000; R = 2 → IDCG = 1000000 + 630930;
+    // nDCG = 1.5e12 div 1630930 = 919720. probe 1 (label 9): no
+    // other label-9 doc → NULL, excluded from the mean.
+    val fx = Seq(
+      (0L, 1, Seq(1f, 0f)), (1L, 9, Seq(-1f, 0f)),
+      (10L, 1, Seq(1f, 0f)), (11L, 2, Seq(1f, 1f)),
+      (12L, 1, Seq(0f, 1f)))
+    val got = collect8(Similarity.ndcgAtKOf(
+      fx.toDF("vec_id", "label", "v"), 3))
+    assert(got == Seq(
+      (0L, 1, 3L, 2L, 1500000L, 1630930L, Some(919720L),
+        Some(919720L)),
+      (1L, 9, 3L, 0L, 0L, 0L, None, Some(919720L))),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay: driver-side exact recompute with the pinned
+    // weight table over the audited ranking
+    val vs = Similarity.rawVectors(spark, dir)
+      .select("vec_id", "label", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val ws = Similarity.DcgWeightMicro
+    val labelN = vs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val per = vs.filter(_._1 < 8).sortBy(_._1).map { case (q, ql, qv) =>
+      val ranked = vs.filter(_._1 != q)
+        .map { case (i, l, v) => (r6(cos(qv, v)), i, l) }
+        .sortBy { case (c, i, _) => (-c, i) }.take(10)
+      val dcg = ranked.zipWithIndex.collect {
+        case ((_, _, l), idx) if l == ql => ws(idx)
+      }.sum
+      val nRel = labelN(ql) - 1
+      val idcg = ws.take(math.min(nRel, 10L).toInt).sum
+      val ndcg = if (idcg == 0) None
+        else Some(BigInt(dcg) * 1000000 / idcg)
+      (q, ql, nRel, dcg, idcg, ndcg.map(_.toLong))
+    }
+    val rel = per.filter(_._3 > 0).flatMap(_._6)
+    val mean = if (rel.isEmpty) None
+      else Some(rel.map(BigInt(_)).sum / rel.length)
+    val graded = collect8(Similarity.ndcgAtK(spark, dir))
+    assert(graded == per.map(p => (p._1, p._2, 10L, p._3, p._4, p._5,
+      p._6, mean.map(_.toLong))).toSeq, s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

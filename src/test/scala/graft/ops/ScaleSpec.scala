@@ -1514,6 +1514,18 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q258 plan: audited broadcast-probe ranking; discount lookup " +
+    "is expression-only; mean broadcast") {
+    val out = Similarity.ndcgAtK(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("cosine_sim"), plan.take(3000))
+    // the pinned table rides the expression — no join introduces it
+    assert(plan.contains("try_element_at") || plan.contains("1000000"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
