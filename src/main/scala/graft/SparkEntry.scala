@@ -385,6 +385,7 @@ object SparkEntry {
     "q257_hubness_sampled" -> ((s, d) =>
       Similarity.knnHubnessSampled(s, d)),
     "q258_ndcg" -> ((s, d) => Similarity.ndcgAtK(s, d)),
+    "q259_page_trend" -> RankTests.pageTrend _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6548,6 +6549,74 @@ object SparkEntry {
         |  mn.mean_ndcg_ppm
         |FROM pp CROSS JOIN mn
         |ORDER BY q_id""".stripMargin,
+
+    // Replays RankTests.pageTrendOf: the q256 blocked-midrank chain,
+    // then L2 = sum(c_pos * S2) and the exact rational z² in HUGEINT.
+    "q259_page_trend" ->
+      s"""WITH obs AS (
+        |  SELECT substring(CAST(o_orderdate AS VARCHAR), 1, 7)
+        |      AS block,
+        |    o_orderpriority AS treatment,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT) AS v
+        |  FROM orders),
+        |cells AS MATERIALIZED (
+        |  SELECT block, treatment, CAST(SUM(v) AS BIGINT) AS v
+        |  FROM obs GROUP BY 1, 2),
+        |kk AS (
+        |  SELECT CAST(COUNT(DISTINCT treatment) AS BIGINT) AS k,
+        |    CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks_total
+        |  FROM cells),
+        |complete AS MATERIALIZED (
+        |  SELECT c.block, c.treatment, c.v, kk.k, kk.n_blocks_total
+        |  FROM cells c CROSS JOIN kk
+        |  QUALIFY COUNT(*) OVER (PARTITION BY c.block) = kk.k),
+        |h AS (
+        |  SELECT block, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM complete GROUP BY 1, 2),
+        |mr AS (
+        |  SELECT block, v,
+        |    2 * (SUM(cnt) OVER (PARTITION BY block ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)
+        |    + cnt + 1 AS mr2
+        |  FROM h),
+        |ranked AS MATERIALIZED (
+        |  SELECT c.treatment, c.k, c.n_blocks_total, mr.mr2
+        |  FROM complete c JOIN mr ON mr.block = c.block
+        |    AND mr.v = c.v),
+        |pert AS MATERIALIZED (
+        |  SELECT treatment, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    SUM(mr2)::HUGEINT AS s2, MAX(k) AS k,
+        |    MAX(n_blocks_total) AS n_blocks_total,
+        |    CAST(row_number() OVER (ORDER BY treatment ASC)
+        |      AS BIGINT) AS c_pos
+        |  FROM ranked GROUP BY 1),
+        |mom AS (
+        |  SELECT MAX(k) AS k, MAX(n_blocks) AS n,
+        |    SUM(c_pos::HUGEINT * s2) AS l2
+        |  FROM pert),
+        |stat AS (
+        |  SELECT CAST(l2 AS BIGINT) AS l2,
+        |    CAST(CASE WHEN 2 * l2 - n::HUGEINT * k * (k + 1) * (k + 1)
+        |        > 0 THEN 1
+        |      WHEN 2 * l2 - n::HUGEINT * k * (k + 1) * (k + 1) < 0
+        |        THEN -1 ELSE 0 END AS BIGINT) AS trend_sign,
+        |    CAST(9 * (2 * l2 - n::HUGEINT * k * (k + 1) * (k + 1))
+        |        * (2 * l2 - n::HUGEINT * k * (k + 1) * (k + 1))
+        |        * 1000000
+        |      // nullif(n::HUGEINT * k * k * (k * k - 1) * (k + 1), 0)
+        |      AS BIGINT) AS z2_micro
+        |  FROM mom)
+        |SELECT treatment, c_pos, n_blocks, n_blocks_total,
+        |  CAST(s2 AS BIGINT) AS rank_sum2, stat.l2, stat.trend_sign,
+        |  stat.z2_micro,
+        |  CAST(${graft.ops.Events.Chi2Crit95Ppm.head} AS BIGINT)
+        |    AS crit_micro,
+        |  CAST(CASE WHEN stat.z2_micro IS NULL THEN NULL
+        |    WHEN stat.z2_micro > ${graft.ops.Events.Chi2Crit95Ppm.head}
+        |      THEN 1 ELSE 0 END AS BIGINT) AS significant
+        |FROM pert CROSS JOIN stat
+        |ORDER BY treatment""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -640,7 +640,11 @@ object RankTests {
     * cells; everything after is cell-bounded — block windows of width
     * k, a k-row treatment table, single-row moments broadcast back.
     */
-  def friedmanOf(obs: DataFrame): DataFrame = {
+  /** Shared q256/q259 stage: per-(block, treatment) cells, COMPLETE
+    * blocks only, within-block doubled midranks — persisted, columns
+    * (block, treatment, v, k, n_blocks_total, mr2).
+    */
+  private def blockedRanked(obs: DataFrame): DataFrame = {
     val cells = CachedStages.track(obs
       .groupBy(col("block"), col("treatment"))
       .agg(sum(col("v")).as("v")).persist())
@@ -660,8 +664,11 @@ object RankTests {
     val mr = h.withColumn("cum", sum(col("cnt")).over(wv))
       .select(col("block"), col("v"),
         expr("2 * (cum - cnt) + cnt + 1").as("mr2"))
-    val ranked = CachedStages.track(complete
-      .join(mr, Seq("block", "v")).persist())
+    CachedStages.track(complete.join(mr, Seq("block", "v")).persist())
+  }
+
+  def friedmanOf(obs: DataFrame): DataFrame = {
+    val ranked = blockedRanked(obs)
     val perT = ranked.groupBy("treatment")
       .agg(count(lit(1)).as("n_blocks"), sum(col("mr2")).as("s2"),
         max(col("k")).as("k"), max(col("n_blocks_total"))
@@ -696,6 +703,74 @@ object RankTests {
         expr("CAST(s2 AS BIGINT)").as("rank_sum2"),
         col("mean_rank_milli"), col("df_chi2"), col("stat_micro"),
         col("crit_micro"), col("significant"))
+      .orderBy("treatment")
+  }
+
+  def pageTrend(spark: SparkSession, dir: String): DataFrame =
+    pageTrendOf(Tables(spark, dir, "orders").select(
+      expr("substring(CAST(o_orderdate AS STRING), 1, 7)").as("block"),
+      col("o_orderpriority").as("treatment"),
+      expr("""CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        | AS BIGINT)""".stripMargin).as("v")))
+
+  /** Graded q259: PAGE'S TREND TEST (Page, JASA 1963) — the ORDERED
+    * alternative q256 cannot see: Friedman asks "do the priorities
+    * differ at all"; Page asks "does revenue rank MONOTONICALLY along
+    * the priority order" (1-URGENT < … < 5-LOW, the natural sort of
+    * the TPC-H labels) — strictly more powerful when the alternative
+    * really is ordered, the reason it's the standard follow-up. Same
+    * blocked doubled-midrank stage as q256 (complete blocks, within-
+    * block midranks); the statistic is L = Σⱼ cⱼ·Rⱼ with cⱼ the 1..k
+    * treatment position, kept doubled (L₂ = 2L) so everything stays
+    * integer.
+    *
+    * Verdict arithmetic, exactly rational: E[4L] = n·k·(k+1)², and
+    * with permutation variance Var[L] = n·k²·(k²−1)·(k+1)/144 the
+    * squared normal deviate is z² = 9·(2L₂ − nk(k+1)²)² /
+    * (n·k²·(k²−1)·(k+1)) — micro units against χ²(1) from the shared
+    * table (the classic tie-naive variance; midranks only make it
+    * conservative). `trend_sign` says which direction won: +1 means
+    * later-ordered treatments (lower priorities) carry HIGHER ranks.
+    *
+    * Scale shape: identical to q256 — one cell collapse, block-width
+    * windows, a k-row treatment table, broadcast moments.
+    */
+  def pageTrendOf(obs: DataFrame): DataFrame = {
+    val ranked = blockedRanked(obs)
+    val perT = ranked.groupBy("treatment")
+      .agg(count(lit(1)).as("n_blocks"), sum(col("mr2")).as("s2"),
+        max(col("k")).as("k"), max(col("n_blocks_total"))
+          .as("n_blocks_total"))
+      .withColumn("c_pos", row_number().over(
+        Window.orderBy(col("treatment").asc)).cast("long"))
+    val moments = broadcast(perT
+      .agg(max(col("k")).as("k"), max(col("n_blocks")).as("n"),
+        sum(expr("CAST(c_pos AS DECIMAL(38, 0)) * s2")).as("l2"))
+      .withColumn("dev", expr(
+        "2 * l2 - CAST(n AS DECIMAL(38, 0)) * k * (k + 1) * (k + 1)"))
+      .withColumn("den", expr(
+        """CAST(n AS DECIMAL(38, 0)) * k * k * (k * k - 1)
+          | * (k + 1)""".stripMargin))
+      .withColumn("trend_sign", expr(
+        """CASE WHEN dev > 0 THEN CAST(1 AS BIGINT)
+          |     WHEN dev < 0 THEN CAST(-1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("z2_micro", expr(
+        "CAST(9 * dev * dev * 1000000 div nullif(den, 0) AS BIGINT)"))
+      .withColumn("crit_micro",
+        lit(Events.Chi2Crit95Ppm.head))
+      .withColumn("significant", expr(
+        """CASE WHEN z2_micro IS NULL THEN CAST(NULL AS BIGINT)
+          |     WHEN z2_micro > crit_micro THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select(expr("CAST(l2 AS BIGINT)").as("l2"), col("trend_sign"),
+        col("z2_micro"), col("crit_micro"), col("significant")))
+    perT.crossJoin(moments)
+      .select(col("treatment"), col("c_pos"), col("n_blocks"),
+        col("n_blocks_total"),
+        expr("CAST(s2 AS BIGINT)").as("rank_sum2"), col("l2"),
+        col("trend_sign"), col("z2_micro"), col("crit_micro"),
+        col("significant"))
       .orderBy("treatment")
   }
 

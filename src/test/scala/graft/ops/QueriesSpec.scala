@@ -4852,6 +4852,80 @@ class QueriesSpec extends SparkSpec {
       p._6, mean.map(_.toLong))).toSeq, s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q259 page trend: perfect monotone hand case z2 exactly 4; " +
+    "graded replay") {
+    import spark.implicits._
+    def collect10(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getLong(8),
+        if (r.isNullAt(9)) None else Some(r.getLong(9)))).toSeq
+    val crit = Events.Chi2Crit95Ppm.head
+    def replay(obs: Seq[(String, String, Long)]) = {
+      val cells = obs.groupBy(o => (o._1, o._2)).view
+        .mapValues(_.map(_._3).sum).toMap
+      val k = cells.keys.map(_._2).toSet.size
+      val totalBlocks = cells.keys.map(_._1).toSet.size.toLong
+      val complete = cells.keys.map(_._1).toSeq.distinct
+        .filter(b => cells.keys.count(_._1 == b) == k).sorted
+      val treats = cells.keys.map(_._2).toSeq.distinct.sorted
+      def mr2(b: String): Map[String, Long] = {
+        val vs = treats.map(t => t -> cells((b, t)))
+        val grp = vs.groupBy(_._2).view.mapValues(_.size).toMap
+        var cum = 0L
+        val m = grp.keys.toSeq.sorted.map { v =>
+          val c = grp(v); cum += c; v -> (2 * (cum - c) + c + 1)
+        }.toMap
+        vs.map { case (t, v) => t -> m(v) }.toMap
+      }
+      val ranks = complete.map(mr2)
+      val n = complete.size.toLong
+      val s2 = treats.map(t => t -> ranks.map(_(t)).sum).toMap
+      val l2 = treats.zipWithIndex
+        .map { case (t, i) => BigInt(i + 1) * s2(t) }.sum
+      val dev = 2 * l2 - BigInt(n) * k * (k + 1) * (k + 1)
+      val den = BigInt(n) * k * k * (k * k - 1) * (k + 1)
+      val z2 = if (den == 0) None
+        else Some((9 * dev * dev * 1000000 / den).toLong)
+      treats.zipWithIndex.map { case (t, i) =>
+        (t, (i + 1).toLong, n, totalBlocks, s2(t), l2.toLong,
+          dev.signum.toLong, z2, crit,
+          z2.map(z => if (z > crit) 1L else 0L))
+      }
+    }
+    // two blocks, both perfectly increasing A<B<C: L hits its
+    // maximum, z = 2 exactly → z2_micro 4000000, significant
+    val fx = Seq(("b1", "A", 1L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 10L), ("b2", "B", 20L), ("b2", "C", 30L))
+    val got = collect10(RankTests.pageTrendOf(
+      fx.toDF("block", "treatment", "v")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    assert(got == Seq(
+      ("A", 1L, 2L, 2L, 4L, 56L, 1L, Some(4000000L), crit, Some(1L)),
+      ("B", 2L, 2L, 2L, 8L, 56L, 1L, Some(4000000L), crit, Some(1L)),
+      ("C", 3L, 2L, 2L, 12L, 56L, 1L, Some(4000000L), crit,
+        Some(1L))), got.mkString(";"))
+    CachedStages.release(spark)
+    // reversed order flips the sign, same magnitude
+    val rfx = fx.map { case (b, t, v) => (b, t, 100L - v) }
+    val gotR = collect10(RankTests.pageTrendOf(
+      rfx.toDF("block", "treatment", "v")))
+    assert(gotR == replay(rfx), s"$gotR")
+    assert(gotR.head._7 == -1L &&
+      gotR.head._8 == Some(4000000L), gotR.head)
+    CachedStages.release(spark)
+    // graded replay off raw orders
+    val obs = Tables(spark, dir, "orders").selectExpr(
+      "substring(CAST(o_orderdate AS STRING), 1, 7)",
+      "o_orderpriority",
+      "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val graded = collect10(RankTests.pageTrend(spark, dir))
+    assert(graded == replay(obs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
