@@ -386,6 +386,7 @@ object SparkEntry {
       Similarity.knnHubnessSampled(s, d)),
     "q258_ndcg" -> ((s, d) => Similarity.ndcgAtK(s, d)),
     "q259_page_trend" -> RankTests.pageTrend _,
+    "q260_cliffs_delta" -> ((s, d) => RankTests.cliffsDelta(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6617,6 +6618,52 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS BIGINT) AS significant
         |FROM pert CROSS JOIN stat
         |ORDER BY treatment""".stripMargin,
+
+    // Replays RankTests.cliffsDeltaOf: merged whole-dollar histogram,
+    // one domain-bounded window, three HUGEINT pair sums, pinned
+    // Romano magnitude bands.
+    "q260_cliffs_delta" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100
+        |      AS BIGINT) // 100 AS v
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |hist AS MATERIALIZED (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b FROM hist),
+        |cum AS (
+        |  SELECT v, ca, cb,
+        |    SUM(cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_cb
+        |  FROM hist),
+        |s AS (
+        |  SELECT MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+        |    SUM(ca::HUGEINT * (cum_cb - cb)) AS gtS,
+        |    SUM(ca::HUGEINT * (n_b - cum_cb)) AS ltS,
+        |    SUM(ca::HUGEINT * cb) AS tieS
+        |  FROM cum CROSS JOIN tot),
+        |o AS (
+        |  SELECT '1-URGENT' AS grp_a, '5-LOW' AS grp_b, n_a, n_b,
+        |    CAST(gtS AS BIGINT) AS n_gt, CAST(ltS AS BIGINT) AS n_lt,
+        |    CAST(tieS AS BIGINT) AS n_tie,
+        |    CAST((gtS - ltS) * 1000000
+        |      // nullif(n_a::HUGEINT * n_b, 0) AS BIGINT) AS delta_ppm
+        |  FROM s)
+        |SELECT o.*,
+        |  CASE WHEN delta_ppm IS NULL THEN NULL
+        |    WHEN abs(delta_ppm) < 147000 THEN 'negligible'
+        |    WHEN abs(delta_ppm) < 330000 THEN 'small'
+        |    WHEN abs(delta_ppm) < 474000 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM o""".stripMargin,
 
     // Replays TextOps.sourceDivergenceOf: the q14 token kernel, the
     // vocab-union pair grid, per-token HUGEINT D^2 terms, final div.

@@ -4926,6 +4926,59 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(obs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q260 cliffs delta: hand dominance/tie case exact; swap " +
+    "antisymmetry; graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getString(8)))).toSeq
+    def replay(obs: Seq[(String, Long)], a: String, b: String) = {
+      val xs = obs.filter(_._1 == a).map(_._2)
+      val ys = obs.filter(_._1 == b).map(_._2)
+      val gt = (for (x <- xs; y <- ys if x > y) yield 1L).sum
+      val lt = (for (x <- xs; y <- ys if x < y) yield 1L).sum
+      val tie = (for (x <- xs; y <- ys if x == y) yield 1L).sum
+      val nA = xs.size.toLong; val nB = ys.size.toLong
+      val delta = if (nA * nB == 0) None
+        else Some((BigInt(gt - lt) * 1000000 / (BigInt(nA) * nB)).toLong)
+      val mag = delta.map(d =>
+        if (math.abs(d) < 147000) "negligible"
+        else if (math.abs(d) < 330000) "small"
+        else if (math.abs(d) < 474000) "medium" else "large")
+      Seq((a, b, nA, nB, gt, lt, tie, delta, mag))
+    }
+    // A={1,2} vs B={1,0}: 3 wins, 0 losses, 1 tie → δ = 750000, large
+    val fx = Seq(("A", 1L), ("A", 2L), ("B", 1L), ("B", 0L))
+    val got = collect9(RankTests.cliffsDeltaOf(
+      fx.toDF("g", "v"), "A", "B"))
+    assert(got == replay(fx, "A", "B"), s"$got")
+    assert(got == Seq(("A", "B", 2L, 2L, 3L, 0L, 1L, Some(750000L),
+      Some("large"))), got.mkString(";"))
+    // antisymmetry: swapping the groups negates δ exactly
+    val gotSwap = collect9(RankTests.cliffsDeltaOf(
+      fx.toDF("g", "v"), "B", "A"))
+    assert(gotSwap.head._8 == Some(-750000L) &&
+      gotSwap.head._9 == Some("large"), gotSwap.head)
+    CachedStages.release(spark)
+    // missing group → NULL δ and magnitude
+    val gotNull = collect9(RankTests.cliffsDeltaOf(
+      fx.filter(_._1 == "A").toDF("g", "v"), "A", "B"))
+    assert(gotNull.head._8.isEmpty && gotNull.head._9.isEmpty, gotNull)
+    CachedStages.release(spark)
+    // graded replay off raw orders (whole-dollar quantization)
+    val obs = Tables(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority")
+        .isin("1-URGENT", "5-LOW"))
+      .selectExpr("o_orderpriority",
+        """CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)
+          | div 100""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val graded = collect9(RankTests.cliffsDelta(spark, dir))
+    assert(graded == replay(obs, "1-URGENT", "5-LOW"), s"$graded")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
