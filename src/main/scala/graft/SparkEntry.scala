@@ -387,6 +387,7 @@ object SparkEntry {
     "q258_ndcg" -> ((s, d) => Similarity.ndcgAtK(s, d)),
     "q259_page_trend" -> RankTests.pageTrend _,
     "q260_cliffs_delta" -> ((s, d) => RankTests.cliffsDelta(s, d)),
+    "q261_minhash_accuracy" -> Dedup.minhashAccuracy _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2609,6 +2610,80 @@ object SparkEntry {
         |  COUNT(*) AS n_pairs,
         |  MIN(jaccard) AS min_jaccard, MAX(jaccard) AS max_jaccard
         |FROM j GROUP BY band ORDER BY band""".stripMargin,
+
+    // Replays Dedup.minhashAccuracy: the q96 candidate chain, then
+    // per-pair match counts vs exact integer Jaccard ppm, banded by
+    // match count with the global MAE/bias repeated per row.
+    "q261_minhash_accuracy" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' qq ww ee' FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |contents AS (
+        |  SELECT DISTINCT text, md5(text) AS cid FROM corpus),
+        |d AS (
+        |  SELECT cid, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM contents),
+        |sg AS (
+        |  SELECT cid,
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+        |    ELSE [] END AS shingles
+        |  FROM d),
+        |sig AS MATERIALIZED (
+        |  SELECT cid, shingles,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed0' || x)), 'min') AS mh0,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed1' || x)), 'min') AS mh1,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed2' || x)), 'min') AS mh2,
+        |    list_aggregate(list_transform(shingles, x -> md5('seed3' || x)), 'min') AS mh3
+        |  FROM sg),
+        |bands AS (
+        |  SELECT cid, 0 AS band, mh0 AS h FROM sig
+        |  UNION ALL SELECT cid, 1, mh1 FROM sig
+        |  UNION ALL SELECT cid, 2, mh2 FROM sig
+        |  UNION ALL SELECT cid, 3, mh3 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.cid AS ca, b.cid AS cb
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.h = b.h AND a.cid < b.cid),
+        |scored AS MATERIALIZED (
+        |  SELECT ca, cb,
+        |    CAST(CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+        |      + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+        |      + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+        |      + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS matches,
+        |    CAST(len(list_intersect(sa.shingles, sb.shingles))
+        |        AS BIGINT) * 1000000
+        |      // (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles)))
+        |      AS exact_ppm
+        |  FROM cand
+        |  JOIN sig sa ON cand.ca = sa.cid
+        |  JOIN sig sb ON cand.cb = sb.cid),
+        |e AS (
+        |  SELECT matches, exact_ppm,
+        |    matches * 250000 - exact_ppm AS err_ppm
+        |  FROM scored),
+        |g AS (
+        |  SELECT CAST(SUM(abs(err_ppm)) // COUNT(*) AS BIGINT)
+        |      AS mae_ppm,
+        |    CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS bias_ppm
+        |  FROM e)
+        |SELECT matches, matches * 250000 AS est_ppm,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+        |  CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+        |  CAST(SUM(abs(err_ppm)) // COUNT(*) AS BIGINT)
+        |    AS mean_abs_err_ppm,
+        |  CAST(MIN(exact_ppm) AS BIGINT) AS min_exact_ppm,
+        |  CAST(MAX(exact_ppm) AS BIGINT) AS max_exact_ppm,
+        |  g.mae_ppm, g.bias_ppm
+        |FROM e CROSS JOIN g
+        |GROUP BY matches, g.mae_ppm, g.bias_ppm
+        |ORDER BY matches""".stripMargin,
     // Deliberately the NAIVE four-scan melt — Spark's one-Expand stack
     // must be value-identical.
     "q97_measure_unpivot" ->

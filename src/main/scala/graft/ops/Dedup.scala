@@ -193,6 +193,60 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** Graded q261: MINHASH ESTIMATOR ACCURACY audit — the sketch-error
+    * report the dedup family was missing: q72/q109/q163 audit the GK /
+    * CMS / HLL sketches against exact truth, but the 4-seed MinHash
+    * that DRIVES the near-dup pipeline was never itself measured. For
+    * every LSH candidate content pair: the estimate is
+    * matches·10⁶/4 (matches = seeds whose minhash collides, the
+    * unbiased Jaccard estimator), the truth is the exact shingle-set
+    * Jaccard in ppm, and the report bands pairs BY match count with
+    * per-band mean truth and signed/absolute error, plus the global
+    * MAE and bias repeated per row (q181 discipline). The documented
+    * conditioning bias is visible by construction: candidates share
+    * ≥ 1 band, so matches ≥ 1 and the estimator can only overestimate
+    * low-Jaccard pairs — exactly why the pipeline verifies candidates
+    * exactly instead of trusting the sketch (q19's design, now with
+    * the measurement that justifies it).
+    *
+    * Scale shape: rides the q19/q96 candidate plan unchanged (the
+    * persisted signature stage, banded bucket join); the estimator
+    * columns are two broadcast-ish joins of the tiny pair list back
+    * to the cached signatures; the report is ≤ 5 rows.
+    */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val (verified, sigs) = contentPairCandidates(spark, dir)
+    def mhs(side: String) = sigs.select(
+      col("cid").as(side) +: (0 until 4).map(k =>
+        col(s"mh$k").as(s"${side}_mh$k")): _*)
+    val scored = verified
+      .join(mhs("ca"), Seq("ca"))
+      .join(mhs("cb"), Seq("cb"))
+      .withColumn("matches", expr((0 until 4).map(k =>
+        s"IF(ca_mh$k = cb_mh$k, 1L, 0L)").mkString(" + ")))
+      .withColumn("est_ppm", expr("matches * 250000"))
+      .withColumn("exact_ppm", expr(
+        """CAST(n_common AS BIGINT) * 1000000
+          | div (size(sh_a) + size(sh_b) - n_common)""".stripMargin))
+      .withColumn("err_ppm", expr("est_ppm - exact_ppm"))
+    val glob = broadcast(scored.agg(
+      expr("sum(abs(err_ppm)) div count(1)").as("mae_ppm"),
+      expr("sum(err_ppm) div count(1)").as("bias_ppm")))
+    scored.groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(exact_ppm) div count(1)").as("mean_exact_ppm"),
+        expr("sum(err_ppm) div count(1)").as("mean_err_ppm"),
+        expr("sum(abs(err_ppm)) div count(1)").as("mean_abs_err_ppm"),
+        min(col("exact_ppm")).as("min_exact_ppm"),
+        max(col("exact_ppm")).as("max_exact_ppm"))
+      .withColumn("est_ppm", expr("matches * 250000"))
+      .crossJoin(glob)
+      .select("matches", "est_ppm", "n_pairs", "mean_exact_ppm",
+        "mean_err_ppm", "mean_abs_err_ppm", "min_exact_ppm",
+        "max_exact_ppm", "mae_ppm", "bias_ppm")
+      .orderBy("matches")
+  }
+
   /** Expand verified CONTENT pairs (docs_a, docs_b, jaccard) to ordered
     * doc pairs, and append intra pairs (every pair within one identical-
     * text group, Jaccard 1 by definition) from the given pre-filtered

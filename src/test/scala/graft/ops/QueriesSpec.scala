@@ -4979,6 +4979,67 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(obs, "1-URGENT", "5-LOW"), s"$graded")
     CachedStages.release(spark)
   }
+  test("q261 minhash accuracy: full driver-side md5 replay; " +
+    "conditioning bias visible") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val tokRe = "[a-z0-9]+".r
+    def shingles(text: String): Set[String] = {
+      val toks = tokRe.findAllIn(text.toLowerCase).toIndexedSeq
+      if (toks.size < 3) Set.empty
+      else (0 to toks.size - 3)
+        .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").toSet
+    }
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 100 == 0)
+      .map(p => (p._1 + 1000000L, p._2 + " qq ww ee"))
+    val sigs = corpus.map(_._2).distinct.map { t =>
+      val sh = shingles(t)
+      val mh = (0 until 4).map(k =>
+        if (sh.isEmpty) null
+        else sh.map(s => md5hex(s"seed$k" + s)).min)
+      (md5hex(t), sh, mh)
+    }
+    val buckets = sigs.flatMap { case (cid, _, mh) =>
+      mh.zipWithIndex.collect { case (h, b) if h != null => (b, h, cid) }
+    }.groupBy(p => (p._1, p._2)).values
+    val cand = buckets.flatMap { g =>
+      val cs = g.map(_._3).distinct.sorted
+      for (i <- cs.indices; j <- i + 1 until cs.size)
+        yield (cs(i), cs(j))
+    }.toSet
+    val byCid = sigs.map(s => s._1 -> s).toMap
+    val scored = cand.toSeq.map { case (ca, cb) =>
+      val (_, sa, ma) = byCid(ca); val (_, sb, mb) = byCid(cb)
+      val matches = (0 until 4).count(k => ma(k) == mb(k)).toLong
+      val inter = (sa & sb).size.toLong
+      val exact = inter * 1000000L / (sa.size + sb.size - inter)
+      (matches, matches * 250000L, matches * 250000L - exact, exact)
+    }
+    val mae = scored.map(s => math.abs(s._3)).sum / scored.size
+    val bias = scored.map(_._3).sum / scored.size
+    val expect = scored.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (m, g) =>
+        (m, m * 250000L, g.size.toLong,
+          g.map(_._4).sum / g.size, g.map(_._3).sum / g.size,
+          g.map(s => math.abs(s._3)).sum / g.size,
+          g.map(_._4).min, g.map(_._4).max, mae, bias)
+      }
+    val got = Dedup.minhashAccuracy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(9))).toSeq
+    assert(got == expect, s"${got.take(2)} != ${expect.take(2)}")
+    // the documented conditioning bias: every candidate shares >= 1
+    // band, and sketch error shrinks as match count rises
+    assert(got.forall(r => r._1 >= 1L && r._1 <= 4L), got)
+    assert(got.head._9 > 0L, got.head)
+    val m4 = got.find(_._1 == 4L)
+    assert(m4.forall(_._6 < got.head._6), s"$m4 vs ${got.head}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -1557,6 +1557,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q261 plan: rides the persisted q19 signature stage; banded " +
+    "bucket join only; report-sized tail") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Dedup.minhashAccuracy(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // both band sides + the two signature join-backs + the scored
+    // re-read all hit the one persisted signature stage
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 4, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
