@@ -388,6 +388,7 @@ object SparkEntry {
     "q259_page_trend" -> RankTests.pageTrend _,
     "q260_cliffs_delta" -> ((s, d) => RankTests.cliffsDelta(s, d)),
     "q261_minhash_accuracy" -> Dedup.minhashAccuracy _,
+    "q262_competing_risks" -> Events.competingRisks _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2684,6 +2685,66 @@ object SparkEntry {
         |FROM e CROSS JOIN g
         |GROUP BY matches, g.mae_ppm, g.bias_ppm
         |ORDER BY matches""".stripMargin,
+
+    // Replays Events.competingRisksOf: per-user firsts with the
+    // pinned tie rule, offset histogram + at-risk cumulative, and the
+    // three Aalen-Johansen recurrences in ONE linear recursive CTE
+    // (the old surv feeds each CIF term before it updates).
+    "q262_competing_risks" ->
+      """WITH RECURSIVE pu AS (
+        |  SELECT user_id,
+        |    MIN(epoch_us(ts) // 1000000 // 86400) AS first_day,
+        |    MIN(CASE WHEN event_type = 'error'
+        |      THEN epoch_us(ts) // 1000000 // 86400 END) AS day_a,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) // 1000000 // 86400 END) AS day_b
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT MAX(epoch_us(ts) // 1000000 // 86400)
+        |  AS max_day FROM events),
+        |sub AS (
+        |  SELECT
+        |    CASE WHEN day_a IS NOT NULL
+        |        AND (day_b IS NULL OR day_a <= day_b)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS ea,
+        |    CASE WHEN day_b IS NOT NULL
+        |        AND (day_a IS NULL OR day_b < day_a)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS eb,
+        |    CASE WHEN day_a IS NOT NULL OR day_b IS NOT NULL
+        |      THEN least(day_a, day_b) - first_day
+        |      ELSE max_day - first_day END AS t
+        |  FROM pu CROSS JOIN mx),
+        |hist AS MATERIALIZED (
+        |  SELECT t, CAST(SUM(ea) AS BIGINT) AS d_a,
+        |    CAST(SUM(eb) AS BIGINT) AS d_b,
+        |    CAST(SUM(1 - ea - eb) AS BIGINT) AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM sub GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM hist),
+        |risk AS MATERIALIZED (
+        |  SELECT t, d_a, d_b, c,
+        |    CAST(n_total - COALESCE(SUM(n_t) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_at_risk,
+        |    CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        |  FROM hist CROSS JOIN tot),
+        |chain(rn, surv, ca, cb) AS (
+        |  SELECT rn,
+        |    1000000 * (n_at_risk - d_a - d_b) // n_at_risk,
+        |    1000000 * d_a // n_at_risk,
+        |    1000000 * d_b // n_at_risk
+        |  FROM risk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.rn,
+        |    ch.surv * (r.n_at_risk - r.d_a - r.d_b) // r.n_at_risk,
+        |    ch.ca + ch.surv * r.d_a // r.n_at_risk,
+        |    ch.cb + ch.surv * r.d_b // r.n_at_risk
+        |  FROM chain ch JOIN risk r ON r.rn = ch.rn + 1)
+        |SELECT r.t, r.n_at_risk, r.d_a, r.d_b, r.c AS n_censored,
+        |  CAST(ch.surv AS BIGINT) AS surv_ppm,
+        |  CAST(ch.ca AS BIGINT) AS cif_a_ppm,
+        |  CAST(ch.cb AS BIGINT) AS cif_b_ppm
+        |FROM risk r JOIN chain ch ON r.rn = ch.rn
+        |ORDER BY r.t""".stripMargin,
     // Deliberately the NAIVE four-scan melt — Spark's one-Expand stack
     // must be value-identical.
     "q97_measure_unpivot" ->

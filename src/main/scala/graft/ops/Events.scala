@@ -2445,6 +2445,91 @@ object Events {
         expr("s_sum div 1000").as("rmst_milli_days"))
   }
 
+  def competingRisks(spark: SparkSession, dir: String): DataFrame =
+    competingRisksOf(events(spark, dir), "error", "purchase")
+
+  /** Graded q262: COMPETING-RISKS cumulative incidence (Aalen &
+    * Johansen, Scand. J. Stat. 1978) — the estimand q169 cannot see:
+    * KM treats one event and censors everything else, but when two
+    * events COMPETE for the same user (first error vs first purchase
+    * — does frustration absorb users before conversion does?),
+    * 1 − KM_k overestimates every cause (Gooley et al., Stat. Med.
+    * 1999). The honest curve is CIF_k(t) = Σ_{s≤t} S(s⁻)·d_k(s)/n(s)
+    * with S the ALL-CAUSE survival — incidences that always sum with
+    * survival to ≤ 1. Ties (both firsts the same day) attribute to
+    * cause A by the pinned argument order; never-event users censor
+    * at the window end, q169's convention.
+    *
+    * Determinism: one fused integer fold per output row carries
+    * (surv, cif_a, cif_b) — surv multiplies (n−d_a−d_b) div n, each
+    * CIF adds the PRE-step surv·d_k div n, all floored — Spark as a
+    * struct-accumulator `aggregate` HOF over the broadcast step
+    * list, DuckDB as the same three recurrences in one linear
+    * recursive CTE (the kmCtes/holtSql discipline: the old surv
+    * feeds the CIF terms before it updates).
+    *
+    * Scale shape: q169's exactly — one events scan to per-user
+    * firsts, value-domain offset histogram, the one documented
+    * bounded-histogram window, model-sized step list broadcast.
+    */
+  def competingRisksOf(evs: DataFrame, typeA: String,
+      typeB: String): DataFrame = {
+    val perUser = evs.groupBy("user_id").agg(
+      min(expr("ts_sec div 86400")).as("first_day"),
+      min(when(col("event_type") === typeA,
+        expr("ts_sec div 86400"))).as("day_a"),
+      min(when(col("event_type") === typeB,
+        expr("ts_sec div 86400"))).as("day_b"))
+    val maxDay = evs.agg(max(expr("ts_sec div 86400")).as("max_day"))
+    val subjects = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("ea", expr(
+        """CASE WHEN day_a IS NOT NULL
+          |  AND (day_b IS NULL OR day_a <= day_b)
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("eb", expr(
+        """CASE WHEN day_b IS NOT NULL
+          |  AND (day_a IS NULL OR day_b < day_a)
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+          .stripMargin))
+      .select(expr(
+        """CASE WHEN ea = 1 OR eb = 1
+          |  THEN least(day_a, day_b) - first_day
+          |  ELSE max_day - first_day END""".stripMargin).as("t"),
+        col("ea"), col("eb"))
+    val hist = CachedStages.track(subjects.groupBy("t")
+      .agg(sum(col("ea")).as("d_a"), sum(col("eb")).as("d_b"),
+        sum(lit(1L) - col("ea") - col("eb")).as("c"),
+        count(lit(1)).as("n_t"))
+      .persist())
+    val total = hist.agg(sum(col("n_t")).as("n_total"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+    val steps = risk.agg(expr(
+      "sort_array(collect_list(struct(t, n_at_risk, d_a, d_b)))")
+      .as("steps"))
+    risk.crossJoin(broadcast(steps))
+      .withColumn("folded", expr(
+        """aggregate(filter(steps, s -> s.t <= t),
+          |  named_struct('surv', CAST(1000000 AS BIGINT),
+          |    'ca', CAST(0 AS BIGINT), 'cb', CAST(0 AS BIGINT)),
+          |  (acc, s) -> named_struct(
+          |    'surv', acc.surv * (s.n_at_risk - s.d_a - s.d_b)
+          |      div s.n_at_risk,
+          |    'ca', acc.ca + acc.surv * s.d_a div s.n_at_risk,
+          |    'cb', acc.cb + acc.surv * s.d_b div s.n_at_risk))"""
+          .stripMargin))
+      .select(col("t"), col("n_at_risk"), col("d_a"), col("d_b"),
+        col("c").as("n_censored"),
+        col("folded.surv").as("surv_ppm"),
+        col("folded.ca").as("cif_a_ppm"),
+        col("folded.cb").as("cif_b_ppm"))
+      .orderBy("t")
+  }
+
   def logRank(spark: SparkSession, dir: String): DataFrame = {
     val evs = events(spark, dir)
     val perUser = evs.groupBy("user_id").agg(

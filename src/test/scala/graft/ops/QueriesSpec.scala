@@ -5040,6 +5040,74 @@ class QueriesSpec extends SparkSpec {
     assert(m4.forall(_._6 < got.head._6), s"$m4 vs ${got.head}")
     CachedStages.release(spark)
   }
+  test("q262 competing risks: hand AJ chain exact incl. tie rule; " +
+    "mass conservation; graded replay") {
+    import spark.implicits._
+    def collect8(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    def replay(evs: Seq[(Long, Long, String)], a: String, b: String) = {
+      val maxDay = evs.map(_._2 / 86400).max
+      val rows = evs.groupBy(_._1).values.toSeq.map { g =>
+        val first = g.map(_._2 / 86400).min
+        val da = g.filter(_._3 == a).map(_._2 / 86400)
+          .sorted.headOption
+        val db = g.filter(_._3 == b).map(_._2 / 86400)
+          .sorted.headOption
+        val ea = da.isDefined && db.forall(da.get <= _)
+        val eb = db.isDefined && !ea
+        val t = if (ea || eb) math.min(da.getOrElse(Long.MaxValue),
+          db.getOrElse(Long.MaxValue)) - first
+        else maxDay - first
+        (t, if (ea) 1L else 0L, if (eb) 1L else 0L)
+      }
+      val hist = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (t, g) => (t, g.map(_._2).sum, g.map(_._3).sum,
+          g.size.toLong - g.map(_._2).sum - g.map(_._3).sum,
+          g.size.toLong)
+      }
+      val nTotal = hist.map(_._5).sum
+      var before = 0L
+      var surv = BigInt(1000000); var ca = BigInt(0); var cb = BigInt(0)
+      hist.map { case (t, da, db, c, nt) =>
+        val n = nTotal - before; before += nt
+        ca += surv * da / n; cb += surv * db / n
+        surv = surv * (n - da - db) / n
+        (t, n, da, db, c, surv.toLong, ca.toLong, cb.toLong)
+      }
+    }
+    // u1 error@1, u2 purchase@1, u3 BOTH@2 (tie → cause a), u4
+    // censored at the window end — every chain value hand-derived
+    val fx = Seq(
+      (1L, 0L, "view"), (1L, 86400L, "error"),
+      (2L, 0L, "view"), (2L, 86400L, "purchase"),
+      (3L, 0L, "view"), (3L, 172800L, "error"),
+      (3L, 172800L, "purchase"),
+      (4L, 0L, "view"), (4L, 259200L, "view"))
+    val got = collect8(Events.competingRisksOf(
+      fx.toDF("user_id", "ts_sec", "event_type"), "error", "purchase"))
+    assert(got == replay(fx, "error", "purchase"), s"$got")
+    assert(got == Seq(
+      (1L, 4L, 1L, 1L, 0L, 500000L, 250000L, 250000L),
+      (2L, 2L, 1L, 0L, 0L, 250000L, 500000L, 250000L),
+      (3L, 1L, 0L, 0L, 1L, 250000L, 500000L, 250000L)),
+      got.mkString(";"))
+    CachedStages.release(spark)
+    // graded replay off raw events + the AJ conservation law:
+    // surv + cif_a + cif_b never exceeds 10^6 (floors only lose mass)
+    val evs = Events.events(spark, dir)
+      .selectExpr("user_id", "ts_sec", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val graded = collect8(Events.competingRisks(spark, dir))
+    assert(graded == replay(evs, "error", "purchase"),
+      s"${graded.take(3)}")
+    graded.foreach { r =>
+      assert(r._6 + r._7 + r._8 <= 1000000L, r)
+      assert(r._6 + r._7 + r._8 >= 1000000L - 3L * graded.size, r)
+    }
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
