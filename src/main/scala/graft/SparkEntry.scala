@@ -389,6 +389,7 @@ object SparkEntry {
     "q260_cliffs_delta" -> ((s, d) => RankTests.cliffsDelta(s, d)),
     "q261_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "q262_competing_risks" -> Events.competingRisks _,
+    "q263_gate_ablation" -> TextOps.gateAblation _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -3015,6 +3016,61 @@ object SparkEntry {
         |  CAST(SUM(pass) AS BIGINT) AS n_pass,
         |  CAST(SUM(pass) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Replays TextOps.gateAblationOf: the q108 flag CTE, the 4-bit
+    // mask rollup, and the sole-removal summary repeated per row.
+    "q263_gate_ablation" ->
+      """WITH d AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |e AS (
+        |  SELECT len(toks) AS n_toks,
+        |    COALESCE(list_sum(list_transform(toks, t -> len(t))), 0)
+        |      AS tok_chars,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+        |      AS n_alpha,
+        |    len(list_filter(['the','a','of','and','is','to','in'],
+        |      s -> list_contains(toks, s))) AS n_stop
+        |  FROM d),
+        |g AS (
+        |  SELECT n_toks,
+        |    CASE WHEN n_toks BETWEEN 25 AND 100000 THEN 1 ELSE 0 END
+        |      AS r_count,
+        |    CASE WHEN tok_chars >= n_toks * 3 AND tok_chars <= n_toks * 10
+        |      THEN 1 ELSE 0 END AS r_wordlen,
+        |    CASE WHEN n_alpha * 10 >= n_toks * 8 THEN 1 ELSE 0 END
+        |      AS r_alpha,
+        |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+        |  FROM e),
+        |m AS MATERIALIZED (
+        |  SELECT CAST(r_count * 8 + r_wordlen * 4 + r_alpha * 2 + r_stop
+        |      AS BIGINT) AS mask,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+        |  FROM g GROUP BY 1),
+        |s AS (
+        |  SELECT
+        |    COALESCE(SUM(CASE WHEN mask = 15 THEN n_docs END),
+        |      CAST(0 AS BIGINT)) AS n_pass,
+        |    COALESCE(SUM(CASE WHEN mask = 7 THEN n_docs END),
+        |      CAST(0 AS BIGINT)) AS sole_count,
+        |    COALESCE(SUM(CASE WHEN mask = 11 THEN n_docs END),
+        |      CAST(0 AS BIGINT)) AS sole_wordlen,
+        |    COALESCE(SUM(CASE WHEN mask = 13 THEN n_docs END),
+        |      CAST(0 AS BIGINT)) AS sole_alpha,
+        |    COALESCE(SUM(CASE WHEN mask = 14 THEN n_docs END),
+        |      CAST(0 AS BIGINT)) AS sole_stop
+        |  FROM m)
+        |SELECT mask, (mask // 8) % 2 AS r_count,
+        |  (mask // 4) % 2 AS r_wordlen, (mask // 2) % 2 AS r_alpha,
+        |  mask % 2 AS r_stop, n_docs, n_tokens,
+        |  CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(sole_count AS BIGINT) AS sole_count,
+        |  CAST(sole_wordlen AS BIGINT) AS sole_wordlen,
+        |  CAST(sole_alpha AS BIGINT) AS sole_alpha,
+        |  CAST(sole_stop AS BIGINT) AS sole_stop
+        |FROM m CROSS JOIN s
+        |ORDER BY mask""".stripMargin,
     // The q44 md5-bucket rule seeded per hash row ('cms' || j || ':'):
     // counters replayed as a (j, b) grouped sum, estimates as the min
     // over each top-k token's d cells — overcount >= 0 structurally.

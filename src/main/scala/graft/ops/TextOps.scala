@@ -684,6 +684,52 @@ object TextOps {
   def gopherGate(spark: SparkSession, dir: String): DataFrame =
     gopherGateOf(Tables(spark, dir, "documents"))
 
+  def gateAblation(spark: SparkSession, dir: String): DataFrame =
+    gateAblationOf(Tables(spark, dir, "documents"))
+
+  /** Graded q263: quality-gate ABLATION MATRIX — q108 reports how many
+    * docs pass each rule and the conjunction, but the curation
+    * decision ("can we drop the stopword rule?") needs the JOINT
+    * distribution: one row per observed 4-bit gate mask
+    * (count·8 + wordlen·4 + alpha·2 + stop) with doc and token mass,
+    * plus — repeated per row, the q181 discipline — the docs each
+    * gate UNIQUELY removes (mask = all-pass-except-it: the marginal
+    * value of that gate; a gate whose sole-removal count is 0 is
+    * fully shadowed by the others and can be dropped for free). This
+    * is the standard filter-ablation readout every pipeline runs
+    * before freezing a cleaning config.
+    *
+    * Scale shape: q108's exactly — one projection pass (per-row HOFs,
+    * no explode), ONE partial-agg shuffle to ≤ 16 mask rows, the
+    * sole-removal summary a broadcast of that 16-row table.
+    */
+  def gateAblationOf(docs: DataFrame): DataFrame = {
+    val byMask = gopherFlagsOf(docs)
+      .withColumn("mask", expr(
+        "r_count * 8 + r_wordlen * 4 + r_alpha * 2 + r_stop"))
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val masked = CachedStages.track(byMask.persist())
+    def at(m: Int) =
+      s"coalesce(sum(CASE WHEN mask = $m THEN n_docs END), CAST(0 AS BIGINT))"
+    val glob = broadcast(masked.agg(
+      expr(s"${at(15)}").as("n_pass"),
+      expr(s"${at(7)}").as("sole_count"),
+      expr(s"${at(11)}").as("sole_wordlen"),
+      expr(s"${at(13)}").as("sole_alpha"),
+      expr(s"${at(14)}").as("sole_stop")))
+    masked.crossJoin(glob)
+      .select(col("mask"),
+        expr("CAST((mask div 8) % 2 AS BIGINT)").as("r_count"),
+        expr("CAST((mask div 4) % 2 AS BIGINT)").as("r_wordlen"),
+        expr("CAST((mask div 2) % 2 AS BIGINT)").as("r_alpha"),
+        expr("CAST(mask % 2 AS BIGINT)").as("r_stop"),
+        col("n_docs"), col("n_tokens"), col("n_pass"),
+        col("sole_count"), col("sole_wordlen"), col("sole_alpha"),
+        col("sole_stop"))
+      .orderBy("mask")
+  }
+
   /** Core of `gopherGate` over any `(doc_id, text, source)` corpus. */
   def gopherGateOf(docs: DataFrame): DataFrame =
     gopherFlagsOf(docs).groupBy("source")

@@ -5108,6 +5108,65 @@ class QueriesSpec extends SparkSpec {
     }
     CachedStages.release(spark)
   }
+  test("q263 gate ablation: hand mask matrix exact incl. sole-" +
+    "removal; graded replay") {
+    import spark.implicits._
+    def collect12(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (0 until 12).map(i => r.getLong(i)).toList).toSeq
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val tokRe = "[a-z0-9]+".r
+    def replay(docs: Seq[(Long, String)]) = {
+      val flags = docs.map { case (_, text) =>
+        val toks = tokRe.findAllIn(text.toLowerCase).toIndexedSeq
+        val n = toks.size.toLong
+        val chars = toks.map(_.length.toLong).sum
+        val alpha = toks.count(_.exists(_.isLetter)).toLong
+        val nStop = stop.count(toks.contains).toLong
+        val rc = if (n >= 25 && n <= 100000) 1L else 0L
+        val rw = if (chars >= n * 3 && chars <= n * 10) 1L else 0L
+        val ra = if (alpha * 10 >= n * 8) 1L else 0L
+        val rs = if (nStop >= 2) 1L else 0L
+        (rc * 8 + rw * 4 + ra * 2 + rs, n)
+      }
+      val byMask = flags.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (m, g) => (m, g.size.toLong, g.map(_._2).sum) }
+      def at(m: Long) = byMask.find(_._1 == m).map(_._2).getOrElse(0L)
+      byMask.map { case (m, nd, nt) =>
+        List(m, (m / 8) % 2, (m / 4) % 2, (m / 2) % 2, m % 2, nd, nt,
+          at(15), at(7), at(11), at(13), at(14))
+      }
+    }
+    // four hand docs: full pass; fails ONLY stop (mask 14); fails
+    // ONLY count (mask 7); fails alpha+stop (mask 12)
+    val passText = ("the cat sat on a mat of wool and felt warm " +
+      "is to in very good shape now today ") * 2
+    val noStop = ("cat sat mat wool felt warm very good shape now " +
+      "today fine more words here again still going on yes ok " +
+      "extra pad ") * 2
+    val short = "the cat is a pet of mine and it wanders around " +
+      "here daily"
+    val numsNoStop = (1 to 30).map(i => s"$i$i$i").mkString(" ")
+    val fx = Seq((1L, passText), (2L, noStop), (3L, short),
+      (4L, numsNoStop)).map(p => (p._1, p._2, "s"))
+    val got = collect12(TextOps.gateAblationOf(
+      fx.toDF("doc_id", "text", "source")))
+    assert(got == replay(fx.map(p => (p._1, p._2))), s"$got")
+    val masks = got.map(_.head)
+    assert(masks.contains(15L) && masks.contains(14L) &&
+      masks.contains(7L) && masks.contains(12L), masks)
+    // sole-removal: stop uniquely removes doc 2, count doc 3; alpha's
+    // sole count is 0 here (doc 4 also fails stop — shadowed)
+    val r = got.head
+    assert(r(7) == 1L && r(8) == 1L && r(11) == 1L && r(10) == 0L, r)
+    CachedStages.release(spark)
+    // graded replay off raw documents
+    val docs = Tables(spark, dir, "documents")
+      .filter("doc_id IS NOT NULL").select("doc_id", "text").collect()
+      .map(rr => (rr.getLong(0), rr.getString(1))).toSeq
+    val graded = collect12(TextOps.gateAblation(spark, dir))
+    assert(graded == replay(docs), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
