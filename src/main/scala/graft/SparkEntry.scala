@@ -390,6 +390,7 @@ object SparkEntry {
     "q261_minhash_accuracy" -> Dedup.minhashAccuracy _,
     "q262_competing_risks" -> Events.competingRisks _,
     "q263_gate_ablation" -> TextOps.gateAblation _,
+    "q264_theil_decomposition" -> Relational.theilDecomposition _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -3071,6 +3072,65 @@ object SparkEntry {
         |  CAST(sole_stop AS BIGINT) AS sole_stop
         |FROM m CROSS JOIN s
         |ORDER BY mask""".stripMargin,
+
+    // Replays Relational.theilDecompositionOf: per-customer double
+    // terms off exactly-representable integer ratios (the q58 ln
+    // discipline), DECIMAL(38,18) sums, round 6; between/within off
+    // the rounded per-nation values.
+    "q264_theil_decomposition" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice
+        |    AS DECIMAL(12, 2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |pos AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, cents
+        |  FROM spend JOIN customer ON o_custkey = c_custkey
+        |  WHERE cents > 0),
+        |g AS MATERIALIZED (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(cents) AS BIGINT) AS s_g
+        |  FROM pos GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+        |  CAST(SUM(s_g) AS BIGINT) AS s FROM g),
+        |terms AS MATERIALIZED (
+        |  SELECT p.nation,
+        |    (p.cents::DOUBLE / g.s_g::DOUBLE)
+        |      * ln((p.cents * g.n_g)::DOUBLE / g.s_g::DOUBLE)
+        |      AS t_g_term,
+        |    (p.cents::DOUBLE / tot.s::DOUBLE)
+        |      * ln((p.cents * tot.n)::DOUBLE / tot.s::DOUBLE)
+        |      AS t_term
+        |  FROM pos p JOIN g USING (nation) CROSS JOIN tot),
+        |pn AS (
+        |  SELECT t.nation, g.n_g AS n_cust, g.s_g AS spend_cents,
+        |    round(CAST(SUM(CAST(t_g_term AS DECIMAL(38, 18)))
+        |      AS DOUBLE), 6) AS theil_g
+        |  FROM terms t JOIN g ON g.nation = t.nation
+        |  GROUP BY 1, 2, 3),
+        |wb AS MATERIALIZED (
+        |  SELECT pn.nation, pn.n_cust, pn.spend_cents, pn.theil_g,
+        |    CAST(pn.spend_cents * 1000000 // tot.s AS BIGINT)
+        |      AS share_ppm,
+        |    round((pn.spend_cents::DOUBLE / tot.s::DOUBLE)
+        |      * ln((pn.spend_cents * tot.n)::DOUBLE
+        |        / (tot.s * pn.n_cust)::DOUBLE), 6) AS between_term,
+        |    tot.s AS s
+        |  FROM pn CROSS JOIN tot),
+        |gl AS (
+        |  SELECT round(CAST(SUM(CAST(between_term AS DECIMAL(38, 18)))
+        |      AS DOUBLE), 6) AS theil_between,
+        |    round(CAST(SUM(CAST((spend_cents::DOUBLE / s::DOUBLE)
+        |      * theil_g AS DECIMAL(38, 18))) AS DOUBLE), 6)
+        |      AS theil_within
+        |  FROM wb),
+        |tt AS (
+        |  SELECT round(CAST(SUM(CAST(t_term AS DECIMAL(38, 18)))
+        |    AS DOUBLE), 6) AS theil_total
+        |  FROM terms)
+        |SELECT nation, n_cust, spend_cents, share_ppm, theil_g,
+        |  between_term, theil_total, theil_between, theil_within
+        |FROM wb CROSS JOIN gl CROSS JOIN tt
+        |ORDER BY nation""".stripMargin,
     // The q44 md5-bucket rule seeded per hash row ('cms' || j || ':'):
     // counters replayed as a (j, b) grouped sum, estimates as the min
     // over each top-k token's d cells — overcount >= 0 structurally.

@@ -786,6 +786,92 @@ object Relational {
       .orderBy("priority")
   }
 
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("nation"))
+    theilDecompositionOf(spend.join(cust, Seq("o_custkey")))
+  }
+
+  /** Graded q264: THEIL-T inequality DECOMPOSITION of customer spend —
+    * the property Gini famously lacks (Theil 1967; Shorrocks,
+    * Econometrica 1980: the GE family is the ONLY additively
+    * decomposable one): total inequality splits exactly into
+    * BETWEEN-nation (are some markets richer?) and WITHIN-nation (are
+    * whales concentrated inside markets?) — the question q176's
+    * per-nation Gini table can't answer because Ginis don't add.
+    * Per nation: customer count, spend mass, share_ppm, the nation's
+    * own Theil T_g, and its between-term s_g·ln(μ_g/μ); repeated per
+    * row: T_total, T_between (Σ of the rounded between terms — exact
+    * decimal addition of 6dp values), and T_within (Σ s_g·T_g over
+    * the rounded T_g). Zero-spend customers are excluded (0·ln 0 has
+    * no mass; standard practice).
+    *
+    * Oracle parity (the q58 discipline): every ln argument is a
+    * correctly-rounded double ratio of EXACTLY-REPRESENTABLE integer
+    * products (x·n_g, S_g·n ≪ 2⁵³ at any graded scale), JDK log and
+    * DuckDB libm agree bit-for-bit on such inputs (verified
+    * empirically by q58 at both scales), per-term products are IEEE
+    * doubles, and all sums route through exact DECIMAL(38,18) so
+    * engine summation order cannot matter; round 6 at the end.
+    *
+    * Scale shape: one orders collapse (map-side combinable), one
+    * customer-keyed dim join, per-nation moments in ONE shuffle to
+    * |nations| rows, global moments broadcast back — no window at
+    * all, the cheapest inequality plan in the family.
+    */
+  def theilDecompositionOf(spend: DataFrame): DataFrame = {
+    val pos = CachedStages.track(
+      spend.filter(col("cents") > 0).persist())
+    val g = CachedStages.track(pos.groupBy("nation")
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+      .persist())
+    val tot = broadcast(g.agg(sum(col("n_g")).as("n"),
+      sum(col("s_g")).as("s")))
+    val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    // per-customer terms fold per nation AND globally off one pass
+    val terms = pos.join(broadcast(g), Seq("nation")).crossJoin(tot)
+      .withColumn("t_g_term",
+        (col("cents").cast("double") / col("s_g").cast("double")) *
+          log((col("cents") * col("n_g")).cast("double") /
+            col("s_g").cast("double")))
+      .withColumn("t_term",
+        (col("cents").cast("double") / col("s").cast("double")) *
+          log((col("cents") * col("n")).cast("double") /
+            col("s").cast("double")))
+    val perNation = terms.groupBy("nation")
+      .agg(max(col("n_g")).as("n_cust"), max(col("s_g")).as("spend_cents"),
+        round(sum(col("t_g_term").cast(dec18)).cast("double"), 6)
+          .as("theil_g"))
+    val withBetween = perNation.crossJoin(tot)
+      .withColumn("share_ppm", expr("spend_cents * 1000000 div s"))
+      .withColumn("between_term", round(
+        (col("spend_cents").cast("double") / col("s").cast("double")) *
+          log((col("spend_cents") * col("n")).cast("double") /
+            (col("s") * col("n_cust")).cast("double")), 6))
+    val globals = broadcast(withBetween
+      .withColumn("within_term",
+        (col("spend_cents").cast("double") / col("s").cast("double")) *
+          col("theil_g"))
+      .agg(round(sum(col("between_term").cast(dec18)).cast("double"), 6)
+          .as("theil_between"),
+        round(sum(col("within_term").cast(dec18)).cast("double"), 6)
+          .as("theil_within")))
+    val totalRow = broadcast(terms.agg(
+      round(sum(col("t_term").cast(dec18)).cast("double"), 6)
+        .as("theil_total")))
+    withBetween.crossJoin(globals).crossJoin(totalRow)
+      .select("nation", "n_cust", "spend_cents", "share_ppm",
+        "theil_g", "between_term", "theil_total", "theil_between",
+        "theil_within")
+      .orderBy("nation")
+  }
+
   def giniSpend(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey"))

@@ -5167,6 +5167,79 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(docs), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q264 theil decomposition: zero-inequality exact, hand split, " +
+    "additivity law; graded replay") {
+    import spark.implicits._
+    def collect9(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toSeq
+    def dec18(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def replay(rows: Seq[(Long, Long)]) = {
+      val pos = rows.filter(_._2 > 0)
+      val g = pos.groupBy(_._1).view.mapValues(v =>
+        (v.size.toLong, v.map(_._2).sum)).toMap
+      val n = pos.size.toLong; val s = pos.map(_._2).sum
+      def theil(xs: Seq[Long], nn: Long, ss: Long) =
+        r6(xs.map(x => dec18((x.toDouble / ss) *
+          math.log(x.toDouble * nn / ss))).sum.toDouble)
+      val nations = g.keys.toSeq.sorted
+      val perN = nations.map { nat =>
+        val (ng, sg) = g(nat)
+        val tg = theil(pos.filter(_._1 == nat).map(_._2), ng, sg)
+        val bt = r6((sg.toDouble / s) *
+          math.log(sg.toDouble * n / (s.toDouble * ng)))
+        (nat, ng, sg, sg * 1000000L / s, tg, bt)
+      }
+      val between = r6(perN.map(p => dec18(p._6)).sum.toDouble)
+      val within = r6(perN.map(p =>
+        dec18((p._3.toDouble / s) * p._5)).sum.toDouble)
+      val total = theil(pos.map(_._2), n, s)
+      perN.map(p => (p._1, p._2, p._3, p._4, p._5, p._6, total,
+        between, within))
+    }
+    // all-equal spend: every Theil quantity is exactly 0.0
+    val eq = Seq((1L, 100L), (1L, 100L), (2L, 100L), (2L, 100L))
+    val gotEq = collect9(Relational.theilDecompositionOf(
+      eq.toDF("nation", "cents")))
+    assert(gotEq == replay(eq), s"$gotEq")
+    gotEq.foreach { r =>
+      assert(r._5 == 0.0 && r._6 == 0.0 && r._7 == 0.0 &&
+        r._8 == 0.0 && r._9 == 0.0, r)
+    }
+    CachedStages.release(spark)
+    // equal nation means, unequal inside nation 1: between exactly 0,
+    // within = total (the decomposition in its purest case)
+    val fx = Seq((1L, 100L), (1L, 300L), (2L, 200L), (2L, 200L))
+    val got = collect9(Relational.theilDecompositionOf(
+      fx.toDF("nation", "cents")))
+    assert(got == replay(fx), s"$got != ${replay(fx)}")
+    val h = got.head
+    assert(h._8 == 0.0 && math.abs(h._7 - h._9) < 2e-6, h)
+    assert(math.abs(h._5 - 0.130812) < 1e-6, h)
+    CachedStages.release(spark)
+    // graded replay + the additivity law within rounding slack
+    val rows = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr(
+          "CAST(CAST(o_totalprice AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
+        .as("cents"))
+      .join(Tables(spark, dir, "customer")
+        .selectExpr("c_custkey AS o_custkey",
+          "CAST(c_nationkey AS BIGINT) AS nation"), Seq("o_custkey"))
+      .select("nation", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val graded = collect9(Relational.theilDecomposition(spark, dir))
+    assert(graded == replay(rows), s"${graded.take(2)}")
+    val gh = graded.head
+    assert(math.abs(gh._7 - (gh._8 + gh._9)) < 1e-4,
+      s"additivity: ${gh._7} vs ${gh._8} + ${gh._9}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
