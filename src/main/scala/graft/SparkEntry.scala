@@ -391,6 +391,7 @@ object SparkEntry {
     "q262_competing_risks" -> Events.competingRisks _,
     "q263_gate_ablation" -> TextOps.gateAblation _,
     "q264_theil_decomposition" -> Relational.theilDecomposition _,
+    "q265_label_noise" -> ((s, d) => Similarity.labelNoise(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -6744,6 +6745,52 @@ object SparkEntry {
         |  summ.max_nk, summ.hub_id
         |FROM pv CROSS JOIN summ
         |GROUP BY 1, 3, 4, 5, 6
+        |ORDER BY 1""".stripMargin,
+
+    // Replays Similarity.labelNoiseOf on the q257 hash sample: q21's
+    // ranking with labels, per-point disagreement counts, per-label
+    // rollup with the corpus totals repeated.
+    "q265_label_noise" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e
+        |  FROM embeddings
+        |  WHERE (vec_id * 2654435761) % 4294967296 < 1073741824),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    v.vec_id, v.label,
+        |    round(
+        |      list_sum(list_transform(range(1, len(q.e) + 1),
+        |        i -> q.e[i] * v.e[i])) /
+        |      (sqrt(list_sum(list_transform(q.e, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v.e, x -> x * x)))), 6)
+        |      AS cos
+        |  FROM v CROSS JOIN v q
+        |  WHERE v.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT q_id, q_label, label,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rn
+        |  FROM p),
+        |per AS MATERIALIZED (
+        |  SELECT q_id, q_label,
+        |    CAST(SUM(CASE WHEN label <> q_label THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_diff
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT CAST(SUM(CASE WHEN n_diff = 5 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS total_suspects,
+        |    CAST(SUM(n_diff) * 1000000 // (COUNT(*) * 5) AS BIGINT)
+        |      AS overall_disagree_ppm
+        |  FROM per)
+        |SELECT q_label AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(n_diff) AS BIGINT) AS sum_diff,
+        |  CAST(SUM(n_diff) * 1000000 // (COUNT(*) * 5) AS BIGINT)
+        |    AS disagree_ppm,
+        |  CAST(SUM(CASE WHEN n_diff = 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suspects,
+        |  g.total_suspects, g.overall_disagree_ppm
+        |FROM per CROSS JOIN g
+        |GROUP BY 1, 6, 7
         |ORDER BY 1""".stripMargin,
 
     // Replays Similarity.ndcgAtK: the q21 cosine ranking with labels,

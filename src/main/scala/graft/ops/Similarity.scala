@@ -899,6 +899,58 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 5,
+      keepBelow: Long = 1073741824L): DataFrame =
+    labelNoiseOf(spark, rawVectors(spark, dir)
+      .filter(expr(
+        s"pmod(vec_id * 2654435761, 4294967296) < $keepBelow")), k)
+
+  /** Graded q265: LABEL-NOISE audit by kNN disagreement (the
+    * confident-learning signal of Northcutt, Jiang & Chuang, JAIR
+    * 2021, in its embedding-space form): a labeled point whose
+    * nearest neighbors overwhelmingly carry OTHER labels is either
+    * mislabeled or sits in a label region that isn't learnable —
+    * either way it's what you re-annotate first. Per label: the mean
+    * neighbor-disagreement (Σ n_diff · 10⁶ div (n·k)) and the
+    * SUSPECT count (all k neighbors disagree); the corpus totals
+    * repeat per row (q181 discipline). The graded readout on random
+    * labels is the honest null — disagreement ≈ 1 − 1/|labels|.
+    *
+    * Scale contract: a DIAGNOSTIC on the q257 hash-sampled slice
+    * (same Knuth draw, id-stable, pattern-free) — all-pairs kNN is
+    * sample², never the serving corpus; the ranking is q21's audited
+    * deterministic kernel so every count is engine-exact.
+    */
+  def labelNoiseOf(spark: SparkSession, vecs: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = cosined(spark, vecs,
+      vecs.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_vec")), None)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    val per = CachedStages.track(topk.groupBy("q_id", "q_label")
+      .agg(sum((col("label") =!= col("q_label")).cast("long"))
+        .as("n_diff"))
+      .persist())
+    val glob = broadcast(per.agg(
+      sum(when(col("n_diff") === k.toLong, 1L).otherwise(0L))
+        .as("total_suspects"),
+      expr(s"sum(n_diff) * 1000000 div (count(1) * $k)")
+        .as("overall_disagree_ppm")))
+    per.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n_diff")).as("sum_diff"),
+        sum(when(col("n_diff") === k.toLong, 1L).otherwise(0L))
+          .as("n_suspects"))
+      .withColumn("disagree_ppm", expr(
+        s"sum_diff * 1000000 div (n_vecs * $k)"))
+      .crossJoin(glob)
+      .select("label", "n_vecs", "sum_diff", "disagree_ppm",
+        "n_suspects", "total_suspects", "overall_disagree_ppm")
+      .orderBy("label")
+  }
+
   def knnHubness(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
     knnHubnessOf(spark, rawVectors(spark, dir), k)
 

@@ -5240,6 +5240,69 @@ class QueriesSpec extends SparkSpec {
       s"additivity: ${gh._7} vs ${gh._8} + ${gh._9}")
     CachedStages.release(spark)
   }
+  test("q265 label noise: planted mislabel is the suspect; random-" +
+    "label null at graded scale; replay") {
+    import spark.implicits._
+    def collect7(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // two tight clusters on axes; vec 12 sits IN cluster A but wears
+    // label 2 — with k=2 every neighbor disagrees → the one suspect
+    val fx = Seq(
+      (10L, 1, Seq(1f, 0f, 0f)), (11L, 1, Seq(0.9f, 0.1f, 0f)),
+      (12L, 2, Seq(0.95f, 0.05f, 0f)),
+      (20L, 2, Seq(0f, 0f, 1f)), (21L, 2, Seq(0f, 0.1f, 0.9f)))
+    val got = collect7(Similarity.labelNoiseOf(spark,
+      fx.toDF("vec_id", "label", "v"), 2))
+    // label 1: vecs 10, 11 — each has the mislabeled 12 among its
+    // top-2 (1 disagreement each); label 2: 12 (2 diff), 20/21 (the
+    // axis pair agrees; their 2nd neighbor is a cluster-A vec → 1)
+    val l1 = got.find(_._1 == 1).get
+    val l2 = got.find(_._1 == 2).get
+    assert(l1._2 == 2L && l1._3 == 2L && l1._5 == 0L, l1)
+    assert(l2._2 == 3L && l2._3 == 4L && l2._5 == 1L, l2)
+    assert(got.forall(r => r._6 == 1L), got)
+    assert(l2._4 == 4L * 1000000L / (3L * 2L), l2)
+    CachedStages.release(spark)
+    // graded replay over exactly the q257 hash-sampled ids
+    def kept(id: Long): Boolean =
+      (id * 2654435761L) % 4294967296L < 1073741824L
+    val vs = Similarity.rawVectors(spark, dir)
+      .select("vec_id", "label", "v").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .filter(p => kept(p._1))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var xy = 0.0; var xx = 0.0; var yy = 0.0; var i = 0
+      while (i < a.length) {
+        xy += a(i).toDouble * b(i); xx += a(i).toDouble * a(i)
+        yy += b(i).toDouble * b(i); i += 1
+      }
+      xy / (math.sqrt(xx) * math.sqrt(yy))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP)
+    val per = vs.map { case (q, ql, qv) =>
+      val nd = vs.filter(_._1 != q)
+        .map { case (i, l, v) => (r6(cos(qv, v)), i, l) }
+        .sortBy { case (c, i, _) => (-c, i) }.take(5)
+        .count(_._3 != ql).toLong
+      (ql, nd)
+    }
+    val totSus = per.count(_._2 == 5L).toLong
+    val overall = per.map(_._2).sum * 1000000L / (per.length * 5L)
+    val expect = per.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (l, g) =>
+        (l, g.size.toLong, g.map(_._2).sum,
+          g.map(_._2).sum * 1000000L / (g.size * 5L),
+          g.count(_._2 == 5L).toLong, totSus, overall)
+    }
+    val graded = collect7(Similarity.labelNoise(spark, dir))
+    assert(graded == expect, s"${graded.take(2)} != ${expect.take(2)}")
+    // random labels → the honest null: disagreement near 1 - 1/10
+    assert(graded.head._7 > 700000L && graded.head._7 < 1000000L,
+      graded.head)
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

@@ -2356,6 +2356,28 @@ class ScaleSpec extends SparkSpec {
     assert(aboveJoin.isEmpty, optimized.toString.take(3000))
     CachedStages.release(spark)
   }
+  test("q265 plan: hash-sample filter under the all-pairs join; " +
+    "per-point cache feeds rollup and totals") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Similarity.labelNoise(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 2, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    val optimized = out.queryExecution.optimizedPlan
+    assert(optimized.toString.contains("pmod"),
+      optimized.toString.take(3000))
+    val aboveJoin = optimized.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("pmod") &&
+          f.find(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.Join]).isDefined
+        => f
+    }
+    assert(aboveJoin.isEmpty, optimized.toString.take(3000))
+    CachedStages.release(spark)
+  }
   test("q211 plan: persisted strong edges + node cache; oriented " +
     "triangle joins broadcast; no cartesian") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
