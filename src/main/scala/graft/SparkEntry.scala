@@ -392,6 +392,8 @@ object SparkEntry {
     "q263_gate_ablation" -> TextOps.gateAblation _,
     "q264_theil_decomposition" -> Relational.theilDecomposition _,
     "q265_label_noise" -> ((s, d) => Similarity.labelNoise(s, d)),
+    "q266_ivf_probe_sweep" -> ((s, d) =>
+      Similarity.ivfProbeSweep(s, d)),
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -934,6 +936,87 @@ object SparkEntry {
         |  FROM p)
         |SELECT q_id, probe_label, rn, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, rn""".stripMargin,
+
+    // Replays Similarity.ivfProbeSweep: q28's centroid/assignment
+    // chain with centroid ranks kept to 3, one scored candidate
+    // table served to every nprobe by filter, q21's exact arm.
+    "q266_ivf_probe_sweep" ->
+      """WITH v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+        |x AS (
+        |  SELECT label, t.i - 1 AS dim, e[t.i] AS val
+        |  FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+        |cent AS (
+        |  SELECT label, dim,
+        |    list_reduce(list_sort(list(val)), (a, b) -> a + b)
+        |      / COUNT(*) AS centroid
+        |  FROM x GROUP BY label, dim),
+        |cvec AS (
+        |  SELECT label AS c_label, list(centroid ORDER BY dim) AS c_vec
+        |  FROM cent GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 8),
+        |assign AS (
+        |  SELECT q_id, c_label,
+        |    round(list_sum(list_transform(range(1, len(qe) + 1),
+        |      i -> (qe[i] - c_vec[i]) * (qe[i] - c_vec[i]))), 6) AS dist
+        |  FROM q CROSS JOIN cvec),
+        |ranked AS (
+        |  SELECT q_id, c_label,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY dist ASC, c_label ASC) AS BIGINT) AS crank
+        |  FROM assign QUALIFY crank <= 3),
+        |cand AS MATERIALIZED (
+        |  SELECT r.q_id, r.crank, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1),
+        |        i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+        |       sqrt(list_sum(list_transform(e, x2 -> x2 * x2)))), 6)
+        |      AS cos
+        |  FROM v JOIN ranked r ON v.label = r.c_label
+        |  JOIN q ON q.q_id = r.q_id
+        |  WHERE v.vec_id <> r.q_id),
+        |probes AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS nprobe),
+        |sub AS MATERIALIZED (
+        |  SELECT p.nprobe, c.q_id, c.vec_id, c.cos
+        |  FROM cand c JOIN probes p ON c.crank <= p.nprobe),
+        |scanned AS (
+        |  SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_scanned
+        |  FROM sub GROUP BY 1),
+        |tk AS (
+        |  SELECT nprobe, q_id, vec_id FROM (
+        |    SELECT nprobe, q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY nprobe, q_id
+        |        ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM sub) z WHERE rn <= 3),
+        |pall AS (
+        |  SELECT q.q_id, v.vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, len(qe) + 1),
+        |        i -> qe[i] * e[i])) /
+        |      (sqrt(list_sum(list_transform(qe, x2 -> x2 * x2))) *
+        |       sqrt(list_sum(list_transform(e, x2 -> x2 * x2)))), 6)
+        |      AS cos
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id),
+        |exact AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, vec_id ASC) AS rn
+        |    FROM pall) z WHERE rn <= 3),
+        |rec AS (
+        |  SELECT tk.nprobe,
+        |    CAST(COUNT(DISTINCT tk.q_id) AS BIGINT) AS n_queries,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0
+        |      END) AS BIGINT) AS n_hits
+        |  FROM tk LEFT JOIN exact e ON tk.q_id = e.q_id
+        |    AND tk.vec_id = e.vec_id
+        |  GROUP BY 1)
+        |SELECT r.nprobe, r.n_queries, s.n_scanned, r.n_pairs,
+        |  r.n_hits, r.n_hits * 1000000 // r.n_pairs AS recall_ppm
+        |FROM rec r JOIN scanned s ON r.nprobe = s.nprobe
+        |ORDER BY r.nprobe""".stripMargin,
     "q29_lsh_ann" -> {
       val bucketCols = (0 until LshAnnTables)
         .map(t => lshBucketSql(t, LshAnnBits)).mkString(",\n")

@@ -343,6 +343,82 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Graded q266: IVF PROBE SWEEP — recall@k AND scan cost at
+    * nprobe = 1..3, the serving knob every IVF deployment tunes
+    * first (FAISS's `nprobe`): probing more inverted lists buys
+    * recall linearly in scanned rows, and the right setting is read
+    * off exactly this curve. q28 is the nprobe=1 operating point;
+    * q151 compares methods at fixed parameters; this grades the
+    * COST–RECALL TRADEOFF of one method. Per nprobe: queries, rows
+    * scanned (the cost axis — what an executor actually pays),
+    * emitted pairs (lists can under-fill k; honest denominator, the
+    * q151 convention), hits against the exact ranking, recall ppm.
+    *
+    * Determinism: q28's exact centroid/assignment chain (sorted-fold
+    * centroid means, round-6 distances, label tie-break), candidates
+    * carry their centroid rank so ONE persisted scored table serves
+    * every nprobe by filter; the exact arm is q21's audited ranking.
+    *
+    * Scale shape: centroids and query assignments broadcast; the
+    * candidate build is ONE corpus-side equi-join on the cluster
+    * label (scanning ≤ maxProbe lists per query — the IVF contract);
+    * each sweep row is a filter + probes·k-sized window over the
+    * cached candidates. At true scale only n_scanned grows with the
+    * corpus — exactly what the report measures.
+    */
+  def ivfProbeSweep(spark: SparkSession, dir: String, k: Int = 3,
+      maxProbe: Int = 3): DataFrame = {
+    graft.functions.CosineSimilarity.register(spark)
+    val cent = labelCentroids(spark, dir, exact = true)
+      .groupBy("label")
+      .agg(expr("array_sort(collect_list(struct(dim, centroid)))")
+        .as("dc"))
+      .select(col("label").as("c_label"),
+        expr("transform(dc, x -> x.centroid)").as("c_vec"))
+    val ranked = vectors(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_dvec"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", round(expr(
+        "aggregate(zip_with(q_dvec, c_vec, (x, y) -> (x - y) * (x - y)), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6))
+      .transform { d =>
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("dist").asc, col("c_label").asc)
+        d.withColumn("crank", row_number().over(w).cast("long"))
+      }
+      .filter(col("crank") <= maxProbe)
+      .select(col("q_id"), col("c_label").as("probe_label"),
+        col("crank"))
+    val qvecs = rawVectors(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("q_vec"))
+    val cands = CachedStages.track(rawVectors(spark, dir)
+      .join(broadcast(ranked), col("label") === col("probe_label"))
+      .join(broadcast(qvecs), Seq("q_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(expr("cosine_sim(q_vec, v)"), 6))
+      .select("q_id", "vec_id", "crank", "cos")
+      .persist())
+    val exact = CachedStages.track(cosineRanking(spark, dir, k)
+      .select(col("q_id"), col("doc_id").as("vec_id")).persist())
+    (1 to maxProbe).map { np =>
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val sub = cands.filter(col("crank") <= np)
+      val scannedRow = broadcast(sub.agg(count(lit(1)).as("n_scanned")))
+      sub.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= k)
+        .join(exact.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
+          "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(scannedRow)
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("n_scanned"), col("n_pairs"), col("n_hits"),
+          expr("n_hits * 1000000 div n_pairs").as("recall_ppm"))
+    }.reduce(_.unionByName(_)).orderBy("nprobe")
+  }
+
   /** The nPlanes×64 ±1 hyperplane matrix — md5("p_i") first-digit
     * parity, single-sourced in `LshBuckets.flatPlanes` (the same table
     * the fused kernel bakes into codegen, and the formula the DuckDB

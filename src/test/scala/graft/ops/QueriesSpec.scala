@@ -5303,6 +5303,35 @@ class QueriesSpec extends SparkSpec {
       graded.head)
     CachedStages.release(spark)
   }
+  test("q266 ivf probe sweep: nprobe=1 reconciles with q28 exactly; " +
+    "monotone recall and cost") {
+    import org.apache.spark.sql.functions.col
+    val got = Similarity.ivfProbeSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), got)
+    assert(got.forall(_._2 == 8L), got)
+    CachedStages.release(spark)
+    // the nprobe=1 arm IS q28: same hits against the exact ranking
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = pairs(Similarity.ivfKnn(spark, dir))
+    CachedStages.release(spark)
+    val exact = pairs(Similarity.cosineTopK(spark, dir)
+      .filter(col("rn") <= 3))
+    CachedStages.release(spark)
+    val g1 = got.find(_._1 == 1L).get
+    assert(g1._4 == ivf1.size.toLong, s"$g1 vs ${ivf1.size}")
+    assert(g1._5 == (ivf1 & exact).size.toLong, s"$g1")
+    assert(g1._6 == g1._5 * 1000000L / g1._4, g1)
+    // more probes never scan less or recall worse; never beat exact
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 >= a._3 && b._5 >= a._5, s"$a -> $b")
+    }
+    got.foreach(r => assert(r._6 <= 1000000L && r._5 <= r._4, r))
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

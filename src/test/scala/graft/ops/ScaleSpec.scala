@@ -1622,6 +1622,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q266 plan: one cluster-label equi-join builds the scored " +
+    "candidates; every sweep row reads the cache") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val out = Similarity.ivfProbeSweep(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    val tree = out.queryExecution.sparkPlan
+    // 3 sweep filters + 3 scanned counts off the candidate cache,
+    // plus the exact arm's cache in every recall join
+    assert(tree.collect { case m: InMemoryTableScanExec => m }
+      .size >= 6, plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(plan.contains("cosine_sim"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
