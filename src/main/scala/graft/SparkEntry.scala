@@ -394,6 +394,7 @@ object SparkEntry {
     "q265_label_noise" -> ((s, d) => Similarity.labelNoise(s, d)),
     "q266_ivf_probe_sweep" -> ((s, d) =>
       Similarity.ivfProbeSweep(s, d)),
+    "q267_dedup_scaling" -> Dedup.dedupScalingCurve _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2771,6 +2772,45 @@ object SparkEntry {
         |FROM e CROSS JOIN g
         |GROUP BY matches, g.mae_ppm, g.bias_ppm
         |ORDER BY matches""".stripMargin,
+
+    // Replays Dedup.dedupScalingCurve: the Knuth-hash quarter, nested
+    // membership fan-out, the q17 shape per fraction, and the
+    // vs-full underestimation ratio.
+    "q267_dedup_scaling" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 100 = 0),
+        |qd AS (
+        |  SELECT md5(text) AS h,
+        |    (doc_id * 2654435761) % 4294967296 // 1073741824 AS q
+        |  FROM corpus),
+        |e AS (
+        |  SELECT h, CAST(unnest(generate_series(q + 1, 4)) AS BIGINT)
+        |    AS f
+        |  FROM qd),
+        |perf AS MATERIALIZED (
+        |  SELECT f, h, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT f, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_contents,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_groups,
+        |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)
+        |      AS BIGINT) AS n_redundant
+        |  FROM perf GROUP BY 1),
+        |a2 AS (
+        |  SELECT agg.*,
+        |    CAST(n_redundant * 1000000 // n_docs AS BIGINT) AS dup_ppm
+        |  FROM agg),
+        |fl AS (SELECT dup_ppm AS full_dup_ppm FROM a2 WHERE f = 4)
+        |SELECT f, n_docs, n_contents, n_dup_groups, n_redundant,
+        |  dup_ppm, full_dup_ppm,
+        |  CAST(dup_ppm * 1000000 // nullif(full_dup_ppm, 0)
+        |    AS BIGINT) AS vs_full_ppm
+        |FROM a2 CROSS JOIN fl ORDER BY f""".stripMargin,
 
     // Replays Events.competingRisksOf: per-user firsts with the
     // pinned tie rule, offset histogram + at-risk cumulative, and the

@@ -193,6 +193,50 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** Graded q267: DEDUP SCALING CURVE — duplication rate measured on
+    * nested ¼/½/¾/full hash-samples of the corpus. The operational
+    * lesson it encodes (Lee et al., ACL 2022 §4 observe it directly):
+    * a duplicate PAIR survives an f-sample with probability f², so
+    * any pilot sample UNDERESTIMATES the full corpus's duplication
+    * rate — the row's `vs_full_ppm` column says by how much, which is
+    * the correction factor you apply when sizing a dedup budget from
+    * a pilot. Samples nest by the Knuth multiplicative hash on doc_id
+    * (q257's draw: id-stable, pattern-free, and the planted copy ids
+    * hash independently of their bases, so pair survival is honestly
+    * f²). Per quarter: docs, distinct contents, duplicate groups,
+    * redundant docs (docs − contents), dup_ppm, and the full-corpus
+    * dup_ppm + the f-sample's underestimation ratio.
+    *
+    * Scale shape: ONE pass assigns each doc its hash quarter; the
+    * nested membership explodes to ≤ 4 rows per doc (sample-design
+    * fan-out, not data growth); one (quarter, content-hash) shuffle —
+    * the q17 exact-dedup shape ×4 — then a 4-row report.
+    */
+  def dedupScalingCurve(spark: SparkSession, dir: String): DataFrame = {
+    val quartered = corpusWithExactDups(spark, dir)
+      .withColumn("q", expr(
+        "pmod(doc_id * 2654435761, 4294967296) div 1073741824"))
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        explode(expr("sequence(q + 1, 4)")).as("f"))
+    val perF = quartered.groupBy(col("f"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("f")
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_contents"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
+          .as("n_redundant"))
+      .withColumn("dup_ppm", expr("n_redundant * 1000000 div n_docs"))
+    val full = broadcast(perF.filter(col("f") === 4L)
+      .select(col("dup_ppm").as("full_dup_ppm")))
+    perF.crossJoin(full)
+      .withColumn("vs_full_ppm", expr(
+        "dup_ppm * 1000000 div nullif(full_dup_ppm, 0)"))
+      .select("f", "n_docs", "n_contents", "n_dup_groups",
+        "n_redundant", "dup_ppm", "full_dup_ppm", "vs_full_ppm")
+      .orderBy("f")
+  }
+
   /** Graded q261: MINHASH ESTIMATOR ACCURACY audit — the sketch-error
     * report the dedup family was missing: q72/q109/q163 audit the GK /
     * CMS / HLL sketches against exact truth, but the 4-seed MinHash

@@ -5332,6 +5332,41 @@ class QueriesSpec extends SparkSpec {
     got.foreach(r => assert(r._6 <= 1000000L && r._5 <= r._4, r))
     CachedStages.release(spark)
   }
+  test("q267 dedup scaling: md5/hash-quarter driver replay; the " +
+    "sample underestimates the full rate") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 100 == 0)
+      .map(p => (p._1 + 1000000L, p._2))
+    def quarter(id: Long): Long =
+      (id * 2654435761L) % 4294967296L / 1073741824L
+    val expect = (1L to 4L).map { f =>
+      val docs = corpus.filter(d => quarter(d._1) < f)
+      val groups = docs.groupBy(d => md5hex(d._2)).values.toSeq
+      val nDocs = docs.size.toLong
+      val nContents = groups.size.toLong
+      val nDupG = groups.count(_.size > 1).toLong
+      val nRed = groups.filter(_.size > 1).map(_.size - 1).sum.toLong
+      (f, nDocs, nContents, nDupG, nRed, nRed * 1000000L / nDocs)
+    }
+    val fullPpm = expect.last._6
+    val want = expect.map(e => (e._1, e._2, e._3, e._4, e._5, e._6,
+      fullPpm, e._6 * 1000000L / fullPpm))
+    val got = Dedup.dedupScalingCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == want, s"$got != $want")
+    // the scaling lesson: every strict sample reads UNDER the full
+    // rate (pair survival is f^2), and the full row is the identity
+    assert(got.last._8 == 1000000L, got.last)
+    got.init.foreach(r => assert(r._8 < 1000000L, r))
+    assert(got.map(_._2) == got.map(_._2).sorted, got)
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._

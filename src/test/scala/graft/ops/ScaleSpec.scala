@@ -1637,6 +1637,18 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
+  test("q267 plan: one scan, sample-design fan-out only, the q17 " +
+    "hash shuffle per fraction") {
+    val out = Dedup.dedupScalingCurve(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    // the explode is the <= 4-row nested-membership fan-out; the only
+    // wide exchange is the (f, content-hash) aggregate
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    CachedStages.release(spark)
+  }
   test("q234 plan: prefix fold over the cached densified matrix; " +
     "series arrays broadcast") {
     import org.apache.spark.sql.execution.FileSourceScanExec
