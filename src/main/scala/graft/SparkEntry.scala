@@ -395,6 +395,7 @@ object SparkEntry {
     "q266_ivf_probe_sweep" -> ((s, d) =>
       Similarity.ivfProbeSweep(s, d)),
     "q267_dedup_scaling" -> Dedup.dedupScalingCurve _,
+    "q268_mutual_information" -> Relational.mutualInformation _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2811,6 +2812,58 @@ object SparkEntry {
         |  CAST(dup_ppm * 1000000 // nullif(full_dup_ppm, 0)
         |    AS BIGINT) AS vs_full_ppm
         |FROM a2 CROSS JOIN fl ORDER BY f""".stripMargin,
+
+    // Replays Relational.mutualInformationOf: one contingency
+    // collapse, per-cell PMI terms off exactly-representable integer
+    // ratios (the q58/q264 ln discipline), DECIMAL(38,18) sums,
+    // round 6, U = ratio of the two rounded values.
+    "q268_mutual_information" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS x, c_mktsegment AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx
+        |  FROM cells GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+        |hx AS (
+        |  SELECT round(CAST(SUM(CAST((cx::DOUBLE / n::DOUBLE)
+        |    * ln(n::DOUBLE / cx::DOUBLE) AS DECIMAL(38, 18)))
+        |    AS DOUBLE), 6) AS h_x
+        |  FROM mx CROSS JOIN tot),
+        |hy AS (
+        |  SELECT round(CAST(SUM(CAST((cy::DOUBLE / n::DOUBLE)
+        |    * ln(n::DOUBLE / cy::DOUBLE) AS DECIMAL(38, 18)))
+        |    AS DOUBLE), 6) AS h_y
+        |  FROM my CROSS JOIN tot),
+        |scored AS MATERIALIZED (
+        |  SELECT cells.x, cells.y, cells.c,
+        |    CAST(mx.cx * my.cy // tot.n AS BIGINT) AS expected,
+        |    round((cells.c::DOUBLE / tot.n::DOUBLE)
+        |      * ln((cells.c * tot.n)::DOUBLE
+        |        / (mx.cx * my.cy)::DOUBLE), 6) AS pmi_term,
+        |    tot.n AS n
+        |  FROM cells JOIN mx USING (x) JOIN my USING (y)
+        |  CROSS JOIN tot),
+        |hj AS (
+        |  SELECT round(CAST(SUM(CAST((c::DOUBLE / n::DOUBLE)
+        |    * ln(n::DOUBLE / c::DOUBLE) AS DECIMAL(38, 18)))
+        |    AS DOUBLE), 6) AS h_joint
+        |  FROM scored),
+        |mi AS (
+        |  SELECT round(CAST(SUM(CAST(pmi_term AS DECIMAL(38, 18)))
+        |    AS DOUBLE), 6) AS mi_nats
+        |  FROM scored)
+        |SELECT x, y, c, expected, pmi_term, h_x, h_y, h_joint,
+        |  mi_nats,
+        |  CASE WHEN h_x = 0.0 THEN NULL
+        |    ELSE round(mi_nats / h_x, 6) END AS u_x_given_y,
+        |  CASE WHEN h_y = 0.0 THEN NULL
+        |    ELSE round(mi_nats / h_y, 6) END AS u_y_given_x
+        |FROM scored CROSS JOIN hx CROSS JOIN hy CROSS JOIN hj
+        |CROSS JOIN mi
+        |ORDER BY x, y""".stripMargin,
 
     // Replays Events.competingRisksOf: per-user firsts with the
     // pinned tie rule, offset histogram + at-risk cumulative, and the

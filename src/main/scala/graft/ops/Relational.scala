@@ -1405,6 +1405,79 @@ object Relational {
         "mean_price_cents", "eta2_ppm")
       .orderBy("p_brand")
 
+  def mutualInformation(spark: SparkSession, dir: String): DataFrame =
+    mutualInformationOf(Tables(spark, dir, "customer")
+      .select(expr("CAST(c_nationkey AS BIGINT)").as("x"),
+        col("c_mktsegment").as("y")))
+
+  /** Graded q268: MUTUAL INFORMATION of nation × market segment — the
+    * information-theoretic companion to q247's Cramér's V²: V² says
+    * how far from independence on the χ² scale (bounded, comparable
+    * across tables), MI says how many NATS one attribute reveals
+    * about the other — the quantity feature selectors rank by
+    * (Battiti 1994) and the one that adds up over independent
+    * attributes. Per cell: count, expected-independence count
+    * (floored), and the signed PMI contribution (c/N)·ln(c·N/(cₓ·cy))
+    * in nats; repeated per row: the marginal entropies, joint
+    * entropy, MI, and Theil's uncertainty coefficients
+    * U(x|y) = MI/H(x), U(y|x) = MI/H(y) (Theil 1970 — how much of
+    * each attribute the other explains), both as the deterministic
+    * ratio of the two ROUNDED values.
+    *
+    * Oracle parity: the q58/q264 ln discipline — every ln argument is
+    * a correctly-rounded double ratio of exactly-representable
+    * integer products (c·N, cₓ·cy ≪ 2⁵³), terms round 6, sums route
+    * through exact DECIMAL(38,18). Empty cells contribute nothing
+    * (0·ln 0 = 0, and absent cells are absent rows).
+    *
+    * Scale shape: ONE contingency collapse (map-side combinable) to
+    * |x|·|y| cells; marginals re-aggregate the cell table (broadcast
+    * back); every ln runs on cell-table rows — the corpus is scanned
+    * once and never again.
+    */
+  def mutualInformationOf(df: DataFrame): DataFrame = {
+    val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+    val cells = CachedStages.track(df.groupBy("x", "y")
+      .agg(count(lit(1)).as("c")).persist())
+    val mx = cells.groupBy("x").agg(sum(col("c")).as("cx"))
+    val my = cells.groupBy("y").agg(sum(col("c")).as("cy"))
+    val tot = broadcast(cells.agg(sum(col("c")).as("n")))
+    def entropy(marg: DataFrame, cnt: String) = broadcast(
+      marg.crossJoin(tot)
+        .select(round(sum(
+          (col(cnt).cast("double") / col("n").cast("double")) *
+            log(col("n").cast("double") / col(cnt).cast("double")))
+          .cast(dec18).cast("double"), 6).as("h")))
+    val scored = CachedStages.track(cells
+      .join(broadcast(mx), Seq("x"))
+      .join(broadcast(my), Seq("y"))
+      .crossJoin(tot)
+      .withColumn("expected", expr("cx * cy div n"))
+      .withColumn("pmi_term", round(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log((col("c") * col("n")).cast("double") /
+            (col("cx") * col("cy")).cast("double")), 6))
+      .persist())
+    val hxy = broadcast(scored.select(round(sum(
+      (col("c").cast("double") / col("n").cast("double")) *
+        log(col("n").cast("double") / col("c").cast("double")))
+      .cast(dec18).cast("double"), 6).as("h_joint")))
+    val mi = broadcast(scored.select(round(
+      sum(col("pmi_term").cast(dec18)).cast("double"), 6)
+      .as("mi_nats")))
+    scored
+      .crossJoin(entropy(mx, "cx").withColumnRenamed("h", "h_x"))
+      .crossJoin(entropy(my, "cy").withColumnRenamed("h", "h_y"))
+      .crossJoin(hxy).crossJoin(mi)
+      .withColumn("u_x_given_y", expr(
+        "IF(h_x = 0.0D, CAST(NULL AS DOUBLE), round(mi_nats / h_x, 6))"))
+      .withColumn("u_y_given_x", expr(
+        "IF(h_y = 0.0D, CAST(NULL AS DOUBLE), round(mi_nats / h_y, 6))"))
+      .select("x", "y", "c", "expected", "pmi_term", "h_x", "h_y",
+        "h_joint", "mi_nats", "u_x_given_y", "u_y_given_x")
+      .orderBy("x", "y")
+  }
+
   def cramersV(spark: SparkSession, dir: String): DataFrame =
     cramersVOf(Tables(spark, dir, "orders").select(
       col("o_orderpriority").as("priority"),

@@ -5367,6 +5367,74 @@ class QueriesSpec extends SparkSpec {
     assert(got.map(_._2) == got.map(_._2).sorted, got)
     CachedStages.release(spark)
   }
+  test("q268 mutual information: independence exactly 0, perfect " +
+    "dependence MI = H; graded replay") {
+    import spark.implicits._
+    def collect11(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8),
+        if (r.isNullAt(9)) None else Some(r.getDouble(9)),
+        if (r.isNullAt(10)) None else Some(r.getDouble(10)))).toSeq
+    def dec18(d: Double) = BigDecimal(java.math.BigDecimal.valueOf(d))
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+    def r6(d: Double) = java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def replay(rows: Seq[(Long, String)]) = {
+      val cells = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .toMap
+      val n = rows.size.toLong
+      val cx = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cy = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      def h(m: Map[_, Long]) = r6(m.values.map(c =>
+        dec18((c.toDouble / n) * math.log(n.toDouble / c))).sum
+        .toDouble)
+      val hx = h(cx); val hy = h(cy); val hj = h(cells)
+      val terms = cells.toSeq.sortBy(p => (p._1._1, p._1._2)).map {
+        case ((x, y), c) =>
+          (x, y, c, cx(x) * cy(y) / n,
+            r6((c.toDouble / n) * math.log(c.toDouble * n /
+              (cx(x).toDouble * cy(y)))))
+      }
+      val mi = r6(terms.map(t => dec18(t._5)).sum.toDouble)
+      terms.map(t => (t._1, t._2, t._3, t._4, t._5, hx, hy, hj, mi,
+        if (hx == 0.0) None else Some(r6(mi / hx)),
+        if (hy == 0.0) None else Some(r6(mi / hy))))
+    }
+    // independence: p(x,y) = p(x)p(y) in every cell → every PMI term
+    // and MI are exactly 0.0
+    val ind = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+    val gotInd = collect11(Relational.mutualInformationOf(
+      ind.toDF("x", "y")))
+    assert(gotInd == replay(ind), s"$gotInd")
+    gotInd.foreach(r => assert(r._5 == 0.0 && r._9 == 0.0, r))
+    CachedStages.release(spark)
+    // perfect dependence: y determines x → MI = H(x) = H(y) = ln 2,
+    // both uncertainty coefficients exactly 1
+    val dep = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+    val gotDep = collect11(Relational.mutualInformationOf(
+      dep.toDF("x", "y")))
+    assert(gotDep == replay(dep), s"$gotDep")
+    // MI sums the ROUNDED per-cell terms (2 x 0.346574 = 0.693148),
+    // one ulp6 above H's directly-rounded ln 2 = 0.693147 — the
+    // pinned semantics, visible here by construction
+    val d0 = gotDep.head
+    assert(d0._9 == 0.693148 && d0._6 == 0.693147 &&
+      d0._10 == Some(1.000001) && d0._11 == Some(1.000001), d0)
+    CachedStages.release(spark)
+    // graded replay off raw customers (random segments → MI near 0
+    // but the chain is exact either way)
+    val rows = Tables(spark, dir, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val graded = collect11(Relational.mutualInformation(spark, dir))
+    assert(graded == replay(rows), s"${graded.take(2)}")
+    // MI bounds up to per-cell rounding slack: 0 <= MI <= min(H)+eps
+    val g0 = graded.head
+    assert(g0._9 >= -1e-4 && g0._9 <= math.min(g0._6, g0._7) + 1e-4,
+      g0)
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
