@@ -396,6 +396,7 @@ object SparkEntry {
       Similarity.ivfProbeSweep(s, d)),
     "q267_dedup_scaling" -> Dedup.dedupScalingCurve _,
     "q268_mutual_information" -> Relational.mutualInformation _,
+    "q269_source_length_drift" -> RankTests.sourceLengthDrift _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2864,6 +2865,78 @@ object SparkEntry {
         |FROM scored CROSS JOIN hx CROSS JOIN hy CROSS JOIN hj
         |CROSS JOIN mi
         |ORDER BY x, y""".stripMargin,
+
+    // Replays RankTests.sourceLengthDriftOf: the (source, length)
+    // histogram, the sources x global-domain grid, q221's exact
+    // cross-multiplied sup-gap per arm, raw + pinned-Bonferroni
+    // verdicts.
+    "q269_source_length_drift" ->
+      s"""WITH lens AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        |      AS BIGINT) AS v
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |h AS MATERIALIZED (
+        |  SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lens GROUP BY 1, 2),
+        |gv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg
+        |  FROM h GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS m FROM h),
+        |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_a
+        |  FROM h GROUP BY 1),
+        |grid AS (
+        |  SELECT s.source, gv.v, gv.cg, COALESCE(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT source FROM h) s
+        |  CROSS JOIN gv
+        |  LEFT JOIN h ON h.source = s.source AND h.v = gv.v),
+        |diffs AS MATERIALIZED (
+        |  SELECT g.source, g.v, ns.n_a, tot.n_total - ns.n_a AS n_b,
+        |    tot.m,
+        |    abs(SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |        ::HUGEINT * (tot.n_total - ns.n_a)
+        |      - (SUM(g.cg) OVER (PARTITION BY g.source ORDER BY g.v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - SUM(g.c) OVER (PARTITION BY g.source ORDER BY g.v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        ::HUGEINT * ns.n_a) AS adiff
+        |  FROM grid g JOIN ns ON ns.source = g.source
+        |  CROSS JOIN tot),
+        |dm AS (SELECT source, MAX(adiff) AS dm
+        |  FROM diffs GROUP BY 1),
+        |arm AS (
+        |  SELECT d.source, MIN(d.v) AS v_at_max, MAX(d.dm2) AS dm,
+        |    MAX(d.n_a) AS n_a, MAX(d.n_b) AS n_b, MAX(d.m) AS m
+        |  FROM (SELECT diffs.*, dm.dm AS dm2 FROM diffs
+        |        JOIN dm ON dm.source = diffs.source
+        |        WHERE diffs.adiff = dm.dm) d
+        |  GROUP BY 1)
+        |SELECT source, n_a, n_b,
+        |  CAST(dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0)
+        |    AS BIGINT) AS d_ppm,
+        |  v_at_max, m,
+        |  CAST(${RankTests.KsCrit2Micro} AS BIGINT) AS crit2_micro,
+        |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    WHEN (dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0))
+        |        ::HUGEINT
+        |        * (dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0))
+        |        * n_a * n_b
+        |      > ${RankTests.KsCrit2Micro}::HUGEINT * (n_a + n_b)
+        |        * 1000000
+        |      THEN 1 ELSE 0 END AS BIGINT) AS significant_raw,
+        |  CAST(([${RankTests.KsCrit2MicroByM.mkString(",")}])
+        |    [CAST(m AS INT)] AS BIGINT) AS crit2_bonf_micro,
+        |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN NULL
+        |    WHEN (dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0))
+        |        ::HUGEINT
+        |        * (dm * 1000000 // nullif(n_a::HUGEINT * n_b, 0))
+        |        * n_a * n_b
+        |      > (([${RankTests.KsCrit2MicroByM.mkString(",")}])
+        |          [CAST(m AS INT)])::HUGEINT * (n_a + n_b) * 1000000
+        |      THEN 1 ELSE 0 END AS BIGINT) AS significant_bonf
+        |FROM arm
+        |ORDER BY source""".stripMargin,
 
     // Replays Events.competingRisksOf: per-user firsts with the
     // pinned tie rule, offset histogram + at-risk cumulative, and the

@@ -396,6 +396,104 @@ object RankTests {
         col("crit2_micro"), col("significant"))
   }
 
+  /** c(0.05/m)² = −ln(0.025/m)/2 in micro units (HALF_UP) for
+    * m = 1..20 — the Bonferroni-corrected two-sample KS critical
+    * coefficients, pinned like `Chi2Crit95Ppm` so the q269 operator
+    * and its oracle share one table (entry 1 IS `KsCrit2Micro`).
+    */
+  val KsCrit2MicroByM: Seq[Long] = Seq(
+    1844440L, 2191013L, 2393746L, 2537587L, 2649159L, 2740319L,
+    2817395L, 2884160L, 2943052L, 2995732L, 3043387L, 3086893L,
+    3126914L, 3163968L, 3198465L, 3230734L, 3261046L, 3289626L,
+    3316659L, 3342306L)
+
+  def sourceLengthDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceLengthDriftOf(Tables(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("source"),
+        size(expr(TextOps.tokensExpr)).cast("long").as("v")))
+
+  /** Graded q269: SOURCE LENGTH-DRIFT screen — for EVERY source, the
+    * two-sample Kolmogorov–Smirnov test of its document token-count
+    * distribution against the REST of the corpus, with the
+    * familywise Bonferroni verdict beside the raw one. This is the
+    * ingestion gate q221 can't provide alone: q221 compares two
+    * NAMED groups once; a curation pipeline screens ALL sources
+    * every refresh and must control for running |sources| tests —
+    * a source whose length profile drifts (truncation bugs,
+    * boilerplate floods, concatenation accidents) fails here before
+    * it pollutes a mix. D is q221's exact cross-multiplied sup-gap;
+    * the m-corrected critical coefficient comes from the pinned
+    * `KsCrit2MicroByM` table (entry 1 is the shared `KsCrit2Micro`).
+    *
+    * Scale shape: ONE token-length projection collapses to the
+    * (source, length) histogram; the test grid is |sources| × the
+    * GLOBAL length domain (value-domain bounded, never doc-count
+    * sized); the only windows are source-partitioned cumulatives
+    * over that grid; every arm's verdict is one grid-sized pass —
+    * all |sources| tests in ONE plan, no per-source rescan.
+    */
+  def sourceLengthDriftOf(lens: DataFrame): DataFrame = {
+    val h = CachedStages.track(lens.groupBy("source", "v")
+      .agg(count(lit(1)).as("c")).persist())
+    val gv = h.groupBy("v").agg(sum(col("c")).as("cg"))
+    val tot = broadcast(h.agg(sum(col("c")).as("n_total"),
+      countDistinct(col("source")).as("m")))
+    val nS = h.groupBy("source").agg(sum(col("c")).as("n_a"))
+    val grid = h.select("source").distinct()
+      .crossJoin(gv)
+      .join(h, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diffs = CachedStages.track(grid
+      .withColumn("ca", sum(col("c")).over(w))
+      .withColumn("cgc", sum(col("cg")).over(w))
+      .join(broadcast(nS), Seq("source"))
+      .crossJoin(tot)
+      .withColumn("n_b", expr("n_total - n_a"))
+      .withColumn("cb", expr("cgc - ca"))
+      .withColumn("adiff", expr(
+        """abs(CAST(ca AS DECIMAL(38, 0)) * n_b
+          | - CAST(cb AS DECIMAL(38, 0)) * n_a)""".stripMargin))
+      .persist())
+    val dmax = diffs.groupBy("source").agg(max(col("adiff")).as("dm"))
+    diffs.join(broadcast(dmax), Seq("source"))
+      .filter(col("adiff") === col("dm"))
+      .groupBy("source")
+      .agg(min(col("v")).as("v_at_max"), max(col("dm")).as("dm"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("m")).as("m"))
+      .withColumn("d_ppm", expr(
+        """CAST(dm * 1000000
+          | div nullif(CAST(n_a AS DECIMAL(38, 0)) * n_b, 0)
+          | AS BIGINT)""".stripMargin))
+      .withColumn("crit2_micro", lit(KsCrit2Micro))
+      .withColumn("crit2_bonf_micro", expr(
+        s"""CAST(try_element_at(
+           |  array(${KsCrit2MicroByM.mkString(",")}),
+           |  CAST(m AS INT)) AS BIGINT)""".stripMargin))
+      .withColumn("significant_raw", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS BIGINT)
+          |     WHEN CAST(d_ppm AS DECIMAL(38, 0)) * d_ppm * n_a * n_b
+          |       > CAST(crit2_micro AS DECIMAL(38, 0))
+          |         * (n_a + n_b) * 1000000
+          |       THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("significant_bonf", expr(
+        """CASE WHEN n_a = 0 OR n_b = 0 OR crit2_bonf_micro IS NULL
+          |       THEN CAST(NULL AS BIGINT)
+          |     WHEN CAST(d_ppm AS DECIMAL(38, 0)) * d_ppm * n_a * n_b
+          |       > CAST(crit2_bonf_micro AS DECIMAL(38, 0))
+          |         * (n_a + n_b) * 1000000
+          |       THEN CAST(1 AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .select("source", "n_a", "n_b", "d_ppm", "v_at_max", "m",
+        "crit2_micro", "significant_raw", "crit2_bonf_micro",
+        "significant_bonf")
+      .orderBy("source")
+  }
+
   def kendallTau(spark: SparkSession, dir: String): DataFrame =
     kendallTauOfDaily(Events.events(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))

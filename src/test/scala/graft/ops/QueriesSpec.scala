@@ -5435,6 +5435,68 @@ class QueriesSpec extends SparkSpec {
       g0)
     CachedStages.release(spark)
   }
+  test("q269 source length drift: hand case where raw fires but " +
+    "Bonferroni holds; graded replay") {
+    import spark.implicits._
+    def collect10(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getLong(8),
+        if (r.isNullAt(9)) None else Some(r.getLong(9)))).toSeq
+    def replay(lens: Seq[(String, Long)]) = {
+      val srcs = lens.map(_._1).distinct.sorted
+      val m = srcs.size
+      val vs = lens.map(_._2).distinct.sorted
+      val n = lens.size.toLong
+      srcs.map { s =>
+        val na = lens.count(_._1 == s).toLong
+        val nb = n - na
+        val gaps = vs.map { v =>
+          val ca = lens.count(p => p._1 == s && p._2 <= v).toLong
+          val cb = lens.count(p => p._1 != s && p._2 <= v).toLong
+          (v, (BigInt(ca) * nb - BigInt(cb) * na).abs)
+        }
+        val dm = gaps.map(_._2).max
+        val vAt = gaps.filter(_._2 == dm).map(_._1).min
+        val dppm = (dm * 1000000 / (BigInt(na) * nb)).toLong
+        def sig(crit: Long) =
+          if (BigInt(dppm) * dppm * na * nb >
+            BigInt(crit) * (na + nb) * 1000000) 1L else 0L
+        (s, na, nb, dppm, vAt, m.toLong, RankTests.KsCrit2Micro,
+          Some(sig(RankTests.KsCrit2Micro)),
+          RankTests.KsCrit2MicroByM(m - 1),
+          Some(sig(RankTests.KsCrit2MicroByM(m - 1))))
+      }
+    }
+    // D = 0.45 with n = 20 vs 20 sits EXACTLY between the raw
+    // (d > .429) and m=2 Bonferroni (d > .468) thresholds — the
+    // multiple-testing case the screen exists for
+    val fx = (1 to 9).map(i => ("A", s"x$i")) ++
+      (1 to 11).map(i => ("A", s"x$i y z")) ++
+      (1 to 20).map(i => ("B", s"p$i q r"))
+    val lens = fx.map(p => (p._1,
+      "[a-z0-9]+".r.findAllIn(p._2.toLowerCase).size.toLong))
+    val got = collect10(RankTests.sourceLengthDriftOf(
+      fx.map(p => (p._1, p._2)).toDF("source", "text")
+        .selectExpr("source",
+          s"CAST(size(${TextOps.tokensExpr}) AS BIGINT) AS v")))
+    assert(got == replay(lens), s"$got != ${replay(lens)}")
+    got.foreach { r =>
+      assert(r._4 == 450000L && r._5 == 1L, r)
+      assert(r._8 == Some(1L) && r._10 == Some(0L), r)
+    }
+    CachedStages.release(spark)
+    // graded replay off raw documents
+    val gl = Tables(spark, dir, "documents")
+      .filter("doc_id IS NOT NULL")
+      .selectExpr("source",
+        s"CAST(size(${TextOps.tokensExpr}) AS BIGINT) AS v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val graded = collect10(RankTests.sourceLengthDrift(spark, dir))
+    assert(graded == replay(gl), s"${graded.take(2)}")
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
