@@ -397,6 +397,7 @@ object SparkEntry {
     "q267_dedup_scaling" -> Dedup.dedupScalingCurve _,
     "q268_mutual_information" -> Relational.mutualInformation _,
     "q269_source_length_drift" -> RankTests.sourceLengthDrift _,
+    "q270_join_advisor" -> Stats.joinAdvisor _,
   )
 
   /** Chained-CTE replay of one k's peeling (24 rounds — past-fixpoint
@@ -2937,6 +2938,74 @@ object SparkEntry {
         |      THEN 1 ELSE 0 END AS BIGINT) AS significant_bonf
         |FROM arm
         |ORDER BY source""".stripMargin,
+
+    // Replays Stats.joinAdvisor: exact measured bytes under the
+    // pinned width model (fixed-width 8, string length + 4), the
+    // pinned 10 MiB threshold and executor fan-out, the same
+    // strategy pick and bucketing amortization.
+    "q270_join_advisor" ->
+      s"""WITH cust AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(24 + COALESCE(len(c_name), 0) + 4
+        |      + COALESCE(len(c_mktsegment), 0) + 4) AS BIGINT) AS b
+        |  FROM customer),
+        |ord AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(32 + COALESCE(len(o_orderstatus), 0) + 4
+        |      + COALESCE(len(o_orderpriority), 0) + 4) AS BIGINT) AS b
+        |  FROM orders),
+        |li AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(72 + COALESCE(len(l_returnflag), 0) + 4
+        |      + COALESCE(len(l_linestatus), 0) + 4) AS BIGINT) AS b
+        |  FROM lineitem),
+        |prt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(24 + COALESCE(len(p_name), 0) + 4
+        |      + COALESCE(len(p_brand), 0) + 4
+        |      + COALESCE(len(p_type), 0) + 4) AS BIGINT) AS b
+        |  FROM part),
+        |base AS (
+        |  SELECT 'customer_orders' AS join_name, cust.n AS n_left,
+        |    ord.n AS n_right, cust.b AS bytes_left, ord.b AS bytes_right
+        |  FROM cust CROSS JOIN ord
+        |  UNION ALL
+        |  SELECT 'orders_lineitem', ord.n, li.n, ord.b, li.b
+        |  FROM ord CROSS JOIN li
+        |  UNION ALL
+        |  SELECT 'part_lineitem', prt.n, li.n, prt.b, li.b
+        |  FROM prt CROSS JOIN li),
+        |adv AS (
+        |  SELECT base.*, least(bytes_left, bytes_right) AS build_bytes,
+        |    bytes_left + bytes_right AS shuffle_moved
+        |  FROM base),
+        |adv2 AS (
+        |  SELECT adv.*,
+        |    CASE WHEN build_bytes <= ${graft.ops.Stats
+                   .BroadcastThresholdBytes}
+        |      THEN build_bytes * ${graft.ops.Stats.AdvisorExecutors}
+        |      ELSE NULL END AS broadcast_moved
+        |  FROM adv),
+        |adv3 AS (
+        |  SELECT adv2.*,
+        |    CASE WHEN broadcast_moved IS NOT NULL
+        |        AND broadcast_moved < shuffle_moved
+        |      THEN 'broadcast' ELSE 'shuffle' END AS chosen
+        |  FROM adv2),
+        |adv4 AS (
+        |  SELECT adv3.*,
+        |    CASE WHEN chosen = 'broadcast' THEN broadcast_moved
+        |      ELSE shuffle_moved END AS chosen_moved,
+        |    shuffle_moved AS bucket_layout_bytes
+        |  FROM adv3)
+        |SELECT join_name, n_left, n_right, bytes_left, bytes_right,
+        |  build_bytes, shuffle_moved,
+        |  CAST(broadcast_moved AS BIGINT) AS broadcast_moved, chosen,
+        |  chosen_moved,
+        |  bucket_layout_bytes,
+        |  (bucket_layout_bytes + chosen_moved - 1) // chosen_moved
+        |    AS bucket_amortize_runs
+        |FROM adv4 ORDER BY join_name""".stripMargin,
 
     // Replays Events.competingRisksOf: per-user firsts with the
     // pinned tie rule, offset histogram + at-risk cumulative, and the

@@ -5497,6 +5497,56 @@ class QueriesSpec extends SparkSpec {
     assert(graded == replay(gl), s"${graded.take(2)}")
     CachedStages.release(spark)
   }
+  test("q270 join advisor: exact width-model replay; the pick is " +
+    "the argmin; amortization integer-exact") {
+    import org.apache.spark.sql.types.StringType
+    def measured(t: String): (Long, Long) = {
+      val df = Tables(spark, dir, t)
+      val strCols = df.schema.fields.filter(_.dataType == StringType)
+        .map(_.name)
+      val fixed = (df.schema.fields.length - strCols.length) * 8L
+      val rows = df.select(strCols.map(
+        org.apache.spark.sql.functions.col): _*).collect()
+      val bytes = rows.map { r =>
+        fixed + strCols.indices.map(i =>
+          (if (r.isNullAt(i)) 0L else r.getString(i).length.toLong)
+            + 4L).sum
+      }.sum
+      (rows.length.toLong, bytes)
+    }
+    val m = Map("customer" -> measured("customer"),
+      "orders" -> measured("orders"),
+      "lineitem" -> measured("lineitem"),
+      "part" -> measured("part"))
+    val joins = Seq(("customer_orders", "customer", "orders"),
+      ("orders_lineitem", "orders", "lineitem"),
+      ("part_lineitem", "part", "lineitem"))
+    val expect = joins.map { case (name, lt, rt) =>
+      val (nl, bl) = m(lt); val (nr, br) = m(rt)
+      val build = math.min(bl, br)
+      val shuffle = bl + br
+      val bcast = if (build <= Stats.BroadcastThresholdBytes)
+        Some(build * Stats.AdvisorExecutors) else None
+      val chosen = if (bcast.exists(_ < shuffle)) "broadcast"
+        else "shuffle"
+      val moved = if (chosen == "broadcast") bcast.get else shuffle
+      (name, nl, nr, bl, br, build, shuffle, bcast, chosen, moved,
+        shuffle, (shuffle + moved - 1) / moved)
+    }
+    val got = Stats.joinAdvisor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        r.getString(8), r.getLong(9), r.getLong(10),
+        r.getLong(11))).toSeq
+    assert(got == expect, s"$got != $expect")
+    // the pick is the argmin of the feasible strategies
+    got.foreach { r =>
+      assert(r._10 == math.min(r._7, r._8.getOrElse(Long.MaxValue)), r)
+      assert(r._12 >= 1L, r)
+    }
+    CachedStages.release(spark)
+  }
   test("q224 calibration: hand bands incl. tie-combo, ECE exact; " +
     "graded replay") {
     import spark.implicits._
