@@ -97,7 +97,14 @@ object Bench {
       // dominate the reported total. The per-query sample count is
       // recorded in the emitted JSON so cross-round comparisons know
       // which statistic (min-of-2 vs min-of-3) each number is.
-      if (times.forall(_ >= 0) && times.min > 3.0) times = times :+ timed()
+      // q254 is pinned into the min-of-3 set: its round-14 same-day
+      // spread (2.21 s close vs 4.06 s second run) was the widest of
+      // any query yet sat just under the 3 s auto-trigger — the
+      // threshold alone can't stabilize a query whose FAST runs dip
+      // below it.
+      val alwaysMinOf3 = Set("q254_lagged_spearman")
+      if (times.forall(_ >= 0) &&
+          (times.min > 3.0 || alwaysMinOf3(name))) times = times :+ timed()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min, times.size)
     }.toMap
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
@@ -122,6 +129,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // Same trade measured for HITS: q120 with the per-half-round score
+    // join shuffle-hashed against the pre-partitioned incidence copies
+    // instead of broadcast — the mode a cluster needs once the
+    // |customers|-sized hub vector outgrows a broadcast build.
+    val hitsVariantSec = {
+      cleanup()
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.Graph.purchaseHitsShuffle(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
     // The driver tail-captures only the LAST ~1.9KB of stdout (every
     // archived BENCH_r*.json is a ~2KB "tail" string), so the full
     // per-query dict above (~3KB) can never survive it. The lines below
@@ -138,6 +157,7 @@ object Bench {
       .map("\"" + short(_) + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
     println(s"""{"metric":"variant","name":"q69_shuffle_ranks","value":${r3(variantSec)},"unit":"sec"}""")
+    println(s"""{"metric":"variant","name":"q120_shuffle_scores","value":${r3(hitsVariantSec)},"unit":"sec"}""")
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
     // Self-contained round record (round-13 fix for the BENCH_r12
     // truncation): the FULL-KEY per-query times map, sample counts, the
@@ -153,6 +173,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
          |"n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},
          |"variant_q69_shuffle_ranks":${r3(variantSec)},
+         |"variant_q120_shuffle_scores":${r3(hitsVariantSec)},
          |"samples":$fullNs,
          |"queries":$fullQs}
          |""".stripMargin

@@ -499,16 +499,49 @@ object Graph {
       kTop: Int = 20): DataFrame =
     purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop)
 
+  /** q120 with the per-half-round score join SHUFFLED instead of
+    * broadcast — the strategy a 1000-executor cluster needs once a
+    * score vector (|customers| rows on the hub side) outgrows a
+    * broadcast build. Exactly q69's `copurchasePagerankShuffle`
+    * escape hatch, applied to HITS: ScaleSpec plan-asserts the mode,
+    * Bench records its measured cost alongside q120's so the switch
+    * point is a known trade. Same answer by construction — the
+    * integer arithmetic is reduction-order-free.
+    */
+  def purchaseHitsShuffle(spark: SparkSession, dir: String, iters: Int = 3,
+      kTop: Int = 20): DataFrame =
+    purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop,
+      broadcastScores = false)
+
   /** One HITS half-round over an oriented incidence copy: sum the
-    * BROADCAST score vector over `joinKey`'s in-edges into `outKey`
-    * rows (map-side-combined), then max-normalize — the decimal(38)
+    * score vector over `joinKey`'s in-edges into `outKey` rows
+    * (map-side-combined), then max-normalize — the decimal(38)
     * product cannot overflow at any graph size. Split out so ScaleSpec
     * can plan-audit the join strategy (the loop's localCheckpoint hides
     * it from the final frame's plan, exactly as for `pagerankRound`).
+    *
+    * `broadcastScores` picks the score-join strategy, mirroring
+    * `pagerankRound`:
+    *  - `true` (default, graded scale): the ≤|side| score vector is
+    *    broadcast to the stationary incidence copy — zero per-round
+    *    shuffle of either side.
+    *  - `false` (the 100 TB mode): SHUFFLE_HASH pinned explicitly —
+    *    the persisted incidence copy is partitioned by `joinKey` but
+    *    NOT sorted, so a merge join would re-sort the 100-TB side
+    *    every half-round, and without the hint small-stat score
+    *    vectors would be silently re-broadcast, un-testing the very
+    *    path this mode exists to exercise. The incidence side's
+    *    in-memory scan keeps its outputPartitioning, so only the
+    *    |side|-row score vector exchanges per half-round — never the
+    *    incidence table (plan-asserted in ScaleSpec). The 1-row max
+    *    stays a broadcast at any scale.
     */
   private[ops] def hitsHalfRound(oriented: DataFrame, scores: DataFrame,
-      joinKey: String, outKey: String): DataFrame = {
-    val raw = oriented.join(broadcast(scores), Seq(joinKey))
+      joinKey: String, outKey: String,
+      broadcastScores: Boolean = true): DataFrame = {
+    val scoreSide =
+      if (broadcastScores) broadcast(scores) else scores.hint("shuffle_hash")
+    val raw = oriented.join(scoreSide, Seq(joinKey))
       .groupBy(outKey).agg(sum(col("score")).as("raw"))
     val mx = raw.agg(max(col("raw")).as("mx"))
     raw.crossJoin(broadcast(mx))
@@ -518,7 +551,8 @@ object Graph {
   }
 
   /** Core of `purchaseHits` over any `(cust, part)` incidence frame. */
-  def purchaseHitsOf(e: DataFrame, iters: Int, kTop: Int): DataFrame = {
+  def purchaseHitsOf(e: DataFrame, iters: Int, kTop: Int,
+      broadcastScores: Boolean = true): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val eCust = CachedStages.track(e.repartition(col("cust")).persist())
     val ePart = CachedStages.track(e.repartition(col("part")).persist())
@@ -528,8 +562,10 @@ object Graph {
       .localCheckpoint()
     var auths: DataFrame = null
     for (_ <- 1 to iters) {
-      auths = hitsHalfRound(eCust, hubs, "cust", "part").localCheckpoint()
-      hubs = hitsHalfRound(ePart, auths, "part", "cust").localCheckpoint()
+      auths = hitsHalfRound(eCust, hubs, "cust", "part", broadcastScores)
+        .localCheckpoint()
+      hubs = hitsHalfRound(ePart, auths, "part", "cust", broadcastScores)
+        .localCheckpoint()
     }
 
     // TakeOrdered cut per side; the rank window runs over the ≤ kTop

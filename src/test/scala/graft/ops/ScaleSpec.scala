@@ -614,6 +614,57 @@ class ScaleSpec extends SparkSpec {
     CachedStages.release(spark)
   }
 
+  test("hits scale mode: identical scores, incidence side reuses its persisted partitioning") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sess = spark
+    import sess.implicits._
+    // small bipartite incidence with shared parts and skewed baskets
+    val e = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 13L),
+      (3L, 11L), (3L, 12L), (3L, 13L), (4L, 10L), (4L, 12L))
+      .toDF("cust", "part")
+    // both modes, same integer arithmetic -> bit-identical top lists
+    val b = Graph.purchaseHitsOf(e, 3, 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val s = Graph.purchaseHitsOf(e, 3, 20, broadcastScores = false)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(b.toSeq == s.toSeq,
+      s"scale mode diverged:\nbroadcast=${b.toSeq}\nshuffle=${s.toSeq}")
+    CachedStages.release(spark)
+    // plan-audit one half-round directly in each mode (the loop's
+    // localCheckpoint hides the join from the final frame's plan)
+    val eCust = e.repartition(col("cust")).persist()
+    eCust.count()
+    val hubs = eCust.select("cust").distinct()
+      .select(col("cust"), lit(1000000000L).as("score")).localCheckpoint()
+    // broadcast mode: the score join is a broadcast-hash join
+    val bRound = Graph.hitsHalfRound(eCust, hubs, "cust", "part")
+    assert(bRound.queryExecution.sparkPlan.collect {
+      case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "default mode must broadcast the score vector\n" +
+        bRound.queryExecution.sparkPlan.toString.take(3000))
+    // scale mode: shuffle-hash score join; the incidence side is the
+    // persisted scan with NO Exchange above it — only the score
+    // vector exchanges per half-round
+    val sRound = Graph.hitsHalfRound(eCust, hubs, "cust", "part",
+      broadcastScores = false)
+    val shj = sRound.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "scale mode must pin a shuffle-hash score join\n" +
+      sRound.queryExecution.sparkPlan.toString.take(3000))
+    val incSides = shj.flatMap(_.children).filter(c =>
+      c.collect { case t: InMemoryTableScanExec => t }.nonEmpty)
+    assert(incSides.nonEmpty, "score join must read the persisted incidence")
+    assert(incSides.forall(c =>
+      c.collect { case ex: ShuffleExchangeExec => ex }.isEmpty),
+      "incidence side must reuse the persisted cust partitioning, not re-exchange")
+    eCust.unpersist()
+    CachedStages.release(spark)
+  }
+
   test("q84 plan: anchors broadcast; corpus never exchanges before the rank window") {
     val negs = Similarity.hardNegatives(spark, dir, 5)
     val plan = negs.queryExecution.executedPlan.toString
