@@ -1,26 +1,89 @@
 #!/usr/bin/env python3
 """Render the >=1s slice of bench_times.json against a prior round's
-sidecar as a markdown table (the VERDICT r12 #7 record)."""
+sidecar as a markdown table (the VERDICT r12 #7 record), with:
+
+- a DIAGNOSTIC TIER split (VERDICT r14 #5): q233/q210 are exact
+  all-pairs evaluation references whose 100 TB paths are the graded
+  twins q251/q257 — they stay correctness-graded and timed, but in a
+  separate section so the headline s/q tracks shipping plans.
+- a PER-QUERY REGRESSION GUARD (VERDICT r14 #3): any shared query
+  >1.5x its prior-round sidecar time is flagged loudly and the script
+  exits 1, so a q239-style regression cannot ship unnoticed behind a
+  green total. Run order in the close: bench -> bench_table -> commit;
+  a nonzero exit means triage (fresh-JVM re-time per the verify skill)
+  before closing.
+"""
 import json
 import sys
+
+# Exact all-pairs diagnostics kept deliberately as evaluation references;
+# their scale twins (q251 hub-capped wedges, q257 hash-sampled hubness)
+# are the shipping plans. Still graded, still timed — reported apart.
+DIAGNOSTIC = {"q233_link_prediction", "q210_knn_hubness"}
+REGRESSION_FACTOR = 1.5
+# Noise floors: sub-1.5s queries routinely swing 2x with GC/eviction
+# luck on this box (measured across the two same-day r14 runs), so the
+# ratio alone would flag ~20 phantom regressions per close. A real
+# q239-class regression (1.86s -> 3.79s) clears both floors easily.
+MIN_CUR_SEC = 1.5
+MIN_DELTA_SEC = 1.0
 
 cur = json.load(open(sys.argv[1]))
 prev = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else {}
 cq = cur.get("queries", {})
 pq = prev.get("queries", {})
-rows = sorted(((v, k) for k, v in cq.items() if v >= 1.0), reverse=True)
-print("| query | r13 sec | prior sec | delta |")
-print("|---|---|---|---|")
-for v, k in rows:
-    p = pq.get(k)
-    if p is not None and p > 0:
-        print(f"| {k} | {v:.2f} | {p:.2f} | {v - p:+.2f} |")
-    else:
-        print(f"| {k} | {v:.2f} | new | — |")
-shared = [(k, cq[k], pq[k]) for k in cq if k in pq and cq[k] > 0 and pq[k] > 0]
-if shared:
-    st = sum(c for _, c, _ in shared)
-    sp = sum(p for _, _, p in shared)
-    print(f"\nShared-query subtotal: {sp:.1f}s -> {st:.1f}s "
-          f"({(st - sp) / sp * 100:+.1f}%) over {len(shared)} queries; "
-          f"total {cur.get('value', 0):.1f}s over {len(cq)} queries.")
+
+
+def render(keys, title):
+    rows = sorted(((cq[k], k) for k in keys if cq[k] >= 1.0), reverse=True)
+    if not rows:
+        return
+    print(f"\n## {title}\n")
+    print("| query | sec | prior sec | delta |")
+    print("|---|---|---|---|")
+    for v, k in rows:
+        p = pq.get(k)
+        if p is not None and p > 0:
+            print(f"| {k} | {v:.2f} | {p:.2f} | {v - p:+.2f} |")
+        else:
+            print(f"| {k} | {v:.2f} | new | — |")
+
+
+shipping = [k for k in cq if k not in DIAGNOSTIC]
+render(shipping, "Shipping tier (>=1s)")
+render([k for k in cq if k in DIAGNOSTIC],
+       "Diagnostic tier (exact evaluation references; scale twins q251/q257 ship)")
+
+
+def subtotal(keys, label):
+    shared = [(k, cq[k], pq[k]) for k in keys
+              if k in pq and cq[k] > 0 and pq[k] > 0]
+    tot = sum(cq[k] for k in keys if cq[k] > 0)
+    line = f"{label}: total {tot:.1f}s over {len(keys)} queries"
+    if shared:
+        st = sum(c for _, c, _ in shared)
+        sp = sum(p for _, _, p in shared)
+        line += (f"; shared-query subtotal {sp:.1f}s -> {st:.1f}s "
+                 f"({(st - sp) / sp * 100:+.1f}%) over {len(shared)} queries")
+    print("\n" + line + ".")
+
+
+subtotal(shipping, "Shipping tier")
+subtotal([k for k in cq if k in DIAGNOSTIC], "Diagnostic tier")
+print(f"\nAll-queries total: {cur.get('value', 0):.1f}s over {len(cq)} queries.")
+
+# --- regression guard ---
+flags = [(k, cq[k], pq[k]) for k in cq
+         if k in pq and pq[k] > 0 and cq[k] > 0
+         and cq[k] > REGRESSION_FACTOR * pq[k]
+         and cq[k] >= MIN_CUR_SEC and cq[k] - pq[k] >= MIN_DELTA_SEC]
+if flags:
+    print(f"\n## REGRESSION GUARD: {len(flags)} shared quer"
+          f"{'y' if len(flags) == 1 else 'ies'} >"
+          f"{REGRESSION_FACTOR}x prior sidecar\n")
+    for k, c, p in sorted(flags, key=lambda t: t[1] / t[2], reverse=True):
+        print(f"- **{k}**: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x) — fresh-JVM "
+              f"re-time before closing (see .claude/skills/verify/SKILL.md)")
+    sys.exit(1)
+print("\nRegression guard: clean "
+      f"(no shared query >{REGRESSION_FACTOR}x prior).")
