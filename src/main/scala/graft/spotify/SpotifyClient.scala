@@ -105,6 +105,22 @@ final class SpotifyClient(transport: SpotifyTransport) {
         .getOrElse(Seq.empty)
     }
 
+  /** The reference's LITERAL S3 semantics (`extract.py:130-136`): ONE
+    * request, ids beyond the first 100 silently dropped (the Python
+    * logs a warning and slices `track_ids[:100]`). Kept as the
+    * documented parity seam beside the batched [[getAudioFeatures]]
+    * shipping path — a reference user migrating byte-for-byte behavior
+    * (features missing for tracks past 100, which the downstream
+    * null-feature filter then removes) gets it here; the DSv2
+    * connector's ≤100-per-partition contract is the scale
+    * generalization under which truncation never triggers.
+    */
+  def getAudioFeaturesTruncated(trackIds: Seq[String]): Seq[JsonNode] =
+    parse(transport.get("/audio-features",
+        Map("ids" -> trackIds.take(100).mkString(","))))
+      .map(_.path("audio_features").elements.asScala.toSeq)
+      .getOrElse(Seq.empty)
+
   /** S4: `/albums/{id}/tracks`, limit 50 (`extract.py:144-159`). */
   def getTracksFromAlbum(albumId: String): Seq[JsonNode] =
     parse(transport.get(s"/albums/$albumId/tracks", Map("limit" -> "50")))

@@ -205,6 +205,30 @@ class ConnectorSpec extends SparkSpec {
     assert(afCalls.map(_._2("ids").split(",").length).sorted == Seq(30, 100, 100))
   }
 
+  test("audio-features >100 ids: batched client fetches ALL; the reference-literal seam truncates silently") {
+    calls.clear()
+    val ids = (1 to 230).map(i => s"t$i")
+    val client = new graft.spotify.SpotifyClient(
+      EchoFeaturesSpec().create())
+    // shipping path: grouped(100) covers every id in ceil(230/100) calls
+    val batched = client.getAudioFeatures(ids)
+      .filter(f => !f.isNull && !f.isMissingNode)
+      .map(_.path("id").asText)
+    assert(batched.toSet == ids.toSet)
+    assert(calls.asScala.count(_._1 == "/audio-features") == 3)
+    // reference-literal path (extract.py:130-136): ONE call, exactly the
+    // FIRST 100 ids, the rest silently dropped — the downstream
+    // null-feature filter is what removes those tracks in the reference
+    calls.clear()
+    val truncated = client.getAudioFeaturesTruncated(ids)
+      .filter(f => !f.isNull && !f.isMissingNode)
+      .map(_.path("id").asText)
+    assert(truncated == ids.take(100))
+    val tCalls = calls.asScala.filter(_._1 == "/audio-features").toSeq
+    assert(tCalls.size == 1)
+    assert(tCalls.head._2("ids").split(",").toSeq == ids.take(100))
+  }
+
   test("connector path agrees with the client→raw→Transforms parity path") {
     // the PipelineSpec fixture, served both ways
     val releases = releasesBody(Seq("a1" -> 3, "a2" -> 5))
