@@ -141,6 +141,26 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // ...and for the remaining two iterative loops: q86 LPA (the label
+    // vector is exactly |nodes| rows — the first to outgrow a
+    // broadcast) and q90 personalized PageRank (sparse, but approaches
+    // |nodes| on well-connected graphs within two rounds).
+    val lpaVariantSec = {
+      cleanup()
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.Graph.copurchaseCommunitiesShuffle(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    val pprVariantSec = {
+      cleanup()
+      val t0 = System.nanoTime()
+      try {
+        graft.ops.Graph.seededPagerankShuffle(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
     // The driver tail-captures only the LAST ~1.9KB of stdout (every
     // archived BENCH_r*.json is a ~2KB "tail" string), so the full
     // per-query dict above (~3KB) can never survive it. The lines below
@@ -158,6 +178,8 @@ object Bench {
     println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
     println(s"""{"metric":"variant","name":"q69_shuffle_ranks","value":${r3(variantSec)},"unit":"sec"}""")
     println(s"""{"metric":"variant","name":"q120_shuffle_scores","value":${r3(hitsVariantSec)},"unit":"sec"}""")
+    println(s"""{"metric":"variant","name":"q86_shuffle_labels","value":${r3(lpaVariantSec)},"unit":"sec"}""")
+    println(s"""{"metric":"variant","name":"q90_shuffle_ranks","value":${r3(pprVariantSec)},"unit":"sec"}""")
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
     // Self-contained round record (round-13 fix for the BENCH_r12
     // truncation): the FULL-KEY per-query times map, sample counts, the
@@ -174,6 +196,8 @@ object Bench {
          |"n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},
          |"variant_q69_shuffle_ranks":${r3(variantSec)},
          |"variant_q120_shuffle_scores":${r3(hitsVariantSec)},
+         |"variant_q86_shuffle_labels":${r3(lpaVariantSec)},
+         |"variant_q90_shuffle_ranks":${r3(pprVariantSec)},
          |"samples":$fullNs,
          |"queries":$fullQs}
          |""".stripMargin

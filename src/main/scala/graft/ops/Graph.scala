@@ -273,29 +273,71 @@ object Graph {
       .orderBy("part_id")
   }
 
+  /** q86 with the per-round label join SHUFFLED instead of broadcast —
+    * the q69/q120 escape hatch for LPA, whose label vector is exactly
+    * |nodes| rows every round and so outgrows a broadcast first among
+    * the iterative ops. Same answer by construction (the argmax is
+    * reduction-order-free).
+    */
+  def copurchaseCommunitiesShuffle(spark: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    labelPropagation(copurchaseEdges(orderParts(spark, dir)), iters,
+        broadcastLabels = false)
+      .select(col("id").as("part_id"), col("community"))
+      .orderBy("part_id")
+  }
+
   /** Core synchronous LPA over a DIRECTED edge list that must already
     * contain both directions of every undirected edge (as the
     * co-purchase build does). Returns `(id, community)`.
+    *
+    * `broadcastLabels` picks the per-round join strategy AND the
+    * stationary edge partitioning, because the optimal layout differs:
+    *  - `true` (default, graded scale): edges persisted partitioned by
+    *    `dst` — the broadcast label join adds no exchange, and
+    *    HashPartitioning(dst) already satisfies the `(dst, lbl)` and
+    *    `dst` groupBys' clustering, so a whole LPA round runs with ZERO
+    *    exchanges.
+    *  - `false` (the 100 TB mode): edges persisted partitioned by
+    *    `src` — the SHUFFLE_HASH label join (hint pinned for the
+    *    pagerankRound reasons) reuses it exchange-free, and the round
+    *    pays one |edges|-row exchange into the `(dst, lbl)` aggregation
+    *    (map-side-combined). That exchange is the unavoidable price of
+    *    not broadcasting; the stationary side still never re-shuffles
+    *    for the JOIN (plan-asserted in ScaleSpec).
     */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
+    val part = if (broadcastLabels) col("dst") else col("src")
     val edgesCached = CachedStages.track(
-      edges.repartition(col("dst")).persist())
+      edges.repartition(part).persist())
     var labels = edgesCached.select(col("dst").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     for (_ <- 1 to iters) {
-      labels = edgesCached
-        .join(broadcast(labels), col("src") === col("id"))
-        .groupBy(col("dst"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        // argmax by (cnt, -lbl): most frequent neighbor label, smallest
-        // label on ties — one partial-aggregable max, no window
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
-        .select(col("dst").as("id"), (-col("best.neg")).as("lbl"))
+      labels = lpaRound(edgesCached, labels, broadcastLabels)
         .localCheckpoint()
     }
     labels.select(col("id"), col("lbl").as("community"))
+  }
+
+  /** One LPA round — extracted so ScaleSpec can plan-audit the
+    * per-round join strategy directly (the loop's localCheckpoint hides
+    * it from the final frame's plan, exactly as for `pagerankRound`).
+    */
+  private[ops] def lpaRound(edgesCached: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean): DataFrame = {
+    val labelSide =
+      if (broadcastLabels) broadcast(labels) else labels.hint("shuffle_hash")
+    edgesCached
+      .join(labelSide, col("src") === col("id"))
+      .groupBy(col("dst"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      // argmax by (cnt, -lbl): most frequent neighbor label, smallest
+      // label on ties — one partial-aggregable max, no window
+      .groupBy(col("dst"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("best"))
+      .select(col("dst").as("id"), (-col("best.neg")).as("lbl"))
   }
 
   /** Graded q90: PERSONALIZED PageRank from a quality seed set
@@ -327,6 +369,27 @@ object Graph {
       .orderBy(col("rank_fp").desc, col("part_id").asc)
   }
 
+  /** q90 with the per-round rank join SHUFFLED instead of broadcast —
+    * q69/q120's documented escape hatch applied to the personalized
+    * walk. The sparse rank frame usually stays seed-neighborhood-sized,
+    * but on a well-connected 100 TB graph it approaches |nodes| within
+    * two rounds, and a broadcast build of it fails exactly like the
+    * global-rank case. Same answer by construction.
+    */
+  def seededPagerankShuffle(spark: SparkSession, dir: String,
+      iters: Int = 5): DataFrame = {
+    val li = orderParts(spark, dir)
+    val edges = copurchaseEdges(li)
+    val seeds = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k"))
+      .join(li, "k").select(col("p").as("id")).distinct()
+      .join(edges.select(col("src").as("id")).distinct(), "id")
+    personalizedPagerank(edges, seeds, iters, broadcastRanks = false)
+      .select(col("id").as("part_id"), col("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("part_id").asc)
+  }
+
   /** Core personalized PageRank: like [[pagerank]] but the teleport
     * vector is uniform over `seeds(id)` instead of all nodes. Returns
     * only nodes with nonzero rank.
@@ -339,7 +402,7 @@ object Graph {
     * construction).
     */
   def personalizedPagerank(edges: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val edgesDeg = CachedStages.track(
@@ -354,20 +417,36 @@ object Graph {
     var ranks = seedIds.select(col("id"),
       lit(RankScale / nSeeds).as("rank_fp")).localCheckpoint()
     for (_ <- 1 to iters) {
-      val damped = edgesDeg
-        .join(broadcast(ranks), col("src") === col("id"))
-        .select(col("dst"), expr("rank_fp div deg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("mass"))
-        .select(col("dst").as("id"), expr("17 * mass div 20").as("rank_fp"))
-      ranks = damped.unionByName(teleportRows)
-        .groupBy("id").agg(sum(col("rank_fp")).as("rank_fp"))
-        // keep the frame literally sparse: a node whose damped mass
-        // floors to zero is indistinguishable from unreachable
-        .filter(col("rank_fp") =!= 0L)
+      ranks = pprRound(edgesDeg, teleportRows, ranks, broadcastRanks)
         .localCheckpoint()
     }
     ranks
+  }
+
+  /** One personalized-PageRank iteration — extracted so ScaleSpec can
+    * plan-audit the per-round join strategy directly, exactly as for
+    * `pagerankRound`. `broadcastRanks=false` pins SHUFFLE_HASH (same
+    * rationale as `pagerankRound`: the persisted edge side is
+    * partitioned-not-sorted, and without the hint a small-stat rank
+    * vector would silently re-broadcast); the edge side's in-memory
+    * scan keeps its `src` outputPartitioning, so only the sparse rank
+    * frame exchanges per round.
+    */
+  private[ops] def pprRound(edgesDeg: DataFrame, teleportRows: DataFrame,
+      ranks: DataFrame, broadcastRanks: Boolean): DataFrame = {
+    val rankSide =
+      if (broadcastRanks) broadcast(ranks) else ranks.hint("shuffle_hash")
+    val damped = edgesDeg
+      .join(rankSide, col("src") === col("id"))
+      .select(col("dst"), expr("rank_fp div deg").as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("mass"))
+      .select(col("dst").as("id"), expr("17 * mass div 20").as("rank_fp"))
+    damped.unionByName(teleportRows)
+      .groupBy("id").agg(sum(col("rank_fp")).as("rank_fp"))
+      // keep the frame literally sparse: a node whose damped mass
+      // floors to zero is indistinguishable from unreachable
+      .filter(col("rank_fp") =!= 0L)
   }
 
   /** Core PageRank over any directed `(src, dst)` edge list in which

@@ -665,6 +665,83 @@ class ScaleSpec extends SparkSpec {
     CachedStages.release(spark)
   }
 
+  test("lpa scale mode: identical communities, edge side reuses its persisted partitioning") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sess = spark
+    import sess.implicits._
+    // two communities bridged by one edge, symmetrized
+    val raw = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val b = Graph.labelPropagation(edges, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Graph.labelPropagation(edges, 3, broadcastLabels = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == s, s"scale mode diverged: broadcast=$b shuffle=$s")
+    CachedStages.release(spark)
+    // plan-audit one round in scale mode: shuffle-hash label join whose
+    // edge side is the persisted src-partitioned scan, exchange-free
+    val edgesCached = edges.repartition(col("src")).persist()
+    edgesCached.count()
+    val labels = edgesCached.select(col("dst").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val round = Graph.lpaRound(edgesCached, labels, broadcastLabels = false)
+    val shj = round.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "scale mode must pin a shuffle-hash label join\n" +
+      round.queryExecution.sparkPlan.toString.take(3000))
+    val edgeSides = shj.flatMap(_.children).filter(c =>
+      c.collect { case t: InMemoryTableScanExec => t }.nonEmpty)
+    assert(edgeSides.nonEmpty, "label join must read the persisted edges")
+    assert(edgeSides.forall(c =>
+      c.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      "edge side must reuse the persisted src partitioning, not re-exchange")
+    edgesCached.unpersist()
+    CachedStages.release(spark)
+  }
+
+  test("ppr scale mode: identical ranks, edge side reuses its persisted partitioning") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val sess = spark
+    import sess.implicits._
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 3L),
+      (4L, 5L), (5L, 4L))
+    val edges = raw.toDF("src", "dst")
+    val seeds = Seq(1L, 4L).toDF("id")
+    val b = Graph.personalizedPagerank(edges, seeds, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Graph.personalizedPagerank(edges, seeds, 3,
+      broadcastRanks = false).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(b == s, s"scale mode diverged: broadcast=$b shuffle=$s")
+    CachedStages.release(spark)
+    // plan-audit one round in scale mode
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesDeg = edges.join(deg, "src").repartition(col("src")).persist()
+    edgesDeg.count()
+    val teleportRows = seeds.select(col("id"), lit(7L).as("rank_fp"))
+    val ranks = seeds.select(col("id"), lit(1000000L).as("rank_fp"))
+      .localCheckpoint()
+    val round = Graph.pprRound(edgesDeg, teleportRows, ranks,
+      broadcastRanks = false)
+    val shj = round.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec => j }
+    assert(shj.nonEmpty, "scale mode must pin a shuffle-hash rank join\n" +
+      round.queryExecution.sparkPlan.toString.take(3000))
+    val edgeSides = shj.flatMap(_.children).filter(c =>
+      c.collect { case t: InMemoryTableScanExec => t }.nonEmpty)
+    assert(edgeSides.nonEmpty, "rank join must read the persisted edges")
+    assert(edgeSides.forall(c =>
+      c.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+      "edge side must reuse the persisted src partitioning, not re-exchange")
+    edgesDeg.unpersist()
+    CachedStages.release(spark)
+  }
+
   test("q84 plan: anchors broadcast; corpus never exchanges before the rank window") {
     val negs = Similarity.hardNegatives(spark, dir, 5)
     val plan = negs.queryExecution.executedPlan.toString
