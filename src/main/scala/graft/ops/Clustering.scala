@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   *    sequential fold of q23 — both engines add the same doubles in the
   *    same order.
   *
-  * Scale shape: each assignment is one broadcast of k centroid rows
-  * against a streaming corpus scan (no shuffle), and each update is one
-  * partial-aggregable groupBy of k*64 groups. The driver loop runs
+  * Scale shape: each assignment is one codegen'd argmin projection
+  * over a streaming corpus scan — the k×64-double centroid model is
+  * collected to the driver (the documented bounded-collect class) and
+  * embedded as literals, so assignment moves ZERO rows (the earlier
+  * crossJoin + per-vector ROW_NUMBER exchanged and sorted corpus×k
+  * rows per round) — and each update is one partial-aggregable
+  * groupBy of k*64 groups. The driver loop runs
   * O(iters) tiny jobs and localCheckpoints each round's centroids —
   * iterative lineage otherwise nests every prior round into the plan
   * (see Dedup.connectedComponents). exact=true carries per-group sorted
@@ -41,6 +45,48 @@ object Clustering {
        |  (acc, i) -> acc + (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i))
        |                  * (CAST(element_at($vCol, i) AS DOUBLE) - element_at(c, i)))"""
       .stripMargin
+
+  /** The same sequential squared-L2 fold against a LITERAL centroid —
+    * term-for-term the expression tree of [[distExpr]] with
+    * `element_at(c, i)` reading an embedded double array instead of a
+    * joined column, so the resulting double is bit-identical.
+    */
+  private def litDist(vCol: String, c: Seq[Double]): org.apache.spark.sql.Column = {
+    val cArr = array(c.map(lit): _*)
+    aggregate(sequence(lit(1), lit(64)), lit(0.0),
+      (acc, i) => {
+        val d = element_at(col(vCol), i).cast("double") - element_at(cArr, i)
+        acc + d * d
+      })
+  }
+
+  /** Nearest-centroid assignment with ZERO shuffle: the centroid table
+    * is collected to the driver — k×64 doubles, the canonical bounded
+    * model artifact (the documented `Importance.leanBucketSet` collect
+    * class) — and the argmin becomes ONE codegen'd expression per
+    * corpus row: `array_min` over k `(dist, cluster)` structs, whose
+    * struct ordering (dist ASC, cluster ASC) is exactly the
+    * `row_number()` tie-break it replaces, so assignments are
+    * bit-identical. The crossJoin+window shape this supersedes
+    * exchanged AND sorted corpus×k rows per call — a named scale-killer
+    * at 100 TB, where assignment should be embarrassingly parallel.
+    * Adds `cluster` and `dist` to `df`; every other column rides along
+    * untouched (no join, no re-partitioning).
+    */
+  private[ops] def assignNearest(df: DataFrame, vCol: String,
+      cents: DataFrame): DataFrame = {
+    val cs = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cs.nonEmpty, "empty centroid table")
+    val candidates = cs.map { case (cid, c) =>
+      struct(litDist(vCol, c).as("dist"), lit(cid).as("cluster"))
+    }
+    df.withColumn("best", array_min(array(candidates.toIndexedSeq: _*)))
+      .withColumn("cluster", col("best.cluster"))
+      .withColumn("dist", col("best.dist"))
+      .drop("best")
+  }
 
   def kmeans(spark: SparkSession, dir: String, k: Int = 4, iters: Int = 3,
       exact: Boolean = true): DataFrame =
@@ -64,12 +110,10 @@ object Clustering {
       .select(col("vec_id").as("cluster"),
         expr("transform(v, x -> CAST(x AS DOUBLE))").as("c"))
       .localCheckpoint()
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("dist").asc, col("cluster").asc)
-    def assign(): DataFrame = vecs.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(distExpr("v")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // assignment is shuffle-FREE: argmin over driver-collected literal
+    // centroids (see assignNearest) — the corpus streams through one
+    // codegen'd projection per Lloyd round
+    def assign(): DataFrame = assignNearest(vecs, "v", cents)
       .select("vec_id", "v", "cluster", "dist")
       .localCheckpoint()
     var assigned = assign()
@@ -185,10 +229,10 @@ object Clustering {
     * convention. Output: (vec_id, cluster, is_dup) for the full corpus.
     *
     * Production shape, end to end: the index is TRAINED on the base
-    * table (`kmeansModel` — broadcast-assign + tiny groupBy per Lloyd
-    * round), then the augmented corpus is assigned against the frozen
-    * centroids in ONE broadcast pass (k rows against a streaming scan,
-    * no shuffle), and only cluster-mates are compared. The all-pairs
+    * table (`kmeansModel` — literal-argmin assign + tiny groupBy per
+    * Lloyd round), then the augmented corpus is assigned against the
+    * frozen centroids in ONE shuffle-free projection pass
+    * (`assignNearest`), and only cluster-mates are compared. The all-pairs
     * cost SemDeDup avoids is bounded by the largest cluster: at 100 TB
     * the k knob grows with N to hold E[cluster size] — and with it the
     * per-cluster pair count — constant; the equi-join on `cluster` is
@@ -205,11 +249,10 @@ object Clustering {
     val corpus = base.unionByName(
       base.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(distExpr("v")))
-      .withColumn("rn", row_number().over(Window.partitionBy("vec_id")
-        .orderBy(col("dist").asc, col("cluster").asc)))
-      .filter(col("rn") === 1)
+    // frozen-centroid corpus assignment, shuffle-free (assignNearest):
+    // the augmented corpus streams through one codegen'd argmin
+    // projection — no crossJoin, no per-vector window
+    val assigned = assignNearest(corpus, "v", cents)
       .select("vec_id", "v", "cluster")
     val dups = assigned
       .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))
