@@ -198,6 +198,21 @@ object Quantization {
        |                  * (CAST(element_at($svCol, i) AS DOUBLE) - element_at(c, i)))"""
       .stripMargin
 
+  /** [[subDistExpr]]'s fold against a LITERAL sub-centroid — the
+    * `Clustering.assignNearest` discipline for the PQ trainer: same
+    * expression tree, `element_at(c, i)` reading an embedded double
+    * array, bit-identical result.
+    */
+  private def litSubDist(svCol: String, c: Seq[Double],
+      subDim: Int): org.apache.spark.sql.Column = {
+    val cArr = array(c.map(lit): _*)
+    aggregate(sequence(lit(1), lit(subDim)), lit(0.0),
+      (acc, i) => {
+        val d = element_at(col(svCol), i).cast("double") - element_at(cArr, i)
+        acc + d * d
+      })
+  }
+
   /** PRODUCT QUANTIZATION codebooks (Jégou, Douze & Schmid, TPAMI 2011
     * — the FAISS `PQ` index): the 64-dim space is split into `m`
     * contiguous sub-spaces of `subDim` dims and an INDEPENDENT k-means
@@ -232,14 +247,34 @@ object Quantization {
       .select(col("sub"), col("vec_id").as("cluster"),
         expr("transform(sv, x -> CAST(x AS DOUBLE))").as("c"))
       .localCheckpoint()
-    val w = Window.partitionBy("vec_id", "sub")
-      .orderBy(col("dist").asc, col("cluster").asc)
-    def assign(): DataFrame = sliced.join(broadcast(cents), Seq("sub"))
-      .withColumn("dist", expr(subDistExpr("sv", subDim)))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "sub", "sv", "cluster")
-      .localCheckpoint()
+    // shuffle-FREE assignment (the Clustering.assignNearest
+    // discipline): the m·kSub sub-centroid model is collected to the
+    // driver (bounded — m·kSub·subDim doubles) and the argmin becomes
+    // a lazily-branched CASE over `sub`, each branch an `array_min`
+    // over that sub-space's kSub (dist, cluster) literal-centroid
+    // structs with the same (dist ASC, cluster ASC) ordering the
+    // window's row_number used — bit-identical codes, and a row only
+    // evaluates ITS sub-space's folds. The join+window shape this
+    // replaces exchanged and sorted corpus×m×kSub rows per round.
+    def assign(): DataFrame = {
+      val cs = cents.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      val bySub = cs.groupBy(_._1)
+      val subIds = bySub.keys.toSeq.sorted
+      def armFor(s: Int) = array_min(array(bySub(s).sortBy(_._2).map {
+        case (_, cid, c) =>
+          struct(litSubDist("sv", c, subDim).as("dist"),
+            lit(cid).as("cluster"))
+      }.toIndexedSeq: _*))
+      val best = subIds.tail.foldLeft(
+        when(col("sub") === subIds.head, armFor(subIds.head))) {
+        (acc, s) => acc.when(col("sub") === s, armFor(s))
+      }
+      sliced.withColumn("best", best)
+        .select(col("vec_id"), col("sub"), col("sv"),
+          col("best.cluster").as("cluster"))
+        .localCheckpoint()
+    }
     var assigned = assign()
     for (_ <- 1 until iters) {
       // exact sorted-fold per-(sub, cluster, dim) mean — q42's update
