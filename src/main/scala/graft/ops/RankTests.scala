@@ -983,10 +983,16 @@ object RankTests {
     val types = dense.select(col("event_type")).distinct()
     val lags = daily.sparkSession.range(-maxLag, maxLag + 1)
       .select(col("id").as("lag"))
+    // every factor of the |pairs|·|lags| grid seed is explicitly
+    // broadcast: without the inner hints Spark plans the non-equi
+    // ta < tb join and the lag cross as CartesianProduct — left×right
+    // PARTITIONS of tasks (~32² each) for a frame of a few dozen rows,
+    // which both slowed q254 ~2× and made it the widest-variance query
+    // in the bench (the round-14 min-of-3 candidate)
     val pairsLags = broadcast(types.select(col("event_type").as("ta"))
-      .join(types.select(col("event_type").as("tb")),
+      .join(broadcast(types.select(col("event_type").as("tb"))),
         col("ta") < col("tb"))
-      .crossJoin(lags))
+      .crossJoin(broadcast(lags)))
     // the lag enters through the day-key equi-join: y reads b's
     // series at day + lag; the inner join against the shared dense
     // calendar IS the overlap window
