@@ -569,9 +569,10 @@ object Graph {
     * re-shuffles; each half-round joins a BROADCAST score vector to the
     * right-oriented copy and partial-aggregates (map-side combine) into
     * ≤|side| rows. The max is a 1-row broadcast. Score vectors that
-    * outgrow a broadcast take exactly q69's documented
-    * `broadcastRanks=false` switch (shuffle-hash the vector against the
-    * pre-partitioned incidence copy). Output is the top-`kTop` of each
+    * outgrow a broadcast take the NATIVE `broadcastScores = false`
+    * switch ([[purchaseHitsShuffle]] — shuffle-hash the vector against
+    * the pre-partitioned incidence copy, exactly q69's
+    * `broadcastRanks` escape hatch). Output is the top-`kTop` of each
     * side via TakeOrdered, rank stamped over the bounded result.
     */
   def purchaseHits(spark: SparkSession, dir: String, iters: Int = 3,
