@@ -159,6 +159,48 @@ class ScaleSpec extends SparkSpec {
     assert(e.nonEmpty && s == e)
   }
 
+  test("assignNearest equals the crossJoin+row_number formulation bit-for-bit; zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sess = spark
+    import sess.implicits._
+    // adversarial 64-dim vectors: exact ties between centroids 0/1 on
+    // vec 100 (equidistant — the (dist, cluster) tie-break decides),
+    // denormal-ish and large magnitudes to stress the double fold
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 17) % 101 - 50) / 7.0f)
+    val tieVec = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val vecs = ((0 until 40).map(s => (s.toLong, vec(s))) :+
+      (100L, tieVec)).toDF("vec_id", "v")
+    val cents = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cluster"),
+        expr("transform(v, x -> CAST(x AS DOUBLE))").as("c"))
+      .localCheckpoint()
+    // reference: the formulation assignNearest replaced
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cluster").asc)
+    val ref = vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(Clustering.distExpr("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cluster", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val got = Clustering.assignNearest(vecs, "v", cents)
+      .select("vec_id", "cluster", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // bit-for-bit: same cluster, same double (== on doubles is exact
+    // here — both paths run the identical sequential fold)
+    assert(got.toSeq == ref.toSeq,
+      s"argmin diverged:\nref=${ref.toSeq}\ngot=${got.toSeq}")
+    // and the new path's plan moves ZERO rows: no Exchange anywhere
+    val plan = Clustering.assignNearest(vecs, "v", cents)
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      "assignment must be a pure projection, no shuffle:\n" +
+        plan.toString.take(3000))
+  }
+
   test("bloom-prefiltered decontamination equals the exact report, prefilter in plan") {
     val exact = Dedup.contaminationReport(spark, dir).collect().toSeq
     val bloom = Dedup.contaminationReportBloom(spark, dir).collect().toSeq
