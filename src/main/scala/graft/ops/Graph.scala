@@ -635,7 +635,11 @@ object Graph {
       broadcastScores: Boolean = true): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val eCust = CachedStages.track(e.repartition(col("cust")).persist())
-    val ePart = CachedStages.track(e.repartition(col("part")).persist())
+    // the part-oriented copy re-shuffles the CACHED cust copy — deriving
+    // it from `e` directly would execute the upstream incidence build
+    // (orders⋈lineitem + distinct) a second time, since two persists
+    // share no work until each materializes
+    val ePart = CachedStages.track(eCust.repartition(col("part")).persist())
     val custs = eCust.select("cust").distinct().localCheckpoint()
 
     var hubs = custs.select(col("cust"), lit(HitsScale).as("score"))
