@@ -7,11 +7,23 @@ sidecar as a markdown table (the VERDICT r12 #7 record), with:
   twins q251/q257 — they stay correctness-graded and timed, but in a
   separate section so the headline s/q tracks shipping plans.
 - a PER-QUERY REGRESSION GUARD (VERDICT r14 #3): any shared query
-  >1.5x its prior-round sidecar time is flagged loudly and the script
-  exits 1, so a q239-style regression cannot ship unnoticed behind a
-  green total. Run order in the close: bench -> bench_table -> commit;
-  a nonzero exit means triage (fresh-JVM re-time per the verify skill)
-  before closing.
+  >1.5x its prior time is flagged loudly and the script exits 1, so a
+  q239-style regression cannot ship unnoticed behind a green total.
+  Run order in the close: bench -> bench_table -> commit; a nonzero
+  exit means triage (fresh-JVM re-time per the verify skill) before
+  closing.
+- MULTIPLE PRIOR SIDECARS (VERDICT r15 #4): every extra argv is a
+  prior run; the guard compares against the MIN across all of them,
+  so one slow prior run (GC/box luck) cannot manufacture a phantom
+  regression and one fast current run cannot hide a real one. Pass
+  both recorded runs of the prior round when available, e.g.
+  `bench_table.py cur.json prev_close.json prev_driver.json`.
+- SAMPLE-COUNT ANNOTATION (ADVICE r15 #4): when a flagged query's
+  min-of-N tier differs between current and the prior run that set
+  its floor, the row says so — the statistic changed, not only the
+  plan.
+
+Usage: bench_table.py CURRENT.json [PRIOR.json ...]
 """
 import json
 import sys
@@ -29,9 +41,17 @@ MIN_CUR_SEC = 1.5
 MIN_DELTA_SEC = 1.0
 
 cur = json.load(open(sys.argv[1]))
-prev = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else {}
+priors = [json.load(open(p)) for p in sys.argv[2:]]
 cq = cur.get("queries", {})
-pq = prev.get("queries", {})
+cs = cur.get("samples", {})
+# per-query min across all prior runs (ignoring failed/-1 entries),
+# remembering which run set the floor so sample counts can be compared
+pq, ps = {}, {}
+for prior in priors:
+    for k, v in prior.get("queries", {}).items():
+        if v > 0 and (k not in pq or v < pq[k]):
+            pq[k] = v
+            ps[k] = prior.get("samples", {}).get(k)
 
 
 def render(keys, title):
@@ -80,10 +100,16 @@ flags = [(k, cq[k], pq[k]) for k in cq
 if flags:
     print(f"\n## REGRESSION GUARD: {len(flags)} shared quer"
           f"{'y' if len(flags) == 1 else 'ies'} >"
-          f"{REGRESSION_FACTOR}x prior sidecar\n")
+          f"{REGRESSION_FACTOR}x min of {len(priors)} prior run(s)\n")
     for k, c, p in sorted(flags, key=lambda t: t[1] / t[2], reverse=True):
-        print(f"- **{k}**: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x) — fresh-JVM "
-              f"re-time before closing (see .claude/skills/verify/SKILL.md)")
+        note = ""
+        if cs.get(k) is not None and ps.get(k) is not None \
+                and cs.get(k) != ps.get(k):
+            note = (f" [sampling changed: min-of-{ps[k]} prior vs "
+                    f"min-of-{cs[k]} now — statistic differs]")
+        print(f"- **{k}**: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x){note} — "
+              f"fresh-JVM re-time before closing "
+              f"(see .claude/skills/verify/SKILL.md)")
     sys.exit(1)
-print("\nRegression guard: clean "
-      f"(no shared query >{REGRESSION_FACTOR}x prior).")
+print(f"\nRegression guard: clean (no shared query "
+      f">{REGRESSION_FACTOR}x the min of {len(priors)} prior run(s)).")

@@ -26,6 +26,17 @@ blocks = re.split(r'=+ (q\S+) =+', text)[1:]
 plans = dict(zip(blocks[0::2], blocks[1::2]))
 print(f"{len(plans)} plans linted")
 
+# Vacuous-green guard (ADVICE r15 #1): if the Explain dump format ever
+# drifts and the header regex stops matching, plans={} and the lint
+# would exit 0 having checked nothing. The graded surface is 270
+# queries; fail loudly below a floor well under it but far above zero.
+MIN_PLANS = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+if len(plans) < MIN_PLANS:
+    print(f"HARD FAIL: only {len(plans)} plans parsed (< {MIN_PLANS}) — "
+          "the Explain dump format drifted or the dump is truncated; "
+          "the lint checked (almost) nothing.")
+    sys.exit(1)
+
 hard = {}
 for name, p in plans.items():
     n_cart = p.count('CartesianProduct')
