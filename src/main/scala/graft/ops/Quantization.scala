@@ -233,50 +233,95 @@ object Quantization {
     *
     * Returns (centroids (sub, cluster, c), codes (vec_id, codes)) where
     * `codes[s]` is the sub-space-s codeword, assembled in sub order.
+    *
+    * When `memoKey` is given (the dir-based entry points), the trained
+    * codebook — m·kSub·subDim doubles, the documented bounded-collect
+    * class — is memoized per session in [[TrainedModels]] exactly like
+    * `Clustering.kmeansModel`'s centroids: q117 and q151 share one
+    * training run, and warm calls go straight to the final encode
+    * pass. Fixture-frame callers (specs, the streaming codebook
+    * fitter) pass no key — a DataFrame's identity is not a safe cache
+    * key — and always train.
     */
   private[graft] def pqModel(vecs: DataFrame, m: Int, subDim: Int,
-      kSub: Int, iters: Int): (DataFrame, DataFrame) = {
+      kSub: Int, iters: Int,
+      memoKey: Option[String] = None): (DataFrame, DataFrame) = {
     require(m >= 1 && subDim >= 1 && kSub >= 1 && iters >= 1,
       s"bad PQ params m=$m subDim=$subDim kSub=$kSub iters=$iters")
-    val sliced = CachedStages.track(vecs
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
-        .as(Seq("sub", "sv")))
-      .persist())
-    var cents = sliced.filter(col("vec_id") < kSub)
-      .select(col("sub"), col("vec_id").as("cluster"),
-        expr("transform(sv, x -> CAST(x AS DOUBLE))").as("c"))
-      .localCheckpoint()
-    // shuffle-FREE assignment (the Clustering.assignNearest
-    // discipline): the m·kSub sub-centroid model is collected to the
-    // driver (bounded — m·kSub·subDim doubles) and the argmin becomes
-    // a lazily-branched CASE over `sub`, each branch an `array_min`
-    // over that sub-space's kSub (dist, cluster) literal-centroid
-    // structs with the same (dist ASC, cluster ASC) ordering the
-    // window's row_number used — bit-identical codes, and a row only
-    // evaluates ITS sub-space's folds. The join+window shape this
-    // replaces exchanged and sorted corpus×m×kSub rows per round.
-    def assign(): DataFrame = {
-      val cs = cents.collect().map(r =>
-        (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-      val bySub = cs.groupBy(_._1)
-      val subIds = bySub.keys.toSeq.sorted
-      def armFor(s: Int) = array_min(array(bySub(s).sortBy(_._2).map {
-        case (_, cid, c) =>
-          struct(litSubDist("sv", c, subDim).as("dist"),
-            lit(cid).as("cluster"))
-      }.toIndexedSeq: _*))
-      val best = subIds.tail.foldLeft(
-        when(col("sub") === subIds.head, armFor(subIds.head))) {
-        (acc, s) => acc.when(col("sub") === s, armFor(s))
+    val spark = vecs.sparkSession
+    val cs = memoKey match {
+      case Some(key) => TrainedModels.getOrTrain(spark, key) {
+        trainPqCodebooks(vecs, m, subDim, kSub, iters)
       }
-      sliced.withColumn("best", best)
-        .select(col("vec_id"), col("sub"), col("sv"),
-          col("best.cluster").as("cluster"))
-        .localCheckpoint()
+      case None => trainPqCodebooks(vecs, m, subDim, kSub, iters)
     }
-    var assigned = assign()
+    import spark.implicits._
+    val cents = cs.toDF("sub", "cluster", "c")
+    // final encode pass over a fresh slice projection (on a cold call
+    // the scan hits the training pass's cached slice via plan match);
+    // codes are the per-vector codewords assembled in sub order
+    val codes = pqAssignLit(slicedOf(vecs, m, subDim), cs, subDim)
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, cluster))), s -> s.cluster)")
+        .as("codes"))
+      .localCheckpoint()
+    (cents, codes)
+  }
+
+  /** The corpus sliced into (vec_id, sub, sv) sub-vectors — the only
+    * corpus-width projection of the PQ pipeline.
+    */
+  private def slicedOf(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(v, s * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "sv")))
+
+  /** Shuffle-FREE sub-space assignment (the Clustering.assignNearest
+    * discipline): the m·kSub sub-centroid model — driver data — is
+    * embedded as a lazily-branched CASE over `sub`, each branch an
+    * `array_min` over that sub-space's kSub (dist, cluster)
+    * literal-centroid structs with the same (dist ASC, cluster ASC)
+    * ordering the window's row_number used — bit-identical codes, and
+    * a row only evaluates ITS sub-space's folds. The join+window shape
+    * this replaces exchanged and sorted corpus×m×kSub rows per round.
+    */
+  private def pqAssignLit(sliced: DataFrame,
+      cs: Seq[(Int, Long, Seq[Double])], subDim: Int): DataFrame = {
+    val bySub = cs.groupBy(_._1)
+    val subIds = bySub.keys.toSeq.sorted
+    def armFor(s: Int) = array_min(array(bySub(s).sortBy(_._2).map {
+      case (_, cid, c) =>
+        struct(litSubDist("sv", c, subDim).as("dist"),
+          lit(cid).as("cluster"))
+    }.toIndexedSeq: _*))
+    val best = subIds.tail.foldLeft(
+      when(col("sub") === subIds.head, armFor(subIds.head))) {
+      (acc, s) => acc.when(col("sub") === s, armFor(s))
+    }
+    sliced.withColumn("best", best)
+      .select(col("vec_id"), col("sub"), col("sv"),
+        col("best.cluster").as("cluster"))
+  }
+
+  /** The PQ Lloyd loop alone, returning the FINAL (sub, cluster, c)
+    * codebook as driver data — everything `pqModel` does except the
+    * last encode pass, which warm and cold callers both run against
+    * the returned literals (keeping the two paths plan-identical).
+    */
+  private def trainPqCodebooks(vecs: DataFrame, m: Int, subDim: Int,
+      kSub: Int, iters: Int): Seq[(Int, Long, Seq[Double])] = {
+    val sliced = CachedStages.track(
+      slicedOf(vecs, m, subDim).persist())
+    def collectCents(cents: DataFrame): Seq[(Int, Long, Seq[Double])] =
+      cents.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    var cents = collectCents(sliced.filter(col("vec_id") < kSub)
+      .select(col("sub"), col("vec_id").as("cluster"),
+        expr("transform(sv, x -> CAST(x AS DOUBLE))").as("c")))
     for (_ <- 1 until iters) {
+      val assigned = pqAssignLit(sliced, cents, subDim).localCheckpoint()
       // exact sorted-fold per-(sub, cluster, dim) mean — q42's update
       // with the sub-space in the key; both engines add the same
       // doubles in the same sorted order
@@ -284,7 +329,7 @@ object Quantization {
         .select(col("sub"), col("cluster"),
           posexplode(col("sv")).as(Seq("dim", "val")))
         .withColumn("val", col("val").cast("double"))
-      cents = perDim.groupBy("sub", "cluster", "dim")
+      cents = collectCents(perDim.groupBy("sub", "cluster", "dim")
         .agg(sort_array(collect_list(col("val"))).as("vals"),
           count(lit(1)).as("n"))
         .withColumn("cd", expr(
@@ -293,16 +338,9 @@ object Quantization {
         .groupBy("sub", "cluster")
         .agg(expr(
           "transform(array_sort(collect_list(struct(dim, cd))), s -> s.cd)")
-          .as("c"))
-        .localCheckpoint()
-      assigned = assign()
+          .as("c")))
     }
-    val codes = assigned.groupBy("vec_id")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(sub, cluster))), s -> s.cluster)")
-        .as("codes"))
-      .localCheckpoint()
-    (cents, codes)
+    cents
   }
 
   /** Graded q117: PQ + ASYMMETRIC DISTANCE COMPUTATION top-k — the
@@ -329,15 +367,18 @@ object Quantization {
       kNeighbors: Int = 3): DataFrame =
     pqAdcTopKOf(Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v")),
-      m, subDim, kSub, iters, kNeighbors)
+      m, subDim, kSub, iters, kNeighbors,
+      memoKey = Some(s"pq|$dir|$m|$subDim|$kSub|$iters"))
 
   /** Core of `pqAdcTopK` over any `(vec_id, v)` frame — split out so
     * QuantizationSpec can replay the full train→encode→ADC pipeline
-    * driver-side on controlled fixtures.
+    * driver-side on controlled fixtures (those callers leave `memoKey`
+    * unset and always train).
     */
   def pqAdcTopKOf(vecs: DataFrame, m: Int, subDim: Int, kSub: Int,
-      iters: Int, kNeighbors: Int): DataFrame = {
-    val (cents, codes) = pqModel(vecs, m, subDim, kSub, iters)
+      iters: Int, kNeighbors: Int,
+      memoKey: Option[String] = None): DataFrame = {
+    val (cents, codes) = pqModel(vecs, m, subDim, kSub, iters, memoKey)
     pqSearch(vecs.filter(col("vec_id") < 8), cents, codes,
       m, subDim, kSub, kNeighbors)
   }
