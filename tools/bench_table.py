@@ -92,6 +92,19 @@ subtotal(shipping, "Shipping tier")
 subtotal([k for k in cq if k in DIAGNOSTIC], "Diagnostic tier")
 print(f"\nAll-queries total: {cur.get('value', 0):.1f}s over {len(cq)} queries.")
 
+# Box-state sentinel (round-16): Bench times one fixed shuffle probe
+# before and after the timed pass. A sentinel far above its cross-round
+# band (~0.3-0.6s on this box) marks a degraded-box window — the mode
+# that produced the r15 q233=58.6s artifact — so outliers in THAT run
+# are box, not plan. Renders whenever the sidecar carries the fields.
+sent = [(r.get("sentinel_pre"), r.get("sentinel_post"), lbl)
+        for r, lbl in [(cur, "current")] +
+        [(p, f"prior#{i + 1}") for i, p in enumerate(priors)]
+        if r.get("sentinel_pre") is not None]
+if sent:
+    print("\nBox sentinel (fixed lineitem groupBy, min-of-3): " + "; ".join(
+        f"{lbl} pre {a:.2f}s / post {b:.2f}s" for a, b, lbl in sent) + ".")
+
 # --- regression guard ---
 flags = [(k, cq[k], pq[k]) for k in cq
          if k in pq and pq[k] > 0 and cq[k] > 0
