@@ -667,7 +667,7 @@ object Dedup {
     // binary literal, which ships to executors with the plan.
     val bf = bg.agg(call_function("bloom_filter_agg",
         xxhash64(col("gram")), lit(estItems), lit(numBits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     val prefilter =
       if (bf == null) lit(false) // empty benchmark: nothing contaminates
       else call_function("bloom_might_contain", lit(bf), xxhash64(col("gram")))
