@@ -211,7 +211,13 @@ object Bench {
     // degraded window?", which these two numbers answer directly.
     println(s"""{"metric":"box_sentinel","pre":${r3(sentinelPre)},"post":${r3(sentinelPost)},"unit":"sec"}""")
     println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sf":"$sfDir"}""")
+    // the sentinel rides the FINAL line too: the ~3.6KB query_times dict
+    // overflows the ~1.9KB driver tail window, so a line printed before
+    // it never reaches the archived BENCH_r*.json — and the driver's own
+    // run is exactly where the box-health record matters (its sidecar
+    // goes to /tmp and is not archived). ~45 bytes buys it a guaranteed
+    // place in every round artifact.
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sent_pre":${r3(sentinelPre)},"sent_post":${r3(sentinelPost)},"sf":"$sfDir"}""")
     // Self-contained round record (round-13 fix for the BENCH_r12
     // truncation): the FULL-KEY per-query times map, sample counts, the
     // variant, and the total, written to a real file the round commits —
