@@ -132,16 +132,12 @@ object Clustering {
     * pass. Determinism makes the memo invisible to results: the
     * memoized doubles are exactly the final-round centroids a fresh
     * run would collect, so warm and cold calls are bit-identical
-    * (locked by ClusteringMemoSpec and the 270-query oracle sweep,
+    * (locked by TrainedModelsSpec and the 270-query oracle sweep,
     * where every chain query after the first is a warm hit).
     */
   def kmeansModel(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 3, exact: Boolean = true): (DataFrame, DataFrame) = {
-    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    val cs = TrainedModels.getOrTrain(spark,
-      s"kmeans|$dir|$k|$iters|$exact") {
-      trainCentroids(spark, dir, k, iters, exact)
-    }
+    val cs = kmeansCentroidModel(spark, dir, k, iters, exact)
     import spark.implicits._
     val cents = cs.toDF("cluster", "c")
     val vecs = Tables(spark, dir, "embeddings")
@@ -153,6 +149,21 @@ object Clustering {
       .select("vec_id", "v", "cluster", "dist")
       .localCheckpoint()
     (cents, assigned)
+  }
+
+  /** The trained centroid model alone, as driver data — for consumers
+    * that only need the FROZEN MODEL (semanticDedup's corpus pass feeds
+    * [[assignNearestLit]] directly). `kmeansModel` eagerly materializes
+    * the full-corpus assignment (localCheckpoint); calling it for the
+    * centroids alone paid a dead corpus scan per call.
+    */
+  private[graft] def kmeansCentroidModel(spark: SparkSession, dir: String,
+      k: Int = 4, iters: Int = 3,
+      exact: Boolean = true): Seq[(Long, Seq[Double])] = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    TrainedModels.getOrTrain(spark, s"kmeans|$dir|$k|$iters|$exact") {
+      trainCentroids(spark, dir, k, iters, exact)
+    }
   }
 
   /** The Lloyd loop alone, returning the FINAL centroid model as
@@ -301,7 +312,10 @@ object Clustering {
   def semanticDedup(spark: SparkSession, dir: String, k: Int = 4,
       iters: Int = 3, tau: Double = 0.95): DataFrame = {
     graft.functions.CosineSimilarity.register(spark)
-    val (cents, _) = kmeansModel(spark, dir, k, iters)
+    // frozen MODEL only: kmeansModel would also materialize the plain-
+    // corpus assignment (localCheckpoint) that this operator never reads
+    // — its own assignment below runs over the AUGMENTED corpus.
+    val cs = kmeansCentroidModel(spark, dir, k, iters)
     val base = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").as("v"))
     val corpus = base.unionByName(
@@ -310,7 +324,7 @@ object Clustering {
     // frozen-centroid corpus assignment, shuffle-free (assignNearest):
     // the augmented corpus streams through one codegen'd argmin
     // projection — no crossJoin, no per-vector window
-    val assigned = assignNearest(corpus, "v", cents)
+    val assigned = assignNearestLit(corpus, "v", cs)
       .select("vec_id", "v", "cluster")
     val dups = assigned
       .select(col("cluster"), col("vec_id").as("id_a"), col("v").as("va"))

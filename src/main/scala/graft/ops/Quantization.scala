@@ -246,15 +246,8 @@ object Quantization {
   private[graft] def pqModel(vecs: DataFrame, m: Int, subDim: Int,
       kSub: Int, iters: Int,
       memoKey: Option[String] = None): (DataFrame, DataFrame) = {
-    require(m >= 1 && subDim >= 1 && kSub >= 1 && iters >= 1,
-      s"bad PQ params m=$m subDim=$subDim kSub=$kSub iters=$iters")
+    val cs = pqCodebookModel(vecs, m, subDim, kSub, iters, memoKey)
     val spark = vecs.sparkSession
-    val cs = memoKey match {
-      case Some(key) => TrainedModels.getOrTrain(spark, key) {
-        trainPqCodebooks(vecs, m, subDim, kSub, iters)
-      }
-      case None => trainPqCodebooks(vecs, m, subDim, kSub, iters)
-    }
     import spark.implicits._
     val cents = cs.toDF("sub", "cluster", "c")
     // final encode pass over a fresh slice projection (on a cold call
@@ -267,6 +260,25 @@ object Quantization {
         .as("codes"))
       .localCheckpoint()
     (cents, codes)
+  }
+
+  /** The trained codebook alone, as driver data — for consumers that
+    * only need the FROZEN MODEL (the streaming codebook fitter collects
+    * exactly this). `pqModel` eagerly materializes the corpus-wide
+    * encode (localCheckpoint); calling it for the codebook alone paid a
+    * dead encode pass per call.
+    */
+  private[graft] def pqCodebookModel(vecs: DataFrame, m: Int, subDim: Int,
+      kSub: Int, iters: Int,
+      memoKey: Option[String] = None): Seq[(Int, Long, Seq[Double])] = {
+    require(m >= 1 && subDim >= 1 && kSub >= 1 && iters >= 1,
+      s"bad PQ params m=$m subDim=$subDim kSub=$kSub iters=$iters")
+    memoKey match {
+      case Some(key) => TrainedModels.getOrTrain(vecs.sparkSession, key) {
+        trainPqCodebooks(vecs, m, subDim, kSub, iters)
+      }
+      case None => trainPqCodebooks(vecs, m, subDim, kSub, iters)
+    }
   }
 
   /** The corpus sliced into (vec_id, sub, sv) sub-vectors — the only

@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   * fixed iteration count, index-order folds), so the memoized
   * parameters are bit-identical to what a fresh training run would
   * produce — memo-hit results hash-match the DuckDB oracles exactly
-  * as cold ones do (locked by ClusteringMemoSpec; re-proven by the
+  * as cold ones do (locked by TrainedModelsSpec; re-proven by the
   * 270-query sweep, where all chain queries after the first are
   * memo hits). This is the production shape too: a vector store
   * trains its index once and serves every probe from the frozen
@@ -69,7 +69,15 @@ object TrainedModels {
     if (hit != null) hit.asInstanceOf[T]
     else {
       val v = train
-      m.put(key, v)
+      // never pin a DEGENERATE model: an empty training output (e.g. a
+      // dir whose table momentarily yields no seed rows) would otherwise
+      // poison every later call in the session — the pre-memo code
+      // retrained per call and recovered once the data was fixed.
+      val degenerate = v match {
+        case s: scala.collection.Seq[_] => s.isEmpty
+        case _ => false
+      }
+      if (!degenerate) m.put(key, v)
       v
     }
   }

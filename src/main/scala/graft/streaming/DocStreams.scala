@@ -293,17 +293,18 @@ object EmbeddingStreams {
   }
 
   /** Fit the frozen PQ codebooks for [[pqEncodedVectors]] from a batch
-    * corpus: `Quantization.pqModel`'s trained centroids collected as
+    * corpus: `Quantization.pqCodebookModel`'s trained centroids as
     * nested driver-side vectors — m × kSub × subDim doubles
     * (model-sized: 4·4·16 = 256 here), the fourth documented
-    * frozen-model fitter.
+    * frozen-model fitter. The training path already collects the model
+    * (the bounded-collect class); fitting through `pqModel` instead
+    * used to pay that PLUS a dead corpus-wide encode pass whose codes
+    * this fitter never read.
     */
   def fitPqCodebooks(vecs: DataFrame, m: Int = 4, subDim: Int = 16,
       kSub: Int = 4, iters: Int = 2): Seq[Seq[Seq[Double]]] = {
-    val (cents, _) =
-      graft.ops.Quantization.pqModel(vecs, m, subDim, kSub, iters)
-    val rows = cents.collect().map(r => (r.getAs[Int]("sub"),
-      r.getAs[Long]("cluster"), r.getSeq[Double](r.fieldIndex("c")).toSeq))
+    val rows =
+      graft.ops.Quantization.pqCodebookModel(vecs, m, subDim, kSub, iters)
     (0 until m).map(s => (0L until kSub.toLong).map(cl =>
       rows.find(r => r._1 == s && r._2 == cl)
         .getOrElse(throw new IllegalStateException(

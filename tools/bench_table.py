@@ -100,12 +100,23 @@ print(f"\nAll-queries total: {cur.get('value', 0):.1f}s over {len(cq)} queries."
 sent = [(r.get("sentinel_pre"), r.get("sentinel_post"), lbl)
         for r, lbl in [(cur, "current")] +
         [(p, f"prior#{i + 1}") for i, p in enumerate(priors)]
-        if r.get("sentinel_pre") is not None]
+        if r.get("sentinel_pre") is not None
+        and r.get("sentinel_post") is not None]
 if sent:
     print("\nBox sentinel (fixed lineitem groupBy, min-of-3): " + "; ".join(
         f"{lbl} pre {a:.2f}s / post {b:.2f}s" for a, b, lbl in sent) + ".")
 
 # --- regression guard ---
+# Vacuous-green guard (same class as plan_lint's parsed-plans floor):
+# invoked with ZERO priors, pq={} and the guard below could flag
+# nothing — a real regression would ship behind "clean". The close
+# must pass at least one prior sidecar; exit 2 distinguishes misuse
+# from a genuine regression (exit 1).
+if not priors:
+    print("\nHARD FAIL: no prior sidecar given — the regression guard "
+          "compared against nothing. Usage: bench_table.py CURRENT.json "
+          "PRIOR.json [PRIOR2.json ...]")
+    sys.exit(2)
 flags = [(k, cq[k], pq[k]) for k in cq
          if k in pq and pq[k] > 0 and cq[k] > 0
          and cq[k] > REGRESSION_FACTOR * pq[k]
