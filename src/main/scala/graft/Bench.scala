@@ -115,6 +115,20 @@ object Bench {
       }.filter(_ >= 0) // one transient failure must not poison the min
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // Pinned min-of-3 set (round-16 hardening of the regression
+    // guard): queries whose recorded cross-run spread exceeds the
+    // 1.5x guard threshold on identical code — see the sampling
+    // comment below for the per-query provenance. Hoisted out of the
+    // timing loop (round 17) so the sidecar can record it: the
+    // PIN-CANDIDATE rule in tools/bench_table.py suppresses
+    // already-pinned queries by reading this list from the artifact
+    // instead of keeping a drift-prone copy in Python.
+    val alwaysMinOf3 = Set(
+      "q254_lagged_spearman",
+      "q243_mondrian", "q247_cramers_v", "q249_rmst",
+      "q92_cdc_chunk_dedup", "q40_dedup_clusters",
+      "q09_setops_customers", "q101_bpe_merges",
+      "q102_bpe_encode_stats", "q236_source_divergence")
     val sentinelPre = sentinel()
     System.err.println(f"box sentinel (pre-timed-pass): $sentinelPre%.3fs")
     val results = names.map { name =>
@@ -144,13 +158,8 @@ object Bench {
       // sub-3 s queries costs seconds and silences phantom flags.
       // (q236 joined at the r16 close: 0.92-2.25 s across five recorded
       // runs on untouched code, fresh-JVM floor 0.89 s — its slow mode
-      // cleared the guard floors twice in one day.)
-      val alwaysMinOf3 = Set(
-        "q254_lagged_spearman",
-        "q243_mondrian", "q247_cramers_v", "q249_rmst",
-        "q92_cdc_chunk_dedup", "q40_dedup_clusters",
-        "q09_setops_customers", "q101_bpe_merges",
-        "q102_bpe_encode_stats", "q236_source_divergence")
+      // cleared the guard floors twice in one day.) The set itself is
+      // hoisted above the sentinel so the sidecar records it.
       if (times.forall(_ >= 0) &&
           (times.min > 3.0 || alwaysMinOf3(name))) times = times :+ timed()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min, times.size)
@@ -279,6 +288,8 @@ object Bench {
          |"variant_q90_shuffle_ranks":${r3(pprVariantSec)},
          |"sentinel_pre":${r3(sentinelPre)},
          |"sentinel_post":${r3(sentinelPost)},
+         |"always_min_of_3":${alwaysMinOf3.toSeq.sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"samples":$fullNs,
          |"queries":$fullQs}
          |""".stripMargin

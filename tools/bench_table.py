@@ -10,8 +10,11 @@ sidecar as a markdown table (the VERDICT r12 #7 record), with:
   >1.5x its prior time is flagged loudly and the script exits 1, so a
   q239-style regression cannot ship unnoticed behind a green total.
   Run order in the close: bench -> bench_table -> commit; a nonzero
-  exit means triage (fresh-JVM re-time per the verify skill) before
-  closing.
+  exit means triage (tools/guard_triage.py, or the manual fresh-JVM
+  protocol in the verify skill) before closing.
+- an ABSOLUTE-DELTA TRIGGER (VERDICT r16 #3): a query >=2s that moves
+  >=2s absolute flags regardless of ratio — q120's +2.99s at 1.42x
+  slid under the ratio-only guard for a round.
 - MULTIPLE PRIOR SIDECARS (VERDICT r15 #4): every extra argv is a
   prior run; the guard compares against the MIN across all of them,
   so one slow prior run (GC/box luck) cannot manufacture a phantom
@@ -22,10 +25,32 @@ sidecar as a markdown table (the VERDICT r12 #7 record), with:
   min-of-N tier differs between current and the prior run that set
   its floor, the row says so — the statistic changed, not only the
   plan.
+- SENTINEL WARNINGS (ADVICE r16 #3): a current-run sentinel that
+  failed (-1) or sits above the band ceiling prints an explicit
+  DEGRADED-BOX / FAILED warning and fails the close (exit 1) — the
+  one condition the sentinel exists to surface no longer relies on a
+  human noticing the number. Ceiling: GRAFT_SENTINEL_CEILING env
+  (default 0.9s; recorded healthy band is ~0.2-0.6s). Degraded PRIOR
+  sentinels warn without failing: they discredit the floor, not the
+  current run.
+- PIN-CANDIDATE PROPOSALS (VERDICT r16 #5): the rule the builder
+  applied by hand to q254/q236 — "flagged twice + re-timed clean
+  twice across recorded rounds -> pin into Bench.alwaysMinOf3" — now
+  runs on tools/triage_history.json (appended by guard_triage.py).
+  Already-pinned queries are read from the CURRENT sidecar's
+  always_min_of_3 field (written by Bench since round 17), not from a
+  drift-prone copy here.
+- a FLAGS SIDECAR for automation: when the guard fires, the flag set
+  is also written as JSON (default /tmp/graft_guard_flags.json,
+  override GRAFT_GUARD_FLAGS_OUT) so tools/guard_triage.py re-times
+  exactly what the guard saw.
 
 Usage: bench_table.py CURRENT.json [PRIOR.json ...]
+Exit codes: 0 clean; 1 regression flags or degraded/failed current
+sentinel (triage before closing); 2 misuse (no prior sidecar).
 """
 import json
+import os
 import sys
 
 # Exact all-pairs diagnostics kept deliberately as evaluation references;
@@ -39,6 +64,16 @@ REGRESSION_FACTOR = 1.5
 # q239-class regression (1.86s -> 3.79s) clears both floors easily.
 MIN_CUR_SEC = 1.5
 MIN_DELTA_SEC = 1.0
+# Absolute-delta trigger (VERDICT r16 #3): big movers on big queries
+# flag even at a sub-1.5x ratio.
+ABS_CUR_SEC = 2.0
+ABS_DELTA_SEC = 2.0
+SENTINEL_CEILING = float(os.environ.get("GRAFT_SENTINEL_CEILING", "0.9"))
+FLAGS_OUT = os.environ.get("GRAFT_GUARD_FLAGS_OUT",
+                           "/tmp/graft_guard_flags.json")
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "triage_history.json")
+PIN_THRESHOLD = 2  # flagged-then-retimed-clean events before proposing a pin
 
 cur = json.load(open(sys.argv[1]))
 priors = [json.load(open(p)) for p in sys.argv[2:]]
@@ -96,7 +131,10 @@ print(f"\nAll-queries total: {cur.get('value', 0):.1f}s over {len(cq)} queries."
 # before and after the timed pass. A sentinel far above its cross-round
 # band (~0.3-0.6s on this box) marks a degraded-box window — the mode
 # that produced the r15 q233=58.6s artifact — so outliers in THAT run
-# are box, not plan. Renders whenever the sidecar carries the fields.
+# are box, not plan. Renders whenever the sidecar carries the fields;
+# a failed (-1) or above-ceiling value gets an explicit warning
+# (ADVICE r16 #3) instead of relying on a human reading the number.
+sentinel_alarm = False  # current-run only: fails the close
 sent = [(r.get("sentinel_pre"), r.get("sentinel_post"), lbl)
         for r, lbl in [(cur, "current")] +
         [(p, f"prior#{i + 1}") for i, p in enumerate(priors)]
@@ -105,6 +143,22 @@ sent = [(r.get("sentinel_pre"), r.get("sentinel_post"), lbl)
 if sent:
     print("\nBox sentinel (fixed lineitem groupBy, min-of-3): " + "; ".join(
         f"{lbl} pre {a:.2f}s / post {b:.2f}s" for a, b, lbl in sent) + ".")
+    for a, b, lbl in sent:
+        for which, v in (("pre", a), ("post", b)):
+            msg = None
+            if v < 0:
+                msg = (f"WARNING: sentinel FAILED — {lbl} {which} probe "
+                       f"threw in all 3 samples; box health for that run "
+                       f"is UNKNOWN")
+            elif v > SENTINEL_CEILING:
+                msg = (f"WARNING: DEGRADED-BOX WINDOW suspected — {lbl} "
+                       f"{which} sentinel {v:.2f}s is above the "
+                       f"{SENTINEL_CEILING:.2f}s ceiling (healthy band "
+                       f"~0.2-0.6s); outliers in that run are box, not plan")
+            if msg:
+                print("\n" + msg + ".")
+                if lbl == "current":
+                    sentinel_alarm = True
 
 # --- regression guard ---
 # Vacuous-green guard (same class as plan_lint's parsed-plans floor):
@@ -117,23 +171,73 @@ if not priors:
           "compared against nothing. Usage: bench_table.py CURRENT.json "
           "PRIOR.json [PRIOR2.json ...]")
     sys.exit(2)
+
+
+def flagged(c, p):
+    ratio = (c > REGRESSION_FACTOR * p
+             and c >= MIN_CUR_SEC and c - p >= MIN_DELTA_SEC)
+    absolute = c >= ABS_CUR_SEC and c - p >= ABS_DELTA_SEC
+    return ratio or absolute
+
+
 flags = [(k, cq[k], pq[k]) for k in cq
-         if k in pq and pq[k] > 0 and cq[k] > 0
-         and cq[k] > REGRESSION_FACTOR * pq[k]
-         and cq[k] >= MIN_CUR_SEC and cq[k] - pq[k] >= MIN_DELTA_SEC]
+         if k in pq and pq[k] > 0 and cq[k] > 0 and flagged(cq[k], pq[k])]
 if flags:
     print(f"\n## REGRESSION GUARD: {len(flags)} shared quer"
-          f"{'y' if len(flags) == 1 else 'ies'} >"
-          f"{REGRESSION_FACTOR}x min of {len(priors)} prior run(s)\n")
+          f"{'y' if len(flags) == 1 else 'ies'} over threshold "
+          f"(>{REGRESSION_FACTOR}x, or +{ABS_DELTA_SEC:.0f}s absolute on a "
+          f">={ABS_CUR_SEC:.0f}s query) vs min of {len(priors)} prior "
+          f"run(s)\n")
     for k, c, p in sorted(flags, key=lambda t: t[1] / t[2], reverse=True):
         note = ""
+        if c <= REGRESSION_FACTOR * p:
+            note = " [absolute-delta trigger]"
         if cs.get(k) is not None and ps.get(k) is not None \
                 and cs.get(k) != ps.get(k):
-            note = (f" [sampling changed: min-of-{ps[k]} prior vs "
-                    f"min-of-{cs[k]} now — statistic differs]")
+            note += (f" [sampling changed: min-of-{ps[k]} prior vs "
+                     f"min-of-{cs[k]} now — statistic differs]")
         print(f"- **{k}**: {p:.2f}s -> {c:.2f}s ({c / p:.2f}x){note} — "
               f"fresh-JVM re-time before closing "
-              f"(see .claude/skills/verify/SKILL.md)")
-    sys.exit(1)
-print(f"\nRegression guard: clean (no shared query "
-      f">{REGRESSION_FACTOR}x the min of {len(priors)} prior run(s)).")
+              f"(tools/guard_triage.py, or see "
+              f".claude/skills/verify/SKILL.md)")
+    try:
+        with open(FLAGS_OUT, "w") as f:
+            json.dump({"sf": cur.get("sf"),
+                       "flags": [{"query": k, "cur_sec": c, "prior_floor": p,
+                                  "cur_samples": cs.get(k),
+                                  "floor_samples": ps.get(k)}
+                                 for k, c, p in flags]}, f, indent=1)
+        print(f"\nFlag set written for automation: {FLAGS_OUT} "
+              f"(consume with tools/guard_triage.py).")
+    except OSError as e:
+        print(f"\n(could not write {FLAGS_OUT}: {e})")
+else:
+    print(f"\nRegression guard: clean (no shared query "
+          f">{REGRESSION_FACTOR}x or +{ABS_DELTA_SEC:.0f}s-absolute vs "
+          f"the min of {len(priors)} prior run(s)).")
+
+# --- pin candidates (VERDICT r16 #5) ---
+# A query that keeps flagging and keeps re-timing clean is a chronic
+# GC-luck swinger: after PIN_THRESHOLD recorded clean-retime events it
+# should sample min-of-3 every run. The history ledger is appended by
+# guard_triage.py; already-pinned queries come from the sidecar.
+pinned = set(cur.get("always_min_of_3", []))
+if os.path.exists(HISTORY_PATH):
+    hist = json.load(open(HISTORY_PATH))
+    clean_counts = {}
+    for ev in hist.get("events", []):
+        if ev.get("verdict") == "clean":
+            q = ev["query"]
+            clean_counts[q] = clean_counts.get(q, 0) + 1
+    cands = sorted(q for q, n in clean_counts.items()
+                   if n >= PIN_THRESHOLD and q not in pinned)
+    for q in cands:
+        print(f"\nPIN-CANDIDATE: {q} flagged + re-timed clean "
+              f"{clean_counts[q]} times across recorded rounds — add to "
+              f"Bench.alwaysMinOf3 (the q254/q236 rule).")
+    if not pinned and cands:
+        print("\n(note: current sidecar carries no always_min_of_3 field — "
+              "pre-round-17 artifact; candidates above may already be "
+              "pinned in Bench.scala)")
+
+sys.exit(1 if (flags or sentinel_alarm) else 0)
