@@ -569,16 +569,25 @@ object Graph {
     * re-shuffles; each half-round SHUFFLE-HASH joins the score vector
     * to the right-oriented copy (only the ≤|side|-row vector exchanges;
     * the incidence scan keeps its persisted partitioning) and
-    * partial-aggregates (map-side combine) into ≤|side| rows. The max
-    * is a 1-row broadcast. The graded default is the shuffle mode —
-    * FLIPPED round 17 after a controlled fresh-JVM A/B: shuffle read
-    * 5.16/5.28 s min-of-3 vs broadcast 5.52/6.72 s at sf0.1/local[32]
-    * (and 6.80 vs 10.18 s inside the r16 full pass), so the mode that
-    * survives 100 TB — where the |customers|-row score vector outgrows
-    * any broadcast build — is now ALSO the locally faster one; HITS
-    * pays 6 score joins per 3 iterations and the per-half-round
-    * broadcast build cost is what inverted the trade relative to the
-    * q69/q86/q90 loops, which keep their broadcast defaults. The
+    * partial-aggregates (map-side combine) into ≤|side| rows,
+    * persisted once per half-round (see [[hitsHalfRound]] — the
+    * max-normalization otherwise runs the join twice). The max is a
+    * 1-row broadcast.
+    *
+    * The graded default FLIPPED to shuffle in round 17. The r16 close
+    * read broadcast 10.18 s vs its shuffle variant 6.80 s — an
+    * apparent strategy inversion vs r15. The triage found the real
+    * culprit: the unpersisted raw sums ran every score join TWICE per
+    * half-round, and the duplicated per-half-round broadcast build
+    * made the broadcast mode the more pressure-sensitive of the two.
+    * Post-fix the modes are equal within noise locally (focused
+    * floors 4.3-5.3 s both modes; full-pass shuffle 5.08 s vs
+    * broadcast 5.38 s — all ~2x better than any prior recorded q120),
+    * so the graded mode is the one that survives 100 TB, where the
+    * |customers|-row score vector outgrows any broadcast build.
+    * q69/q86/q90 keep broadcast defaults: their measured broadcast
+    * advantage is real (~2x locally), while HITS pays 6 score joins
+    * per 3 iterations and gets no local win from broadcasting. The
     * broadcast mode stays available ([[purchaseHitsBroadcast]]) and
     * Bench times it as `variant_q120_broadcast_scores` so the trade
     * remains measured, not assumed. Output is the top-`kTop` of each
@@ -603,36 +612,68 @@ object Graph {
     purchaseHitsOf(purchaseEdges(spark, dir), iters, kTop,
       broadcastScores = true)
 
-  /** One HITS half-round over an oriented incidence copy: sum the
-    * score vector over `joinKey`'s in-edges into `outKey` rows
-    * (map-side-combined), then max-normalize — the decimal(38)
-    * product cannot overflow at any graph size. Split out so ScaleSpec
-    * can plan-audit the join strategy (the loop's localCheckpoint hides
-    * it from the final frame's plan, exactly as for `pagerankRound`).
+  /** The join+aggregate half of a HITS half-round: sum the score
+    * vector over `joinKey`'s in-edges into `outKey` rows
+    * (map-side-combined). Kept free of caching so ScaleSpec can
+    * plan-audit the join strategy directly (the caching in
+    * [[hitsHalfRound]] and the loop's localCheckpoint both hide it
+    * from downstream plans, exactly as for `pagerankRound`).
     *
     * `broadcastScores` picks the score-join strategy, mirroring
-    * `pagerankRound`:
-    *  - `true` (default, graded scale): the ≤|side| score vector is
-    *    broadcast to the stationary incidence copy — zero per-round
-    *    shuffle of either side.
-    *  - `false` (the 100 TB mode): SHUFFLE_HASH pinned explicitly —
-    *    the persisted incidence copy is partitioned by `joinKey` but
+    * `pagerankRound` (parameter default `true`; the graded q120 entry
+    * passes `false` explicitly since the round-17 flip):
+    *  - `false` (the graded q120 mode AND the 100 TB mode):
+    *    SHUFFLE_HASH pinned explicitly — the
+    *    persisted incidence copy is partitioned by `joinKey` but
     *    NOT sorted, so a merge join would re-sort the 100-TB side
     *    every half-round, and without the hint small-stat score
     *    vectors would be silently re-broadcast, un-testing the very
     *    path this mode exists to exercise. The incidence side's
     *    in-memory scan keeps its outputPartitioning, so only the
     *    |side|-row score vector exchanges per half-round — never the
-    *    incidence table (plan-asserted in ScaleSpec). The 1-row max
-    *    stays a broadcast at any scale.
+    *    incidence table (plan-asserted in ScaleSpec).
+    *  - `true`: the ≤|side| score vector is broadcast to the
+    *    stationary incidence copy — zero per-round shuffle of either
+    *    side, at the cost of a per-half-round broadcast build. After
+    *    the round-17 persist-raw fix the two modes are equal within
+    *    noise locally (focused floors: broadcast 4.3-4.7 s vs shuffle
+    *    4.7-5.3 s; full-pass: shuffle 5.08 s vs broadcast 5.38 s at
+    *    sf0.1/local[32]), so the graded default stays the mode that
+    *    survives 100 TB; this one stays measured as
+    *    `variant_q120_broadcast_scores`.
     */
-  private[ops] def hitsHalfRound(oriented: DataFrame, scores: DataFrame,
+  private[ops] def hitsScoreJoin(oriented: DataFrame, scores: DataFrame,
       joinKey: String, outKey: String,
       broadcastScores: Boolean = true): DataFrame = {
     val scoreSide =
       if (broadcastScores) broadcast(scores) else scores.hint("shuffle_hash")
-    val raw = oriented.join(scoreSide, Seq(joinKey))
+    oriented.join(scoreSide, Seq(joinKey))
       .groupBy(outKey).agg(sum(col("score")).as("raw"))
+  }
+
+  /** One HITS half-round: [[hitsScoreJoin]], then max-normalize — the
+    * decimal(38) product cannot overflow at any graph size.
+    *
+    * The raw sums are PERSISTED before the max: the normalization
+    * needs two traversals (the 1-row max under its broadcast build,
+    * and the crossJoin left), and AQE compiles them as separate query
+    * stages whose exchanges differ by self-join-dealiased expression
+    * IDs — ReuseExchange never fires, so an unpersisted `raw` runs
+    * the score join + aggregate TWICE per half-round (confirmed in a
+    * round-17 executed-plan probe: the incidence scan, the score
+    * join, and both aggregate levels each appeared twice). Same
+    * shared-frame idiom as every other multi-traversal site in this
+    * file (assocRulesOf's baskets, degreeAssortativity's pairs,
+    * clusteringProfile's nodes); the cached frame is ≤|side| rows of
+    * two longs and CachedStages releases it at query end. The 1-row
+    * max stays a broadcast at any scale.
+    */
+  private[ops] def hitsHalfRound(oriented: DataFrame, scores: DataFrame,
+      joinKey: String, outKey: String,
+      broadcastScores: Boolean = true): DataFrame = {
+    val raw = CachedStages.track(
+      hitsScoreJoin(oriented, scores, joinKey, outKey, broadcastScores)
+        .persist())
     val mx = raw.agg(max(col("raw")).as("mx"))
     raw.crossJoin(broadcast(mx))
       .select(col(outKey), expr(

@@ -682,16 +682,21 @@ class ScaleSpec extends SparkSpec {
     eCust.count()
     val hubs = eCust.select("cust").distinct()
       .select(col("cust"), lit(1000000000L).as("score")).localCheckpoint()
+    // join-strategy audits run against hitsScoreJoin — the join half is
+    // kept cache-free exactly so its plan is directly auditable (the
+    // half-round itself persists the raw sums, hiding the join inside
+    // an InMemoryRelation)
     // broadcast mode: the score join is a broadcast-hash join
-    val bRound = Graph.hitsHalfRound(eCust, hubs, "cust", "part")
+    val bRound = Graph.hitsScoreJoin(eCust, hubs, "cust", "part")
     assert(bRound.queryExecution.sparkPlan.collect {
       case j: BroadcastHashJoinExec => j }.nonEmpty,
-      "default mode must broadcast the score vector\n" +
+      "broadcast mode must broadcast the score vector\n" +
         bRound.queryExecution.sparkPlan.toString.take(3000))
-    // scale mode: shuffle-hash score join; the incidence side is the
-    // persisted scan with NO Exchange above it — only the score
-    // vector exchanges per half-round
-    val sRound = Graph.hitsHalfRound(eCust, hubs, "cust", "part",
+    // scale mode (the graded q120 mode since the round-17 flip):
+    // shuffle-hash score join; the incidence side is the persisted
+    // scan with NO Exchange above it — only the score vector
+    // exchanges per half-round
+    val sRound = Graph.hitsScoreJoin(eCust, hubs, "cust", "part",
       broadcastScores = false)
     val shj = sRound.queryExecution.sparkPlan.collect {
       case j: ShuffledHashJoinExec => j }
@@ -703,6 +708,22 @@ class ScaleSpec extends SparkSpec {
     assert(incSides.forall(c =>
       c.collect { case ex: ShuffleExchangeExec => ex }.isEmpty),
       "incidence side must reuse the persisted cust partitioning, not re-exchange")
+    // the half-round must CACHE the raw sums: without the persist the
+    // crossJoin left and the broadcast(max) build each recompute the
+    // score join (AQE stages dealias the branches, ReuseExchange never
+    // fires — the round-17 probe measured the join running twice)
+    val round = Graph.hitsHalfRound(eCust, hubs, "cust", "part",
+      broadcastScores = false)
+    assert(round.queryExecution.sparkPlan.collect {
+      case t: InMemoryTableScanExec => t }.size >= 2,
+      "both max-normalization traversals must read the persisted raw sums\n" +
+        round.queryExecution.sparkPlan.toString.take(3000))
+    assert(round.queryExecution.sparkPlan.collect {
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j }.isEmpty,
+      "the score join must live inside the cached raw plan, not rerun " +
+        "per traversal\n" +
+        round.queryExecution.sparkPlan.toString.take(3000))
     eCust.unpersist()
     CachedStages.release(spark)
   }
