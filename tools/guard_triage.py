@@ -60,7 +60,17 @@ ABS_DELTA_SEC = 2.0
 def still_regressed(retime, floor):
     ratio = (retime > REGRESSION_FACTOR * floor
              and retime >= MIN_CUR_SEC and retime - floor >= MIN_DELTA_SEC)
-    absolute = retime >= ABS_CUR_SEC and retime - floor >= ABS_DELTA_SEC
+    # The absolute branch needs a relative margin HERE that the guard
+    # deliberately omits: the guard flags any >=2s mover off a cheap
+    # full-run artifact (sensitive), while this controlled verdict must
+    # not call normal big-query variance a regression (specific). On
+    # this box queries in the 15-30s class swing several seconds on
+    # byte-identical code (q233's recorded controlled band is 19-27s,
+    # and its r17 flag re-timed at 20.07s vs a 17.32s best-ever floor —
+    # +2.75s, 1.16x: variance, not a plan change). 1.25x keeps the real
+    # cases: the r16 q120 regression re-timed at 1.28x its floor.
+    absolute = (retime >= ABS_CUR_SEC and retime - floor >= ABS_DELTA_SEC
+                and retime > 1.25 * floor)
     return ratio or absolute
 
 
