@@ -237,9 +237,21 @@ object Graph {
   def kCoreLadderOf(edges: DataFrame, ks: Seq[Int]): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val results = ks.map { k =>
-      var nodes = edges.select(col("src").as("id")).distinct()
-        .localCheckpoint()
+    // CORENESS IS MONOTONE (Seidman): the (k+1)-core is a subgraph of
+    // the k-core, and peeling from ANY superset of the true core
+    // converges to that core — so the ladder peels ASCENDING and seeds
+    // each k's loop with the previous k's fixpoint instead of the full
+    // node set (round-17: the k=3 peel starts from the already
+    // degree>=2-consistent k=2 core and converges in a fraction of the
+    // rounds; the from-scratch ladder re-peeled the easy 90% of nodes
+    // three times). Bit-identical results by construction; the oracle
+    // replays each k from scratch and hash-matches.
+    var seed: DataFrame = null
+    val results = ks.sorted.map { k =>
+      var nodes =
+        if (seed == null)
+          edges.select(col("src").as("id")).distinct().localCheckpoint()
+        else seed
       var n = nodes.count()
       var changed = n > 0
       while (changed) {
@@ -255,6 +267,7 @@ object Graph {
         n = m
         nodes = next
       }
+      seed = nodes // the k-core seeds the (k+1)-peel (monotonicity)
       val nEdges =
         if (n == 0) 0L
         else edges
