@@ -131,7 +131,17 @@ object Bench {
       "q102_bpe_encode_stats", "q236_source_divergence")
     val sentinelPre = sentinel()
     System.err.println(f"box sentinel (pre-timed-pass): $sentinelPre%.3fs")
-    val results = names.map { name =>
+    // MID-RUN SENTINELS (round-18, VERDICT r17 #2): the 305.2s r17 close
+    // proved endpoint probes cannot see a MID-RUN degraded window —
+    // healthy 0.234/0.242 endpoints bracketed a 2-2.9x inflated
+    // adjacent-alphabet cluster. One probe every 50 queries turns the
+    // cluster tell into data: tools/bench_table.py reads the series and
+    // discounts guard flags that fall inside a degraded segment without
+    // burning a fresh-JVM re-time. Full runs only (a focused A/B subset
+    // has its endpoints seconds apart); positions are 1-based counts of
+    // timed queries, matching sorted(queries) order in the sidecar.
+    val sentinelMid = scala.collection.mutable.Buffer[(Int, Double)]()
+    val results = names.zipWithIndex.map { case (name, idx) =>
       def timed(): Double = {
         cleanup()
         val t0 = System.nanoTime()
@@ -162,6 +172,11 @@ object Bench {
       // hoisted above the sentinel so the sidecar records it.
       if (times.forall(_ >= 0) &&
           (times.min > 3.0 || alwaysMinOf3(name))) times = times :+ timed()
+      if (names.size >= 100 && (idx + 1) % 50 == 0 && idx + 1 < names.size) {
+        val s = sentinel()
+        sentinelMid += ((idx + 1, s))
+        System.err.println(f"box sentinel (mid, after ${idx + 1} queries): $s%.3fs")
+      }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min, times.size)
     }.toMap
     val sentinelPost = sentinel()
@@ -288,6 +303,8 @@ object Bench {
          |"variant_q90_shuffle_ranks":${r3(pprVariantSec)},
          |"sentinel_pre":${r3(sentinelPre)},
          |"sentinel_post":${r3(sentinelPost)},
+         |"sentinel_mid":${sentinelMid.map { case (pos, s) =>
+            s"""{"pos":$pos,"sec":${r3(s)}}""" }.mkString("[", ",", "]")},
          |"always_min_of_3":${alwaysMinOf3.toSeq.sorted
             .map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"samples":$fullNs,

@@ -218,7 +218,11 @@ object Dedup {
         "pmod(doc_id * 2654435761, 4294967296) div 1073741824"))
       .select(col("doc_id"), md5(col("text")).as("h"),
         explode(expr("sequence(q + 1, 4)")).as("f"))
-    val perF = quartered.groupBy(col("f"), col("h"))
+    // persisted: traversed twice (the full-corpus reference row + the
+    // final report) — unpersisted, the corpus SCAN + explode ran twice
+    // from files (round-18 DupExec sweep, 9-node from-files subtree
+    // x2); 4 rows cached
+    val perF = CachedStages.track(quartered.groupBy(col("f"), col("h"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy("f")
       .agg(sum(col("cnt")).as("n_docs"),
@@ -227,6 +231,7 @@ object Dedup {
         sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
           .as("n_redundant"))
       .withColumn("dup_ppm", expr("n_redundant * 1000000 div n_docs"))
+      .persist())
     val full = broadcast(perF.filter(col("f") === 4L)
       .select(col("dup_ppm").as("full_dup_ppm")))
     perF.crossJoin(full)
@@ -273,6 +278,11 @@ object Dedup {
         """CAST(n_common AS BIGINT) * 1000000
           | div (size(sh_a) + size(sh_b) - n_common)""".stripMargin))
       .withColumn("err_ppm", expr("est_ppm - exact_ppm"))
+      // persisted: traversed twice (global MAE/bias + per-band rollup)
+      // — unpersisted, both signature joins executed twice (round-18
+      // DupExec sweep, 25-node subtree x2); pair-list sized.
+      .persist()
+    CachedStages.track(scored)
     val glob = broadcast(scored.agg(
       expr("sum(abs(err_ppm)) div count(1)").as("mae_ppm"),
       expr("sum(err_ppm) div count(1)").as("bias_ppm")))
@@ -719,8 +729,17 @@ object Dedup {
     * for every id that appears in a pair.
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Symmetrize in ONE traversal (explode of the two orientations)
+    // instead of a self-union: the union shape traverses `pairs` twice,
+    // and since the caller's pair pipeline is unpersisted, BOTH
+    // traversals executed the full upstream LSH candidate join into
+    // this checkpoint — the q120 double-execution class, caught by the
+    // round-18 DupExec sweep across all six CC-based queries
+    // (q40/q45/q88/q114/q138/q147: a 37-node sort+join subtree x2).
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     // Each round aggregates SELF rows (the node's current label, tagged)
@@ -837,10 +856,16 @@ object Dedup {
     // prefix_len = sz - ceil(t*sz) + 1, all-integer
     val prefixLen = col("sz") -
       expr(s"(($tNum * sz + ${tDen - 1}) div $tDen)") + 1
-    val ranked = gramRows.join(freq, "gram")
+    // persisted: the candidate stage self-joins this frame (left/right
+    // prefix sides) — unpersisted, the df-join + ranking window
+    // executed once PER SIDE (round-18 DupExec sweep: 18-node subtree
+    // x2; ReuseExchange misses across the self-join dealiasing, the
+    // q120 class). Prefix rows are ~20% of gram rows by design.
+    val ranked = CachedStages.track(gramRows.join(freq, "gram")
       .withColumn("rn", row_number().over(
         Window.partitionBy("cid").orderBy(col("df"), col("gram"))))
       .filter(col("rn") <= prefixLen)
+      .persist())
 
     val left = ranked.select(col("cid").as("ca"), col("sz").as("sza"),
       col("rn").as("pa"), col("gram"))
@@ -956,6 +981,11 @@ object Dedup {
              j -> array_join(slice(toks, j * $blockSize + 1, $blockSize), ' '))"""
         )).as(Seq("pos", "blk")))
       .withColumn("h", md5(col("blk")))
+      // persisted: traversed twice (first-occurrence rollup +
+      // join-back) — unpersisted, the tokenize + block explode ran
+      // twice (round-18 DupExec sweep, 11-node subtree x2)
+      .persist()
+    CachedStages.track(blocks)
     val first = blocks.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first_occ"))
     blocks.join(first, "h")
@@ -1129,7 +1159,10 @@ object Dedup {
 
   /** Core of `cdcChunkDedup`: chunk, then count cross-document sharing. */
   def cdcChunkDedupOf(df: DataFrame, window: Int, mask: Int): DataFrame = {
-    val chunks = cdcChunksOf(df, window, mask)
+    // persisted: traversed twice (shared-hash rollup + join-back) —
+    // unpersisted, the rolling-hash chunking ran twice (round-18
+    // DupExec sweep, 18-node subtree x2)
+    val chunks = CachedStages.track(cdcChunksOf(df, window, mask).persist())
     val shared = chunks.groupBy("chunk_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(shared, "chunk_hash")

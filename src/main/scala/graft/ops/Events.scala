@@ -1054,12 +1054,16 @@ object Events {
       .persist())
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val w7 = w.rowsBetween(-7, -1)
-    val scored = dense
+    // persisted: each forecast method's rollup traverses it —
+    // unpersisted, the three lag/moving-average windows ran once per
+    // method (round-18 DupExec sweep)
+    val scored = CachedStages.track(dense
       .withColumn("naive", lag(col("cents"), 1).over(w))
       .withColumn("snaive7", lag(col("cents"), 7).over(w))
       .withColumn("ma7sum", sum(col("cents")).over(w7))
       .withColumn("ma7", expr("ma7sum div 7"))
       .filter(col("day") > col("cutoff") && col("day") - 7 >= col("mn"))
+      .persist())
     val perMethod = Seq("naive", "snaive7", "ma7").map { m =>
       scored.groupBy("event_type")
         .agg(count(lit(1)).as("n_forecasts"),
@@ -1072,6 +1076,9 @@ object Events {
             "ELSE -((-se) div n_forecasts) END").as("bias_cents"),
           col("sae"))
     }.reduce(_ unionByName _)
+      // persisted: traversed twice (naive baseline + final join)
+      .persist()
+    CachedStages.track(perMethod)
     val naiveSae = perMethod.filter(col("method") === "naive")
       .select(col("event_type"), col("sae").as("naive_sae"))
     perMethod.join(broadcast(naiveSae), Seq("event_type"))
@@ -1495,8 +1502,12 @@ object Events {
       .na.fill(0L, Seq("cents"))
       .persist())
     def pick(src: DataFrame, valCol: String, outName: String) = {
-      val h = src.groupBy(col("event_type"), col(valCol))
+      // persisted: traversed twice (per-type totals + cumulative join)
+      // — caught by the round-18 DupExec sweep; value-domain bounded
+      val h = CachedStages.track(src
+        .groupBy(col("event_type"), col(valCol))
         .agg(count(lit(1)).as("cnt"))
+        .persist())
       val t = h.groupBy("event_type").agg(sum(col("cnt")).as("n_days"))
       val wc = Window.partitionBy("event_type")
         .orderBy(col(valCol).asc)
@@ -1812,12 +1823,16 @@ object Events {
     val byDom = daily.join(broadcast(calendar), Seq("day"))
       .groupBy("event_type", "dom")
       .agg(sum(col("cents")).as("cents"))
-    val idx = byDom.join(broadcast(occ), Seq("dom"))
+    // persisted: traversed twice (peak rollup + final join) — the
+    // round-18 DupExec sweep caught the unpersisted chain executing
+    // its join+aggregate subtree twice (30-node subtree x2)
+    val idx = CachedStages.track(byDom.join(broadcast(occ), Seq("dom"))
       .join(broadcast(typeTot), Seq("event_type"))
       .withColumn("idx_ppm", expr(
         """CAST(CAST(cents AS DECIMAL(38, 0)) * total_days * 1000000
           | div (CAST(occ AS DECIMAL(38, 0))
           |      * nullif(tot_cents, 0)) AS BIGINT)""".stripMargin))
+      .persist())
     val peak = idx.groupBy("event_type")
       .agg(max(expr("idx_ppm * 100 - dom")).as("pk"))
     idx.join(broadcast(peak), Seq("event_type"))
@@ -2103,11 +2118,15 @@ object Events {
       .persist())
     val totals = byDow.groupBy("event_type")
       .agg(sum(col("n_days")).as("n_all"), sum(col("cents")).as("s_all"))
-    val indexed = byDow.join(broadcast(totals), Seq("event_type"))
+    // persisted: traversed twice (peaks rollup + final join) — caught
+    // by the round-18 DupExec sweep as a duplicated join subtree
+    val indexed = CachedStages.track(byDow
+      .join(broadcast(totals), Seq("event_type"))
       .withColumn("index_ppm", expr(
         """CAST(CAST(cents AS DECIMAL(38, 0)) * n_all * 1000000
           | div nullif(CAST(n_days AS DECIMAL(38, 0)) * s_all, 0)
           | AS BIGINT)""".stripMargin))
+      .persist())
     val peaks = indexed.groupBy("event_type")
       .agg(max(col("index_ppm")).as("peak_ppm"))
     indexed.join(broadcast(peaks), Seq("event_type"))
@@ -2382,9 +2401,12 @@ object Events {
     // bounded-domain cumulative: strictly-before mass leaves the risk set
     val w = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val risk = hist.crossJoin(broadcast(total))
+    // persisted: traversed twice (the collected step table + the final
+    // fold) — caught by the round-18 DupExec sweep (7-node subtree x2)
+    val risk = CachedStages.track(hist.crossJoin(broadcast(total))
       .withColumn("n_at_risk",
         col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+      .persist())
     val steps = risk.agg(expr(
       "sort_array(collect_list(struct(t, n_at_risk, d)))").as("steps"))
     risk.crossJoin(broadcast(steps))
@@ -2505,9 +2527,12 @@ object Events {
     val total = hist.agg(sum(col("n_t")).as("n_total"))
     val w = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val risk = hist.crossJoin(broadcast(total))
+    // persisted: traversed twice (the collected step table + the final
+    // fold) — caught by the round-18 DupExec sweep (7-node subtree x2)
+    val risk = CachedStages.track(hist.crossJoin(broadcast(total))
       .withColumn("n_at_risk",
         col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
+      .persist())
     val steps = risk.agg(expr(
       "sort_array(collect_list(struct(t, n_at_risk, d_a, d_b)))")
       .as("steps"))
@@ -2578,7 +2603,11 @@ object Events {
       .agg(sum(col("e")).as("d"), count(lit(1)).as("n_t"))
       .persist())
     val spine = hist.select("t").distinct()
-    val totals = hist.groupBy("grp").agg(sum(col("n_t")).as("tot"))
+    // persisted: broadcast into the risk grid AND the final subject
+    // totals — unpersisted, the per-group rollup ran twice (round-18
+    // DupExec sweep); 2 rows
+    val totals = CachedStages.track(
+      hist.groupBy("grp").agg(sum(col("n_t")).as("tot")).persist())
     val w = Window.partitionBy("grp").orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val grid = spine.crossJoin(broadcast(totals))
@@ -2658,9 +2687,12 @@ object Events {
       .agg(count(lit(1)).as("n_buyers"),
         sum(when(col("n_purchases") >= 2, 1L).otherwise(0L))
           .as("n_repeat"))
-    val hist = gaps.filter(col("prev_us").isNotNull)
+    // persisted: traversed twice (cumulative window + gap total) —
+    // caught by the round-18 DupExec sweep; gap-days bounded
+    val hist = CachedStages.track(gaps.filter(col("prev_us").isNotNull)
       .select(expr("(ts_us - prev_us) div 86400000000").as("gap_days"))
       .groupBy("gap_days").agg(count(lit(1)).as("cnt"))
+      .persist())
     val wg = Window.orderBy(col("gap_days").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val q = hist
@@ -2704,7 +2736,11 @@ object Events {
       .select(col("user_id"), expr("ts_sec div 86400").as("day"))
       .distinct()
       .persist())
-    val days = ud.select("day").distinct()
+    // persisted: broadcast by BOTH trailing windows — unpersisted, the
+    // distinct-days pass over the activity cache ran once per window
+    // (round-18 DupExec sweep, x3)
+    val days = CachedStages.track(
+      ud.select("day").distinct().persist())
     def windowed(span: Int, out: String): DataFrame =
       ud.select(col("user_id"),
           explode(expr(s"sequence(day, day + ${span - 1})")).as("day"))
@@ -2745,7 +2781,11 @@ object Events {
     val kMax = 41 - Integer.numberOfTrailingZeros(m)
     val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
     val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
-    val days = daily.select("day").distinct()
+    // persisted: read by more than one downstream branch — unpersisted,
+    // the distinct-days pass over the register cache ran once per
+    // consumer (round-18 DupExec sweep)
+    val days = CachedStages.track(
+      daily.select("day").distinct().persist())
     val joined = days.crossJoin(
         broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
       .join(daily, Seq("day", "idx"), "left")
@@ -2835,7 +2875,11 @@ object Events {
     val kMax = restBits + 1
     val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
     val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
-    val days = daily.select("day").distinct()
+    // persisted: read by more than one downstream branch — unpersisted,
+    // the distinct-days pass over the register cache ran once per
+    // consumer (round-18 DupExec sweep)
+    val days = CachedStages.track(
+      daily.select("day").distinct().persist())
     val grid = days.crossJoin(
       broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
     val w = Window.partitionBy("idx").orderBy(col("day").asc)
@@ -2900,11 +2944,15 @@ object Events {
       .persist())
     val cohorts = userWeeks.groupBy("user_id")
       .agg(min(col("week")).as("cohort_week"))
-    val grid = userWeeks.join(broadcast(cohorts), Seq("user_id"))
+    // persisted: traversed twice (cohort sizes + final join) — caught
+    // by the round-18 DupExec sweep as a duplicated aggregate subtree
+    val grid = CachedStages.track(userWeeks
+      .join(broadcast(cohorts), Seq("user_id"))
       .withColumn("week_offset", col("week") - col("cohort_week"))
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_active"),
         sum(col("cents")).as("rev_cents"))
+      .persist())
     val sizes = grid.filter(col("week_offset") === 0L)
       .select(col("cohort_week"), col("n_active").as("cohort_size"))
     val w = Window.partitionBy("cohort_week").orderBy(col("week_offset").asc)
@@ -3005,9 +3053,13 @@ object Events {
     // armRep is persisted above: its lineage is the users×B generator,
     // and the arm branch, the diff branch, the count pass, and the
     // ranked pass must all read the |arms|·B-row cache, not regenerate
-    val reps = armRep.select(col("arm").as("series"), col("b"), col("ppm"))
+    // persisted: traversed twice (count table + ranked pass) — caught
+    // by the round-18 DupExec sweep as a duplicated union subtree
+    val reps = CachedStages.track(armRep
+      .select(col("arm").as("series"), col("b"), col("ppm"))
       .unionByName(diffRep)
       .filter(col("ppm").isNotNull)
+      .persist())
     val w2 = Window.partitionBy("series").orderBy(col("ppm").asc,
       col("b").asc)
     // the ceil-rank cuts need the per-series replicate count alongside
@@ -3021,10 +3073,14 @@ object Events {
           .as("boot_lo_ppm"),
         min(when(expr("rn >= (count_rn * 975 + 999) div 1000"), col("ppm")))
           .as("boot_hi_ppm"))
-    val pointArms = users.groupBy(col("arm").as("series"))
+    // persisted: traversed twice (diff row + final union) — without it
+    // the per-arm rollup re-scanned the users cache once per traversal
+    val pointArms = CachedStages.track(users
+      .groupBy(col("arm").as("series"))
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("nc"))
       .withColumn("point_ppm", expr("nc * 1000000 div n_users"))
       .select("series", "n_users", "point_ppm")
+      .persist())
     val pointDiff = pointArms.agg(
         sum(col("n_users")).as("n_users"),
         sum(when(col("series") === "a", col("point_ppm"))).as("pa"),

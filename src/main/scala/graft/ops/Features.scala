@@ -351,8 +351,21 @@ object Features {
     * shared by q219's argmax and q224's confidence normalization so
     * the model arithmetic cannot drift between them.
     */
-  private[graft] def nbScores(cube: DataFrame): DataFrame = {
-    val classes = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+  /** Per-class totals over the count cube — persisted because every
+    * consumer (the score grid's prior, q219's accuracy denominator,
+    * q248's majority pick) re-derived the same rollup from the cube
+    * cache (round-18 DupExec sweep). Call ONCE per query and thread
+    * the frame through.
+    */
+  private[graft] def nbClasses(cube: DataFrame): DataFrame =
+    CachedStages.track(
+      cube.groupBy("seg").agg(sum(col("n")).as("n_c")).persist())
+
+  private[graft] def nbScores(cube: DataFrame): DataFrame =
+    nbScores(cube, nbClasses(cube))
+
+  private[graft] def nbScores(cube: DataFrame,
+      classes: DataFrame): DataFrame = {
     val nats = cube.groupBy("nat", "seg").agg(sum(col("n")).as("n_natc"))
     val signs = cube.groupBy("sign", "seg")
       .agg(sum(col("n")).as("n_signc"))
@@ -373,18 +386,22 @@ object Features {
 
   def naiveBayesOf(base: DataFrame): DataFrame = {
     val cube = nbCube(base)
-    val classes = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+    val classes = nbClasses(cube)
     val total = classes.agg(sum(col("n_c")).as("n_total"),
       max(col("n_c")).as("n_major"))
-    val combos = nbScores(cube)
+    val combos = nbScores(cube, classes)
     val wp = Window.partitionBy("nat", "sign")
       .orderBy(col("s_fp").desc, col("seg").asc)
     val pred = combos.withColumn("rn", row_number().over(wp))
       .filter(col("rn") === 1)
       .select(col("nat"), col("sign"), col("seg").as("predicted"))
-    val conf = cube.join(pred, Seq("nat", "sign"))
+    // persisted: traversed twice (the accuracy rollup below and the
+    // final crossJoin) — unpersisted, the whole argmax-window + join
+    // chain executed twice (round-18 DupExec sweep: 46-node subtree x2)
+    val conf = CachedStages.track(cube.join(pred, Seq("nat", "sign"))
       .groupBy(col("seg").as("actual"), col("predicted"))
       .agg(sum(col("n")).as("n"))
+      .persist())
     val acc = conf.agg(
         sum(when(col("actual") === col("predicted"), col("n"))
           .otherwise(0L)).as("n_correct"))
@@ -555,13 +572,14 @@ object Features {
     */
   def mcnemarOf(base: DataFrame): DataFrame = {
     val cube = nbCube(base)
-    val combos = nbScores(cube)
+    val classes = nbClasses(cube)
+    val combos = nbScores(cube, classes)
     val wp = Window.partitionBy("nat", "sign")
       .orderBy(col("s_fp").desc, col("seg").asc)
     val pred = combos.withColumn("rn", row_number().over(wp))
       .filter(col("rn") === 1)
       .select(col("nat"), col("sign"), col("seg").as("predicted"))
-    val major = cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+    val major = classes
       .withColumn("rn", row_number().over(
         Window.orderBy(col("n_c").desc, col("seg").asc)))
       .filter(col("rn") === 1)

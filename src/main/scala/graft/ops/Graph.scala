@@ -120,10 +120,18 @@ object Graph {
     * `(id, n_triangles)` for every node on at least one triangle.
     */
   def triangleCounts(und: DataFrame): DataFrame = {
-    // undirected degree: each edge touches both endpoints
-    val deg = und.select(col("u").as("id"))
-      .union(und.select(col("v").as("id")))
+    // persisted: the edge list is read by the degree union (twice),
+    // and the orientation join — callers pass an unpersisted distinct
+    // self-join, which the round-18 DupExec sweep caught re-executing
+    // per read (re-persisting an already-persisted caller frame is a
+    // no-op)
+    val edges = CachedStages.track(und.persist())
+    // undirected degree: each edge touches both endpoints; persisted
+    // because it feeds BOTH sides of the orientation join (du / dv)
+    val deg = CachedStages.track(edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist())
     // orient low-(deg, id) -> high-(deg, id); total order, so exactly
     // one direction survives per edge and every triangle becomes one
     // directed path a->b, b->c plus the closing edge a->c.
@@ -133,7 +141,7 @@ object Graph {
     // sf0.1 that was measured 18.7s vs 2-3s persisted.
     val du = deg.select(col("id").as("u"), col("deg").as("du"))
     val dv = deg.select(col("id").as("v"), col("deg").as("dv"))
-    val oriented = CachedStages.track(und.join(du, "u").join(dv, "v")
+    val oriented = CachedStages.track(edges.join(du, "u").join(dv, "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
@@ -153,8 +161,12 @@ object Graph {
     // the adjacency fits an executor (~10⁸ packed edges); beyond that
     // drop the broadcasts — AQE picks shuffle joins and the same plan
     // degrades gracefully instead of breaking.
-    val adj = oriented.groupBy("a")
+    // persisted: built into BOTH broadcast sides of the intersection
+    // join — unpersisted, the sorted-adjacency collect ran once per
+    // broadcast (round-18 DupExec sweep, 7-node subtree x2)
+    val adj = CachedStages.track(oriented.groupBy("a")
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+      .persist())
     val tris = oriented
       .join(broadcast(adj), "a")
       .join(broadcast(adj.select(col("a").as("b"),
@@ -767,17 +779,27 @@ object Graph {
       topK: Int): DataFrame = {
     val b = CachedStages.track(orderParts.persist())
     val nBaskets = b.agg(countDistinct(col("k")).as("n_baskets"))
-    val itemCounts = b.groupBy("p").agg(count(lit(1)).as("n_item"))
+    // persisted: built into TWO broadcasts (antecedent and consequent
+    // sides) — unpersisted, the item-count shuffle agg executed once
+    // per broadcast (round-18 DupExec sweep)
+    val itemCounts = CachedStages.track(
+      b.groupBy("p").agg(count(lit(1)).as("n_item")).persist())
     val undirected = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
       .filter(col("p") < col("p2"))
       .groupBy(col("p").as("a"), col("p2").as("b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
-    val directed = undirected
-      .select(col("a").as("antecedent"), col("b").as("consequent"),
-        col("n_ab"))
-      .unionByName(undirected.select(col("b").as("antecedent"),
-        col("a").as("consequent"), col("n_ab")))
+    // both orientations in ONE traversal (explode, not a self-union):
+    // the union shape executed the basket self-join + pair aggregate
+    // twice (round-18 DupExec sweep, 12-node subtree x2 — the q120
+    // double-execution class)
+    val directed = undirected.select(explode(array(
+        struct(col("a").as("antecedent"), col("b").as("consequent"),
+          col("n_ab")),
+        struct(col("b").as("antecedent"), col("a").as("consequent"),
+          col("n_ab")))).as("e"))
+      .select(col("e.antecedent").as("antecedent"),
+        col("e.consequent").as("consequent"), col("e.n_ab").as("n_ab"))
     directed
       .join(broadcast(itemCounts.withColumnRenamed("p", "antecedent")
         .withColumnRenamed("n_item", "n_ante")), Seq("antecedent"))
@@ -903,11 +925,20 @@ object Graph {
           expr("n_frequent * 1000000 div nullif(n_itemsets, 0)")
             .as("frequent_ppm"))
     val singles = b.groupBy("p").agg(count(lit(1)).as("n"))
-    val pairs = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
-      .filter(col("p") < col("p2"))
-      .groupBy("p", "p2").agg(count(lit(1)).as("n"))
-    val triples = b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
-      .filter(col("p") < col("p2"))
+    // LADDER SEEDING (round-18, VERDICT r17 #4): k = 3 builds on the
+    // k = 2 level's PAIR ROWS instead of re-running the basket
+    // self-join (the round-18 DupExec sweep caught that join executing
+    // twice). The persisted fan-out is Σ C(basket, 2) ≈ 1.5x the
+    // basket projection at observed densities — cheaper to cache than
+    // to re-shuffle. True A-Priori candidate pruning (triples from
+    // FREQUENT pairs only) would be wrong here: the report counts ALL
+    // occurring itemsets per k, not the pruned candidate set.
+    val pairRows = CachedStages.track(
+      b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
+        .filter(col("p") < col("p2"))
+        .persist())
+    val pairs = pairRows.groupBy("p", "p2").agg(count(lit(1)).as("n"))
+    val triples = pairRows
       .join(b.withColumnRenamed("p", "p3"), Seq("k"))
       .filter(col("p2") < col("p3"))
       .groupBy("p", "p2", "p3").agg(count(lit(1)).as("n"))
@@ -1031,9 +1062,13 @@ object Graph {
     */
   def linkPredictionOf(und: DataFrame, k: Int): DataFrame = {
     val edges = CachedStages.track(und.persist())
-    val deg = edges.select(col("u").as("id"))
+    // persisted: built into TWO broadcasts (deg_u / deg_v sides) —
+    // unpersisted, the degree shuffle agg executed once per broadcast
+    // (round-18 DupExec sweep, 12-node subtree x2)
+    val deg = CachedStages.track(edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist())
     // adjacency as (w, nbr) both directions: wedge (u -w- v), u < v
     val adj = edges.select(col("u").as("w"), col("v").as("nbr"))
       .union(edges.select(col("v").as("w"), col("u").as("nbr")))
@@ -1097,9 +1132,13 @@ object Graph {
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = CachedStages.track(und.persist())
-    val deg = edges.select(col("u").as("id"))
+    // persisted: built into THREE broadcasts (the cap window's
+    // deg_nbr side plus deg_u / deg_v) — unpersisted, the degree
+    // shuffle agg executed once per broadcast (round-18 DupExec sweep)
+    val deg = CachedStages.track(edges.select(col("u").as("id"))
       .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .persist())
     val adj = edges.select(col("u").as("w"), col("v").as("nbr"))
       .union(edges.select(col("v").as("w"), col("u").as("nbr")))
     // persisted: BOTH wedge sides read the capped lists, and the

@@ -273,8 +273,13 @@ object Privacy {
     */
   def tClosenessOf(baseIn: DataFrame, tPpm: Long): DataFrame = {
     val base = CachedStages.track(baseIn.persist())
-    val global = base.groupBy("sens").agg(count(lit(1)).as("n_c"))
-    val tot = base.agg(count(lit(1)).as("n_total"))
+    // persisted: each generalization level broadcasts BOTH rollups —
+    // unpersisted, they re-scanned the base cache once per level
+    // (round-18 DupExec sweep: both subtrees x3)
+    val global = CachedStages.track(
+      base.groupBy("sens").agg(count(lit(1)).as("n_c")).persist())
+    val tot = CachedStages.track(
+      base.agg(count(lit(1)).as("n_total")).persist())
     def level(name: String, keys: Seq[String]): DataFrame = {
       val gc = base.groupBy((keys :+ "sens").map(col): _*)
         .agg(count(lit(1)).as("n_gc"))

@@ -605,13 +605,18 @@ object RankTests {
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("n_days",
         count(lit(1)).over(Window.partitionBy("event_type")))
-    val best = ut.filter(col("rn") < col("n_days"))
+    // persisted: broadcast into the level means AND the final report —
+    // unpersisted, the pairwise self-join + U-statistic windows above
+    // executed twice (round-18 DupExec sweep, 16-node subtree x2);
+    // |event types| rows
+    val best = CachedStages.track(ut.filter(col("rn") < col("n_days"))
       .withColumn("pick", row_number().over(Window
         .partitionBy("event_type")
         .orderBy(abs(col("ut")).desc, col("day").asc)))
       .filter(col("pick") === 1)
       .select(col("event_type"), col("day").as("cp_day"),
         col("ut").as("u_at_cp"), abs(col("ut")).as("k_stat"))
+      .persist())
     val levels = daily
       .join(broadcast(best.select("event_type", "cp_day")),
         Seq("event_type"))
@@ -1015,12 +1020,16 @@ object RankTests {
         .select(col("ta"), col("tb"), col("lag"), col("v"),
           expr("2 * (cum - cnt) + cnt + 1").as(out))
     }
-    val ranked = grid
+    // persisted: traversed twice (rank means + centered moments) —
+    // unpersisted, both midrank window+join chains executed twice
+    // (round-18 DupExec sweep, 16-node subtree x2)
+    val ranked = CachedStages.track(grid
       .join(midranks("x", "rx2").withColumnRenamed("v", "x"),
         Seq("ta", "tb", "lag", "x"))
       .join(midranks("y", "ry2").withColumnRenamed("v", "y"),
         Seq("ta", "tb", "lag", "y"))
       .select("ta", "tb", "lag", "rx2", "ry2")
+      .persist())
     val means = ranked.groupBy("ta", "tb", "lag")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(rx2 AS DECIMAL(38, 0))")).as("sx"),

@@ -437,7 +437,12 @@ object Relational {
     */
   private def quintileMap(vals: DataFrame, valueCol: String,
       scoreCol: String): DataFrame = {
-    val hist = vals.groupBy(valueCol).agg(count(lit(1)).as("cnt"))
+    // persisted: traversed twice (total + cumulative window) —
+    // unpersisted, the value-domain histogram aggregate executed twice
+    // per score map (round-18 DupExec sweep, x2 in each of the three
+    // q146 maps); bounded by the value domain
+    val hist = CachedStages.track(
+      vals.groupBy(valueCol).agg(count(lit(1)).as("cnt")).persist())
     val w = Window.orderBy(col(valueCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.agg(sum(col("cnt")).as("n"))
@@ -844,16 +849,29 @@ object Relational {
         (col("cents").cast("double") / col("s").cast("double")) *
           log((col("cents") * col("n")).cast("double") /
             col("s").cast("double")))
-    val perNation = terms.groupBy("nation")
+    // ONE traversal of the per-customer `terms` frame: the global
+    // t_term sum folds through this rollup as an unrounded DECIMAL
+    // per-nation partial (decimal addition is associative — the
+    // re-grouped total is bit-identical to the one-pass sum), and the
+    // |nations|-row result persists. Before round 18 `terms` was
+    // traversed separately for the total (DupExec: 23-node
+    // crossJoin subtree x2 — the per-customer join executed twice).
+    val perNation = CachedStages.track(terms.groupBy("nation")
       .agg(max(col("n_g")).as("n_cust"), max(col("s_g")).as("spend_cents"),
         round(sum(col("t_g_term").cast(dec18)).cast("double"), 6)
-          .as("theil_g"))
-    val withBetween = perNation.crossJoin(tot)
+          .as("theil_g"),
+        sum(col("t_term").cast(dec18)).as("tt_g"))
+      .persist())
+    // persisted: traversed twice (globals rollup + final join) — the
+    // residual x2 the round-18 DupExec re-probe caught after the
+    // perNation fold landed; |nations| rows
+    val withBetween = CachedStages.track(perNation.crossJoin(tot)
       .withColumn("share_ppm", expr("spend_cents * 1000000 div s"))
       .withColumn("between_term", round(
         (col("spend_cents").cast("double") / col("s").cast("double")) *
           log((col("spend_cents") * col("n")).cast("double") /
             (col("s") * col("n_cust")).cast("double")), 6))
+      .persist())
     val globals = broadcast(withBetween
       .withColumn("within_term",
         (col("spend_cents").cast("double") / col("s").cast("double")) *
@@ -862,8 +880,8 @@ object Relational {
           .as("theil_between"),
         round(sum(col("within_term").cast(dec18)).cast("double"), 6)
           .as("theil_within")))
-    val totalRow = broadcast(terms.agg(
-      round(sum(col("t_term").cast(dec18)).cast("double"), 6)
+    val totalRow = broadcast(perNation.agg(
+      round(sum(col("tt_g")).cast("double"), 6)
         .as("theil_total")))
     withBetween.crossJoin(globals).crossJoin(totalRow)
       .select("nation", "n_cust", "spend_cents", "share_ppm",
@@ -1320,17 +1338,23 @@ object Relational {
     * ≤8-row band table — a LADDER-bounded window, free at any scale.
     */
   def supplierFdrOf(li: DataFrame): DataFrame = {
-    val tested = supplierReturnScreenOf(li)
+    // persisted: traversed twice (the per-band rollup AND the m_tested
+    // scalar) — unpersisted, the full supplier return screen over
+    // lineitem executed twice (round-18 DupExec sweep, 33-node
+    // subtree x2); same idiom for `cum` below (totals + final join)
+    val tested = CachedStages.track(supplierReturnScreenOf(li)
       .filter(col("z2_micro").isNotNull)
       .withColumn("p_ppm", expr(pLadderCase("z2_micro")))
+      .persist())
     val bands = tested.groupBy("p_ppm")
       .agg(count(lit(1)).as("n_suppliers"))
     val m = tested.agg(count(lit(1)).as("m_tested"))
     val w = Window.orderBy("p_ppm")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bands
+    val cum = CachedStages.track(bands
       .withColumn("cum_tested", sum(col("n_suppliers")).over(w))
       .crossJoin(broadcast(m))
+      .persist())
       .withColumn("bh_pass", expr(
         """IF(p_ppm * m_tested <= cum_tested * 100000,
           | CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin))
@@ -1439,9 +1463,16 @@ object Relational {
     val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
     val cells = CachedStages.track(df.groupBy("x", "y")
       .agg(count(lit(1)).as("c")).persist())
-    val mx = cells.groupBy("x").agg(sum(col("c")).as("cx"))
-    val my = cells.groupBy("y").agg(sum(col("c")).as("cy"))
-    val tot = broadcast(cells.agg(sum(col("c")).as("n")))
+    // persisted: each marginal feeds the scored join AND its entropy
+    // rollup, and the total feeds every branch — unpersisted, the
+    // marginal/total aggregates over the cell cache re-ran per
+    // consumer (round-18 DupExec sweep)
+    val mx = CachedStages.track(
+      cells.groupBy("x").agg(sum(col("c")).as("cx")).persist())
+    val my = CachedStages.track(
+      cells.groupBy("y").agg(sum(col("c")).as("cy")).persist())
+    val tot = broadcast(CachedStages.track(
+      cells.agg(sum(col("c")).as("n")).persist()))
     def entropy(marg: DataFrame, cnt: String) = broadcast(
       marg.crossJoin(tot)
         .select(round(sum(
@@ -1508,14 +1539,22 @@ object Relational {
     */
   def cramersVOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     val base = CachedStages.track(df.persist())
-    val n = base.agg(count(lit(1)).as("n"))
+    // persisted: broadcast into EVERY column-pair branch — unpersisted,
+    // the count re-scanned the base cache once per pair (round-18
+    // DupExec sweep)
+    val n = CachedStages.track(
+      base.agg(count(lit(1)).as("n")).persist())
     val parts = cols.combinations(2).map { case Seq(a, b) =>
       val cells = CachedStages.track(base
         .groupBy(col(a).as("va"), col(b).as("vb"))
         .agg(count(lit(1)).as("o"))
         .persist())
-      val ra = cells.groupBy("va").agg(sum(col("o")).as("r"))
-      val rb = cells.groupBy("vb").agg(sum(col("o")).as("c"))
+      // persisted: each margin feeds its broadcast join AND its
+      // cardinality rollup (ka/kb) — two consumers per margin
+      val ra = CachedStages.track(
+        cells.groupBy("va").agg(sum(col("o")).as("r")).persist())
+      val rb = CachedStages.track(
+        cells.groupBy("vb").agg(sum(col("o")).as("c")).persist())
       val ka = ra.agg(count(lit(1)).as("k_a"))
       val kb = rb.agg(count(lit(1)).as("k_b"))
       cells.join(broadcast(ra), Seq("va"))

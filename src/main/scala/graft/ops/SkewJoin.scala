@@ -62,7 +62,12 @@ object SkewJoin {
     import org.apache.spark.sql.expressions.Window
     def perKey(k: String): DataFrame = {
       val sizes = df.groupBy(col(k)).agg(count(lit(1)).as("sz"))
-      val hist = sizes.groupBy("sz").agg(count(lit(1)).as("nk"))
+      // persisted: traversed twice (cumulative window + totals) —
+      // unpersisted, the two-level group-size collapse ran twice per
+      // key column (round-18 DupExec sweep, x3 keys); value-domain
+      // bounded
+      val hist = graft.ops.CachedStages.track(
+        sizes.groupBy("sz").agg(count(lit(1)).as("nk")).persist())
       val w = Window.orderBy(col("sz").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("nk")).over(w))

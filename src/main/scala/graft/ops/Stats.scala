@@ -266,8 +266,13 @@ object Stats {
         org.apache.spark.sql.expressions.Window.currentRow)
     val tot = hist.agg(sum(col("cnt")).as("n"),
       (min(col("cents")) - 1).as("floor_lo"))
-    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    // persisted: traversed twice (boundary picks + bucket counts) —
+    // unpersisted, the cumulative window over the histogram ran twice
+    // (round-18 DupExec sweep); value-domain bounded
+    val cum = CachedStages.track(hist
+      .withColumn("cum", sum(col("cnt")).over(w))
       .crossJoin(broadcast(tot))
+      .persist())
     val picks = (1 to buckets).map(i =>
       min(when(expr(s"cum * $buckets >= n * $i"), col("cents")))
         .as(s"h$i"))
@@ -279,10 +284,15 @@ object Stats {
     // bucket 1's exclusive lower bound is (min - 1), so every bucket is
     // a closed-span (lo, hi] range — no NULL edges for the selectivity
     // estimator (q160) to special-case
-    val ranges = bounds
+    // persisted: traversed twice (bucket counts + the final left join)
+    // — unpersisted, the stack + lag window and everything above it
+    // executed twice (round-18 DupExec sweep, 22-node subtree x2 per
+    // column); <= `buckets` rows
+    val ranges = CachedStages.track(bounds
       .crossJoin(broadcast(tot.select(col("floor_lo"))))
       .withColumn("lo", coalesce(lag(col("hi"), 1).over(wb), col("floor_lo")))
       .select(col("bucket"), col("lo"), col("hi"))
+      .persist())
     val counts = cum.crossJoin(broadcast(ranges))
       .filter(col("cents") > col("lo") && col("cents") <= col("hi"))
       .groupBy("bucket")

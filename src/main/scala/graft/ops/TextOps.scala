@@ -436,10 +436,15 @@ object TextOps {
   /** Core of `invertedIndex` over any `(doc_id, text)` corpus. */
   def invertedIndexOf(docs: DataFrame, maxDf: Long): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val postings = docs.filter(col("doc_id").isNotNull)
+    // persisted: postings feed the df rollup AND the kept join; dfs
+    // feed the filter AND the final left join — unpersisted, the
+    // tokenize + explode ran twice (round-18 DupExec sweep)
+    val postings = CachedStages.track(docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         explode(expr(s"array_distinct($tokensExpr)")).as("term"))
-    val dfs = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .persist())
+    val dfs = CachedStages.track(
+      postings.groupBy("term").agg(count(lit(1)).as("df")).persist())
     val kept = postings
       .join(dfs.filter(col("df") <= maxDf).select("term"), "term")
       .groupBy("term")
@@ -1099,10 +1104,19 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr(s"array_distinct($tokensExpr)")).as("term"))
       .persist())
-    val rare = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // persisted: joined by BOTH sides of the pair self-join —
+    // unpersisted, the document-frequency aggregate executed once per
+    // side (round-18 DupExec sweep, 7-node subtree x2)
+    val rare = CachedStages.track(postings.groupBy("term")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .withColumn("wt", expr("1000000 div df"))
-    val rarePostings = postings.join(rare, Seq("term"))
+      .persist())
+    // persisted: both sides of the pair self-join read it —
+    // unpersisted, the rare-term probe join executed once per side
+    // (round-18 DupExec sweep); bounded by df <= maxDf
+    val rarePostings = CachedStages.track(
+      postings.join(rare, Seq("term")).persist())
     val pairs = rarePostings.select(col("term"), col("wt"),
         col("doc_id").as("doc_a"))
       .join(rarePostings.select(col("term"), col("doc_id").as("doc_b")),
@@ -1466,8 +1480,11 @@ object TextOps {
       .select(col("doc_id"), explode(expr(tokensExpr)).as("tok"))
       .persist())
     val ids = CachedStages.track(docs.select("doc_id").persist())
-    val bounds = ids.agg(min(col("doc_id")).as("mn"),
-      max(col("doc_id")).as("mx"))
+    // persisted: broadcast into both decile spines — unpersisted, the
+    // id-range rollup ran once per spine (round-18 DupExec sweep)
+    val bounds = CachedStages.track(ids
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .persist())
     def dec(c: String) =
       expr(s"CAST(($c - mn) * 10 div (mx - mn + 1) + 1 AS BIGINT)")
     val docDec = ids.crossJoin(broadcast(bounds))
@@ -1571,9 +1588,12 @@ object TextOps {
       .agg(sum(col("w")).as("n_tokens"))
     // unpartitioned window, bounded BY CONSTRUCTION to the 512-row
     // top table — never the vocabulary
-    val ranked = top
+    // persisted: traversed twice (pick rows + the doubled-rank probe)
+    // — caught by the round-18 DupExec sweep; 512 rows
+    val ranked = CachedStages.track(top
       .withColumn("rank", row_number().over(Window
         .orderBy(col("c").desc, col("token").asc)).cast("long"))
+      .persist())
     val r2 = ranked.select(col("rank").as("rank2"),
       col("c").as("c2"))
     ranked.filter(col("rank").isin(picks: _*))
@@ -1710,8 +1730,12 @@ object TextOps {
       .groupBy("source", "token")
       .agg(count(lit(1)).as("c"))
       .persist())
-    val totals = counts.groupBy("source")
+    // persisted: traversed by both sides of the source-pair cross —
+    // unpersisted, the per-source total aggregate executed twice
+    // (round-18 DupExec sweep)
+    val totals = CachedStages.track(counts.groupBy("source")
       .agg(sum(col("c")).as("n"))
+      .persist())
     val pairs = totals.select(col("source").as("source_a"),
         col("n").as("n_a"))
       .crossJoin(totals.select(col("source").as("source_b"),

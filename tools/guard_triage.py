@@ -133,10 +133,17 @@ def main():
     sent = (side.get("sentinel_pre"), side.get("sentinel_post"))
 
     now = datetime.datetime.now(datetime.timezone.utc)
+
+    # A stale/old-format sidecar (pre-round-16 jar) carries no sentinel
+    # fields; render them as "—" instead of raising TypeError AFTER the
+    # expensive fresh-JVM re-time completed (ADVICE r17 #3).
+    def fmt_sent(v):
+        return f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+
     lines = [
         "",
         f"### Guard triage (automated, {now:%Y-%m-%d %H:%M} UTC, "
-        f"sentinels {sent[0]:.2f}/{sent[1]:.2f}s)",
+        f"sentinels {fmt_sent(sent[0])}/{fmt_sent(sent[1])}s)",
         "",
         "| query | flagged sec | prior floor | fresh-JVM re-time | verdict |",
         "|---|---|---|---|---|",
@@ -164,15 +171,23 @@ def main():
             f"| {q} | {'—' if cur is None else f'{cur:.2f}'} "
             f"| {'—' if floor is None else f'{floor:.2f}'} "
             f"| {rt_s} | {verdict} |")
+        # Ad-hoc --queries runs never tripped the guard: ledger them
+        # under a distinct verdict so repeated A/B re-times cannot feed
+        # the PIN-CANDIDATE "flagged twice + re-timed clean twice"
+        # counter in bench_table.py (ADVICE r17 #1). Only genuine
+        # flag-then-clean events count as "clean".
+        ledger_verdict = ("clean" if verdict.startswith("clean")
+                          else "regressed" if verdict.startswith("REGRESSED")
+                          else "inconclusive")
+        if args.queries:
+            ledger_verdict = "adhoc-" + ledger_verdict
         events.append({
             "round": args.round or f"adhoc-{now:%Y%m%d}",
             "query": q,
             "flagged_sec": cur,
             "prior_floor": floor,
             "retimed_sec": None if rt is None or rt < 0 else round(rt, 3),
-            "verdict": ("clean" if verdict.startswith("clean")
-                        else "regressed" if verdict.startswith("REGRESSED")
-                        else "inconclusive"),
+            "verdict": ledger_verdict,
             "sentinels": [sent[0], sent[1]],
         })
     table = "\n".join(lines) + "\n"

@@ -26,9 +26,22 @@ bench = json.load(open(sys.argv[1]))
 tail = bench.get("tail", "")
 # full names from the committed close sidecar (same query surface)
 full = json.load(open("bench_times.json"))["queries"]
+# qNN prefixes are unique per query by construction TODAY — enforce it
+# (ADVICE r17 #4): a future colliding prefix would otherwise silently
+# map both tail entries onto the alphabetically-first full name and
+# corrupt reconstructed prior floors. Ambiguous prefixes are dropped
+# with a warning; the guard's per-run MIN handles the missing entries.
 by_short = {}
 for name in full:
-    by_short.setdefault(name.split("_")[0], name)
+    short = name.split("_")[0]
+    if short in by_short:
+        print(f"WARNING: ambiguous short key {short} "
+              f"({by_short[short]} vs {name}) — dropping it from the "
+              f"reconstruction", file=sys.stderr)
+        by_short[short] = None
+    else:
+        by_short[short] = name
+by_short = {s: n for s, n in by_short.items() if n is not None}
 
 queries = {}
 for short, val in re.findall(r'"(q\d+)":(-?\d+(?:\.\d+)?)', tail):

@@ -36,13 +36,15 @@ def check(name, ok, detail=""):
         failures.append(name)
 
 
-def sidecar(queries, samples=None, sent=(0.25, 0.25), pins=None):
+def sidecar(queries, samples=None, sent=(0.25, 0.25), pins=None, mid=None):
     d = {"metric": "total", "value": sum(v for v in queries.values() if v > 0),
          "sf": "synthetic", "queries": queries,
          "samples": samples or {k: 2 for k in queries},
          "sentinel_pre": sent[0], "sentinel_post": sent[1]}
     if pins is not None:
         d["always_min_of_3"] = pins
+    if mid is not None:
+        d["sentinel_mid"] = mid
     f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
     json.dump(d, f)
     f.close()
@@ -104,7 +106,13 @@ for ev in hist["events"]:
     if ev.get("verdict") == "clean":
         clean[ev["query"]] = clean.get(ev["query"], 0) + 1
 two_plus = {q for q, n in clean.items() if n >= 2}
-pinned_now = {"q236_source_divergence"}  # in Bench.alwaysMinOf3
+# the live pin set, read from the committed close sidecar's
+# always_min_of_3 field (written by Bench since round 17) — NOT a
+# hardcoded copy that drifts when Bench.alwaysMinOf3 gains a member
+# (ADVICE r17 #2)
+pinned_now = set(json.load(open(os.path.join(
+    os.path.dirname(HERE), "bench_times.json"))).get("always_min_of_3", []))
+assert pinned_now, "committed bench_times.json carries no always_min_of_3"
 cur = sidecar({**base, **{q: 1.0 for q in two_plus}},
               samples={**{k: 2 for k in base},
                        **{q: (3 if q == "q233_link_prediction" else 2)
@@ -117,6 +125,33 @@ check("PIN-CANDIDATE proposes exactly the unpinned non-min-of-3 set",
       and "PIN-CANDIDATE: q236_source_divergence" not in out
       and "PIN-CANDIDATE: q233_link_prediction" not in out,
       out[-400:])
+
+# 9. degraded-segment discount (VERDICT r17 #2): a mid-run sentinel
+# above the ceiling discounts flags inside its segment — no exit 1, no
+# fresh-JVM re-time — while healthy endpoints stay green. Sorted order
+# of `base` is q01_a, q233_link_prediction, q50_big, q99_swing; a
+# degraded probe after query 2 bounds the segment holding q50_big and
+# q99_swing.
+rc, out = run_bt(sidecar({**base, "q50_big": 21.0},
+                         mid=[{"pos": 2, "sec": 2.5}]), sidecar(base))
+check("mid-degraded segment: 3x flag discounted, exit 0",
+      rc == 0 and "DISCOUNTED" in out and "q50_big" in out
+      and "degraded segment" in out, out[-500:])
+
+# 10. a flag OUTSIDE the degraded segment still fires: the window was
+# probed degraded after query 1 and healthy again after query 2, so
+# q50_big (position 3, bounded by healthy probes) is a real regression
+rc, out = run_bt(sidecar({**base, "q50_big": 21.0},
+                         mid=[{"pos": 1, "sec": 2.5}, {"pos": 2, "sec": 0.3}]),
+                 sidecar(base))
+check("flag in a healthy segment still fires despite a degraded earlier one",
+      rc == 1 and "REGRESSION GUARD" in out and "q50_big" in out, out[-500:])
+
+# 11. a healthy mid probe changes nothing: real flag still exits 1
+rc, out = run_bt(sidecar({**base, "q50_big": 21.0},
+                         mid=[{"pos": 2, "sec": 0.3}]), sidecar(base))
+check("healthy mid probe: real flag still fires",
+      rc == 1 and "q50_big" in out and "DISCOUNTED" not in out)
 
 # 8. guard_triage verdict rule
 sys.path.insert(0, HERE)
