@@ -280,7 +280,11 @@ object Dedup {
       .withColumn("err_ppm", expr("est_ppm - exact_ppm"))
       // persisted: traversed twice (global MAE/bias + per-band rollup)
       // — unpersisted, both signature joins executed twice (round-18
-      // DupExec sweep, 25-node subtree x2); pair-list sized.
+      // DupExec sweep, 25-node subtree x2). SLIMMED to the four report
+      // columns first: the un-projected frame drags both shingle
+      // arrays and both doc lists into the cache (measured 0.8 -> 2.9s
+      // on the focused A/B before the projection).
+      .select("matches", "est_ppm", "exact_ppm", "err_ppm")
       .persist()
     CachedStages.track(scored)
     val glob = broadcast(scored.agg(
