@@ -929,10 +929,15 @@ object Graph {
     // k = 2 level's PAIR ROWS instead of re-running the basket
     // self-join (the round-18 DupExec sweep caught that join executing
     // twice). The persisted fan-out is Σ C(basket, 2) ≈ 1.5x the
-    // basket projection at observed densities — cheaper to cache than
-    // to re-shuffle. True A-Priori candidate pruning (triples from
-    // FREQUENT pairs only) would be wrong here: the report counts ALL
-    // occurring itemsets per k, not the pruned candidate set.
+    // basket projection at observed densities. Measured trade at
+    // sf0.1/local[32]: ~equal to slightly slower (1.2-1.4 s -> 1.5-1.6 s
+    // — the cache fill costs about what the repeated broadcast join
+    // saved); kept because at 100 TB the repeat is a full extra
+    // shuffle-join pass while the fill is one sequential write of rows
+    // the first pass produces anyway. True A-Priori candidate pruning
+    // (triples from FREQUENT pairs only) would be wrong here: the
+    // report counts ALL occurring itemsets per k, not the pruned
+    // candidate set.
     val pairRows = CachedStages.track(
       b.join(b.withColumnRenamed("p", "p2"), Seq("k"))
         .filter(col("p") < col("p2"))
