@@ -85,9 +85,20 @@ object DupExec {
   /** Walk one executed plan into (fingerprint -> occurrences). Wrapper
     * nodes (AQE root, query stages, codegen) are transparent; reuse
     * nodes are opaque leaves (their subtree executed elsewhere, once).
+    *
+    * `fillWalked` (shared across a query's executions): the first time
+    * a cache is seen, its FILL plan is walked too (qe index -1000-n) —
+    * a cache read during another cache's materialization is a real
+    * read the executed plans never show, and without this the
+    * single-reader report calls justified persists wasted (q247's
+    * per-pair cells feed ra/rb fills and then show one visible scan).
+    * Fill-plan occurrences are EXCLUDED from the intra/inter duplicate
+    * rules (analyze filters qe >= 0): a fill executes once by
+    * definition.
     */
   def collect(qeIdx: Int, root: SparkPlan,
-              out: mutable.Buffer[Occ]): Unit = {
+              out: mutable.Buffer[Occ],
+              fillWalked: mutable.Set[String] = mutable.Set.empty): Unit = {
     var counter = 0
     def visit(raw: SparkPlan): (String, Int, Boolean, Boolean, Set[String]) = raw match {
       // transparent wrappers: fingerprint their payload, not the shell
@@ -138,8 +149,27 @@ object DupExec {
               kids.flatMap(_._5).toSet + cls)
         }
         val shown = p match {
+          case m: InMemoryTableScanExec =>
+            // first sighting of this cache: walk its FILL plan too so
+            // caches read during materialization count as read (see
+            // the fillWalked scaladoc)
+            val cid = s"inmem:${System.identityHashCode(m.relation.cacheBuilder)}"
+            if (fillWalked.add(cid))
+              collect(-1000 - fillWalked.size, m.relation.cachedPlan,
+                out, fillWalked)
+            // identify WHICH cache: the cached plan's first REAL node
+            // (skipping AQE/codegen wrappers) — the single-reader
+            // report below needs this to be actionable
+            def head(q: SparkPlan): String = q match {
+              case a: AdaptiveSparkPlanExec => head(a.executedPlan)
+              case s: QueryStageExec        => head(s.plan)
+              case w: WholeStageCodegenExec => head(w.child)
+              case i: InputAdapter          => head(i.child)
+              case x => x.simpleString(60)
+            }
+            normDetail("InMemoryTableScan <- " + head(m.relation.cachedPlan))
           case _: ReusedExchangeExec | _: ReusedSubqueryExec |
-               _: InMemoryTableScanExec | _: RDDScanExec =>
+               _: RDDScanExec =>
             normDetail(p.simpleString(100))
           case _ => normDetail(p.simpleString(100) + " | " +
             p.expressions.map(_.toString).mkString(";"))
@@ -171,7 +201,11 @@ object DupExec {
   /** Apply the INTRA / INTER rules over all occurrences of one query and
     * keep only maximal flagged subtrees.
     */
-  def analyze(occs: Seq[Occ]): Seq[Flag] = {
+  def analyze(allOccs: Seq[Occ]): Seq[Flag] = {
+    // fill-plan occurrences (qe < 0) feed ONLY the read counter: a
+    // fill executes once, and its pre-execution plan may show
+    // duplicate exchanges that AQE stage-reuse dedupes at runtime
+    val occs = allOccs.filter(_.qe >= 0)
     val byFp = occs.groupBy(_.node.fp)
     val flagged = byFp.flatMap { case (fp, os) =>
       val n = os.head.node
@@ -199,6 +233,21 @@ object DupExec {
       }
     }
   }
+
+  /** INVERSE waste report (round-18 follow-on): a persisted cache whose
+    * scans total <= 1 across ALL the query's executions paid its fill +
+    * memory for zero reuse — the mirror image of the duplicate-execution
+    * bug. Counted by cacheBuilder identity, so per-iteration checkpoints
+    * and distinct caches never conflate. Informational (tools/dup_exec.py
+    * prints, does not gate): some single-reader persists are deliberate
+    * (lineage cuts before a self-join the optimizer would otherwise
+    * collapse).
+    */
+  def singleReaders(occs: Seq[Occ]): Seq[String] =
+    occs.filter(_.node.fp.startsWith("inmem:"))
+      .groupBy(_.node.fp)
+      .collect { case (_, os) if os.size <= 1 => os.head.node.detail }
+      .toSeq.sorted
 
   private def esc(s: String): String =
     s.flatMap {
@@ -278,6 +327,7 @@ object DupExec {
           System.err.println(s"$name: plan walk failed on QE $i: $e") }
       }
       val flags = analyze(occs.toSeq)
+      val single = singleReaders(occs.toSeq)
       val flagJson = flags.map { f =>
         s"""{"kind":"${f.kind}","n":${f.n},"n_qe":${f.nQe},"size":${f.size},""" +
           s""""classes":[${f.classes.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -287,7 +337,9 @@ object DupExec {
       if (!first) sb.append(",\n")
       first = false
       sb.append(s""""$name":{"n_qe":${qes.size},"err":${
-        err.map("\"" + esc(_) + "\"").getOrElse("null")},"flags":$flagJson}""")
+        err.map("\"" + esc(_) + "\"").getOrElse("null")},"flags":$flagJson,""" +
+        s""""single_reader_caches":[${single.map(d =>
+          "\"" + esc(d.take(160)) + "\"").mkString(",")}]}""")
       val mark = if (flags.nonEmpty) s" FLAGS=${flags.size}" else ""
       System.err.println(s"dupexec $name: n_qe=${qes.size}$mark" +
         err.map(e => s" ERR=$e").getOrElse(""))

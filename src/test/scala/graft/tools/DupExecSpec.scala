@@ -83,6 +83,22 @@ class DupExecSpec extends SparkSpec {
     assert(flags.isEmpty, s"scan-only self-join must not flag: $flags")
   }
 
+  test("single-reader report: a persist read once flags, read twice doesn't") {
+    val once = rawSums.persist()
+    val twice = rawSums.persist()
+    try {
+      val df1 = once.filter($"s" > 0) // one scan of `once`
+      val df2 = twice.filter($"s" > 0)
+        .union(twice.filter($"s" < 0)) // two scans of `twice`
+      val o1 = occsOf(df1)
+      val o2 = occsOf(df2)
+      assert(DupExec.singleReaders(o1).size == 1, o1.map(_.node.detail))
+      assert(DupExec.singleReaders(o2).isEmpty, o2.map(_.node.detail))
+    } finally {
+      once.unpersist(blocking = true); twice.unpersist(blocking = true); ()
+    }
+  }
+
   test("maximal-only: a duplicated parent subsumes its children") {
     val raw = rawSums
     // duplicate a parent that CONTAINS the aggregate: union of two

@@ -95,6 +95,22 @@ if allowed:
     for q, n, reason in allowed:
         print(f"  {q}: {n} flag(s) — {reason}")
 
+# informational: persisted caches scanned <= 1 time across the query's
+# executions — the fill bought no reuse (the inverse of a duplicate
+# execution). Not gated: some single-reader persists deliberately cut
+# lineage before a self-join; triage and either drop the persist or
+# document it at the site.
+single = {q: v["single_reader_caches"] for q, v in report.items()
+          if v.get("single_reader_caches")}
+if single:
+    n = sum(len(v) for v in single.values())
+    print(f"\n{n} single-reader persisted cache(s) across "
+          f"{len(single)} queries (INFO — fill cost with no reuse; "
+          f"triage, don't panic):")
+    for q, caches in sorted(single.items()):
+        for c in caches:
+            print(f"  {q}: {c[:120]}")
+
 if errs:
     print(f"\nHARD FAIL: {len(errs)} quer"
           f"{'y' if len(errs) == 1 else 'ies'} errored during the sweep:")
