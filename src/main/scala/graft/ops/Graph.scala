@@ -1074,9 +1074,21 @@ object Graph {
       .union(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .persist())
-    // adjacency as (w, nbr) both directions: wedge (u -w- v), u < v
-    val adj = edges.select(col("u").as("w"), col("v").as("nbr"))
-      .union(edges.select(col("v").as("w"), col("u").as("nbr")))
+    // adjacency as (w, nbr) both directions: wedge (u -w- v), u < v.
+    // ONE traversal (explode, not a self-union), shuffled ONCE to the
+    // wedge join key and persisted w-partitioned — the self-join then
+    // reads the cache on both sides with sort-only prep. Unpersisted,
+    // the union's exchange + sort executed once PER SIDE (round-18
+    // sf0.1 DupExec sweep: an 8-node shuffle subtree x2 — the
+    // sf0.01 sweep missed it because AQE broadcasts the small side
+    // there; q251's `capped` frame proves the cached-partitioning
+    // pattern in this file).
+    val adj = CachedStages.track(edges.select(explode(array(
+        struct(col("u").as("w"), col("v").as("nbr")),
+        struct(col("v").as("w"), col("u").as("nbr")))).as("e"))
+      .select(col("e.w").as("w"), col("e.nbr").as("nbr"))
+      .repartition(col("w"))
+      .persist())
     val wedges = adj.as("a").join(adj.as("b"), Seq("w"))
       .filter(col("a.nbr") < col("b.nbr"))
       .groupBy(col("a.nbr").as("u"), col("b.nbr").as("v"))
