@@ -115,6 +115,47 @@ object Bench {
       }.filter(_ >= 0) // one transient failure must not poison the min
       if (ok.isEmpty) -1.0 else ok.min
     }
+    // CPU-BOUND KERNEL SENTINEL (round-19, VERDICT r18 #1): the r18
+    // close proved a box mode the SHUFFLE probe is blind to — a
+    // uniform ~20% degradation in which every probe read 0.20-0.29
+    // (healthy band) while untouched queries inflated 1.4-2x (q211
+    // 3.38->7.40, q214 0.54->2.44). The shuffle probe is scan+exchange
+    // over a page-cached 6-group table: latency-dominated, barely
+    // touches sustained CPU throughput. This probe is the opposite:
+    // 32 plain JVM threads each running a FIXED 2e8-step SplitMix64
+    // loop (Steele/Lea/Flood, OOPSLA 2014 — the java.util.SplittableRandom
+    // mixer), pure register arithmetic, no allocation, no Spark, no
+    // I/O: wall time is inversely proportional to the CPU share the
+    // box actually gives us. Calibrated on this box: floor 0.42s,
+    // healthy min-of-3 spread 0.42-0.65s; a 1.4-2x CPU-steal window
+    // reads >=0.9s. The XOR sink defeats dead-code elimination; the
+    // min-of-3 rides out JIT warmup (first-sample ~0.7s observed).
+    def cpuSentinel(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+        val ts = (0 until 32).map { t =>
+          val seed = 0x9E3779B97F4A7C15L * (t + 1)
+          val th = new Thread(() => {
+            var x = seed; var acc = 0L; var i = 0L
+            while (i < 200000000L) {
+              x += 0x9E3779B97F4A7C15L
+              var z = x
+              z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+              z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+              acc ^= z ^ (z >>> 31)
+              i += 1
+            }
+            sink.addAndGet(acc)
+          })
+          th.start(); th
+        }
+        ts.foreach(_.join())
+        if (sink.get == 42L) System.err.println("cpu probe sink collision")
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => once()).min
+    }
     // Pinned min-of-3 set (round-16 hardening of the regression
     // guard): queries whose recorded cross-run spread exceeds the
     // 1.5x guard threshold on identical code — see the sampling
@@ -130,7 +171,9 @@ object Bench {
       "q09_setops_customers", "q101_bpe_merges",
       "q102_bpe_encode_stats", "q236_source_divergence")
     val sentinelPre = sentinel()
-    System.err.println(f"box sentinel (pre-timed-pass): $sentinelPre%.3fs")
+    val cpuPre = cpuSentinel()
+    System.err.println(
+      f"box sentinel (pre-timed-pass): $sentinelPre%.3fs cpu $cpuPre%.3fs")
     // MID-RUN SENTINELS (round-18, VERDICT r17 #2): the 305.2s r17 close
     // proved endpoint probes cannot see a MID-RUN degraded window —
     // healthy 0.234/0.242 endpoints bracketed a 2-2.9x inflated
@@ -140,7 +183,7 @@ object Bench {
     // burning a fresh-JVM re-time. Full runs only (a focused A/B subset
     // has its endpoints seconds apart); positions are 1-based counts of
     // timed queries, matching sorted(queries) order in the sidecar.
-    val sentinelMid = scala.collection.mutable.Buffer[(Int, Double)]()
+    val sentinelMid = scala.collection.mutable.Buffer[(Int, Double, Double)]()
     val results = names.zipWithIndex.map { case (name, idx) =>
       def timed(): Double = {
         cleanup()
@@ -174,13 +217,17 @@ object Bench {
           (times.min > 3.0 || alwaysMinOf3(name))) times = times :+ timed()
       if (names.size >= 100 && (idx + 1) % 50 == 0 && idx + 1 < names.size) {
         val s = sentinel()
-        sentinelMid += ((idx + 1, s))
-        System.err.println(f"box sentinel (mid, after ${idx + 1} queries): $s%.3fs")
+        val c = cpuSentinel()
+        sentinelMid += ((idx + 1, s, c))
+        System.err.println(
+          f"box sentinel (mid, after ${idx + 1} queries): $s%.3fs cpu $c%.3fs")
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min, times.size)
     }.toMap
     val sentinelPost = sentinel()
-    System.err.println(f"box sentinel (post-timed-pass): $sentinelPost%.3fs")
+    val cpuPost = cpuSentinel()
+    System.err.println(
+      f"box sentinel (post-timed-pass): $sentinelPost%.3fs cpu $cpuPost%.3fs")
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val ns = results.map { case (k, (_, n)) => s"\"" + k + "\":" + n }
@@ -270,7 +317,7 @@ object Bench {
     // sentinel prints AFTER the variants (truncation eats those first):
     // reading a round artifact's outliers starts with "was the box in a
     // degraded window?", which these two numbers answer directly.
-    println(s"""{"metric":"box_sentinel","pre":${r3(sentinelPre)},"post":${r3(sentinelPost)},"unit":"sec"}""")
+    println(s"""{"metric":"box_sentinel","pre":${r3(sentinelPre)},"post":${r3(sentinelPost)},"cpu_pre":${r3(cpuPre)},"cpu_post":${r3(cpuPost)},"unit":"sec"}""")
     println(s"""{"metric":"query_times","unit":"sec","times":$qt,"min_of_3":$extra}""")
     // the sentinel rides the FINAL line too: the ~3.6KB query_times dict
     // overflows the ~1.9KB driver tail window, so a line printed before
@@ -278,7 +325,7 @@ object Bench {
     // run is exactly where the box-health record matters (its sidecar
     // goes to /tmp and is not archived). ~45 bytes buys it a guaranteed
     // place in every round artifact.
-    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sent_pre":${r3(sentinelPre)},"sent_post":${r3(sentinelPost)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_tail","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.values.count(_._1 < 0)},"sent_pre":${r3(sentinelPre)},"sent_post":${r3(sentinelPost)},"cpu_pre":${r3(cpuPre)},"cpu_post":${r3(cpuPost)},"sf":"$sfDir"}""")
     // Self-contained round record (round-13 fix for the BENCH_r12
     // truncation): the FULL-KEY per-query times map, sample counts, the
     // variant, and the total, written to a real file the round commits —
@@ -303,8 +350,10 @@ object Bench {
          |"variant_q90_shuffle_ranks":${r3(pprVariantSec)},
          |"sentinel_pre":${r3(sentinelPre)},
          |"sentinel_post":${r3(sentinelPost)},
-         |"sentinel_mid":${sentinelMid.map { case (pos, s) =>
-            s"""{"pos":$pos,"sec":${r3(s)}}""" }.mkString("[", ",", "]")},
+         |"cpu_sentinel_pre":${r3(cpuPre)},
+         |"cpu_sentinel_post":${r3(cpuPost)},
+         |"sentinel_mid":${sentinelMid.map { case (pos, s, c) =>
+            s"""{"pos":$pos,"sec":${r3(s)},"cpu":${r3(c)}}""" }.mkString("[", ",", "]")},
          |"always_min_of_3":${alwaysMinOf3.toSeq.sorted
             .map("\"" + _ + "\"").mkString("[", ",", "]")},
          |"samples":$fullNs,

@@ -317,12 +317,18 @@ object DupExec {
         Seq.tabulate(captured.size())(captured.get)
       }
       val occs = mutable.Buffer[Occ]()
+      // ONE fill-walked set per QUERY (ADVICE r18): the scaladoc's
+      // "shared across a query's executions" contract. A fresh default
+      // set per QE re-walks every cache fill once per scanning QE,
+      // inflating read counts and hiding genuinely single-reader
+      // persists from the singleReaders report.
+      val fillWalked = mutable.Set.empty[String]
       qes.zipWithIndex.foreach { case (qe, i) =>
         // debug lever: dump each captured executed plan verbatim
         if (sys.env.contains("GRAFT_DUPEXEC_DUMP"))
           System.err.println(s"----- $name QE $i -----\n" +
             qe.executedPlan.toString)
-        try collect(i, qe.executedPlan, occs)
+        try collect(i, qe.executedPlan, occs, fillWalked)
         catch { case e: Throwable =>
           System.err.println(s"$name: plan walk failed on QE $i: $e") }
       }

@@ -147,8 +147,16 @@ object Dedup {
       .transform(s => CachedStages.track(s.persist()))
 
     // (cid, band, h): one row per band; bucket key is (band, h).
-    val bands = sigs.select(col("cid"), posexplode(
+    // NOT persisted by default: each self-join side re-runs the
+    // 4-element posexplode over the persisted `sigs` cache — O(rows)
+    // array indexing, no shuffle or aggregate inside the duplicate
+    // (tools/dup_exec.py allowlist). The GRAFT_AB_PERSIST_BANDS lever
+    // measures the alternative (cache the 4x|contents| exploded rows);
+    // the measured sf0.1 A/B lives beside the allowlist entry.
+    val bands0 = sigs.select(col("cid"), posexplode(
       array((0 until 4).map(k => col(s"mh$k")): _*)).as(Seq("band", "h")))
+    val bands = if (sys.env.contains("GRAFT_AB_PERSIST_BANDS"))
+      CachedStages.track(bands0.persist()) else bands0
 
     val cand = bands.as("a")
       .join(bands.as("b"),

@@ -1047,11 +1047,14 @@ object Events {
     val calendar = bounds
       .select(col("mn"), col("cutoff"),
         explode(expr("sequence(mn, mx)")).as("day"))
-    val dense = CachedStages.track(daily.select("event_type").distinct()
+    // NOT persisted (round-19): once `scored` below became the
+    // persisted frame (round-18 DupExec fix), the densified matrix is
+    // read exactly once — by that fill — so a persist here paid
+    // fill+memory for one read (r18 single-reader report).
+    val dense = daily.select("event_type").distinct()
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
     val w = Window.partitionBy("event_type").orderBy(col("day").asc)
     val w7 = w.rowsBetween(-7, -1)
     // persisted: each forecast method's rollup traverses it —
@@ -3122,10 +3125,12 @@ object Events {
     */
   def completenessGateOf(evs: DataFrame, windowDays: Int,
       minPriorDays: Int): DataFrame =
-    gateFromDaily(CachedStages.track(evs
+    // daily matrix NOT persisted (round-19): gateFromDaily traverses
+    // it exactly once — the persist paid fill+memory for a single
+    // read (r18 DupExec single-reader report).
+    gateFromDaily(evs
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
-      .agg(count(lit(1)).as("n"))
-      .persist()), windowDays, minPriorDays)
+      .agg(count(lit(1)).as("n")), windowDays, minPriorDays)
 
   /** The gate derivation alone, over an already-built day-granular
     * `(event_type, day, n)` matrix — split out so the streaming twin's

@@ -723,8 +723,11 @@ object Relational {
     * O(n) into the histogram, never n².
     */
   def skylineOf(parts: DataFrame): DataFrame = {
-    val hist = CachedStages.track(parts.groupBy("price_cents")
-      .agg(max(col("size")).as("m")).persist())
+    // NOT persisted (round-19): the prefix-max window is this
+    // histogram's only traversal — single-reader persist removed
+    // (r18 DupExec report).
+    val hist = parts.groupBy("price_cents")
+      .agg(max(col("size")).as("m"))
     val w = Window.orderBy(col("price_cents").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val pref = hist.withColumn("r", max(col("m")).over(w))
@@ -926,11 +929,13 @@ object Relational {
     * bounded cumulative frames, |nations| output rows.
     */
   def giniOf(spendByNation: DataFrame): DataFrame = {
-    val hist = CachedStages.track(spendByNation
+    // NOT persisted (round-19): the window+rollup below is this
+    // histogram's only traversal — the persist paid fill+memory for a
+    // single read (r18 DupExec single-reader report).
+    val hist = spendByNation
       .withColumn("v", expr("cents div 100"))
       .groupBy("nation", "v")
       .agg(count(lit(1)).as("c"), sum(col("cents")).as("cents_in"))
-      .persist())
     val wc = Window.partitionBy("nation").orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     hist

@@ -158,10 +158,17 @@ object Stats {
       ("customer_orders", "customer", "orders"),
       ("orders_lineitem", "orders", "lineitem"),
       ("part_lineitem", "part", "lineitem"))
-    // one persisted single-row stat per table — orders/lineitem feed
-    // two joins each and must not rescan
-    val stats = joins.flatMap(j => Seq(j._2, j._3)).distinct
-      .map(t => t -> CachedStages.track(bytesOf(t).persist())).toMap
+    // one single-row stat per table, persisted ONLY when the table
+    // feeds >= 2 joins (orders/lineitem) — customer/part are read once
+    // and their persists were pure fill+memory overhead (r18 DupExec
+    // single-reader report, fixed round-19)
+    val uses = joins.flatMap(j => Seq(j._2, j._3))
+      .groupBy(identity).map { case (t, g) => t -> g.size }
+    val stats = uses.keys.toSeq
+      .map { t =>
+        val df = bytesOf(t)
+        t -> (if (uses(t) >= 2) CachedStages.track(df.persist()) else df)
+      }.toMap
     joins.map { case (name, lt, rt) =>
       stats(lt).select(col("n").as("n_left"),
           col("bytes").as("bytes_left"))

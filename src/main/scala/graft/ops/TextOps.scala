@@ -1104,14 +1104,15 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr(s"array_distinct($tokensExpr)")).as("term"))
       .persist())
-    // persisted: joined by BOTH sides of the pair self-join —
-    // unpersisted, the document-frequency aggregate executed once per
-    // side (round-18 DupExec sweep, 7-node subtree x2)
-    val rare = CachedStages.track(postings.groupBy("term")
+    // NOT persisted (round-19): once `rarePostings` below became the
+    // persisted frame (round-18 DupExec fix), `rare` is read exactly
+    // once — by that fill — so a persist here pays fill+memory for one
+    // read. The df aggregate still executes once, off the persisted
+    // `postings`.
+    val rare = postings.groupBy("term")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .withColumn("wt", expr("1000000 div df"))
-      .persist())
     // persisted: both sides of the pair self-join read it —
     // unpersisted, the rare-term probe join executed once per side
     // (round-18 DupExec sweep); bounded by df <= maxDf
@@ -1576,12 +1577,14 @@ object TextOps {
     */
   def zipfProfileOf(docs: DataFrame): DataFrame = {
     val picks = (0 to 8).map(1L << _)
-    val top = CachedStages.track(docs
+    // NOT persisted (round-19): `ranked` below is the persisted frame
+    // (round-18 DupExec fix) and is this table's only reader — the
+    // persist paid fill+memory for one read (r18 single-reader report).
+    val top = docs
       .select(explode(expr(tokensExpr)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token").asc)
       .limit(2 * picks.max.toInt)
-      .persist())
     val n = docs.select(expr(
         s"size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))")
         .cast("long").as("w"))

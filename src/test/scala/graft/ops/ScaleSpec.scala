@@ -1263,14 +1263,15 @@ class ScaleSpec extends SparkSpec {
 
   test("q156 plan: one events collapse; trailing frame over the day matrix") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val out = Events.completenessGate(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     val tree = out.queryExecution.sparkPlan
-    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
+    // round-19: the daily matrix is no longer persisted (the gate
+    // window is its only traversal — single-reader persist removed);
+    // the plan shape is ONE raw events scan feeding one aggregate
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
       plan.take(3000))
-    assert(tree.collect { case m: InMemoryTableScanExec => m }.size == 1,
-      plan.take(3000))
+    assert("HashAggregate".r.findAllIn(plan).size >= 1, plan.take(3000))
     // the window is the RANGE frame over the day-granular matrix — no
     // join, no second aggregation of the raw stream
     assert(plan.contains("Window"), plan.take(3000))
@@ -1451,7 +1452,12 @@ class ScaleSpec extends SparkSpec {
     val out = Relational.skylineParts(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     val tree = out.queryExecution.sparkPlan
-    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 1,
+    // round-19: the histogram is no longer persisted (its prefix-max
+    // window was the only traversal). part scans twice — once into the
+    // value-domain histogram, once as the probe side — same scan count
+    // the persist version paid (the probe never read the cache), minus
+    // the cache fill.
+    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
       plan.take(3000))
     // the dominance test is the histogram prefix max + ONE equi-join
     // back on price — never a theta/nested-loop self-join
@@ -1888,19 +1894,23 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     CachedStages.release(spark)
   }
-  test("q270 plan: one cached single-row stat per table; no table " +
-    "rescans across the three joins") {
+  test("q270 plan: multi-use table stats cached, single-use ones not; " +
+    "no repeated scans of any table") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val out = Stats.joinAdvisor(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     val tree = out.queryExecution.sparkPlan
-    // orders/lineitem feed two joins each but scan inside ONE cached
-    // aggregate; the outer plan reads 6 cache slots, zero file scans
-    assert(tree.collect { case f: FileSourceScanExec => f }.isEmpty,
-      plan.take(3000))
+    // round-19: orders/lineitem feed two joins each and stay cached
+    // (4 cache reads); customer/part feed ONE join each and scan raw
+    // exactly once — their persists were single-reader dead weight
+    // (r18 DupExec report)
+    val scans = tree.collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 2, plan.take(3000))
+    assert(scans.map(_.relation.location.rootPaths.mkString).distinct
+      .size == 2, plan.take(3000)) // two DIFFERENT tables, no rescans
     assert(tree.collect { case m: InMemoryTableScanExec => m }
-      .size >= 6, plan.take(3000))
+      .size >= 4, plan.take(3000))
     assert(plan.contains("BroadcastExchange"), plan.take(3000))
     assert(!plan.contains("Window"), plan.take(3000))
     CachedStages.release(spark)

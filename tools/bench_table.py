@@ -69,6 +69,14 @@ MIN_DELTA_SEC = 1.0
 ABS_CUR_SEC = 2.0
 ABS_DELTA_SEC = 2.0
 SENTINEL_CEILING = float(os.environ.get("GRAFT_SENTINEL_CEILING", "0.9"))
+# CPU-kernel sentinel ceiling (round-19, VERDICT r18 #1): the r18 close
+# documented a uniform ~20% box mode the SHUFFLE probe cannot see
+# (probes 0.20-0.29 while untouched queries inflated 1.4-2x). Bench now
+# times a fixed 32-thread SplitMix64 kernel beside each shuffle probe
+# (cpu_sentinel_pre/post + "cpu" in sentinel_mid); calibrated floor
+# 0.42s, healthy min-of-3 spread 0.42-0.65s on this box.
+CPU_SENTINEL_CEILING = float(os.environ.get("GRAFT_CPU_SENTINEL_CEILING",
+                                            "0.9"))
 FLAGS_OUT = os.environ.get("GRAFT_GUARD_FLAGS_OUT",
                            "/tmp/graft_guard_flags.json")
 HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -160,6 +168,31 @@ if sent:
                 if lbl == "current":
                     sentinel_alarm = True
 
+# CPU-kernel sentinel (round-19): the shuffle probe is latency-bound
+# and blind to uniform CPU-steal windows; the fixed 32-thread kernel
+# reads sustained throughput directly. Same alarm semantics: a current
+# run above the ceiling fails the close, degraded priors only warn.
+cpu_sent = [(r.get("cpu_sentinel_pre"), r.get("cpu_sentinel_post"), lbl)
+            for r, lbl in [(cur, "current")] +
+            [(p, f"prior#{i + 1}") for i, p in enumerate(priors)]
+            if r.get("cpu_sentinel_pre") is not None
+            and r.get("cpu_sentinel_post") is not None]
+if cpu_sent:
+    print("\nCPU-kernel sentinel (32-thread SplitMix64, min-of-3): "
+          + "; ".join(f"{lbl} pre {a:.2f}s / post {b:.2f}s"
+                      for a, b, lbl in cpu_sent) + ".")
+    for a, b, lbl in cpu_sent:
+        for which, v in (("pre", a), ("post", b)):
+            if v is not None and v > CPU_SENTINEL_CEILING:
+                print(f"\nWARNING: CPU-STEAL WINDOW suspected — {lbl} "
+                      f"{which} cpu sentinel {v:.2f}s is above the "
+                      f"{CPU_SENTINEL_CEILING:.2f}s ceiling (calibrated "
+                      f"floor 0.42s, healthy spread 0.42-0.65s); the "
+                      f"shuffle probe CANNOT see this mode — outliers in "
+                      f"that run are box, not plan.")
+                if lbl == "current":
+                    sentinel_alarm = True
+
 # --- regression guard ---
 # Vacuous-green guard (same class as plan_lint's parsed-plans floor):
 # invoked with ZERO priors, pq={} and the guard below could flag
@@ -202,26 +235,41 @@ flags = [(k, cq[k], pq[k]) for k in cq
 # evidence either way and never discount.
 _order = sorted(cq)
 _pos = {k: i + 1 for i, k in enumerate(_order)}
+# each probe site carries (pos, shuffle_sec, cpu_sec); cpu is None on
+# pre-round-19 artifacts. A site is degraded when EITHER probe type is
+# above its ceiling — the r18 uniform mode was visible only to cpu.
 _probes = sorted(
-    [(0, cur.get("sentinel_pre")), (len(_order), cur.get("sentinel_post"))] +
-    [(m.get("pos"), m.get("sec")) for m in cur.get("sentinel_mid", [])])
-_probes = [(p, v) for p, v in _probes if p is not None and v is not None]
+    [(0, cur.get("sentinel_pre"), cur.get("cpu_sentinel_pre")),
+     (len(_order), cur.get("sentinel_post"), cur.get("cpu_sentinel_post"))] +
+    [(m.get("pos"), m.get("sec"), m.get("cpu"))
+     for m in cur.get("sentinel_mid", [])])
+_probes = [(p, v, c) for p, v, c in _probes
+           if p is not None and (v is not None or c is not None)]
+
+
+def _site_degraded(v, c):
+    return ((v is not None and v > SENTINEL_CEILING)
+            or (c is not None and c > CPU_SENTINEL_CEILING))
 
 
 def in_degraded_segment(k):
     i = _pos[k]
-    lower = [v for p, v in _probes if p < i]
-    upper = [v for p, v in _probes if p >= i]
+    lower = [(v, c) for p, v, c in _probes if p < i]
+    upper = [(v, c) for p, v, c in _probes if p >= i]
     bounds = ([lower[-1]] if lower else []) + ([upper[0]] if upper else [])
-    return any(v > SENTINEL_CEILING for v in bounds)
+    return any(_site_degraded(v, c) for v, c in bounds)
 
 
-degraded_mid = [(p, v) for p, v in _probes
-                if 0 < p < len(_order) and v > SENTINEL_CEILING]
+degraded_mid = [(p, v, c) for p, v, c in _probes
+                if 0 < p < len(_order) and _site_degraded(v, c)]
 if degraded_mid:
-    print("\nWARNING: DEGRADED-BOX WINDOW mid-run — sentinel probe(s) "
-          + ", ".join(f"{v:.2f}s after query {p}" for p, v in degraded_mid)
-          + f" above the {SENTINEL_CEILING:.2f}s ceiling; flags inside the "
+    print("\nWARNING: DEGRADED-BOX WINDOW mid-run — probe site(s) "
+          + ", ".join(
+              f"shuffle {v if v is not None else -1:.2f}s / cpu "
+              f"{c if c is not None else -1:.2f}s after query {p}"
+              for p, v, c in degraded_mid)
+          + f" above ceiling (shuffle {SENTINEL_CEILING:.2f}s / cpu "
+          f"{CPU_SENTINEL_CEILING:.2f}s); flags inside the "
           f"affected segment(s) are discounted below, but segment totals "
           f"are inflated — prefer a healthy-window re-run for a close "
           f"artifact.")
@@ -255,21 +303,34 @@ if flags:
               f"fresh-JVM re-time before closing "
               f"(tools/guard_triage.py, or see "
               f".claude/skills/verify/SKILL.md)")
-    try:
-        with open(FLAGS_OUT, "w") as f:
-            json.dump({"sf": cur.get("sf"),
-                       "flags": [{"query": k, "cur_sec": c, "prior_floor": p,
-                                  "cur_samples": cs.get(k),
-                                  "floor_samples": ps.get(k)}
-                                 for k, c, p in flags]}, f, indent=1)
-        print(f"\nFlag set written for automation: {FLAGS_OUT} "
-              f"(consume with tools/guard_triage.py).")
-    except OSError as e:
-        print(f"\n(could not write {FLAGS_OUT}: {e})")
 else:
     print(f"\nRegression guard: clean (no shared query "
           f">{REGRESSION_FACTOR}x or +{ABS_DELTA_SEC:.0f}s-absolute vs "
           f"the min of {len(priors)} prior run(s)).")
+
+# Automation flag file: live flags AND discounted ones (ADVICE r18 #3 —
+# a discounted flag used to vanish from the file entirely, so a genuine
+# plan regression landing in a degraded segment had no follow-up
+# mechanism; guard_triage now re-adjudicates 'discounted' entries with
+# a fresh-JVM re-time in the next healthy window).
+if flags or discounted:
+    try:
+        def _entry(k, c, p, status):
+            return {"query": k, "cur_sec": c, "prior_floor": p,
+                    "cur_samples": cs.get(k), "floor_samples": ps.get(k),
+                    "status": status}
+        with open(FLAGS_OUT, "w") as f:
+            json.dump({"sf": cur.get("sf"),
+                       "flags": [_entry(k, c, p, "flag")
+                                 for k, c, p in flags],
+                       "discounted": [_entry(k, c, p, "discounted")
+                                      for k, c, p in discounted]},
+                      f, indent=1)
+        print(f"\nFlag set written for automation: {FLAGS_OUT} "
+              f"({len(flags)} live, {len(discounted)} discounted — "
+              f"consume with tools/guard_triage.py).")
+    except OSError as e:
+        print(f"\n(could not write {FLAGS_OUT}: {e})")
 
 # --- pin candidates (VERDICT r16 #5) ---
 # A query that keeps flagging and keeps re-timing clean is a chronic

@@ -97,7 +97,12 @@ def main():
             print(f"nothing to triage: no flag file at {args.flags} "
                   f"(guard was clean, or pass --queries)")
             return 2
-        for f in json.load(open(args.flags)).get("flags", []):
+        doc = json.load(open(args.flags))
+        # 'discounted' entries (round-19, ADVICE r18 #3) are flags that
+        # fell inside a degraded-sentinel segment: the guard excluded
+        # them from its exit code, but they still need a healthy-window
+        # re-adjudication — triage them exactly like live flags.
+        for f in doc.get("flags", []) + doc.get("discounted", []):
             flags[f["query"]] = {"cur_sec": f.get("cur_sec"),
                                  "prior_floor": f.get("prior_floor")}
     if not flags:

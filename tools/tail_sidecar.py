@@ -32,16 +32,20 @@ full = json.load(open("bench_times.json"))["queries"]
 # corrupt reconstructed prior floors. Ambiguous prefixes are dropped
 # with a warning; the guard's per-run MIN handles the missing entries.
 by_short = {}
+colliding = {}  # short -> every full name that claimed it (ADVICE r18 #4)
 for name in full:
     short = name.split("_")[0]
-    if short in by_short:
-        print(f"WARNING: ambiguous short key {short} "
-              f"({by_short[short]} vs {name}) — dropping it from the "
-              f"reconstruction", file=sys.stderr)
-        by_short[short] = None
+    if short in by_short or short in colliding:
+        names = colliding.setdefault(
+            short, [by_short.get(short)] if by_short.get(short) else [])
+        names.append(name)
+        by_short.pop(short, None)
     else:
         by_short[short] = name
-by_short = {s: n for s, n in by_short.items() if n is not None}
+for short, names in sorted(colliding.items()):
+    print(f"WARNING: ambiguous short key {short} "
+          f"({' vs '.join(names)}) — dropping it from the "
+          f"reconstruction", file=sys.stderr)
 
 queries = {}
 for short, val in re.findall(r'"(q\d+)":(-?\d+(?:\.\d+)?)', tail):
@@ -57,6 +61,11 @@ m = re.search(r'"sent_pre":(-?\d+(?:\.\d+)?),"sent_post":(-?\d+(?:\.\d+)?)',
 if m:
     out["sentinel_pre"] = float(m.group(1))
     out["sentinel_post"] = float(m.group(2))
+m = re.search(r'"cpu_pre":(-?\d+(?:\.\d+)?),"cpu_post":(-?\d+(?:\.\d+)?)',
+              tail)
+if m:  # round-19 CPU-kernel sentinel, absent on older driver tails
+    out["cpu_sentinel_pre"] = float(m.group(1))
+    out["cpu_sentinel_post"] = float(m.group(2))
 m = re.search(r'"metric":"total_tail","value":(-?\d+(?:\.\d+)?)', tail)
 if m:
     out["value"] = float(m.group(1))

@@ -36,7 +36,8 @@ def check(name, ok, detail=""):
         failures.append(name)
 
 
-def sidecar(queries, samples=None, sent=(0.25, 0.25), pins=None, mid=None):
+def sidecar(queries, samples=None, sent=(0.25, 0.25), pins=None, mid=None,
+            cpu=None):
     d = {"metric": "total", "value": sum(v for v in queries.values() if v > 0),
          "sf": "synthetic", "queries": queries,
          "samples": samples or {k: 2 for k in queries},
@@ -45,6 +46,8 @@ def sidecar(queries, samples=None, sent=(0.25, 0.25), pins=None, mid=None):
         d["always_min_of_3"] = pins
     if mid is not None:
         d["sentinel_mid"] = mid
+    if cpu is not None:
+        d["cpu_sentinel_pre"], d["cpu_sentinel_post"] = cpu
     f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
     json.dump(d, f)
     f.close()
@@ -152,6 +155,37 @@ rc, out = run_bt(sidecar({**base, "q50_big": 21.0},
                          mid=[{"pos": 2, "sec": 0.3}]), sidecar(base))
 check("healthy mid probe: real flag still fires",
       rc == 1 and "q50_big" in out and "DISCOUNTED" not in out)
+
+# 12. CPU-kernel sentinel (round-19): a degraded current cpu probe
+# fails the close even when every shuffle probe is healthy — exactly
+# the r18 uniform ~20% mode.
+rc, out = run_bt(sidecar(base, cpu=(0.45, 1.3)), sidecar(base))
+check("degraded current CPU sentinel warns + exit 1",
+      rc == 1 and "CPU-STEAL WINDOW" in out, out[-400:])
+rc, out = run_bt(sidecar(base, cpu=(0.45, 0.62)), sidecar(base))
+check("healthy CPU sentinels render + exit 0",
+      rc == 0 and "CPU-kernel sentinel" in out, out[-400:])
+# degraded prior cpu probe warns without failing
+rc, out = run_bt(sidecar(base, cpu=(0.45, 0.5)),
+                 sidecar(base, cpu=(1.4, 0.5)))
+check("degraded prior CPU sentinel warns, exit 0",
+      rc == 0 and "CPU-STEAL WINDOW" in out, out[-400:])
+
+# 13. a cpu-degraded mid probe discounts segment flags like a shuffle
+# one (the shuffle value at the same site is healthy)
+rc, out = run_bt(sidecar({**base, "q50_big": 21.0},
+                         mid=[{"pos": 2, "sec": 0.3, "cpu": 1.5}]),
+                 sidecar(base))
+check("cpu-degraded mid probe discounts the segment flag, exit 0",
+      rc == 0 and "DISCOUNTED" in out and "q50_big" in out, out[-500:])
+
+# 14. discounted flags land in the automation flag file with their own
+# status (ADVICE r18 #3) and guard_triage consumes them
+flag_doc = json.load(open("/tmp/test_guard_flags.json"))
+check("discounted entry written to flag file with status",
+      [e["query"] for e in flag_doc.get("discounted", [])] == ["q50_big"]
+      and flag_doc["discounted"][0].get("status") == "discounted"
+      and flag_doc.get("flags") == [], str(flag_doc))
 
 # 8. guard_triage verdict rule
 sys.path.insert(0, HERE)
