@@ -438,7 +438,15 @@ object TextOps {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     // persisted: postings feed the df rollup AND the kept join; dfs
     // feed the filter AND the final left join — unpersisted, the
-    // tokenize + explode ran twice (round-18 DupExec sweep)
+    // tokenize + explode ran twice (round-18 DupExec sweep).
+    // SCALE NOTE (round-19 sf0.1 sweep): at sf0.1 both caches report
+    // ONE visible read — the two consumers shuffle on `term` and
+    // Spark reuses the exchange, so the second reader never scans the
+    // cache. At sf0.01 AQE turns the kept join into a broadcast, the
+    // reuse disappears, and the cache is what stops a second full
+    // regexp tokenize of the corpus. Kept: the persist is load-bearing
+    // exactly in the broadcast regime, and at 100 TB a planner mode
+    // change must not silently double the most expensive scan.
     val postings = CachedStages.track(docs.filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         explode(expr(s"array_distinct($tokensExpr)")).as("term"))
