@@ -27,6 +27,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // FIXED, PRE-TOUCHED heap (round 20, guide §5): this sandbox serves
+  // first-touch page faults at ~0.2-0.5 GB/s (measured: a 20 GB
+  // stride-4K first-touch ran 119 s while re-use of touched memory
+  // streams at >60 GB/s), and a growable heap re-pays that fault cost
+  // every time G1 uncommits after the bench's per-query System.gc()
+  // and regrows — allocation-heavy stages (BytesToBytesMap growth in
+  // large hash aggregates, sort buffers) measured 6x slow (q233
+  // 124-205 s vs its 19-27 s historical band). -Xms=-Xmx stops the
+  // uncommit/refault cycle and AlwaysPreTouch pays the fault cost
+  // once at JVM start (untimed): q233 back to 20.2-28.1 s min-of-3.
+  // Cluster executors are unaffected — sizing stays env-driven.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+AlwaysPreTouch",
   // Whole-stage codegen emits one or more compiled classes per query
   // stage; a 59-query bench (warm-up pass + timed pass) overflows the
   // default 240 MB code cache, and the resulting JIT eviction re-compiles

@@ -154,7 +154,14 @@ object Bench {
         if (sink.get == 42L) System.err.println("cpu probe sink collision")
         (System.nanoTime() - t0) / 1e9
       }
-      (1 to 3).map(_ => once()).min
+      // ADVICE r19: same contract as sentinel() — one transient probe
+      // failure (thread-creation/OOM) must not abort the bench and
+      // lose the timed results; failed samples report -1 and are
+      // filtered before the min.
+      val ok = (1 to 3).map { _ =>
+        try once() catch { case _: Throwable => -1.0 }
+      }.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
     // Pinned min-of-3 set (round-16 hardening of the regression
     // guard): queries whose recorded cross-run spread exceeds the

@@ -381,7 +381,16 @@ object Graph {
   def seededPagerank(spark: SparkSession, dir: String,
       iters: Int = 5): DataFrame = {
     val li = orderParts(spark, dir)
-    val edges = copurchaseEdges(li)
+    // persisted (round 20, guide §2.4): the edge list is read by the
+    // SEEDS action (the node-set restriction below, materialized by
+    // personalizedPagerank's seed count BEFORE the loop's first round)
+    // and again by the edgesDeg build — two separate actions, so
+    // without the persist the lineitem self-join + distinct executed
+    // once per action (q69's two same-plan reads dedupe via
+    // ReuseExchange; across actions nothing reuses). Interleaved
+    // fresh-JVM A/B at sf0.1/local[32]: 5.95 s unpersisted vs 5.18 s
+    // persisted (min-of-3 each, healthy sentinels both runs).
+    val edges = CachedStages.track(copurchaseEdges(li).persist())
     val seeds = Tables(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k"))
@@ -404,7 +413,8 @@ object Graph {
   def seededPagerankShuffle(spark: SparkSession, dir: String,
       iters: Int = 5): DataFrame = {
     val li = orderParts(spark, dir)
-    val edges = copurchaseEdges(li)
+    // same persist rationale and A/B as [[seededPagerank]]
+    val edges = CachedStages.track(copurchaseEdges(li).persist())
     val seeds = Tables(spark, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("k"))

@@ -200,21 +200,29 @@ object Layout {
     val packed = files.agg(expr(
       """sort_array(collect_list(struct(-rows AS neg, file_id AS id,
         |rows AS sz)))""".stripMargin).as("fs"))
-    // the fold carries (bin, fill) and emits each file's bin id; the
-    // per-file prefix re-fold is |files|² on a calendar-bounded list
-    val assigned = files.crossJoin(broadcast(packed))
-      .withColumn("ord", expr(
-        """filter(fs, f -> named_struct('neg', f.neg, 'id', f.id)
-          | <= named_struct('neg', -rows, 'id', file_id))""".stripMargin))
-      .withColumn("bin", expr(
-        s"""aggregate(ord, named_struct('bin', CAST(0 AS BIGINT),
-           |'fill', CAST($capacity AS BIGINT)),
-           |(acc, f) -> IF(acc.fill + f.sz > $capacity,
-           |  named_struct('bin', acc.bin + 1, 'fill', f.sz),
-           |  named_struct('bin', acc.bin, 'fill', acc.fill + f.sz)),
-           |acc -> acc.bin)""".stripMargin))
-    assigned.groupBy("bin")
-      .agg(count(lit(1)).as("n_files"), sum(col("rows")).as("total_rows"))
+    // ONE linear sweep over the sorted list: the fold carries
+    // (bin, fill) and APPENDS each file's (bin, size) assignment, so
+    // the sweep costs |files| fold steps instead of the former
+    // per-file prefix re-fold (a |files|² interpreted-lambda pass that
+    // also re-scanned and re-aggregated the corpus for the crossJoin's
+    // probe side — guide §1.2/§2.4: same answer, one subtree, linear).
+    // array_append copies the accumulator per step (Σi element moves),
+    // but those are flat 16-byte structs — memcpy, not lambda calls.
+    val assigned = packed.select(explode(expr(
+      s"""aggregate(fs,
+         |named_struct('bin', CAST(0 AS BIGINT),
+         |  'fill', CAST($capacity AS BIGINT),
+         |  'out', CAST(array() AS ARRAY<STRUCT<bin: BIGINT, sz: BIGINT>>)),
+         |(acc, f) -> IF(acc.fill + f.sz > $capacity,
+         |  named_struct('bin', acc.bin + 1, 'fill', f.sz,
+         |    'out', array_append(acc.out,
+         |      named_struct('bin', acc.bin + 1, 'sz', f.sz))),
+         |  named_struct('bin', acc.bin, 'fill', acc.fill + f.sz,
+         |    'out', array_append(acc.out,
+         |      named_struct('bin', acc.bin, 'sz', f.sz)))),
+         |acc -> acc.out)""".stripMargin)).as("a"))
+    assigned.groupBy(col("a.bin").as("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("a.sz")).as("total_rows"))
       .withColumn("fill_ppm",
         expr(s"total_rows * 1000000 div $capacity"))
       .select("bin", "n_files", "total_rows", "fill_ppm")

@@ -1433,18 +1433,24 @@ class ScaleSpec extends SparkSpec {
     assert(plan.split("Generate", -1).length - 1 == 1, plan.take(3000))
     CachedStages.release(spark)
   }
-  test("q178 plan: fold over one broadcast sorted file list, no driver loop") {
+  test("q178 plan: ONE linear fold over one sorted file list, no " +
+    "driver loop, no probe-side re-scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val out = Layout.compactionPlan(spark, dir)
     val plan = out.queryExecution.executedPlan.toString
     val tree = out.queryExecution.sparkPlan
-    // files aggregate from one orders scan; the sweep is an aggregate
-    // HOF over the collected model-sized array, shipped by broadcast
-    assert(tree.collect { case f: FileSourceScanExec => f }.size <= 2,
+    // round 20: the sweep is ONE aggregate HOF over the model-sized
+    // sorted array whose assignments explode straight into the bin
+    // rollup — the former crossJoin probe side (a second full orders
+    // scan + aggregate, plus a |files|² per-row prefix re-fold) is
+    // gone: exactly one file scan, no join of any kind
+    assert(tree.collect { case f: FileSourceScanExec => f }.size == 1,
       plan.take(3000))
     assert(plan.contains("aggregate("), plan.take(3000))
-    assert(plan.contains("BroadcastExchange")
-      || plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(tree.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, plan.take(3000))
     CachedStages.release(spark)
   }
   test("q179 plan: value-domain reduction, no O(n^2) dominance join") {

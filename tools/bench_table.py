@@ -331,6 +331,15 @@ if flags or discounted:
               f"consume with tools/guard_triage.py).")
     except OSError as e:
         print(f"\n(could not write {FLAGS_OUT}: {e})")
+else:
+    # ADVICE r19: a clean run must not leave a PREVIOUS run's flag set
+    # behind for guard_triage to re-adjudicate — remove it.
+    try:
+        if os.path.exists(FLAGS_OUT):
+            os.remove(FLAGS_OUT)
+            print(f"\n(stale flag set removed: {FLAGS_OUT})")
+    except OSError as e:
+        print(f"\n(could not remove stale {FLAGS_OUT}: {e})")
 
 # --- pin candidates (VERDICT r16 #5) ---
 # A query that keeps flagging and keeps re-timing clean is a chronic
