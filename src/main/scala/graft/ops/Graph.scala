@@ -218,7 +218,10 @@ object Graph {
 
   def strongKCoreLadder(spark: SparkSession, dir: String,
       ks: Seq[Int] = Seq(1, 2, 3), minShared: Int = 2): DataFrame =
-    kCoreLadderOf(strongEdges(spark, dir, minShared), ks)
+    // strongEdges emits BOTH directions of every pair, so the ladder
+    // may take the symmetric identity-seed shortcut (see below)
+    kCoreLadderOf(strongEdges(spark, dir, minShared), ks,
+      symmetricEdges = true)
 
   /** Graded q183: K-CORE LADDER of the STRONG co-purchase graph
     * (Seidman, Social Networks 1983 — "network cohesion" via maximal
@@ -246,7 +249,8 @@ object Graph {
     * a graph needing more rounds would hash-mismatch loudly, never
     * silently).
     */
-  def kCoreLadderOf(edges: DataFrame, ks: Seq[Int]): DataFrame = {
+  def kCoreLadderOf(edges: DataFrame, ks: Seq[Int],
+      symmetricEdges: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // CORENESS IS MONOTONE (Seidman): the (k+1)-core is a subgraph of
@@ -259,17 +263,34 @@ object Graph {
     // three times). Bit-identical results by construction; the oracle
     // replays each k from scratch and hash-matches.
     var seed: DataFrame = null
+    var nAll = -1L // |full node set| — marks identity-seed rounds
     val results = ks.sorted.map { k =>
       var nodes =
-        if (seed == null)
-          edges.select(col("src").as("id")).distinct().localCheckpoint()
-        else seed
+        if (seed == null) {
+          val all =
+            edges.select(col("src").as("id")).distinct().localCheckpoint()
+          nAll = all.count()
+          all
+        } else seed
       var n = nodes.count()
       var changed = n > 0
       while (changed) {
-        val next = edges
-          .join(nodes.select(col("id").as("src")), Seq("src"))
-          .join(nodes.select(col("id").as("dst")), Seq("dst"))
+        // IDENTITY-SEED ROUND (round 20, guide §2.4 "remove shuffles
+        // outright"): while the surviving set is still the FULL node
+        // set (n == nAll), both semi-joins keep every edge — the round
+        // is a plain degree aggregate over the stationary cached edge
+        // table. Provably identical ONLY for caller-declared SYMMETRIC
+        // edge lists (both directions present, so distinct-src = the
+        // node set and the dst semi-join is the identity too); the
+        // general directed path is untouched. Every node then has
+        // degree ≥ 1, which is why the k ≤ 1 peel terminates inside
+        // this no-join round.
+        val base =
+          if (symmetricEdges && n == nAll) edges
+          else edges
+            .join(nodes.select(col("id").as("src")), Seq("src"))
+            .join(nodes.select(col("id").as("dst")), Seq("dst"))
+        val next = base
           .groupBy("src").agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k)
           .select(col("src").as("id"))
@@ -282,6 +303,8 @@ object Graph {
       seed = nodes // the k-core seeds the (k+1)-peel (monotonicity)
       val nEdges =
         if (n == 0) 0L
+        // symmetric full-set core: every edge survives, no join needed
+        else if (symmetricEdges && n == nAll) edges.count()
         else edges
           .join(nodes.select(col("id").as("src")), Seq("src"))
           .join(nodes.select(col("id").as("dst")), Seq("dst"))
@@ -337,9 +360,18 @@ object Graph {
     val part = if (broadcastLabels) col("dst") else col("src")
     val edgesCached = CachedStages.track(
       edges.repartition(part).persist())
-    var labels = edgesCached.select(col("dst").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    // ROUND-1 STRENGTH REDUCTION (round 20, guide §1.2 "don't compute
+    // things you throw away"): labels start as (id, id), so round 1's
+    // neighbor-label frequency over the DISTINCT edge list is all-ones —
+    // the argmax by (cnt, -lbl) degenerates to min(src) per dst. One
+    // map-side-combined aggregate replaces the initial label-vector
+    // build + checkpoint, the round-1 label join, AND the |E|-row
+    // (dst, lbl) counting shuffle. Identical labels by construction
+    // (all counts tie at 1; ties break toward the smallest label).
+    var labels = edgesCached.groupBy(col("dst"))
+      .agg(min(col("src")).as("lbl"))
+      .select(col("dst").as("id"), col("lbl")).localCheckpoint()
+    for (_ <- 2 to iters) {
       labels = lpaRound(edgesCached, labels, broadcastLabels)
         .localCheckpoint()
     }
@@ -518,9 +550,25 @@ object Graph {
     require(n > 0, "empty edge list")
     val teleport = 3L * RankScale / (20L * n)
 
-    var ranks = nodes.select(col("src").as("id"),
-      lit(RankScale / n).as("rank_fp")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    // ROUND-1 STRENGTH REDUCTION (round 20, guide §1.2): the initial
+    // rank vector is the uniform constant RankScale/n on every node, so
+    // round 1's rank join is a constant-vector join — each edge's
+    // contribution depends only on its source's out-degree, already a
+    // column of the cached edge table. Folding the constant in replaces
+    // the initial rank-vector checkpoint AND round 1's broadcast build
+    // + join probe with one aggregate over the cache. Identical
+    // integers: `lit(RankScale/n) div deg` is the exact expression the
+    // joined round evaluated.
+    val mass1 = edgesDeg
+      .select(col("dst"), expr(s"${RankScale / n}L div deg").as("contrib"))
+      .groupBy(col("dst")).agg(sum(col("contrib")).as("mass"))
+    var ranks = nodes
+      .join(mass1, col("src") === col("dst"), "left")
+      .select(col("src").as("id"),
+        (lit(teleport) + expr("17 * coalesce(mass, 0L) div 20"))
+          .as("rank_fp"))
+      .localCheckpoint()
+    for (_ <- 2 to iters) {
       ranks = pagerankRound(edgesDeg, nodes, teleport, ranks,
         broadcastRanks).localCheckpoint()
     }
@@ -605,9 +653,10 @@ object Graph {
     * to the right-oriented copy (only the ≤|side|-row vector exchanges;
     * the incidence scan keeps its persisted partitioning) and
     * partial-aggregates (map-side combine) into ≤|side| rows,
-    * persisted once per half-round (see [[hitsHalfRound]] — the
+    * persisted once per half-round (see [[hitsNormalize]] — the
     * max-normalization otherwise runs the join twice). The max is a
-    * 1-row broadcast.
+    * bounded 1-row driver pull (round 20), and the first half-round
+    * strength-reduces to a per-part count off the cached incidence.
     *
     * The graded default FLIPPED to shuffle in round 17. The r16 close
     * read broadcast 10.18 s vs its shuffle variant 6.80 s — an
@@ -686,35 +735,55 @@ object Graph {
       .groupBy(outKey).agg(sum(col("score")).as("raw"))
   }
 
-  /** One HITS half-round: [[hitsScoreJoin]], then max-normalize — the
-    * decimal(38) product cannot overflow at any graph size.
+  /** Max-normalize a HITS raw-sum frame — the decimal(38) product
+    * cannot overflow at any graph size.
     *
     * The raw sums are PERSISTED before the max: the normalization
-    * needs two traversals (the 1-row max under its broadcast build,
-    * and the crossJoin left), and AQE compiles them as separate query
-    * stages whose exchanges differ by self-join-dealiased expression
-    * IDs — ReuseExchange never fires, so an unpersisted `raw` runs
-    * the score join + aggregate TWICE per half-round (confirmed in a
+    * needs two traversals (the 1-row max and the score projection),
+    * and AQE compiles unpersisted branches as separate query stages
+    * whose exchanges differ by self-join-dealiased expression IDs —
+    * ReuseExchange never fires, so an unpersisted `raw` would run the
+    * score join + aggregate TWICE per half-round (confirmed in a
     * round-17 executed-plan probe: the incidence scan, the score
     * join, and both aggregate levels each appeared twice). Same
     * shared-frame idiom as every other multi-traversal site in this
-    * file (assocRulesOf's baskets, degreeAssortativity's pairs,
-    * clusteringProfile's nodes); the cached frame is ≤|side| rows of
-    * two longs and CachedStages releases it at query end. The 1-row
-    * max stays a broadcast at any scale.
+    * file; the cached frame is ≤|side| rows of two longs and
+    * CachedStages releases it at query end.
+    *
+    * The 1-row max is pulled to the DRIVER (round 20, guide §1.2
+    * "fewer passes"): ONE action fills the raw cache and returns the
+    * divisor, and the normalized frame is then a lazy PROJECTION over
+    * the cache — the former crossJoin(broadcast(max)) shape paid a
+    * per-half-round broadcast build plus a separate localCheckpoint
+    * job in the loop (6 of each per q120 run; focused A/B in
+    * OPTIMIZATION_r20.md). A bounded 1-row scalar pull is the
+    * documented exception to the no-collect rule (guide §5 — the
+    * driver holds one long at any graph size), and the integer
+    * arithmetic is unchanged: the literal divisor substitutes the mx
+    * column in the exact same DECIMAL(38) expression.
+    */
+  private[ops] def hitsNormalize(rawSums: DataFrame,
+      outKey: String): DataFrame = {
+    val raw = CachedStages.track(rawSums.persist())
+    val mxRow = raw.agg(max(col("raw"))).head
+    // empty side: no rows survive the projection, any divisor works
+    val mx = if (mxRow.isNullAt(0)) 1L else mxRow.getLong(0)
+    raw.select(col(outKey), expr(
+      s"CAST(CAST(raw AS DECIMAL(38, 0)) * $HitsScale div ${mx}L AS BIGINT)")
+      .as("score"))
+  }
+
+  /** One HITS half-round: [[hitsScoreJoin]], then [[hitsNormalize]].
+    * EAGER: calling it runs the score join (the normalize's 1-row max
+    * pull doubles as the cache fill), replacing the loop's former
+    * per-half-round localCheckpoint.
     */
   private[ops] def hitsHalfRound(oriented: DataFrame, scores: DataFrame,
       joinKey: String, outKey: String,
-      broadcastScores: Boolean = true): DataFrame = {
-    val raw = CachedStages.track(
-      hitsScoreJoin(oriented, scores, joinKey, outKey, broadcastScores)
-        .persist())
-    val mx = raw.agg(max(col("raw")).as("mx"))
-    raw.crossJoin(broadcast(mx))
-      .select(col(outKey), expr(
-        s"CAST(CAST(raw AS DECIMAL(38, 0)) * $HitsScale div mx AS BIGINT)")
-        .as("score"))
-  }
+      broadcastScores: Boolean = true): DataFrame =
+    hitsNormalize(
+      hitsScoreJoin(oriented, scores, joinKey, outKey, broadcastScores),
+      outKey)
 
   /** Core of `purchaseHits` over any `(cust, part)` incidence frame. */
   def purchaseHitsOf(e: DataFrame, iters: Int, kTop: Int,
@@ -726,16 +795,22 @@ object Graph {
     // (orders⋈lineitem + distinct) a second time, since two persists
     // share no work until each materializes
     val ePart = CachedStages.track(eCust.repartition(col("part")).persist())
-    val custs = eCust.select("cust").distinct().localCheckpoint()
 
-    var hubs = custs.select(col("cust"), lit(HitsScale).as("score"))
-      .localCheckpoint()
-    var auths: DataFrame = null
-    for (_ <- 1 to iters) {
+    // ROUND-1 STRENGTH REDUCTION (round 20, guide §1.2): the initial
+    // hub vector is the constant HitsScale on every customer, so the
+    // first hub→authority half-round's join+sum is exactly
+    // per-part incidence count × HitsScale — straight off the cached
+    // incidence, no score join, no initial hub-vector build (the
+    // former custs-distinct + checkpoint jobs). Identical integers
+    // even under (impossible-at-this-width) int64 wrap: summing k
+    // copies of c and k·c agree mod 2⁶⁴.
+    var auths = hitsNormalize(
+      eCust.groupBy("part")
+        .agg((count(lit(1)) * HitsScale).as("raw")), "part")
+    var hubs = hitsHalfRound(ePart, auths, "part", "cust", broadcastScores)
+    for (_ <- 2 to iters) {
       auths = hitsHalfRound(eCust, hubs, "cust", "part", broadcastScores)
-        .localCheckpoint()
       hubs = hitsHalfRound(ePart, auths, "part", "cust", broadcastScores)
-        .localCheckpoint()
     }
 
     // TakeOrdered cut per side; the rank window runs over the ≤ kTop

@@ -1070,7 +1070,18 @@ object Similarity {
       k: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val topk = cosined(spark, vecs,
+    // SPREAD THE BOUNDED SAMPLE before the quadratic kernel (round 20,
+    // guide §2.5/§6): the evaluation sample is small enough to sit in
+    // ONE file below the 4 MB openCost split floor, so the scan gives
+    // the all-pairs kernel ONE task — measured 4.6 s of single-task
+    // cosine work at sf0.1 while 31 cores idled. A round-robin
+    // repartition of the |sample|-row stream side costs one tiny
+    // exchange and makes the sample² work parallelize regardless of
+    // input file layout; correct at any scale BECAUSE the sample is
+    // bounded by contract (this is the documented all-pairs diagnostic,
+    // never the serving corpus).
+    val spread = vecs.repartition(spark.sparkContext.defaultParallelism)
+    val topk = cosined(spark, spread,
       vecs.select(col("vec_id").as("q_id"), col("v").as("q_vec")), None)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -1125,7 +1136,11 @@ object Similarity {
     * streaming-scale alternative.
     */
   def silhouetteOf(spark: SparkSession, vecs: DataFrame): DataFrame = {
-    val pairs = cosined(spark, vecs,
+    // same bounded-sample spread as knnHubnessOf (round 20): the
+    // sample² cosine kernel must not inherit the 1-task split of a
+    // sub-4MB sample file — measured 4.6 s single-task at sf0.1
+    val spread = vecs.repartition(spark.sparkContext.defaultParallelism)
+    val pairs = cosined(spark, spread,
       vecs.select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("q_vec")), None)
       .withColumn("d", expr(

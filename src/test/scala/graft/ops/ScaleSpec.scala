@@ -708,15 +708,16 @@ class ScaleSpec extends SparkSpec {
     assert(incSides.forall(c =>
       c.collect { case ex: ShuffleExchangeExec => ex }.isEmpty),
       "incidence side must reuse the persisted cust partitioning, not re-exchange")
-    // the half-round must CACHE the raw sums: without the persist the
-    // crossJoin left and the broadcast(max) build each recompute the
-    // score join (AQE stages dealias the branches, ReuseExchange never
-    // fires — the round-17 probe measured the join running twice)
+    // the half-round must CACHE the raw sums, and (round 20) its
+    // normalize divisor is pulled to the driver by the half-round's
+    // one action: the returned frame is a pure PROJECTION over the
+    // cached raw — one cache read, no crossJoin(max) broadcast build,
+    // and no re-run of the score join per traversal
     val round = Graph.hitsHalfRound(eCust, hubs, "cust", "part",
       broadcastScores = false)
     assert(round.queryExecution.sparkPlan.collect {
-      case t: InMemoryTableScanExec => t }.size >= 2,
-      "both max-normalization traversals must read the persisted raw sums\n" +
+      case t: InMemoryTableScanExec => t }.size == 1,
+      "the normalize projection must read the persisted raw sums once\n" +
         round.queryExecution.sparkPlan.toString.take(3000))
     assert(round.queryExecution.sparkPlan.collect {
       case j: ShuffledHashJoinExec => j
@@ -995,15 +996,27 @@ class ScaleSpec extends SparkSpec {
     val e = Seq((1L, 100L), (1L, 101L), (2L, 100L)).toDF("cust", "part")
     val scores = Seq((1L, Graph.HitsScale), (2L, Graph.HitsScale))
       .toDF("cust", "score")
+    // the join half carries the strategy: the stationary incidence side
+    // streams; the score vector arrives by broadcast — per-round
+    // exchange volume is the partial-aggregated |side| rows, never the
+    // edge table
+    val join = Graph.hitsScoreJoin(e, scores, "cust", "part")
+    val jplan = join.queryExecution.executedPlan.toString
+    assert(jplan.contains("BroadcastExchange"), jplan.take(3000))
+    assert(!jplan.contains("SortMergeJoin"), jplan.take(3000))
+    assert(jplan.contains("partial_sum") || jplan.contains("HashAggregate"),
+      jplan.take(3000))
+    // the half-round's normalize (round 20): divisor pulled to the
+    // driver by the cache-fill action; the returned frame projects the
+    // cached raw sums — no crossJoin(max), no second traversal
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val round = Graph.hitsHalfRound(e, scores, "cust", "part")
-    val plan = round.queryExecution.executedPlan.toString
-    // the stationary incidence side streams; the score vector (and the
-    // 1-row max) arrive by broadcast — per-round exchange volume is the
-    // partial-aggregated |side| rows, never the edge table
-    assert(plan.contains("BroadcastExchange"), plan.take(3000))
-    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
-    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
-      plan.take(3000))
+    val tree = round.queryExecution.sparkPlan
+    assert(tree.collect { case t: InMemoryTableScanExec => t }.size == 1,
+      tree.toString.take(3000))
+    assert(!tree.toString.contains("CartesianProduct") &&
+      !tree.toString.contains("BroadcastNestedLoopJoin"),
+      tree.toString.take(3000))
     CachedStages.release(spark)
   }
 
