@@ -39,8 +39,8 @@ object StageProf {
         val m = si.taskMetrics
         stages += ((si.stageId, si.name.takeWhile(_ != '\n'),
           m.executorRunTime, m.executorCpuTime / 1000000,
+          m.jvmGCTime,
           m.shuffleReadMetrics.totalBytesRead,
-          m.shuffleReadMetrics.fetchWaitTime,
           m.shuffleWriteMetrics.bytesWritten,
           m.memoryBytesSpilled, m.diskBytesSpilled, si.numTasks))
       }
@@ -60,11 +60,11 @@ object StageProf {
       // listener events drain asynchronously; settle before printing
       Thread.sleep(500)
       println(f"== rep $r: $name $sec%.3fs wall ==")
-      println("stageId runMs cpuMs shufReadMB fetchWaitMs " +
+      println("stageId runMs cpuMs gcMs shufReadMB " +
         "shufWriteMB spillMB tasks name")
       stages.sortBy(-_._3).take(20).foreach {
-        case (id, nm, run, cpu, sr, fw, sw, ms, ds, nt) =>
-          println(f"$id%7d $run%6d $cpu%6d ${sr / 1e6}%10.1f $fw%11d " +
+        case (id, nm, run, cpu, gc, sr, sw, ms, ds, nt) =>
+          println(f"$id%7d $run%6d $cpu%6d $gc%6d ${sr / 1e6}%10.1f " +
             f"${sw / 1e6}%11.1f ${(ms + ds) / 1e6}%7.1f $nt%5d $nm%s")
       }
     }

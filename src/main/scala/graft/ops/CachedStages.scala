@@ -21,6 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * still computing against. Within a session, call [[release]] at a
   * quiescent point — after the actions consuming the operator results —
   * exactly like `spark.catalog.clearCache()`, which it narrows.
+  *
+  * PARTITION-COUNT DISCIPLINE (round 20, guide §2.2 "fewer, larger
+  * partitions"): a MODEL-SIZED stage (bounded by domain cardinality —
+  * classes, days, value ranges, bands — never by corpus rows) is
+  * `coalesce(1)`d before its persist. An un-coalesced tiny cache keeps
+  * the shuffle's partition count, so every downstream read spawns that
+  * many near-empty tasks, and each task re-deserializes the stage's
+  * serialized plan closure — thread dumps during the slow stages sat
+  * in `ObjectInputStream.readClassDesc`/`Class.forName` inside
+  * `executorRunTime`, ~100–300 ms per task for ZERO rows of work. One
+  * cached partition makes each model-sized stage one task at any
+  * scale (the frames are bounded by contract). Controlled A/B on the
+  * naive-Bayes family (nbCube/nbClasses/confusion coalesced): q219
+  * 2.41→0.77 s, q224 2.85→1.09 s, q225 5.81→1.47 s, q248 1.54→0.55 s.
+  * DATA-SIZED stages (per-user, per-doc, per-pair frames) keep their
+  * partitioning — one task over corpus-scaling rows would serialize
+  * real work.
   */
 object CachedStages {
 

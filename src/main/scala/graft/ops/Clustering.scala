@@ -398,7 +398,7 @@ object Clustering {
     val cont = CachedStages.track(assigned
       .groupBy("cluster", "label")
       .agg(count(lit(1)).as("n_ij"))
-      .persist())
+      .coalesce(1).persist())
     val a = cont.groupBy("cluster").agg(sum(col("n_ij")).as("ai"))
       .agg(sum(expr("ai * (ai - 1) div 2")).as("a_pairs"),
         count(lit(1)).as("k_clusters"))

@@ -239,7 +239,7 @@ object Dedup {
         sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0L))
           .as("n_redundant"))
       .withColumn("dup_ppm", expr("n_redundant * 1000000 div n_docs"))
-      .persist())
+      .coalesce(1).persist())
     val full = broadcast(perF.filter(col("f") === 4L)
       .select(col("dup_ppm").as("full_dup_ppm")))
     perF.crossJoin(full)
@@ -680,7 +680,7 @@ object Dedup {
     // persisted: the benchmark gram stream feeds TWO consumers — the
     // sketch-collect action and the exact broadcast join — and would
     // otherwise re-scan and re-shingle the benchmark per consumer
-    val bg = CachedStages.track(grams(bench, "bench_id").persist())
+    val bg = CachedStages.track(grams(bench, "bench_id").coalesce(1).persist())
     // `might_contain` requires its sketch operand to be a CONSTANT (or
     // scalar subquery) — the same contract Spark's own runtime join
     // filters satisfy by materializing the aggregate on the driver and

@@ -590,7 +590,7 @@ object Events {
       .select(col("prev_type"), col("event_type").as("next_type"))
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n_trans"))
-      .persist())
+      .coalesce(1).persist())
     val totals = trans.groupBy("prev_type")
       .agg(sum(col("n_trans")).as("n_from"))
     trans.join(broadcast(totals), Seq("prev_type"))
@@ -640,7 +640,7 @@ object Events {
       .groupBy(col("prev_type"), col("event_type").as("next_type"),
         (col("ts_us") > col("cutoff")).as("is_test"))
       .agg(count(lit(1)).as("n"))
-      .persist())
+      .coalesce(1).persist())
     // train-side argmax: the rank window runs over the model-sized
     // matrix (|types|² rows), never the event stream
     val model = trans.filter(!col("is_test"))
@@ -685,7 +685,7 @@ object Events {
     val daily = CachedStages.track(evs
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
       .agg(count(lit(1)).as("n"))
-      .persist())
+      .coalesce(1).persist())
     val w = Window.partitionBy("event_type")
     val med = daily
       .withColumn("rn", row_number().over(
@@ -791,7 +791,7 @@ object Events {
       .groupBy("user_id", "v_ts").agg(min(col("ts_us")).as("p_ts"))
       .withColumn("delay_min", expr("(p_ts - v_ts) div 60000000"))
     val hist = CachedStages.track(delays.groupBy("delay_min")
-      .agg(count(lit(1)).as("n")).persist())
+      .agg(count(lit(1)).as("n")).coalesce(1).persist())
     val w = Window.orderBy(col("delay_min").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("n")).over(w))
@@ -890,7 +890,7 @@ object Events {
       .agg(count(lit(1)).as("n_users"),
         sum(col("converted")).as("n_converted"))
       .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
-      .persist())
+      .coalesce(1).persist())
     val a = counts.filter(col("arm") === "a")
       .select(col("n_users").as("n_a"), col("n_converted").as("conv_a"),
         col("conv_ppm").as("p_a_ppm"))
@@ -1066,7 +1066,7 @@ object Events {
       .withColumn("ma7sum", sum(col("cents")).over(w7))
       .withColumn("ma7", expr("ma7sum div 7"))
       .filter(col("day") > col("cutoff") && col("day") - 7 >= col("mn"))
-      .persist())
+      .coalesce(1).persist())
     val perMethod = Seq("naive", "snaive7", "ma7").map { m =>
       scored.groupBy("event_type")
         .agg(count(lit(1)).as("n_forecasts"),
@@ -1080,7 +1080,7 @@ object Events {
           col("sae"))
     }.reduce(_ unionByName _)
       // persisted: traversed twice (naive baseline + final join)
-      .persist()
+      .coalesce(1).persist()
     CachedStages.track(perMethod)
     val naiveSae = perMethod.filter(col("method") === "naive")
       .select(col("event_type"), col("sae").as("naive_sae"))
@@ -1125,7 +1125,7 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val stats = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
         sum(expr("CAST(cents AS DECIMAL(38, 0)) * cents")).as("s2"))
@@ -1194,7 +1194,7 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val params = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"))
       .select(col("event_type"), expr("s1 div n").as("mu"),
@@ -1267,7 +1267,7 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val params = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
         sum(expr("CAST(cents AS DECIMAL(38, 0)) * cents")).as("s2"))
@@ -1339,7 +1339,7 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val series = dense.groupBy("event_type")
       .agg(expr("sort_array(collect_list(struct(day, cents)))").as("ss"))
     // l_t interpolated twice: the lambda cannot bind an intermediate
@@ -1406,7 +1406,7 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val stats = dense.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"))
       .select(col("event_type"), col("n"),
@@ -1414,7 +1414,7 @@ object Events {
     val dx = CachedStages.track(dense
       .join(broadcast(stats), Seq("event_type"))
       .withColumn("dx", expr("cents * 1000 - m_milli"))
-      .persist())
+      .coalesce(1).persist())
     val den = dx.groupBy("event_type")
       .agg(sum(expr("CAST(dx AS DECIMAL(38, 0)) * dx")).as("den"),
         max(col("n")).as("n"))
@@ -1439,7 +1439,7 @@ object Events {
           |       > CAST(4000000000000 AS DECIMAL(38, 0))
           |       THEN CAST(1 AS BIGINT)
           |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val lb = rs
       .withColumn("s_k", expr(
         """CAST(r_ppm AS DECIMAL(38, 0)) * r_ppm
@@ -1503,14 +1503,14 @@ object Events {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     def pick(src: DataFrame, valCol: String, outName: String) = {
       // persisted: traversed twice (per-type totals + cumulative join)
       // — caught by the round-18 DupExec sweep; value-domain bounded
       val h = CachedStages.track(src
         .groupBy(col("event_type"), col(valCol))
         .agg(count(lit(1)).as("cnt"))
-        .persist())
+        .coalesce(1).persist())
       val t = h.groupBy("event_type").agg(sum(col("cnt")).as("n_days"))
       val wc = Window.partitionBy("event_type")
         .orderBy(col(valCol).asc)
@@ -1525,7 +1525,7 @@ object Events {
     val dev = CachedStages.track(dense
       .join(broadcast(med), Seq("event_type"))
       .withColumn("adev", abs(col("cents") - col("med_cents")))
-      .persist())
+      .coalesce(1).persist())
     val mad = pick(dev, "adev", "mad_cents")
     dev.join(broadcast(mad), Seq("event_type"))
       .withColumn("outlier", expr(
@@ -1665,7 +1665,7 @@ object Events {
     */
   private[graft] def chi2Of(obsIn: DataFrame, k1: String, k2: String,
       verdict: String): DataFrame = {
-    val obs = CachedStages.track(obsIn.persist())
+    val obs = CachedStages.track(obsIn.coalesce(1).persist())
     val rowM = obs.groupBy(k1).agg(sum(col("observed")).as("r"))
     val colM = obs.groupBy(k2).agg(sum(col("observed")).as("c"))
     val tot = obs.agg(sum(col("observed")).as("n"),
@@ -1683,7 +1683,7 @@ object Events {
           | * (CAST(observed AS DECIMAL(38, 0)) * 1000000
           |   - expected_micro)
           | div nullif(expected_micro, 0) AS BIGINT)""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val summary = cells.agg(sum(col("contrib_micro")).as("chi2_micro"),
         max(expr("(nr - 1) * (nc - 1)")).as("df"))
       .withColumn("crit_micro", expr(
@@ -1810,14 +1810,14 @@ object Events {
       .agg(sum(expr(
         "CAST(CAST(value AS DECIMAL(12, 2)) * 100 AS BIGINT)"))
         .as("cents"))
-      .persist())
+      .coalesce(1).persist())
     val bounds = daily.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val calendar = CachedStages.track(bounds
       .select(explode(expr("sequence(mn, mx)")).as("day"))
       .withColumn("dom", expr(
         "CAST(dayofmonth(date_add(DATE '1970-01-01', " +
           "CAST(day AS INT))) AS BIGINT)"))
-      .persist())
+      .coalesce(1).persist())
     val occ = calendar.groupBy("dom").agg(count(lit(1)).as("occ"))
     val typeTot = daily.groupBy("event_type")
       .agg(sum(col("cents")).as("tot_cents"))
@@ -1835,7 +1835,7 @@ object Events {
         """CAST(CAST(cents AS DECIMAL(38, 0)) * total_days * 1000000
           | div (CAST(occ AS DECIMAL(38, 0))
           |      * nullif(tot_cents, 0)) AS BIGINT)""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val peak = idx.groupBy("event_type")
       .agg(max(expr("idx_ppm * 100 - dom")).as("pk"))
     idx.join(broadcast(peak), Seq("event_type"))
@@ -1908,7 +1908,7 @@ object Events {
     val nTot = bt.select("user_id", "day").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val marg = CachedStages.track(bt.groupBy("event_type")
-      .agg(count(lit(1)).as("m")).persist())
+      .agg(count(lit(1)).as("m")).coalesce(1).persist())
     bt.as("a").join(bt.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.day") === col("b.day") &&
@@ -2007,7 +2007,7 @@ object Events {
     val byHour = CachedStages.track(evs
       .groupBy("event_type", "hour")
       .agg(count(lit(1)).as("n"))
-      .persist())
+      .coalesce(1).persist())
     val peaks = byHour
       .withColumn("pick", row_number().over(Window
         .partitionBy("event_type")
@@ -2060,7 +2060,7 @@ object Events {
   def seasonalStrengthOfDaily(dailyIn: DataFrame): DataFrame = {
     // the matrix feeds the bounds, the type list and the join —
     // persisted so the stream collapses exactly once
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val bounds = daily.agg(min(col("day")).as("mn"),
       max(col("day")).as("mx"))
     val calendar = bounds.select(explode(expr("sequence(mn, mx)")).as("day"))
@@ -2118,7 +2118,7 @@ object Events {
     val byDow = CachedStages.track(dense
       .groupBy("event_type", "dow")
       .agg(count(lit(1)).as("n_days"), sum(col("cents")).as("cents"))
-      .persist())
+      .coalesce(1).persist())
     val totals = byDow.groupBy("event_type")
       .agg(sum(col("n_days")).as("n_all"), sum(col("cents")).as("s_all"))
     // persisted: traversed twice (peaks rollup + final join) — caught
@@ -2129,7 +2129,7 @@ object Events {
         """CAST(CAST(cents AS DECIMAL(38, 0)) * n_all * 1000000
           | div nullif(CAST(n_days AS DECIMAL(38, 0)) * s_all, 0)
           | AS BIGINT)""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val peaks = indexed.groupBy("event_type")
       .agg(max(col("index_ppm")).as("peak_ppm"))
     indexed.join(broadcast(peaks), Seq("event_type"))
@@ -2176,7 +2176,7 @@ object Events {
     * (EventStreams.dailyRevenueStream) feeds the IDENTICAL arithmetic.
     */
   def theilSenTrendOfDaily(dailyIn: DataFrame): DataFrame = {
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
@@ -2185,7 +2185,7 @@ object Events {
           .as("slope_micro"))
     val hist = CachedStages.track(pairs
       .groupBy("event_type", "slope_micro").agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val totals = hist.groupBy("event_type")
       .agg(sum(col("cnt")).as("n_pairs"))
     val wc = Window.partitionBy("event_type")
@@ -2242,7 +2242,7 @@ object Events {
     * broadcast-sized.
     */
   def mannKendallOfDaily(dailyIn: DataFrame): DataFrame = {
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val sStat = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
@@ -2332,7 +2332,7 @@ object Events {
     val hist = CachedStages.track(late
       .groupBy("arm", "event_type", "late_sec")
       .agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val wc = Window.partitionBy("arm", "event_type")
       .orderBy(col("late_sec").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2399,7 +2399,7 @@ object Events {
       .agg(sum(col("e")).as("d"),
         sum(lit(1L) - col("e")).as("c"),
         count(lit(1)).as("n_t"))
-      .persist())
+      .coalesce(1).persist())
     val total = hist.agg(sum(col("n_t")).as("n_total"))
     // bounded-domain cumulative: strictly-before mass leaves the risk set
     val w = Window.orderBy(col("t").asc)
@@ -2409,7 +2409,7 @@ object Events {
     val risk = CachedStages.track(hist.crossJoin(broadcast(total))
       .withColumn("n_at_risk",
         col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
-      .persist())
+      .coalesce(1).persist())
     val steps = risk.agg(expr(
       "sort_array(collect_list(struct(t, n_at_risk, d)))").as("steps"))
     risk.crossJoin(broadcast(steps))
@@ -2449,7 +2449,7 @@ object Events {
     val steps = CachedStages.track(km
       .select(col("t"), col("km_ppm"), col("n_at_risk"),
         col("n_events"))
-      .persist())
+      .coalesce(1).persist())
     val nSubj = steps.agg(max(expr("n_at_risk")).as("n_subjects"))
     val median = steps.filter(col("km_ppm") <= 500000L)
       .agg(min(col("t")).as("median_t"))
@@ -2526,7 +2526,7 @@ object Events {
       .agg(sum(col("ea")).as("d_a"), sum(col("eb")).as("d_b"),
         sum(lit(1L) - col("ea") - col("eb")).as("c"),
         count(lit(1)).as("n_t"))
-      .persist())
+      .coalesce(1).persist())
     val total = hist.agg(sum(col("n_t")).as("n_total"))
     val w = Window.orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -2535,7 +2535,7 @@ object Events {
     val risk = CachedStages.track(hist.crossJoin(broadcast(total))
       .withColumn("n_at_risk",
         col("n_total") - coalesce(sum(col("n_t")).over(w), lit(0L)))
-      .persist())
+      .coalesce(1).persist())
     val steps = risk.agg(expr(
       "sort_array(collect_list(struct(t, n_at_risk, d_a, d_b)))")
       .as("steps"))
@@ -2604,13 +2604,13 @@ object Events {
   def logRankOf(subjects: DataFrame): DataFrame = {
     val hist = CachedStages.track(subjects.groupBy("grp", "t")
       .agg(sum(col("e")).as("d"), count(lit(1)).as("n_t"))
-      .persist())
+      .coalesce(1).persist())
     val spine = hist.select("t").distinct()
     // persisted: broadcast into the risk grid AND the final subject
     // totals — unpersisted, the per-group rollup ran twice (round-18
     // DupExec sweep); 2 rows
     val totals = CachedStages.track(
-      hist.groupBy("grp").agg(sum(col("n_t")).as("tot")).persist())
+      hist.groupBy("grp").agg(sum(col("n_t")).as("tot")).coalesce(1).persist())
     val w = Window.partitionBy("grp").orderBy(col("t").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val grid = spine.crossJoin(broadcast(totals))
@@ -2695,7 +2695,7 @@ object Events {
     val hist = CachedStages.track(gaps.filter(col("prev_us").isNotNull)
       .select(expr("(ts_us - prev_us) div 86400000000").as("gap_days"))
       .groupBy("gap_days").agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val wg = Window.orderBy(col("gap_days").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val q = hist
@@ -2743,7 +2743,7 @@ object Events {
     // distinct-days pass over the activity cache ran once per window
     // (round-18 DupExec sweep, x3)
     val days = CachedStages.track(
-      ud.select("day").distinct().persist())
+      ud.select("day").distinct().coalesce(1).persist())
     def windowed(span: Int, out: String): DataFrame =
       ud.select(col("user_id"),
           explode(expr(s"sequence(day, day + ${span - 1})")).as("day"))
@@ -2783,12 +2783,12 @@ object Events {
       alphaPerMille: Long = 709L): DataFrame = {
     val kMax = 41 - Integer.numberOfTrailingZeros(m)
     val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
-    val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
+    val daily = CachedStages.track(dailyUserRegisters(evs, m).coalesce(1).persist())
     // persisted: read by more than one downstream branch — unpersisted,
     // the distinct-days pass over the register cache ran once per
     // consumer (round-18 DupExec sweep)
     val days = CachedStages.track(
-      daily.select("day").distinct().persist())
+      daily.select("day").distinct().coalesce(1).persist())
     val joined = days.crossJoin(
         broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
       .join(daily, Seq("day", "idx"), "left")
@@ -2877,12 +2877,12 @@ object Events {
     val restBits = 40 - Integer.numberOfTrailingZeros(m)
     val kMax = restBits + 1
     val numerator = alphaPerMille * m.toLong * m.toLong * (1L << kMax)
-    val daily = CachedStages.track(dailyUserRegisters(evs, m).persist())
+    val daily = CachedStages.track(dailyUserRegisters(evs, m).coalesce(1).persist())
     // persisted: read by more than one downstream branch — unpersisted,
     // the distinct-days pass over the register cache ran once per
     // consumer (round-18 DupExec sweep)
     val days = CachedStages.track(
-      daily.select("day").distinct().persist())
+      daily.select("day").distinct().coalesce(1).persist())
     val grid = days.crossJoin(
       broadcast(evs.sparkSession.range(m).select(col("id").as("idx"))))
     val w = Window.partitionBy("idx").orderBy(col("day").asc)
@@ -2955,7 +2955,7 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_active"),
         sum(col("cents")).as("rev_cents"))
-      .persist())
+      .coalesce(1).persist())
     val sizes = grid.filter(col("week_offset") === 0L)
       .select(col("cohort_week"), col("n_active").as("cohort_size"))
     val w = Window.partitionBy("cohort_week").orderBy(col("week_offset").asc)
@@ -3047,7 +3047,7 @@ object Events {
       .agg(sum(col("w")).as("wsum"),
         sum(expr("w * converted")).as("wconv"))
       .withColumn("ppm", expr("wconv * 1000000 div nullif(wsum, 0)"))
-      .persist())
+      .coalesce(1).persist())
     val diffRep = armRep.groupBy("b")
       .agg(max(when(col("arm") === "a", col("ppm"))).as("pa"),
         max(when(col("arm") === "b", col("ppm"))).as("pb"))
@@ -3062,7 +3062,7 @@ object Events {
       .select(col("arm").as("series"), col("b"), col("ppm"))
       .unionByName(diffRep)
       .filter(col("ppm").isNotNull)
-      .persist())
+      .coalesce(1).persist())
     val w2 = Window.partitionBy("series").orderBy(col("ppm").asc,
       col("b").asc)
     // the ceil-rank cuts need the per-series replicate count alongside
@@ -3083,7 +3083,7 @@ object Events {
       .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("nc"))
       .withColumn("point_ppm", expr("nc * 1000000 div n_users"))
       .select("series", "n_users", "point_ppm")
-      .persist())
+      .coalesce(1).persist())
     val pointDiff = pointArms.agg(
         sum(col("n_users")).as("n_users"),
         sum(when(col("series") === "a", col("point_ppm"))).as("pa"),
@@ -3191,7 +3191,7 @@ object Events {
           .as("cents"))
       .groupBy("event_type", "cents")
       .agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val w = Window.partitionBy("event_type").orderBy(col("cents").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum", sum(col("cnt")).over(w))

@@ -344,8 +344,15 @@ object Features {
     * reads.
     */
   private[graft] def nbCube(base: DataFrame): DataFrame =
+    // coalesce(1) before the persist (round 20, guide §2.2 "fewer,
+    // larger partitions"): the cube is MODEL-SIZED by construction
+    // (|nat|·|sign|·|seg| ≈ 250 rows at ANY corpus scale — domain
+    // cardinality, not data size), but an un-coalesced persist keeps
+    // the aggregation's 32 shuffle partitions, so every downstream
+    // cache read spawned 32 near-empty tasks. One cached partition
+    // makes each of the NB family's many model-sized stages one task.
     CachedStages.track(base.groupBy("nat", "sign", "seg")
-      .agg(count(lit(1)).as("n")).persist())
+      .agg(count(lit(1)).as("n")).coalesce(1).persist())
 
   /** Laplace-smoothed fixed-point scores per (feature combo, class) —
     * shared by q219's argmax and q224's confidence normalization so
@@ -358,8 +365,10 @@ object Features {
     * the frame through.
     */
   private[graft] def nbClasses(cube: DataFrame): DataFrame =
+    // |classes|-row frame — same coalesce(1) rationale as nbCube
     CachedStages.track(
-      cube.groupBy("seg").agg(sum(col("n")).as("n_c")).persist())
+      cube.groupBy("seg").agg(sum(col("n")).as("n_c"))
+        .coalesce(1).persist())
 
   private[graft] def nbScores(cube: DataFrame): DataFrame =
     nbScores(cube, nbClasses(cube))
@@ -504,7 +513,8 @@ object Features {
     * the corpus cost lives in the upstream confusion build.
     */
   def classifierReportOf(conf: DataFrame): DataFrame = {
-    val c = CachedStages.track(conf.persist())
+    // confusion matrix: |classes|²-sized — one cached partition
+    val c = CachedStages.track(conf.coalesce(1).persist())
     val byActual = c.groupBy(col("actual").as("cls"))
       .agg(sum(col("n")).as("n_actual"))
     val byPred = c.groupBy(col("predicted").as("cls"))
@@ -516,7 +526,7 @@ object Features {
       .na.fill(0L, Seq("n_actual", "n_predicted"))
       .join(diag, Seq("cls"), "left")
       .na.fill(0L, Seq("n_correct"))
-      .persist())
+      .coalesce(1).persist()) // |classes| rows — one cached partition
     val kappa = margins.agg(
         sum(col("n_actual")).as("n_total"),
         sum(col("n_correct")).as("n_diag"),

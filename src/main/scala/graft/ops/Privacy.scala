@@ -277,9 +277,9 @@ object Privacy {
     // unpersisted, they re-scanned the base cache once per level
     // (round-18 DupExec sweep: both subtrees x3)
     val global = CachedStages.track(
-      base.groupBy("sens").agg(count(lit(1)).as("n_c")).persist())
+      base.groupBy("sens").agg(count(lit(1)).as("n_c")).coalesce(1).persist())
     val tot = CachedStages.track(
-      base.agg(count(lit(1)).as("n_total")).persist())
+      base.agg(count(lit(1)).as("n_total")).coalesce(1).persist())
     def level(name: String, keys: Seq[String]): DataFrame = {
       val gc = base.groupBy((keys :+ "sens").map(col): _*)
         .agg(count(lit(1)).as("n_gc"))
@@ -400,7 +400,7 @@ object Privacy {
       min(col("bal")).as("bal_min"), max(col("bal")).as("bal_max"),
       min(col("nat")).as("nat_min"), max(col("nat")).as("nat_max"),
       count(lit(1)).as("n"))
-      .persist())
+      .coalesce(1).persist())
     val summary = groups.agg(min(col("n")).as("k_achieved"),
       count(lit(1)).as("n_groups"))
     groups.crossJoin(broadcast(summary))

@@ -36,7 +36,7 @@ object RankTests {
     */
   private[graft] def midrankStats(df: DataFrame): (DataFrame, DataFrame) = {
     val h = CachedStages.track(df.groupBy("v")
-      .agg(count(lit(1)).as("cnt")).persist())
+      .agg(count(lit(1)).as("cnt")).coalesce(1).persist())
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mr = h.withColumn("cum", sum(col("cnt")).over(wv))
@@ -100,7 +100,7 @@ object RankTests {
   def mannWhitneyOf(df: DataFrame, grpA: String,
       grpB: String): DataFrame = {
     val (groups, totals) = midrankStats(df)
-    val g = CachedStages.track(groups.persist())
+    val g = CachedStages.track(groups.coalesce(1).persist())
     val a = g.filter(col("g") === grpA)
       .select(col("n_g").as("n_a"), col("r2_g").as("r2_a"))
     val b = g.filter(col("g") === grpB).select(col("n_g").as("n_b"))
@@ -175,7 +175,7 @@ object RankTests {
     */
   def kruskalWallisOf(df: DataFrame): DataFrame = {
     val (groups, totals) = midrankStats(df)
-    val g = CachedStages.track(groups.persist())
+    val g = CachedStages.track(groups.coalesce(1).persist())
     val k = g.agg(count(lit(1)).as("k_groups"))
     val devs = g.crossJoin(broadcast(totals))
       .withColumn("d2", expr(
@@ -280,8 +280,8 @@ object RankTests {
           expr("CAST(cnt AS DECIMAL(38, 0)) * cnt * cnt - cnt")
             .as("t3"))
     }
-    val rx = CachedStages.track(ranks("x").persist())
-    val ry = CachedStages.track(ranks("y").persist())
+    val rx = CachedStages.track(ranks("x").coalesce(1).persist())
+    val ry = CachedStages.track(ranks("y").coalesce(1).persist())
     val pairs = CachedStages.track(d
       .join(rx.select(col("v").as("x"), col("mr2").as("rx2")), Seq("x"))
       .join(ry.select(col("v").as("y"), col("mr2").as("ry2")), Seq("y"))
@@ -363,7 +363,7 @@ object RankTests {
     val h = CachedStages.track(df.groupBy("v")
       .agg(sum(when(col("g") === ga, 1L).otherwise(0L)).as("ca0"),
         sum(when(col("g") === gb, 1L).otherwise(0L)).as("cb0"))
-      .persist())
+      .coalesce(1).persist())
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = h.agg(sum(col("ca0")).as("n_a"), sum(col("cb0")).as("n_b"))
@@ -374,7 +374,7 @@ object RankTests {
       .withColumn("adiff", expr(
         """abs(CAST(ca AS DECIMAL(38, 0)) * n_b
           | - CAST(cb AS DECIMAL(38, 0)) * n_a)""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val dmax = diffs.agg(max(col("adiff")).as("dmax"))
     diffs.crossJoin(broadcast(dmax))
       .filter(col("adiff") === col("dmax"))
@@ -435,7 +435,7 @@ object RankTests {
     */
   def sourceLengthDriftOf(lens: DataFrame): DataFrame = {
     val h = CachedStages.track(lens.groupBy("source", "v")
-      .agg(count(lit(1)).as("c")).persist())
+      .agg(count(lit(1)).as("c")).coalesce(1).persist())
     val gv = h.groupBy("v").agg(sum(col("c")).as("cg"))
     val tot = broadcast(h.agg(sum(col("c")).as("n_total"),
       countDistinct(col("source")).as("m")))
@@ -456,7 +456,7 @@ object RankTests {
       .withColumn("adiff", expr(
         """abs(CAST(ca AS DECIMAL(38, 0)) * n_b
           | - CAST(cb AS DECIMAL(38, 0)) * n_a)""".stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val dmax = diffs.groupBy("source").agg(max(col("adiff")).as("dm"))
     diffs.join(broadcast(dmax), Seq("source"))
       .filter(col("adiff") === col("dm"))
@@ -524,7 +524,7 @@ object RankTests {
     * and the n_days count read one materialization.
     */
   def kendallTauOfDaily(dailyIn: DataFrame): DataFrame = {
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val pairs = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type") &&
           col("a.day") < col("b.day"))
@@ -590,7 +590,7 @@ object RankTests {
     * are |types|-row broadcasts.
     */
   def pettittOfDaily(dailyIn: DataFrame): DataFrame = {
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val ut = daily.as("a").join(daily.as("b"),
         col("a.event_type") === col("b.event_type"))
@@ -616,7 +616,7 @@ object RankTests {
       .filter(col("pick") === 1)
       .select(col("event_type"), col("day").as("cp_day"),
         col("ut").as("u_at_cp"), abs(col("ut")).as("k_stat"))
-      .persist())
+      .coalesce(1).persist())
     val levels = daily
       .join(broadcast(best.select("event_type", "cp_day")),
         Seq("event_type"))
@@ -675,7 +675,7 @@ object RankTests {
     * |types|-row aggregate. The stream collapses exactly once.
     */
   def runsTestOfDaily(dailyIn: DataFrame): DataFrame = {
-    val daily = CachedStages.track(dailyIn.persist())
+    val daily = CachedStages.track(dailyIn.coalesce(1).persist())
     val wOrd = Window.partitionBy("event_type").orderBy("day")
     val steps = daily
       .withColumn("prev", lag(col("x"), 1).over(wOrd))
@@ -750,7 +750,7 @@ object RankTests {
   private def blockedRanked(obs: DataFrame): DataFrame = {
     val cells = CachedStages.track(obs
       .groupBy(col("block"), col("treatment"))
-      .agg(sum(col("v")).as("v")).persist())
+      .agg(sum(col("v")).as("v")).coalesce(1).persist())
     val kRow = broadcast(cells
       .agg(countDistinct(col("treatment")).as("k"),
         countDistinct(col("block")).as("n_blocks_total")))
@@ -759,7 +759,7 @@ object RankTests {
         count(lit(1)).over(Window.partitionBy("block")))
       .filter(col("nt") === col("k"))
       .select("block", "treatment", "v", "k", "n_blocks_total")
-      .persist())
+      .coalesce(1).persist())
     val h = complete.groupBy(col("block"), col("v"))
       .agg(count(lit(1)).as("cnt"))
     val wv = Window.partitionBy("block").orderBy("v")
@@ -767,7 +767,7 @@ object RankTests {
     val mr = h.withColumn("cum", sum(col("cnt")).over(wv))
       .select(col("block"), col("v"),
         expr("2 * (cum - cnt) + cnt + 1").as("mr2"))
-    CachedStages.track(complete.join(mr, Seq("block", "v")).persist())
+    CachedStages.track(complete.join(mr, Seq("block", "v")).coalesce(1).persist())
   }
 
   def friedmanOf(obs: DataFrame): DataFrame = {
@@ -837,7 +837,7 @@ object RankTests {
     val hist = CachedStages.track(df.groupBy(col("v"))
       .agg(sum(when(col("g") === grpA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("g") === grpB, 1L).otherwise(0L)).as("cb"))
-      .persist())
+      .coalesce(1).persist())
     val wv = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = broadcast(hist.agg(sum(col("ca")).as("n_a"),
@@ -984,7 +984,7 @@ object RankTests {
       .crossJoin(broadcast(calendar))
       .join(daily, Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("cents"))
-      .persist())
+      .coalesce(1).persist())
     val types = dense.select(col("event_type")).distinct()
     val lags = daily.sparkSession.range(-maxLag, maxLag + 1)
       .select(col("id").as("lag"))
@@ -1009,7 +1009,7 @@ object RankTests {
         col("day").as("yday"), col("cents").as("y")),
         Seq("tb", "yday"))
       .select("ta", "tb", "lag", "day", "x", "y")
-      .persist())
+      .coalesce(1).persist())
     def midranks(cName: String, out: String) = {
       val w = Window.partitionBy("ta", "tb", "lag").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1029,7 +1029,7 @@ object RankTests {
       .join(midranks("y", "ry2").withColumnRenamed("v", "y"),
         Seq("ta", "tb", "lag", "y"))
       .select("ta", "tb", "lag", "rx2", "ry2")
-      .persist())
+      .coalesce(1).persist())
     val means = ranked.groupBy("ta", "tb", "lag")
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(rx2 AS DECIMAL(38, 0))")).as("sx"),

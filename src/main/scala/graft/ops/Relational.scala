@@ -442,7 +442,7 @@ object Relational {
     // per score map (round-18 DupExec sweep, x2 in each of the three
     // q146 maps); bounded by the value domain
     val hist = CachedStages.track(
-      vals.groupBy(valueCol).agg(count(lit(1)).as("cnt")).persist())
+      vals.groupBy(valueCol).agg(count(lit(1)).as("cnt")).coalesce(1).persist())
     val w = Window.orderBy(col(valueCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = hist.agg(sum(col("cnt")).as("n"))
@@ -591,7 +591,7 @@ object Relational {
         | * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""".stripMargin)
       .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_orders"))
-      .persist())
+      .coalesce(1).persist())
     val expected = BenfordPpm
       .map { case (d, p) => (d.toLong, p) }.toDF("digit", "exp_ppm")
     val total = counts.agg(sum(col("n_orders")).as("n_total"))
@@ -641,7 +641,7 @@ object Relational {
       .withColumn("hb", expr("r4 div 10000000"))
       .groupBy("hb")
       .agg(count(lit(1)).as("n_in"), sum(col("r4")).as("s_in"))
-      .persist())
+      .coalesce(1).persist())
     val wb = Window.orderBy(col("hb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist
@@ -656,7 +656,7 @@ object Relational {
           expr("(cum_before + s_in) * 5 >= total * 4")) ||
         (expr("cum_before * 20 < total * 19") &&
           expr("(cum_before + s_in) * 20 >= total * 19")))
-      .persist())
+      .coalesce(1).persist())
     def classExpr(cumBefore: String): org.apache.spark.sql.Column = expr(
       s"""CASE WHEN $cumBefore * 5 < total * 4 THEN 'A'
          |     WHEN $cumBefore * 20 < total * 19 THEN 'B'
@@ -769,7 +769,7 @@ object Relational {
       .filter(col("gap_days") >= 0)
       .groupBy("priority", "gap_days")
       .agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val invalid = gaps.filter(col("gap_days") < 0)
       .groupBy("priority").agg(count(lit(1)).as("n_invalid"))
     val totals = hist.groupBy("priority")
@@ -838,7 +838,7 @@ object Relational {
       spend.filter(col("cents") > 0).persist())
     val g = CachedStages.track(pos.groupBy("nation")
       .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
-      .persist())
+      .coalesce(1).persist())
     val tot = broadcast(g.agg(sum(col("n_g")).as("n"),
       sum(col("s_g")).as("s")))
     val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
@@ -864,7 +864,7 @@ object Relational {
         round(sum(col("t_g_term").cast(dec18)).cast("double"), 6)
           .as("theil_g"),
         sum(col("t_term").cast(dec18)).as("tt_g"))
-      .persist())
+      .coalesce(1).persist())
     // persisted: traversed twice (globals rollup + final join) — the
     // residual x2 the round-18 DupExec re-probe caught after the
     // perNation fold landed; |nations| rows
@@ -874,7 +874,7 @@ object Relational {
         (col("spend_cents").cast("double") / col("s").cast("double")) *
           log((col("spend_cents") * col("n")).cast("double") /
             (col("s") * col("n_cust")).cast("double")), 6))
-      .persist())
+      .coalesce(1).persist())
     val globals = broadcast(withBetween
       .withColumn("within_term",
         (col("spend_cents").cast("double") / col("s").cast("double")) *
@@ -1010,7 +1010,7 @@ object Relational {
         sum(col("ordered")).as("n_ordered"),
         sum(col("shipped")).as("n_shipped"),
         sum(col("invalid")).as("n_invalid"))
-      .persist())
+      .coalesce(1).persist())
     val cal = deltas.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(explode(expr("sequence(mn, mx)")).as("day"))
     val w = Window.orderBy(col("day").asc)
@@ -1211,7 +1211,7 @@ object Relational {
   def lorenzOf(spend: DataFrame): DataFrame = {
     val hist = CachedStages.track(spend
       .withColumn("v", expr("cents div 100"))
-      .groupBy("v").agg(count(lit(1)).as("c")).persist())
+      .groupBy("v").agg(count(lit(1)).as("c")).coalesce(1).persist())
     val tot = hist.agg(sum(col("c")).as("n"),
       sum(expr("CAST(v AS DECIMAL(38, 0)) * c")).as("total_d"))
     // bounded-by-construction: the frame runs over the value-domain
@@ -1274,7 +1274,7 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         sum(expr("IF(l_returnflag = 'R', CAST(1 AS BIGINT), " +
           "CAST(0 AS BIGINT))")).as("n_returned"))
-      .persist())
+      .coalesce(1).persist())
     val glob = per.agg(sum(col("n_lines")).as("nn"),
       sum(col("n_returned")).as("rr"))
     per.crossJoin(broadcast(glob))
@@ -1350,7 +1350,7 @@ object Relational {
     val tested = CachedStages.track(supplierReturnScreenOf(li)
       .filter(col("z2_micro").isNotNull)
       .withColumn("p_ppm", expr(pLadderCase("z2_micro")))
-      .persist())
+      .coalesce(1).persist())
     val bands = tested.groupBy("p_ppm")
       .agg(count(lit(1)).as("n_suppliers"))
     val m = tested.agg(count(lit(1)).as("m_tested"))
@@ -1359,7 +1359,7 @@ object Relational {
     val cum = CachedStages.track(bands
       .withColumn("cum_tested", sum(col("n_suppliers")).over(w))
       .crossJoin(broadcast(m))
-      .persist())
+      .coalesce(1).persist())
       .withColumn("bh_pass", expr(
         """IF(p_ppm * m_tested <= cum_tested * 100000,
           | CAST(1 AS BIGINT), CAST(0 AS BIGINT))""".stripMargin))
@@ -1467,17 +1467,17 @@ object Relational {
   def mutualInformationOf(df: DataFrame): DataFrame = {
     val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
     val cells = CachedStages.track(df.groupBy("x", "y")
-      .agg(count(lit(1)).as("c")).persist())
+      .agg(count(lit(1)).as("c")).coalesce(1).persist())
     // persisted: each marginal feeds the scored join AND its entropy
     // rollup, and the total feeds every branch — unpersisted, the
     // marginal/total aggregates over the cell cache re-ran per
     // consumer (round-18 DupExec sweep)
     val mx = CachedStages.track(
-      cells.groupBy("x").agg(sum(col("c")).as("cx")).persist())
+      cells.groupBy("x").agg(sum(col("c")).as("cx")).coalesce(1).persist())
     val my = CachedStages.track(
-      cells.groupBy("y").agg(sum(col("c")).as("cy")).persist())
+      cells.groupBy("y").agg(sum(col("c")).as("cy")).coalesce(1).persist())
     val tot = broadcast(CachedStages.track(
-      cells.agg(sum(col("c")).as("n")).persist()))
+      cells.agg(sum(col("c")).as("n")).coalesce(1).persist()))
     def entropy(marg: DataFrame, cnt: String) = broadcast(
       marg.crossJoin(tot)
         .select(round(sum(
@@ -1493,7 +1493,7 @@ object Relational {
         (col("c").cast("double") / col("n").cast("double")) *
           log((col("c") * col("n")).cast("double") /
             (col("cx") * col("cy")).cast("double")), 6))
-      .persist())
+      .coalesce(1).persist())
     val hxy = broadcast(scored.select(round(sum(
       (col("c").cast("double") / col("n").cast("double")) *
         log(col("n").cast("double") / col("c").cast("double")))
@@ -1548,18 +1548,18 @@ object Relational {
     // the count re-scanned the base cache once per pair (round-18
     // DupExec sweep)
     val n = CachedStages.track(
-      base.agg(count(lit(1)).as("n")).persist())
+      base.agg(count(lit(1)).as("n")).coalesce(1).persist())
     val parts = cols.combinations(2).map { case Seq(a, b) =>
       val cells = CachedStages.track(base
         .groupBy(col(a).as("va"), col(b).as("vb"))
         .agg(count(lit(1)).as("o"))
-        .persist())
+        .coalesce(1).persist())
       // persisted: each margin feeds its broadcast join AND its
       // cardinality rollup (ka/kb) — two consumers per margin
       val ra = CachedStages.track(
-        cells.groupBy("va").agg(sum(col("o")).as("r")).persist())
+        cells.groupBy("va").agg(sum(col("o")).as("r")).coalesce(1).persist())
       val rb = CachedStages.track(
-        cells.groupBy("vb").agg(sum(col("o")).as("c")).persist())
+        cells.groupBy("vb").agg(sum(col("o")).as("c")).coalesce(1).persist())
       val ka = ra.agg(count(lit(1)).as("k_a"))
       val kb = rb.agg(count(lit(1)).as("k_b"))
       cells.join(broadcast(ra), Seq("va"))
@@ -1647,7 +1647,7 @@ object Relational {
       .withColumn("hb", expr("r4 div 10000000"))
       .groupBy("hb")
       .agg(count(lit(1)).as("n_in"), sum(col("r4")).as("s_in"))
-      .persist())
+      .coalesce(1).persist())
     val wb = Window.orderBy(col("hb").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val total = hist.agg(sum(col("s_in")).as("total"),
@@ -1660,7 +1660,7 @@ object Relational {
           expr("(cum_before + s_in) * 5 >= total * 4")) ||
         (expr("cum_before * 20 < total * 19") &&
           expr("(cum_before + s_in) * 20 >= total * 19")))
-      .persist())
+      .coalesce(1).persist())
     def classExpr(cumBefore: String) = expr(
       s"""CASE WHEN $cumBefore * 5 < total * 4 THEN 'A'
          |     WHEN $cumBefore * 20 < total * 19 THEN 'B'
@@ -1781,7 +1781,7 @@ object Relational {
     val top = CachedStages.track(weekly
       .withColumn("rnk", row_number().over(wk))
       .filter(col("rnk") <= topK)
-      .persist())
+      .repartition(1).persist())
     val nWeeks = top.agg(countDistinct(col("week")).as("n_weeks"))
     top.groupBy("l_partkey")
       .agg(count(lit(1)).as("weeks_in_top"),
@@ -1931,7 +1931,7 @@ object Relational {
         col("n_name"))), Seq("c_nationkey"))
       .groupBy(col("n_name"), col("yr"))
       .agg(sum(col("cents")).as("revenue_cents"))
-      .persist())
+      .coalesce(1).persist())
     val yearTot = ny.groupBy("yr").agg(sum(col("revenue_cents")).as("yt"))
     val wn = Window.partitionBy("n_name").orderBy(col("yr").asc)
     ny.join(broadcast(yearTot), Seq("yr"))

@@ -158,7 +158,7 @@ object Sampling {
       .groupBy("source").agg(sum(col("n")).as("n_tokens"))
       .withColumn("w_sqrt",
         expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
-      .persist())
+      .coalesce(1).persist())
     val denom = counts.agg(sum(col("w_sqrt")).as("denom"))
     counts.crossJoin(broadcast(denom))
       .select(col("source"), col("n_tokens"), col("w_sqrt"),

@@ -131,7 +131,7 @@ object Similarity {
           |  cast(0 as double), (acc, s) -> acc + s))""".stripMargin))
       .withColumn("norm_cu", expr("CAST(floor(norm * 100.0D) AS BIGINT)"))
       .groupBy("label", "norm_cu").agg(count(lit(1)).as("nv"))
-      .persist())
+      .coalesce(1).persist())
     val w = Window.partitionBy("label").orderBy(col("norm_cu").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = hist.groupBy("label").agg(sum(col("nv")).as("n_vecs"))
@@ -399,7 +399,7 @@ object Similarity {
       .select("q_id", "vec_id", "crank", "cos")
       .persist())
     val exact = CachedStages.track(cosineRanking(spark, dir, k)
-      .select(col("q_id"), col("doc_id").as("vec_id")).persist())
+      .select(col("q_id"), col("doc_id").as("vec_id")).repartition(1).persist())
     (1 to maxProbe).map { np =>
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -698,7 +698,7 @@ object Similarity {
       .filter(col("rn") <= nCand)
       .select(col("q_id"), col("vec_id"), col("v"),
         expr("CAST(round(cos * 1000000, 0) AS BIGINT)").as("rel_ppm"))
-      .persist())
+      .repartition(1).persist())
     val pairs = CachedStages.track(cand
       .select(col("q_id"), col("vec_id").as("a"), col("v").as("va"))
       .join(cand.select(col("q_id"), col("vec_id").as("b"),
@@ -707,7 +707,7 @@ object Similarity {
       .withColumn("sim_ppm", expr(
         "CAST(round(round(cosine_sim(va, vb), 6) * 1000000, 0) AS BIGINT)"))
       .select("q_id", "a", "b", "sim_ppm")
-      .persist())
+      .coalesce(1).persist())
     def argmax(scored: DataFrame, rank: Int): DataFrame =
       scored.groupBy("q_id")
         .agg(max(struct(col("mmr_fp"), (-col("vec_id")).as("nid"),
@@ -762,7 +762,7 @@ object Similarity {
       lshTables: Int = 16, lshBits: Int = 4, pqM: Int = 4,
       pqSubDim: Int = 16, pqKSub: Int = 4, pqIters: Int = 2): DataFrame = {
     val exact = CachedStages.track(cosineRanking(spark, dir, k)
-      .select(col("q_id"), col("doc_id").as("vec_id")).persist())
+      .select(col("q_id"), col("doc_id").as("vec_id")).repartition(1).persist())
     def recallOf(name: String, topk: DataFrame): DataFrame =
       topk.select(col("q_id"), col("vec_id"))
         .join(exact.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
@@ -830,7 +830,7 @@ object Similarity {
         .filter(col("rn") <= k)
         .select(col("q_id"), col("vec_id"))
     }
-    val exact = CachedStages.track(topkAt(full).persist())
+    val exact = CachedStages.track(topkAt(full).repartition(1).persist())
     dims.sorted.map { m =>
       val tk = if (m == full) exact else topkAt(m)
       tk.join(exact.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"),
@@ -1009,7 +1009,7 @@ object Similarity {
     val per = CachedStages.track(topk.groupBy("q_id", "q_label")
       .agg(sum((col("label") =!= col("q_label")).cast("long"))
         .as("n_diff"))
-      .persist())
+      .coalesce(1).persist())
     val glob = broadcast(per.agg(
       sum(when(col("n_diff") === k.toLong, 1L).otherwise(0L))
         .as("total_suspects"),
@@ -1089,7 +1089,7 @@ object Similarity {
       .join(topk.groupBy("vec_id").agg(count(lit(1)).as("n_k")),
         Seq("vec_id"), "left")
       .na.fill(0L, Seq("n_k"))
-      .persist())
+      .coalesce(1).persist())
     val s1 = perVec.agg(count(lit(1)).as("n_vecs"),
       sum(when(col("n_k") === 0L, 1L).otherwise(0L)).as("n_orphans"),
       max(col("n_k")).as("max_nk"))
@@ -1149,7 +1149,7 @@ object Similarity {
       .groupBy("q_id", "q_label", "label")
       .agg(sum(col("d")).as("s"), count(lit(1)).as("n"))
       .withColumn("m", expr("s div n"))
-      .persist())
+      .coalesce(1).persist())
     val a = grp.filter(col("label") === col("q_label"))
       .select(col("q_id"), col("m").as("a"))
     val b = grp.filter(col("label") =!= col("q_label"))
@@ -1160,7 +1160,7 @@ object Similarity {
           |     WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT)
           |     ELSE (b - a) * 1000000 div greatest(a, b) END"""
           .stripMargin))
-      .persist())
+      .coalesce(1).persist())
     val overall = sil.agg(sum(col("sil")).as("ssum"),
         count(lit(1)).as("nt"))
       .select(expr("ssum div nt").as("overall_mean_micro"))

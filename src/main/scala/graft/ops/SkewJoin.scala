@@ -67,7 +67,7 @@ object SkewJoin {
       // key column (round-18 DupExec sweep, x3 keys); value-domain
       // bounded
       val hist = graft.ops.CachedStages.track(
-        sizes.groupBy("sz").agg(count(lit(1)).as("nk")).persist())
+        sizes.groupBy("sz").agg(count(lit(1)).as("nk")).coalesce(1).persist())
       val w = Window.orderBy(col("sz").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("nk")).over(w))

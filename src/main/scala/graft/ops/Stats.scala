@@ -267,7 +267,7 @@ object Stats {
       .select(expr(s"CAST(CAST($column AS DECIMAL(12, 2)) * 100 AS BIGINT)")
         .as("cents"))
       .groupBy("cents").agg(count(lit(1)).as("cnt"))
-      .persist())
+      .coalesce(1).persist())
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("cents").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
@@ -279,7 +279,7 @@ object Stats {
     val cum = CachedStages.track(hist
       .withColumn("cum", sum(col("cnt")).over(w))
       .crossJoin(broadcast(tot))
-      .persist())
+      .coalesce(1).persist())
     val picks = (1 to buckets).map(i =>
       min(when(expr(s"cum * $buckets >= n * $i"), col("cents")))
         .as(s"h$i"))
@@ -299,7 +299,7 @@ object Stats {
       .crossJoin(broadcast(tot.select(col("floor_lo"))))
       .withColumn("lo", coalesce(lag(col("hi"), 1).over(wb), col("floor_lo")))
       .select(col("bucket"), col("lo"), col("hi"))
-      .persist())
+      .coalesce(1).persist())
     val counts = cum.crossJoin(broadcast(ranges))
       .filter(col("cents") > col("lo") && col("cents") <= col("hi"))
       .groupBy("bucket")

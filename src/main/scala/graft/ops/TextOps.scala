@@ -722,7 +722,7 @@ object TextOps {
         "r_count * 8 + r_wordlen * 4 + r_alpha * 2 + r_stop"))
       .groupBy("mask")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-    val masked = CachedStages.track(byMask.persist())
+    val masked = CachedStages.track(byMask.coalesce(1).persist())
     def at(m: Int) =
       s"coalesce(sum(CASE WHEN mask = $m THEN n_docs END), CAST(0 AS BIGINT))"
     val glob = broadcast(masked.agg(
@@ -1052,7 +1052,7 @@ object TextOps {
         "cast(conv(substring(md5(token), 1, 14), 16, 10) as bigint)"))
       .groupBy("source")
       .agg(expr("kmv_values(hv)").as("sk"))
-      .persist())
+      .coalesce(1).persist())
     def estExpr(skCol: String): String =
       s"""CASE WHEN size($skCol) < $KmvK THEN CAST(size($skCol) AS BIGINT)
          |ELSE (CAST(${KmvK - 1} AS BIGINT) * $KmvDomain)
@@ -1272,7 +1272,7 @@ object TextOps {
       .groupBy("source", "len")
       .agg(count(lit(1)).as("n_docs_len"))
       .withColumn("toks_len", col("len") * col("n_docs_len"))
-      .persist())
+      .coalesce(1).persist())
     val w = Window.partitionBy("source").orderBy(col("len").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
@@ -1493,7 +1493,7 @@ object TextOps {
     // id-range rollup ran once per spine (round-18 DupExec sweep)
     val bounds = CachedStages.track(ids
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .persist())
+      .coalesce(1).persist())
     def dec(c: String) =
       expr(s"CAST(($c - mn) * 10 div (mx - mn + 1) + 1 AS BIGINT)")
     val docDec = ids.crossJoin(broadcast(bounds))
@@ -1604,7 +1604,7 @@ object TextOps {
     val ranked = CachedStages.track(top
       .withColumn("rank", row_number().over(Window
         .orderBy(col("c").desc, col("token").asc)).cast("long"))
-      .persist())
+      .coalesce(1).persist())
     val r2 = ranked.select(col("rank").as("rank2"),
       col("c").as("c2"))
     ranked.filter(col("rank").isin(picks: _*))
@@ -1644,7 +1644,7 @@ object TextOps {
     // |sources|-sized, but derived from the big distinct set — cached
     // so the two directional joins don't re-collapse it
     val sizes = CachedStages.track(
-      st.groupBy("source").agg(count(lit(1)).as("v")).persist())
+      st.groupBy("source").agg(count(lit(1)).as("v")).coalesce(1).persist())
     val inter = st.as("a").join(st.as("b"),
         col("a.token") === col("b.token") &&
           col("a.source") < col("b.source"))
@@ -1746,7 +1746,7 @@ object TextOps {
     // (round-18 DupExec sweep)
     val totals = CachedStages.track(counts.groupBy("source")
       .agg(sum(col("c")).as("n"))
-      .persist())
+      .coalesce(1).persist())
     val pairs = totals.select(col("source").as("source_a"),
         col("n").as("n_a"))
       .crossJoin(totals.select(col("source").as("source_b"),
